@@ -1,0 +1,38 @@
+package graft.core
+
+import org.apache.spark.sql.SparkSession
+
+/** Session factory for the graft engine.
+  *
+  * Defaults tuned for the test harness (local[32], 128 GiB single JVM) but
+  * expressed so the same settings scale to a multi-executor cluster: AQE on
+  * (runtime re-planning, skew-join handling, shuffle-partition coalescing),
+  * UTC session time zone (oracle parity), and an explicit shuffle-partition
+  * count instead of the 200 default.
+  *
+  * Reference behavior covered: the reference has no session concept (eager
+  * pandas, /root/reference/picoprobe/flow_analyzer.py); this is the Spark
+  * entry point everything else hangs off.
+  */
+object GraftSession {
+
+  /** Build a local session. `cores` drives both parallelism and shuffle
+    * partitions — at cluster scale, shuffle partitions would instead be
+    * sized to data volume (~128 MB per partition post-AQE-coalesce).
+    */
+  def local(cores: Int = 32, appName: String = "graft"): SparkSession = {
+    val spark = SparkSession
+      .builder()
+      .master(s"local[$cores]")
+      .appName(appName)
+      .config("spark.sql.shuffle.partitions", cores.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+}

@@ -1,0 +1,28 @@
+package graft.core
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Parquet table registry over a scale-factor directory
+  * (see /root/repo/TESTDATA.md).
+  *
+  * All loads go through `spark.read.parquet` so Catalyst pushes filters and
+  * prunes columns at the scan (verify via `.explain`: `PushedFilters`,
+  * `ReadSchema`). At 100 TB the same call reads a partitioned parquet/Delta
+  * layout; nothing here assumes single-file tables.
+  */
+object Tables {
+
+  val all: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  /** Small dimension tables — always broadcast-join candidates. */
+  val dims: Set[String] = Set("region", "nation")
+
+  def load(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  /** Register every table as a temp view for `spark.sql` surfaces. */
+  def registerAll(spark: SparkSession, dir: String): Unit =
+    all.foreach(n => load(spark, dir, n).createOrReplaceTempView(n))
+}

@@ -14,7 +14,7 @@ object SparkEntry {
 
   /** All registered capabilities, in registration order. */
   def defs: Seq[QueryDef] =
-    RelationalQueries.all
+    RelationalQueries.all ++ JoinQueries.all ++ EventQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

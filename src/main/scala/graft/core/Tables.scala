@@ -19,8 +19,14 @@ object Tables {
   /** Small dimension tables — always broadcast-join candidates. */
   val dims: Set[String] = Set("region", "nation")
 
-  def load(spark: SparkSession, dir: String, name: String): DataFrame =
+  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+    // events.ts is parquet TIMESTAMP(NANOS) which Spark rejects by default;
+    // read it as a ns-epoch long — the same representation the reference's
+    // transitions.state_time uses (ns since epoch, SURVEY.md §1.1).
+    if (name == "events")
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.read.parquet(s"$dir/$name.parquet")
+  }
 
   /** Register every table as a temp view for `spark.sql` surfaces. */
   def registerAll(spark: SparkSession, dir: String): Unit =

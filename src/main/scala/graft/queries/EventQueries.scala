@@ -1,0 +1,167 @@
+package graft.queries
+
+import graft.QueryDef
+import graft.core.{Exact, Tables}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DoubleType
+
+/** Event-log analytics (SURVEY §2 E/D4): the Spark re-expression of the
+  * reference's flow-log and transitions analysis
+  * (/root/reference/picoprobe/flow_analyzer.py:321-346 pivot,
+  * examples/xloop2023/performance.ipynb cell 8 event pairs).
+  *
+  * `events.ts` is a ns-epoch long (see Tables.load) — the exact
+  * representation of the reference's `transitions.state_time`.
+  */
+object EventQueries {
+
+  import Exact.{money, sqlMoney}
+
+  private val NsPerHour = 3600L * 1000L * 1000L * 1000L
+
+  /** Window functions: per-supplier running totals + row numbering.
+    * One shuffle on the partition key, then a partition-local sort;
+    * quantities are integer-valued so the running sum is exact.
+    */
+  val q7WindowRunning: QueryDef = QueryDef(
+    "q7_window_running",
+    (s, dir) => {
+      val w = Window.partitionBy("l_suppkey")
+        .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+      Tables.load(s, dir, "lineitem")
+        .filter(col("l_suppkey") <= 10)
+        .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+          col("l_shipdate"), col("l_quantity"))
+        .withColumn("rn", row_number().over(w))
+        .withColumn("running_qty",
+          sum(col("l_quantity")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+        .orderBy("l_suppkey", "rn")
+    },
+    Some("""
+      SELECT l_suppkey, l_orderkey, l_linenumber, l_shipdate, l_quantity,
+        ROW_NUMBER() OVER w AS rn,
+        SUM(l_quantity) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_qty
+      FROM lineitem WHERE l_suppkey <= 10
+      WINDOW w AS (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber)
+      ORDER BY l_suppkey, rn""")
+  )
+
+  /** Event-log → wide pivot via conditional aggregation (SURVEY §2 E1).
+    * Conditional agg instead of `.pivot()` keeps column names static and
+    * the plan a single map-side-combinable aggregate — one shuffle of
+    * |users| rows regardless of input size.
+    */
+  val q8PivotCounts: QueryDef = QueryDef(
+    "q8_pivot_counts",
+    (s, dir) => {
+      val ev = Tables.load(s, dir, "events")
+      def n(t: String)   = count(when(col("event_type") === t, 1)).as(s"n_$t")
+      def amt(t: String) = sum(money(when(col("event_type") === t, col("value"))))
+        .cast(DoubleType).as(s"amt_$t")
+      ev.groupBy("user_id")
+        .agg(n("click"), n("view"), n("signup"), n("purchase"), n("error"),
+          amt("purchase"), amt("click"))
+        .orderBy("user_id")
+    },
+    Some(s"""
+      SELECT user_id,
+        COUNT(*) FILTER (WHERE event_type = 'click')    AS n_click,
+        COUNT(*) FILTER (WHERE event_type = 'view')     AS n_view,
+        COUNT(*) FILTER (WHERE event_type = 'signup')   AS n_signup,
+        COUNT(*) FILTER (WHERE event_type = 'purchase') AS n_purchase,
+        COUNT(*) FILTER (WHERE event_type = 'error')    AS n_error,
+        CAST(SUM(${sqlMoney("value")}) FILTER (WHERE event_type = 'purchase') AS DOUBLE) AS amt_purchase,
+        CAST(SUM(${sqlMoney("value")}) FILTER (WHERE event_type = 'click') AS DOUBLE) AS amt_click
+      FROM events GROUP BY user_id ORDER BY user_id""")
+  )
+
+  /** Event-pair interval analysis (SURVEY §2 D4, ipynb cell 8:
+    * `execution-start` vs `execution-end` per task → duration in s).
+    * Pivot-style min-per-message beats a self-join: one aggregate, no
+    * duplicate scan, no join skew on hot keys.
+    */
+  val q9EventPairs: QueryDef = QueryDef(
+    "q9_event_pairs",
+    (s, dir) =>
+      Tables.load(s, dir, "events")
+        .groupBy("user_id")
+        .agg(
+          // µs precision: the smallest unit both engines agree on
+          // (DuckDB truncates parquet NANOS to TIMESTAMP µs on read).
+          expr("min(case when event_type = 'signup' then ts end) div 1000").as("t_signup"),
+          expr("min(case when event_type = 'purchase' then ts end) div 1000").as("t_purchase"))
+        .filter(col("t_signup").isNotNull && col("t_purchase").isNotNull)
+        .withColumn("delta_sec",
+          (col("t_purchase") - col("t_signup")) / lit(1000000.0))
+        .orderBy("user_id"),
+    Some("""
+      SELECT user_id, t_signup, t_purchase,
+             CAST(t_purchase - t_signup AS DOUBLE) / CAST(1000000 AS DOUBLE) AS delta_sec
+      FROM (
+        SELECT user_id,
+          MIN(epoch_us(ts)) FILTER (WHERE event_type = 'signup')   AS t_signup,
+          MIN(epoch_us(ts)) FILTER (WHERE event_type = 'purchase') AS t_purchase
+        FROM events GROUP BY user_id)
+      WHERE t_signup IS NOT NULL AND t_purchase IS NOT NULL
+      ORDER BY user_id""")
+  )
+
+  /** Time-bucket aggregation (SURVEY §2 E8/C13 epoch arithmetic): events
+    * per hour. Integer floor-division on the ns epoch — exact, and at
+    * scale the natural partition key for an events table.
+    */
+  val q14TimeBuckets: QueryDef = QueryDef(
+    "q14_time_buckets",
+    (s, dir) =>
+      Tables.load(s, dir, "events")
+        .withColumn("hr", expr(s"ts div ${NsPerHour}L"))
+        .groupBy("hr")
+        .agg(count(lit(1)).as("n"),
+          sum(money(col("value"))).cast(DoubleType).as("total_value"))
+        .orderBy("hr"),
+    Some(s"""
+      SELECT epoch_ns(ts) // ${NsPerHour} AS hr, COUNT(*) AS n,
+             CAST(SUM(${sqlMoney("value")}) AS DOUBLE) AS total_value
+      FROM events GROUP BY 1 ORDER BY 1""")
+  )
+
+  /** Per-user activity span (SURVEY §2 C10/E2: relative time + interval
+    * arithmetic — `flow_runtime = end − start`).
+    */
+  val q15UserSpan: QueryDef = QueryDef(
+    "q15_user_span",
+    (s, dir) =>
+      Tables.load(s, dir, "events")
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_events"),
+          expr("min(ts) div 1000").as("t_first"),
+          expr("max(ts) div 1000").as("t_last"))
+        .withColumn("span_sec", (col("t_last") - col("t_first")) / lit(1000000.0))
+        .orderBy("user_id"),
+    Some("""
+      SELECT user_id, COUNT(*) AS n_events,
+             MIN(epoch_us(ts)) AS t_first, MAX(epoch_us(ts)) AS t_last,
+             CAST(MAX(epoch_us(ts)) - MIN(epoch_us(ts)) AS DOUBLE) / CAST(1000000 AS DOUBLE) AS span_sec
+      FROM events GROUP BY user_id ORDER BY user_id""")
+  )
+
+  /** Nested JSON extraction (SURVEY §2 F map/json: `get_json_object`
+    * analog of the reference's nested-dict gets, flow_analyzer.py:244-263).
+    */
+  val q17JsonExtract: QueryDef = QueryDef(
+    "q17_json_extract",
+    (s, dir) =>
+      Tables.load(s, dir, "events")
+        .withColumn("k", get_json_object(col("props"), "$.k").cast("int"))
+        .groupBy("k").agg(count(lit(1)).as("n"))
+        .orderBy("k"),
+    Some("""
+      SELECT CAST(props->>'$.k' AS INTEGER) AS k, COUNT(*) AS n
+      FROM events GROUP BY 1 ORDER BY 1""")
+  )
+
+  val all: Seq[QueryDef] = Seq(
+    q7WindowRunning, q8PivotCounts, q9EventPairs,
+    q14TimeBuckets, q15UserSpan, q17JsonExtract)
+}

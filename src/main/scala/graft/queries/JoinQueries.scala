@@ -1,0 +1,127 @@
+package graft.queries
+
+import graft.QueryDef
+import graft.core.{Exact, Tables}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DoubleType
+
+/** Join surface (SURVEY §2 D): inner/semi/anti equi-joins, broadcast dims.
+  *
+  * The reference's joins are implicit (FK filters and key-set membership,
+  * /root/reference/picoprobe/flow_analyzer.py:306-317,
+  * examples/xloop2023/performance.ipynb cell 8); the harness requires the
+  * full relational set. Scale notes: fact-fact joins shuffle on the join
+  * key (AQE picks sort-merge vs shuffled-hash and handles skew); dimension
+  * joins are broadcast explicitly so no shuffle of the fact side occurs.
+  */
+object JoinQueries {
+
+  import Exact.{money, sqlMoney}
+
+  private def revenue = money(col("l_extendedprice")) * money(lit(1.0) - col("l_discount"))
+  private def sqlRevenue = s"${sqlMoney("l_extendedprice")} * ${sqlMoney("1.0 - l_discount")}"
+
+  /** TPC-H Q3 shape: two fact joins + grouped revenue. customer is the
+    * small side per-key after its segment filter — at 100 TB AQE decides
+    * broadcast vs shuffle; the groupBy reuses the join's hash partitioning
+    * on l_orderkey where possible.
+    */
+  val q3JoinAgg: QueryDef = QueryDef(
+    "q3_join_agg",
+    (s, dir) => {
+      val cutoff = lit("1998-06-01 00:00:00").cast("timestamp")
+      val cust = Tables.load(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+      val ord  = Tables.load(s, dir, "orders").filter(col("o_orderdate") < cutoff)
+      val li   = Tables.load(s, dir, "lineitem").filter(col("l_shipdate") >= cutoff)
+      cust.join(ord, col("c_custkey") === col("o_custkey"))
+        .join(li, col("o_orderkey") === col("l_orderkey"))
+        .groupBy(col("l_orderkey"), col("o_orderdate"))
+        .agg(sum(revenue).cast(DoubleType).as("revenue"))
+        .orderBy(col("revenue").desc, col("l_orderkey"))
+        .limit(10)
+    },
+    Some(s"""
+      SELECT l_orderkey, o_orderdate, CAST(SUM($sqlRevenue) AS DOUBLE) AS revenue
+      FROM customer
+      JOIN orders   ON c_custkey = o_custkey
+      JOIN lineitem ON o_orderkey = l_orderkey
+      WHERE c_mktsegment = 'BUILDING'
+        AND o_orderdate < TIMESTAMP '1998-06-01 00:00:00'
+        AND l_shipdate >= TIMESTAMP '1998-06-01 00:00:00'
+      GROUP BY l_orderkey, o_orderdate
+      ORDER BY revenue DESC, l_orderkey LIMIT 10""")
+  )
+
+  /** EXISTS as left-semi join (SURVEY §2 D3 key-set membership). */
+  val q4SemiJoin: QueryDef = QueryDef(
+    "q4_semijoin",
+    (s, dir) => {
+      val big = Tables.load(s, dir, "lineitem").filter(col("l_quantity") > 45)
+      Tables.load(s, dir, "orders")
+        .join(big, col("o_orderkey") === col("l_orderkey"), "left_semi")
+        .select("o_orderkey", "o_totalprice")
+        .orderBy("o_orderkey")
+    },
+    Some("""
+      SELECT o_orderkey, o_totalprice FROM orders
+      WHERE EXISTS (SELECT 1 FROM lineitem
+                    WHERE l_orderkey = o_orderkey AND l_quantity > 45)
+      ORDER BY o_orderkey""")
+  )
+
+  /** NOT EXISTS as left-anti join: customers with no finalized ('F')
+    * order. The filter lands on the build side before the join.
+    */
+  val q5AntiJoin: QueryDef = QueryDef(
+    "q5_antijoin",
+    (s, dir) =>
+      Tables.load(s, dir, "customer")
+        .join(
+          Tables.load(s, dir, "orders").filter(col("o_orderstatus") === "F"),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name", "c_acctbal")
+        .orderBy("c_custkey"),
+    Some("""
+      SELECT c_custkey, c_name, c_acctbal FROM customer
+      WHERE NOT EXISTS (SELECT 1 FROM orders
+                        WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
+      ORDER BY c_custkey""")
+  )
+
+  /** TPC-H Q5 shape: star join with explicitly broadcast dimensions
+    * (nation/region are tiny at any scale — never shuffle the fact side
+    * for them). Revenue per nation for one region.
+    */
+  val q6RegionJoin: QueryDef = QueryDef(
+    "q6_region_join",
+    (s, dir) => {
+      val cust = Tables.load(s, dir, "customer")
+      val ord  = Tables.load(s, dir, "orders")
+      val li   = Tables.load(s, dir, "lineitem")
+      val sup  = Tables.load(s, dir, "supplier")
+      val nat  = broadcast(Tables.load(s, dir, "nation"))
+      val reg  = broadcast(Tables.load(s, dir, "region").filter(col("r_name") === "ASIA"))
+      cust.join(ord, col("c_custkey") === col("o_custkey"))
+        .join(li, col("o_orderkey") === col("l_orderkey"))
+        .join(sup, col("l_suppkey") === col("s_suppkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+        .join(nat, col("s_nationkey") === col("n_nationkey"))
+        .join(reg, col("n_regionkey") === col("r_regionkey"))
+        .groupBy("n_name")
+        .agg(sum(revenue).cast(DoubleType).as("revenue"))
+        .orderBy("n_name")
+    },
+    Some(s"""
+      SELECT n_name, CAST(SUM($sqlRevenue) AS DOUBLE) AS revenue
+      FROM customer
+      JOIN orders   ON c_custkey = o_custkey
+      JOIN lineitem ON o_orderkey = l_orderkey
+      JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      JOIN nation   ON s_nationkey = n_nationkey
+      JOIN region   ON n_regionkey = r_regionkey
+      WHERE r_name = 'ASIA'
+      GROUP BY n_name ORDER BY n_name""")
+  )
+
+  val all: Seq[QueryDef] = Seq(q3JoinAgg, q4SemiJoin, q5AntiJoin, q6RegionJoin)
+}

@@ -59,5 +59,119 @@ object RelationalQueries {
       ORDER BY l_returnflag, l_linestatus""")
   )
 
-  val all: Seq[QueryDef] = Seq(q1Agg)
+  /** Filter + sort + limit (SURVEY §2 B1/B2/E6/E7): top-k by price.
+    * At scale: Spark plans this as a per-partition TakeOrderedAndProject —
+    * no global sort, only k rows reach the driver-side merge.
+    */
+  val q2TopK: QueryDef = QueryDef(
+    "q2_topk",
+    (s, dir) =>
+      Tables.load(s, dir, "orders")
+        .filter(col("o_orderstatus") === "O")
+        .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderdate")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(20),
+    Some("""
+      SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate
+      FROM orders WHERE o_orderstatus = 'O'
+      ORDER BY o_totalprice DESC, o_orderkey LIMIT 20""")
+  )
+
+  /** Histogram (SURVEY §2 C9, flow_analyzer.py:370 `plot.hist(bins=20)`):
+    * global min/max (one tiny agg, broadcast) then a 20-bucket groupBy.
+    * Two scans at 100 TB, both columnar + pushed-down to one column.
+    */
+  val q10Histogram: QueryDef = QueryDef(
+    "q10_histogram",
+    (s, dir) => {
+      val o = Tables.load(s, dir, "orders")
+      val mm = o.agg(min(col("o_totalprice")).as("mn"), max(col("o_totalprice")).as("mx"))
+      o.crossJoin(broadcast(mm))
+        .withColumn(
+          "bucket",
+          least(floor((col("o_totalprice") - col("mn")) * 20.0 / (col("mx") - col("mn"))), lit(19.0)).cast("long"))
+        .groupBy("bucket").agg(count(lit(1)).as("n"))
+        .orderBy("bucket")
+    },
+    Some("""
+      WITH b AS (SELECT min(o_totalprice) AS mn, max(o_totalprice) AS mx FROM orders)
+      SELECT LEAST(CAST(FLOOR((o_totalprice - mn) * 20.0 / (mx - mn)) AS BIGINT), 19) AS bucket,
+             COUNT(*) AS n
+      FROM orders, b GROUP BY 1 ORDER BY 1""")
+  )
+
+  /** describe()-style stats (SURVEY §2 C2/C6): count/mean/std/min/max/median
+    * per group. Stddev via the exact sum/sum-of-squares identity so the
+    * result is partitioning-independent (quantities are integer-valued).
+    */
+  val q11SummaryStats: QueryDef = QueryDef(
+    "q11_summary_stats",
+    (s, dir) => {
+      val q   = col("l_quantity")
+      val n   = count(lit(1))
+      val sm  = dsum(q)
+      val sq  = dsum(q * q)
+      Tables.load(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          n.as("n"),
+          (sm / n).as("mean_qty"),
+          sqrt((sq - sm * sm / n) / (n - lit(1))).as("std_qty"),
+          min(q).as("min_qty"),
+          expr("percentile(l_quantity, 0.5)").as("p50_qty"),
+          max(q).as("max_qty"))
+        .orderBy("l_returnflag")
+    },
+    Some(s"""
+      SELECT l_returnflag,
+        COUNT(*) AS n,
+        ${sqlSum("l_quantity")} / COUNT(*) AS mean_qty,
+        SQRT((${sqlSum("l_quantity * l_quantity")} - ${sqlSum("l_quantity")} * ${sqlSum("l_quantity")} / COUNT(*)) / (COUNT(*) - 1)) AS std_qty,
+        MIN(l_quantity) AS min_qty,
+        quantile_cont(l_quantity, 0.5) AS p50_qty,
+        MAX(l_quantity) AS max_qty
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")
+  )
+
+  /** Distinct values (SURVEY §2 C8, `np.unique(df["message"])`). */
+  val q12Distinct: QueryDef = QueryDef(
+    "q12_distinct",
+    (s, dir) =>
+      Tables.load(s, dir, "events")
+        .select("event_type").distinct().orderBy("event_type"),
+    Some("SELECT DISTINCT event_type FROM events ORDER BY event_type")
+  )
+
+  /** String-function surface (SURVEY §2 B8/F: path mapping, suffix swap,
+    * label formatting — utils.py:45-77, tools/hyperspectral.py:127,139).
+    * Pure per-row projection: narrow scan, whole-stage codegen, no shuffle.
+    */
+  val q13StringFuncs: QueryDef = QueryDef(
+    "q13_string_funcs",
+    (s, dir) =>
+      Tables.load(s, dir, "part")
+        .select(
+          col("p_partkey"),
+          upper(col("p_name")).as("name_upper"),
+          expr("replace(p_name, ' ', '_')").as("name_snake"),
+          concat_ws("-", col("p_brand"), col("p_type")).as("brand_type"),
+          expr("split_part(p_name, ' ', 1)").as("first_word"),
+          length(col("p_name")).as("name_len"),
+          substring(col("p_name"), 1, 5).as("name_pre"),
+          expr("replace(concat(replace(p_name, ' ', '-'), '.emd'), '.emd', '.json')").as("sidecar"))
+        .orderBy("p_partkey"),
+    Some("""
+      SELECT p_partkey,
+        UPPER(p_name) AS name_upper,
+        REPLACE(p_name, ' ', '_') AS name_snake,
+        CONCAT(p_brand, '-', p_type) AS brand_type,
+        SPLIT_PART(p_name, ' ', 1) AS first_word,
+        LENGTH(p_name) AS name_len,
+        SUBSTRING(p_name, 1, 5) AS name_pre,
+        REPLACE(CONCAT(REPLACE(p_name, ' ', '-'), '.emd'), '.emd', '.json') AS sidecar
+      FROM part ORDER BY p_partkey""")
+  )
+
+  val all: Seq[QueryDef] =
+    Seq(q1Agg, q2TopK, q10Histogram, q11SummaryStats, q12Distinct, q13StringFuncs)
 }

@@ -14,7 +14,9 @@ object SparkEntry {
 
   /** All registered capabilities, in registration order. */
   def defs: Seq[QueryDef] =
-    RelationalQueries.all ++ JoinQueries.all ++ EventQueries.all
+    RelationalQueries.all ++ JoinQueries.all ++ EventQueries.all ++
+      graft.text.TextQueries.all ++ graft.dedup.DedupQueries.all ++
+      graft.sim.SimilarityQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,168 @@
+package graft.dedup
+
+import graft.QueryDef
+import graft.core.Tables
+import graft.functions.VectorFunctions
+import org.apache.spark.sql.functions._
+
+/** Dedup query surface over `documents` / `embeddings`.
+  *
+  * Oracle strategy: the MinHash-LSH result is verified against DuckDB's
+  * brute-force O(n²) Jaccard join — at sf0.01 the oracle is feasible while
+  * the Spark side runs the LSH plan that scales (candidates via bucket
+  * join, not cross join). Exact dedup and n-gram Jaccard are directly
+  * SQL-expressible.
+  */
+object DedupQueries {
+
+  /** Exact dedup by content digest: canonical (min) doc id + group size
+    * per distinct text. Grouping key is the 32-byte sha256, not the text,
+    * so the shuffle stays narrow at scale.
+    */
+  val d1ExactDedup: QueryDef = QueryDef(
+    "d1_exact_dedup",
+    (s, dir) =>
+      Tables.load(s, dir, "documents")
+        .groupBy(sha2(col("text"), 256).as("content_key"))
+        .agg(min(col("doc_id")).as("canonical_id"), count(lit(1)).as("n_copies"))
+        .select("content_key", "canonical_id", "n_copies")
+        .orderBy("canonical_id"),
+    Some("""
+      SELECT sha256(text) AS content_key, MIN(doc_id) AS canonical_id,
+             COUNT(*) AS n_copies
+      FROM documents GROUP BY text ORDER BY canonical_id""")
+  )
+
+  private def duckShingleCte: String = """
+      WITH s AS (
+        SELECT doc_id,
+               LIST_DISTINCT(LIST_TRANSFORM(
+                 GENERATE_SERIES(1, LENGTH(STRING_SPLIT(text,' ')) - 2),
+                 i -> CONCAT(STRING_SPLIT(text,' ')[i], ' ',
+                             STRING_SPLIT(text,' ')[i+1], ' ',
+                             STRING_SPLIT(text,' ')[i+2]))) AS sh
+        FROM documents
+        WHERE LENGTH(STRING_SPLIT(text,' ')) >= 3)"""
+
+  /** MinHash + LSH near-dup pairs (threshold 0.8 Jaccard on word
+    * 3-shingles). The oracle is the brute-force pair join — LSH with 16
+    * bands × 4 rows has ~1e-7 false-negative probability at j≥0.89 (the
+    * data's near-dup band), and the exact verify removes false positives.
+    */
+  val d2MinhashLsh: QueryDef = QueryDef(
+    "d2_minhash_lsh",
+    (s, dir) =>
+      Dedup.minhashNearDupPairs(
+        Tables.load(s, dir, "documents"), "doc_id", "text", threshold = 0.8)
+        .orderBy("doc_a", "doc_b"),
+    Some(s"""
+      $duckShingleCte
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             CAST(LENGTH(LIST_INTERSECT(a.sh, b.sh)) AS DOUBLE)
+               / (LENGTH(a.sh) + LENGTH(b.sh) - LENGTH(LIST_INTERSECT(a.sh, b.sh))) AS jaccard
+      FROM s a JOIN s b ON a.doc_id < b.doc_id
+      WHERE CAST(LENGTH(LIST_INTERSECT(a.sh, b.sh)) AS DOUBLE)
+              / (LENGTH(a.sh) + LENGTH(b.sh) - LENGTH(LIST_INTERSECT(a.sh, b.sh))) >= 0.8
+      ORDER BY doc_a, doc_b""")
+  )
+
+  /** SimHash near-dup pairs at hamming distance <= 6, found via 8-band
+    * byte blocking: each signature explodes into 8 (band_id, byte) keys;
+    * by pigeonhole any pair within hamming 7 shares at least one untouched
+    * band, so the banded equi-join is *complete* for the <=6 threshold
+    * while staying off the O(n²) path at scale. No SQL oracle (xxhash64
+    * has no DuckDB analog) — invariants are spec-tested and the driver
+    * records a rows-only check.
+    */
+  val d3Simhash: QueryDef = QueryDef(
+    "d3_simhash",
+    (s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), Dedup.simhash(col("text")).as("sig"))
+      val banded = docs.select(
+        col("doc_id"), col("sig"),
+        posexplode(array((0 until 8).map(b =>
+          shiftrightunsigned(col("sig"), b * 8).bitwiseAND(lit(0xFFL))): _*))
+          .as(Seq("band_id", "band_byte")))
+      val a = banded.select(col("band_id"), col("band_byte"),
+        col("doc_id").as("doc_a"), col("sig").as("sig_a"))
+      val b = banded.select(col("band_id"), col("band_byte"),
+        col("doc_id").as("doc_b"), col("sig").as("sig_b"))
+      a.join(b, Seq("band_id", "band_byte"))
+        .filter(col("doc_a") < col("doc_b"))
+        .select("doc_a", "doc_b", "sig_a", "sig_b")
+        .dropDuplicates("doc_a", "doc_b")
+        .withColumn("hamming", Dedup.hamming(col("sig_a"), col("sig_b")))
+        .filter(col("hamming") <= 6)
+        .select("doc_a", "doc_b", "hamming")
+        .orderBy("doc_a", "doc_b")
+    },
+    None
+  )
+
+  /** n-gram Jaccard similarity join without LSH (direct brute pair join)
+    * restricted to a blocking key (same `source`) — the exact-SQL-
+    * expressible member of the dedup family.
+    */
+  val d4NgramJaccard: QueryDef = QueryDef(
+    "d4_ngram_jaccard",
+    (s, dir) => {
+      val sh = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          array_distinct(Dedup.shingleWords(col("text"), 2)).as("sh"))
+        .filter(size(col("sh")) > 0)
+      val a = sh.select(col("source"), col("doc_id").as("doc_a"), col("sh").as("sh_a"))
+      val b = sh.select(col("source"), col("doc_id").as("doc_b"), col("sh").as("sh_b"))
+      a.join(b, Seq("source")).filter(col("doc_a") < col("doc_b"))
+        .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+        .withColumn("uni", size(col("sh_a")) + size(col("sh_b")) - col("inter"))
+        .withColumn("jaccard", col("inter").cast("double") / col("uni"))
+        .filter(col("jaccard") >= 0.5)
+        .select("doc_a", "doc_b", "jaccard")
+        .orderBy("doc_a", "doc_b")
+    },
+    Some("""
+      WITH s AS (
+        SELECT doc_id, source,
+               LIST_DISTINCT(LIST_TRANSFORM(
+                 GENERATE_SERIES(1, LENGTH(STRING_SPLIT(text,' ')) - 1),
+                 i -> CONCAT(STRING_SPLIT(text,' ')[i], ' ', STRING_SPLIT(text,' ')[i+1]))) AS sh
+        FROM documents
+        WHERE LENGTH(STRING_SPLIT(text,' ')) >= 2)
+      SELECT doc_a, doc_b, jaccard FROM (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(LENGTH(LIST_INTERSECT(a.sh, b.sh)) AS DOUBLE)
+                 / (LENGTH(a.sh) + LENGTH(b.sh) - LENGTH(LIST_INTERSECT(a.sh, b.sh))) AS jaccard
+        FROM s a JOIN s b ON a.source = b.source AND a.doc_id < b.doc_id)
+      WHERE jaccard >= 0.5
+      ORDER BY doc_a, doc_b""")
+  )
+
+  /** Embedding near-dup: top-50 most cosine-similar vector pairs. Exact
+    * double cosine on both engines (sequential fold) so values hash-match.
+    * The Spark side demonstrates the brute pair join; the LSH-bucketed
+    * scale path is `s2_ann_lsh`.
+    */
+  val d5EmbeddingNearDup: QueryDef = QueryDef(
+    "d5_embedding_neardup",
+    (s, dir) => {
+      val e = Tables.load(s, dir, "embeddings")
+      val a = e.select(col("vec_id").as("id_a"), col("embedding").as("va"))
+      val b = e.select(col("vec_id").as("id_b"), col("embedding").as("vb"))
+      a.join(b, col("id_a") < col("id_b"))
+        .withColumn("cos", VectorFunctions.cosine(col("va"), col("vb")))
+        .select("id_a", "id_b", "cos")
+        .orderBy(col("cos").desc, col("id_a"), col("id_b"))
+        .limit(50)
+    },
+    Some("""
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             LIST_COSINE_SIMILARITY(CAST(a.embedding AS DOUBLE[]),
+                                    CAST(b.embedding AS DOUBLE[])) AS cos
+      FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+      ORDER BY cos DESC, id_a, id_b LIMIT 50""")
+  )
+
+  val all: Seq[QueryDef] =
+    Seq(d1ExactDedup, d2MinhashLsh, d3Simhash, d4NgramJaccard, d5EmbeddingNearDup)
+}

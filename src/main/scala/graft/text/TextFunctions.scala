@@ -1,0 +1,73 @@
+package graft.text
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis column functions for large-scale training-data pipelines.
+  *
+  * Everything here is a pure per-row projection built from codegen'd
+  * built-ins (no UDFs): at 100 TB these run inside whole-stage codegen on
+  * the scan, shuffle nothing, and read only the `text` column.
+  */
+object TextFunctions {
+
+  /** Whitespace tokens. */
+  def tokens(text: Column): Column = split(text, " ")
+
+  /** Token count via length arithmetic (identical semantics on any SQL
+    * engine, robust to split-function edge cases).
+    */
+  def tokenCount(text: Column): Column =
+    (length(text) - length(regexp_replace(text, " ", "")) + lit(1)).as("n_tokens")
+
+  /** Count of purely alphabetic tokens (a BPE-ish "word token" proxy). */
+  def alphaTokenCount(text: Column): Column =
+    size(filter(tokens(text), t => t.rlike("^[a-z]+$")))
+
+  /** Punctuation character ratio. */
+  def punctRatio(text: Column): Column =
+    length(regexp_replace(text, "[^.,!?;:]", "")).cast("double") / length(text)
+
+  /** Stopword-list hit count over whitespace tokens. */
+  def stopwordCount(text: Column, words: Seq[String]): Column =
+    size(filter(tokens(text), t => t.isin(words.map(lit(_)): _*)))
+
+  /** Tiny language-ID profiles (public stopword lists). The heuristic is
+    * argmax of profile-hit counts with deterministic alphabetical-priority
+    * tiebreak; 'und' when nothing matches.
+    */
+  val langProfiles: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("der", "die", "das", "und", "ist", "von", "mit", "nicht"),
+    "en" -> Seq("the", "a", "and", "of", "to", "in", "is", "that"),
+    "es" -> Seq("el", "la", "de", "que", "y", "en", "un", "los"),
+    "fr" -> Seq("le", "la", "de", "et", "un", "est", "que", "les"))
+
+  /** Heuristic language-ID: argmax profile-hit count, ties broken by
+    * alphabetical order of the language code, 'und' if no profile hits.
+    */
+  def langId(text: Column): Column = {
+    val counts = langProfiles.map { case (l, ws) => l -> stopwordCount(text, ws) }
+    val scored = counts.foldRight(lit("und")) { case ((l, c), els) =>
+      val beatsRest = counts.filter(_._1 > l).map(_._2)
+        .foldLeft(c > 0)((acc, o) => acc && c >= o)
+      when(beatsRest, lit(l)).otherwise(els)
+    }
+    scored
+  }
+
+  /** Content fingerprints: full-text digests for exact dedup / integrity
+    * (the reference's Publishv2 computes sha256/sha512 per file — SURVEY
+    * §2 A10).
+    */
+  def fingerprintMd5(text: Column): Column = md5(text)
+  def fingerprintSha256(text: Column): Column = sha2(text, 256)
+
+  /** Karp–Rabin-style rolling hash over tokens (order-sensitive document
+    * fingerprint; two docs with the same token sequence collide). Long
+    * arithmetic wraps identically everywhere (two's-complement), and the
+    * sequential fold is deterministic per row.
+    */
+  def rollingHash(text: Column): Column =
+    aggregate(tokens(text), lit(1125899906842597L),
+      (acc, t) => acc * lit(31L) + xxhash64(t))
+}

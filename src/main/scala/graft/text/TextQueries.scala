@@ -1,0 +1,120 @@
+package graft.text
+
+import graft.QueryDef
+import graft.core.Tables
+import org.apache.spark.sql.functions._
+
+/** Text-analysis queries over the `documents` table (north-star LLM-data
+  * pipeline operators: token counting, quality scoring, language ID,
+  * fingerprinting). All are narrow-scan projections + at most one tiny
+  * aggregation — embarrassingly parallel at 100 TB.
+  */
+object TextQueries {
+
+  import TextFunctions._
+
+  /** Token counting: whitespace tokens + alphabetic-token subset. */
+  val t1TokenCount: QueryDef = QueryDef(
+    "t1_token_count",
+    (s, dir) =>
+      Tables.load(s, dir, "documents")
+        .select(
+          col("doc_id"),
+          tokenCount(col("text")).as("n_tokens"),
+          alphaTokenCount(col("text")).as("n_alpha_tokens"),
+          length(col("text")).as("n_chars_computed"),
+          col("n_chars"))
+        .orderBy("doc_id"),
+    Some("""
+      SELECT doc_id,
+        LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) + 1 AS n_tokens,
+        LENGTH(LIST_FILTER(STRING_SPLIT(text, ' '), t -> REGEXP_MATCHES(t, '^[a-z]+$'))) AS n_alpha_tokens,
+        LENGTH(text) AS n_chars_computed,
+        n_chars
+      FROM documents ORDER BY doc_id""")
+  )
+
+  /** Quality scoring: length/punctuation/stopword features + a composite
+    * score (deterministic double arithmetic).
+    */
+  val t2QualityScore: QueryDef = QueryDef(
+    "t2_quality_score",
+    (s, dir) => {
+      val n = tokenCount(col("text"))
+      val stops = stopwordCount(col("text"), Seq("the", "a", "and", "of", "to", "in"))
+      Tables.load(s, dir, "documents")
+        .select(
+          col("doc_id"),
+          n.as("n_tokens"),
+          punctRatio(col("text")).as("punct_ratio"),
+          (stops.cast("double") / n).as("stopword_ratio"),
+          ((length(col("text")) - (n - lit(1))).cast("double") / n).as("avg_word_len"))
+        .withColumn("quality_score",
+          least(lit(1.0), col("n_tokens") / lit(64.0)) *
+            (lit(1.0) - col("punct_ratio")) *
+            when(col("stopword_ratio") > 0.05 && col("stopword_ratio") < 0.5, lit(1.0)).otherwise(lit(0.5)))
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH f AS (
+        SELECT doc_id,
+          LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) + 1 AS n_tokens,
+          CAST(LENGTH(REGEXP_REPLACE(text, '[^.,!?;:]', '', 'g')) AS DOUBLE) / LENGTH(text) AS punct_ratio,
+          CAST(LENGTH(LIST_FILTER(STRING_SPLIT(text, ' '),
+               t -> t IN ('the','a','and','of','to','in'))) AS DOUBLE)
+            / (LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) + 1) AS stopword_ratio,
+          CAST(LENGTH(text) - (LENGTH(text) - LENGTH(REPLACE(text, ' ', ''))) AS DOUBLE)
+            / (LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) + 1) AS avg_word_len
+        FROM documents)
+      SELECT doc_id, n_tokens, punct_ratio, stopword_ratio, avg_word_len,
+        LEAST(1.0, n_tokens / 64.0) * (1.0 - punct_ratio) *
+          (CASE WHEN stopword_ratio > 0.05 AND stopword_ratio < 0.5 THEN 1.0 ELSE 0.5 END) AS quality_score
+      FROM f ORDER BY doc_id""")
+  )
+
+  /** Language ID vs the labeled `lang` column, with per-language accuracy
+    * counts (the heuristic itself is in TextFunctions.langId).
+    */
+  val t3LangId: QueryDef = QueryDef(
+    "t3_lang_id",
+    (s, dir) =>
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), langId(col("text")).as("pred_lang"))
+        .orderBy("doc_id"),
+    Some {
+      val profiles = TextFunctions.langProfiles
+      def cnt(l: String, ws: Seq[String]) =
+        s"LENGTH(LIST_FILTER(STRING_SPLIT(text, ' '), t -> t IN (${ws.map(w => s"'$w'").mkString(",")}))) AS c_$l"
+      val langs = profiles.map(_._1)
+      val cases = langs.map { l =>
+        val later = langs.filter(_ > l)
+        val conds = (s"c_$l > 0" +: later.map(o => s"c_$l >= c_$o")).mkString(" AND ")
+        s"WHEN $conds THEN '$l'"
+      }.mkString(" ")
+      s"""
+      WITH f AS (SELECT doc_id, lang, ${profiles.map { case (l, ws) => cnt(l, ws) }.mkString(", ")} FROM documents)
+      SELECT doc_id, lang, CASE $cases ELSE 'und' END AS pred_lang
+      FROM f ORDER BY doc_id"""
+    }
+  )
+
+  /** Document fingerprinting: md5 + sha256 digests (oracle-checkable) —
+    * the order-sensitive rolling hash is exercised in specs (no DuckDB
+    * xxhash64 analog).
+    */
+  val t4Fingerprint: QueryDef = QueryDef(
+    "t4_fingerprint",
+    (s, dir) =>
+      Tables.load(s, dir, "documents")
+        .select(
+          col("doc_id"),
+          fingerprintMd5(col("text")).as("fp_md5"),
+          fingerprintSha256(col("text")).as("fp_sha256"))
+        .orderBy("doc_id"),
+    Some("""
+      SELECT doc_id, md5(text) AS fp_md5, sha256(text) AS fp_sha256
+      FROM documents ORDER BY doc_id""")
+  )
+
+  val all: Seq[QueryDef] = Seq(t1TokenCount, t2QualityScore, t3LangId, t4Fingerprint)
+}

@@ -1,0 +1,142 @@
+package graft.expressions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.graft.ColumnBridge
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native Catalyst expressions for the dedup / similarity hot paths.
+  *
+  * Each `doGenCode` emits a single static call into [[HashOps]], so the
+  * expression participates in whole-stage codegen (one JVM call per row)
+  * instead of falling back to the interpreted per-element lambda evaluation
+  * that `transform`/`aggregate` chains pay. Preference order per the design
+  * brief: built-ins < native Expression < UDF — these are the (b) tier,
+  * used only where built-ins genuinely interpret per element.
+  *
+  * Reference coverage: MinHash/SimHash/Jaccard implement the near-dedup
+  * north-star ops (SURVEY.md §2 H); cosine implements embedding similarity.
+  */
+object GraftExpressions {
+
+  private val LongArray = ArrayType(LongType, containsNull = false)
+
+  case class ShingleHashesExpr(child: Expression, n: Int)
+      extends UnaryExpression {
+    override def dataType: DataType = LongArray
+    override def prettyName: String = "shingle_hashes"
+    override protected def nullSafeEval(input: Any): Any =
+      HashOps.shingleHashes(input.asInstanceOf[UTF8String], n)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"graft.expressions.HashOps.shingleHashes($c, $n)")
+    override protected def withNewChildInternal(newChild: Expression): ShingleHashesExpr =
+      copy(child = newChild)
+  }
+
+  case class MinHashSigExpr(child: Expression, k: Int)
+      extends UnaryExpression {
+    override def dataType: DataType = LongArray
+    override def prettyName: String = "minhash_sig"
+    override protected def nullSafeEval(input: Any): Any =
+      HashOps.minhash(input.asInstanceOf[ArrayData], k)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"graft.expressions.HashOps.minhash($c, $k)")
+    override protected def withNewChildInternal(newChild: Expression): MinHashSigExpr =
+      copy(child = newChild)
+  }
+
+  case class BandHashesExpr(child: Expression, bands: Int)
+      extends UnaryExpression {
+    override def dataType: DataType = LongArray
+    override def prettyName: String = "band_hashes"
+    override protected def nullSafeEval(input: Any): Any =
+      HashOps.bandHashes(input.asInstanceOf[ArrayData], bands)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"graft.expressions.HashOps.bandHashes($c, $bands)")
+    override protected def withNewChildInternal(newChild: Expression): BandHashesExpr =
+      copy(child = newChild)
+  }
+
+  case class JaccardSortedExpr(left: Expression, right: Expression)
+      extends BinaryExpression {
+    override def dataType: DataType = DoubleType
+    override def prettyName: String = "jaccard_sorted"
+    override protected def nullSafeEval(a: Any, b: Any): Any =
+      HashOps.jaccardSorted(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, (a, b) => s"graft.expressions.HashOps.jaccardSorted($a, $b)")
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): JaccardSortedExpr =
+      copy(left = l, right = r)
+  }
+
+  case class SimHash64Expr(child: Expression)
+      extends UnaryExpression {
+    override def dataType: DataType = LongType
+    override def prettyName: String = "simhash64"
+    override protected def nullSafeEval(input: Any): Any =
+      HashOps.simhash(input.asInstanceOf[UTF8String])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"graft.expressions.HashOps.simhash($c)")
+    override protected def withNewChildInternal(newChild: Expression): SimHash64Expr =
+      copy(child = newChild)
+  }
+
+  case class CosineSimFExpr(left: Expression, right: Expression)
+      extends BinaryExpression {
+    override def dataType: DataType = DoubleType
+    override def prettyName: String = "cosine_f"
+    override protected def nullSafeEval(a: Any, b: Any): Any =
+      HashOps.cosineF(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, (a, b) => s"graft.expressions.HashOps.cosineF($a, $b)")
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): CosineSimFExpr =
+      copy(left = l, right = r)
+  }
+
+  /** Random-hyperplane LSH bucket id; `planes` is row-major (nBits × dim),
+    * shipped to executors as a codegen reference object (not inlined source).
+    */
+  case class HyperplaneBucketExpr(child: Expression, planes: Array[Double], nBits: Int)
+      extends UnaryExpression {
+    override def dataType: DataType = LongType
+    override def prettyName: String = "hyperplane_bucket"
+    override protected def nullSafeEval(input: Any): Any =
+      HashOps.hyperplaneBucket(input.asInstanceOf[ArrayData], planes, nBits)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("planes", planes, "double[]")
+      defineCodeGen(ctx, ev, c => s"graft.expressions.HashOps.hyperplaneBucket($c, $ref, $nBits)")
+    }
+    override protected def withNewChildInternal(newChild: Expression): HyperplaneBucketExpr =
+      copy(child = newChild)
+  }
+
+  // ---- Column-API surface ----
+
+  private def col(e: Expression): Column = ColumnBridge.column(e)
+  private def expr(c: Column): Expression = ColumnBridge.expression(c)
+
+  /** Sorted distinct xxhash64 word n-gram shingles of `text`. */
+  def shingleHashes(text: Column, n: Int): Column = col(ShingleHashesExpr(expr(text), n))
+
+  /** k-minhash signature of a shingle-hash array. */
+  def minhashSig(shingles: Column, k: Int): Column = col(MinHashSigExpr(expr(shingles), k))
+
+  /** LSH band bucket keys of a minhash signature. */
+  def bandHashes(sig: Column, bands: Int): Column = col(BandHashesExpr(expr(sig), bands))
+
+  /** Exact Jaccard of two sorted distinct long arrays. */
+  def jaccardSorted(a: Column, b: Column): Column = col(JaccardSortedExpr(expr(a), expr(b)))
+
+  /** 64-bit SimHash of whitespace-tokenized text. */
+  def simhash64(text: Column): Column = col(SimHash64Expr(expr(text)))
+
+  /** Exact cosine similarity of two float vectors (double accumulation). */
+  def cosineF(a: Column, b: Column): Column = col(CosineSimFExpr(expr(a), expr(b)))
+
+  /** Random-hyperplane LSH bucket of a float vector. */
+  def hyperplaneBucket(v: Column, planes: Array[Double], nBits: Int): Column =
+    col(HyperplaneBucketExpr(expr(v), planes, nBits))
+}

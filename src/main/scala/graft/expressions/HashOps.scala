@@ -1,0 +1,180 @@
+package graft.expressions
+
+import org.apache.spark.sql.catalyst.expressions.{UnsafeArrayData, XXH64}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Tight-loop kernels behind the graft codegen expressions.
+  *
+  * Each method is called once per row from whole-stage-generated code (see
+  * [[GraftExpressions]]), replacing chains of interpreted higher-order
+  * functions (`transform`/`aggregate` lambdas evaluate per *element* through
+  * the interpreter; these run per *row* as plain JVM loops — the difference
+  * is ~50× on the MinHash path). All outputs are primitive
+  * `UnsafeArrayData`/scalars: no boxing, no codegen fallback.
+  *
+  * Hashing uses Spark's own XXH64 (seed 42, same as `xxhash64`), so results
+  * are deterministic across partitionings, reruns and cluster sizes.
+  */
+object HashOps {
+
+  val Seed = 42L
+
+  private def tokenHashes(text: UTF8String): Array[Long] = {
+    val toks = text.toString.split(" ", -1)
+    val out = new Array[Long](toks.length)
+    var i = 0
+    while (i < toks.length) {
+      out(i) = XXH64.hashUTF8String(UTF8String.fromString(toks(i)), Seed)
+      i += 1
+    }
+    out
+  }
+
+  /** Sorted distinct 64-bit hashes of word n-gram shingles. Hashing the
+    * shingles (8 bytes each) instead of carrying strings keeps the LSH
+    * shuffle narrow at scale; sorting makes set ops a linear merge.
+    */
+  def shingleHashes(text: UTF8String, n: Int): ArrayData = {
+    val th = tokenHashes(text)
+    val m = th.length - n + 1
+    if (m <= 0) return UnsafeArrayData.fromPrimitiveArray(Array.emptyLongArray)
+    val sh = new Array[Long](m)
+    var i = 0
+    while (i < m) {
+      var h = Seed
+      var j = 0
+      while (j < n) { h = XXH64.hashLong(th(i + j), h); j += 1 }
+      sh(i) = h
+      i += 1
+    }
+    java.util.Arrays.sort(sh)
+    // in-place dedup of the sorted run
+    var w = 1
+    i = 1
+    while (i < m) {
+      if (sh(i) != sh(i - 1)) { sh(w) = sh(i); w += 1 }
+      i += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(java.util.Arrays.copyOf(sh, w))
+  }
+
+  /** k-permutation MinHash signature over a shingle-hash set: one pass per
+    * row, min over `XXH64.hashLong(shingle, i)` for each of the k salts.
+    */
+  def minhash(shingles: ArrayData, k: Int): ArrayData = {
+    val sh = shingles.toLongArray()
+    val sig = new Array[Long](k)
+    var i = 0
+    while (i < k) {
+      var best = Long.MaxValue
+      var j = 0
+      while (j < sh.length) {
+        val h = XXH64.hashLong(sh(j), i.toLong)
+        if (h < best) best = h
+        j += 1
+      }
+      sig(i) = best
+      i += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(sig)
+  }
+
+  /** Band hashes of a MinHash signature: the signature splits into `bands`
+    * equal bands, each chained-hashed to one bucket key.
+    */
+  def bandHashes(sig: ArrayData, bands: Int): ArrayData = {
+    val s = sig.toLongArray()
+    val rows = s.length / bands
+    val out = new Array[Long](bands)
+    var b = 0
+    while (b < bands) {
+      var h = Seed
+      var j = b * rows
+      val end = j + rows
+      while (j < end) { h = XXH64.hashLong(s(j), h); j += 1 }
+      out(b) = h
+      b += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
+  /** Exact Jaccard similarity of two SORTED distinct long arrays (as
+    * produced by [[shingleHashes]]): linear merge, no hash sets.
+    */
+  def jaccardSorted(a: ArrayData, b: ArrayData): Double = {
+    val x = a.toLongArray()
+    val y = b.toLongArray()
+    var i = 0; var j = 0; var inter = 0
+    while (i < x.length && j < y.length) {
+      if (x(i) == y(j)) { inter += 1; i += 1; j += 1 }
+      else if (x(i) < y(j)) i += 1
+      else j += 1
+    }
+    val union = x.length + y.length - inter
+    if (union == 0) 0.0 else inter.toDouble / union
+  }
+
+  /** 64-bit SimHash over whitespace tokens: per-token xxhash64, signed
+    * vote per bit position, sign → bit.
+    */
+  def simhash(text: UTF8String): Long = {
+    val th = tokenHashes(text)
+    val votes = new Array[Int](64)
+    var i = 0
+    while (i < th.length) {
+      val h = th(i)
+      var b = 0
+      while (b < 64) {
+        if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+        b += 1
+      }
+      i += 1
+    }
+    var sig = 0L
+    var b = 0
+    while (b < 64) { if (votes(b) > 0) sig |= (1L << b); b += 1 }
+    sig
+  }
+
+  /** Cosine similarity of two float vectors with sequential double
+    * accumulation — bit-identical to DuckDB's
+    * `LIST_COSINE_SIMILARITY(CAST(... AS DOUBLE[]))` fold, so oracle
+    * hash-compares pass on the similarity VALUES, not just the ids.
+    */
+  def cosineF(a: ArrayData, b: ArrayData): Double = {
+    val x = a.toFloatArray()
+    val y = b.toFloatArray()
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < x.length) {
+      val xi = x(i).toDouble
+      val yi = y(i).toDouble
+      dot += xi * yi
+      na += xi * xi
+      nb += yi * yi
+      i += 1
+    }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  /** Dot product of a float vector with a constant double plane (row-major
+    * `planes`, `nBits` rows): returns the packed sign-bit bucket id — the
+    * random-hyperplane LSH signature in one pass.
+    */
+  def hyperplaneBucket(v: ArrayData, planes: Array[Double], nBits: Int): Long = {
+    val x = v.toFloatArray()
+    val dim = x.length
+    var bucket = 0L
+    var b = 0
+    while (b < nBits) {
+      var dot = 0.0
+      var i = 0
+      val off = b * dim
+      while (i < dim) { dot += x(i).toDouble * planes(off + i); i += 1 }
+      if (dot >= 0) bucket |= (1L << b)
+      b += 1
+    }
+    bucket
+  }
+}

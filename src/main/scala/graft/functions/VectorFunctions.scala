@@ -25,8 +25,17 @@ object VectorFunctions {
 
   def norm(a: Column): Column = sqrt(normSq(a))
 
-  /** Cosine similarity, dot / (|a|·|b|). */
+  /** Cosine similarity, dot / (|a|·|b|) — higher-order-function form
+    * (portable, but evaluates per element through the interpreter).
+    */
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Cosine similarity as a native codegen expression over float vectors —
+    * identical arithmetic (sequential double fold) to [[cosine]], one JVM
+    * call per row. This is the hot-path form for pair joins.
+    */
+  def cosineFast(a: Column, b: Column): Column =
+    graft.expressions.GraftExpressions.cosineF(a, b)
 
   def l1(a: Column): Column =
     aggregate(asDouble(a), lit(0.0), (acc, x) => acc + abs(x))
@@ -40,10 +49,6 @@ object VectorFunctions {
   def hyperplaneBucket(v: Column, nBits: Int, dim: Int, seed: Long = 42L): Column = {
     val rnd = new scala.util.Random(seed)
     val planes = Array.fill(nBits, dim)(rnd.nextGaussian())
-    val bits = (0 until nBits).map { i =>
-      val plane = array(planes(i).map(lit(_)): _*)
-      when(dot(v, plane) >= 0, lit(1L << i)).otherwise(lit(0L))
-    }
-    bits.reduce(_ + _)
+    graft.expressions.GraftExpressions.hyperplaneBucket(v, planes.flatten, nBits)
   }
 }

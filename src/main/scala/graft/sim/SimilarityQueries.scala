@@ -30,7 +30,7 @@ object SimilarityQueries {
       val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
       e.select(col("vec_id").as("neighbor_id"), col("embedding").as("nv"))
         .join(q, col("neighbor_id") =!= col("query_id"))
-        .withColumn("cos", cosine(col("qv"), col("nv")))
+        .withColumn("cos", cosineFast(col("qv"), col("nv")))
         .withColumn("rank", row_number().over(w))
         .filter(col("rank") <= 10)
         .select("query_id", "rank", "neighbor_id", "cos")
@@ -68,7 +68,7 @@ object SimilarityQueries {
       bucketed
         .select(col("vec_id").as("neighbor_id"), col("embedding").as("nv"), col("bucket"))
         .join(q, col("bucket") === col("qbucket") && col("neighbor_id") =!= col("query_id"))
-        .withColumn("cos", cosine(col("qv"), col("nv")))
+        .withColumn("cos", cosineFast(col("qv"), col("nv")))
         .withColumn("rank", row_number().over(w))
         .filter(col("rank") <= 10)
         .select("query_id", "rank", "neighbor_id", "cos")

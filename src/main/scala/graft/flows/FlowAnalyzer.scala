@@ -1,0 +1,210 @@
+package graft.flows
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DoubleType
+
+/** Flow-log analytics engine (SURVEY §2 E1-E8, C1-C7, C13, D4) — the Spark
+  * re-expression of the reference's `picoprobe/flow_analyzer.py` and
+  * `examples/xloop2023/performance.ipynb` semantics.
+  *
+  * Everything is a lazy DataFrame transform: at 100 TB the event log is a
+  * partitioned table and each function below stays a single shuffle-bounded
+  * aggregate (groupBy run/task key) — no driver-side loops over runs, which
+  * is the reference's main scalability limit (one network fetch + pandas
+  * concat per run, flow_analyzer.py:174-226).
+  */
+object FlowAnalyzer {
+
+  private val GiB = 1024.0 * 1024.0 * 1024.0
+
+  /** ISO-8601 string → epoch seconds (double, µs precision), with the
+    * reference's tz handling (SURVEY §2 E8): strip the zone designator and
+    * treat the remaining wall time as UTC — the behavior of
+    * `pd.to_datetime(...).dt.tz_localize(None)` on +00:00 data and of the
+    * `split('+')[0]` dateutil path (flow_analyzer.py:199-204, 249-250).
+    * Session timezone is UTC (core.GraftSession), so `to_timestamp` of the
+    * naive string parses as UTC.
+    */
+  def epochSeconds(c: Column): Column =
+    to_timestamp(regexp_replace(c, "(Z|[+-]\\d{2}:?\\d{2})$", ""))
+      .cast(DoubleType)
+
+  /** Action-log → wide per-run table (SURVEY §2 E1, flow_analyzer.py:321-346):
+    * `{step}_start` from the step's ActionStarted entry, `{step}_end` from its
+    * ActionCompleted entry, `{step}_runtime = end − start` (E2), plus
+    * `start`/`end`/`flow_runtime` for the whole run. Column groups appear in
+    * first-seen step order (min log idx across the input).
+    *
+    * Plan shape: one groupBy(run_id, state_name) aggregate, a tiny
+    * distinct-steps collect for column layout (|steps| is O(10) at any data
+    * scale), then one groupBy(run_id) conditional aggregate — two shuffles
+    * total, both map-side combinable.
+    */
+  def pivotActionLog(log: DataFrame): DataFrame = {
+    val perStep = log
+      .filter(col("code").isin("ActionStarted", "ActionCompleted"))
+      .groupBy(col("run_id"), col("state_name"))
+      .agg(
+        min(when(col("code") === "ActionStarted", col("idx"))).as("first_idx"),
+        min(when(col("code") === "ActionStarted", epochSeconds(col("time"))))
+          .as("t_start"),
+        max(when(col("code") === "ActionCompleted", epochSeconds(col("time"))))
+          .as("t_end"))
+
+    val steps: Seq[String] = stepOrder(log)
+
+    val stepCols = steps.flatMap { st =>
+      val s = min(when(col("state_name") === st, col("t_start"))).as(s"${st}_start")
+      val e = min(when(col("state_name") === st, col("t_end"))).as(s"${st}_end")
+      Seq(s, e)
+    }
+    val aggCols = Seq(min(col("t_start")).as("start"),
+      max(col("t_end")).as("end")) ++ stepCols
+    val wide = perStep.groupBy("run_id").agg(aggCols.head, aggCols.tail: _*)
+
+    val withRuntimes = steps.foldLeft(
+      wide.withColumn("flow_runtime", col("end") - col("start"))) { (df, st) =>
+      df.withColumn(s"${st}_runtime", col(s"${st}_end") - col(s"${st}_start"))
+    }
+    withRuntimes
+  }
+
+  /** First-seen order of steps in the log (flow_analyzer.py:321-346 keeps
+    * insertion order of the step dict). Tiny result — safe to collect.
+    */
+  def stepOrder(log: DataFrame): Seq[String] =
+    log.filter(col("code") === "ActionStarted")
+      .groupBy("state_name").agg(min("idx").as("ord"))
+      .orderBy("ord", "state_name")
+      .collect().map(_.getString(0)).toSeq
+
+  /** Relative-time normalization for gantt-style output (SURVEY §2 E3,
+    * flow_analyzer.py:402-408): subtract the global min start from every
+    * non-runtime time column. Global min via a window over the empty
+    * partition set — Spark plans it as a broadcast scalar, no extra pass.
+    */
+  def relativize(wide: DataFrame): DataFrame = {
+    val base = min(col("start")).over()
+    val timeCols = wide.columns.filter(c =>
+      (c == "start" || c == "end" || c.endsWith("_start") || c.endsWith("_end")))
+    timeCols.foldLeft(wide)((df, c) => df.withColumn(c, col(c) - base))
+  }
+
+  /** Most recent k runs, re-sorted ascending (SURVEY §2 E7 tail-k,
+    * flow_analyzer.py:397-399). Deterministic via the run_id tiebreak.
+    */
+  def tailK(wide: DataFrame, k: Int): DataFrame =
+    wide.orderBy(col("start").desc, col("run_id").desc).limit(k)
+      .orderBy(col("start"), col("run_id"))
+
+  /** Per-flow + per-step runtime stats (SURVEY §2 C1-C2,
+    * flow_analyzer.py:121-135): one row per metric column with
+    * mean/median/std/min/max. Single global aggregate; the unpivot is a
+    * stack() over a fixed column list.
+    */
+  def describeRuntimes(wide: DataFrame): DataFrame = {
+    val metricCols = "flow_runtime" +:
+      wide.columns.filter(c => c.endsWith("_runtime") && c != "flow_runtime").toSeq
+    val stacked = wide.select(
+      expr(s"stack(${metricCols.size}, " +
+        metricCols.map(c => s"'$c', `$c`").mkString(", ") + ") as (metric, v)"))
+    stacked.groupBy("metric")
+      .agg(count(col("v")).as("n"), avg(col("v")).as("mean"),
+        expr("percentile(v, 0.5)").as("median"), stddev(col("v")).as("std"),
+        min(col("v")).as("min"), max(col("v")).as("max"))
+      .orderBy("metric")
+  }
+
+  /** Bytes-transferred + funcX-time usage summary (SURVEY §2 C3-C5,
+    * flow_analyzer.py:143-152, 279-293): explode `output`, keep entries
+    * carrying `bytes_transferred`, convert to GB; funcX time = Σ step
+    * durations for steps in `fxSteps` (the reference derives that set from
+    * action URLs containing "funcx", flow_analyzer.py:206-210).
+    */
+  def describeUsage(runs: DataFrame, fxSteps: Set[String]): DataFrame = {
+    val exploded = succeeded(runs)
+      .select(col("run_id"), explode(col("output")).as(Seq("step", "o")))
+    val bytes = exploded
+      .select(col("o.details.bytes_transferred").as("b"))
+      .filter(col("b").isNotNull)
+      .agg(sum(col("b")).cast(DoubleType).as("total_bytes"),
+        avg(col("b")).as("mean_bytes"))
+      .select((col("total_bytes") / GiB).as("total_gb"),
+        (col("mean_bytes") / GiB).as("mean_gb"))
+    val fx = exploded
+      .filter(col("step").isin(fxSteps.toSeq: _*))
+      .select((epochSeconds(col("o.completion_time")) -
+        epochSeconds(col("o.start_time"))).as("d"))
+      .agg(sum(col("d")).as("total_funcx_sec"), avg(col("d")).as("mean_funcx_sec"))
+    bytes.crossJoin(fx) // both sides are single-row aggregates
+  }
+
+  /** Steps excluded from Active time by the reference's notebook
+    * (performance.ipynb cell 4 skip-list).
+    */
+  val TimingSkipSteps: Set[String] = Set("input", "Publishv2Ingest")
+
+  /** Per-run Active/Overhead/Total timing decomposition (SURVEY §2 C13,
+    * performance.ipynb cell 4 `get_timing_data`):
+    *   - keep SUCCEEDED runs; skip `input` and `Publishv2Ingest` steps;
+    *   - per-step duration dispatch: Transfer-style entries use
+    *     `request_time→completion_time`, Ingest-style use
+    *     `creation_date→completion_date`, everything else the step's own
+    *     `start_time→completion_time`;
+    *   - clamp every duration to ≥ 0 (`max(t, 0.0)`);
+    *   - Active = Σ durations, Total = run completion − start,
+    *     Overhead = max(Total − Active, 0).
+    */
+  def timingData(runs: DataFrame): DataFrame = {
+    val d = col("o.details")
+    val dur = greatest(lit(0.0),
+      when(d("request_time").isNotNull,
+        epochSeconds(d("completion_time")) - epochSeconds(d("request_time")))
+        .when(d("creation_date").isNotNull,
+          epochSeconds(d("completion_date")) - epochSeconds(d("creation_date")))
+        .otherwise(epochSeconds(col("o.completion_time")) -
+          epochSeconds(col("o.start_time"))))
+
+    succeeded(runs)
+      .select(col("run_id"),
+        epochSeconds(col("start_time")).as("t0"),
+        epochSeconds(col("completion_time")).as("t1"),
+        explode(col("output")).as(Seq("step", "o")))
+      .filter(!col("step").isin(TimingSkipSteps.toSeq: _*) &&
+        !col("o.state_name").isin(TimingSkipSteps.toSeq: _*))
+      .groupBy(col("run_id"), col("t0"), col("t1"))
+      .agg(sum(dur).as("Active"))
+      .select(col("run_id"),
+        col("Active"),
+        greatest(lit(0.0), col("t1") - col("t0") - col("Active")).as("Overhead"),
+        (col("t1") - col("t0")).as("Total"))
+      .orderBy("run_id")
+  }
+
+  /** SUCCEEDED-only filter (SURVEY §2 B1, flow_analyzer.py:107-109) —
+    * applied before any per-run work so Catalyst pushes it to the scan.
+    */
+  def succeeded(runs: DataFrame): DataFrame =
+    runs.filter(col("status") === "SUCCEEDED")
+
+  /** funcX transitions event-pair analysis (SURVEY §2 D4, ipynb cell 8):
+    * dedup on the (task_uuid, message) PK, optional task-group filter with
+    * the reference's `tg_` prefix strip, then per-task
+    * exec = (execution-end − execution-start)/1e9 and
+    * total = (result-received − received)/1e9 seconds. Conditional
+    * aggregation instead of self-joins: one shuffle on task_uuid.
+    */
+  def taskTimes(transitions: DataFrame, taskGroup: Option[String] = None): DataFrame = {
+    def at(msg: String) = min(when(col("message") === msg, col("state_time")))
+    val base = transitions.dropDuplicates("task_uuid", "message")
+    val filtered = taskGroup match {
+      case Some(tg) => base.filter(col("task_group_uuid") === tg.stripPrefix("tg_"))
+      case None     => base
+    }
+    filtered.groupBy("task_uuid")
+      .agg(((at("execution-end") - at("execution-start")) / 1e9).as("exec_sec"),
+        ((at("result-received") - at("received")) / 1e9).as("total_sec"))
+      .orderBy("task_uuid")
+  }
+}

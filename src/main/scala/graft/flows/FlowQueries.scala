@@ -1,0 +1,183 @@
+package graft.flows
+
+import graft.QueryDef
+import graft.core.{Exact, Tables}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DoubleType
+
+/** Oracle-checked realizations of the flow-analytics operators (SURVEY §2
+  * E1-E3, E7, C2/C6, C10, C13) over the harness `events` table — the same
+  * aggregate shapes `FlowAnalyzer` applies to flow-run logs, expressed where
+  * DuckDB can verify them. `events.ts` is a ns-epoch long (Tables.load);
+  * all interval math stays in integer µs until a final IEEE division, so
+  * results are bit-identical on any partitioning.
+  */
+object FlowQueries {
+
+  import Exact.{dsum, sqlSum}
+
+  /** Wide start/end/runtime pivot per run-analog (SURVEY §2 E1+E2, the
+    * `{step}_start/{step}_end/{step}_runtime` layout of
+    * flow_analyzer.py:321-346): per user, first/last event per step type.
+    * One conditional aggregate — a single shuffle of |users| rows.
+    */
+  val f1StepPivot: QueryDef = QueryDef(
+    "f1_step_pivot",
+    (s, dir) => {
+      val steps = Seq("click", "view", "purchase")
+      def first(t: String) =
+        expr(s"min(case when event_type = '$t' then ts end) div 1000").as(s"${t}_first")
+      def last(t: String) =
+        expr(s"max(case when event_type = '$t' then ts end) div 1000").as(s"${t}_last")
+      val aggs = steps.flatMap(t => Seq(first(t), last(t)))
+      val base = Tables.load(s, dir, "events")
+        .groupBy("user_id").agg(aggs.head, aggs.tail: _*)
+      steps.foldLeft(base)((df, t) =>
+        df.withColumn(s"${t}_runtime_sec",
+          (col(s"${t}_last") - col(s"${t}_first")).cast(DoubleType) /
+            lit(1000000).cast(DoubleType)))
+        .orderBy("user_id")
+    },
+    Some("""
+      SELECT user_id,
+        MIN(epoch_us(ts)) FILTER (WHERE event_type = 'click')    AS click_first,
+        MAX(epoch_us(ts)) FILTER (WHERE event_type = 'click')    AS click_last,
+        MIN(epoch_us(ts)) FILTER (WHERE event_type = 'view')     AS view_first,
+        MAX(epoch_us(ts)) FILTER (WHERE event_type = 'view')     AS view_last,
+        MIN(epoch_us(ts)) FILTER (WHERE event_type = 'purchase') AS purchase_first,
+        MAX(epoch_us(ts)) FILTER (WHERE event_type = 'purchase') AS purchase_last,
+        CAST(MAX(epoch_us(ts)) FILTER (WHERE event_type = 'click')
+           - MIN(epoch_us(ts)) FILTER (WHERE event_type = 'click') AS DOUBLE)
+          / CAST(1000000 AS DOUBLE) AS click_runtime_sec,
+        CAST(MAX(epoch_us(ts)) FILTER (WHERE event_type = 'view')
+           - MIN(epoch_us(ts)) FILTER (WHERE event_type = 'view') AS DOUBLE)
+          / CAST(1000000 AS DOUBLE) AS view_runtime_sec,
+        CAST(MAX(epoch_us(ts)) FILTER (WHERE event_type = 'purchase')
+           - MIN(epoch_us(ts)) FILTER (WHERE event_type = 'purchase') AS DOUBLE)
+          / CAST(1000000 AS DOUBLE) AS purchase_runtime_sec
+      FROM events GROUP BY user_id ORDER BY user_id""")
+  )
+
+  /** describe()-style runtime stats per cohort (SURVEY §2 C2/C6,
+    * flow_analyzer.py:127-135 / `timing_df.describe()`): count, mean,
+    * median, std, min, max over per-user activity spans (integer ms).
+    * Std via the exact sum/sum-of-squares identity (order-independent).
+    */
+  val f2RuntimeDescribe: QueryDef = QueryDef(
+    "f2_runtime_describe",
+    (s, dir) => {
+      val spans = Tables.load(s, dir, "events")
+        .groupBy("user_id")
+        .agg(expr("(max(ts div 1000) - min(ts div 1000)) div 1000").as("span_ms"))
+        .withColumn("cohort", col("user_id") % 4)
+      val v  = col("span_ms")
+      val n  = count(lit(1))
+      val sm = dsum(v)
+      val sq = dsum(v * v)
+      spans.groupBy("cohort")
+        .agg(n.as("n"), (sm / n).as("mean_ms"),
+          expr("percentile(span_ms, 0.5)").as("p50_ms"),
+          sqrt((sq - sm * sm / n) / (n - lit(1))).as("std_ms"),
+          min(v).as("min_ms"), max(v).as("max_ms"))
+        .orderBy("cohort")
+    },
+    Some(s"""
+      WITH spans AS (
+        SELECT user_id, user_id % 4 AS cohort,
+               (MAX(epoch_us(ts)) - MIN(epoch_us(ts))) // 1000 AS span_ms
+        FROM events GROUP BY user_id)
+      SELECT cohort, COUNT(*) AS n,
+        ${sqlSum("span_ms")} / COUNT(*) AS mean_ms,
+        MEDIAN(span_ms) AS p50_ms,
+        SQRT((${sqlSum("span_ms * span_ms")} -
+              ${sqlSum("span_ms")} * ${sqlSum("span_ms")} / COUNT(*)) / (COUNT(*) - 1)) AS std_ms,
+        MIN(span_ms) AS min_ms, MAX(span_ms) AS max_ms
+      FROM spans GROUP BY cohort ORDER BY cohort""")
+  )
+
+  /** Relative-time normalization (SURVEY §2 C10/E3,
+    * flow_analyzer.py:402-408): each user's first event relative to the
+    * global minimum. The global min is a window over the empty partition
+    * set — planned as a single-row broadcast, not a second scan.
+    */
+  val f3RelativeStart: QueryDef = QueryDef(
+    "f3_relative_start",
+    (s, dir) =>
+      Tables.load(s, dir, "events")
+        .groupBy("user_id")
+        .agg(expr("min(ts) div 1000").as("t_first"))
+        .withColumn("rel_sec",
+          (col("t_first") - min(col("t_first")).over()).cast(DoubleType) /
+            lit(1000000).cast(DoubleType))
+        .orderBy("user_id"),
+    Some("""
+      SELECT user_id, t_first,
+             CAST(t_first - MIN(t_first) OVER () AS DOUBLE)
+               / CAST(1000000 AS DOUBLE) AS rel_sec
+      FROM (SELECT user_id, MIN(epoch_us(ts)) AS t_first FROM events GROUP BY user_id)
+      ORDER BY user_id""")
+  )
+
+  /** Active/Overhead/Total decomposition (SURVEY §2 C13, performance.ipynb
+    * cell 4): per user, Total = full span, Active = Σ per-step spans,
+    * Overhead = max(Total − Active, 0) — the notebook's clamp. Two
+    * aggregates over the same shuffle key (user_id), all-integer µs math.
+    */
+  val f4ActiveOverhead: QueryDef = QueryDef(
+    "f4_active_overhead",
+    (s, dir) => {
+      val ev = Tables.load(s, dir, "events")
+      val perStep = ev.groupBy("user_id", "event_type")
+        .agg(expr("max(ts div 1000) - min(ts div 1000)").as("step_span"))
+        .groupBy("user_id").agg(sum(col("step_span")).as("active_us"))
+      val total = ev.groupBy("user_id")
+        .agg(expr("max(ts div 1000) - min(ts div 1000)").as("total_us"))
+      total.join(perStep, "user_id")
+        .select(col("user_id"),
+          (col("active_us").cast(DoubleType) / lit(1000000).cast(DoubleType)).as("active_sec"),
+          (greatest(lit(0L), col("total_us") - col("active_us")).cast(DoubleType) /
+            lit(1000000).cast(DoubleType)).as("overhead_sec"),
+          (col("total_us").cast(DoubleType) / lit(1000000).cast(DoubleType)).as("total_sec"))
+        .orderBy("user_id")
+    },
+    Some("""
+      WITH per_step AS (
+        SELECT user_id, event_type,
+               MAX(epoch_us(ts)) - MIN(epoch_us(ts)) AS step_span
+        FROM events GROUP BY user_id, event_type),
+      active AS (SELECT user_id, SUM(step_span) AS active_us FROM per_step GROUP BY user_id),
+      total AS (
+        SELECT user_id, MAX(epoch_us(ts)) - MIN(epoch_us(ts)) AS total_us
+        FROM events GROUP BY user_id)
+      SELECT t.user_id,
+        CAST(a.active_us AS DOUBLE) / CAST(1000000 AS DOUBLE) AS active_sec,
+        CAST(GREATEST(0, t.total_us - a.active_us) AS DOUBLE)
+          / CAST(1000000 AS DOUBLE) AS overhead_sec,
+        CAST(t.total_us AS DOUBLE) / CAST(1000000 AS DOUBLE) AS total_sec
+      FROM total t JOIN active a ON t.user_id = a.user_id
+      ORDER BY t.user_id""")
+  )
+
+  /** Tail-k: the k most recently active users, re-sorted ascending
+    * (SURVEY §2 E7/B2, flow_analyzer.py:397-399). Deterministic via the
+    * user_id tiebreak; top-k is a partial TakeOrdered, no full sort.
+    */
+  val f5TailK: QueryDef = QueryDef(
+    "f5_tail_k",
+    (s, dir) =>
+      Tables.load(s, dir, "events")
+        .groupBy("user_id")
+        .agg(expr("max(ts) div 1000").as("t_last"), count(lit(1)).as("n_events"))
+        .orderBy(col("t_last").desc, col("user_id").desc).limit(50)
+        .orderBy("t_last", "user_id"),
+    Some("""
+      SELECT * FROM (
+        SELECT user_id, MAX(epoch_us(ts)) AS t_last, COUNT(*) AS n_events
+        FROM events GROUP BY user_id
+        ORDER BY t_last DESC, user_id DESC LIMIT 50)
+      ORDER BY t_last, user_id""")
+  )
+
+  val all: Seq[QueryDef] =
+    Seq(f1StepPivot, f2RuntimeDescribe, f3RelativeStart, f4ActiveOverhead, f5TailK)
+}

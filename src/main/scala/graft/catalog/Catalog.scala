@@ -1,0 +1,92 @@
+package graft.catalog
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Catalog/publish engine (SURVEY §2 A10/D5, §7 step 3) — the Spark
+  * re-expression of the reference's Publishv2 gather-metadata + search-ingest
+  * stage (/root/reference/examples/hyperspectral_flow/main.py:30-33,78-88;
+  * document shape observed in examples/xloop2023/data/performance_*.pkl).
+  *
+  * The catalog is a parquet table keyed by `subject`; "search" is ordinary
+  * filters over nested columns. All checksums run distributed via codegen'd
+  * `sha2`/`md5` — no driver-side hashing, so cataloging scales with the
+  * cluster, unlike the reference's one-funcX-call-per-file path.
+  */
+object Catalog {
+
+  /** Extension → MIME lookup (the reference relies on Publishv2's mime
+    * inference; we make the table explicit). Unknowns fall back to
+    * application/octet-stream.
+    */
+  val MimeByExtension: Map[String, String] = Map(
+    "txt" -> "text/plain", "json" -> "application/json",
+    "csv" -> "text/csv", "png" -> "image/png", "jpg" -> "image/jpeg",
+    "mp4" -> "video/mp4", "emd" -> "application/x-hdf5",
+    "h5" -> "application/x-hdf5", "parquet" -> "application/vnd.apache.parquet")
+
+  /** MIME type of a filename column, via its lowercase extension. A literal
+    * map + element_at stays inside whole-stage codegen (no UDF).
+    */
+  def mimeOf(filename: Column): Column = {
+    val m = map(MimeByExtension.toSeq.flatMap { case (k, v) => Seq(lit(k), lit(v)) }: _*)
+    coalesce(
+      element_at(m, lower(regexp_extract(filename, "\\.([^./]+)$", 1))),
+      lit("application/octet-stream"))
+  }
+
+  /** Per-file metadata block (SURVEY §2 A10): url, byte length, sha256,
+    * sha512, basename, mime — the `files[]` entry shape of the observed
+    * catalog documents (FIXTURES F5).
+    */
+  def fileMetadata(path: Column, content: Column): Column =
+    struct(
+      concat(lit("globus://"), path).as("url"),
+      length(content).cast("long").as("length"),
+      sha2(content, 256).as("sha256"),
+      sha2(content, 512).as("sha512"),
+      element_at(split(path, "/"), -1).as("filename"),
+      mimeOf(path).as("mime_type"))
+
+  /** Assemble a DataCite-style catalog document per row (SURVEY §2 D5 —
+    * struct composition replaces the reference's dict merges). Input needs
+    * `path` (string), `content` (binary or string) and `metadata_json`
+    * (string) columns; everything else is derived.
+    */
+  def dataciteDoc(df: DataFrame, publisher: String = "graft",
+      publicationYear: Int = 2026): DataFrame =
+    df.select(
+      concat(lit("globus://"), col("path")).as("subject"),
+      struct(
+        array(struct(element_at(split(col("path"), "/"), -1).as("title"))).as("titles"),
+        lit(publisher).as("publisher"),
+        lit(publicationYear.toString).as("publicationYear"),
+        array(mimeOf(col("path"))).as("formats"),
+        lit("http://datacite.org/schema/kernel-4").as("schemaVersion")).as("dc"),
+      array(fileMetadata(col("path"), col("content"))).as("files"),
+      col("metadata_json").as("experiment_metadata"),
+      lit("picoprobe").as("exp_type"),
+      array(lit("public")).as("visible_to"))
+
+  /** Idempotent publish: append only documents whose `subject` is not yet
+    * in the catalog (the reference's re-ingest of an existing subject
+    * overwrites in Globus Search; an anti-join append gives the same
+    * observable catalog). On a real deployment this is a Delta `MERGE`;
+    * parquet + broadcast anti-join keeps the same semantics here, with the
+    * existing-subjects side pruned to one column at the scan.
+    */
+  def publish(spark: SparkSession, docs: DataFrame, catalogPath: String): Unit = {
+    val fresh = docs.dropDuplicates("subject")
+    val toWrite =
+      if (exists(spark, catalogPath)) {
+        val existing = spark.read.parquet(catalogPath).select("subject")
+        fresh.join(broadcast(existing), Seq("subject"), "left_anti")
+      } else fresh
+    toWrite.write.mode("append").parquet(catalogPath)
+  }
+
+  private def exists(spark: SparkSession, path: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
+}

@@ -16,6 +16,7 @@ object SparkEntry {
   def defs: Seq[QueryDef] =
     RelationalQueries.all ++ JoinQueries.all ++ EventQueries.all ++
       graft.flows.FlowQueries.all ++ graft.catalog.CatalogQueries.all ++
+      graft.signals.SignalQueries.all ++
       graft.text.TextQueries.all ++ graft.dedup.DedupQueries.all ++
       graft.sim.SimilarityQueries.all
 

@@ -1,0 +1,98 @@
+package graft.signals
+
+import graft.QueryDef
+import graft.core.Tables
+import org.apache.spark.sql.functions._
+
+/** Oracle-checked realizations of the signal/array operators (SURVEY §2
+  * C11, C12+E4, E5) over harness tables. All floating-point expressions are
+  * written with identical operation order on both engines (IEEE ops are
+  * deterministic given identical operands), and sums go through the exact
+  * decimal detour (graft.core.Exact).
+  */
+object SignalQueries {
+
+  /** Calibrated energy-axis generation (SURVEY §2 E5,
+    * hyperspectral.py:69-74): affine map over a generated channel range —
+    * `sequence`/`range` is the Spark analog of `np.arange`. Uses the
+    * reference's observed calibration constants (FIXTURES F1).
+    */
+  val g1EnergyAxis: QueryDef = QueryDef(
+    "g1_energy_axis",
+    (s, _) =>
+      s.range(4096)
+        .select(col("id").cast("int").as("channel"))
+        .withColumn("energy_kev",
+          Signals.energyKev(col("channel"), lit(-479.0021), lit(5.0)))
+        .orderBy("channel"),
+    Some("""
+      SELECT CAST(range AS INTEGER) AS channel,
+             (CAST(-479.0021 AS DOUBLE) + CAST(5.0 AS DOUBLE) * CAST(range AS INTEGER))
+               / CAST(1000.0 AS DOUBLE) AS energy_kev
+      FROM range(4096) ORDER BY channel""")
+  )
+
+  /** Per-frame min-max normalization to uint8 (SURVEY §2 C12+E4,
+    * temporal.py:30-34) realized per customer "frame" over order totals:
+    * `floor((v−min)/(max−min)·255 + 0.499999999)`, constant frames → 0.
+    */
+  val g2FrameNormalize: QueryDef = QueryDef(
+    "g2_frame_normalize",
+    (s, dir) => {
+      val o = Tables.load(s, dir, "orders")
+      val extrema = o.groupBy("o_custkey")
+        .agg(min(col("o_totalprice")).as("mn"), max(col("o_totalprice")).as("mx"))
+      o.join(extrema, "o_custkey")
+        .select(col("o_orderkey"), col("o_custkey"),
+          when(col("mx") > col("mn"),
+            floor((col("o_totalprice") - col("mn")) / (col("mx") - col("mn"))
+              * lit(255.0) + lit(0.499999999)).cast("int"))
+            .otherwise(lit(0)).as("v8"))
+        .orderBy("o_orderkey")
+    },
+    Some("""
+      WITH ex AS (
+        SELECT o_custkey, MIN(o_totalprice) AS mn, MAX(o_totalprice) AS mx
+        FROM orders GROUP BY o_custkey)
+      SELECT o_orderkey, o.o_custkey,
+        CASE WHEN mx > mn THEN
+          CAST(FLOOR(((o_totalprice - mn) / (mx - mn)) * CAST(255.0 AS DOUBLE)
+               + CAST(0.499999999 AS DOUBLE)) AS INTEGER)
+        ELSE 0 END AS v8
+      FROM orders o JOIN ex USING (o_custkey)
+      ORDER BY o_orderkey""")
+  )
+
+  /** Spatial-axes reduction → per-channel spectrum (SURVEY §2 C11,
+    * `sum(axis=(0,1))`) over the embeddings table: element position is the
+    * channel, every vector a pixel. posexplode is 0-based; DuckDB's
+    * generate_subscripts is 1-based, so the channel is shifted to match.
+    * Floats are floor-scaled to integer 1e-4 units before summing —
+    * `floor` is unambiguous where a float→decimal cast is not (Spark
+    * rounds half-up, DuckDB half-even), so the sum is bit-identical on
+    * any partitioning and engine.
+    */
+  val g3Spectrum: QueryDef = QueryDef(
+    "g3_spectrum",
+    (s, dir) =>
+      Tables.load(s, dir, "embeddings")
+        .select(posexplode(col("embedding")).as(Seq("pos", "v")))
+        .select((col("pos") + 1).as("channel"),
+          floor(col("v").cast("double") * lit(10000.0)).cast("long").as("sv"))
+        .groupBy("channel")
+        .agg((sum(col("sv")).cast("double") / lit(10000.0)).as("sum_v"),
+          count(lit(1)).as("n"))
+        .orderBy("channel"),
+    Some("""
+      SELECT ch AS channel,
+             CAST(SUM(sv) AS DOUBLE) / CAST(10000.0 AS DOUBLE) AS sum_v,
+             COUNT(*) AS n
+      FROM (SELECT generate_subscripts(embedding, 1) AS ch,
+                   CAST(FLOOR(CAST(unnest(embedding) AS DOUBLE)
+                        * CAST(10000.0 AS DOUBLE)) AS BIGINT) AS sv
+            FROM embeddings)
+      GROUP BY ch ORDER BY ch""")
+  )
+
+  val all: Seq[QueryDef] = Seq(g1EnergyAxis, g2FrameNormalize, g3Spectrum)
+}

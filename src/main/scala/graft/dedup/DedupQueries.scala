@@ -123,6 +123,10 @@ object DedupQueries {
       val a = sh.select(col("source"), col("doc_id").as("doc_a"), col("sh").as("sh_a"))
       val b = sh.select(col("source"), col("doc_id").as("doc_b"), col("sh").as("sh_b"))
       a.join(b, Seq("source")).filter(col("doc_a") < col("doc_b"))
+        // necessary size condition for j >= 0.5 (|a∩b| <= min sizes, union
+        // >= max sizes): prunes before the per-pair merge, result unchanged
+        .filter(size(col("sh_a")) * 2 >= size(col("sh_b")) &&
+          size(col("sh_b")) * 2 >= size(col("sh_a")))
         .withColumn("jaccard", Dedup.jaccard(col("sh_a"), col("sh_b")))
         .filter(col("jaccard") >= 0.5)
         .select("doc_a", "doc_b", "jaccard")

@@ -84,6 +84,18 @@ object GraftExpressions {
       copy(child = newChild)
   }
 
+  case class RollingHashExpr(child: Expression)
+      extends UnaryExpression {
+    override def dataType: DataType = LongType
+    override def prettyName: String = "rolling_hash"
+    override protected def nullSafeEval(input: Any): Any =
+      HashOps.rollingHash(input.asInstanceOf[UTF8String])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"graft.expressions.HashOps.rollingHash($c)")
+    override protected def withNewChildInternal(newChild: Expression): RollingHashExpr =
+      copy(child = newChild)
+  }
+
   case class CosineSimFExpr(left: Expression, right: Expression)
       extends BinaryExpression {
     override def dataType: DataType = DoubleType
@@ -132,6 +144,9 @@ object GraftExpressions {
 
   /** 64-bit SimHash of whitespace-tokenized text. */
   def simhash64(text: Column): Column = col(SimHash64Expr(expr(text)))
+
+  /** Order-sensitive rolling-hash fingerprint of whitespace-tokenized text. */
+  def rollingHash(text: Column): Column = col(RollingHashExpr(expr(text)))
 
   /** Exact cosine similarity of two float vectors (double accumulation). */
   def cosineF(a: Column, b: Column): Column = col(CosineSimFExpr(expr(a), expr(b)))

@@ -137,6 +137,19 @@ object HashOps {
     sig
   }
 
+  /** Karp–Rabin-style rolling hash over whitespace tokens (order-sensitive
+    * document fingerprint): h = h·31 + xxh64(token), two's-complement
+    * wrap-around — the JVM's natural long arithmetic, independent of the
+    * engine's ANSI overflow mode.
+    */
+  def rollingHash(text: UTF8String): Long = {
+    val th = tokenHashes(text)
+    var h = 1125899906842597L
+    var i = 0
+    while (i < th.length) { h = h * 31L + th(i); i += 1 }
+    h
+  }
+
   /** Cosine similarity of two float vectors with sequential double
     * accumulation — bit-identical to DuckDB's
     * `LIST_COSINE_SIMILARITY(CAST(... AS DOUBLE[]))` fold, so oracle

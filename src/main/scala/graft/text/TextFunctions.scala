@@ -63,11 +63,11 @@ object TextFunctions {
   def fingerprintSha256(text: Column): Column = sha2(text, 256)
 
   /** Karp–Rabin-style rolling hash over tokens (order-sensitive document
-    * fingerprint; two docs with the same token sequence collide). Long
-    * arithmetic wraps identically everywhere (two's-complement), and the
-    * sequential fold is deterministic per row.
+    * fingerprint; two docs with the same token sequence collide). Runs as a
+    * native codegen expression: JVM long arithmetic wraps identically
+    * everywhere regardless of the session's ANSI mode, and the sequential
+    * per-row fold is deterministic on any partitioning.
     */
   def rollingHash(text: Column): Column =
-    aggregate(tokens(text), lit(1125899906842597L),
-      (acc, t) => acc * lit(31L) + xxhash64(t))
+    graft.expressions.GraftExpressions.rollingHash(text)
 }

@@ -1,0 +1,51 @@
+package graft.sim
+
+import graft.SparkSpec
+import graft.functions.VectorFunctions
+import org.apache.spark.sql.functions._
+
+/** Similarity-search invariants beyond the DuckDB oracle: cosine known
+  * values, and s2 (LSH-bucketed ANN) consistency against s1 (exact).
+  */
+class SimilaritySpec extends SparkSpec {
+
+  private lazy val session = spark
+  import session.implicits._
+
+  test("cosineFast: known values") {
+    val df = Seq(
+      (Array(1.0f, 0.0f), Array(0.0f, 1.0f)),
+      (Array(1.0f, 0.0f), Array(1.0f, 0.0f)),
+      (Array(1.0f, 2.0f), Array(2.0f, 4.0f)),
+      (Array(1.0f, 0.0f), Array(-1.0f, 0.0f))
+    ).toDF("a", "b")
+      .select(VectorFunctions.cosineFast(col("a"), col("b")).as("c"))
+    val c = df.collect().map(_.getDouble(0))
+    assert(c(0) == 0.0 && c(1) == 1.0 && c(3) == -1.0)
+    assert(math.abs(c(2) - 1.0) < 1e-12)
+  }
+
+  test("s2 LSH results are consistent with exact cosine and ranked") {
+    val exact = SimilarityQueries.s1AnnBruteForce.fn(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(2)) -> r.getDouble(3)).toMap
+    val lsh = SimilarityQueries.s2AnnLsh.fn(spark, sf).collect()
+    assert(lsh.nonEmpty)
+    // every LSH hit carries the exact cosine of that pair
+    val cosOk = lsh.forall { r =>
+      exact.get((r.getLong(0), r.getLong(2)))
+        .forall(e => e == r.getDouble(3))
+    }
+    assert(cosOk)
+    // per query: ranks contiguous from 1, cos non-increasing
+    lsh.groupBy(_.getLong(0)).foreach { case (_, rows) =>
+      val sorted = rows.sortBy(_.getInt(1))
+      assert(sorted.map(_.getInt(1)).toSeq == (1 to sorted.length))
+      val cs = sorted.map(_.getDouble(3))
+      assert(cs.zip(cs.tail).forall { case (x, y) => x >= y })
+    }
+    // recall sanity: bucketed search finds a nonzero share of true top-10
+    val truePairs = exact.keySet
+    val hitPairs = lsh.map(r => (r.getLong(0), r.getLong(2))).toSet
+    assert((hitPairs & truePairs).nonEmpty)
+  }
+}

@@ -1,0 +1,57 @@
+package graft.queries
+
+import graft.SparkSpec
+import graft.core.Tables
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Physical-plan shape assertions — the properties that matter at 100 TB,
+  * checked on the actual optimized plans so a regression (lost pushdown, a
+  * broadcast turning into a shuffle join, codegen fallback) fails CI rather
+  * than silently degrading the cluster plan.
+  */
+class PlanSpec extends SparkSpec {
+
+  private def planOf(df: DataFrame): String =
+    df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+
+  test("filter + projection push down to the parquet scan") {
+    val df = Tables.load(spark, sf, "lineitem")
+      .filter(col("l_suppkey") <= 10)
+      .select("l_suppkey", "l_quantity")
+    val plan = planOf(df)
+    assert(plan.contains("PushedFilters"))
+    assert(plan.contains("LessThanOrEqual(l_suppkey,10)"))
+    // column pruning: the scan reads exactly the two projected columns
+    val readSchema = plan.linesIterator.find(_.trim.startsWith("ReadSchema")).get
+    assert(readSchema.contains("l_suppkey") && readSchema.contains("l_quantity"))
+    assert(!readSchema.contains("l_comment") && !readSchema.contains("l_orderkey"))
+  }
+
+  test("dimension joins broadcast (no fact-side shuffle)") {
+    val plan = planOf(JoinQueries.q6RegionJoin.fn(spark, sf))
+    assert(plan.contains("BroadcastHashJoin"))
+    assert(plan.contains("BroadcastExchange"))
+  }
+
+  test("hot-path expressions stay inside whole-stage codegen") {
+    val df = Tables.load(spark, sf, "documents")
+      .select(graft.dedup.Dedup.simhash(col("text")).as("sig"),
+        graft.text.TextFunctions.rollingHash(col("text")).as("fp"))
+    val plan = planOf(df)
+    // formatted mode marks codegen stages with a leading '*'
+    assert(plan.linesIterator.exists(_.trim.startsWith("* Project")))
+    // native expressions must not force an interpreted Project fallback
+    assert(!plan.contains("CodegenFallback"))
+  }
+
+  test("pivot via conditional aggregation is a single exchange") {
+    val plan = planOf(EventQueries.q8PivotCounts.fn(spark, sf))
+    // tree lines only (the detail section repeats each node)
+    val exchanges = plan.linesIterator.count(_.trim.matches("^\\+?- Exchange \\(.*"))
+    // one shuffle for the groupBy + one range exchange for the global sort
+    assert(exchanges <= 2, s"too many exchanges:\n$plan")
+    assert(plan.contains("partial_")) // map-side combine present
+  }
+}

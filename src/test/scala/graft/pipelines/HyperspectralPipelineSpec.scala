@@ -1,0 +1,64 @@
+package graft.pipelines
+
+import graft.SparkSpec
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+/** End-to-end pipeline replay (SURVEY §3.1): drop files in a watch dir,
+  * drain the stream, assert reductions + catalog output — the Spark
+  * equivalent of the reference's manual end-to-end validation
+  * (docs/windows_setup.md walk-through).
+  */
+class HyperspectralPipelineSpec extends SparkSpec {
+
+  // fixture parser: each "EMD" file becomes one 2x2x2 cube signal whose
+  // data derives deterministically from the file bytes
+  private def parse(files: DataFrame): DataFrame = {
+    val session = spark
+    import session.implicits._
+    files.select(col("experiment_id"), col("path"), col("content"))
+      .as[(String, String, Array[Byte])]
+      .map { case (eid, path, bytes) =>
+        val base = bytes.map(b => (b & 0xFF).toDouble).sum
+        (eid, path, 0, "EDS", 3, Seq(2, 2, 2),
+          (0 until 8).map(i => base + i), s"""{"Signal":{"signal_type":"EDS_TEM"}}""")
+      }
+      .toDF("experiment_id", "path", "signal_idx", "title", "ndim", "shape",
+        "data", "metadata_json")
+      .withColumn("data", col("data").cast("array<double>"))
+  }
+
+  test("watch -> analyze -> catalog, exactly once across restarts") {
+    val watch = Files.createTempDirectory("graft-pipe-watch")
+    val base = Files.createTempDirectory("graft-pipe")
+    val out = base.resolve("out").toString
+    val catalog = base.resolve("catalog").toString
+    val ckpt = base.resolve("ckpt").toString
+
+    Files.write(watch.resolve("runA.emd"), "file-a-bytes".getBytes)
+    Files.write(watch.resolve("skip.txt"), "ignored".getBytes)
+
+    def drain(): Unit =
+      HyperspectralPipeline.start(spark, watch.toString, out, catalog, ckpt,
+        parse, drain = true).awaitTermination()
+
+    drain()
+    val spec1 = spark.read.parquet(s"$out/spectrum")
+    assert(spec1.select("experiment_id").distinct().count() == 1)
+    assert(spec1.count() == 2) // 2 channels
+    // spectrum sums spatial axes: each channel aggregates 4 cells
+    assert(spark.read.parquet(s"$out/intensity").count() == 4)
+    assert(spark.read.parquet(catalog).count() == 1)
+
+    // second file + restart from the same checkpoint: runA not reprocessed
+    Files.write(watch.resolve("runB.emd"), "file-b-bytes".getBytes)
+    drain()
+    val spec2 = spark.read.parquet(s"$out/spectrum")
+    assert(spec2.select("experiment_id").distinct().count() == 2)
+    assert(spec2.count() == 4) // exactly once: 2 runs x 2 channels, no dups
+    assert(spark.read.parquet(catalog).count() == 2)
+    val meta = spark.read.parquet(s"$out/metadata")
+    assert(meta.filter(col("signal_type") === "EDS_TEM").count() == 2)
+  }
+}

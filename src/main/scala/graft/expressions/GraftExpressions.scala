@@ -125,6 +125,38 @@ object GraftExpressions {
       copy(child = newChild)
   }
 
+  /** IVF cell assignment against a constant centroid matrix (row-major,
+    * k × dim, L2-normalized for cosine ranking).
+    */
+  case class NearestCellExpr(child: Expression, cents: Array[Double], k: Int)
+      extends UnaryExpression {
+    override def dataType: DataType = IntegerType
+    override def prettyName: String = "ivf_nearest_cell"
+    override protected def nullSafeEval(input: Any): Any =
+      HashOps.nearestCell(input.asInstanceOf[ArrayData], cents, k)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("cents", cents, "double[]")
+      defineCodeGen(ctx, ev, c => s"graft.expressions.HashOps.nearestCell($c, $ref, $k)")
+    }
+    override protected def withNewChildInternal(newChild: Expression): NearestCellExpr =
+      copy(child = newChild)
+  }
+
+  /** Top-nprobe IVF probe cells for a query vector. */
+  case class NearCellsExpr(child: Expression, cents: Array[Double], k: Int, nprobe: Int)
+      extends UnaryExpression {
+    override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+    override def prettyName: String = "ivf_near_cells"
+    override protected def nullSafeEval(input: Any): Any =
+      HashOps.nearCells(input.asInstanceOf[ArrayData], cents, k, nprobe)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("cents", cents, "double[]")
+      defineCodeGen(ctx, ev, c => s"graft.expressions.HashOps.nearCells($c, $ref, $k, $nprobe)")
+    }
+    override protected def withNewChildInternal(newChild: Expression): NearCellsExpr =
+      copy(child = newChild)
+  }
+
   // ---- Column-API surface ----
 
   private def col(e: Expression): Column = ColumnBridge.column(e)
@@ -154,4 +186,12 @@ object GraftExpressions {
   /** Random-hyperplane LSH bucket of a float vector. */
   def hyperplaneBucket(v: Column, planes: Array[Double], nBits: Int): Column =
     col(HyperplaneBucketExpr(expr(v), planes, nBits))
+
+  /** IVF cell id of a float vector (argmax centroid dot). */
+  def ivfCell(v: Column, cents: Array[Double], k: Int): Column =
+    col(NearestCellExpr(expr(v), cents, k))
+
+  /** Top-nprobe IVF probe cells of a query vector. */
+  def ivfProbeCells(v: Column, cents: Array[Double], k: Int, nprobe: Int): Column =
+    col(NearCellsExpr(expr(v), cents, k, nprobe))
 }

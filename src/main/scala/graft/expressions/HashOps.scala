@@ -171,6 +171,62 @@ object HashOps {
     dot / (math.sqrt(na) * math.sqrt(nb))
   }
 
+  /** IVF cell assignment: argmax dot product against `k` row-major
+    * centroids (pass them L2-normalized for cosine ranking). Ties break to
+    * the lowest cell id.
+    */
+  def nearestCell(v: ArrayData, cents: Array[Double], k: Int): Int = {
+    val x = v.toFloatArray()
+    val dim = x.length
+    var best = 0
+    var bestDot = Double.NegativeInfinity
+    var c = 0
+    while (c < k) {
+      var dot = 0.0
+      var i = 0
+      val off = c * dim
+      while (i < dim) { dot += x(i).toDouble * cents(off + i); i += 1 }
+      if (dot > bestDot) { bestDot = dot; best = c }
+      c += 1
+    }
+    best
+  }
+
+  /** Top-`nprobe` IVF cells by centroid dot product (the query-side probe
+    * list). Selection over k cells — k is small by construction.
+    */
+  def nearCells(v: ArrayData, cents: Array[Double], k: Int, nprobe: Int): ArrayData = {
+    val x = v.toFloatArray()
+    val dim = x.length
+    val dots = new Array[Double](k)
+    var c = 0
+    while (c < k) {
+      var dot = 0.0
+      var i = 0
+      val off = c * dim
+      while (i < dim) { dot += x(i).toDouble * cents(off + i); i += 1 }
+      dots(c) = dot
+      c += 1
+    }
+    val n = math.min(nprobe, k)
+    val out = new Array[Int](n)
+    val taken = new Array[Boolean](k)
+    var r = 0
+    while (r < n) {
+      var best = -1
+      var bestDot = Double.NegativeInfinity
+      c = 0
+      while (c < k) {
+        if (!taken(c) && dots(c) > bestDot) { bestDot = dots(c); best = c }
+        c += 1
+      }
+      taken(best) = true
+      out(r) = best
+      r += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
   /** Dot product of a float vector with a constant double plane (row-major
     * `planes`, `nBits` rows): returns the packed sign-bit bucket id — the
     * random-hyperplane LSH signature in one pass.

@@ -77,5 +77,22 @@ object SimilarityQueries {
     None
   )
 
-  val all: Seq[QueryDef] = Seq(s1AnnBruteForce, s2AnnLsh)
+  /** IVF-probe ANN: deterministic k=16-cell index, 3-probe search. The
+    * other scale path next to s2's hyperplane LSH — at 100 TB the corpus
+    * is partitioned by cell and each probe prunes to nprobe/k of the data.
+    * Approximate (recall spec-tested vs s1) — rows-only driver check.
+    */
+  val s3AnnIvf: QueryDef = QueryDef(
+    "s3_ann_ivf",
+    (s, dir) => {
+      val e = Tables.load(s, dir, "embeddings")
+      val model = Ivf.train(e, "embedding", k = 16, iters = 2)
+      val queries = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+      Ivf.search(e, queries, model, k = 16, nprobe = 3, topK = 10)
+    },
+    None
+  )
+
+  val all: Seq[QueryDef] = Seq(s1AnnBruteForce, s2AnnLsh, s3AnnIvf)
 }

@@ -48,4 +48,22 @@ class SimilaritySpec extends SparkSpec {
     val hitPairs = lsh.map(r => (r.getLong(0), r.getLong(2))).toSet
     assert((hitPairs & truePairs).nonEmpty)
   }
+
+  test("s3 IVF: deterministic model, exact cosines, recall over probes") {
+    val exact = SimilarityQueries.s1AnnBruteForce.fn(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(2)) -> r.getDouble(3)).toMap
+    val ivf1 = SimilarityQueries.s3AnnIvf.fn(spark, sf).collect()
+    val ivf2 = SimilarityQueries.s3AnnIvf.fn(spark, sf).collect()
+    assert(ivf1.nonEmpty)
+    // bit-identical across reruns (deterministic training + search)
+    assert(ivf1.map(_.toString).toSeq == ivf2.map(_.toString).toSeq)
+    // every IVF hit carries the exact cosine of that pair
+    assert(ivf1.forall { r =>
+      exact.get((r.getLong(0), r.getLong(2))).forall(_ == r.getDouble(3))
+    })
+    // probing more cells can only improve recall vs a single cell
+    val truePairs = exact.keySet
+    val hits = ivf1.map(r => (r.getLong(0), r.getLong(2))).toSet
+    assert((hits & truePairs).nonEmpty)
+  }
 }

@@ -1,0 +1,103 @@
+package graft
+
+import graft.expressions.HashOps
+import org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+import org.apache.spark.unsafe.types.UTF8String
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Generative property tests (SURVEY §5 test strategy) over the hash/array
+  * kernels — driven by scalacheck Gens with fixed seeds, so failures are
+  * reproducible.
+  */
+class PropertySpec extends AnyFunSuite {
+
+  private def samples[T](g: Gen[T], n: Int): Seq[T] =
+    (0 until n).flatMap(i => g.apply(Gen.Parameters.default, Seed(i.toLong)))
+
+  private val textGen: Gen[String] =
+    Gen.listOf(Gen.oneOf("alpha", "beta", "gamma", "delta", "x1", "y2", ""))
+      .map(_.mkString(" "))
+
+  private def arr(xs: Seq[Long]) =
+    UnsafeArrayData.fromPrimitiveArray(xs.toArray)
+
+  test("jaccardSorted: range, symmetry, identity, disjoint") {
+    val setGen = Gen.listOf(Gen.chooseNum(-1000L, 1000L)).map(_.distinct.sorted)
+    samples(Gen.zip(setGen, setGen), 200).foreach { case (a, b) =>
+      val j = HashOps.jaccardSorted(arr(a), arr(b))
+      assert(j >= 0.0 && j <= 1.0)
+      assert(j == HashOps.jaccardSorted(arr(b), arr(a)))
+      if (a.nonEmpty) assert(HashOps.jaccardSorted(arr(a), arr(a)) == 1.0)
+      val disjoint = b.map(_ + 5000L)
+      assert(HashOps.jaccardSorted(arr(a), arr(disjoint)) == 0.0)
+    }
+  }
+
+  test("shingleHashes: sorted, distinct, bounded count") {
+    samples(textGen, 200).foreach { t =>
+      val sh = HashOps.shingleHashes(UTF8String.fromString(t), 3).toLongArray()
+      assert(sh.toSeq == sh.toSeq.sorted)
+      assert(sh.toSet.size == sh.length)
+      val nTokens = t.split(" ", -1).length
+      assert(sh.length <= math.max(nTokens - 2, 0))
+    }
+  }
+
+  test("simhash: deterministic, zero self-hamming, token-permutation bounded") {
+    samples(textGen, 200).foreach { t =>
+      val s1 = HashOps.simhash(UTF8String.fromString(t))
+      val s2 = HashOps.simhash(UTF8String.fromString(t))
+      assert(s1 == s2)
+      // simhash is a bag-of-tokens vote: permuting tokens preserves it
+      val perm = t.split(" ", -1).reverse.mkString(" ")
+      assert(HashOps.simhash(UTF8String.fromString(perm)) == s1)
+    }
+  }
+
+  test("minhash: signature length k, elementwise monotone under union") {
+    val setGen = Gen.nonEmptyListOf(Gen.chooseNum(Long.MinValue / 2, Long.MaxValue / 2))
+      .map(_.distinct.sorted)
+    samples(Gen.zip(setGen, setGen), 100).foreach { case (a, b) =>
+      val k = 16
+      val sa = HashOps.minhash(arr(a), k).toLongArray()
+      val su = HashOps.minhash(arr((a ++ b).distinct.sorted), k).toLongArray()
+      assert(sa.length == k)
+      // adding elements can only lower each min-hash coordinate
+      assert(sa.zip(su).forall { case (x, u) => u <= x })
+    }
+  }
+
+  test("rollingHash: order-sensitive where simhash is not") {
+    val h1 = HashOps.rollingHash(UTF8String.fromString("a b c d"))
+    val h2 = HashOps.rollingHash(UTF8String.fromString("d c b a"))
+    assert(h1 != h2)
+  }
+
+  test("cosineF: bounded and symmetric on random vectors") {
+    val vecGen = Gen.listOfN(16, Gen.chooseNum(-100, 100).map(_.toFloat / 10f))
+    samples(Gen.zip(vecGen, vecGen), 200).foreach { case (a, b) =>
+      if (a.exists(_ != 0f) && b.exists(_ != 0f)) {
+        val x = UnsafeArrayData.fromPrimitiveArray(a.toArray)
+        val y = UnsafeArrayData.fromPrimitiveArray(b.toArray)
+        val c = HashOps.cosineF(x, y)
+        assert(c >= -1.0 - 1e-9 && c <= 1.0 + 1e-9)
+        assert(c == HashOps.cosineF(y, x))
+      }
+    }
+  }
+
+  test("nearestCell within nearCells head") {
+    val vecGen = Gen.listOfN(8, Gen.chooseNum(-100, 100).map(_.toFloat / 10f))
+      .suchThat(_.exists(_ != 0f))
+    val cents = (0 until 4).flatMap(c =>
+      (0 until 8).map(i => math.sin(c * 8 + i + 1.0))).toArray
+    samples(vecGen, 100).foreach { v =>
+      val x = UnsafeArrayData.fromPrimitiveArray(v.toArray)
+      val cell = HashOps.nearestCell(x, cents, 4)
+      val probes = HashOps.nearCells(x, cents, 4, 2).toIntArray()
+      assert(probes.length == 2 && probes(0) == cell)
+    }
+  }
+}

@@ -1,0 +1,61 @@
+package graft.expressions
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** SQL surface for the graft native expressions, injected through
+  * `SparkSessionExtensions` — the (c)-tier integration path: users of the
+  * pure-SQL API (`spark.sql`) get the same codegen kernels as the Column
+  * API, e.g.
+  *
+  * {{{
+  *   SELECT doc_id, simhash64(text) FROM documents
+  *   SELECT jaccard_sorted(shingle_hashes(a.text, 3), shingle_hashes(b.text, 3)) ...
+  * }}}
+  *
+  * Wire with `.withExtensions(new GraftSqlExtensions)` (GraftSession does)
+  * or `spark.sql.extensions=graft.expressions.GraftSqlExtensions`.
+  */
+class GraftSqlExtensions extends (SparkSessionExtensions => Unit) {
+
+  import GraftExpressions._
+
+  private def litInt(e: Expression, what: String): Int = {
+    require(e.foldable, s"$what must be a literal")
+    e.eval().asInstanceOf[Number].intValue()
+  }
+
+  private def info(name: String, usage: String) =
+    new ExpressionInfo(GraftExpressions.getClass.getName, null, name, usage, "")
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((FunctionIdentifier("simhash64"),
+      info("simhash64", "simhash64(text) - 64-bit SimHash of whitespace tokens"),
+      (es: Seq[Expression]) => SimHash64Expr(es.head)))
+
+    ext.injectFunction((FunctionIdentifier("rolling_hash"),
+      info("rolling_hash", "rolling_hash(text) - order-sensitive token fingerprint"),
+      (es: Seq[Expression]) => RollingHashExpr(es.head)))
+
+    ext.injectFunction((FunctionIdentifier("shingle_hashes"),
+      info("shingle_hashes", "shingle_hashes(text, n) - sorted distinct n-gram hashes"),
+      (es: Seq[Expression]) => ShingleHashesExpr(es.head, litInt(es(1), "n"))))
+
+    ext.injectFunction((FunctionIdentifier("minhash_sig"),
+      info("minhash_sig", "minhash_sig(shingles, k) - k-permutation MinHash signature"),
+      (es: Seq[Expression]) => MinHashSigExpr(es.head, litInt(es(1), "k"))))
+
+    ext.injectFunction((FunctionIdentifier("band_hashes"),
+      info("band_hashes", "band_hashes(sig, bands) - LSH band bucket keys"),
+      (es: Seq[Expression]) => BandHashesExpr(es.head, litInt(es(1), "bands"))))
+
+    ext.injectFunction((FunctionIdentifier("jaccard_sorted"),
+      info("jaccard_sorted", "jaccard_sorted(a, b) - exact Jaccard of sorted hash sets"),
+      (es: Seq[Expression]) => JaccardSortedExpr(es.head, es(1))))
+
+    ext.injectFunction((FunctionIdentifier("cosine_f"),
+      info("cosine_f", "cosine_f(a, b) - exact cosine of float vectors"),
+      (es: Seq[Expression]) => CosineSimFExpr(es.head, es(1))))
+  }
+}

@@ -106,32 +106,17 @@ object DedupQueries {
     None
   )
 
-  /** n-gram Jaccard similarity join without LSH (direct brute pair join)
-    * restricted to a blocking key (same `source`) — the exact-SQL-
-    * expressible member of the dedup family.
+  /** n-gram Jaccard similarity join, EXACT via prefix filtering
+    * (Dedup.jaccardJoin) within a blocking key (same `source`) — same
+    * results as a brute pair join (the DuckDB oracle IS the brute join)
+    * without the O(n²)-per-block candidate page.
     */
   val d4NgramJaccard: QueryDef = QueryDef(
     "d4_ngram_jaccard",
-    (s, dir) => {
-      // 8-byte sorted hash shingles instead of string arrays: the blocked
-      // self-join shuffles ~25× fewer bytes and the Jaccard verify is a
-      // linear merge (codegen) rather than a per-pair hash-set intersect.
-      val sh = Tables.load(s, dir, "documents")
-        .select(col("doc_id"), col("source"),
-          Dedup.shingleHashes(col("text"), 2).as("sh"))
-        .filter(size(col("sh")) > 0)
-      val a = sh.select(col("source"), col("doc_id").as("doc_a"), col("sh").as("sh_a"))
-      val b = sh.select(col("source"), col("doc_id").as("doc_b"), col("sh").as("sh_b"))
-      a.join(b, Seq("source")).filter(col("doc_a") < col("doc_b"))
-        // necessary size condition for j >= 0.5 (|a∩b| <= min sizes, union
-        // >= max sizes): prunes before the per-pair merge, result unchanged
-        .filter(size(col("sh_a")) * 2 >= size(col("sh_b")) &&
-          size(col("sh_b")) * 2 >= size(col("sh_a")))
-        .withColumn("jaccard", Dedup.jaccard(col("sh_a"), col("sh_b")))
-        .filter(col("jaccard") >= 0.5)
-        .select("doc_a", "doc_b", "jaccard")
-        .orderBy("doc_a", "doc_b")
-    },
+    (s, dir) =>
+      Dedup.jaccardJoin(Tables.load(s, dir, "documents"), "doc_id", "text",
+        threshold = 0.5, n = 2, blockCol = Some("source"))
+        .orderBy("doc_a", "doc_b"),
     Some("""
       WITH s AS (
         SELECT doc_id, source,

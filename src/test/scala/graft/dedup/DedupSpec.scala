@@ -37,4 +37,26 @@ class DedupSpec extends SparkSpec {
     assert(lsh == brute)
     assert(brute.nonEmpty) // fixture actually exercises the path
   }
+
+  test("jaccardJoin prefix filtering is complete vs brute force") {
+    val docs = Tables.load(spark, sf, "documents")
+    val t = 0.5
+    val prefixed = Dedup.jaccardJoin(docs, "doc_id", "text", t, n = 2,
+      blockCol = Some("source"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    val sh = docs.select(col("doc_id"), col("source"),
+      Dedup.shingleHashes(col("text"), 2).as("sh"))
+      .filter(size(col("sh")) > 0)
+    val brute = sh.select(col("source"), col("doc_id").as("doc_a"), col("sh").as("sh_a"))
+      .join(sh.select(col("source"), col("doc_id").as("doc_b"), col("sh").as("sh_b")),
+        Seq("source"))
+      .filter(col("doc_a") < col("doc_b"))
+      .withColumn("j", Dedup.jaccard(col("sh_a"), col("sh_b")))
+      .filter(col("j") >= t)
+      .collect().map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+
+    assert(prefixed == brute)
+    assert(brute.nonEmpty)
+  }
 }

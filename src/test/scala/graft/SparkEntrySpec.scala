@@ -1,0 +1,24 @@
+package graft
+
+/** Driver-contract smoke: entry() returns rows, every query name has a fn,
+  * and every oracle key is a registered query.
+  */
+class SparkEntrySpec extends SparkSpec {
+
+  test("entry: flagship query returns rows at sf0.001") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("registry consistency: oracle keys ⊆ query names, no duplicates") {
+    val names = SparkEntry.defs.map(_.name)
+    assert(names.distinct.size == names.size)
+    assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
+    assert(SparkEntry.queries.size == 37)
+  }
+
+  test("every query runs and returns rows at sf0.001") {
+    SparkEntry.queries.foreach { case (name, fn) =>
+      assert(fn(spark, sf).limit(1).count() > 0, s"query $name returned no rows")
+    }
+  }
+}

@@ -27,7 +27,8 @@ class GraftSqlExtensions extends (SparkSessionExtensions => Unit) {
   }
 
   private def info(name: String, usage: String) =
-    new ExpressionInfo(GraftExpressions.getClass.getName, null, name, usage, "")
+    new ExpressionInfo(GraftExpressions.getClass.getName, null, name, usage,
+      "", "", "", "", "", "", "built-in")
 
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((FunctionIdentifier("simhash64"),

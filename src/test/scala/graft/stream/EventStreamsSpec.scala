@@ -37,6 +37,28 @@ class EventStreamsSpec extends SparkSpec {
     assert(rows == Set((0L, "click", 2L), (3600L, "view", 1L)))
   }
 
+  test("dedupWithinWatermark: first occurrence kept, dups dropped") {
+    val session = spark
+    import session.implicits._
+    implicit val sq = spark.sqlContext
+
+    val in = MemoryStream[Event]
+    in.addData(
+      Event(1, 1000000, 1, "click", 1.0),
+      Event(1, 2000000, 1, "click", 1.0), // dup event_id within window
+      Event(2, 3000000, 2, "view", 2.0))
+
+    val q = EventStreams.dedupWithinWatermark(
+      in.toDF().withColumn("ts", col("ts_us") * 1000), Seq("event_id"))
+      .writeStream.format("memory").queryName("dedup_wm")
+      .outputMode(OutputMode.Append()).start()
+    q.processAllAvailable()
+    q.stop()
+
+    val ids = spark.table("dedup_wm").select("event_id").collect().map(_.getLong(0))
+    assert(ids.sorted.toSeq == Seq(1L, 2L))
+  }
+
   test("sessionize: gap closes sessions, state accumulates within gap") {
     val session = spark
     import session.implicits._

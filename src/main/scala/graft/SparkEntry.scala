@@ -18,7 +18,7 @@ object SparkEntry {
       graft.flows.FlowQueries.all ++ graft.catalog.CatalogQueries.all ++
       graft.signals.SignalQueries.all ++
       graft.text.TextQueries.all ++ graft.dedup.DedupQueries.all ++
-      graft.sim.SimilarityQueries.all
+      graft.sim.SimilarityQueries.all ++ graft.multimodal.MultimodalQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,6 +1,6 @@
 package graft.flows
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DoubleType
 
@@ -17,6 +17,14 @@ import org.apache.spark.sql.types.DoubleType
 object FlowAnalyzer {
 
   private val GiB = 1024.0 * 1024.0 * 1024.0
+
+  /** Read flow-run JSON (one record per line, FIXTURES F2 shape) with the
+    * declared schema — no inference pass, so the read is a single scan and
+    * missing optional fields surface as typed nulls, exactly like the
+    * reference's tolerant dict access (flow_analyzer.py:244-263).
+    */
+  def readRuns(spark: SparkSession, path: String): DataFrame =
+    spark.read.schema(Encoders.product[FlowRun].schema).json(path)
 
   /** ISO-8601 string → epoch seconds (double, µs precision), with the
     * reference's tz handling (SURVEY §2 E8): strip the zone designator and

@@ -121,6 +121,15 @@ class FlowAnalyzerSpec extends SparkSpec {
     assert(all.length == 2)
   }
 
+  test("readRuns: schema-first JSON ingest feeds timingData identically") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-flows")
+    runs.coalesce(1).write.json(dir.resolve("runs").toString)
+    val fromJson = FlowAnalyzer.readRuns(spark, dir.resolve("runs").toString)
+    val a = FlowAnalyzer.timingData(fromJson).collect().map(_.toString).sorted.toSeq
+    val b = FlowAnalyzer.timingData(runs).collect().map(_.toString).sorted.toSeq
+    assert(a == b && a.nonEmpty)
+  }
+
   test("epochSeconds: tz strip matches naive-UTC semantics") {
     val df = Seq("2023-10-01T00:00:10+00:00", "2023-10-01T00:00:10Z",
       "2023-10-01T00:00:10.5+00:00").toDF("s")

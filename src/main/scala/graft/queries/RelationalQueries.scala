@@ -172,6 +172,60 @@ object RelationalQueries {
       FROM part ORDER BY p_partkey""")
   )
 
+  /** ROLLUP hierarchy aggregation (subtotals + grand total in one pass —
+    * Spark expands grouping sets in a single aggregate, one shuffle).
+    * NULL grouping keys are COALESCEd to a sentinel before the sort:
+    * Spark orders NULLS FIRST, DuckDB NULLS LAST, so raw null ordering
+    * would hash-mismatch; grouping_id disambiguates real vs subtotal rows.
+    */
+  val q18Rollup: QueryDef = QueryDef(
+    "q18_rollup",
+    (s, dir) =>
+      Tables.load(s, dir, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(dsum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n"),
+          grouping_id().as("gid"))
+        .select(coalesce(col("l_returnflag"), lit("<all>")).as("rf"),
+          coalesce(col("l_linestatus"), lit("<all>")).as("ls"),
+          col("sum_qty"), col("n"), col("gid"))
+        .orderBy("gid", "rf", "ls"),
+    Some(s"""
+      SELECT COALESCE(l_returnflag, '<all>') AS rf,
+             COALESCE(l_linestatus, '<all>') AS ls,
+             ${sqlSum("l_quantity")} AS sum_qty, COUNT(*) AS n,
+             GROUPING(l_returnflag, l_linestatus) AS gid
+      FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+      ORDER BY gid, rf, ls""")
+  )
+
+  /** Set operations: INTERSECT/EXCEPT with DISTINCT semantics on both
+    * engines (nations having customers vs nations having suppliers).
+    */
+  val q19SetOps: QueryDef = QueryDef(
+    "q19_setops",
+    (s, dir) => {
+      val custNations = Tables.load(s, dir, "customer").select("c_nationkey")
+      val suppNations = Tables.load(s, dir, "supplier").select("s_nationkey")
+        .withColumnRenamed("s_nationkey", "c_nationkey")
+      val both = custNations.intersect(suppNations)
+        .withColumn("kind", lit("both"))
+      val custOnly = custNations.except(suppNations)
+        .withColumn("kind", lit("cust_only"))
+      both.unionByName(custOnly)
+        .withColumnRenamed("c_nationkey", "nationkey")
+        .orderBy("kind", "nationkey")
+    },
+    Some("""
+      SELECT nationkey, kind FROM (
+        SELECT c_nationkey AS nationkey, 'both' AS kind FROM
+          (SELECT c_nationkey FROM customer INTERSECT SELECT s_nationkey FROM supplier)
+        UNION ALL
+        SELECT c_nationkey AS nationkey, 'cust_only' AS kind FROM
+          (SELECT c_nationkey FROM customer EXCEPT SELECT s_nationkey FROM supplier))
+      ORDER BY kind, nationkey""")
+  )
+
   val all: Seq[QueryDef] =
-    Seq(q1Agg, q2TopK, q10Histogram, q11SummaryStats, q12Distinct, q13StringFuncs)
+    Seq(q1Agg, q2TopK, q10Histogram, q11SummaryStats, q12Distinct, q13StringFuncs,
+      q18Rollup, q19SetOps)
 }

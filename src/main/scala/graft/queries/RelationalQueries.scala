@@ -225,7 +225,33 @@ object RelationalQueries {
       ORDER BY kind, nationkey""")
   )
 
+  /** Calendar decomposition (SURVEY §2 F date/time): year/month/day
+    * extraction + per-month aggregation. day-of-week is deliberately
+    * avoided (Spark and DuckDB number weekdays differently); year/month/day
+    * have identical semantics.
+    */
+  val q20DateParts: QueryDef = QueryDef(
+    "q20_date_parts",
+    (s, dir) =>
+      Tables.load(s, dir, "orders")
+        .select(year(col("o_orderdate")).as("y"),
+          month(col("o_orderdate")).as("m"),
+          dayofmonth(col("o_orderdate")).as("d"),
+          money(col("o_totalprice")).as("p"))
+        .groupBy("y", "m")
+        .agg(count(lit(1)).as("n"), max(col("d")).as("max_day"),
+          sum(col("p")).cast(DoubleType).as("total"))
+        .orderBy("y", "m"),
+    Some(s"""
+      SELECT EXTRACT(YEAR FROM o_orderdate) AS y,
+             EXTRACT(MONTH FROM o_orderdate) AS m,
+             COUNT(*) AS n,
+             MAX(EXTRACT(DAY FROM o_orderdate)) AS max_day,
+             CAST(SUM(${sqlMoney("o_totalprice")}) AS DOUBLE) AS total
+      FROM orders GROUP BY 1, 2 ORDER BY 1, 2""")
+  )
+
   val all: Seq[QueryDef] =
     Seq(q1Agg, q2TopK, q10Histogram, q11SummaryStats, q12Distinct, q13StringFuncs,
-      q18Rollup, q19SetOps)
+      q18Rollup, q19SetOps, q20DateParts)
 }

@@ -126,13 +126,15 @@ object FlowQueries {
   val f4ActiveOverhead: QueryDef = QueryDef(
     "f4_active_overhead",
     (s, dir) => {
-      val ev = Tables.load(s, dir, "events")
-      val perStep = ev.groupBy("user_id", "event_type")
-        .agg(expr("max(ts div 1000) - min(ts div 1000)").as("step_span"))
-        .groupBy("user_id").agg(sum(col("step_span")).as("active_us"))
-      val total = ev.groupBy("user_id")
-        .agg(expr("max(ts div 1000) - min(ts div 1000)").as("total_us"))
-      total.join(perStep, "user_id")
+      // single scan: per-(user, step) extrema first, then both Active and
+      // Total derive from that aggregate — no second read of events, no
+      // join; the second shuffle is on a strictly narrower key
+      val perStep = Tables.load(s, dir, "events")
+        .groupBy("user_id", "event_type")
+        .agg(expr("min(ts div 1000)").as("mn"), expr("max(ts div 1000)").as("mx"))
+      perStep.groupBy("user_id")
+        .agg(sum(col("mx") - col("mn")).as("active_us"),
+          (max(col("mx")) - min(col("mn"))).as("total_us"))
         .select(col("user_id"),
           (col("active_us").cast(DoubleType) / lit(1000000).cast(DoubleType)).as("active_sec"),
           (greatest(lit(0L), col("total_us") - col("active_us")).cast(DoubleType) /

@@ -39,10 +39,12 @@ object SignalQueries {
   val g2FrameNormalize: QueryDef = QueryDef(
     "g2_frame_normalize",
     (s, dir) => {
-      val o = Tables.load(s, dir, "orders")
-      val extrema = o.groupBy("o_custkey")
-        .agg(min(col("o_totalprice")).as("mn"), max(col("o_totalprice")).as("mx"))
-      o.join(extrema, "o_custkey")
+      // single scan: per-frame extrema as unbounded window aggregates over
+      // the frame partition — one shuffle on o_custkey, no self-join
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("o_custkey")
+      Tables.load(s, dir, "orders")
+        .withColumn("mn", min(col("o_totalprice")).over(w))
+        .withColumn("mx", max(col("o_totalprice")).over(w))
         .select(col("o_orderkey"), col("o_custkey"),
           when(col("mx") > col("mn"),
             floor((col("o_totalprice") - col("mn")) / (col("mx") - col("mn"))

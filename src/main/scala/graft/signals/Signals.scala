@@ -89,16 +89,17 @@ object Signals {
     * temporal.py:30-34): `(v − min)/(max − min) · 255 + 0.499999999`,
     * truncated — numpy's `astype(uint8)` truncates toward zero, hence
     * `floor` on the non-negative operand, value range [0, 255]. Constant
-    * frames (max == min) normalize to 0. Two jobs over the same frame
-    * partitioning: the per-frame extrema aggregate, then a co-partitioned
-    * join — at scale both hash on the same `(experiment, signal, frame)`
-    * key, so AQE coalesces into one shuffle round.
+    * frames (max == min) normalize to 0. Per-frame extrema are unbounded
+    * window aggregates over the frame partition: ONE shuffle on
+    * `(experiment, signal, frame)`, one pass over the data — no
+    * aggregate-plus-self-join rescan.
     */
   def normalizeFrames(video: DataFrame): DataFrame = {
-    val keys = Seq("experiment_id", "signal_idx", "frame")
-    val extrema = video.groupBy(keys.map(col): _*)
-      .agg(min(col("v")).as("f_min"), max(col("v")).as("f_max"))
-    video.join(extrema, keys)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("experiment_id", "signal_idx", "frame")
+    video
+      .withColumn("f_min", min(col("v")).over(w))
+      .withColumn("f_max", max(col("v")).over(w))
       .withColumn("v8",
         when(col("f_max") > col("f_min"),
           floor((col("v") - col("f_min")) / (col("f_max") - col("f_min"))

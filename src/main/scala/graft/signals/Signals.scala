@@ -47,7 +47,7 @@ object Signals {
     val X = element_at(col("shape"), 2).cast("long")
     val Y = element_at(col("shape"), 3).cast("long")
     signals
-      .select(col("experiment_id"), col("signal_idx"),
+      .select(col("experiment_id"), col("signal_idx"), col("shape"),
         posexplode(col("data")).as(Seq("i", "v")))
       .select(col("experiment_id"), col("signal_idx"),
         (col("i") / (X * Y)).cast("int").as("frame"),

@@ -1,0 +1,50 @@
+package graft.pipelines
+
+import graft.SparkSpec
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+/** End-to-end spatiotemporal (video) pipeline replay: normalized uint8
+  * frames, inference output, catalog publish — the reference's second
+  * production flow.
+  */
+class SpatiotemporalPipelineSpec extends SparkSpec {
+
+  // fixture parser: one (T=2, X=2, Y=2) video per file, data from bytes
+  private def parse(files: DataFrame): DataFrame = {
+    val session = spark
+    import session.implicits._
+    files.select(col("experiment_id"), col("path"), col("content"))
+      .as[(String, String, Array[Byte])]
+      .map { case (eid, path, bytes) =>
+        val base = bytes.map(b => (b & 0xFF).toDouble).sum
+        (eid, path, 0, "Video", 3, Seq(2, 2, 2),
+          (0 until 8).map(i => base + i * i), "{}")
+      }
+      .toDF("experiment_id", "path", "signal_idx", "title", "ndim", "shape",
+        "data", "metadata_json")
+      .withColumn("data", col("data").cast("array<double>"))
+  }
+
+  test("watch -> normalize frames -> infer -> catalog") {
+    val watch = Files.createTempDirectory("graft-st-watch")
+    val base = Files.createTempDirectory("graft-st")
+    val out = base.resolve("out").toString
+    val catalog = base.resolve("catalog").toString
+
+    Files.write(watch.resolve("vid1.emd"), "video-bytes-1".getBytes)
+    SpatiotemporalPipeline.start(spark, watch.toString, out, catalog,
+      base.resolve("ckpt").toString, parse, drain = true).awaitTermination()
+
+    val frames = spark.read.parquet(s"$out/frames_u8")
+    assert(frames.count() == 8) // 2 frames x 2x2 pixels
+    val v8s = frames.select("v8").collect().map(_.getInt(0))
+    assert(v8s.forall(v => v >= 0 && v <= 255))
+    assert(v8s.contains(0) && v8s.contains(255)) // per-frame extremes hit
+
+    val det = spark.read.parquet(s"$out/detections").collect()
+    assert(det.length == 1 && det(0).getAs[Int]("dim") == 16)
+    assert(spark.read.parquet(catalog).count() == 1)
+  }
+}

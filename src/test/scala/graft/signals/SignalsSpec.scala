@@ -44,6 +44,20 @@ class SignalsSpec extends SparkSpec {
     assert(Signals.intensityMap(cube).count() == xs * ys)
   }
 
+  test("explodeVideo: row-major (T,X,Y) geometry") {
+    val vid = Seq(("v1", "p", 0, "V", 3, Seq(2, 3, 4),
+      (0 until 24).map(_.toDouble), "{}"))
+      .toDF("experiment_id", "path", "signal_idx", "title", "ndim", "shape",
+        "data", "metadata_json")
+    val long = Signals.explodeVideo(vid)
+    assert(long.count() == 24)
+    // value at (frame, x, y) = frame*X*Y + x*Y + y
+    val probe = long.filter(col("frame") === 1 && col("x") === 2 && col("y") === 3)
+      .collect()(0).getAs[Double]("v")
+    assert(probe == (1 * 3 * 4 + 2 * 4 + 3).toDouble)
+    assert(long.agg(max("frame")).collect()(0).getInt(0) == 1)
+  }
+
   test("energy axis is affine with the reference calibration") {
     val e = session.range(3).select(
       Signals.energyKev(col("id"), lit(-479.0021), lit(5.0)).as("kev"))

@@ -16,6 +16,17 @@ class SparkEntrySpec extends SparkSpec {
     assert(SparkEntry.queries.size == 41)
   }
 
+  test("registerAll exposes every table to spark.sql") {
+    graft.core.Tables.registerAll(spark, sf)
+    graft.core.Tables.all.foreach { t =>
+      assert(spark.sql(s"SELECT * FROM $t LIMIT 1").count() == 1, s"table $t")
+    }
+    // SQL + extension function over a registered view
+    val n = spark.sql(
+      "SELECT COUNT(DISTINCT simhash64(text)) FROM documents").collect()(0).getLong(0)
+    assert(n > 0)
+  }
+
   test("every query runs and returns rows at sf0.001") {
     SparkEntry.queries.foreach { case (name, fn) =>
       assert(fn(spark, sf).limit(1).count() > 0, s"query $name returned no rows")

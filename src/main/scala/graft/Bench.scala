@@ -20,11 +20,14 @@ object Bench {
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
 
     def runOne(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
-        dir: String): Unit =
+        dir: String): Boolean =
       // noop sink: forces FULL evaluation of every output column (a bare
       // count() would let Catalyst prune the projections being measured).
-      try fn(spark, dir).write.format("noop").mode("overwrite").save()
-      catch { case _: Throwable => () }
+      try { fn(spark, dir).write.format("noop").mode("overwrite").save(); true }
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] query failed on $dir: ${e.getMessage}")
+        false
+      }
 
     // Untimed warmup at the smallest sf: JIT + codegen + classloading are
     // one-time JVM costs, not per-query work; data stays cold for sfDir.
@@ -32,13 +35,18 @@ object Bench {
 
     val results = ordered.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      runOne(fn, sfDir)
-      name -> (System.nanoTime() - t0) / 1e9
+      val ok = runOne(fn, sfDir)
+      (name, (System.nanoTime() - t0) / 1e9, ok)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // failed queries report null (not a near-zero time that would read as
+    // a fast success) and are named in "failed"
+    val qs = results.map { case (k, v, ok) =>
+      "\"" + k + "\":" + (if (ok) v.toString else "null")
+    }.mkString("{", ",", "}")
+    val failed = results.collect { case (k, _, false) => "\"" + k + "\"" }
+      .mkString("[", ",", "]")
+    val total = results.collect { case (_, v, true) => v }.sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

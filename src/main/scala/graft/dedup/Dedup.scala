@@ -26,9 +26,14 @@ object Dedup {
     */
   def shingleWords(text: Column, n: Int = 3): Column = {
     val toks = split(text, " ")
-    transform(
-      sequence(lit(0), size(toks) - n),
-      i => concat_ws(" ", (0 until n).map(j => element_at(toks, i + j + 1)): _*))
+    // guard: size - n < 0 would make sequence() count DOWN and element_at
+    // throw on index 0 / read from the string end — short texts shingle
+    // to [] (same contract as HashOps.shingleHashes' m <= 0 case)
+    when(size(toks) >= n,
+      transform(
+        sequence(lit(0), size(toks) - n),
+        i => concat_ws(" ", (0 until n).map(j => element_at(toks, i + j + 1)): _*)))
+      .otherwise(array().cast("array<string>"))
   }
 
   /** Word n-gram shingles of `text`, deduplicated + sorted, as xxhash64

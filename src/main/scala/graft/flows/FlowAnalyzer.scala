@@ -89,14 +89,17 @@ object FlowAnalyzer {
 
   /** Relative-time normalization for gantt-style output (SURVEY §2 E3,
     * flow_analyzer.py:402-408): subtract the global min start from every
-    * non-runtime time column. Global min via a window over the empty
-    * partition set — Spark plans it as a broadcast scalar, no extra pass.
+    * non-runtime time column. The global min is a 1-row aggregate joined
+    * back with `crossJoin(broadcast(...))` — an empty-partition window
+    * (`min(...).over()`) would move ALL rows to a single partition
+    * (WindowExec "No Partition Defined"), a scale-killer at 100× users.
     */
   def relativize(wide: DataFrame): DataFrame = {
-    val base = min(col("start")).over()
+    val gmin = wide.agg(min(col("start")).as("__base"))
     val timeCols = wide.columns.filter(c =>
       (c == "start" || c == "end" || c.endsWith("_start") || c.endsWith("_end")))
-    timeCols.foldLeft(wide)((df, c) => df.withColumn(c, col(c) - base))
+    timeCols.foldLeft(wide.crossJoin(broadcast(gmin)))(
+      (df, c) => df.withColumn(c, col(c) - col("__base"))).drop("__base")
   }
 
   /** Most recent k runs, re-sorted ascending (SURVEY §2 E7 tail-k,

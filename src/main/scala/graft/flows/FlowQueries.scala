@@ -97,19 +97,26 @@ object FlowQueries {
 
   /** Relative-time normalization (SURVEY §2 C10/E3,
     * flow_analyzer.py:402-408): each user's first event relative to the
-    * global minimum. The global min is a window over the empty partition
-    * set — planned as a single-row broadcast, not a second scan.
+    * global minimum. The global min is a separate 1-row aggregate joined
+    * via `crossJoin(broadcast(...))` — an empty-partition window would
+    * funnel every grouped row through a single partition (the WindowExec
+    * "No Partition Defined" path), which dies at 100× users. Global
+    * min(ts) over all events equals the min of per-user firsts.
     */
   val f3RelativeStart: QueryDef = QueryDef(
     "f3_relative_start",
-    (s, dir) =>
-      Tables.load(s, dir, "events")
-        .groupBy("user_id")
+    (s, dir) => {
+      val e = Tables.load(s, dir, "events")
+      val gmin = e.agg(expr("min(ts) div 1000").as("__g"))
+      e.groupBy("user_id")
         .agg(expr("min(ts) div 1000").as("t_first"))
+        .crossJoin(broadcast(gmin))
         .withColumn("rel_sec",
-          (col("t_first") - min(col("t_first")).over()).cast(DoubleType) /
+          (col("t_first") - col("__g")).cast(DoubleType) /
             lit(1000000).cast(DoubleType))
-        .orderBy("user_id"),
+        .drop("__g")
+        .orderBy("user_id")
+    },
     Some("""
       SELECT user_id, t_first,
              CAST(t_first - MIN(t_first) OVER () AS DOUBLE)

@@ -107,10 +107,17 @@ object Multimodal {
       it.grouped(BatchSize).flatMap { batch =>
         batch.iterator.flatMap { m =>
           val frameBytes = m.meta.width * m.meta.height * m.meta.channels
-          Iterator.range(0, m.meta.nFrames, everyN).map { f =>
-            val all = FakeCodec.decode(m.content, frameBytes * (f + 1))
-            VideoFrame(m.media_id, f,
-              java.util.Arrays.copyOfRange(all, frameBytes * f, frameBytes * (f + 1)))
+          val sampled = Range(0, m.meta.nFrames, everyN)
+          if (sampled.isEmpty) Iterator.empty
+          else {
+            // decode ONCE per video up to the last sampled frame, then
+            // slice — re-decoding from the stream start per frame would be
+            // Σf = O(T²) work per video with a real codec
+            val all = FakeCodec.decode(m.content, frameBytes * (sampled.last + 1))
+            sampled.iterator.map { f =>
+              VideoFrame(m.media_id, f,
+                java.util.Arrays.copyOfRange(all, frameBytes * f, frameBytes * (f + 1)))
+            }
           }
         }
       }

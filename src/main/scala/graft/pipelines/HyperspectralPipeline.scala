@@ -25,16 +25,31 @@ object HyperspectralPipeline {
     * written as parquet next to `outDir`, then catalog publish.
     * Runs inside `foreachBatch`, so each stage is a normal batch plan with
     * full Catalyst optimization.
+    *
+    * The 3-D signal is selected PER experiment (hs.load is per file,
+    * hyperspectral.py:51-66) — a batch can carry many files (startup
+    * backlog with no maxFilesPerTrigger), and a global first-match would
+    * analyze one file while checkpointing all of them as seen.
+    *
+    * Side outputs are idempotent under foreachBatch's at-least-once
+    * replay: each write lands in a `batch_id=<id>` partition with dynamic
+    * partition overwrite, so a replayed batch replaces its own partition
+    * instead of appending duplicates (Catalog.publish is already
+    * idempotent by content key).
     */
   def analyzeBatch(spark: SparkSession, signals: DataFrame, files: DataFrame,
-      outDir: String, catalogPath: String): Unit = {
-    val cube = Signals.explodeCube(Signals.firstWithNdim(signals, 3))
-    Signals.spectrum(cube)
-      .write.mode("append").parquet(s"$outDir/spectrum")
-    Signals.intensityMap(cube)
-      .write.mode("append").parquet(s"$outDir/intensity")
-    Signals.metadataSummary(signals)
-      .write.mode("append").parquet(s"$outDir/metadata")
+      outDir: String, catalogPath: String, batchId: Long = 0L): Unit = {
+    def sink(df: DataFrame, path: String): Unit =
+      df.withColumn("batch_id", lit(batchId))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id")
+        .parquet(path)
+
+    val cube = Signals.explodeCube(Signals.firstWithNdimPerExperiment(signals, 3))
+    sink(Signals.spectrum(cube), s"$outDir/spectrum")
+    sink(Signals.intensityMap(cube), s"$outDir/intensity")
+    sink(Signals.metadataSummary(signals), s"$outDir/metadata")
 
     val docs = Catalog.dataciteDoc(
       files.select(col("path"), col("content"),
@@ -49,10 +64,10 @@ object HyperspectralPipeline {
       catalogPath: String, checkpoint: String,
       parse: DataFrame => DataFrame, drain: Boolean = false): StreamingQuery = {
     val events = FileWatcher.fileEvents(spark, watchDir)
-    FileWatcher.start(events, checkpoint, drain) { (batch, _) =>
+    FileWatcher.start(events, checkpoint, drain) { (batch, batchId) =>
       if (!batch.isEmpty) {
         val files = batch.select("path", "content", "experiment_id").cache()
-        try analyzeBatch(spark, parse(files), files, outDir, catalogPath)
+        try analyzeBatch(spark, parse(files), files, outDir, catalogPath, batchId)
         finally files.unpersist()
       }
     }

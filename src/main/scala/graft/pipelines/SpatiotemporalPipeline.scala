@@ -16,13 +16,23 @@ import org.apache.spark.sql.streaming.StreamingQuery
   */
 object SpatiotemporalPipeline {
 
-  /** Per-batch analysis over video signals ((T,X,Y) cubes in F1 layout). */
+  /** Per-batch analysis over video signals ((T,X,Y) cubes in F1 layout).
+    * Signal selection is per experiment and side outputs are idempotent
+    * batch_id-partition overwrites — see HyperspectralPipeline.analyzeBatch
+    * for the rationale (multi-file batches; at-least-once replay).
+    */
   def analyzeBatch(spark: SparkSession, signals: DataFrame, files: DataFrame,
       outDir: String, catalogPath: String,
-      infer: Dataset[Media] => DataFrame): Unit = {
-    val video = Signals.explodeVideo(Signals.firstWithNdim(signals, 3))
-    Signals.normalizeFrames(video)
-      .write.mode("append").parquet(s"$outDir/frames_u8")
+      infer: Dataset[Media] => DataFrame, batchId: Long = 0L): Unit = {
+    def sink(df: DataFrame, path: String): Unit =
+      df.withColumn("batch_id", lit(batchId))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id")
+        .parquet(path)
+
+    val video = Signals.explodeVideo(Signals.firstWithNdimPerExperiment(signals, 3))
+    sink(Signals.normalizeFrames(video), s"$outDir/frames_u8")
 
     val session = spark
     import session.implicits._
@@ -33,7 +43,7 @@ object SpatiotemporalPipeline {
           MediaMeta(width = 4, height = 4, channels = 1, sampleRate = 0,
             nFrames = 8, format = "emd"))
       }
-    infer(media).write.mode("append").parquet(s"$outDir/detections")
+    sink(infer(media), s"$outDir/detections")
 
     Catalog.publish(spark,
       Catalog.dataciteDoc(files.select(col("path"), col("content"),
@@ -57,10 +67,11 @@ object SpatiotemporalPipeline {
       catalogPath: String, checkpoint: String,
       parse: DataFrame => DataFrame, drain: Boolean = false): StreamingQuery = {
     val events = graft.stream.FileWatcher.fileEvents(spark, watchDir)
-    graft.stream.FileWatcher.start(events, checkpoint, drain) { (batch, _) =>
+    graft.stream.FileWatcher.start(events, checkpoint, drain) { (batch, batchId) =>
       if (!batch.isEmpty) {
         val files = batch.select("path", "content", "experiment_id").cache()
-        try analyzeBatch(spark, parse(files), files, outDir, catalogPath, defaultInfer)
+        try analyzeBatch(spark, parse(files), files, outDir, catalogPath,
+          defaultInfer, batchId)
         finally files.unpersist()
       }
     }

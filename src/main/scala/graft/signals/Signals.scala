@@ -24,10 +24,24 @@ object Signals {
   def firstWithNdim(signals: DataFrame, n: Int): DataFrame =
     signals.filter(col("ndim") === n).orderBy("signal_idx").limit(1)
 
+  /** First signal with ndim == n PER experiment — the per-file `hs.load`
+    * semantics when a micro-batch carries several files at once (a global
+    * limit(1) would silently drop every file but one). Window is keyed by
+    * experiment_id, so the shuffle is as wide as the batch's file count.
+    */
+  def firstWithNdimPerExperiment(signals: DataFrame, n: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("experiment_id").orderBy("signal_idx")
+    signals.filter(col("ndim") === n)
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+  }
+
   /** Hyperspectral cube rows → long form. `shape` = [X, Y, S], `data` is
     * row-major, so flat index i ↦ (x = i/(Y·S), y = (i/S) mod Y,
-    * channel = i mod S). posexplode keeps the index; the divisions are
-    * integer ops inside codegen.
+    * channel = i mod S). posexplode keeps the index; decomposition uses
+    * integral `div`/`%` (never double division, which can misassign a
+    * coordinate by half an ulp at very large flat indices).
     */
   def explodeCube(signals: DataFrame): DataFrame = {
     val Y = element_at(col("shape"), 2).cast("long")
@@ -36,8 +50,8 @@ object Signals {
       .select(col("experiment_id"), col("signal_idx"), col("shape"),
         posexplode(col("data")).as(Seq("i", "counts")))
       .select(col("experiment_id"), col("signal_idx"),
-        (col("i") / (Y * S)).cast("int").as("x"),
-        ((col("i") / S) % Y).cast("int").as("y"),
+        call_function("div", col("i"), Y * S).cast("int").as("x"),
+        (call_function("div", col("i"), S) % Y).cast("int").as("y"),
         (col("i") % S).cast("int").as("channel"),
         col("counts"))
   }
@@ -50,8 +64,8 @@ object Signals {
       .select(col("experiment_id"), col("signal_idx"), col("shape"),
         posexplode(col("data")).as(Seq("i", "v")))
       .select(col("experiment_id"), col("signal_idx"),
-        (col("i") / (X * Y)).cast("int").as("frame"),
-        ((col("i") / Y) % X).cast("int").as("x"),
+        call_function("div", col("i"), X * Y).cast("int").as("frame"),
+        (call_function("div", col("i"), Y) % X).cast("int").as("x"),
         (col("i") % Y).cast("int").as("y"),
         col("v"))
   }

@@ -61,4 +61,39 @@ class HyperspectralPipelineSpec extends SparkSpec {
     val meta = spark.read.parquet(s"$out/metadata")
     assert(meta.filter(col("signal_type") === "EDS_TEM").count() == 2)
   }
+
+  test("multi-file micro-batch analyzes EVERY file, not just one") {
+    val watch = Files.createTempDirectory("graft-pipe-multi")
+    val base = Files.createTempDirectory("graft-pipe-multi-out")
+
+    // three files land in ONE AvailableNow batch (no maxFilesPerTrigger)
+    Seq("r1", "r2", "r3").foreach(n =>
+      Files.write(watch.resolve(s"$n.emd"), s"bytes-of-$n".getBytes))
+    HyperspectralPipeline.start(spark, watch.toString,
+      base.resolve("out").toString, base.resolve("catalog").toString,
+      base.resolve("ckpt").toString, parse, drain = true).awaitTermination()
+
+    val spec = spark.read.parquet(s"${base.resolve("out")}/spectrum")
+    assert(spec.select("experiment_id").distinct().count() == 3)
+    assert(spec.count() == 6) // 3 files x 2 channels each
+    assert(spark.read.parquet(base.resolve("catalog").toString).count() == 3)
+  }
+
+  test("replayed batch id overwrites its partition — no duplicate side output") {
+    val session = spark
+    import session.implicits._
+    val base = Files.createTempDirectory("graft-pipe-replay")
+    val out = base.resolve("out").toString
+    val catalog = base.resolve("catalog").toString
+    val files = Seq(("runR", "/w/runR.emd", "replay-bytes".getBytes))
+      .toDF("experiment_id", "path", "content")
+
+    // same batch id twice = foreachBatch's at-least-once replay
+    HyperspectralPipeline.analyzeBatch(spark, parse(files), files, out, catalog, 7L)
+    HyperspectralPipeline.analyzeBatch(spark, parse(files), files, out, catalog, 7L)
+
+    assert(spark.read.parquet(s"$out/spectrum").count() == 2) // once-worth
+    assert(spark.read.parquet(s"$out/intensity").count() == 4)
+    assert(spark.read.parquet(catalog).count() == 1)
+  }
 }

@@ -47,4 +47,19 @@ class SpatiotemporalPipelineSpec extends SparkSpec {
     assert(det.length == 1 && det(0).getAs[Int]("dim") == 16)
     assert(spark.read.parquet(catalog).count() == 1)
   }
+
+  test("multi-file micro-batch normalizes every file's video") {
+    val watch = Files.createTempDirectory("graft-st-multi")
+    val base = Files.createTempDirectory("graft-st-multi-out")
+    Seq("v1", "v2").foreach(n =>
+      Files.write(watch.resolve(s"$n.emd"), s"video-$n".getBytes))
+
+    SpatiotemporalPipeline.start(spark, watch.toString,
+      base.resolve("out").toString, base.resolve("catalog").toString,
+      base.resolve("ckpt").toString, parse, drain = true).awaitTermination()
+
+    val frames = spark.read.parquet(s"${base.resolve("out")}/frames_u8")
+    assert(frames.select("experiment_id").distinct().count() == 2)
+    assert(frames.count() == 16) // 2 files x 2 frames x 2x2 pixels
+  }
 }

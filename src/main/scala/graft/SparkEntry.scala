@@ -30,7 +30,15 @@ object SparkEntry {
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops.
+    * SQL may reference auxiliary dumps (see [[QueryDef.aux]]) through the
+    * `{OUT}` placeholder, which [[Verify]] replaces with its output dir.
     */
   def oracleSql: Map[String, String] =
     defs.flatMap(d => d.oracle.map(d.name -> _)).toMap
+
+  /** Auxiliary per-query dumps for oracle verification, keyed
+    * `<query>__<aux>` (written to `<out>/aux/<key>` by [[Verify]]).
+    */
+  def auxDumps: Map[String, (SparkSession, String) => DataFrame] =
+    defs.flatMap(d => d.aux.map { case (k, f) => s"${d.name}__$k" -> f }).toMap
 }

@@ -76,13 +76,15 @@ object Dedup {
     val banded = sh.select(
       col("doc_id"),
       posexplode(bandHashes(minhash(col("sh"), k), bands)).as(Seq("band_id", "band_hash")))
-    val cands = banded
-      .groupBy("band_id", "band_hash")
-      .agg(collect_list(col("doc_id")).as("ids"))
-      .filter(size(col("ids")) > 1)
-      .select(explode(col("ids")).as("doc_a"), col("ids"))
-      .select(col("doc_a"), explode(col("ids")).as("doc_b"))
+    // candidate pairs via a bucket self-join of (band, hash, id) — NOT a
+    // collect_list per bucket: a degenerate hot bucket (boilerplate band)
+    // would materialize one O(bucket²) array row on a single reducer,
+    // whereas the join streams pairs and AQE splits skewed bucket keys
+    val a = banded.select(col("band_id"), col("band_hash"), col("doc_id").as("doc_a"))
+    val b = banded.select(col("band_id"), col("band_hash"), col("doc_id").as("doc_b"))
+    val cands = a.join(b, Seq("band_id", "band_hash"))
       .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b")
       .distinct()
     cands
       .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), Seq("doc_a"))

@@ -75,9 +75,12 @@ object DedupQueries {
     * single-byte banding on correlated data (16-bit buckets vs 8-bit).
     * The hamming filter runs BEFORE pair dedup: bit_count(xor) is one
     * codegen instruction per candidate, so the dedup shuffle only carries
-    * the ~0.2% of candidates that qualify. No SQL oracle (xxhash64 has no
-    * DuckDB analog) — invariants are spec-tested and the driver records a
-    * rows-only check.
+    * the ~0.2% of candidates that qualify.
+    *
+    * Oracle: xxhash64 has no DuckDB analog, so the signatures themselves
+    * are dumped as an aux table (pinned separately by DedupSpec) and the
+    * oracle brute-forces the complete hamming-≤6 pair join over them —
+    * verifying exactly the property the banding shortcut claims.
     */
   val d3Simhash: QueryDef = QueryDef(
     "d3_simhash",
@@ -103,7 +106,17 @@ object DedupQueries {
         .select("doc_a", "doc_b", "hamming")
         .orderBy("doc_a", "doc_b")
     },
-    None
+    Some("""
+      WITH s AS (SELECT * FROM read_parquet('{OUT}/aux/d3_simhash__sigs/*.parquet'))
+      SELECT doc_a, doc_b, hamming FROM (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               bit_count(xor(a.sig, b.sig)) AS hamming
+        FROM s a JOIN s b ON a.doc_id < b.doc_id)
+      WHERE hamming <= 6 ORDER BY doc_a, doc_b"""),
+    aux = Map("sigs" -> ((s, dir) =>
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id"), Dedup.simhash(col("text")).as("sig"))
+        .orderBy("doc_id")))
   )
 
   /** n-gram Jaccard similarity join, EXACT via prefix filtering
@@ -134,29 +147,40 @@ object DedupQueries {
       ORDER BY doc_a, doc_b""")
   )
 
-  /** Embedding near-dup: top-50 most cosine-similar vector pairs. Exact
-    * double cosine on both engines (sequential fold) so values hash-match.
-    * The Spark side demonstrates the brute pair join; the LSH-bucketed
-    * scale path is `s2_ann_lsh`.
+  /** Embedding-cosine near-dup over `documents`: each doc embeds as a
+    * deterministic feature-hashed shingle vector (1024-dim, L2=1 — planted
+    * near-dup texts land at cos ≈ 2j/(1+j) ≈ 0.9, unrelated text at
+    * ≈ 0.05, a wide thresholdable gap), then the banded hyperplane-LSH
+    * path ([[graft.sim.EmbeddingDedup.nearDupPairs]]) generates candidate
+    * pairs as a bucket equi-join and exact cosine verifies. The O(n²)
+    * cross join exists ONLY in the DuckDB oracle (brute cosine join over
+    * the aux-dumped vectors) — the registered plan is the one that runs at
+    * 100 TB.
     */
+  private val EmbedDim = 1024
+
+  private def docVecs(s: org.apache.spark.sql.SparkSession, dir: String) =
+    Tables.load(s, dir, "documents")
+      .select(col("doc_id"),
+        graft.expressions.GraftExpressions.embedShingles(col("text"), 3, EmbedDim).as("vec"))
+      .filter(array_max(col("vec")) > 0f) // <3-word docs embed to the zero vector
+
   val d5EmbeddingNearDup: QueryDef = QueryDef(
     "d5_embedding_neardup",
-    (s, dir) => {
-      val e = Tables.load(s, dir, "embeddings")
-      val a = e.select(col("vec_id").as("id_a"), col("embedding").as("va"))
-      val b = e.select(col("vec_id").as("id_b"), col("embedding").as("vb"))
-      a.join(b, col("id_a") < col("id_b"))
-        .withColumn("cos", VectorFunctions.cosineFast(col("va"), col("vb")))
-        .select("id_a", "id_b", "cos")
-        .orderBy(col("cos").desc, col("id_a"), col("id_b"))
-        .limit(50)
-    },
+    (s, dir) =>
+      graft.sim.EmbeddingDedup.nearDupPairs(docVecs(s, dir), "doc_id", "vec",
+        dim = EmbedDim, threshold = 0.5, bands = 32, bits = 10)
+        .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"), col("cos"))
+        .orderBy("doc_a", "doc_b"),
     Some("""
-      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-             LIST_COSINE_SIMILARITY(CAST(a.embedding AS DOUBLE[]),
-                                    CAST(b.embedding AS DOUBLE[])) AS cos
-      FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-      ORDER BY cos DESC, id_a, id_b LIMIT 50""")
+      WITH v AS (SELECT * FROM read_parquet('{OUT}/aux/d5_embedding_neardup__vecs/*.parquet'))
+      SELECT doc_a, doc_b, cos FROM (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               LIST_COSINE_SIMILARITY(CAST(a.vec AS DOUBLE[]),
+                                      CAST(b.vec AS DOUBLE[])) AS cos
+        FROM v a JOIN v b ON a.doc_id < b.doc_id)
+      WHERE cos >= 0.5 ORDER BY doc_a, doc_b"""),
+    aux = Map("vecs" -> ((s, dir) => docVecs(s, dir).orderBy("doc_id")))
   )
 
   val all: Seq[QueryDef] =

@@ -125,6 +125,37 @@ object GraftExpressions {
       copy(child = newChild)
   }
 
+  /** Feature-hashed shingle embedding of text (L2-normalized binary
+    * presence vector, `dim` floats).
+    */
+  case class EmbedShinglesExpr(child: Expression, n: Int, dim: Int)
+      extends UnaryExpression {
+    override def dataType: DataType = ArrayType(FloatType, containsNull = false)
+    override def prettyName: String = "embed_shingles"
+    override protected def nullSafeEval(input: Any): Any =
+      HashOps.embedShingles(input.asInstanceOf[UTF8String], n, dim)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"graft.expressions.HashOps.embedShingles($c, $n, $dim)")
+    override protected def withNewChildInternal(newChild: Expression): EmbedShinglesExpr =
+      copy(child = newChild)
+  }
+
+  /** All banded hyperplane-LSH buckets in one pass (array of `bands` ids). */
+  case class HyperplaneBucketsExpr(child: Expression, planes: Array[Double],
+      nBits: Int, bands: Int) extends UnaryExpression {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def prettyName: String = "hyperplane_buckets"
+    override protected def nullSafeEval(input: Any): Any =
+      HashOps.hyperplaneBuckets(input.asInstanceOf[ArrayData], planes, nBits, bands)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("planes", planes, "double[]")
+      defineCodeGen(ctx, ev,
+        c => s"graft.expressions.HashOps.hyperplaneBuckets($c, $ref, $nBits, $bands)")
+    }
+    override protected def withNewChildInternal(newChild: Expression): HyperplaneBucketsExpr =
+      copy(child = newChild)
+  }
+
   /** IVF cell assignment against a constant centroid matrix (row-major,
     * k × dim, L2-normalized for cosine ranking).
     */
@@ -186,6 +217,14 @@ object GraftExpressions {
   /** Random-hyperplane LSH bucket of a float vector. */
   def hyperplaneBucket(v: Column, planes: Array[Double], nBits: Int): Column =
     col(HyperplaneBucketExpr(expr(v), planes, nBits))
+
+  /** All banded hyperplane-LSH buckets of a float vector in one pass. */
+  def hyperplaneBuckets(v: Column, planes: Array[Double], nBits: Int, bands: Int): Column =
+    col(HyperplaneBucketsExpr(expr(v), planes, nBits, bands))
+
+  /** Feature-hashed n-gram shingle embedding of text (dim floats, L2=1). */
+  def embedShingles(text: Column, n: Int, dim: Int): Column =
+    col(EmbedShinglesExpr(expr(text), n, dim))
 
   /** IVF cell id of a float vector (argmax centroid dot). */
   def ivfCell(v: Column, cents: Array[Double], k: Int): Column =

@@ -154,6 +154,8 @@ object HashOps {
     * accumulation — bit-identical to DuckDB's
     * `LIST_COSINE_SIMILARITY(CAST(... AS DOUBLE[]))` fold, so oracle
     * hash-compares pass on the similarity VALUES, not just the ids.
+    * The final clamp to [-1, 1] mirrors DuckDB: identical vectors can
+    * round to 1 + 1ulp under dot/(√na·√nb) and DuckDB pins that to 1.0.
     */
   def cosineF(a: ArrayData, b: ArrayData): Double = {
     val x = a.toFloatArray()
@@ -168,7 +170,8 @@ object HashOps {
       nb += yi * yi
       i += 1
     }
-    dot / (math.sqrt(na) * math.sqrt(nb))
+    val r = dot / (math.sqrt(na) * math.sqrt(nb))
+    if (r > 1.0) 1.0 else if (r < -1.0) -1.0 else r
   }
 
   /** IVF cell assignment: argmax dot product against `k` row-major
@@ -223,6 +226,60 @@ object HashOps {
       taken(best) = true
       out(r) = best
       r += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
+  /** Deterministic document embedding: L2-normalized binary presence
+    * vector of hashed word n-gram shingles in `dim` dimensions (feature
+    * hashing). Near-duplicate texts map to nearly identical vectors
+    * (cosine ≈ overlap ≈ 2j/(1+j) for Jaccard j); unrelated texts share
+    * almost no shingles, so background cosine ≈ |A||B|/(dim·√(|A||B|)) —
+    * a wide, thresholdable gap. One JVM pass per row; the output feeds
+    * the same LSH/cosine path as any learned embedding.
+    */
+  def embedShingles(text: UTF8String, n: Int, dim: Int): ArrayData = {
+    val sh = shingleHashes(text, n).toLongArray()
+    val v = new Array[Float](dim)
+    var nnz = 0
+    var i = 0
+    while (i < sh.length) {
+      val d = (((sh(i) % dim) + dim) % dim).toInt
+      if (v(d) == 0f) { v(d) = 1f; nnz += 1 }
+      i += 1
+    }
+    if (nnz > 0) {
+      val inv = (1.0 / math.sqrt(nnz.toDouble)).toFloat
+      var j = 0
+      while (j < dim) { if (v(j) != 0f) v(j) = inv; j += 1 }
+    }
+    UnsafeArrayData.fromPrimitiveArray(v)
+  }
+
+  /** All `bands` hyperplane-LSH bucket ids of a float vector in ONE pass:
+    * `planes` is row-major (bands·nBits) × dim; band b's bucket packs the
+    * sign bits of rows [b·nBits, (b+1)·nBits). One call per row instead of
+    * `bands` separate expression evaluations.
+    */
+  def hyperplaneBuckets(v: ArrayData, planes: Array[Double], nBits: Int,
+      bands: Int): ArrayData = {
+    val x = v.toFloatArray()
+    val dim = x.length
+    val out = new Array[Long](bands)
+    var b = 0
+    while (b < bands) {
+      var bucket = 0L
+      var r = 0
+      while (r < nBits) {
+        var dot = 0.0
+        var i = 0
+        val off = (b * nBits + r) * dim
+        while (i < dim) { dot += x(i).toDouble * planes(off + i); i += 1 }
+        if (dot >= 0) bucket |= (1L << r)
+        r += 1
+      }
+      out(b) = bucket
+      b += 1
     }
     UnsafeArrayData.fromPrimitiveArray(out)
   }

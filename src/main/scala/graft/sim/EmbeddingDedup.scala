@@ -1,5 +1,6 @@
 package graft.sim
 
+import graft.expressions.GraftExpressions
 import graft.functions.VectorFunctions
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
@@ -7,32 +8,39 @@ import org.apache.spark.sql.functions._
 /** Embedding-cosine near-duplicate pairs at scale: banded random-
   * hyperplane LSH generates candidates (vectors agreeing on all `bits`
   * sign-bits of at least one band meet in a bucket), exact cosine verifies.
-  * Complements `d5_embedding_neardup` (the exact brute pair join, feasible
-  * only at small n) the way MinHash-LSH complements the brute Jaccard
-  * join: candidate generation is a bucket equi-join, never O(n²).
+  * Candidate generation is a bucket equi-join, never O(n²).
+  *
+  * Plan shape at 100 TB: all band buckets are computed in ONE codegen pass
+  * per row ([[graft.expressions.HashOps.hyperplaneBuckets]]); the band
+  * shuffle carries only (band, bucket, id) — 24 bytes/row·band, never the
+  * vectors (bands× payload replication would dominate the stage); vectors
+  * re-enter through two narrow equi-joins against the deduplicated
+  * candidate pairs, so the expensive exact cosine runs once per unique
+  * candidate pair.
   *
   * Recall is 1 − (1 − p^bits)^bands with p = 1 − θ/π; for true near-dups
-  * (θ → 0) this is ≈ 1 with the defaults. The cosine filter runs BEFORE
-  * pair dedup, so the dedup shuffle carries only qualifying pairs.
+  * (θ → 0) this is ≈ 1 with any sane parameters.
   */
 object EmbeddingDedup {
 
   def nearDupPairs(embeddings: DataFrame, idCol: String, vecCol: String,
       dim: Int, threshold: Double, bands: Int = 4, bits: Int = 12): DataFrame = {
-    val bucketCols = array((0 until bands).map(b =>
-      VectorFunctions.hyperplaneBucket(col(vecCol), bits, dim, seed = 42L + b)): _*)
-    val banded = embeddings
-      .select(col(idCol).as("vec_id"), col(vecCol).as("v"),
-        posexplode(bucketCols).as(Seq("band", "bucket")))
-    val a = banded.select(col("band"), col("bucket"),
-      col("vec_id").as("id_a"), col("v").as("va"))
-    val b = banded.select(col("band"), col("bucket"),
-      col("vec_id").as("id_b"), col("v").as("vb"))
-    a.join(b, Seq("band", "bucket"))
+    val rnd = new scala.util.Random(42L)
+    val planes = Array.fill(bands * bits * dim)(rnd.nextGaussian())
+    val base = embeddings.select(col(idCol).as("vec_id"), col(vecCol).as("v"))
+    val banded = base.select(col("vec_id"),
+      posexplode(GraftExpressions.hyperplaneBuckets(col("v"), planes, bits, bands))
+        .as(Seq("band", "bucket")))
+    val a = banded.select(col("band"), col("bucket"), col("vec_id").as("id_a"))
+    val b = banded.select(col("band"), col("bucket"), col("vec_id").as("id_b"))
+    val cands = a.join(b, Seq("band", "bucket"))
       .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    cands
+      .join(base.select(col("vec_id").as("id_a"), col("v").as("va")), Seq("id_a"))
+      .join(base.select(col("vec_id").as("id_b"), col("v").as("vb")), Seq("id_b"))
       .withColumn("cos", VectorFunctions.cosineFast(col("va"), col("vb")))
       .filter(col("cos") >= threshold)
-      .dropDuplicates("id_a", "id_b")
       .select("id_a", "id_b", "cos")
   }
 }

@@ -50,8 +50,11 @@ object SimilarityQueries {
   )
 
   /** LSH-bucketed ANN: 8-bit hyperplane signature partitions the corpus;
-    * each query searches only its own bucket. Approximate (recall is
-    * spec-tested against s1) — rows-only driver check, no SQL oracle.
+    * each query searches only its own bucket. Recall vs the exact answer
+    * is spec-tested against s1; the DuckDB oracle recomputes the SAME
+    * bucket-restricted top-k exhaustively from the aux-dumped bucket
+    * assignments (the hyperplane signature has no DuckDB analog), so the
+    * bucket-join + window plan is value-verified end to end.
     */
   val s2AnnLsh: QueryDef = QueryDef(
     "s2_ann_lsh",
@@ -74,13 +77,39 @@ object SimilarityQueries {
         .select("query_id", "rank", "neighbor_id", "cos")
         .orderBy("query_id", "rank")
     },
-    None
+    Some("""
+      WITH b AS (SELECT * FROM read_parquet('{OUT}/aux/s2_ann_lsh__buckets/*.parquet')),
+      cand AS (
+        SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id
+        FROM b q JOIN b e ON q.bucket = e.bucket AND e.vec_id <> q.vec_id
+        WHERE q.vec_id < 10),
+      scored AS (
+        SELECT c.query_id, c.neighbor_id,
+               LIST_COSINE_SIMILARITY(CAST(qe.embedding AS DOUBLE[]),
+                                      CAST(ne.embedding AS DOUBLE[])) AS cos
+        FROM cand c
+        JOIN embeddings qe ON qe.vec_id = c.query_id
+        JOIN embeddings ne ON ne.vec_id = c.neighbor_id)
+      SELECT query_id, rank, neighbor_id, cos FROM (
+        SELECT query_id, neighbor_id, cos,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY cos DESC, neighbor_id) AS rank
+        FROM scored)
+      WHERE rank <= 10 ORDER BY query_id, rank"""),
+    aux = Map("buckets" -> ((s, dir) =>
+      Tables.load(s, dir, "embeddings")
+        .select(col("vec_id"),
+          hyperplaneBucket(col("embedding"), nBits = 8, dim = 64).as("bucket"))
+        .orderBy("vec_id")))
   )
 
   /** IVF-probe ANN: deterministic k=16-cell index, 3-probe search. The
     * other scale path next to s2's hyperplane LSH — at 100 TB the corpus
     * is partitioned by cell and each probe prunes to nprobe/k of the data.
-    * Approximate (recall spec-tested vs s1) — rows-only driver check.
+    * Recall is spec-tested vs s1; the DuckDB oracle recomputes the same
+    * probed-cell top-k exhaustively from the aux-dumped cell assignments
+    * and probe lists (training is deterministic — graft.sim.Ivf — so the
+    * aux dumps reproduce the query's own index bit-for-bit).
     */
   val s3AnnIvf: QueryDef = QueryDef(
     "s3_ann_ivf",
@@ -91,7 +120,42 @@ object SimilarityQueries {
         .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
       Ivf.search(e, queries, model, k = 16, nprobe = 3, topK = 10)
     },
-    None
+    Some("""
+      WITH cells AS (SELECT * FROM read_parquet('{OUT}/aux/s3_ann_ivf__cells/*.parquet')),
+      probes AS (SELECT * FROM read_parquet('{OUT}/aux/s3_ann_ivf__probes/*.parquet')),
+      cand AS (
+        SELECT p.query_id, c.vec_id AS neighbor_id
+        FROM probes p JOIN cells c ON p.cell = c.cell AND c.vec_id <> p.query_id),
+      scored AS (
+        SELECT c.query_id, c.neighbor_id,
+               LIST_COSINE_SIMILARITY(CAST(qe.embedding AS DOUBLE[]),
+                                      CAST(ne.embedding AS DOUBLE[])) AS cos
+        FROM cand c
+        JOIN embeddings qe ON qe.vec_id = c.query_id
+        JOIN embeddings ne ON ne.vec_id = c.neighbor_id)
+      SELECT query_id, rank, neighbor_id, cos FROM (
+        SELECT query_id, neighbor_id, cos,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY cos DESC, neighbor_id) AS rank
+        FROM scored)
+      WHERE rank <= 10 ORDER BY query_id, rank"""),
+    aux = Map(
+      "cells" -> ((s, dir) => {
+        val e = Tables.load(s, dir, "embeddings")
+        val model = Ivf.train(e, "embedding", k = 16, iters = 2)
+        e.select(col("vec_id"),
+          graft.expressions.GraftExpressions.ivfCell(col("embedding"), model, 16).as("cell"))
+          .orderBy("vec_id")
+      }),
+      "probes" -> ((s, dir) => {
+        val e = Tables.load(s, dir, "embeddings")
+        val model = Ivf.train(e, "embedding", k = 16, iters = 2)
+        e.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("query_id"),
+            explode(graft.expressions.GraftExpressions.ivfProbeCells(
+              col("embedding"), model, 16, 3)).as("cell"))
+          .orderBy("query_id", "cell")
+      }))
   )
 
   val all: Seq[QueryDef] = Seq(s1AnnBruteForce, s2AnnLsh, s3AnnIvf)

@@ -16,20 +16,38 @@ object Scratch {
       println(f"SCRATCH $label: ${(System.nanoTime() - t0) / 1e9}%.2f s"); r
     }
 
-    val li = Tables.load(spark, dir, "lineitem")
-    // warm JIT + file cache
-    time("warmup scan")(li.write.format("noop").mode("overwrite").save())
+    import graft.expressions.GraftExpressions
+    val dim = 1024
+    def vecs = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), GraftExpressions.embedShingles(col("text"), 3, dim).as("vec"))
+      .filter(array_max(col("vec")) > 0f)
 
-    time("scan noop")(li.write.format("noop").mode("overwrite").save())
-    time("scan 2cols")(li.select("l_returnflag", "l_quantity")
+    // warmup
+    time("warmup d5")(graft.dedup.DedupQueries.d5EmbeddingNearDup.fn(spark, "/root/testdata/sf0.001")
       .write.format("noop").mode("overwrite").save())
-    time("plain double aggs")(
-      li.groupBy("l_returnflag", "l_linestatus")
-        .agg(sum("l_quantity"), avg("l_extendedprice"), count(lit(1)))
-        .write.format("noop").mode("overwrite").save())
-    time("q1 full")(graft.queries.RelationalQueries.q1Agg.fn(spark, dir)
+
+    time("embed only")(vecs.write.format("noop").mode("overwrite").save())
+
+    val rnd = new scala.util.Random(42L)
+    val bands = 32; val bits = 10
+    val planes = Array.fill(bands * bits * dim)(rnd.nextGaussian())
+    def banded = vecs.select(col("doc_id").as("vec_id"),
+      posexplode(GraftExpressions.hyperplaneBuckets(col("vec"), planes, bits, bands))
+        .as(Seq("band", "bucket")))
+    time("embed+buckets")(banded.write.format("noop").mode("overwrite").save())
+
+    def cands = {
+      val a = banded.select(col("band"), col("bucket"), col("vec_id").as("id_a"))
+      val b = banded.select(col("band"), col("bucket"), col("vec_id").as("id_b"))
+      a.join(b, Seq("band", "bucket")).filter(col("id_a") < col("id_b"))
+        .select("id_a", "id_b").distinct()
+    }
+    val n = time("cands count")(cands.count())
+    println(s"SCRATCH candidate pairs: $n")
+
+    time("d5 full")(graft.dedup.DedupQueries.d5EmbeddingNearDup.fn(spark, dir)
       .write.format("noop").mode("overwrite").save())
-    time("q1 full again")(graft.queries.RelationalQueries.q1Agg.fn(spark, dir)
+    time("d5 full again")(graft.dedup.DedupQueries.d5EmbeddingNearDup.fn(spark, dir)
       .write.format("noop").mode("overwrite").save())
 
     spark.stop()

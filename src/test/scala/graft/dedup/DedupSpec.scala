@@ -38,6 +38,48 @@ class DedupSpec extends SparkSpec {
     assert(brute.nonEmpty) // fixture actually exercises the path
   }
 
+  test("embedShingles: unit norm, deterministic, near-dup gap, zero for short text") {
+    val session = spark
+    import session.implicits._
+    import graft.expressions.GraftExpressions.embedShingles
+    val df = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog tonight"),
+      (2L, "the quick brown fox jumps over the lazy dog today"),
+      (3L, "completely unrelated text about spark query engines and shuffles"),
+      (4L, "too short")) // < 3 tokens -> zero vector
+      .toDF("doc_id", "text")
+      .select(col("doc_id"), embedShingles(col("text"), 3, 1024).as("vec"))
+    val rows = df.collect().map(r =>
+      r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def norm(v: Array[Float]) = math.sqrt(v.map(x => x.toDouble * x).sum)
+    assert(math.abs(norm(rows(1L)) - 1.0) < 1e-6)
+    assert(norm(rows(4L)) == 0.0)
+    def cos(a: Array[Float], b: Array[Float]) =
+      a.zip(b).map { case (x, y) => x.toDouble * y }.sum
+    assert(cos(rows(1L), rows(2L)) > 0.7)   // near-dup: one shingle run differs
+    assert(cos(rows(1L), rows(3L)) < 0.2)   // unrelated: background level
+    // deterministic across evaluations
+    val again = df.collect().map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    assert(rows(1L).sameElements(again(1L)))
+  }
+
+  test("d5 LSH embedding near-dup is complete vs brute force") {
+    val vecs = Tables.load(spark, sf, "documents")
+      .select(col("doc_id"),
+        graft.expressions.GraftExpressions.embedShingles(col("text"), 3, 1024).as("vec"))
+      .filter(array_max(col("vec")) > 0f)
+    val lsh = DedupQueries.d5EmbeddingNearDup.fn(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val a = vecs.select(col("doc_id").as("doc_a"), col("vec").as("va"))
+    val b = vecs.select(col("doc_id").as("doc_b"), col("vec").as("vb"))
+    val brute = a.join(b, col("doc_a") < col("doc_b"))
+      .withColumn("cos", graft.functions.VectorFunctions.cosineFast(col("va"), col("vb")))
+      .filter(col("cos") >= 0.5)
+      .collect().map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    assert(lsh == brute)
+    assert(brute.nonEmpty)
+  }
+
   test("jaccardJoin prefix filtering is complete vs brute force") {
     val docs = Tables.load(spark, sf, "documents")
     val t = 0.5

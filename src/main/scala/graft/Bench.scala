@@ -5,15 +5,7 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      // default 100-entry codegen cache thrashes across 37 queries × many
-      // stages, re-paying Janino compilation in the timed pass
-      .config("spark.sql.codegen.cache.maxEntries", "2000")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val spark = graft.core.GraftSession.local(cpus.toInt, "graft-bench")
 
     // Stable order: Map iteration is hash-ordered, which would hand the
     // JVM/codegen warmup cost to a random query each run.
@@ -32,6 +24,9 @@ object Bench {
     // Untimed warmup at the smallest sf: JIT + codegen + classloading are
     // one-time JVM costs, not per-query work; data stays cold for sfDir.
     ordered.foreach { case (_, fn) => runOne(fn, "/root/testdata/sf0.001") }
+    // drop working sets persisted by multi-pass queries (LSH dedup) during
+    // warmup — the timed pass should start from a clean storage pool
+    spark.sharedState.cacheManager.clearCache()
 
     val results = ordered.map { case (name, fn) =>
       val t0 = System.nanoTime()

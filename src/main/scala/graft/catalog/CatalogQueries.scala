@@ -17,7 +17,7 @@ object CatalogQueries {
   val c1Checksums: QueryDef = QueryDef(
     "c1_checksums",
     (s, dir) =>
-      Tables.load(s, dir, "documents")
+      Tables.loadSpread(s, dir, "documents")
         .select(col("doc_id"),
           concat(col("source"), lit("/doc_"), col("doc_id"),
             element_at(array(lit(".txt"), lit(".json"), lit(".emd"), lit(".xyz")),

@@ -30,6 +30,12 @@ object GraftSession {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      // prefer shuffled-hash over sort-merge when one side can build a
+      // per-partition hash map: joins of a fat row stream (e.g. candidate
+      // pairs carrying embedding vectors) against a narrow table then skip
+      // sorting the fat side entirely — the dominant cost in the LSH
+      // verify joins. AQE still upgrades to broadcast when small enough.
+      .config("spark.sql.join.preferSortMergeJoin", "false")
       // fit every engine plan's generated classes (default 100 entries
       // thrashes across the full query surface)
       .config("spark.sql.codegen.cache.maxEntries", "2000")

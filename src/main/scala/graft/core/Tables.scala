@@ -31,4 +31,16 @@ object Tables {
   /** Register every table as a temp view for `spark.sql` surfaces. */
   def registerAll(spark: SparkSession, dir: String): Unit =
     all.foreach(n => load(spark, dir, n).createOrReplaceTempView(n))
+
+  /** Load + spread across all cores. For CPU-heavy derivations (shingle
+    * hashing, minhash, embeddings) over a table whose file count is below
+    * the core count: a small table arrives as ONE input split, so every
+    * expensive expression upstream of the first shuffle runs single-core.
+    * The round-robin shuffle of raw rows is cheap relative to the kernels
+    * it parallelizes; at production scale the scan already has more splits
+    * than cores and AQE coalesces the repartition away from the critical
+    * path.
+    */
+  def loadSpread(spark: SparkSession, dir: String, name: String): DataFrame =
+    load(spark, dir, name).repartition(spark.sparkContext.defaultParallelism)
 }

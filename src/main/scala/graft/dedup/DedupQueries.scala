@@ -22,7 +22,7 @@ object DedupQueries {
   val d1ExactDedup: QueryDef = QueryDef(
     "d1_exact_dedup",
     (s, dir) =>
-      Tables.load(s, dir, "documents")
+      Tables.loadSpread(s, dir, "documents")
         .groupBy(sha2(col("text"), 256).as("content_key"))
         .agg(min(col("doc_id")).as("canonical_id"), count(lit(1)).as("n_copies"))
         .select("content_key", "canonical_id", "n_copies")
@@ -53,7 +53,7 @@ object DedupQueries {
     "d2_minhash_lsh",
     (s, dir) =>
       Dedup.minhashNearDupPairs(
-        Tables.load(s, dir, "documents"), "doc_id", "text", threshold = 0.8)
+        Tables.loadSpread(s, dir, "documents"), "doc_id", "text", threshold = 0.8)
         .orderBy("doc_a", "doc_b"),
     Some(s"""
       $duckShingleCte
@@ -85,7 +85,7 @@ object DedupQueries {
   val d3Simhash: QueryDef = QueryDef(
     "d3_simhash",
     (s, dir) => {
-      val docs = Tables.load(s, dir, "documents")
+      val docs = Tables.loadSpread(s, dir, "documents")
         .select(col("doc_id"), Dedup.simhash(col("text")).as("sig"))
       def byte(i: Int) = shiftrightunsigned(col("sig"), i * 8).bitwiseAND(lit(0xFFL))
       val pairKeys = for { i <- 0 until 8; j <- i + 1 until 8 } yield
@@ -114,7 +114,7 @@ object DedupQueries {
         FROM s a JOIN s b ON a.doc_id < b.doc_id)
       WHERE hamming <= 6 ORDER BY doc_a, doc_b"""),
     aux = Map("sigs" -> ((s, dir) =>
-      Tables.load(s, dir, "documents")
+      Tables.loadSpread(s, dir, "documents")
         .select(col("doc_id"), Dedup.simhash(col("text")).as("sig"))
         .orderBy("doc_id")))
   )
@@ -127,7 +127,7 @@ object DedupQueries {
   val d4NgramJaccard: QueryDef = QueryDef(
     "d4_ngram_jaccard",
     (s, dir) =>
-      Dedup.jaccardJoin(Tables.load(s, dir, "documents"), "doc_id", "text",
+      Dedup.jaccardJoin(Tables.loadSpread(s, dir, "documents"), "doc_id", "text",
         threshold = 0.5, n = 2, blockCol = Some("source"))
         .orderBy("doc_a", "doc_b"),
     Some("""
@@ -160,7 +160,7 @@ object DedupQueries {
   private val EmbedDim = 1024
 
   private def docVecs(s: org.apache.spark.sql.SparkSession, dir: String) =
-    Tables.load(s, dir, "documents")
+    Tables.loadSpread(s, dir, "documents")
       .select(col("doc_id"),
         graft.expressions.GraftExpressions.embedShingles(col("text"), 3, EmbedDim).as("vec"))
       .filter(array_max(col("vec")) > 0f) // <3-word docs embed to the zero vector
@@ -169,7 +169,7 @@ object DedupQueries {
     "d5_embedding_neardup",
     (s, dir) =>
       graft.sim.EmbeddingDedup.nearDupPairs(docVecs(s, dir), "doc_id", "vec",
-        dim = EmbedDim, threshold = 0.5, bands = 32, bits = 10)
+        dim = EmbedDim, threshold = 0.5, bands = 32, bits = 12)
         .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"), col("cos"))
         .orderBy("doc_a", "doc_b"),
     Some("""

@@ -19,7 +19,7 @@ object MultimodalQueries {
     (s, dir) => {
       val session = s
       import session.implicits._
-      val media = Tables.load(s, dir, "documents")
+      val media = Tables.loadSpread(s, dir, "documents")
         .select(col("doc_id"), col("text"), col("n_chars"))
         .as[(Long, String, Long)]
         .map { case (id, text, nChars) =>

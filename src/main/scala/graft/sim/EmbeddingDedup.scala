@@ -4,6 +4,7 @@ import graft.expressions.GraftExpressions
 import graft.functions.VectorFunctions
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 /** Embedding-cosine near-duplicate pairs at scale: banded random-
   * hyperplane LSH generates candidates (vectors agreeing on all `bits`
@@ -20,6 +21,14 @@ import org.apache.spark.sql.functions._
   *
   * Recall is 1 − (1 − p^bits)^bands with p = 1 − θ/π; for true near-dups
   * (θ → 0) this is ≈ 1 with any sane parameters.
+  *
+  * The projected input (id, vec) and the bucket table are persisted
+  * MEMORY_AND_DISK for the duration of the plan — the self-join plus the
+  * two verify joins consume them 4× in total, and recomputing the
+  * upstream (typically a scan + an embedding expression) per consumer
+  * dominates the query otherwise. This is the Spark ML convention
+  * (KMeans/ALS persist their working sets); disk-backed level keeps the
+  * multi-pass shape valid when the vectors exceed cluster memory.
   */
 object EmbeddingDedup {
 
@@ -28,9 +37,11 @@ object EmbeddingDedup {
     val rnd = new scala.util.Random(42L)
     val planes = Array.fill(bands * bits * dim)(rnd.nextGaussian())
     val base = embeddings.select(col(idCol).as("vec_id"), col(vecCol).as("v"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val banded = base.select(col("vec_id"),
       posexplode(GraftExpressions.hyperplaneBuckets(col("v"), planes, bits, bands))
         .as(Seq("band", "bucket")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val a = banded.select(col("band"), col("bucket"), col("vec_id").as("id_a"))
     val b = banded.select(col("band"), col("bucket"), col("vec_id").as("id_b"))
     val cands = a.join(b, Seq("band", "bucket"))

@@ -17,7 +17,7 @@ object TextQueries {
   val t1TokenCount: QueryDef = QueryDef(
     "t1_token_count",
     (s, dir) =>
-      Tables.load(s, dir, "documents")
+      Tables.loadSpread(s, dir, "documents")
         .select(
           col("doc_id"),
           tokenCount(col("text")).as("n_tokens"),
@@ -42,7 +42,7 @@ object TextQueries {
     (s, dir) => {
       val n = tokenCount(col("text"))
       val stops = stopwordCount(col("text"), Seq("the", "a", "and", "of", "to", "in"))
-      Tables.load(s, dir, "documents")
+      Tables.loadSpread(s, dir, "documents")
         .select(
           col("doc_id"),
           n.as("n_tokens"),
@@ -78,7 +78,7 @@ object TextQueries {
   val t3LangId: QueryDef = QueryDef(
     "t3_lang_id",
     (s, dir) =>
-      Tables.load(s, dir, "documents")
+      Tables.loadSpread(s, dir, "documents")
         .select(col("doc_id"), col("lang"), langId(col("text")).as("pred_lang"))
         .orderBy("doc_id"),
     Some {
@@ -105,7 +105,7 @@ object TextQueries {
   val t4Fingerprint: QueryDef = QueryDef(
     "t4_fingerprint",
     (s, dir) =>
-      Tables.load(s, dir, "documents")
+      Tables.loadSpread(s, dir, "documents")
         .select(
           col("doc_id"),
           fingerprintMd5(col("text")).as("fp_md5"),

@@ -199,6 +199,82 @@ object FlowAnalyzer {
   def succeeded(runs: DataFrame): DataFrame =
     runs.filter(col("status") === "SUCCEEDED")
 
+  /** Per-run usage columns (SURVEY §2 C5, flow_analyzer.py:232-319):
+    *   - `{step}_bytes_transferred` for every step that reports transfer
+    *     details anywhere in the data, plus the row-wise
+    *     `total_bytes_transferred` (missing steps count 0, matching the
+    *     reference's running sum over present entries);
+    *   - `{step}_action_time`: Transfer-style steps use
+    *     `request_time→completion_time`, Ingest-style (index_id) use
+    *     `creation_date→completion_date` — index details win when both
+    *     are present, mirroring the reference's overwrite order
+    *     (flow_analyzer.py:244-263);
+    *   - `funcx_task_ids`: the step `action_id`s for the funcX steps
+    *     present on the run (flow_analyzer.py:296-319).
+    *
+    * The column SET is discovered with one tiny aggregate over the
+    * exploded step map (|steps| is O(10) at any scale — same contract as
+    * [[stepOrder]]); the per-run values are then pure map lookups, no
+    * explode or shuffle on the main pass.
+    */
+  def usageColumns(runs: DataFrame, fxSteps: Set[String] = Set.empty): DataFrame = {
+    val flags = succeeded(runs)
+      .select(explode(col("output")).as(Seq("step", "o")))
+      .groupBy("step")
+      .agg(max(col("o.details.bytes_transferred").isNotNull).as("has_bytes"),
+        max(col("o.details.index_id").isNotNull).as("has_index"))
+      .orderBy("step")
+      .collect()
+    val byteSteps = flags.filter(_.getAs[Boolean]("has_bytes"))
+      .map(_.getAs[String]("step")).toSeq
+    val timedSteps = flags
+      .filter(r => r.getAs[Boolean]("has_bytes") || r.getAs[Boolean]("has_index"))
+      .map(_.getAs[String]("step")).toSeq
+
+    def det(st: String) = col("output").getItem(st).getField("details")
+    val byteCols = byteSteps.map(st =>
+      det(st).getField("bytes_transferred").as(s"${st}_bytes_transferred"))
+    val totalBytes = byteSteps
+      .map(st => coalesce(det(st).getField("bytes_transferred"), lit(0L)))
+      .reduceOption(_ + _).getOrElse(lit(0L): Column)
+      .as("total_bytes_transferred")
+    val actionCols = timedSteps.map { st =>
+      val d = det(st)
+      when(d.getField("index_id").isNotNull,
+        epochSeconds(d.getField("completion_date")) -
+          epochSeconds(d.getField("creation_date")))
+        .when(d.getField("bytes_transferred").isNotNull,
+          epochSeconds(d.getField("completion_time")) -
+            epochSeconds(d.getField("request_time")))
+        .as(s"${st}_action_time")
+    }
+    val fxIds = filter(
+      array(fxSteps.toSeq.sorted.map(st =>
+        col("output").getItem(st).getField("action_id")): _*),
+      _.isNotNull).as("funcx_task_ids")
+
+    val cols = Seq(col("run_id"), col("action_id")) ++ byteCols ++
+      Seq(totalBytes) ++ actionCols ++ Seq(fxIds)
+    succeeded(runs).select(cols: _*)
+  }
+
+  /** The reference's full flow-log wide table (flow_analyzer.py:154-232):
+    * the per-step start/end/runtime pivot joined with the per-run usage
+    * columns, plus `total_funcx_time` = Σ `{step}_runtime` over the funcX
+    * steps (flow_analyzer.py:211-221; null step runtimes propagate, like
+    * pandas NaN). One equi-join on the run key — both sides are already
+    * one-row-per-run aggregates.
+    */
+  def wideTable(runs: DataFrame, log: DataFrame, fxSteps: Set[String]): DataFrame = {
+    val pivot = pivotActionLog(log)
+    val joined = pivot.join(usageColumns(runs, fxSteps), Seq("run_id"))
+    val fxRuntimes = fxSteps.toSeq.sorted
+      .filter(st => pivot.columns.contains(s"${st}_runtime"))
+      .map(st => col(s"${st}_runtime"))
+    joined.withColumn("total_funcx_time",
+      fxRuntimes.reduceOption(_ + _).getOrElse(lit(0.0): Column))
+  }
+
   /** funcX transitions event-pair analysis (SURVEY §2 D4, ipynb cell 8):
     * dedup on the (task_uuid, message) PK, optional task-group filter with
     * the reference's `tg_` prefix strip, then per-task

@@ -187,6 +187,45 @@ object FlowQueries {
       ORDER BY t_last, user_id""")
   )
 
+  /** Per-entity wide usage columns with a row-wise total (SURVEY §2 C5 —
+    * the `{step}_bytes_transferred` / `total_bytes_transferred` /
+    * `total_funcx_time` layout of flow_analyzer.py:279-294, 211-221, which
+    * [[FlowAnalyzer.usageColumns]] computes over flow-run JSON): per user,
+    * exact per-type value sums, a row-wise total where absent types count
+    * 0 (the reference's running sum over *present* map entries), and a
+    * null-propagating funcX-style total (pandas-NaN semantics). One
+    * conditional aggregate — a single shuffle of |users| rows.
+    */
+  val f6UsageWide: QueryDef = QueryDef(
+    "f6_usage_wide",
+    (s, dir) => {
+      val steps = Seq("click", "view", "purchase")
+      def b(t: String) =
+        dsum(when(col("event_type") === t, col("value"))).as(s"${t}_bytes")
+      val aggs = steps.map(b)
+      Tables.load(s, dir, "events")
+        .groupBy("user_id").agg(aggs.head, aggs.tail: _*)
+        .withColumn("total_bytes_transferred",
+          steps.map(t => coalesce(col(s"${t}_bytes"), lit(0.0).cast(DoubleType)))
+            .reduce(_ + _))
+        .withColumn("total_funcx_time", col("view_bytes") + col("purchase_bytes"))
+        .orderBy("user_id")
+    },
+    Some(s"""
+      SELECT user_id,
+        ${sqlSum("CASE WHEN event_type = 'click' THEN value END")} AS click_bytes,
+        ${sqlSum("CASE WHEN event_type = 'view' THEN value END")} AS view_bytes,
+        ${sqlSum("CASE WHEN event_type = 'purchase' THEN value END")} AS purchase_bytes,
+        (COALESCE(${sqlSum("CASE WHEN event_type = 'click' THEN value END")}, CAST(0.0 AS DOUBLE))
+         + COALESCE(${sqlSum("CASE WHEN event_type = 'view' THEN value END")}, CAST(0.0 AS DOUBLE)))
+         + COALESCE(${sqlSum("CASE WHEN event_type = 'purchase' THEN value END")}, CAST(0.0 AS DOUBLE))
+          AS total_bytes_transferred,
+        ${sqlSum("CASE WHEN event_type = 'view' THEN value END")}
+          + ${sqlSum("CASE WHEN event_type = 'purchase' THEN value END")} AS total_funcx_time
+      FROM events GROUP BY user_id ORDER BY user_id""")
+  )
+
   val all: Seq[QueryDef] =
-    Seq(f1StepPivot, f2RuntimeDescribe, f3RelativeStart, f4ActiveOverhead, f5TailK)
+    Seq(f1StepPivot, f2RuntimeDescribe, f3RelativeStart, f4ActiveOverhead,
+      f5TailK, f6UsageWide)
 }

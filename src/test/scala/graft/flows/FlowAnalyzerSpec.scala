@@ -130,6 +130,44 @@ class FlowAnalyzerSpec extends SparkSpec {
     assert(a == b && a.nonEmpty)
   }
 
+  test("usageColumns + wideTable: full reference column set and values") {
+    // action log matching the F2 runs fixture: Transfer then Analysis
+    val runLog = Seq(
+      LogEntry("r1", 0, "ActionStarted", t(0), "Transfer"),
+      LogEntry("r1", 1, "ActionCompleted", t(12), "Transfer"),
+      LogEntry("r1", 2, "ActionStarted", t(12), "Analysis"),
+      LogEntry("r1", 3, "ActionCompleted", t(20), "Analysis"),
+      LogEntry("r2", 0, "ActionStarted", t(100), "Transfer"),
+      LogEntry("r2", 1, "ActionCompleted", t(112), "Transfer"),
+      LogEntry("r2", 2, "ActionStarted", t(112), "Analysis"),
+      LogEntry("r2", 3, "ActionCompleted", t(121), "Analysis"),
+      // r3 is FAILED in the runs fixture: pivot row must not survive the join
+      LogEntry("r3", 0, "ActionStarted", t(200), "Transfer"),
+      LogEntry("r3", 1, "ActionCompleted", t(210), "Transfer")
+    ).toDF()
+
+    val wide = FlowAnalyzer.wideTable(runs, runLog, fxSteps = Set("Analysis"))
+    val cols = wide.columns.toSeq
+    // the reference's per-run usage column set (flow_analyzer.py:232-319)
+    for (c <- Seq("Transfer_bytes_transferred", "total_bytes_transferred",
+        "Transfer_action_time", "Publish_action_time", "funcx_task_ids",
+        "total_funcx_time", "Transfer_runtime", "Analysis_runtime",
+        "flow_runtime", "action_id"))
+      assert(cols.contains(c), s"missing column $c")
+
+    val rows = wide.orderBy("run_id").collect()
+    assert(rows.map(_.getAs[String]("run_id")).toSeq == Seq("r1", "r2"))
+    val r1 = rows(0); val r2 = rows(1)
+    assert(r1.getAs[Long]("Transfer_bytes_transferred") == 100L * 1024 * 1024)
+    assert(r1.getAs[Long]("total_bytes_transferred") == 100L * 1024 * 1024)
+    assert(r1.getAs[Double]("Transfer_action_time") == 10.0)   // req 0 → done 10
+    assert(r2.getAs[Double]("Transfer_action_time") == -10.0)  // raw, unclamped
+    assert(r1.getAs[Double]("Publish_action_time") == 4.0)     // creation→completion
+    assert(r1.getAs[scala.collection.Seq[String]]("funcx_task_ids").toSeq == Seq("a_r1"))
+    assert(r1.getAs[Double]("total_funcx_time") == 8.0)        // Analysis_runtime
+    assert(r2.getAs[Double]("total_funcx_time") == 9.0)
+  }
+
   test("epochSeconds: tz strip matches naive-UTC semantics") {
     val df = Seq("2023-10-01T00:00:10+00:00", "2023-10-01T00:00:10Z",
       "2023-10-01T00:00:10.5+00:00").toDF("s")

@@ -1,0 +1,407 @@
+package graft.sources
+
+import java.nio.{ByteBuffer, ByteOrder}
+import java.util.zip.Inflater
+
+/** Minimal pure-JVM HDF5 reader (SURVEY §2 A4) — enough of the public HDF5
+  * file-format specification to open the containers the reference ingests
+  * with `hs.load` (/root/reference/picoprobe/tools/hyperspectral.py:51,
+  * tools/temporal.py:72): FEI Velox `.emd` files and anything else written
+  * with HDF5 1.8-default property lists.
+  *
+  * Supported subset (everything the default writer layout produces):
+  *   - superblock version 0, 8-byte offsets/lengths;
+  *   - version-1 object headers, including continuation blocks;
+  *   - old-style groups: symbol-table message → B-tree v1 (node type 0,
+  *     any depth) → SNOD symbol nodes, names in the local heap;
+  *   - datatypes: fixed-point (1/2/4/8-byte, signed or unsigned) and IEEE
+  *     float (4/8-byte), little-endian;
+  *   - dataspaces: simple, any rank (v1 and v2 messages);
+  *   - layouts: contiguous and chunked (B-tree v1 node type 1, any depth),
+  *     with the optional deflate filter (zlib, `java.util.zip.Inflater`).
+  *
+  * Anything outside the subset fails fast with a message naming the
+  * unsupported feature rather than misreading data.
+  *
+  * The reader works on an in-memory byte array — the same representation
+  * the streaming pipelines carry files in (a `binary` column), so a parse
+  * is executor-local work distributed by file with no driver involvement.
+  */
+object Hdf5 {
+
+  private val Undefined = -1L // 0xFFFF_FFFF_FFFF_FFFF: "undefined address"
+
+  /** HDF5 datatype: `clazz` 0 = fixed-point, 1 = float. */
+  final case class Dtype(clazz: Int, size: Int, signed: Boolean)
+
+  sealed trait Node { def name: String }
+
+  final case class Group(name: String, children: Vector[Node]) extends Node {
+    def child(n: String): Option[Node] = children.find(_.name == n)
+    def groups: Vector[Group] = children.collect { case g: Group => g }
+    def datasets: Vector[Dataset] = children.collect { case d: Dataset => d }
+  }
+
+  final case class Dataset(
+      name: String,
+      dims: Vector[Long],
+      dtype: Dtype,
+      private val file: ByteBuffer,
+      private val layoutClass: Int,
+      private val dataAddr: Long,
+      private val dataSize: Long,
+      private val chunkDims: Vector[Int],
+      private val filters: Vector[Int]) extends Node {
+
+    def elementCount: Long = dims.product
+
+    /** Raw little-endian element bytes in row-major logical order. */
+    def readBytes(): Array[Byte] = {
+      val total = elementCount * dtype.size
+      require(total <= Int.MaxValue, s"dataset $name too large for one array")
+      layoutClass match {
+        case 1 => // contiguous
+          if (dataAddr == Undefined) new Array[Byte](total.toInt)
+          else slice(dataAddr, total.toInt)
+        case 2 => // chunked: walk the chunk B-tree, copy each chunk in
+          val out = new Array[Byte](total.toInt)
+          walkChunkTree(dataAddr, out)
+          out
+        case c => fail(s"layout class $c (compact/virtual) not supported")
+      }
+    }
+
+    /** Decode to doubles (the engine's signal `data` representation). */
+    def readDoubles(): Array[Double] = {
+      val raw = readBytes()
+      val n = (raw.length / dtype.size)
+      val bb = ByteBuffer.wrap(raw).order(ByteOrder.LITTLE_ENDIAN)
+      val out = new Array[Double](n)
+      var i = 0
+      (dtype.clazz, dtype.size, dtype.signed) match {
+        case (0, 1, false) => while (i < n) { out(i) = bb.get(i) & 0xFF; i += 1 }
+        case (0, 1, true)  => while (i < n) { out(i) = bb.get(i).toDouble; i += 1 }
+        case (0, 2, false) => while (i < n) { out(i) = bb.getShort(i * 2) & 0xFFFF; i += 1 }
+        case (0, 2, true)  => while (i < n) { out(i) = bb.getShort(i * 2).toDouble; i += 1 }
+        case (0, 4, false) => while (i < n) { out(i) = bb.getInt(i * 4) & 0xFFFFFFFFL; i += 1 }
+        case (0, 4, true)  => while (i < n) { out(i) = bb.getInt(i * 4).toDouble; i += 1 }
+        case (0, 8, _)     => while (i < n) { out(i) = bb.getLong(i * 8).toDouble; i += 1 }
+        case (1, 4, _)     => while (i < n) { out(i) = bb.getFloat(i * 4).toDouble; i += 1 }
+        case (1, 8, _)     => while (i < n) { out(i) = bb.getDouble(i * 8); i += 1 }
+        case (c, s, _)     => fail(s"datatype class $c size $s not supported")
+      }
+      out
+    }
+
+    private def slice(addr: Long, len: Int): Array[Byte] = {
+      val a = new Array[Byte](len)
+      val dup = file.duplicate()
+      dup.position(addr.toInt)
+      dup.get(a)
+      a
+    }
+
+    private def walkChunkTree(addr: Long, out: Array[Byte]): Unit = {
+      if (addr == Undefined) return
+      val b = reader(file, addr)
+      b.expect("TREE")
+      val nodeType = b.u8()
+      require(nodeType == 1, s"B-tree node type $nodeType in chunk index")
+      val level = b.u8()
+      val nEntries = b.u16()
+      b.skip(16) // left/right siblings
+      val rank = dims.length
+      var e = 0
+      while (e < nEntries) {
+        // key: chunk byte size, filter mask, then rank+1 chunk offsets
+        val chunkBytes = b.u32()
+        b.u32() // filter mask (all filters applied)
+        val offsets = Vector.fill(rank + 1)(b.u64())
+        val child = b.u64()
+        if (level > 0) {
+          val save = b.pos
+          walkChunkTree(child, out)
+          b.pos = save
+        } else {
+          val raw0 = slice(child, chunkBytes.toInt)
+          val raw = if (filters.contains(1)) inflate(raw0) else raw0
+          copyChunk(raw, offsets.take(rank).map(_.toLong), out)
+        }
+        e += 1
+      }
+    }
+
+    /** Scatter one decoded chunk into the row-major output buffer. */
+    private def copyChunk(raw: Array[Byte], at: Vector[Long], out: Array[Byte]): Unit = {
+      val rank = dims.length
+      val es = dtype.size
+      val cd = chunkDims
+      // row-major strides of the full dataset, in elements
+      val strides = new Array[Long](rank)
+      var s = 1L
+      var d = rank - 1
+      while (d >= 0) { strides(d) = s; s *= dims(d); d -= 1 }
+      // iterate chunk-local coordinates, skipping out-of-bounds edge excess
+      val local = new Array[Int](rank)
+      val nChunkElems = cd.product
+      var i = 0
+      while (i < nChunkElems) {
+        var rem = i
+        var dd = rank - 1
+        while (dd >= 0) { local(dd) = rem % cd(dd); rem /= cd(dd); dd -= 1 }
+        var inBounds = true
+        var dest = 0L
+        dd = 0
+        while (dd < rank) {
+          val g = at(dd) + local(dd)
+          if (g >= dims(dd)) { inBounds = false; dd = rank }
+          else { dest += g * strides(dd); dd += 1 }
+        }
+        if (inBounds)
+          System.arraycopy(raw, i * es, out, (dest * es).toInt, es)
+        i += 1
+      }
+    }
+
+    private def inflate(in: Array[Byte]): Array[Byte] = {
+      val inf = new Inflater()
+      inf.setInput(in)
+      val buf = new Array[Byte](64 * 1024)
+      val bos = new java.io.ByteArrayOutputStream()
+      while (!inf.finished()) {
+        val n = inf.inflate(buf)
+        if (n == 0 && inf.needsInput()) fail("truncated deflate chunk")
+        bos.write(buf, 0, n)
+      }
+      inf.end()
+      bos.toByteArray
+    }
+  }
+
+  private def fail(msg: String): Nothing =
+    throw new IllegalArgumentException(s"HDF5: $msg")
+
+  /** Open an HDF5 container from bytes; returns the root group. */
+  def open(bytes: Array[Byte]): Group = {
+    val file = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+    val magic = Array(0x89, 'H'.toInt, 'D'.toInt, 'F'.toInt, 0x0D, 0x0A, 0x1A, 0x0A)
+    if (bytes.length < 8 || magic.indices.exists(i => (bytes(i) & 0xFF) != magic(i)))
+      fail("not an HDF5 container (bad signature)")
+    val b = reader(file, 8)
+    val sbVersion = b.u8()
+    if (sbVersion != 0) fail(s"superblock version $sbVersion (only 0 supported)")
+    b.skip(4) // freespace/symtab/reserved/shared-header versions
+    val offSize = b.u8()
+    val lenSize = b.u8()
+    if (offSize != 8 || lenSize != 8) fail(s"offset/length size $offSize/$lenSize")
+    b.skip(1 + 2 + 2 + 4) // reserved, group K's, consistency flags
+    b.skip(4 * 8) // base, freespace, EOF, driver-info addresses
+    // root group symbol-table entry
+    b.u64() // link name offset
+    val rootHeader = b.u64()
+    readGroup(file, "/", rootHeader)
+  }
+
+  /** Object-header message, materialized across continuation blocks. */
+  private final case class Msg(typ: Int, body: R)
+
+  private def messages(file: ByteBuffer, headerAddr: Long): Vector[Msg] = {
+    val h = reader(file, headerAddr)
+    val version = h.u8()
+    if (version != 1) fail(s"object header version $version (only 1 supported)")
+    h.skip(1)
+    val nMsgs = h.u16()
+    h.u32() // reference count
+    val headerSize = h.u32()
+    h.skip(4) // prefix pads to 8-byte alignment
+    var blocks = List((h.pos, headerSize.toInt))
+    val out = Vector.newBuilder[Msg]
+    var read = 0
+    while (read < nMsgs && blocks.nonEmpty) {
+      val (start, len) = blocks.head
+      blocks = blocks.tail
+      val b = reader(file, start)
+      val end = start + len
+      while (read < nMsgs && b.pos + 8 <= end) {
+        val typ = b.u16()
+        val size = b.u16()
+        b.skip(4) // flags + reserved
+        val bodyStart = b.pos
+        if (typ == 0x0010) { // continuation: queue another block
+          val off = b.u64()
+          val clen = b.u64()
+          blocks = blocks :+ ((off, clen.toInt))
+        }
+        out += Msg(typ, reader(file, bodyStart))
+        b.pos = bodyStart + size
+        read += 1
+      }
+    }
+    out.result()
+  }
+
+  private def readGroup(file: ByteBuffer, name: String, headerAddr: Long): Group = {
+    val msgs = messages(file, headerAddr)
+    val symtab = msgs.find(_.typ == 0x0011).getOrElse(
+      fail(s"group $name has no symbol-table message (new-style groups unsupported)"))
+    val btreeAddr = symtab.body.u64()
+    val heapAddr = symtab.body.u64()
+    val heapData = localHeapDataAddr(file, heapAddr)
+    val entries = Vector.newBuilder[(String, Long)]
+    walkGroupTree(file, btreeAddr, heapData, entries)
+    val children = entries.result().map { case (childName, childHeader) =>
+      val childMsgs = messages(file, childHeader)
+      if (childMsgs.exists(_.typ == 0x0011)) readGroup(file, childName, childHeader)
+      else readDataset(file, childName, childMsgs)
+    }
+    Group(name, children)
+  }
+
+  private def localHeapDataAddr(file: ByteBuffer, heapAddr: Long): Long = {
+    val b = reader(file, heapAddr)
+    b.expect("HEAP")
+    b.skip(4) // version + reserved
+    b.u64() // data segment size
+    b.u64() // free-list head
+    b.u64() // data segment address
+  }
+
+  private def walkGroupTree(file: ByteBuffer, addr: Long, heapData: Long,
+      out: scala.collection.mutable.Builder[(String, Long), Vector[(String, Long)]]): Unit = {
+    if (addr == Undefined) return
+    val b = reader(file, addr)
+    val sig = b.peek4()
+    if (sig == "TREE") {
+      b.skip(4)
+      val nodeType = b.u8()
+      require(nodeType == 0, s"B-tree node type $nodeType in group index")
+      val level = b.u8()
+      val nEntries = b.u16()
+      b.skip(16) // siblings
+      var e = 0
+      while (e < nEntries) {
+        b.u64() // key (heap offset of first name in subtree) — unused
+        val child = b.u64()
+        val save = b.pos
+        if (level > 0) walkGroupTree(file, child, heapData, out)
+        else readSnod(file, child, heapData, out)
+        b.pos = save
+        e += 1
+      }
+    } else if (sig == "SNOD") {
+      readSnod(file, addr, heapData, out)
+    } else fail(s"expected TREE/SNOD at $addr, found '$sig'")
+  }
+
+  private def readSnod(file: ByteBuffer, addr: Long, heapData: Long,
+      out: scala.collection.mutable.Builder[(String, Long), Vector[(String, Long)]]): Unit = {
+    val b = reader(file, addr)
+    b.expect("SNOD")
+    b.skip(2) // version + reserved
+    val n = b.u16()
+    var i = 0
+    while (i < n) {
+      val nameOff = b.u64()
+      val header = b.u64()
+      b.skip(4 + 4 + 16) // cache type, reserved, scratch
+      out += ((cstring(file, heapData + nameOff), header))
+      i += 1
+    }
+  }
+
+  private def readDataset(file: ByteBuffer, name: String, msgs: Vector[Msg]): Dataset = {
+    var dims = Vector.empty[Long]
+    var dtype: Dtype = null
+    var layoutClass = -1
+    var dataAddr = Undefined
+    var dataSize = 0L
+    var chunkDims = Vector.empty[Int]
+    var filters = Vector.empty[Int]
+
+    msgs.foreach { m =>
+      m.typ match {
+        case 0x0001 => // dataspace
+          val b = m.body
+          val v = b.u8()
+          val rank = b.u8()
+          val flags = b.u8()
+          if (v == 1) b.skip(5) else b.skip(1) // v2: type byte only
+          dims = Vector.fill(rank)(b.u64()) // maxdims (flag bit 0) may follow; unused
+        case 0x0003 => // datatype
+          val b = m.body
+          val cv = b.u8()
+          val clazz = cv & 0x0F
+          val bits0 = b.u8(); b.skip(2)
+          val size = b.u32().toInt
+          if ((bits0 & 0x01) != 0) fail("big-endian data not supported")
+          dtype = clazz match {
+            case 0 => Dtype(0, size, signed = (bits0 & 0x08) != 0)
+            case 1 => Dtype(1, size, signed = true)
+            case c => fail(s"datatype class $c not supported (dataset $name)")
+          }
+        case 0x0008 => // data layout
+          val b = m.body
+          val v = b.u8()
+          if (v != 3) fail(s"layout message version $v (only 3 supported)")
+          layoutClass = b.u8()
+          layoutClass match {
+            case 1 =>
+              dataAddr = b.u64(); dataSize = b.u64()
+            case 2 =>
+              val dimensionality = b.u8()
+              dataAddr = b.u64() // chunk B-tree root
+              chunkDims = Vector.fill(dimensionality - 1)(b.u32().toInt)
+              b.u32() // trailing entry: element size
+            case c => fail(s"layout class $c not supported (dataset $name)")
+          }
+        case 0x000B => // filter pipeline
+          val b = m.body
+          val v = b.u8()
+          val n = b.u8()
+          if (v == 1) b.skip(6)
+          var i = 0
+          while (i < n) {
+            val id = b.u16()
+            val nameLen = b.u16()
+            b.u16() // flags
+            val nVals = b.u16()
+            b.skip(nameLen)
+            b.skip(4 * nVals + (if (nVals % 2 == 1) 4 else 0))
+            filters :+= id
+            if (id != 1) fail(s"filter $id not supported (only deflate)")
+            i += 1
+          }
+        case _ => // fill value, attributes, mtime … not needed
+      }
+    }
+    require(dtype != null && layoutClass >= 0, s"dataset $name missing messages")
+    Dataset(name, dims, dtype, file, layoutClass, dataAddr, dataSize, chunkDims, filters)
+  }
+
+  private def cstring(file: ByteBuffer, addr: Long): String = {
+    val sb = new StringBuilder
+    var p = addr.toInt
+    while (file.get(p) != 0) { sb.append(file.get(p).toChar); p += 1 }
+    sb.toString
+  }
+
+  // -- little cursor over the file buffer ----------------------------------
+  private def reader(file: ByteBuffer, at: Long): R = new R(file, at)
+
+  private final class R(file: ByteBuffer, at: Long) {
+    var pos: Long = at
+    def u8(): Int = { val v = file.get(pos.toInt) & 0xFF; pos += 1; v }
+    def u16(): Int = { val v = file.getShort(pos.toInt) & 0xFFFF; pos += 2; v }
+    def u32(): Long = { val v = file.getInt(pos.toInt) & 0xFFFFFFFFL; pos += 4; v }
+    def u64(): Long = { val v = file.getLong(pos.toInt); pos += 8; v }
+    def skip(n: Int): Unit = pos += n
+    def peek4(): String =
+      (0 until 4).map(i => (file.get((pos + i).toInt) & 0xFF).toChar).mkString
+    def expect(sig: String): Unit = {
+      val got = (0 until sig.length)
+        .map(i => (file.get((pos + i).toInt) & 0xFF).toChar).mkString
+      if (got != sig) fail(s"bad signature at $pos: expected ${sig.trim}, got $got")
+      pos += sig.length
+    }
+  }
+}

@@ -1,0 +1,108 @@
+package graft.sources
+
+import graft.SparkSpec
+import graft.pipelines.HyperspectralPipeline
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+/** HDF5/EMD ingestion (SURVEY §2 A4): binary-format roundtrips through a
+  * field-for-field spec-conformant fixture writer, Velox signal listing
+  * with squeeze semantics, and the production pipeline end to end over a
+  * real `.emd` container.
+  */
+class EmdSpec extends SparkSpec {
+
+  test("HDF5 contiguous dataset roundtrip (uint16, 3-D)") {
+    val w = new Hdf5TestWriter()
+    val dims = Seq(3L, 4L, 5L)
+    val values = (0 until 60).map(_ * 7 % 1000)
+    val raw = java.nio.ByteBuffer.allocate(120)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    values.foreach(v => raw.putShort(v.toShort))
+    val ds = w.dataset(dims, w.uint16, raw.array())
+    val root = w.group(Seq("cube" -> ds))
+    val g = Hdf5.open(w.finish(root))
+    val d = g.datasets.find(_.name == "cube").get
+    assert(d.dims == Vector(3L, 4L, 5L))
+    assert(d.dtype == Hdf5.Dtype(0, 2, signed = false))
+    assert(d.readDoubles().toSeq == values.map(_.toDouble))
+  }
+
+  test("HDF5 chunked+deflate dataset roundtrip with edge chunks") {
+    val w = new Hdf5TestWriter()
+    val dims = Seq(5L, 3L)
+    val values = (0 until 15).map(i => i * 1.5 - 3.25)
+    val raw = java.nio.ByteBuffer.allocate(120)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    values.foreach(raw.putDouble)
+    // 2x2 chunks over a 5x3 extent: edge chunks are partial in both axes
+    val ds = w.chunkedDataset(dims, w.float64, raw.array(), Seq(2, 2))
+    val root = w.group(Seq("m" -> ds))
+    val d = Hdf5.open(w.finish(root)).datasets.head
+    assert(d.readDoubles().toSeq == values)
+  }
+
+  test("HDF5 nested groups navigate by name") {
+    val w = new Hdf5TestWriter()
+    val leaf = w.dataset(Seq(2L), w.int32,
+      java.nio.ByteBuffer.allocate(8).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        .putInt(-5).putInt(9).array())
+    val inner = w.group(Seq("payload" -> leaf))
+    val outer = w.group(Seq("level2" -> inner))
+    val root = w.group(Seq("level1" -> outer))
+    val g = Hdf5.open(w.finish(root))
+    val d = g.child("level1").get.asInstanceOf[Hdf5.Group]
+      .child("level2").get.asInstanceOf[Hdf5.Group]
+      .datasets.head
+    assert(d.readDoubles().toSeq == Seq(-5.0, 9.0))
+  }
+
+  test("Emd.signals: Velox layout, squeeze, metadata, deterministic order") {
+    val bytes = Hdf5TestWriter.emd(Seq(
+      Hdf5TestWriter.Sig("Image", "uidB", Seq(4L, 4L, 1L),
+        (0 until 16).map(_.toDouble),
+        metadataJson = Some("""{"Core":{"MetadataDefinitionVersion":"7.9"}}""")),
+      Hdf5TestWriter.Sig("SpectrumImage", "uidA", Seq(2L, 2L, 3L),
+        (0 until 12).map(_ * 2.0), chunked = Some(Seq(2, 2, 2)))))
+    val sigs = Emd.signals(bytes)
+    assert(sigs.map(_.title) == Seq("Image/uidB", "SpectrumImage/uidA"))
+    // (4,4,1) squeezes to 2-D; the spectrum cube stays 3-D
+    assert(sigs(0).ndim == 2 && sigs(0).shape == Seq(4, 4))
+    assert(sigs(1).ndim == 3 && sigs(1).shape == Seq(2, 2, 3))
+    assert(sigs(1).data == (0 until 12).map(_ * 2.0))
+    assert(sigs(0).metadata_json.contains("MetadataDefinitionVersion"))
+    assert(sigs(1).metadata_json == "{}")
+  }
+
+  test("hyperspectral pipeline end-to-end over real .emd containers") {
+    val watch = Files.createTempDirectory("graft-emd-watch")
+    val base = Files.createTempDirectory("graft-emd-out")
+    val out = base.resolve("out").toString
+
+    def emdFile(seed: Int): Array[Byte] = Hdf5TestWriter.emd(Seq(
+      Hdf5TestWriter.Sig("Image", "haadf", Seq(8L, 8L, 1L),
+        (0 until 64).map(i => (i * seed % 11).toDouble)),
+      Hdf5TestWriter.Sig("SpectrumImage", "eds", Seq(2L, 2L, 4L),
+        (0 until 16).map(i => (i + seed).toDouble),
+        metadataJson = Some("""{"Signal":{"signal_type":"EDS_TEM"}}"""),
+        chunked = Some(Seq(1, 2, 4)))))
+
+    Files.write(watch.resolve("exp1.emd"), emdFile(1))
+    Files.write(watch.resolve("exp2.emd"), emdFile(100))
+
+    HyperspectralPipeline.start(spark, watch.toString, out,
+      base.resolve("catalog").toString, base.resolve("ckpt").toString,
+      Emd.parseFiles, drain = true).awaitTermination()
+
+    val spectrum = spark.read.parquet(s"$out/spectrum")
+    // per file: the 3-D EDS cube (not the squeezed 2-D image) → 4 channels
+    assert(spectrum.select("experiment_id").distinct().count() == 2)
+    assert(spectrum.count() == 8)
+    // exp1 channel sums: data = i+1 over (2,2,4); channel c sums {c+1, c+5, c+9, c+13}
+    val s1 = spectrum.filter(col("experiment_id") === "exp1")
+      .orderBy("channel").collect().map(_.getAs[Double]("counts")).toSeq
+    assert(s1 == Seq(28.0, 32.0, 36.0, 40.0))
+    assert(spark.read.parquet(s"$out/intensity").count() == 8) // 2 files x 2x2 map
+    assert(spark.read.parquet(base.resolve("catalog").toString).count() == 2)
+  }
+}

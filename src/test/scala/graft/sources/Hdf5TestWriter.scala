@@ -1,0 +1,283 @@
+package graft.sources
+
+import java.nio.{ByteBuffer, ByteOrder}
+import java.util.zip.Deflater
+
+/** Test-only HDF5 writer emitting the 1.8-default on-disk layout the
+  * reader supports: superblock v0, v1 object headers, symbol-table groups
+  * (B-tree v1 + SNOD + local heap), contiguous and chunked+deflate
+  * datasets. Each structure is written per the public HDF5 file-format
+  * specification — field for field, including the ones the reader never
+  * consults (sibling pointers, B-tree keys, float bit fields), so the
+  * fixture is an honest container rather than an echo of the reader's
+  * assumptions.
+  */
+final class Hdf5TestWriter(capacity: Int = 1 << 22) {
+
+  private val Undef = -1L
+  private val buf = ByteBuffer.allocate(capacity).order(ByteOrder.LITTLE_ENDIAN)
+  buf.position(96) // superblock v0 (24 + 32 + 40 bytes) reserved at offset 0
+
+  private def pos: Long = buf.position().toLong
+  private def pad8(n: Int): Int = (n + 7) / 8 * 8
+
+  // -- datatypes -----------------------------------------------------------
+  /** (class, size, datatype-message body). */
+  case class Dt(clazz: Int, size: Int, body: Array[Byte])
+
+  def uint8: Dt = fixed(1, signed = false)
+  def uint16: Dt = fixed(2, signed = false)
+  def int32: Dt = fixed(4, signed = true)
+
+  def fixed(size: Int, signed: Boolean): Dt = {
+    val b = ByteBuffer.allocate(12).order(ByteOrder.LITTLE_ENDIAN)
+    b.put(0x10.toByte) // version 1, class 0
+    b.put((if (signed) 0x08 else 0x00).toByte).put(0.toByte).put(0.toByte)
+    b.putInt(size)
+    b.putShort(0.toShort).putShort((size * 8).toShort) // bit offset, precision
+    Dt(0, size, b.array())
+  }
+
+  def float32: Dt = float(4, expLoc = 23, expSize = 8, mantSize = 23, bias = 127, signPos = 31)
+  def float64: Dt = float(8, expLoc = 52, expSize = 11, mantSize = 52, bias = 1023, signPos = 63)
+
+  private def float(size: Int, expLoc: Int, expSize: Int, mantSize: Int,
+      bias: Int, signPos: Int): Dt = {
+    val b = ByteBuffer.allocate(20).order(ByteOrder.LITTLE_ENDIAN)
+    b.put(0x11.toByte) // version 1, class 1
+    b.put(0x20.toByte) // LE, implied-msb mantissa normalization
+    b.put(signPos.toByte).put(0.toByte)
+    b.putInt(size)
+    b.putShort(0.toShort).putShort((size * 8).toShort)
+    b.put(expLoc.toByte).put(expSize.toByte).put(0.toByte).put(mantSize.toByte)
+    b.putInt(bias)
+    Dt(1, size, b.array())
+  }
+
+  // -- low-level writers ---------------------------------------------------
+  private def writeBytes(bs: Array[Byte]): Long = { val a = pos; buf.put(bs); a }
+
+  private def dataspaceBody(dims: Seq[Long]): Array[Byte] = {
+    val b = ByteBuffer.allocate(8 + dims.size * 8).order(ByteOrder.LITTLE_ENDIAN)
+    b.put(1.toByte).put(dims.size.toByte).put(0.toByte) // v1, rank, flags
+    b.put(new Array[Byte](5)) // reserved
+    dims.foreach(b.putLong)
+    b.array()
+  }
+
+  private def objectHeader(msgs: Seq[(Int, Array[Byte])]): Long = {
+    val bodySize = msgs.map { case (_, b) => 8 + pad8(b.length) }.sum
+    val a = pos
+    buf.put(1.toByte).put(0.toByte)
+    buf.putShort(msgs.size.toShort)
+    buf.putInt(1) // reference count
+    buf.putInt(bodySize)
+    buf.putInt(0) // prefix padding to 8-byte alignment
+    msgs.foreach { case (typ, body) =>
+      buf.putShort(typ.toShort)
+      buf.putShort(pad8(body.length).toShort)
+      buf.put(0.toByte).put(new Array[Byte](3)) // flags + reserved
+      buf.put(body)
+      buf.put(new Array[Byte](pad8(body.length) - body.length))
+    }
+    a
+  }
+
+  // -- datasets ------------------------------------------------------------
+  /** Contiguous dataset; `raw` is the row-major little-endian element data. */
+  def dataset(dims: Seq[Long], dt: Dt, raw: Array[Byte]): Long = {
+    val dataAddr = writeBytes(raw)
+    val layout = ByteBuffer.allocate(18).order(ByteOrder.LITTLE_ENDIAN)
+    layout.put(3.toByte).put(1.toByte).putLong(dataAddr).putLong(raw.length.toLong)
+    objectHeader(Seq(
+      0x0001 -> dataspaceBody(dims),
+      0x0003 -> dt.body,
+      0x0008 -> layout.array()))
+  }
+
+  /** Chunked dataset with per-chunk deflate. Chunks cover the logical
+    * extent in row-major chunk-grid order; edge chunks are stored full
+    * size with padding, as the format requires.
+    */
+  def chunkedDataset(dims: Seq[Long], dt: Dt, raw: Array[Byte],
+      chunkDims: Seq[Int], deflateLevel: Int = 6): Long = {
+    val rank = dims.size
+    val nChunks = dims.indices.map(d =>
+      ((dims(d) + chunkDims(d) - 1) / chunkDims(d)).toInt)
+    val strides = new Array[Long](rank)
+    var s = 1L
+    for (d <- (rank - 1) to 0 by -1) { strides(d) = s; s *= dims(d) }
+
+    // gather each chunk (zero-padded at the edges), deflate, write, record
+    val entries = Vector.newBuilder[(Long, Int, Seq[Long])] // addr, size, offsets
+    val gridTotal = nChunks.product
+    for (ci <- 0 until gridTotal) {
+      var rem = ci
+      val grid = new Array[Int](rank)
+      for (d <- (rank - 1) to 0 by -1) { grid(d) = rem % nChunks(d); rem /= nChunks(d) }
+      val at = (0 until rank).map(d => grid(d).toLong * chunkDims(d))
+      val chunkElems = chunkDims.product
+      val chunk = new Array[Byte](chunkElems * dt.size)
+      val local = new Array[Int](rank)
+      for (i <- 0 until chunkElems) {
+        var r2 = i
+        for (d <- (rank - 1) to 0 by -1) { local(d) = r2 % chunkDims(d); r2 /= chunkDims(d) }
+        val inBounds = (0 until rank).forall(d => at(d) + local(d) < dims(d))
+        if (inBounds) {
+          val src = (0 until rank).map(d => (at(d) + local(d)) * strides(d)).sum
+          System.arraycopy(raw, (src * dt.size).toInt, chunk, i * dt.size, dt.size)
+        }
+      }
+      val packed = deflate(chunk, deflateLevel)
+      val addr = writeBytes(packed)
+      entries += ((addr, packed.length, at))
+    }
+
+    // chunk-index B-tree: one level-0 node type 1
+    val all = entries.result()
+    val btreeAddr = pos
+    buf.put("TREE".getBytes)
+    buf.put(1.toByte).put(0.toByte) // node type 1, level 0
+    buf.putShort(all.size.toShort)
+    buf.putLong(Undef).putLong(Undef)
+    all.foreach { case (addr, size, at) =>
+      buf.putInt(size)
+      buf.putInt(0) // filter mask
+      at.foreach(buf.putLong)
+      buf.putLong(0L) // trailing element-size dimension offset
+      buf.putLong(addr)
+    }
+    // final bounding key
+    buf.putInt(0); buf.putInt(0)
+    (0 to rank).foreach(_ => buf.putLong(0L))
+
+    val layout = ByteBuffer.allocate(3 + 8 + 4 * (rank + 1)).order(ByteOrder.LITTLE_ENDIAN)
+    layout.put(3.toByte).put(2.toByte).put((rank + 1).toByte)
+    layout.putLong(btreeAddr)
+    chunkDims.foreach(c => layout.putInt(c))
+    layout.putInt(dt.size)
+
+    val filter = ByteBuffer.allocate(24).order(ByteOrder.LITTLE_ENDIAN)
+    filter.put(1.toByte).put(1.toByte).put(new Array[Byte](6))
+    filter.putShort(1.toShort)  // deflate
+    filter.putShort(0.toShort)  // no name
+    filter.putShort(1.toShort)  // flags: optional
+    filter.putShort(1.toShort)  // one client value
+    filter.putInt(deflateLevel)
+    filter.putInt(0) // pad to 8 (odd client-value count)
+
+    objectHeader(Seq(
+      0x0001 -> dataspaceBody(dims),
+      0x0003 -> dt.body,
+      0x000B -> filter.array(),
+      0x0008 -> layout.array()))
+  }
+
+  private def deflate(in: Array[Byte], level: Int): Array[Byte] = {
+    val d = new Deflater(level)
+    d.setInput(in); d.finish()
+    val out = new java.io.ByteArrayOutputStream()
+    val tmp = new Array[Byte](8192)
+    while (!d.finished()) out.write(tmp, 0, d.deflate(tmp))
+    d.end()
+    out.toByteArray
+  }
+
+  // -- groups --------------------------------------------------------------
+  /** Old-style group over named children (any mix of groups/datasets). */
+  def group(children: Seq[(String, Long)]): Long = {
+    val sorted = children.sortBy(_._1) // symbol tables are name-ordered
+    // local heap: NUL-terminated names; offset 0 must stay an empty string
+    val heapData = pos
+    buf.put(0.toByte)
+    val nameOffsets = sorted.map { case (n, _) =>
+      val off = pos - heapData
+      buf.put(n.getBytes("UTF-8")).put(0.toByte)
+      off
+    }
+    while ((pos - heapData) % 8 != 0) buf.put(0.toByte)
+    val heapSize = pos - heapData
+    val heapAddr = pos
+    buf.put("HEAP".getBytes).put(0.toByte).put(new Array[Byte](3))
+    buf.putLong(heapSize).putLong(heapSize).putLong(heapData)
+
+    val snodAddr = pos
+    buf.put("SNOD".getBytes).put(1.toByte).put(0.toByte)
+    buf.putShort(sorted.size.toShort)
+    sorted.zip(nameOffsets).foreach { case ((_, header), off) =>
+      buf.putLong(off).putLong(header)
+      buf.putInt(0).putInt(0) // cache type + reserved
+      buf.put(new Array[Byte](16)) // scratch
+    }
+
+    val btreeAddr = pos
+    buf.put("TREE".getBytes).put(0.toByte).put(0.toByte)
+    buf.putShort(1.toShort)
+    buf.putLong(Undef).putLong(Undef)
+    buf.putLong(nameOffsets.headOption.getOrElse(0L)) // key 0
+    buf.putLong(snodAddr)
+    buf.putLong(nameOffsets.lastOption.getOrElse(0L)) // bounding key
+
+    val symtab = ByteBuffer.allocate(16).order(ByteOrder.LITTLE_ENDIAN)
+    symtab.putLong(btreeAddr).putLong(heapAddr)
+    objectHeader(Seq(0x0011 -> symtab.array()))
+  }
+
+  /** Write the superblock referencing the root group; returns file bytes. */
+  def finish(rootHeaderAddr: Long): Array[Byte] = {
+    val end = buf.position()
+    buf.position(0)
+    buf.put(Array(0x89.toByte, 'H'.toByte, 'D'.toByte, 'F'.toByte,
+      0x0D.toByte, 0x0A.toByte, 0x1A.toByte, 0x0A.toByte))
+    buf.put(0.toByte) // superblock v0
+    buf.put(0.toByte).put(0.toByte).put(0.toByte) // freespace, symtab, reserved
+    buf.put(0.toByte) // shared-header version
+    buf.put(8.toByte).put(8.toByte).put(0.toByte) // offset/length sizes, reserved
+    buf.putShort(4.toShort).putShort(16.toShort) // group leaf / internal K
+    buf.putInt(0) // consistency flags
+    buf.putLong(0L) // base address
+    buf.putLong(Undef) // free-space info
+    buf.putLong(end.toLong) // end of file
+    buf.putLong(Undef) // driver info
+    // root symbol-table entry
+    buf.putLong(0L) // link name offset
+    buf.putLong(rootHeaderAddr)
+    buf.putInt(0).putInt(0) // cache type + reserved
+    buf.put(new Array[Byte](16)) // scratch
+    java.util.Arrays.copyOf(buf.array(), end)
+  }
+}
+
+/** Convenience: build a Velox-shaped `.emd` container. */
+object Hdf5TestWriter {
+
+  /** One kind/uid signal: dims + doubles (+ optional metadata JSON). */
+  final case class Sig(kind: String, uid: String, dims: Seq[Long],
+      values: Seq[Double], metadataJson: Option[String] = None,
+      chunked: Option[Seq[Int]] = None)
+
+  def emd(sigs: Seq[Sig]): Array[Byte] = {
+    val w = new Hdf5TestWriter()
+    val uidGroups: Seq[(String, String, Long)] = sigs.map { sig =>
+      val raw = ByteBuffer.allocate(sig.values.size * 8).order(ByteOrder.LITTLE_ENDIAN)
+      sig.values.foreach(raw.putDouble)
+      val dsAddr = sig.chunked match {
+        case Some(cd) => w.chunkedDataset(sig.dims, w.float64, raw.array(), cd)
+        case None => w.dataset(sig.dims, w.float64, raw.array())
+      }
+      val children = Seq("Data" -> dsAddr) ++ sig.metadataJson.map { j =>
+        // NUL-padded uint8 JSON text, the Velox metadata convention
+        val bytes = j.getBytes("UTF-8") ++ Array(0.toByte, 0.toByte)
+        "Metadata" -> w.dataset(Seq(bytes.length.toLong), w.uint8, bytes)
+      }
+      (sig.kind, sig.uid, w.group(children))
+    }
+    val kindGroups = uidGroups.groupBy(_._1).toSeq.sortBy(_._1).map {
+      case (kind, members) =>
+        kind -> w.group(members.map(m => m._2 -> m._3))
+    }
+    val dataGroup = w.group(kindGroups)
+    val root = w.group(Seq("Data" -> dataGroup))
+    w.finish(root)
+  }
+}

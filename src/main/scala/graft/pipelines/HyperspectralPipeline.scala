@@ -48,8 +48,12 @@ object HyperspectralPipeline {
 
     val cube = Signals.explodeCube(Signals.firstWithNdimPerExperiment(signals, 3))
     sink(Signals.spectrum(cube), s"$outDir/spectrum")
-    sink(Signals.intensityMap(cube), s"$outDir/intensity")
+    val intensity = Signals.intensityMap(cube)
+    sink(intensity, s"$outDir/intensity")
     sink(Signals.metadataSummary(signals), s"$outDir/metadata")
+    // sidecar image artifact (hyperspectral.py:106-107): idempotent by name
+    graft.sinks.Artifacts.writeFiles(
+      graft.sinks.Artifacts.intensityPngs(intensity), s"$outDir/artifacts")
 
     val docs = Catalog.dataciteDoc(
       files.select(col("path"), col("content"),

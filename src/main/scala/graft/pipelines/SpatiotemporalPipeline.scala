@@ -32,7 +32,11 @@ object SpatiotemporalPipeline {
         .parquet(path)
 
     val video = Signals.explodeVideo(Signals.firstWithNdimPerExperiment(signals, 3))
-    sink(Signals.normalizeFrames(video), s"$outDir/frames_u8")
+    val framesU8 = Signals.normalizeFrames(video)
+    sink(framesU8, s"$outDir/frames_u8")
+    // sidecar video artifact (temporal.py:26-35): idempotent by name
+    graft.sinks.Artifacts.writeFiles(
+      graft.sinks.Artifacts.videoArtifacts(framesU8), s"$outDir/artifacts")
 
     val session = spark
     import session.implicits._

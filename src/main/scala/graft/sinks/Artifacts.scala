@@ -1,0 +1,198 @@
+package graft.sinks
+
+import java.awt.image.BufferedImage
+import java.io.ByteArrayOutputStream
+import javax.imageio.ImageIO
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+/** Binary artifact sinks (SURVEY §2 A13) — the engine's equivalent of the
+  * reference's sidecar outputs: the intensity-map image next to the data
+  * (/root/reference/picoprobe/tools/hyperspectral.py:106-107,127-128) and
+  * the normalized-frame video (tools/temporal.py:20-35).
+  *
+  * Encoders are fully real and pure-JVM: PNG/JPEG via `javax.imageio`
+  * (part of the JDK), video as MJPEG inside a RIFF AVI container written
+  * field-for-field — a playable file, standing in for the reference's
+  * imageio MP4 (an H.264 encoder does not exist inside the JVM; MJPEG-AVI
+  * carries the same frame content losslessly-decodable by any player).
+  *
+  * Scale shape: images/videos are assembled per experiment with
+  * `groupByKey.mapGroups` — a single detector image or acquisition video
+  * is bounded (MB), so per-group assembly is executor-local and the sink
+  * distributes by experiment. The file writer is `foreachPartition` with
+  * write-to-temp + atomic rename, so at-least-once batch replays simply
+  * replace the same artifact (idempotent).
+  */
+object Artifacts {
+
+  /** Write (relativePath, bytes) rows under `dir`, atomically per file. */
+  def writeFiles(artifacts: Dataset[(String, Array[Byte])], dir: String): Unit = {
+    artifacts.foreachPartition { it: Iterator[(String, Array[Byte])] =>
+      it.foreach { case (rel, bytes) =>
+        val target = java.nio.file.Paths.get(dir, rel)
+        java.nio.file.Files.createDirectories(target.getParent)
+        val tmp = target.resolveSibling(target.getFileName.toString + ".tmp")
+        java.nio.file.Files.write(tmp, bytes)
+        java.nio.file.Files.move(tmp, target,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      }
+    }
+  }
+
+  /** Grayscale PNG from row-major uint8 pixels (width × height). */
+  def grayPng(width: Int, height: Int, pixels: Array[Byte]): Array[Byte] =
+    encode(gray(width, height, pixels), "png")
+
+  /** Grayscale JPEG (the MJPEG frame payload). */
+  def grayJpeg(width: Int, height: Int, pixels: Array[Byte]): Array[Byte] =
+    encode(gray(width, height, pixels), "jpg")
+
+  private def gray(w: Int, h: Int, px: Array[Byte]): BufferedImage = {
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_BYTE_GRAY)
+    img.getRaster.setDataElements(0, 0, w, h, px)
+    img
+  }
+
+  private def encode(img: BufferedImage, fmt: String): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    require(ImageIO.write(img, fmt, bos), s"no $fmt encoder")
+    bos.toByteArray
+  }
+
+  /** MJPEG-in-AVI muxer: JPEG frames → one playable video file. The RIFF
+    * layout is written per the public AVI specification:
+    * RIFF('AVI ' LIST('hdrl' avih LIST('strl' strh strf)) LIST('movi'
+    * 00dc…) idx1).
+    */
+  def mjpegAvi(frames: Seq[Array[Byte]], width: Int, height: Int,
+      fps: Int = 100): Array[Byte] = {
+    def pad2(n: Int): Int = n + (n & 1)
+    val maxChunk = frames.map(_.length).maxOption.getOrElse(0)
+    val moviSize = 4 + frames.map(f => 8 + pad2(f.length)).sum
+    val idxSize = 16 * frames.size
+
+    val o = new LeOut()
+    o.fourcc("RIFF")
+    // total size after this field: everything below
+    o.u32(4 + (12 + 64 + 12 + 64 + 48) + (8 + moviSize) + (8 + idxSize))
+    o.fourcc("AVI ")
+
+    // hdrl list: avih (56+8) + strl list (12 + strh 64 + strf 48)
+    o.fourcc("LIST"); o.u32(4 + 64 + 12 + 64 + 48); o.fourcc("hdrl")
+    o.fourcc("avih"); o.u32(56)
+    o.u32(if (fps > 0) 1000000 / fps else 0) // µs per frame
+    o.u32(0); o.u32(0)                       // max bytes/sec, padding
+    o.u32(0x10)                              // AVIF_HASINDEX
+    o.u32(frames.size); o.u32(0); o.u32(1)   // total frames, initial, streams
+    o.u32(maxChunk); o.u32(width); o.u32(height)
+    (0 until 4).foreach(_ => o.u32(0))       // reserved
+
+    o.fourcc("LIST"); o.u32(4 + 64 + 48); o.fourcc("strl")
+    o.fourcc("strh"); o.u32(56)
+    o.fourcc("vids"); o.fourcc("MJPG")
+    o.u32(0); o.u32(0); o.u32(0)             // flags, priority+language, initial
+    o.u32(1); o.u32(fps)                     // scale, rate → fps
+    o.u32(0); o.u32(frames.size)             // start, length
+    o.u32(maxChunk); o.u32(0xFFFFFFFF); o.u32(0) // buffer, quality, sample size
+    o.u16(0); o.u16(0); o.u16(width); o.u16(height) // rcFrame
+
+    o.fourcc("strf"); o.u32(40)              // BITMAPINFOHEADER
+    o.u32(40); o.u32(width); o.u32(height)
+    o.u16(1); o.u16(24)                      // planes, bit count
+    o.fourcc("MJPG")
+    o.u32(width * height * 3)
+    o.u32(0); o.u32(0); o.u32(0); o.u32(0)
+
+    // movi list
+    o.fourcc("LIST"); o.u32(moviSize); o.fourcc("movi")
+    val offsets = frames.map { f =>
+      val off = o.size
+      o.fourcc("00dc"); o.u32(f.length); o.bytes(f)
+      if ((f.length & 1) == 1) o.u8(0)
+      off
+    }
+    val moviStart = offsets.headOption.getOrElse(o.size) - 12 + 8 // 'movi' fourcc pos
+
+    // idx1: offsets relative to the 'movi' fourcc
+    o.fourcc("idx1"); o.u32(idxSize)
+    frames.zip(offsets).foreach { case (f, off) =>
+      o.fourcc("00dc"); o.u32(0x10) // AVIIF_KEYFRAME
+      o.u32(off - moviStart); o.u32(f.length)
+    }
+    o.toArray
+  }
+
+  private final class LeOut {
+    private val bos = new ByteArrayOutputStream()
+    def size: Int = bos.size()
+    def u8(v: Int): Unit = bos.write(v & 0xFF)
+    def u16(v: Int): Unit = { u8(v); u8(v >> 8) }
+    def u32(v: Long): Unit = { u8(v.toInt); u8((v >> 8).toInt); u8((v >> 16).toInt); u8((v >> 24).toInt) }
+    def u32(v: Int): Unit = u32(v.toLong & 0xFFFFFFFFL)
+    def fourcc(s: String): Unit = bos.write(s.getBytes("US-ASCII"))
+    def bytes(b: Array[Byte]): Unit = bos.write(b)
+    def toArray: Array[Byte] = bos.toByteArray
+  }
+
+  /** Intensity-map rows `(experiment_id, x, y, intensity)` → one
+    * min-max-normalized grayscale PNG per experiment, named
+    * `<experiment_id>.png`. x indexes rows, y columns (the reference's
+    * imshow orientation).
+    */
+  def intensityPngs(intensity: DataFrame): Dataset[(String, Array[Byte])] = {
+    val spark = intensity.sparkSession
+    import spark.implicits._
+    intensity.select(col("experiment_id"), col("x"), col("y"),
+      col("intensity").cast("double"))
+      .as[(String, Int, Int, Double)]
+      .groupByKey(_._1)
+      .mapGroups { (eid, it) =>
+        val cells = it.map { case (_, x, y, v) => (x, y, v) }.toArray
+        val h = cells.map(_._1).max + 1
+        val w = cells.map(_._2).max + 1
+        val mn = cells.map(_._3).min
+        val mx = cells.map(_._3).max
+        val px = new Array[Byte](w * h)
+        cells.foreach { case (x, y, v) =>
+          val u = if (mx > mn)
+            math.floor((v - mn) / (mx - mn) * 255.0 + 0.499999999).toInt
+          else 0
+          px(x * w + y) = u.toByte
+        }
+        (s"$eid.png", grayPng(w, h, px))
+      }
+  }
+
+  /** Normalized-video rows `(experiment_id, frame, x, y, v8)` → one
+    * MJPEG-AVI per experiment, named `<experiment_id>.avi` — the engine's
+    * realization of the reference's per-acquisition MP4
+    * (temporal.py:20-35). Frames JPEG-encode in a first per-(experiment,
+    * frame) group pass — executor-local, one frame at a time — then the
+    * tiny encoded frames assemble per experiment.
+    */
+  def videoArtifacts(framesU8: DataFrame, fps: Int = 100): Dataset[(String, Array[Byte])] = {
+    val spark = framesU8.sparkSession
+    import spark.implicits._
+    val jpegs = framesU8.select(col("experiment_id"), col("frame"),
+      col("x"), col("y"), col("v8").cast("int"))
+      .as[(String, Int, Int, Int, Int)]
+      .groupByKey(r => (r._1, r._2))
+      .mapGroups { (key: (String, Int), it: Iterator[(String, Int, Int, Int, Int)]) =>
+        val (eid, frame) = key
+        val cells = it.map { case (_, _, x, y, v) => (x, y, v) }.toArray
+        val h = cells.map(_._1).max + 1
+        val w = cells.map(_._2).max + 1
+        val px = new Array[Byte](w * h)
+        cells.foreach { case (x, y, v) => px(x * w + y) = v.toByte }
+        (eid, frame, w, h, grayJpeg(w, h, px))
+      }
+    jpegs.groupByKey(_._1)
+      .mapGroups { (eid, it) =>
+        val fs = it.toArray.sortBy(_._2)
+        (s"$eid.avi", mjpegAvi(fs.map(_._5).toSeq, fs.head._3, fs.head._4, fps))
+      }
+  }
+}

@@ -46,6 +46,13 @@ class SpatiotemporalPipelineSpec extends SparkSpec {
     val det = spark.read.parquet(s"$out/detections").collect()
     assert(det.length == 1 && det(0).getAs[Int]("dim") == 16)
     assert(spark.read.parquet(catalog).count() == 1)
+
+    // sidecar video artifact: a playable MJPEG-AVI per experiment
+    val avi = java.nio.file.Paths.get(out, "artifacts", "vid1.avi")
+    assert(java.nio.file.Files.exists(avi), s"missing artifact $avi")
+    val bytes = java.nio.file.Files.readAllBytes(avi)
+    assert(new String(bytes.slice(0, 4), "US-ASCII") == "RIFF")
+    assert(new String(bytes.slice(8, 12), "US-ASCII") == "AVI ")
   }
 
   test("multi-file micro-batch normalizes every file's video") {

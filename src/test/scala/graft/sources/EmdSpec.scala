@@ -104,5 +104,12 @@ class EmdSpec extends SparkSpec {
     assert(s1 == Seq(28.0, 32.0, 36.0, 40.0))
     assert(spark.read.parquet(s"$out/intensity").count() == 8) // 2 files x 2x2 map
     assert(spark.read.parquet(base.resolve("catalog").toString).count() == 2)
+    // sidecar PNG artifacts land next to the data, one per experiment
+    for (e <- Seq("exp1", "exp2")) {
+      val png = java.nio.file.Paths.get(out, "artifacts", s"$e.png")
+      assert(java.nio.file.Files.exists(png), s"missing artifact $png")
+      val img = javax.imageio.ImageIO.read(png.toFile)
+      assert(img.getWidth == 2 && img.getHeight == 2)
+    }
   }
 }

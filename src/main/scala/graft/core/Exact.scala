@@ -19,6 +19,12 @@ object Exact {
 
   /** Decimal scale used for the exact detour: 4 fractional digits covers
     * the 2-decimal money columns and quantity/discount/tax products.
+    *
+    * Considered and rejected: summing as scaled `LongType` (cents) is a
+    * few× cheaper per row but overflows at target scale — a scale-6
+    * product (price·(1−disc)·(1+tax)) is ~1e11 scaled units, and summing
+    * 1e9+ rows exceeds the Long range, silently with ANSI off. Decimal
+    * (30,4) keeps the same bit-exact result with 12 spare integer digits.
     */
   val Scale = 4
   private val Dec = DecimalType(30, Scale)

@@ -183,6 +183,57 @@ object DedupQueries {
     aux = Map("vecs" -> ((s, dir) => docVecs(s, dir).orderBy("doc_id")))
   )
 
+  /** Duplicate n-gram span detection — the training-data dedup primitive
+    * of "Deduplicating Training Data Makes Language Models Better" (Lee
+    * et al., 2022): a word k-gram whose hash occurs at more than one
+    * position corpus-wide marks BOTH spans as duplicated text; per
+    * document the query reports how much of it is duplicated span mass.
+    *
+    * Plan shape at 100 TB: positions explode to (doc, pos, hash) — 8-byte
+    * hashes, never strings — one groupBy(hash) finds corpus-wide
+    * multi-occurrence hashes, one shuffle-reusing join flags positions,
+    * one groupBy(doc) aggregates. Everything shuffles on narrow keys; no
+    * pairwise comparison ever happens (contrast d2/d4, which emit PAIRS —
+    * span dedup is linear in corpus size).
+    *
+    * Oracle: xxhash64 k-grams have no DuckDB analog, so the positional
+    * hash table is aux-dumped (pinned against literal k-gram strings by
+    * DedupSpec) and the oracle recomputes the span property exhaustively
+    * over it.
+    */
+  val d6DupSpans: QueryDef = QueryDef(
+    "d6_dup_spans",
+    (s, dir) => {
+      val kg = Tables.loadSpread(s, dir, "documents")
+        .select(col("doc_id"),
+          posexplode(graft.expressions.GraftExpressions.kgramHashes(col("text"), 8))
+            .as(Seq("pos", "h")))
+      val dupHashes = kg.groupBy("h").agg(count(lit(1)).as("n_occ"))
+        .filter(col("n_occ") > 1)
+        .select(col("h"), lit(1).as("dup"))
+      kg.join(dupHashes, Seq("h"), "left")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_kgrams"), count(col("dup")).as("n_dup"))
+        .withColumn("dup_ratio",
+          col("n_dup").cast("double") / col("n_kgrams").cast("double"))
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH k AS (SELECT * FROM read_parquet('{OUT}/aux/d6_dup_spans__kgrams/*.parquet')),
+      c AS (SELECT h, 1 AS dup FROM k GROUP BY h HAVING COUNT(*) > 1)
+      SELECT doc_id, COUNT(*) AS n_kgrams, COUNT(c.dup) AS n_dup,
+             CAST(COUNT(c.dup) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS dup_ratio
+      FROM k LEFT JOIN c ON k.h = c.h
+      GROUP BY doc_id ORDER BY doc_id"""),
+    aux = Map("kgrams" -> ((s, dir) =>
+      Tables.loadSpread(s, dir, "documents")
+        .select(col("doc_id"),
+          posexplode(graft.expressions.GraftExpressions.kgramHashes(col("text"), 8))
+            .as(Seq("pos", "h")))
+        .orderBy("doc_id", "pos")))
+  )
+
   val all: Seq[QueryDef] =
-    Seq(d1ExactDedup, d2MinhashLsh, d3Simhash, d4NgramJaccard, d5EmbeddingNearDup)
+    Seq(d1ExactDedup, d2MinhashLsh, d3Simhash, d4NgramJaccard,
+      d5EmbeddingNearDup, d6DupSpans)
 }

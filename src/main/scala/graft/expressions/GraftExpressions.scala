@@ -36,6 +36,19 @@ object GraftExpressions {
       copy(child = newChild)
   }
 
+  /** Positional word k-gram hashes (document order, duplicates kept). */
+  case class KgramHashesExpr(child: Expression, n: Int)
+      extends UnaryExpression {
+    override def dataType: DataType = LongArray
+    override def prettyName: String = "kgram_hashes"
+    override protected def nullSafeEval(input: Any): Any =
+      HashOps.kgramHashes(input.asInstanceOf[UTF8String], n)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"graft.expressions.HashOps.kgramHashes($c, $n)")
+    override protected def withNewChildInternal(newChild: Expression): KgramHashesExpr =
+      copy(child = newChild)
+  }
+
   case class MinHashSigExpr(child: Expression, k: Int)
       extends UnaryExpression {
     override def dataType: DataType = LongArray
@@ -195,6 +208,9 @@ object GraftExpressions {
 
   /** Sorted distinct xxhash64 word n-gram shingles of `text`. */
   def shingleHashes(text: Column, n: Int): Column = col(ShingleHashesExpr(expr(text), n))
+
+  /** Positional word k-gram hashes (order-preserving, duplicates kept). */
+  def kgramHashes(text: Column, n: Int): Column = col(KgramHashesExpr(expr(text), n))
 
   /** k-minhash signature of a shingle-hash array. */
   def minhashSig(shingles: Column, k: Int): Column = col(MinHashSigExpr(expr(shingles), k))

@@ -59,6 +59,28 @@ object HashOps {
     UnsafeArrayData.fromPrimitiveArray(java.util.Arrays.copyOf(sh, w))
   }
 
+  /** Positional word k-gram hashes in document order — position `i`
+    * hashes tokens `[i, i+n)`; NOT deduplicated or sorted, unlike
+    * [[shingleHashes]]. The unit of duplicate-span detection: a hash
+    * seen at two positions anywhere in the corpus marks both spans as
+    * duplicated text.
+    */
+  def kgramHashes(text: UTF8String, n: Int): ArrayData = {
+    val th = tokenHashes(text)
+    val m = th.length - n + 1
+    if (m <= 0) return UnsafeArrayData.fromPrimitiveArray(Array.emptyLongArray)
+    val sh = new Array[Long](m)
+    var i = 0
+    while (i < m) {
+      var h = Seed
+      var j = 0
+      while (j < n) { h = XXH64.hashLong(th(i + j), h); j += 1 }
+      sh(i) = h
+      i += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(sh)
+  }
+
   /** k-permutation MinHash signature over a shingle-hash set: one pass per
     * row, min over `XXH64.hashLong(shingle, i)` for each of the k salts.
     */

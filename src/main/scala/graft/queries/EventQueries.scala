@@ -146,6 +146,58 @@ object EventQueries {
       FROM events GROUP BY user_id ORDER BY user_id""")
   )
 
+  /** As-of (temporal) join: each purchase matched to the same user's most
+    * recent click at-or-before it — the canonical operator Spark's built-in
+    * joins lack. Spark-first realization: tag-and-union both sides, one
+    * running `last(click, ignoreNulls)` window over (user, time) — a
+    * SINGLE shuffle on user_id with no join explosion and no range-join
+    * quadratic blowup; at scale the window is as parallel as the user
+    * count. Clicks sort before purchases at equal timestamps, giving the
+    * inclusive (`p.ts >= c.ts`) match of DuckDB's native ASOF JOIN, which
+    * is the oracle.
+    */
+  val q16AsofJoin: QueryDef = QueryDef(
+    "q16_asof_join",
+    (s, dir) => {
+      val e = Tables.load(s, dir, "events")
+      val clicks = e.filter(col("event_type") === "click")
+        .select(col("user_id"), expr("ts div 1000").as("t_us"),
+          lit(0).as("tag"), col("event_id").as("click_id"))
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select(col("user_id"), expr("ts div 1000").as("t_us"),
+          lit(1).as("tag"), col("event_id").as("purchase_id"))
+      val tagged = clicks
+        .withColumn("purchase_id", lit(null).cast("long"))
+        .unionByName(purchases.withColumn("click_id", lit(null).cast("long")))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy("t_us", "tag", "click_id")
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      tagged
+        .withColumn("last_click",
+          last(when(col("tag") === 0,
+            struct(col("t_us").as("ct"), col("click_id").as("cid"))), ignoreNulls = true)
+            .over(w))
+        .filter(col("tag") === 1 && col("last_click").isNotNull)
+        .select(col("purchase_id"), col("user_id"),
+          col("t_us").as("t_purchase_us"),
+          col("last_click.cid").as("click_id"),
+          col("last_click.ct").as("t_click_us"),
+          ((col("t_us") - col("last_click.ct")).cast(DoubleType) /
+            lit(1000000.0)).as("wait_sec"))
+        .orderBy("purchase_id")
+    },
+    Some("""
+      SELECT p.event_id AS purchase_id, p.user_id,
+             epoch_us(p.ts) AS t_purchase_us,
+             c.event_id AS click_id, epoch_us(c.ts) AS t_click_us,
+             CAST(epoch_us(p.ts) - epoch_us(c.ts) AS DOUBLE)
+               / CAST(1000000 AS DOUBLE) AS wait_sec
+      FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+      ASOF JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        ON p.user_id = c.user_id AND p.ts >= c.ts
+      ORDER BY purchase_id""")
+  )
+
   /** Nested JSON extraction (SURVEY §2 F map/json: `get_json_object`
     * analog of the reference's nested-dict gets, flow_analyzer.py:244-263).
     */
@@ -163,5 +215,5 @@ object EventQueries {
 
   val all: Seq[QueryDef] = Seq(
     q7WindowRunning, q8PivotCounts, q9EventPairs,
-    q14TimeBuckets, q15UserSpan, q17JsonExtract)
+    q14TimeBuckets, q15UserSpan, q16AsofJoin, q17JsonExtract)
 }

@@ -80,6 +80,29 @@ class DedupSpec extends SparkSpec {
     assert(brute.nonEmpty)
   }
 
+  test("d6 duplicate-span detection matches literal k-gram brute force") {
+    val session = spark
+    import session.implicits._
+    // hashed positional k-grams must flag exactly the positions the
+    // literal k-gram strings flag (collision-free at this scale)
+    val docs = Tables.load(spark, sf, "documents")
+      .select(col("doc_id"), col("text")).as[(Long, String)].collect()
+    val k = 8
+    val literal = docs.flatMap { case (id, text) =>
+      val toks = text.split(" ", -1)
+      (0 to toks.length - k).map(i => (id, i, toks.slice(i, i + k).mkString(" ")))
+    }
+    val counts = literal.groupBy(_._3).view.mapValues(_.size).toMap
+    val brute = literal.groupBy(_._1).map { case (id, ks) =>
+      id -> ((ks.size.toLong, ks.count(g => counts(g._3) > 1).toLong))
+    }
+    val got = DedupQueries.d6DupSpans.fn(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_kgrams"), r.getAs[Long]("n_dup")))).toMap
+    assert(got == brute)
+    assert(got.values.exists(_._2 > 0)) // planted duplicates produce span mass
+  }
+
   test("jaccardJoin prefix filtering is complete vs brute force") {
     val docs = Tables.load(spark, sf, "documents")
     val t = 0.5

@@ -9,11 +9,16 @@ import java.util.zip.Inflater
   * tools/temporal.py:72): FEI Velox `.emd` files and anything else written
   * with HDF5 1.8-default property lists.
   *
-  * Supported subset (everything the default writer layout produces):
-  *   - superblock version 0, 8-byte offsets/lengths;
-  *   - version-1 object headers, including continuation blocks;
+  * Supported subset (the default writer layout plus the libver-latest
+  * framing):
+  *   - superblocks v0-v3, 8-byte offsets/lengths;
+  *   - object headers v1 (with continuation blocks) and v2 ("OHDR", with
+  *     "OCHK" continuations; checksums are not validated) — dispatched
+  *     per object, so mixed-framing files read correctly;
   *   - old-style groups: symbol-table message → B-tree v1 (node type 0,
   *     any depth) → SNOD symbol nodes, names in the local heap;
+  *   - new-style groups with compact link storage (hard Link messages);
+  *     dense fractal-heap storage fails fast by name;
   *   - datatypes: fixed-point (1/2/4/8-byte, signed or unsigned) and IEEE
   *     float (4/8-byte), little-endian;
   *   - dataspaces: simple, any rank (v1 and v2 messages);
@@ -189,26 +194,48 @@ object Hdf5 {
       fail("not an HDF5 container (bad signature)")
     val b = reader(file, 8)
     val sbVersion = b.u8()
-    if (sbVersion != 0) fail(s"superblock version $sbVersion (only 0 supported)")
-    b.skip(4) // freespace/symtab/reserved/shared-header versions
-    val offSize = b.u8()
-    val lenSize = b.u8()
-    if (offSize != 8 || lenSize != 8) fail(s"offset/length size $offSize/$lenSize")
-    b.skip(1 + 2 + 2 + 4) // reserved, group K's, consistency flags
-    b.skip(4 * 8) // base, freespace, EOF, driver-info addresses
-    // root group symbol-table entry
-    b.u64() // link name offset
-    val rootHeader = b.u64()
+    val rootHeader = sbVersion match {
+      case 0 | 1 =>
+        b.skip(4) // freespace/symtab/reserved/shared-header versions
+        val offSize = b.u8()
+        val lenSize = b.u8()
+        if (offSize != 8 || lenSize != 8) fail(s"offset/length size $offSize/$lenSize")
+        b.skip(1 + 2 + 2 + 4) // reserved, group K's, consistency flags
+        if (sbVersion == 1) b.skip(4) // indexed-storage K + reserved
+        b.skip(4 * 8) // base, freespace, EOF, driver-info addresses
+        // root group symbol-table entry
+        b.u64() // link name offset
+        b.u64() // root object header address
+      case 2 | 3 =>
+        val offSize = b.u8()
+        val lenSize = b.u8()
+        if (offSize != 8 || lenSize != 8) fail(s"offset/length size $offSize/$lenSize")
+        b.u8() // consistency flags
+        b.u64() // base address
+        b.u64() // superblock extension
+        b.u64() // end of file
+        b.u64() // root object header address (last read below via return)
+      case v => fail(s"superblock version $v not supported")
+    }
     readGroup(file, "/", rootHeader)
   }
 
   /** Object-header message, materialized across continuation blocks. */
   private final case class Msg(typ: Int, body: R)
 
+  /** Parse a version-1 OR version-2 ("OHDR") object header — the version
+    * is per object, so a file may legally mix both framings.
+    */
   private def messages(file: ByteBuffer, headerAddr: Long): Vector[Msg] = {
     val h = reader(file, headerAddr)
+    if (h.peek4() == "OHDR") messagesV2(file, headerAddr)
+    else messagesV1(file, headerAddr)
+  }
+
+  private def messagesV1(file: ByteBuffer, headerAddr: Long): Vector[Msg] = {
+    val h = reader(file, headerAddr)
     val version = h.u8()
-    if (version != 1) fail(s"object header version $version (only 1 supported)")
+    if (version != 1) fail(s"object header version $version (only 1/2 supported)")
     h.skip(1)
     val nMsgs = h.u16()
     h.u32() // reference count
@@ -240,21 +267,91 @@ object Hdf5 {
     out.result()
   }
 
+  /** Version-2 object header: "OHDR" framing, 1-byte message types, no
+    * inter-message padding, "OCHK"-signed continuation blocks, trailing
+    * checksums (not validated — corruption surfaces as a parse failure).
+    */
+  private def messagesV2(file: ByteBuffer, headerAddr: Long): Vector[Msg] = {
+    val h = reader(file, headerAddr)
+    h.expect("OHDR")
+    val version = h.u8()
+    if (version != 2) fail(s"OHDR version $version")
+    val flags = h.u8()
+    if ((flags & 0x20) != 0) h.skip(16) // times
+    if ((flags & 0x10) != 0) h.skip(4)  // compact/dense phase bounds
+    val sizeBytes = 1 << (flags & 0x3)
+    val chunk0 = (0 until sizeBytes).map(i => (h.u8().toLong) << (8 * i)).sum
+    val tracked = (flags & 0x04) != 0 // creation order tracked per message
+    val msgHdrLen = 4 + (if (tracked) 2 else 0)
+    var blocks = List((h.pos, chunk0))
+    val out = Vector.newBuilder[Msg]
+    while (blocks.nonEmpty) {
+      val (start, len) = blocks.head
+      blocks = blocks.tail
+      val b = reader(file, start)
+      val end = start + len
+      while (b.pos + msgHdrLen <= end) {
+        val typ = b.u8()
+        val size = b.u16()
+        b.u8() // message flags
+        if (tracked) b.skip(2)
+        val bodyStart = b.pos
+        if (typ == 0x10) { // continuation: "OCHK" + messages + checksum
+          val off = b.u64()
+          val clen = b.u64()
+          blocks = blocks :+ ((off + 4, clen - 8))
+        }
+        out += Msg(typ, reader(file, bodyStart))
+        b.pos = bodyStart + size
+      }
+    }
+    out.result()
+  }
+
   private def readGroup(file: ByteBuffer, name: String, headerAddr: Long): Group = {
     val msgs = messages(file, headerAddr)
-    val symtab = msgs.find(_.typ == 0x0011).getOrElse(
-      fail(s"group $name has no symbol-table message (new-style groups unsupported)"))
-    val btreeAddr = symtab.body.u64()
-    val heapAddr = symtab.body.u64()
-    val heapData = localHeapDataAddr(file, heapAddr)
-    val entries = Vector.newBuilder[(String, Long)]
-    walkGroupTree(file, btreeAddr, heapData, entries)
-    val children = entries.result().map { case (childName, childHeader) =>
+    val entries: Vector[(String, Long)] = msgs.find(_.typ == 0x0011) match {
+      case Some(symtab) => // old-style: B-tree + local heap
+        val btreeAddr = symtab.body.u64()
+        val heapAddr = symtab.body.u64()
+        val heapData = localHeapDataAddr(file, heapAddr)
+        val out = Vector.newBuilder[(String, Long)]
+        walkGroupTree(file, btreeAddr, heapData, out)
+        out.result()
+      case None => // new-style: compact Link messages in the header
+        val links = msgs.filter(_.typ == 0x0006).map(m => readLink(m.body))
+        msgs.find(_.typ == 0x0002).foreach { li => // Link Info: dense check
+          val b = li.body
+          b.skip(1) // version
+          val f = b.u8()
+          if ((f & 0x1) != 0) b.skip(8) // max creation index
+          if (b.u64() != Undefined && links.isEmpty)
+            fail(s"group $name uses dense (fractal-heap) link storage — unsupported")
+        }
+        links
+    }
+    val children = entries.map { case (childName, childHeader) =>
       val childMsgs = messages(file, childHeader)
-      if (childMsgs.exists(_.typ == 0x0011)) readGroup(file, childName, childHeader)
-      else readDataset(file, childName, childMsgs)
+      // a layout message marks a dataset; anything else is a group
+      if (childMsgs.exists(_.typ == 0x0008)) readDataset(file, childName, childMsgs)
+      else readGroup(file, childName, childHeader)
     }
     Group(name, children)
+  }
+
+  /** Hard-link message (compact group storage): name + object address. */
+  private def readLink(b: R): (String, Long) = {
+    val version = b.u8()
+    if (version != 1) fail(s"link message version $version")
+    val flags = b.u8()
+    val linkType = if ((flags & 0x08) != 0) b.u8() else 0
+    if (linkType != 0) fail(s"non-hard link type $linkType")
+    if ((flags & 0x04) != 0) b.skip(8) // creation order
+    if ((flags & 0x10) != 0) b.skip(1) // charset
+    val lenBytes = 1 << (flags & 0x3)
+    val nameLen = (0 until lenBytes).map(i => (b.u8().toLong) << (8 * i)).sum
+    val name = (0L until nameLen).map(_ => b.u8().toChar).mkString
+    (name, b.u64())
   }
 
   private def localHeapDataAddr(file: ByteBuffer, heapAddr: Long): Long = {

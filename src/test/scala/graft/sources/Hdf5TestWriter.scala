@@ -223,6 +223,75 @@ final class Hdf5TestWriter(capacity: Int = 1 << 22) {
     objectHeader(Seq(0x0011 -> symtab.array()))
   }
 
+  // -- version-2 framing (superblock v3 / OHDR / compact links) ------------
+
+  /** Version-2 object header: "OHDR" framing, 1-byte types, no message
+    * padding, trailing checksum field (zeroed — readers that validate
+    * lookup3 checksums will reject; ours documents non-validation).
+    */
+  def objectHeaderV2(msgs: Seq[(Int, Array[Byte])]): Long = {
+    val bodySize = msgs.map { case (_, b) => 4 + b.length }.sum
+    val a = pos
+    buf.put("OHDR".getBytes)
+    buf.put(2.toByte)
+    buf.put(0x01.toByte) // flags: 2-byte size-of-chunk-0
+    buf.putShort(bodySize.toShort)
+    msgs.foreach { case (typ, body) =>
+      buf.put(typ.toByte)
+      buf.putShort(body.length.toShort)
+      buf.put(0.toByte) // message flags
+      buf.put(body)
+    }
+    buf.putInt(0) // checksum (unvalidated)
+    a
+  }
+
+  /** New-style group: hard Link messages directly in the header. */
+  def groupV2(children: Seq[(String, Long)]): Long = {
+    val linkMsgs = children.sortBy(_._1).map { case (name, addr) =>
+      val nb = name.getBytes("UTF-8")
+      val b = ByteBuffer.allocate(2 + 1 + nb.length + 8)
+        .order(ByteOrder.LITTLE_ENDIAN)
+      b.put(1.toByte) // link message version
+      b.put(0.toByte) // flags: hard link, 1-byte name length
+      b.put(nb.length.toByte)
+      b.put(nb)
+      b.putLong(addr)
+      0x0006 -> b.array()
+    }
+    objectHeaderV2(linkMsgs)
+  }
+
+  /** Contiguous dataset under a version-2 object header. */
+  def datasetV2(dims: Seq[Long], dt: Dt, raw: Array[Byte]): Long = {
+    val dataAddr = writeBytes(raw)
+    val layout = ByteBuffer.allocate(18).order(ByteOrder.LITTLE_ENDIAN)
+    layout.put(3.toByte).put(1.toByte).putLong(dataAddr).putLong(raw.length.toLong)
+    objectHeaderV2(Seq(
+      0x0001 -> dataspaceBody(dims),
+      0x0003 -> dt.body,
+      0x0008 -> layout.array()))
+  }
+
+  /** Superblock version 3 (the libver-latest layout): root object header
+    * address directly, no symbol-table entry.
+    */
+  def finishV3(rootHeaderAddr: Long): Array[Byte] = {
+    val end = buf.position()
+    buf.position(0)
+    buf.put(Array(0x89.toByte, 'H'.toByte, 'D'.toByte, 'F'.toByte,
+      0x0D.toByte, 0x0A.toByte, 0x1A.toByte, 0x0A.toByte))
+    buf.put(3.toByte)            // superblock v3
+    buf.put(8.toByte).put(8.toByte) // offset/length sizes
+    buf.put(0.toByte)            // consistency flags
+    buf.putLong(0L)              // base address
+    buf.putLong(Undef)           // superblock extension
+    buf.putLong(end.toLong)      // end of file
+    buf.putLong(rootHeaderAddr)
+    buf.putInt(0)                // checksum (unvalidated)
+    java.util.Arrays.copyOf(buf.array(), end)
+  }
+
   /** Write the superblock referencing the root group; returns file bytes. */
   def finish(rootHeaderAddr: Long): Array[Byte] = {
     val end = buf.position()

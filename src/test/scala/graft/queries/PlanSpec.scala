@@ -54,4 +54,32 @@ class PlanSpec extends SparkSpec {
     assert(exchanges <= 2, s"too many exchanges:\n$plan")
     assert(plan.contains("partial_")) // map-side combine present
   }
+
+  test("as-of join plans as one keyed window, not a join") {
+    val plan = planOf(EventQueries.q16AsofJoin.fn(spark, sf))
+    assert(!plan.contains("Join"), s"as-of must not plan a join:\n$plan")
+    assert(plan.contains("Window"))
+    // the window is keyed by user — never the single-partition form
+    assert(!plan.contains("No Partition Defined"))
+    // formatted mode lists each exchange's partitioning in an Arguments line
+    val hashExchanges = plan.linesIterator
+      .count(l => l.contains("hashpartitioning("))
+    assert(hashExchanges == 1, s"expected exactly one keyed shuffle:\n$plan")
+  }
+
+  test("duplicate-span dedup shuffles 8-byte hashes, never strings") {
+    val plan = planOf(graft.dedup.DedupQueries.d6DupSpans.fn(spark, sf))
+    // the only wide columns come from the positional explode; the text
+    // column must be gone before the first hash exchange
+    val exchangeIdx = plan.indexOf("hashpartitioning(")
+    assert(exchangeIdx > 0)
+    val treeAfter = plan.substring(exchangeIdx)
+    assert(!treeAfter.contains("text#"), "text column crossed a shuffle")
+  }
+
+  test("LSH verify joins hash-join the fat side (no sort of vectors)") {
+    val plan = planOf(graft.dedup.DedupQueries.d5EmbeddingNearDup.fn(spark, sf))
+    assert(plan.contains("ShuffledHashJoin") || plan.contains("BroadcastHashJoin"),
+      s"verify join fell back to sort-merge:\n$plan")
+  }
 }

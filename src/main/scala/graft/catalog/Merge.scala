@@ -1,0 +1,94 @@
+package graft.catalog
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** MERGE (upsert) semantics over plain parquet (SURVEY §7 step 3) — the
+  * catalog's "re-publish replaces the document" behavior generalized to
+  * any keyed table.
+  *
+  * Plain parquet has no transaction log, so atomicity comes from a tiny
+  * version pointer: each merge writes a complete new snapshot under
+  * `v=<n>/` and then atomically swaps the `_CURRENT` pointer file
+  * (write-temp + atomic rename). Readers resolve the pointer first, so
+  * they always see a complete snapshot — never a half-written directory.
+  * On a production deployment a transactional table format supplies the
+  * same contract; the MERGE semantics here are format-independent.
+  *
+  * Scale shape: a merge is one left-anti join of the current snapshot
+  * against the update keys (shuffle on the key columns) plus a union —
+  * no driver-side row handling. Snapshot rewrite is the plain-parquet
+  * cost; bucketed/partitioned layouts bound it to touched partitions.
+  */
+object Merge {
+
+  /** Pure MERGE combinator: rows of `updates` win on key match; unmatched
+    * `target` rows survive; unmatched `updates` insert. Both inputs must
+    * share the schema.
+    */
+  def mergeFrames(target: DataFrame, updates: DataFrame, keys: Seq[String]): DataFrame =
+    updates.unionByName(
+      target.join(updates.select(keys.map(org.apache.spark.sql.functions.col): _*)
+        .dropDuplicates(keys), keys, "left_anti"))
+
+  /** Current version number, if the table exists. */
+  def currentVersion(dir: String): Option[Long] = {
+    val p = java.nio.file.Paths.get(dir, "_CURRENT")
+    if (java.nio.file.Files.exists(p))
+      Some(new String(java.nio.file.Files.readAllBytes(p), "UTF-8").trim.toLong)
+    else None
+  }
+
+  /** Read the current snapshot (empty-schema error if never written). */
+  def read(spark: SparkSession, dir: String): DataFrame = {
+    val v = currentVersion(dir).getOrElse(
+      throw new IllegalStateException(s"no _CURRENT pointer in $dir"))
+    spark.read.parquet(s"$dir/v=$v")
+  }
+
+  /** Write `df` as the next full snapshot and swap the pointer. */
+  def writeSnapshot(df: DataFrame, dir: String): Long = {
+    val next = currentVersion(dir).getOrElse(-1L) + 1
+    df.write.mode("overwrite").parquet(s"$dir/v=$next")
+    val cur = java.nio.file.Paths.get(dir, "_CURRENT")
+    val tmp = java.nio.file.Paths.get(dir, "_CURRENT.tmp")
+    java.nio.file.Files.write(tmp, next.toString.getBytes("UTF-8"))
+    java.nio.file.Files.move(tmp, cur,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    next
+  }
+
+  /** MERGE `updates` into the table at `dir` by `keys`; creates the table
+    * on first call. Returns the new version.
+    */
+  def mergeInto(spark: SparkSession, dir: String, updates: DataFrame,
+      keys: Seq[String]): Long = {
+    val merged = currentVersion(dir) match {
+      case Some(_) => mergeFrames(read(spark, dir), updates, keys)
+      case None => updates.dropDuplicates(keys)
+    }
+    writeSnapshot(merged, dir)
+  }
+
+  /** Drop all but the most recent `keep` snapshot directories. */
+  def vacuum(dir: String, keep: Int = 2): Unit = {
+    val cur = currentVersion(dir).getOrElse(return)
+    val base = java.nio.file.Paths.get(dir)
+    val s = java.nio.file.Files.list(base)
+    try {
+      s.iterator().forEachRemaining { p =>
+        val n = p.getFileName.toString
+        if (n.startsWith("v=") && n.drop(2).toLong <= cur - keep)
+          deleteRecursively(p)
+      }
+    } finally s.close()
+  }
+
+  private def deleteRecursively(p: java.nio.file.Path): Unit = {
+    if (java.nio.file.Files.isDirectory(p)) {
+      val s = java.nio.file.Files.list(p)
+      try s.iterator().forEachRemaining(deleteRecursively) finally s.close()
+    }
+    java.nio.file.Files.deleteIfExists(p)
+  }
+}

@@ -158,5 +158,39 @@ object SimilarityQueries {
       }))
   )
 
-  val all: Seq[QueryDef] = Seq(s1AnnBruteForce, s2AnnLsh, s3AnnIvf)
+  /** Similarity RANGE search: every corpus vector within cosine ≥ 0.3 of
+    * each query vector — the radius-query counterpart of s1's top-k.
+    *
+    * Regime choice, deliberately: for a SMALL query set the scale-optimal
+    * plan is the broadcast scan (queries broadcast, ONE corpus pass, zero
+    * shuffle — at 100 TB the corpus never moves); LSH bucketing only wins
+    * for self-joins or large query sets, and that regime is covered by
+    * d5's banded plan. On this data an LSH range join could not be exact
+    * at θ=0.3 anyway (p=0.6/bit ⇒ completeness needs impractically many
+    * bands), and approximate results would fail the value oracle.
+    */
+  val s4RangeSearch: QueryDef = QueryDef(
+    "s4_range_search",
+    (s, dir) => {
+      val e = Tables.load(s, dir, "embeddings")
+      val q = broadcast(
+        e.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("query_id"), col("embedding").as("qv")))
+      e.select(col("vec_id").as("neighbor_id"), col("embedding").as("nv"))
+        .join(q, col("neighbor_id") =!= col("query_id"))
+        .withColumn("cos", cosineFast(col("qv"), col("nv")))
+        .filter(col("cos") >= 0.3)
+        .select("query_id", "neighbor_id", "cos")
+        .orderBy("query_id", "neighbor_id")
+    },
+    Some("""
+      SELECT query_id, neighbor_id, cos FROM (
+        SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+               LIST_COSINE_SIMILARITY(CAST(q.embedding AS DOUBLE[]),
+                                      CAST(e.embedding AS DOUBLE[])) AS cos
+        FROM embeddings q JOIN embeddings e ON q.vec_id < 10 AND e.vec_id != q.vec_id)
+      WHERE cos >= 0.3 ORDER BY query_id, neighbor_id""")
+  )
+
+  val all: Seq[QueryDef] = Seq(s1AnnBruteForce, s2AnnLsh, s3AnnIvf, s4RangeSearch)
 }

@@ -116,5 +116,34 @@ object TextQueries {
       FROM documents ORDER BY doc_id""")
   )
 
-  val all: Seq[QueryDef] = Seq(t1TokenCount, t2QualityScore, t3LangId, t4Fingerprint)
+  /** Corpus vocabulary statistics: the 50 most document-frequent words
+    * with term and document frequencies — the tokenizer-training /
+    * mixture-diagnostics staple. Plan: explode to (word, doc) pairs,
+    * ONE aggregate computes tf + df together (count + distinct-doc via
+    * two-level groupBy), partial-TakeOrdered top-k — no full sort of the
+    * vocabulary. At 100 TB the word shuffle is the corpus token stream;
+    * the two-level distinct keeps it a single pass.
+    */
+  val t5Vocab: QueryDef = QueryDef(
+    "t5_vocab",
+    (s, dir) =>
+      Tables.loadSpread(s, dir, "documents")
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+        .groupBy("word", "doc_id").agg(count(lit(1)).as("tf_doc"))
+        .groupBy("word")
+        .agg(sum(col("tf_doc")).as("tf"), count(lit(1)).as("df"))
+        .orderBy(col("df").desc, col("tf").desc, col("word"))
+        .limit(50),
+    Some("""
+      SELECT word, tf, df FROM (
+        SELECT word, CAST(SUM(tf_doc) AS BIGINT) AS tf, COUNT(*) AS df FROM (
+          SELECT doc_id, word, COUNT(*) AS tf_doc FROM (
+            SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS word FROM documents)
+          GROUP BY doc_id, word)
+        GROUP BY word)
+      ORDER BY df DESC, tf DESC, word LIMIT 50""")
+  )
+
+  val all: Seq[QueryDef] =
+    Seq(t1TokenCount, t2QualityScore, t3LangId, t4Fingerprint, t5Vocab)
 }

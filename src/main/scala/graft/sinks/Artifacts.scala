@@ -153,6 +153,10 @@ object Artifacts {
         val cells = it.map { case (_, x, y, v) => (x, y, v) }.toArray
         val h = cells.map(_._1).max + 1
         val w = cells.map(_._2).max + 1
+        require(cells.length == w * h,
+          s"experiment $eid: ${cells.length} cells for a ${w}x$h map — " +
+            "more than one signal per experiment? select first (e.g. " +
+            "Signals.firstWithNdimPerExperiment) before rendering")
         val mn = cells.map(_._3).min
         val mx = cells.map(_._3).max
         val px = new Array[Byte](w * h)
@@ -185,6 +189,9 @@ object Artifacts {
         val cells = it.map { case (_, _, x, y, v) => (x, y, v) }.toArray
         val h = cells.map(_._1).max + 1
         val w = cells.map(_._2).max + 1
+        require(cells.length == w * h,
+          s"experiment $eid frame $frame: ${cells.length} cells for ${w}x$h — " +
+            "more than one signal per experiment? select first before rendering")
         val px = new Array[Byte](w * h)
         cells.foreach { case (x, y, v) => px(x * w + y) = v.toByte }
         (eid, frame, w, h, grayJpeg(w, h, px))

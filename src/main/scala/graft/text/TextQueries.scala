@@ -144,6 +144,36 @@ object TextQueries {
       ORDER BY df DESC, tf DESC, word LIMIT 50""")
   )
 
+  /** Deterministic stratified sampling — the training-mixture operator:
+    * per-stratum keep rates applied by content-stable hash, so the sample
+    * is reproducible on any cluster size, any partitioning, any rerun
+    * (re-sampling a grown corpus keeps previously-kept rows). The
+    * sampling decision compares a fixed-length lowercase-hex md5 prefix
+    * lexicographically — identical decisions on both engines, no RNG.
+    * Strata here: even-numbered sources keep 25%, odd 75%.
+    */
+  val t6StratifiedSample: QueryDef = QueryDef(
+    "t6_stratified_sample",
+    (s, dir) => {
+      val key = substring(md5(col("doc_id").cast("string")), 1, 4)
+      val threshold = when(
+        substring(col("source"), 4, 8).cast("int") % 2 === 0, lit("4000"))
+        .otherwise(lit("c000"))
+      Tables.loadSpread(s, dir, "documents")
+        .filter(key < threshold)
+        .select(col("doc_id"), col("source"), key.as("sample_key"))
+        .orderBy("doc_id")
+    },
+    Some("""
+      SELECT doc_id, source, SUBSTR(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS sample_key
+      FROM documents
+      WHERE SUBSTR(md5(CAST(doc_id AS VARCHAR)), 1, 4) <
+            CASE WHEN CAST(SUBSTR(source, 4) AS INTEGER) % 2 = 0
+                 THEN '4000' ELSE 'c000' END
+      ORDER BY doc_id""")
+  )
+
   val all: Seq[QueryDef] =
-    Seq(t1TokenCount, t2QualityScore, t3LangId, t4Fingerprint, t5Vocab)
+    Seq(t1TokenCount, t2QualityScore, t3LangId, t4Fingerprint, t5Vocab,
+      t6StratifiedSample)
 }

@@ -350,8 +350,8 @@ object Hdf5 {
     if ((flags & 0x10) != 0) b.skip(1) // charset
     val lenBytes = 1 << (flags & 0x3)
     val nameLen = (0 until lenBytes).map(i => (b.u8().toLong) << (8 * i)).sum
-    val name = (0L until nameLen).map(_ => b.u8().toChar).mkString
-    (name, b.u64())
+    val nameBytes = Array.fill(nameLen.toInt)(b.u8().toByte)
+    (new String(nameBytes, java.nio.charset.StandardCharsets.UTF_8), b.u64())
   }
 
   private def localHeapDataAddr(file: ByteBuffer, heapAddr: Long): Long = {

@@ -96,5 +96,54 @@ object SignalQueries {
       GROUP BY ch ORDER BY ch""")
   )
 
-  val all: Seq[QueryDef] = Seq(g1EnergyAxis, g2FrameNormalize, g3Spectrum)
+  /** Spectral peak detection over the g3 spectrum: channels that are
+    * strict local maxima with positive mass — the find-the-emission-line
+    * step of hyperspectral analysis (the reference reads these off its
+    * spectrum plots, hyperspectral.py:96-107).
+    *
+    * Neighbor access is two equi-joins on channel±1, NOT an
+    * un-partitioned `lag`/`lead` window — the empty-partition window
+    * would funnel the whole series through one task, the exact
+    * single-partition anti-pattern this engine avoids; the joins shuffle
+    * by channel and stay parallel at any series length. Inner joins drop
+    * the endpoints, which by definition cannot be interior maxima.
+    */
+  val g4PeakDetect: QueryDef = QueryDef(
+    "g4_peak_detect",
+    (s, dir) => {
+      val spec = Tables.load(s, dir, "embeddings")
+        .select(posexplode(col("embedding")).as(Seq("pos", "v")))
+        .select((col("pos") + 1).as("channel"),
+          floor(col("v").cast("double") * lit(10000.0)).cast("long").as("sv"))
+        .groupBy("channel")
+        .agg((sum(col("sv")).cast("double") / lit(10000.0)).as("sum_v"))
+      val prev = spec.select((col("channel") + 1).as("channel"),
+        col("sum_v").as("prev_v"))
+      val next = spec.select((col("channel") - 1).as("channel"),
+        col("sum_v").as("next_v"))
+      spec.join(prev, "channel").join(next, "channel")
+        .filter(col("sum_v") > col("prev_v") && col("sum_v") > col("next_v") &&
+          col("sum_v") > 0.0)
+        .select("channel", "sum_v", "prev_v", "next_v")
+        .orderBy("channel")
+    },
+    Some("""
+      WITH spec AS (
+        SELECT ch AS channel,
+               CAST(SUM(sv) AS DOUBLE) / CAST(10000.0 AS DOUBLE) AS sum_v
+        FROM (SELECT generate_subscripts(embedding, 1) AS ch,
+                     CAST(FLOOR(CAST(unnest(embedding) AS DOUBLE)
+                          * CAST(10000.0 AS DOUBLE)) AS BIGINT) AS sv
+              FROM embeddings)
+        GROUP BY ch)
+      SELECT s.channel, s.sum_v, p.sum_v AS prev_v, n.sum_v AS next_v
+      FROM spec s
+      JOIN spec p ON s.channel = p.channel + 1
+      JOIN spec n ON s.channel = n.channel - 1
+      WHERE s.sum_v > p.sum_v AND s.sum_v > n.sum_v AND s.sum_v > 0.0
+      ORDER BY s.channel""")
+  )
+
+  val all: Seq[QueryDef] =
+    Seq(g1EnergyAxis, g2FrameNormalize, g3Spectrum, g4PeakDetect)
 }

@@ -148,7 +148,7 @@ object DedupQueries {
   )
 
   /** Embedding-cosine near-dup over `documents`: each doc embeds as a
-    * deterministic feature-hashed shingle vector (1024-dim, L2=1 — planted
+    * deterministic feature-hashed shingle vector (512-dim, L2=1 — planted
     * near-dup texts land at cos ≈ 2j/(1+j) ≈ 0.9, unrelated text at
     * ≈ 0.05, a wide thresholdable gap), then the banded hyperplane-LSH
     * path ([[graft.sim.EmbeddingDedup.nearDupPairs]]) generates candidate
@@ -157,7 +157,7 @@ object DedupQueries {
     * the aux-dumped vectors) — the registered plan is the one that runs at
     * 100 TB.
     */
-  private val EmbedDim = 1024
+  private val EmbedDim = 512
 
   private def docVecs(s: org.apache.spark.sql.SparkSession, dir: String) =
     Tables.loadSpread(s, dir, "documents")

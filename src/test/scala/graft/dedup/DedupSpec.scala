@@ -48,7 +48,7 @@ class DedupSpec extends SparkSpec {
       (3L, "completely unrelated text about spark query engines and shuffles"),
       (4L, "too short")) // < 3 tokens -> zero vector
       .toDF("doc_id", "text")
-      .select(col("doc_id"), embedShingles(col("text"), 3, 1024).as("vec"))
+      .select(col("doc_id"), embedShingles(col("text"), 3, 512).as("vec"))
     val rows = df.collect().map(r =>
       r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
     def norm(v: Array[Float]) = math.sqrt(v.map(x => x.toDouble * x).sum)
@@ -66,7 +66,7 @@ class DedupSpec extends SparkSpec {
   test("d5 LSH embedding near-dup is complete vs brute force") {
     val vecs = Tables.load(spark, sf, "documents")
       .select(col("doc_id"),
-        graft.expressions.GraftExpressions.embedShingles(col("text"), 3, 1024).as("vec"))
+        graft.expressions.GraftExpressions.embedShingles(col("text"), 3, 512).as("vec"))
       .filter(array_max(col("vec")) > 0f)
     val lsh = DedupQueries.d5EmbeddingNearDup.fn(spark, sf)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet

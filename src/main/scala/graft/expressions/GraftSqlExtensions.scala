@@ -58,5 +58,16 @@ class GraftSqlExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("cosine_f"),
       info("cosine_f", "cosine_f(a, b) - exact cosine of float vectors"),
       (es: Seq[Expression]) => CosineSimFExpr(es.head, es(1))))
+
+    ext.injectFunction((FunctionIdentifier("kgram_hashes"),
+      info("kgram_hashes",
+        "kgram_hashes(text, n) - positional word k-gram hashes (order kept)"),
+      (es: Seq[Expression]) => KgramHashesExpr(es.head, litInt(es(1), "n"))))
+
+    ext.injectFunction((FunctionIdentifier("embed_shingles"),
+      info("embed_shingles",
+        "embed_shingles(text, n, dim) - L2-normalized feature-hashed shingle embedding"),
+      (es: Seq[Expression]) => EmbedShinglesExpr(es.head, litInt(es(1), "n"),
+        litInt(es(2), "dim"))))
   }
 }

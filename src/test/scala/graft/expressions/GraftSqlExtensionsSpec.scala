@@ -27,6 +27,25 @@ class GraftSqlExtensionsSpec extends SparkSpec {
     assert(viaSql.map(_.toString).toSeq == viaCols.map(_.toString).toSeq)
   }
 
+  test("kgram_hashes and embed_shingles from SQL match Column API") {
+    val session = spark
+    import session.implicits._
+    Seq((1L, "one two three four two three")).toDF("id", "text")
+      .createOrReplaceTempView("sql_docs2")
+    val viaSql = spark.sql(
+      """SELECT kgram_hashes(text, 2) AS kg, embed_shingles(text, 3, 64) AS v
+        |FROM sql_docs2""".stripMargin).collect()(0)
+    val viaCols = spark.table("sql_docs2")
+      .select(GraftExpressions.kgramHashes(col("text"), 2).as("kg"),
+        GraftExpressions.embedShingles(col("text"), 3, 64).as("v"))
+      .collect()(0)
+    assert(viaSql.toString == viaCols.toString)
+    // positional: 5 bigrams, order preserved (dup "two three" kept)
+    assert(viaSql.getSeq[Long](0).size == 5)
+    val kg = viaSql.getSeq[Long](0)
+    assert(kg(1) == kg(4)) // "two three" at positions 1 and 4
+  }
+
   test("jaccard_sorted and cosine_f from SQL") {
     val j = spark.sql(
       "SELECT jaccard_sorted(array(1L, 2L, 3L), array(2L, 3L, 4L)) AS j").collect()(0)

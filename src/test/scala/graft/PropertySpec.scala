@@ -88,6 +88,50 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("kgramHashes: positional count, order-kept, append-stable prefix") {
+    samples(textGen, 200).foreach { t =>
+      val u = UTF8String.fromString(t)
+      val kg = HashOps.kgramHashes(u, 3).toLongArray()
+      val nTokens = t.split(" ", -1).length
+      assert(kg.length == math.max(nTokens - 2, 0))
+      // each position hashes only its own window: appending a token adds
+      // exactly one k-gram and leaves every existing position unchanged
+      val appended = HashOps.kgramHashes(
+        UTF8String.fromString(t + " zz"), 3).toLongArray()
+      assert(appended.length == kg.length + (if (nTokens >= 2) 1 else 0))
+      assert(appended.take(kg.length).sameElements(kg))
+    }
+  }
+
+  test("embedShingles: unit or zero norm; positive scaling never flips buckets") {
+    val rnd = new scala.util.Random(7)
+    val planes = Array.fill(2 * 6 * 32)(rnd.nextGaussian())
+    samples(textGen, 150).foreach { t =>
+      val v = HashOps.embedShingles(UTF8String.fromString(t), 3, 32)
+      val xs = v.toFloatArray()
+      val norm = math.sqrt(xs.map(x => x.toDouble * x).sum)
+      assert(norm == 0.0 || math.abs(norm - 1.0) < 1e-6)
+      // hyperplane buckets depend on direction only: scaling by an exact
+      // positive power of two preserves every sign bit
+      val scaled = UnsafeArrayData.fromPrimitiveArray(xs.map(_ * 4.0f))
+      val b1 = HashOps.hyperplaneBuckets(v, planes, 6, 2).toLongArray()
+      val b2 = HashOps.hyperplaneBuckets(scaled, planes, 6, 2).toLongArray()
+      assert(b1.length == 2 && b1.sameElements(b2))
+    }
+  }
+
+  test("BPE mergePair: concatenation preserved, length decreases by merge count") {
+    val symGen = Gen.listOf(Gen.oneOf("a", "b", "c", "ab"))
+    samples(symGen, 200).foreach { syms =>
+      val merged = graft.text.BpeTrainer.mergePair(syms, "a", "b")
+      assert(merged.mkString == syms.mkString)
+      val pairs = syms.sliding(2).count(w => w == Seq("a", "b"))
+      assert(merged.length >= syms.length - pairs)
+      // greedy left-to-right: no adjacent (a, b) survives
+      assert(!merged.sliding(2).exists(_ == Seq("a", "b")))
+    }
+  }
+
   test("nearestCell within nearCells head") {
     val vecGen = Gen.listOfN(8, Gen.chooseNum(-100, 100).map(_.toFloat / 10f))
       .suchThat(_.exists(_ != 0f))

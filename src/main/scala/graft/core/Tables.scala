@@ -32,15 +32,19 @@ object Tables {
   def registerAll(spark: SparkSession, dir: String): Unit =
     all.foreach(n => load(spark, dir, n).createOrReplaceTempView(n))
 
-  /** Load + spread across all cores. For CPU-heavy derivations (shingle
-    * hashing, minhash, embeddings) over a table whose file count is below
-    * the core count: a small table arrives as ONE input split, so every
-    * expensive expression upstream of the first shuffle runs single-core.
-    * The round-robin shuffle of raw rows is cheap relative to the kernels
-    * it parallelizes; at production scale the scan already has more splits
-    * than cores and AQE coalesces the repartition away from the critical
-    * path.
+  /** Load + spread across all cores — but only when the scan is narrower
+    * than the cluster. For CPU-heavy derivations (shingle hashing, minhash,
+    * embeddings) over a table whose split count is below the core count,
+    * every expensive expression upstream of the first shuffle runs on too
+    * few cores, so a cheap round-robin shuffle of the raw rows pays for
+    * itself. At production scale the scan already has more splits than
+    * cores and the repartition would be a pure extra shuffle of every input
+    * byte — so it is gated on the scan's actual partition count (asking the
+    * physical plan for its partitioning runs no job).
     */
-  def loadSpread(spark: SparkSession, dir: String, name: String): DataFrame =
-    load(spark, dir, name).repartition(spark.sparkContext.defaultParallelism)
+  def loadSpread(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val df = load(spark, dir, name)
+    val target = spark.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+  }
 }

@@ -152,49 +152,57 @@ object EventQueries {
     * running `last(click, ignoreNulls)` window over (user, time) — a
     * SINGLE shuffle on user_id with no join explosion and no range-join
     * quadratic blowup; at scale the window is as parallel as the user
-    * count. Clicks sort before purchases at equal timestamps, giving the
-    * inclusive (`p.ts >= c.ts`) match of DuckDB's native ASOF JOIN, which
-    * is the oracle.
+    * count. The match runs at the column's FULL ns precision (µs only in
+    * the output columns), clicks sort before purchases at equal ns (the
+    * inclusive `p.ts >= c.ts` semantics), and ties among equal-ts clicks
+    * break on max click_id — the oracle spells out the identical
+    * latest-(ts, event_id) rule, so both sides are deterministic even on
+    * data with sub-µs orderings or duplicate (user, ts) clicks.
     */
   val q16AsofJoin: QueryDef = QueryDef(
     "q16_asof_join",
     (s, dir) => {
       val e = Tables.load(s, dir, "events")
       val clicks = e.filter(col("event_type") === "click")
-        .select(col("user_id"), expr("ts div 1000").as("t_us"),
+        .select(col("user_id"), col("ts"),
           lit(0).as("tag"), col("event_id").as("click_id"))
       val purchases = e.filter(col("event_type") === "purchase")
-        .select(col("user_id"), expr("ts div 1000").as("t_us"),
+        .select(col("user_id"), col("ts"),
           lit(1).as("tag"), col("event_id").as("purchase_id"))
       val tagged = clicks
         .withColumn("purchase_id", lit(null).cast("long"))
         .unionByName(purchases.withColumn("click_id", lit(null).cast("long")))
       val w = org.apache.spark.sql.expressions.Window
-        .partitionBy("user_id").orderBy("t_us", "tag", "click_id")
+        .partitionBy("user_id").orderBy("ts", "tag", "click_id")
         .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
       tagged
         .withColumn("last_click",
           last(when(col("tag") === 0,
-            struct(col("t_us").as("ct"), col("click_id").as("cid"))), ignoreNulls = true)
+            struct(col("ts").as("ct"), col("click_id").as("cid"))), ignoreNulls = true)
             .over(w))
         .filter(col("tag") === 1 && col("last_click").isNotNull)
         .select(col("purchase_id"), col("user_id"),
-          col("t_us").as("t_purchase_us"),
+          expr("ts div 1000").as("t_purchase_us"),
           col("last_click.cid").as("click_id"),
-          col("last_click.ct").as("t_click_us"),
-          ((col("t_us") - col("last_click.ct")).cast(DoubleType) /
+          expr("last_click.ct div 1000").as("t_click_us"),
+          ((expr("ts div 1000") - expr("last_click.ct div 1000")).cast(DoubleType) /
             lit(1000000.0)).as("wait_sec"))
         .orderBy("purchase_id")
     },
     Some("""
-      SELECT p.event_id AS purchase_id, p.user_id,
-             epoch_us(p.ts) AS t_purchase_us,
-             c.event_id AS click_id, epoch_us(c.ts) AS t_click_us,
-             CAST(epoch_us(p.ts) - epoch_us(c.ts) AS DOUBLE)
+      SELECT purchase_id, user_id, t_purchase_us, click_id, t_click_us,
+             CAST(t_purchase_us - t_click_us AS DOUBLE)
                / CAST(1000000 AS DOUBLE) AS wait_sec
-      FROM (SELECT * FROM events WHERE event_type = 'purchase') p
-      ASOF JOIN (SELECT * FROM events WHERE event_type = 'click') c
-        ON p.user_id = c.user_id AND p.ts >= c.ts
+      FROM (
+        SELECT p.event_id AS purchase_id, p.user_id,
+               epoch_us(p.ts) AS t_purchase_us,
+               c.event_id AS click_id, epoch_us(c.ts) AS t_click_us,
+               ROW_NUMBER() OVER (PARTITION BY p.event_id
+                 ORDER BY c.ts DESC, c.event_id DESC) AS rn
+        FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        JOIN (SELECT * FROM events WHERE event_type = 'click') c
+          ON c.user_id = p.user_id AND c.ts <= p.ts)
+      WHERE rn = 1
       ORDER BY purchase_id""")
   )
 

@@ -29,11 +29,31 @@ import org.apache.spark.storage.StorageLevel
   * dominates the query otherwise. This is the Spark ML convention
   * (KMeans/ALS persist their working sets); disk-backed level keeps the
   * multi-pass shape valid when the vectors exceed cluster memory.
+  * [[nearDupPairs]] materializes the (small) pair set eagerly and releases
+  * both working sets before returning, so repeated invocations in one
+  * session do not accumulate cached tables in the shared storage pool.
   */
 object EmbeddingDedup {
 
+  /** Materialized near-dup pairs. Runs the multi-pass LSH plan once (the
+    * pair set is tiny relative to the corpus — near-dups only), keeps the
+    * result as checkpointed blocks the context cleaner reclaims on GC, and
+    * unpersists the big working sets immediately.
+    */
   def nearDupPairs(embeddings: DataFrame, idCol: String, vecCol: String,
       dim: Int, threshold: Double, bands: Int = 4, bits: Int = 12): DataFrame = {
+    val (pairs, release) =
+      nearDupPairsPlan(embeddings, idCol, vecCol, dim, threshold, bands, bits)
+    try pairs.localCheckpoint(eager = true) finally release()
+  }
+
+  /** The lazy plan plus a hook releasing its persisted working sets —
+    * callers that only inspect the plan (tests) or manage materialization
+    * themselves MUST invoke the hook once done.
+    */
+  def nearDupPairsPlan(embeddings: DataFrame, idCol: String, vecCol: String,
+      dim: Int, threshold: Double, bands: Int = 4, bits: Int = 12)
+      : (DataFrame, () => Unit) = {
     val rnd = new scala.util.Random(42L)
     val planes = Array.fill(bands * bits * dim)(rnd.nextGaussian())
     val base = embeddings.select(col(idCol).as("vec_id"), col(vecCol).as("v"))
@@ -47,11 +67,12 @@ object EmbeddingDedup {
     val cands = a.join(b, Seq("band", "bucket"))
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()
-    cands
+    val pairs = cands
       .join(base.select(col("vec_id").as("id_a"), col("v").as("va")), Seq("id_a"))
       .join(base.select(col("vec_id").as("id_b"), col("v").as("vb")), Seq("id_b"))
       .withColumn("cos", VectorFunctions.cosineFast(col("va"), col("vb")))
       .filter(col("cos") >= threshold)
       .select("id_a", "id_b", "cos")
+    (pairs, () => { base.unpersist(blocking = false); banded.unpersist(blocking = false); () })
   }
 }

@@ -31,6 +31,26 @@ object Ivf {
       if (n == 0.0) c else c.map(_ / n)
     }
 
+  /** Session-scoped index cache modeling the real build-once / search-many
+    * lifecycle: an IVF index is built offline and then serves many queries,
+    * so train and search must not be conflated in one plan. Training is
+    * fully deterministic (see [[train]]), which makes memoization
+    * semantically transparent — a cached model is bit-identical to a
+    * retrained one.
+    */
+  private val modelCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, String, Int, Int), Array[Double]]()
+
+  /** [[train]] memoized on (corpusKey, vecCol, k, iters). Callers pass the
+    * corpus identity (e.g. its directory) as `corpusKey`; the query and its
+    * verification dumps then share ONE build instead of re-training per
+    * consumer.
+    */
+  def trainCached(embeddings: DataFrame, corpusKey: String, vecCol: String,
+      k: Int, iters: Int): Array[Double] =
+    modelCache.computeIfAbsent((corpusKey, vecCol, k, iters),
+      _ => train(embeddings, vecCol, k, iters))
+
   /** Deterministic k-cell training: first-k seed + `iters` Lloyd steps.
     * Each step is two shuffles (assign+explode, then groupBy(cell, pos)
     * exact mean); the collected model is k × dim doubles — driver-tiny at

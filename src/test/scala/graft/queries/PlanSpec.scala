@@ -77,9 +77,37 @@ class PlanSpec extends SparkSpec {
     assert(!treeAfter.contains("text#"), "text column crossed a shuffle")
   }
 
+  test("loadSpread shuffles narrow scans but never already-parallel ones") {
+    // narrow: the sf0.001 single-file table is below defaultParallelism,
+    // so the spread must add exactly one round-robin exchange
+    val narrow = Tables.loadSpread(spark, sf, "documents")
+    assert(planOf(narrow).contains("Exchange"))
+    assert(narrow.rdd.getNumPartitions == spark.sparkContext.defaultParallelism)
+
+    // wide: re-lay the same table as many files; the scan then has at least
+    // defaultParallelism splits and the spread must add NO exchange — at
+    // 100 TB the repartition would reshuffle every input byte for nothing
+    val tmp = java.nio.file.Files.createTempDirectory("graft-spread").toString
+    Tables.load(spark, sf, "documents").repartition(64)
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val scanParts = Tables.load(spark, tmp, "documents").rdd.getNumPartitions
+    assert(scanParts >= spark.sparkContext.defaultParallelism,
+      s"fixture layout produced only $scanParts splits")
+    val wide = Tables.loadSpread(spark, tmp, "documents")
+    assert(!planOf(wide).contains("Exchange"),
+      s"spread reshuffled an already-parallel scan:\n${planOf(wide)}")
+  }
+
   test("LSH verify joins hash-join the fat side (no sort of vectors)") {
-    val plan = planOf(graft.dedup.DedupQueries.d5EmbeddingNearDup.fn(spark, sf))
-    assert(plan.contains("ShuffledHashJoin") || plan.contains("BroadcastHashJoin"),
-      s"verify join fell back to sort-merge:\n$plan")
+    // the registered d5 materializes eagerly (and releases its caches), so
+    // the plan property is pinned on the lazy builder backing it
+    val (pairs, release) = graft.sim.EmbeddingDedup.nearDupPairsPlan(
+      Tables.load(spark, sf, "embeddings"), "vec_id", "embedding",
+      dim = 64, threshold = 0.5, bands = 32, bits = 12)
+    try {
+      val plan = planOf(pairs)
+      assert(plan.contains("ShuffledHashJoin") || plan.contains("BroadcastHashJoin"),
+        s"verify join fell back to sort-merge:\n$plan")
+    } finally release()
   }
 }

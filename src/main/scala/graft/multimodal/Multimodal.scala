@@ -1,5 +1,9 @@
 package graft.multimodal
 
+import java.awt.image.BufferedImage
+import java.io.ByteArrayInputStream
+import javax.imageio.ImageIO
+
 import org.apache.spark.sql.{Dataset, Encoder, Encoders}
 
 /** Multimodal binary-column processing (builder north-star; SURVEY §2 A4/H
@@ -10,11 +14,11 @@ import org.apache.spark.sql.{Dataset, Encoder, Encoders}
   * more than one batch of decoded media at a time, and the partitioning is
   * preserved (no shuffle anywhere in this module).
   *
-  * DECODE IS A STUB: the container has no image/audio codecs, so
-  * [[FakeCodec]] produces a deterministic pseudo-decode from the bytes.
-  * Everything downstream of the codec boundary — schemas, batch shape,
-  * resize geometry, frame sampling, feature layout — is real and tested;
-  * swapping in javax.imageio / jcodec touches only [[FakeCodec.decode]].
+  * Decode is REAL: images via `javax.imageio` (PNG/JPEG/BMP/GIF — the same
+  * JDK codec the sink side uses, [[graft.sinks.Artifacts]]), video via a
+  * RIFF/AVI container parse + per-frame JPEG decode. The reference's
+  * pipeline likewise decodes pixel data before analysis
+  * (/root/reference/picoprobe/tools/temporal.py:21-35).
   */
 final case class MediaMeta(
     width: Int, height: Int, channels: Int,
@@ -29,22 +33,89 @@ final case class VideoFrame(media_id: Long, frame_idx: Int, frame: Array[Byte])
 
 final case class MediaFeatures(media_id: Long, features: Array[Float])
 
-/** STUB codec — deterministic stand-in for a real decoder. */
-object FakeCodec {
-  /** Pseudo-decode `n` bytes from content: position-mixed byte stream.
-    * ??? in spirit — replace with a real codec; signature and output
-    * contract (row-major uint8, length = w·h·c) are the real ones.
-    */
-  def decode(content: Array[Byte], n: Int): Array[Byte] = {
-    val out = new Array[Byte](n)
-    val len = math.max(content.length, 1)
-    var i = 0
-    while (i < n) {
-      val b = if (content.isEmpty) 0 else content(i % len) & 0xFF
-      out(i) = ((b ^ (i * 31)) & 0xFF).toByte
-      i += 1
+/** Real pure-JVM media codec.
+  *
+  * Images decode through `javax.imageio` to row-major uint8 `(y, x, band)`
+  * with the channel count taken from the image's own color model (gray→1,
+  * RGB→3, RGBA→4). Video decodes from the MJPEG-in-AVI container
+  * [[graft.sinks.Artifacts.mjpegAvi]] writes: the RIFF walk collects the
+  * `00dc` chunk offsets ONCE per file, so frame access is random — a
+  * sampler decodes only the frames it keeps, never the whole stream.
+  */
+object Codec {
+
+  // in-memory sources only — never spill ImageIO's read cache to disk
+  ImageIO.setUseCache(false)
+
+  /** Decode one encoded image to (width, height, channels, row-major u8). */
+  def decodeImage(content: Array[Byte]): (Int, Int, Int, Array[Byte]) = {
+    val img = ImageIO.read(new ByteArrayInputStream(content))
+    require(img != null, "content is not a decodable image")
+    toRowMajor(img)
+  }
+
+  private def toRowMajor(img: BufferedImage): (Int, Int, Int, Array[Byte]) = {
+    val w = img.getWidth
+    val h = img.getHeight
+    val c = img.getColorModel.getNumComponents
+    val raster = img.getRaster
+    val out = new Array[Byte](w * h * c)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        var b = 0
+        while (b < c) {
+          out((y * w + x) * c + b) = raster.getSample(x, y, b).toByte
+          b += 1
+        }
+        x += 1
+      }
+      y += 1
     }
-    out
+    (w, h, c, out)
+  }
+
+  /** A parsed AVI: frame chunk offsets + lazy per-frame decode. */
+  final class AviVideo(content: Array[Byte], frames: Array[(Int, Int)]) {
+    def frameCount: Int = frames.length
+    /** Decode frame `i` to (width, height, channels, row-major u8). */
+    def decodeFrame(i: Int): (Int, Int, Int, Array[Byte]) = {
+      val (off, len) = frames(i)
+      decodeImage(java.util.Arrays.copyOfRange(content, off, off + len))
+    }
+  }
+
+  /** Walk the RIFF structure and index the `00dc` video chunks (one pass,
+    * no frame decoded). Accepts the flat `movi` layout our muxer writes.
+    */
+  def parseAvi(content: Array[Byte]): AviVideo = {
+    def le32(p: Int): Int =
+      (content(p) & 0xFF) | ((content(p + 1) & 0xFF) << 8) |
+        ((content(p + 2) & 0xFF) << 16) | ((content(p + 3) & 0xFF) << 24)
+    def fourcc(p: Int): String =
+      new String(content, p, 4, "US-ASCII")
+    require(content.length >= 12 && fourcc(0) == "RIFF" && fourcc(8) == "AVI ",
+      "content is not a RIFF/AVI container")
+
+    val frames = Array.newBuilder[(Int, Int)]
+    var pos = 12
+    while (pos + 8 <= content.length) {
+      val id = fourcc(pos)
+      val size = le32(pos + 4)
+      if (id == "LIST" && pos + 12 <= content.length && fourcc(pos + 8) == "movi") {
+        var p = pos + 12
+        val end = math.min(pos + 8 + size, content.length)
+        while (p + 8 <= end) {
+          val cid = fourcc(p)
+          val csize = le32(p + 4)
+          if (cid == "00dc") frames += ((p + 8, csize))
+          p += 8 + csize + (csize & 1)
+        }
+      }
+      pos += 8 + size + (size & 1)
+    }
+    new AviVideo(content, frames.result())
   }
 }
 
@@ -60,14 +131,16 @@ object Multimodal {
     */
   val BatchSize = 64
 
-  /** Decode images: one row per image, pixels row-major (y, x, channel). */
+  /** Decode images: one row per image, pixels row-major (y, x, channel).
+    * Geometry comes from the decoded bytes themselves, not the metadata —
+    * the typed meta is for predicate pruning, the content is the truth.
+    */
   def decodeImages(media: Dataset[Media]): Dataset[DecodedImage] =
     media.mapPartitions { it =>
       it.grouped(BatchSize).flatMap { batch =>
         batch.map { m =>
-          val n = m.meta.width * m.meta.height * m.meta.channels
-          DecodedImage(m.media_id, m.meta.width, m.meta.height, m.meta.channels,
-            FakeCodec.decode(m.content, n))
+          val (w, h, c, px) = Codec.decodeImage(m.content)
+          DecodedImage(m.media_id, w, h, c, px)
         }
       }
     }
@@ -99,25 +172,19 @@ object Multimodal {
     }
 
   /** Sample every `everyN`-th frame of each video (1 file → ⌈T/n⌉ rows,
-    * the flatMap/UDTF shape of SURVEY §2 H). Frame bytes come from the
-    * stub codec; the fan-out, indexing and batching are real.
+    * the flatMap/UDTF shape of SURVEY §2 H). The container is parsed ONCE
+    * per video and only the sampled frames are decoded — MJPEG frames are
+    * independent, so random access skips the dropped frames entirely
+    * (an inter-frame codec would decode forward from the last keyframe).
     */
   def sampleFrames(media: Dataset[Media], everyN: Int): Dataset[VideoFrame] =
     media.mapPartitions { it =>
       it.grouped(BatchSize).flatMap { batch =>
         batch.iterator.flatMap { m =>
-          val frameBytes = m.meta.width * m.meta.height * m.meta.channels
-          val sampled = Range(0, m.meta.nFrames, everyN)
-          if (sampled.isEmpty) Iterator.empty
-          else {
-            // decode ONCE per video up to the last sampled frame, then
-            // slice — re-decoding from the stream start per frame would be
-            // Σf = O(T²) work per video with a real codec
-            val all = FakeCodec.decode(m.content, frameBytes * (sampled.last + 1))
-            sampled.iterator.map { f =>
-              VideoFrame(m.media_id, f,
-                java.util.Arrays.copyOfRange(all, frameBytes * f, frameBytes * (f + 1)))
-            }
+          val avi = Codec.parseAvi(m.content)
+          Range(0, avi.frameCount, everyN).iterator.map { f =>
+            val (_, _, _, px) = avi.decodeFrame(f)
+            VideoFrame(m.media_id, f, px)
           }
         }
       }

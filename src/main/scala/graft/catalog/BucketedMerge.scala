@@ -1,0 +1,194 @@
+package graft.catalog
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Partition-scoped MERGE over versioned parquet: the snapshot is laid out
+  * in `nBuckets` hash-buckets of the merge key, and a merge REWRITES ONLY
+  * THE BUCKETS CONTAINING UPDATE KEYS — write amplification is
+  * O(touched buckets), not O(table). A 100 TB catalog takes point-update
+  * batches without re-materializing itself (the flaw [[Merge]] documents).
+  *
+  * Atomicity comes from a per-version MANIFEST that maps every bucket to
+  * the version whose directory holds its current data:
+  *
+  * {{{
+  * dir/
+  *   _CURRENT            # version pointer (atomic rename swap)
+  *   manifest-<n>.txt    # nBuckets + bucket -> data-version map
+  *   v=<n>/bucket=<b>/   # parquet, written once, never mutated
+  * }}}
+  *
+  * A merge writes the merged touched buckets under `v=<next>/`, writes
+  * `manifest-<next>` pointing touched buckets at `<next>` and untouched
+  * buckets at their PREVIOUS locations (their files are never rewritten —
+  * pointer-swapped forward), then atomically swaps `_CURRENT`. Readers
+  * resolve pointer → manifest → bucket paths, so they always see one
+  * complete, consistent snapshot.
+  *
+  * Scale shape: the touched-bucket set is found with one distinct over the
+  * update keys' bucket ids (≤ nBuckets values — driver-tiny); the merge
+  * itself is [[Merge.mergeFrames]] restricted to the touched buckets' data
+  * (anti-join shuffles only those buckets, not the table). At 100 TB pick
+  * nBuckets so one bucket ≈ a few GB; merge cost is then proportional to
+  * the update batch's key spread, independent of table size.
+  */
+object BucketedMerge {
+
+  private val BucketCol = "bucket"
+
+  final case class Manifest(nBuckets: Int, buckets: Map[Int, Long])
+
+  /** Hash-bucket id of the key columns — Spark's Murmur3, stable across
+    * runs and partitionings.
+    */
+  def bucketExpr(keys: Seq[String], nBuckets: Int): org.apache.spark.sql.Column =
+    pmod(hash(keys.map(col): _*), lit(nBuckets))
+
+  def currentVersion(dir: String): Option[Long] = Merge.currentVersion(dir)
+
+  private def manifestPath(dir: String, v: Long) =
+    java.nio.file.Paths.get(dir, s"manifest-$v.txt")
+
+  def readManifest(dir: String, v: Long): Manifest = {
+    val lines = new String(
+      java.nio.file.Files.readAllBytes(manifestPath(dir, v)), "UTF-8")
+      .linesIterator.filter(_.nonEmpty).toSeq
+    val n = lines.head.stripPrefix("nBuckets=").toInt
+    val m = lines.tail.map { l =>
+      val Array(b, ver) = l.split("=", 2); b.toInt -> ver.toLong
+    }.toMap
+    Manifest(n, m)
+  }
+
+  private def writeVersion(dir: String, v: Long, m: Manifest): Unit = {
+    val body = (s"nBuckets=${m.nBuckets}" +:
+      m.buckets.toSeq.sortBy(_._1).map { case (b, ver) => s"$b=$ver" })
+      .mkString("\n")
+    java.nio.file.Files.write(manifestPath(dir, v), body.getBytes("UTF-8"))
+    // manifest is complete on disk before the pointer moves
+    val cur = java.nio.file.Paths.get(dir, "_CURRENT")
+    val tmp = java.nio.file.Paths.get(dir, "_CURRENT.tmp")
+    java.nio.file.Files.write(tmp, v.toString.getBytes("UTF-8"))
+    java.nio.file.Files.move(tmp, cur,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  private def bucketDir(dir: String, ver: Long, b: Int): String =
+    s"$dir/v=$ver/$BucketCol=$b"
+
+  /** Paths holding the named buckets' current data (absent buckets — never
+    * yet written — contribute no path).
+    */
+  private def bucketPaths(dir: String, m: Manifest, buckets: Iterable[Int]): Seq[String] =
+    buckets.toSeq.sorted.flatMap(b => m.buckets.get(b).map(bucketDir(dir, _, b)))
+
+  /** Read the current snapshot (bucket column not included — it is layout,
+    * not data).
+    */
+  def read(spark: SparkSession, dir: String): DataFrame = {
+    val v = currentVersion(dir).getOrElse(
+      throw new IllegalStateException(s"no _CURRENT pointer in $dir"))
+    val m = readManifest(dir, v)
+    spark.read.parquet(bucketPaths(dir, m, m.buckets.keys): _*)
+  }
+
+  /** Read only the named buckets of the current snapshot. */
+  private def readBuckets(spark: SparkSession, dir: String, m: Manifest,
+      buckets: Set[Int]): Option[DataFrame] = {
+    val paths = bucketPaths(dir, m, buckets)
+    if (paths.isEmpty) None else Some(spark.read.parquet(paths: _*))
+  }
+
+  private def writeBuckets(df: DataFrame, keys: Seq[String], nBuckets: Int,
+      dir: String, v: Long): Unit = {
+    require(!df.columns.contains(BucketCol),
+      s"input schema may not contain the reserved column '$BucketCol'")
+    df.withColumn(BucketCol, bucketExpr(keys, nBuckets))
+      .write.partitionBy(BucketCol).mode("overwrite").parquet(s"$dir/v=$v")
+  }
+
+  /** MERGE `updates` into the bucketed table at `dir` by `keys`; creates
+    * the table with `nBuckets` buckets on first call (nBuckets is fixed at
+    * create time and read from the manifest thereafter). Duplicate-keyed
+    * updates resolve via [[Merge.dedupeUpdates]]. Returns the new version.
+    */
+  def mergeInto(spark: SparkSession, dir: String, updates: DataFrame,
+      keys: Seq[String], nBuckets: Int = 64): Long = {
+    currentVersion(dir) match {
+      case None =>
+        java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+        val up = Merge.dedupeUpdates(updates, keys)
+        writeBuckets(up, keys, nBuckets, dir, 0L)
+        val written = listWrittenBuckets(dir, 0L)
+        writeVersion(dir, 0L, Manifest(nBuckets, written.map(_ -> 0L).toMap))
+        0L
+      case Some(v) =>
+        val m = readManifest(dir, v)
+        val next = v + 1
+        val up = Merge.dedupeUpdates(updates, keys)
+        // touched-bucket set: ≤ nBuckets distinct values — driver-tiny
+        val touched = up.select(bucketExpr(keys, m.nBuckets).as("b"))
+          .distinct().collect().map(_.getInt(0)).toSet
+        val merged = readBuckets(spark, dir, m, touched) match {
+          case Some(existing) => Merge.mergeFrames(existing, up, keys)
+          case None => up
+        }
+        writeBuckets(merged, keys, m.nBuckets, dir, next)
+        // untouched buckets pointer-swap forward; their files never move
+        writeVersion(dir, next,
+          Manifest(m.nBuckets, m.buckets ++ touched.map(_ -> next)))
+        next
+    }
+  }
+
+  private def listWrittenBuckets(dir: String, v: Long): Seq[Int] = {
+    val base = java.nio.file.Paths.get(s"$dir/v=$v")
+    val s = java.nio.file.Files.list(base)
+    try s.iterator().asScala
+      .map(_.getFileName.toString)
+      .filter(_.startsWith(s"$BucketCol="))
+      .map(_.stripPrefix(s"$BucketCol=").toInt).toSeq
+    finally s.close()
+  }
+
+  private implicit class IterScala[A](it: java.util.Iterator[A]) {
+    def asScala: Iterator[A] = new Iterator[A] {
+      def hasNext: Boolean = it.hasNext
+      def next(): A = it.next()
+    }
+  }
+
+  /** Drop version directories and manifests no kept manifest references.
+    * Unlike [[Merge.vacuum]], a version directory may hold CURRENT data
+    * for buckets untouched since — only unreferenced ones delete.
+    */
+  def vacuum(dir: String, keep: Int = 2): Unit = {
+    val cur = currentVersion(dir).getOrElse(return)
+    val keptVersions = ((cur - keep + 1) max 0L) to cur
+    val referenced = keptVersions
+      .filter(v => java.nio.file.Files.exists(manifestPath(dir, v)))
+      .flatMap(v => readManifest(dir, v).buckets.values).toSet
+    val base = java.nio.file.Paths.get(dir)
+    val s = java.nio.file.Files.list(base)
+    try {
+      s.iterator().asScala.foreach { p =>
+        val n = p.getFileName.toString
+        if (n.startsWith("v=") && !referenced.contains(n.drop(2).toLong))
+          deleteRecursively(p)
+        else if (n.startsWith("manifest-") &&
+            !keptVersions.contains(n.stripPrefix("manifest-").stripSuffix(".txt").toLong))
+          java.nio.file.Files.deleteIfExists(p)
+      }
+    } finally s.close()
+  }
+
+  private def deleteRecursively(p: java.nio.file.Path): Unit = {
+    if (java.nio.file.Files.isDirectory(p)) {
+      val s = java.nio.file.Files.list(p)
+      try s.iterator().asScala.foreach(deleteRecursively) finally s.close()
+    }
+    java.nio.file.Files.deleteIfExists(p)
+  }
+}

@@ -16,19 +16,45 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *
   * Scale shape: a merge is one left-anti join of the current snapshot
   * against the update keys (shuffle on the key columns) plus a union —
-  * no driver-side row handling. Snapshot rewrite is the plain-parquet
-  * cost; bucketed/partitioned layouts bound it to touched partitions.
+  * no driver-side row handling. THIS object rewrites the full snapshot
+  * per merge, which is only appropriate for small tables (config,
+  * registries); large keyed tables use [[BucketedMerge]], which rewrites
+  * ONLY the key-buckets an update batch touches.
   */
 object Merge {
 
+  /** Resolve duplicate-keyed update rows to ONE deterministic winner per
+    * key: the greatest non-key tuple (descending over all non-key columns),
+    * which is partitioning- and rerun-stable — unlike a bare
+    * `dropDuplicates`, whose survivor depends on physical row order. With
+    * no non-key columns the rows are identical and any survivor is the
+    * same row.
+    */
+  def dedupeUpdates(updates: DataFrame, keys: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.functions.{col, row_number}
+    val nonKeys = updates.columns.filterNot(keys.contains)
+    if (nonKeys.isEmpty) updates.dropDuplicates(keys)
+    else {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(keys.map(col): _*)
+        .orderBy(nonKeys.map(c => col(c).desc_nulls_last): _*)
+      updates.withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1).drop("__rn")
+    }
+  }
+
   /** Pure MERGE combinator: rows of `updates` win on key match; unmatched
     * `target` rows survive; unmatched `updates` insert. Both inputs must
-    * share the schema.
+    * share the schema. Duplicate-keyed updates resolve via
+    * [[dedupeUpdates]] — both the first-create path and the merge path
+    * enforce the same one-row-per-key contract.
     */
-  def mergeFrames(target: DataFrame, updates: DataFrame, keys: Seq[String]): DataFrame =
-    updates.unionByName(
-      target.join(updates.select(keys.map(org.apache.spark.sql.functions.col): _*)
-        .dropDuplicates(keys), keys, "left_anti"))
+  def mergeFrames(target: DataFrame, updates: DataFrame, keys: Seq[String]): DataFrame = {
+    val up = dedupeUpdates(updates, keys)
+    up.unionByName(
+      target.join(up.select(keys.map(org.apache.spark.sql.functions.col): _*),
+        keys, "left_anti"))
+  }
 
   /** Current version number, if the table exists. */
   def currentVersion(dir: String): Option[Long] = {
@@ -65,7 +91,7 @@ object Merge {
       keys: Seq[String]): Long = {
     val merged = currentVersion(dir) match {
       case Some(_) => mergeFrames(read(spark, dir), updates, keys)
-      case None => updates.dropDuplicates(keys)
+      case None => dedupeUpdates(updates, keys)
     }
     writeSnapshot(merged, dir)
   }

@@ -8,9 +8,21 @@ import org.apache.spark.storage.StorageLevel
   * classic merge-learning loop (Sennrich et al., 2016) in its scalable
   * formulation: merges operate on the DISTINCT-WORD table weighted by
   * corpus counts, never on the corpus itself. The corpus is touched once
-  * (word count); each merge iteration is one aggregate over the
-  * vocabulary (bounded: millions of rows at any corpus size) plus a
-  * driver-side argmax of a single row.
+  * (word count — the only input-sized job); the merge loop then runs
+  * driver-locally over the collected vocabulary with an incremental
+  * pair-count index, so a production 32k-merge run is ONE Spark job plus
+  * in-memory updates — not 32k sequential cluster jobs.
+  *
+  * Why not batch top-m merges per distributed pass instead: batch
+  * selection cannot reproduce the sequential semantics — applying the top
+  * pair creates NEW pairs that may outrank the rest of the batch (the
+  * textbook corpus itself: merging (e,s) creates (es,t), which ties the
+  * next count and wins — a from-scratch top-2 batch would pick (l,o)).
+  * The distinct-word table is bounded (vocabulary, not corpus: even a
+  * web-scale corpus has ~1e7-1e8 distinct words), so localizing it after
+  * the one corpus aggregate is both exact and driver-safe; a vocabulary
+  * over `localVocabLimit` falls back to the one-job-per-merge distributed
+  * loop ([[trainDistributed]]) rather than risking driver memory.
   *
   * The learned artifact is the ordered merge list; [[encode]] applies it
   * greedily in learned order — the standard BPE tokenizer contract.
@@ -20,19 +32,97 @@ object BpeTrainer {
   /** One vocabulary entry: the word as its current symbol sequence. */
   final case class WordSyms(syms: Seq[String], n: Long)
 
-  /** Learn `numMerges` merge rules from `docs(textCol)`. Deterministic:
-    * ties on pair frequency break lexicographically.
-    */
-  def train(docs: DataFrame, textCol: String, numMerges: Int): Seq[(String, String)] = {
+  /** Distinct-word counts — the ONE corpus-sized aggregation. */
+  private def wordCounts(docs: DataFrame, textCol: String): Dataset[(String, Long)] = {
     val spark = docs.sparkSession
     import spark.implicits._
-
-    // one corpus pass: word → count, then words become char sequences
-    var vocab: Dataset[WordSyms] = docs
-      .select(explode(split(col(textCol), " ")).as("w"))
+    docs.select(explode(split(col(textCol), " ")).as("w"))
       .filter(length(col("w")) > 0)
       .groupBy("w").agg(count(lit(1)).as("n"))
       .as[(String, Long)]
+  }
+
+  /** Learn `numMerges` merge rules from `docs(textCol)`. Deterministic:
+    * ties on pair frequency break lexicographically.
+    */
+  def train(docs: DataFrame, textCol: String, numMerges: Int,
+      localVocabLimit: Long = 4000000L): Seq[(String, String)] = {
+    val wc = wordCounts(docs, textCol).persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      if (wc.count() <= localVocabLimit)
+        trainLocal(wc.collect().map { case (w, n) => (w.map(_.toString), n) }, numMerges)
+      else trainDistributed(wc, numMerges)
+    } finally { wc.unpersist(blocking = false); () }
+  }
+
+  /** Exact sequential BPE over an in-memory vocabulary with an incremental
+    * pair index: per merge, only the words containing the merged pair are
+    * touched, and a TreeSet keyed (-count, a, b) yields the argmax in
+    * O(log P). Identical results to [[trainDistributed]] (spec-pinned).
+    */
+  def trainLocal(vocab: Array[(Seq[String], Long)], numMerges: Int): Seq[(String, String)] = {
+    import scala.collection.mutable
+    val words: Array[Seq[String]] = vocab.map(_._1)
+    val wn: Array[Long] = vocab.map(_._2)
+
+    val pairCount = mutable.HashMap.empty[(String, String), Long]
+    val pairWords = mutable.HashMap.empty[(String, String), mutable.BitSet]
+    // head = highest count, then lexicographically smallest pair
+    val queue = mutable.TreeSet.empty[(Long, String, String)]
+
+    def bump(p: (String, String), delta: Long): Unit = {
+      val old = pairCount.getOrElse(p, 0L)
+      if (old > 0) queue.remove((-old, p._1, p._2))
+      val nu = old + delta
+      if (nu > 0) { pairCount(p) = nu; queue.add((-nu, p._1, p._2)); () }
+      else { pairCount.remove(p); () }
+    }
+    def pairsOf(syms: Seq[String]): Iterator[(String, String)] =
+      if (syms.length < 2) Iterator.empty
+      else syms.iterator.zip(syms.iterator.drop(1))
+
+    var wid = 0
+    while (wid < words.length) {
+      pairsOf(words(wid)).foreach { p =>
+        bump(p, wn(wid))
+        pairWords.getOrElseUpdate(p, mutable.BitSet.empty) += wid
+      }
+      wid += 1
+    }
+
+    val merges = Seq.newBuilder[(String, String)]
+    var i = 0
+    while (i < numMerges && queue.nonEmpty) {
+      val (_, a, b) = queue.head
+      merges += ((a, b))
+      val affected = pairWords.getOrElse((a, b), mutable.BitSet.empty).toArray
+      affected.foreach { w =>
+        val old = words(w)
+        val n = wn(w)
+        pairsOf(old).foreach { p =>
+          bump(p, -n)
+          pairWords.get(p).foreach(_ -= w)
+        }
+        val neu = mergePair(old, a, b)
+        words(w) = neu
+        pairsOf(neu).foreach { p =>
+          bump(p, n)
+          pairWords.getOrElseUpdate(p, mutable.BitSet.empty) += w
+        }
+      }
+      i += 1
+    }
+    merges.result()
+  }
+
+  /** The one-Spark-job-per-merge loop — the fallback for vocabularies too
+    * large to localize. Each iteration: one pair-count aggregate over the
+    * vocab table + a 1-row argmax collect + a full remap.
+    */
+  def trainDistributed(wc: Dataset[(String, Long)], numMerges: Int): Seq[(String, String)] = {
+    val spark = wc.sparkSession
+    import spark.implicits._
+    var vocab: Dataset[WordSyms] = wc
       .map { case (w, n) => WordSyms(w.map(_.toString), n) }
       .persist(StorageLevel.MEMORY_AND_DISK)
     vocab.count() // materialize before the loop

@@ -37,6 +37,91 @@ class MergeSpec extends SparkSpec {
     assert(m == Map(("x", 1) -> 1.0, ("x", 2) -> 9.0))
   }
 
+  test("duplicate-keyed updates resolve to one deterministic winner") {
+    val target = Seq((1L, "a", 1.0)).toDF("id", "name", "score")
+    val dups = Seq((1L, "z", 5.0), (1L, "b", 9.0), (2L, "c", 3.0))
+      .toDF("id", "name", "score")
+    // winner per key = greatest non-key tuple (name desc, score desc)
+    val merged = Merge.mergeFrames(target, dups, Seq("id"))
+      .orderBy("id").collect()
+    assert(merged.length == 2)
+    assert((merged(0).getString(1), merged(0).getDouble(2)) == (("z", 5.0)))
+    // partitioning-independent: same winner from a repartitioned input
+    val again = Merge.mergeFrames(target, dups.repartition(7), Seq("id"))
+      .orderBy("id").collect()
+    assert(again.map(r => (r.getString(1), r.getDouble(2))).toSeq ==
+      merged.map(r => (r.getString(1), r.getDouble(2))).toSeq)
+  }
+
+  private def filesUnder(dir: String): Map[String, String] = {
+    import scala.jdk.CollectionConverters._
+    val base = java.nio.file.Paths.get(dir)
+    java.nio.file.Files.walk(base).iterator().asScala
+      .filter(java.nio.file.Files.isRegularFile(_))
+      .map { p =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        base.relativize(p).toString ->
+          md.digest(java.nio.file.Files.readAllBytes(p)).map("%02x".format(_)).mkString
+      }.toMap
+  }
+
+  test("bucketed merge rewrites only the touched buckets") {
+    val dir = Files.createTempDirectory("graft-bmerge").toString
+    val base = (0L until 100L).map(i => (i, s"n$i", i * 1.0))
+      .toDF("id", "name", "score")
+    assert(BucketedMerge.mergeInto(spark, dir, base, Seq("id"), nBuckets = 8) == 0L)
+
+    val up = Seq((7L, "u7", 70.0), (13L, "u13", 130.0), (1007L, "new", 1.0))
+      .toDF("id", "name", "score")
+    val touched = up.select(BucketedMerge.bucketExpr(Seq("id"), 8).as("b"))
+      .distinct().collect().map(_.getInt(0)).toSet
+    assert(touched.size < 8, "fixture keys must not span every bucket")
+
+    val before = filesUnder(dir)
+    assert(BucketedMerge.mergeInto(spark, dir, up, Seq("id")) == 1L)
+    val after = filesUnder(dir)
+
+    // untouched buckets: manifest still points at v=0 and their files are
+    // byte-identical (same path, same content — never rewritten)
+    val m1 = BucketedMerge.readManifest(dir, 1L)
+    assert(m1.nBuckets == 8)
+    (0 until 8).filterNot(touched).foreach { b =>
+      assert(m1.buckets(b) == 0L, s"untouched bucket $b was repointed")
+      val untouchedFiles = before.keys.filter(_.startsWith(s"v=0/bucket=$b/"))
+      assert(untouchedFiles.nonEmpty)
+      untouchedFiles.foreach(f => assert(after(f) == before(f), s"$f changed"))
+    }
+    touched.foreach(b => assert(m1.buckets(b) == 1L))
+
+    // results match the pure MERGE combinator exactly
+    val expect = Merge.mergeFrames(base, up, Seq("id")).orderBy("id").collect()
+    val got = BucketedMerge.read(spark, dir).orderBy("id").collect()
+    assert(got.map(_.toSeq).toSeq == expect.map(_.toSeq).toSeq)
+  }
+
+  test("bucketed vacuum keeps version dirs still referenced by the manifest") {
+    val dir = Files.createTempDirectory("graft-bvac").toString
+    val base = (0L until 50L).map(i => (i, i * 1.0)).toDF("id", "v")
+    BucketedMerge.mergeInto(spark, dir, base, Seq("id"), nBuckets = 4)
+    BucketedMerge.mergeInto(spark, dir,
+      Seq((7L, 700.0)).toDF("id", "v"), Seq("id"))
+    BucketedMerge.mergeInto(spark, dir,
+      Seq((8L, 800.0)).toDF("id", "v"), Seq("id"))
+    BucketedMerge.vacuum(dir, keep = 1)
+    // v=0 still holds current data for buckets untouched since create
+    assert(Files.exists(java.nio.file.Paths.get(dir, "v=0")))
+    val rows = BucketedMerge.read(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(rows(7L) == 700.0 && rows(8L) == 800.0 && rows(3L) == 3.0)
+    assert(rows.size == 50)
+
+    // rewrite every bucket, then vacuum really drops the stale versions
+    BucketedMerge.mergeInto(spark, dir, base, Seq("id"))
+    BucketedMerge.vacuum(dir, keep = 1)
+    assert(!Files.exists(java.nio.file.Paths.get(dir, "v=0")))
+    assert(BucketedMerge.read(spark, dir).count() == 50)
+  }
+
   test("snapshots are immutable; old version stays readable until vacuum") {
     val dir = Files.createTempDirectory("graft-merge3").toString
     Merge.mergeInto(spark, dir, Seq((1L, "a")).toDF("id", "v"), Seq("id"))

@@ -1,7 +1,7 @@
 package graft.pipelines
 
 import graft.catalog.Catalog
-import graft.multimodal.{Media, MediaMeta, Multimodal}
+import graft.multimodal.{ConvPoolModel, Inference, Media, MediaMeta, Multimodal}
 import graft.signals.Signals
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
@@ -10,9 +10,11 @@ import org.apache.spark.sql.streaming.StreamingQuery
 /** The reference's second production pipeline (SURVEY §3.1 variant,
   * /root/reference/examples/spatiotemporal_flow/main.py +
   * picoprobe/tools/temporal.py): watch → per new video file, normalize each
-  * frame to uint8 (C12+E4), run ML inference over sampled frames (the YOLO
-  * stage, kept pluggable per SURVEY §2 H — here the deterministic
-  * batched-feature stub), write artifacts, publish to the catalog.
+  * frame to uint8 (C12+E4), encode frames as real PNGs and run batched
+  * model inference over them (the YOLO stage, kept pluggable per SURVEY
+  * §2 H — the bundled model is the fixed-weight conv head in
+  * [[graft.multimodal.Inference]]), write artifacts, publish to the
+  * catalog.
   */
 object SpatiotemporalPipeline {
 
@@ -38,16 +40,11 @@ object SpatiotemporalPipeline {
     graft.sinks.Artifacts.writeFiles(
       graft.sinks.Artifacts.videoArtifacts(framesU8), s"$outDir/artifacts")
 
-    val session = spark
-    import session.implicits._
-    val media = files.select(col("experiment_id"), col("content"))
-      .as[(String, Array[Byte])]
-      .map { case (eid, bytes) =>
-        Media(eid.hashCode.toLong & 0x7FFFFFFFL, "video", bytes,
-          MediaMeta(width = 4, height = 4, channels = 1, sampleRate = 0,
-            nFrames = 8, format = "emd"))
-      }
-    sink(infer(media), s"$outDir/detections")
+    // inference input: the normalized frames as REAL grayscale PNGs (the
+    // same encoding the artifact sink uses) — the detector stage consumes
+    // decodable image media, per frame, exactly like the reference's
+    // per-frame YOLO pass (temporal.py:37-55)
+    sink(infer(frameMedia(framesU8)), s"$outDir/detections")
 
     Catalog.publish(spark,
       Catalog.dataciteDoc(files.select(col("path"), col("content"),
@@ -55,16 +52,41 @@ object SpatiotemporalPipeline {
       catalogPath)
   }
 
-  /** Default inference stage: the batched feature extractor (stub model,
-    * real mapPartitions batch shape — swap for an ONNX session per
-    * partition in production).
+  /** One image-media row per normalized frame: pixels assemble per
+    * (experiment, frame) and encode as a real grayscale PNG. media_id
+    * packs (experiment hash, frame) so detections trace back to frames.
+    */
+  def frameMedia(framesU8: DataFrame): Dataset[Media] = {
+    val session = framesU8.sparkSession
+    import session.implicits._
+    framesU8.select(col("experiment_id"), col("frame"),
+      col("x"), col("y"), col("v8").cast("int"))
+      .as[(String, Int, Int, Int, Int)]
+      .groupByKey(r => (r._1, r._2))
+      .mapGroups { (key: (String, Int), it: Iterator[(String, Int, Int, Int, Int)]) =>
+        val (eid, frame) = key
+        val cells = it.map { case (_, _, x, y, v) => (x, y, v) }.toArray
+        val h = cells.map(_._1).max + 1
+        val w = cells.map(_._2).max + 1
+        val px = new Array[Byte](w * h)
+        cells.foreach { case (x, y, v) => px(x * w + y) = v.toByte }
+        Media(((eid.hashCode.toLong & 0x7FFFFFFFL) << 16) | frame.toLong,
+          "image", graft.sinks.Artifacts.grayPng(w, h, px),
+          MediaMeta(w, h, 1, 0, 0, "png"))
+      }
+  }
+
+  /** Default inference stage: decode the frame PNGs and run the bundled
+    * fixed-weight conv model through [[graft.multimodal.Inference]] — the
+    * session-per-partition, batched lifecycle; swap the factory for an
+    * ONNX session binding in production.
     */
   def defaultInfer(media: Dataset[Media]): DataFrame = {
     val session = media.sparkSession
     import session.implicits._
-    Multimodal.extractFeatures(media, dim = 16)
-      .map(f => (f.media_id, f.features.length, f.features.sum))
-      .toDF("media_id", "dim", "score")
+    Inference.infer(Multimodal.decodeImages(media), () => new ConvPoolModel)
+      .map(d => (d.media_id, d.model, d.scores.length, d.scores))
+      .toDF("media_id", "model", "dim", "scores")
   }
 
   def start(spark: SparkSession, watchDir: String, outDir: String,

@@ -17,8 +17,10 @@ import java.util.zip.Inflater
   *     per object, so mixed-framing files read correctly;
   *   - old-style groups: symbol-table message → B-tree v1 (node type 0,
   *     any depth) → SNOD symbol nodes, names in the local heap;
-  *   - new-style groups with compact link storage (hard Link messages);
-  *     dense fractal-heap storage fails fast by name;
+  *   - new-style groups with compact link storage (hard Link messages) AND
+  *     dense link storage (fractal heap — root direct block or one level
+  *     of indirect block — indexed by a single-leaf v2 B-tree; deeper
+  *     B-trees and filtered/huge/tiny heap objects fail fast by name);
   *   - datatypes: fixed-point (1/2/4/8-byte, signed or unsigned) and IEEE
   *     float (4/8-byte), little-endian;
   *   - dataspaces: simple, any rank (v1 and v2 messages);
@@ -90,7 +92,14 @@ object Hdf5 {
         case (0, 2, true)  => while (i < n) { out(i) = bb.getShort(i * 2).toDouble; i += 1 }
         case (0, 4, false) => while (i < n) { out(i) = bb.getInt(i * 4) & 0xFFFFFFFFL; i += 1 }
         case (0, 4, true)  => while (i < n) { out(i) = bb.getInt(i * 4).toDouble; i += 1 }
-        case (0, 8, _)     => while (i < n) { out(i) = bb.getLong(i * 8).toDouble; i += 1 }
+        case (0, 8, false) => while (i < n) {
+          // unsigned 64-bit: values past Long.MaxValue wrap negative in the
+          // raw long — re-bias by 2^64 instead of misreading them as negative
+          val v = bb.getLong(i * 8)
+          out(i) = if (v >= 0) v.toDouble else v.toDouble + 1.8446744073709552E19
+          i += 1
+        }
+        case (0, 8, true)  => while (i < n) { out(i) = bb.getLong(i * 8).toDouble; i += 1 }
         case (1, 4, _)     => while (i < n) { out(i) = bb.getFloat(i * 4).toDouble; i += 1 }
         case (1, 8, _)     => while (i < n) { out(i) = bb.getDouble(i * 8); i += 1 }
         case (c, s, _)     => fail(s"datatype class $c size $s not supported")
@@ -318,17 +327,19 @@ object Hdf5 {
         val out = Vector.newBuilder[(String, Long)]
         walkGroupTree(file, btreeAddr, heapData, out)
         out.result()
-      case None => // new-style: compact Link messages in the header
-        val links = msgs.filter(_.typ == 0x0006).map(m => readLink(m.body))
-        msgs.find(_.typ == 0x0002).foreach { li => // Link Info: dense check
+      case None => // new-style: compact Link messages and/or dense storage
+        val compact = msgs.filter(_.typ == 0x0006).map(m => readLink(m.body))
+        val dense = msgs.find(_.typ == 0x0002).map { li => // Link Info
           val b = li.body
           b.skip(1) // version
           val f = b.u8()
           if ((f & 0x1) != 0) b.skip(8) // max creation index
-          if (b.u64() != Undefined && links.isEmpty)
-            fail(s"group $name uses dense (fractal-heap) link storage — unsupported")
-        }
-        links
+          val fheapAddr = b.u64()
+          val nameBtreeAddr = b.u64()
+          if (fheapAddr != Undefined) readDenseLinks(file, fheapAddr, nameBtreeAddr)
+          else Vector.empty[(String, Long)]
+        }.getOrElse(Vector.empty)
+        compact ++ dense
     }
     val children = entries.map { case (childName, childHeader) =>
       val childMsgs = messages(file, childHeader)
@@ -337,6 +348,126 @@ object Hdf5 {
       else readGroup(file, childName, childHeader)
     }
     Group(name, children)
+  }
+
+  // -- dense (fractal-heap) link storage ------------------------------------
+
+  /** Fractal-heap managed space: (heapOffset, size, fileAddr) per direct
+    * block. Managed heap IDs resolve to file offsets arithmetically —
+    * a block's heap-offset space includes its own header, so
+    * `fileAddr + (offset - blockHeapOffset)` lands on the object bytes.
+    */
+  private final case class HeapBlocks(
+      blocks: Vector[(Long, Long, Long)], offsetSize: Int) {
+    def locate(id: Array[Byte]): Long = {
+      val typ = (id(0) >> 4) & 0x3
+      if (typ != 0) fail(s"fractal-heap object type $typ (huge/tiny) not supported")
+      var off = 0L
+      var i = 0
+      while (i < offsetSize) { off |= (id(1 + i) & 0xFFL) << (8 * i); i += 1 }
+      blocks.find { case (ho, sz, _) => off >= ho && off < ho + sz } match {
+        case Some((ho, _, addr)) => addr + (off - ho)
+        case None => fail(s"fractal-heap offset $off outside every direct block")
+      }
+    }
+  }
+
+  /** Parse a fractal heap's block map: root direct block, or one root
+    * indirect block of direct children (the layouts h5py emits for group
+    * link storage). The doubling table: rows 0-1 are `startSize` blocks,
+    * row k ≥ 2 is `startSize · 2^(k-1)`, `width` blocks per row.
+    */
+  private def parseFractalHeap(file: ByteBuffer, addr: Long): HeapBlocks = {
+    val b = reader(file, addr)
+    b.expect("FRHP")
+    val ver = b.u8()
+    if (ver != 0) fail(s"FRHP version $ver")
+    val heapIdLen = b.u16()
+    if (b.u16() != 0) fail("filtered fractal heap not supported")
+    b.u8() // flags (direct-block checksums not validated)
+    b.u32() // max managed object size
+    b.skip(8 * 12) // huge/free/managed bookkeeping — not needed to read
+    val width = b.u16()
+    val startSize = b.u64()
+    val maxDirectSize = b.u64()
+    val maxHeapBits = b.u16()
+    b.u16() // starting rows
+    val rootAddr = b.u64()
+    val curRows = b.u16()
+    val offsetSize = (maxHeapBits + 7) / 8
+    require(heapIdLen > 1 + offsetSize, s"heap ID length $heapIdLen inconsistent")
+    def rowSize(r: Int): Long = if (r < 2) startSize else startSize << (r - 1)
+
+    val blocks = Vector.newBuilder[(Long, Long, Long)]
+    if (curRows == 0) {
+      if (rootAddr != Undefined) blocks += ((0L, startSize, rootAddr))
+    } else {
+      val maxDirectRows =
+        java.lang.Long.numberOfTrailingZeros(maxDirectSize / startSize) + 2
+      if (curRows > maxDirectRows)
+        fail("nested indirect fractal-heap blocks not supported")
+      val ib = reader(file, rootAddr)
+      ib.expect("FHIB")
+      if (ib.u8() != 0) fail("FHIB version")
+      ib.u64() // heap header address
+      ib.skip(offsetSize) // root block offset (0)
+      var heapOff = 0L
+      var r = 0
+      while (r < curRows) {
+        var c = 0
+        while (c < width) {
+          val child = ib.u64()
+          if (child != Undefined) blocks += ((heapOff, rowSize(r), child))
+          heapOff += rowSize(r)
+          c += 1
+        }
+        r += 1
+      }
+    }
+    val hb = blocks.result()
+    hb.foreach { case (_, _, a) => reader(file, a).expect("FHDB") }
+    HeapBlocks(hb, offsetSize)
+  }
+
+  /** All heap IDs from the group's name-index v2 B-tree (record type 5:
+    * 4-byte name hash + heap ID). Iteration reads every leaf record, so
+    * the hash is skipped — no lookup3 needed. Single-leaf trees only
+    * (h5py's 2 KiB nodes hold ~180 links before splitting).
+    */
+  private def btreeV2HeapIds(file: ByteBuffer, addr: Long): Vector[Array[Byte]] = {
+    val b = reader(file, addr)
+    b.expect("BTHD")
+    if (b.u8() != 0) fail("BTHD version")
+    val typ = b.u8()
+    if (typ != 5) fail(s"v2 B-tree record type $typ (expected 5: link-name index)")
+    b.u32() // node size
+    val recSize = b.u16()
+    val depth = b.u16()
+    b.skip(2) // split/merge percents
+    val rootAddr = b.u64()
+    val nRec = b.u16()
+    b.u64() // total records
+    if (depth != 0) fail("v2 B-tree depth > 0 not supported")
+    val l = reader(file, rootAddr)
+    l.expect("BTLF")
+    if (l.u8() != 0) fail("BTLF version")
+    l.u8() // record type
+    Vector.fill(nRec) {
+      l.skip(4) // name hash
+      Array.fill(recSize - 4)(l.u8().toByte)
+    }
+  }
+
+  /** Dense link storage: every record's heap ID resolves to a Link
+    * message inside the fractal heap; children sort by name for a
+    * deterministic order (leaf records arrive in hash order).
+    */
+  private def readDenseLinks(file: ByteBuffer, fheapAddr: Long,
+      btreeAddr: Long): Vector[(String, Long)] = {
+    val heap = parseFractalHeap(file, fheapAddr)
+    btreeV2HeapIds(file, btreeAddr)
+      .map(id => readLink(reader(file, heap.locate(id))))
+      .sortBy(_._1)
   }
 
   /** Hard-link message (compact group storage): name + object address. */
@@ -454,16 +585,19 @@ object Hdf5 {
         case 0x000B => // filter pipeline
           val b = m.body
           val v = b.u8()
+          if (v != 1 && v != 2) fail(s"filter pipeline version $v")
           val n = b.u8()
           if (v == 1) b.skip(6)
           var i = 0
           while (i < n) {
             val id = b.u16()
-            val nameLen = b.u16()
+            // v2 descriptions omit the name fields entirely for the
+            // pre-registered filter ids (< 256), and carry no padding
+            val nameLen = if (v == 1 || id >= 256) b.u16() else 0
             b.u16() // flags
             val nVals = b.u16()
             b.skip(nameLen)
-            b.skip(4 * nVals + (if (nVals % 2 == 1) 4 else 0))
+            b.skip(4 * nVals + (if (v == 1 && nVals % 2 == 1) 4 else 0))
             filters :+= id
             if (id != 1) fail(s"filter $id not supported (only deflate)")
             i += 1

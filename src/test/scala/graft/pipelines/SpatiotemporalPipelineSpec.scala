@@ -43,8 +43,18 @@ class SpatiotemporalPipelineSpec extends SparkSpec {
     assert(v8s.forall(v => v >= 0 && v <= 255))
     assert(v8s.contains(0) && v8s.contains(255)) // per-frame extremes hit
 
+    // real inference path: one detection per FRAME, from the conv model
+    // over decoded PNG frame media
     val det = spark.read.parquet(s"$out/detections").collect()
-    assert(det.length == 1 && det(0).getAs[Int]("dim") == 16)
+    assert(det.length == 2) // T=2 frames
+    assert(det.forall(_.getAs[String]("model") == "convpool-v1"))
+    assert(det.forall(_.getAs[Int]("dim") == 5))
+    // per-frame normalization drives extremes to 0/255, so each frame's
+    // mean-brightness score lands strictly inside (0, 1)
+    det.foreach { r =>
+      val mean = r.getAs[Seq[Float]]("scores").last
+      assert(mean > 0f && mean < 1f)
+    }
     assert(spark.read.parquet(catalog).count() == 1)
 
     // sidecar video artifact: a playable MJPEG-AVI per experiment

@@ -84,6 +84,66 @@ class EmdSpec extends SparkSpec {
     assert(g.datasets.head.readDoubles().toSeq == Seq(11.0, -4.0))
   }
 
+  test("HDF5 dense (fractal-heap) group storage: >8 links, root direct block") {
+    // h5py libver='latest' switches to dense link storage past 8 links
+    val w = new Hdf5TestWriter()
+    val children = (0 until 12).map { i =>
+      val raw = java.nio.ByteBuffer.allocate(8)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN).putInt(i * 10).putInt(i * 10 + 1)
+      s"ds_$i" -> w.datasetV2(Seq(2L), w.int32, raw.array())
+    }
+    val root = w.groupV2Dense(children)
+    val g = Hdf5.open(w.finishV3(root))
+    assert(g.datasets.map(_.name).sorted ==
+      (0 until 12).map(i => s"ds_$i").sorted.toVector)
+    (0 until 12).foreach { i =>
+      val d = g.child(s"ds_$i").get.asInstanceOf[Hdf5.Dataset]
+      assert(d.readDoubles().toSeq == Seq(i * 10.0, i * 10.0 + 1))
+    }
+  }
+
+  test("HDF5 dense group: root INDIRECT block spanning several direct blocks") {
+    val w = new Hdf5TestWriter()
+    val children = (0 until 14).map { i =>
+      val raw = java.nio.ByteBuffer.allocate(4)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN).putInt(1000 + i)
+      f"longer_name_$i%02d" -> w.datasetV2(Seq(1L), w.int32, raw.array())
+    }
+    val root = w.groupV2Dense(children, forceIndirect = true)
+    val g = Hdf5.open(w.finishV3(root))
+    assert(g.datasets.size == 14)
+    (0 until 14).foreach { i =>
+      val d = g.child(f"longer_name_$i%02d").get.asInstanceOf[Hdf5.Dataset]
+      assert(d.readDoubles().toSeq == Seq(1000.0 + i))
+    }
+  }
+
+  test("HDF5 v2 filter-pipeline message (libver-latest): no name fields, no padding") {
+    val w = new Hdf5TestWriter()
+    val dims = Seq(4L, 3L)
+    val values = (0 until 12).map(i => i * 2.25 - 5)
+    val raw = java.nio.ByteBuffer.allocate(96)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    values.foreach(raw.putDouble)
+    val ds = w.chunkedDataset(dims, w.float64, raw.array(), Seq(2, 2),
+      filterMsgVersion = 2)
+    val g = Hdf5.open(w.finishV3(w.groupV2(Seq("z" -> ds))))
+    assert(g.datasets.head.readDoubles().toSeq == values)
+  }
+
+  test("HDF5 unsigned 64-bit values above Long.MaxValue decode correctly") {
+    val w = new Hdf5TestWriter()
+    val raw = java.nio.ByteBuffer.allocate(24)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    raw.putLong(7L)
+    raw.putLong(java.lang.Long.parseUnsignedLong("9223372036854775808")) // 2^63
+    raw.putLong(-1L) // 2^64 - 1
+    val ds = w.dataset(Seq(3L), w.uint64, raw.array())
+    val d = Hdf5.open(w.finish(w.group(Seq("u" -> ds)))).datasets.head
+    assert(d.readDoubles().toSeq ==
+      Seq(7.0, 9.223372036854776E18, 1.8446744073709552E19))
+  }
+
   test("Emd.signals: Velox layout, squeeze, metadata, deterministic order") {
     val bytes = Hdf5TestWriter.emd(Seq(
       Hdf5TestWriter.Sig("Image", "uidB", Seq(4L, 4L, 1L),

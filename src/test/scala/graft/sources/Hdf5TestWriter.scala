@@ -28,6 +28,7 @@ final class Hdf5TestWriter(capacity: Int = 1 << 22) {
   def uint8: Dt = fixed(1, signed = false)
   def uint16: Dt = fixed(2, signed = false)
   def int32: Dt = fixed(4, signed = true)
+  def uint64: Dt = fixed(8, signed = false)
 
   def fixed(size: Int, signed: Boolean): Dt = {
     val b = ByteBuffer.allocate(12).order(ByteOrder.LITTLE_ENDIAN)
@@ -100,7 +101,8 @@ final class Hdf5TestWriter(capacity: Int = 1 << 22) {
     * size with padding, as the format requires.
     */
   def chunkedDataset(dims: Seq[Long], dt: Dt, raw: Array[Byte],
-      chunkDims: Seq[Int], deflateLevel: Int = 6): Long = {
+      chunkDims: Seq[Int], deflateLevel: Int = 6,
+      filterMsgVersion: Int = 1): Long = {
     val rank = dims.size
     val nChunks = dims.indices.map(d =>
       ((dims(d) + chunkDims(d) - 1) / chunkDims(d)).toInt)
@@ -157,14 +159,28 @@ final class Hdf5TestWriter(capacity: Int = 1 << 22) {
     chunkDims.foreach(c => layout.putInt(c))
     layout.putInt(dt.size)
 
-    val filter = ByteBuffer.allocate(24).order(ByteOrder.LITTLE_ENDIAN)
-    filter.put(1.toByte).put(1.toByte).put(new Array[Byte](6))
-    filter.putShort(1.toShort)  // deflate
-    filter.putShort(0.toShort)  // no name
-    filter.putShort(1.toShort)  // flags: optional
-    filter.putShort(1.toShort)  // one client value
-    filter.putInt(deflateLevel)
-    filter.putInt(0) // pad to 8 (odd client-value count)
+    val filter =
+      if (filterMsgVersion == 1) {
+        val f = ByteBuffer.allocate(24).order(ByteOrder.LITTLE_ENDIAN)
+        f.put(1.toByte).put(1.toByte).put(new Array[Byte](6))
+        f.putShort(1.toShort)  // deflate
+        f.putShort(0.toShort)  // no name
+        f.putShort(1.toShort)  // flags: optional
+        f.putShort(1.toShort)  // one client value
+        f.putInt(deflateLevel)
+        f.putInt(0) // pad to 8 (odd client-value count)
+        f
+      } else {
+        // v2 (libver-latest): id < 256 ⇒ NO name-length/name fields, and
+        // client values carry no odd-count padding
+        val f = ByteBuffer.allocate(12).order(ByteOrder.LITTLE_ENDIAN)
+        f.put(2.toByte).put(1.toByte)
+        f.putShort(1.toShort)  // deflate
+        f.putShort(1.toShort)  // flags: optional
+        f.putShort(1.toShort)  // one client value
+        f.putInt(deflateLevel)
+        f
+      }
 
     objectHeader(Seq(
       0x0001 -> dataspaceBody(dims),
@@ -260,6 +276,133 @@ final class Hdf5TestWriter(capacity: Int = 1 << 22) {
       0x0006 -> b.array()
     }
     objectHeaderV2(linkMsgs)
+  }
+
+  /** New-style group with DENSE link storage: link messages live in a
+    * fractal heap (root direct block; with `forceIndirect`, a root
+    * indirect block over several direct blocks in the doubling table)
+    * indexed by a single-leaf v2 B-tree of record type 5. Every structure
+    * is written field-for-field per the public format spec; checksums are
+    * zeroed (the reader documents non-validation).
+    */
+  def groupV2Dense(children: Seq[(String, Long)], forceIndirect: Boolean = false): Long = {
+    val bodies = children.sortBy(_._1).map { case (name, addr) =>
+      val nb = name.getBytes("UTF-8")
+      val b = ByteBuffer.allocate(3 + nb.length + 8).order(ByteOrder.LITTLE_ENDIAN)
+      b.put(1.toByte).put(0.toByte).put(nb.length.toByte).put(nb).putLong(addr)
+      b.array()
+    }
+    val offsetSize = 4 // max heap size 32 bits
+    val heapIdLen = 1 + offsetSize + 2 // flags + offset + 2-byte length
+    val hdrSize = 4 + 1 + 8 + offsetSize // FHDB header (no checksum flag)
+    val width = 2
+    val startSize: Long =
+      if (forceIndirect) 128L
+      else {
+        var s = 512L
+        while (s < hdrSize + bodies.map(_.length).sum) s <<= 1
+        s
+      }
+    def slotSize(slot: Int): Long = {
+      val row = slot / width
+      if (row < 2) startSize else startSize << (row - 1)
+    }
+    // greedy packing of link bodies into the doubling-table slot sequence
+    case class Placed(slot: Int, offInBlock: Long, body: Array[Byte])
+    var slot = 0
+    var off = hdrSize.toLong
+    val placed = bodies.map { body =>
+      if (off + body.length > slotSize(slot)) { slot += 1; off = hdrSize.toLong }
+      val p = Placed(slot, off, body)
+      off += body.length
+      p
+    }
+    val lastSlot = placed.map(_.slot).maxOption.getOrElse(0)
+    val rowsUsed = lastSlot / width + 1
+    val slotHeapOff = (0 to lastSlot).scanLeft(0L)((acc, s) => acc + slotSize(s))
+    val usedSlots = placed.map(_.slot).distinct.sorted
+    val indirect = forceIndirect || rowsUsed > 1
+
+    val frhpAddr = pos
+    val rootAddr = frhpAddr + 146 // fixed FRHP size (no filters)
+    buf.put("FRHP".getBytes)
+    buf.put(0.toByte)
+    buf.putShort(heapIdLen.toShort)
+    buf.putShort(0.toShort) // no I/O filters
+    buf.put(0.toByte)       // flags: no direct-block checksums
+    buf.putInt(4096)        // max managed object size
+    buf.putLong(0L); buf.putLong(Undef) // next huge id, huge v2 B-tree
+    buf.putLong(0L); buf.putLong(Undef) // free space, free-space manager
+    val totalSpace = (0 to lastSlot).map(slotSize).sum
+    buf.putLong(totalSpace); buf.putLong(totalSpace) // managed, allocated
+    buf.putLong(totalSpace)                          // iterator offset
+    buf.putLong(bodies.size.toLong)                  // managed object count
+    buf.putLong(0L); buf.putLong(0L); buf.putLong(0L); buf.putLong(0L) // huge/tiny
+    buf.putShort(width.toShort)
+    buf.putLong(startSize)
+    buf.putLong(65536L)      // max direct block size
+    buf.putShort(32.toShort) // max heap size, in bits
+    buf.putShort(1.toShort)  // starting rows
+    buf.putLong(rootAddr)
+    buf.putShort(if (indirect) rowsUsed.toShort else 0.toShort)
+    buf.putInt(0) // checksum
+    require(pos == rootAddr, s"FRHP size drift: $pos != $rootAddr")
+
+    val blockAddrs = scala.collection.mutable.Map.empty[Int, Long]
+    if (indirect) {
+      val fhibLen = 4 + 1 + 8 + offsetSize + rowsUsed * width * 8 + 4
+      var next = rootAddr + fhibLen
+      usedSlots.foreach { s => blockAddrs(s) = next; next += slotSize(s) }
+      buf.put("FHIB".getBytes)
+      buf.put(0.toByte)
+      buf.putLong(frhpAddr)
+      buf.putInt(0) // root block offset
+      for (s <- 0 until rowsUsed * width)
+        buf.putLong(blockAddrs.getOrElse(s, Undef))
+      buf.putInt(0) // checksum
+    } else blockAddrs(0) = rootAddr
+
+    usedSlots.foreach { s =>
+      require(pos == blockAddrs(s), s"direct block $s drift")
+      buf.put("FHDB".getBytes)
+      buf.put(0.toByte)
+      buf.putLong(frhpAddr)
+      buf.putInt(slotHeapOff(s).toInt) // this block's heap offset
+      placed.filter(_.slot == s).foreach { p =>
+        require(pos == blockAddrs(s) + p.offInBlock)
+        buf.put(p.body)
+      }
+      buf.put(new Array[Byte](((blockAddrs(s) + slotSize(s)) - pos).toInt))
+    }
+
+    val recSize = 4 + heapIdLen
+    val bthdAddr = pos
+    val btlfAddr = bthdAddr + 38 // fixed BTHD size
+    buf.put("BTHD".getBytes)
+    buf.put(0.toByte).put(5.toByte) // version, record type 5: link name
+    buf.putInt(2048)                // node size
+    buf.putShort(recSize.toShort)
+    buf.putShort(0.toShort)         // depth
+    buf.put(100.toByte).put(40.toByte) // split/merge percents
+    buf.putLong(btlfAddr)
+    buf.putShort(placed.size.toShort)
+    buf.putLong(placed.size.toLong)
+    buf.putInt(0) // checksum
+    require(pos == btlfAddr, "BTHD size drift")
+    buf.put("BTLF".getBytes)
+    buf.put(0.toByte).put(5.toByte)
+    placed.foreach { p =>
+      buf.putInt(0)     // name hash (reader iterates; never looked up)
+      buf.put(0.toByte) // heap ID: version 0, type managed
+      buf.putInt((slotHeapOff(p.slot) + p.offInBlock).toInt)
+      buf.putShort(p.body.length.toShort)
+    }
+    buf.putInt(0) // checksum
+
+    val li = ByteBuffer.allocate(18).order(ByteOrder.LITTLE_ENDIAN)
+    li.put(0.toByte).put(0.toByte) // version, flags
+    li.putLong(frhpAddr).putLong(bthdAddr)
+    objectHeaderV2(Seq(0x0002 -> li.array()))
   }
 
   /** Contiguous dataset under a version-2 object header. */

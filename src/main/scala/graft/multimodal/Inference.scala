@@ -68,22 +68,29 @@ object Inference {
     }
 }
 
-/** Fixed-weight 3×3 conv + ReLU + global-average-pool feature head:
-  * identity, Sobel-x, Sobel-y, Laplacian kernels over the channel-mean
-  * plane, plus mean brightness — five deterministic scores in [0, ~4].
-  * Real convolution arithmetic with the compute profile of a (very small)
-  * detector backbone, and exact expected values are hand-computable in
-  * specs.
+/** The fixed 3×3 kernel bank both bundled models share: identity,
+  * Sobel-x, Sobel-y, Laplacian — indexed `(ky+1)*3 + (kx+1)`.
+  */
+object ConvKernels {
+  val All: Array[Array[Int]] = Array(
+    Array(0, 0, 0, 0, 1, 0, 0, 0, 0),
+    Array(-1, 0, 1, -2, 0, 2, -1, 0, 1),
+    Array(-1, -2, -1, 0, 0, 0, 1, 2, 1),
+    Array(0, -1, 0, -1, 4, -1, 0, -1, 0))
+}
+
+/** Fixed-weight 3×3 conv + ReLU + global-average-pool feature head over
+  * the channel-mean plane in [0, 1], plus mean brightness — five
+  * deterministic scores. Real convolution arithmetic with the compute
+  * profile of a (very small) detector backbone, and exact expected values
+  * are hand-computable in specs.
   */
 final class ConvPoolModel extends ImageModel {
 
   val name = "convpool-v1"
 
-  private val kernels: Array[Array[Float]] = Array(
-    Array(0, 0, 0, 0, 1, 0, 0, 0, 0),
-    Array(-1, 0, 1, -2, 0, 2, -1, 0, 1),
-    Array(-1, -2, -1, 0, 0, 0, 1, 2, 1),
-    Array(0, -1, 0, -1, 4, -1, 0, -1, 0))
+  private val kernels: Array[Array[Float]] =
+    ConvKernels.All.map(_.map(_.toFloat))
 
   def outputDim: Int = kernels.length + 1
 
@@ -135,6 +142,70 @@ final class ConvPoolModel extends ImageModel {
       p = 0
       while (p < w * h) { sum += gray(p); p += 1 }
       scores(kernels.length) = sum / (w * h)
+      scores
+    }
+}
+
+/** The same kernel bank over RAW channel-summed uint8 ints, emitting the
+  * per-kernel Σ relu(conv) plus the total pixel sum — every score an
+  * exact integer (bounded well under 2^24, so the Float carries it
+  * losslessly). This variant exists so the whole inference stage — PNG
+  * decode, session lifecycle, batching, conv arithmetic — can be verified
+  * by an EXACT external oracle recomputing the convolution relationally
+  * (m2_inference_conv): no float-rounding tolerance anywhere.
+  */
+final class IntConvModel extends ImageModel {
+
+  val name = "intconv-v1"
+
+  def outputDim: Int = ConvKernels.All.length + 1
+
+  def run(batch: IndexedSeq[DecodedImage]): IndexedSeq[Array[Float]] =
+    batch.map { img =>
+      val w = img.width
+      val h = img.height
+      val c = img.channels
+      val raw = new Array[Int](w * h) // channel sum — integer-exact
+      var p = 0
+      while (p < w * h) {
+        var s = 0
+        var b = 0
+        while (b < c) { s += img.pixels(p * c + b) & 0xFF; b += 1 }
+        raw(p) = s
+        p += 1
+      }
+      val kernels = ConvKernels.All
+      val scores = new Array[Float](kernels.length + 1)
+      var k = 0
+      while (k < kernels.length) {
+        val kern = kernels(k)
+        var acc = 0L
+        var y = 1
+        while (y < h - 1) {
+          var x = 1
+          while (x < w - 1) {
+            var v = 0
+            var ky = -1
+            while (ky <= 1) {
+              var kx = -1
+              while (kx <= 1) {
+                v += kern((ky + 1) * 3 + (kx + 1)) * raw((y + ky) * w + (x + kx))
+                kx += 1
+              }
+              ky += 1
+            }
+            if (v > 0) acc += v // ReLU
+            x += 1
+          }
+          y += 1
+        }
+        scores(k) = acc.toFloat
+        k += 1
+      }
+      var total = 0L
+      p = 0
+      while (p < w * h) { total += raw(p); p += 1 }
+      scores(kernels.length) = total.toFloat
       scores
     }
 }

@@ -80,5 +80,88 @@ object MultimodalQueries {
       FROM documents ORDER BY doc_id""")
   )
 
-  val all: Seq[QueryDef] = Seq(m1Pipeline)
+  /** Media fixture for m2: one grayscale PNG per doc, ≥3×3 so the conv
+    * interior is non-empty, pixels deterministic from the text bytes.
+    */
+  private def m2Media(s: org.apache.spark.sql.SparkSession, dir: String) = {
+    val session = s
+    import session.implicits._
+    Tables.loadSpread(s, dir, "documents")
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .map { case (id, text) =>
+        val w = (id % 6 + 3).toInt
+        val h = (id % 4 + 3).toInt
+        Media(id, "image",
+          graft.sinks.Artifacts.grayPng(w, h, synthPixels(text.getBytes("UTF-8"), w * h, 9)),
+          MediaMeta(w, h, 1, 0, 0, "png"))
+      }
+  }
+
+  /** The inference stage under an EXACT oracle: encode → decode →
+    * session-per-partition batched inference with [[IntConvModel]], whose
+    * scores are integer conv responses — and DuckDB recomputes the same
+    * 3×3 convolutions RELATIONALLY (9-way neighbor self-join over the
+    * aux-dumped decoded pixels), so decode fidelity, batching, positional
+    * zip and the conv arithmetic are all value-verified with no float
+    * tolerance. The normalized [[ConvPoolModel]] shares the kernel bank
+    * and is pinned by InferenceSpec.
+    */
+  val m2InferenceConv: QueryDef = QueryDef(
+    "m2_inference_conv",
+    (s, dir) => {
+      val session = s
+      import session.implicits._
+      Inference.infer(Multimodal.decodeImages(m2Media(s, dir)), () => new IntConvModel)
+        .map(d => (d.media_id, d.scores(0).toLong, d.scores(1).toLong,
+          d.scores(2).toLong, d.scores(3).toLong, d.scores(4).toLong))
+        .toDF("doc_id", "s_identity", "s_sobel_x", "s_sobel_y", "s_laplace", "s_total")
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH p AS (SELECT * FROM read_parquet('{OUT}/aux/m2_inference_conv__pixels/*.parquet')),
+      ctr AS (
+        SELECT doc_id, w, pos FROM p
+        WHERE pos % w BETWEEN 1 AND w - 2 AND pos // w BETWEEN 1 AND h - 2),
+      conv AS (
+        SELECT c.doc_id,
+          n4.v AS ident,
+          GREATEST(-n0.v + n2.v - 2*n3.v + 2*n5.v - n6.v + n8.v, 0) AS sx,
+          GREATEST(-n0.v - 2*n1.v - n2.v + n6.v + 2*n7.v + n8.v, 0) AS sy,
+          GREATEST(4*n4.v - n1.v - n3.v - n5.v - n7.v, 0) AS lap
+        FROM ctr c
+        JOIN p n0 ON n0.doc_id = c.doc_id AND n0.pos = c.pos - c.w - 1
+        JOIN p n1 ON n1.doc_id = c.doc_id AND n1.pos = c.pos - c.w
+        JOIN p n2 ON n2.doc_id = c.doc_id AND n2.pos = c.pos - c.w + 1
+        JOIN p n3 ON n3.doc_id = c.doc_id AND n3.pos = c.pos - 1
+        JOIN p n4 ON n4.doc_id = c.doc_id AND n4.pos = c.pos
+        JOIN p n5 ON n5.doc_id = c.doc_id AND n5.pos = c.pos + 1
+        JOIN p n6 ON n6.doc_id = c.doc_id AND n6.pos = c.pos + c.w - 1
+        JOIN p n7 ON n7.doc_id = c.doc_id AND n7.pos = c.pos + c.w
+        JOIN p n8 ON n8.doc_id = c.doc_id AND n8.pos = c.pos + c.w + 1),
+      tot AS (SELECT doc_id, CAST(SUM(v) AS BIGINT) AS s_total FROM p GROUP BY doc_id)
+      SELECT conv.doc_id,
+             CAST(SUM(ident) AS BIGINT) AS s_identity,
+             CAST(SUM(sx) AS BIGINT) AS s_sobel_x,
+             CAST(SUM(sy) AS BIGINT) AS s_sobel_y,
+             CAST(SUM(lap) AS BIGINT) AS s_laplace,
+             tot.s_total
+      FROM conv JOIN tot ON conv.doc_id = tot.doc_id
+      GROUP BY conv.doc_id, tot.s_total
+      ORDER BY conv.doc_id"""),
+    aux = Map("pixels" -> ((s, dir) => {
+      val session = s
+      import session.implicits._
+      // dump what the DECODE produced (not the encode input) — the oracle
+      // then checks the decode round-trip too
+      Multimodal.decodeImages(m2Media(s, dir))
+        .flatMap(d => d.pixels.zipWithIndex.map { case (b, pos) =>
+          (d.media_id, d.width, d.height, pos, b & 0xFF)
+        })
+        .toDF("doc_id", "w", "h", "pos", "v")
+        .orderBy("doc_id", "pos")
+    }))
+  )
+
+  val all: Seq[QueryDef] = Seq(m1Pipeline, m2InferenceConv)
 }

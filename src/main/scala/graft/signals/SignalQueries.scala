@@ -104,9 +104,12 @@ object SignalQueries {
     * Neighbor access is two equi-joins on channel±1, NOT an
     * un-partitioned `lag`/`lead` window — the empty-partition window
     * would funnel the whole series through one task, the exact
-    * single-partition anti-pattern this engine avoids; the joins shuffle
-    * by channel and stay parallel at any series length. Inner joins drop
-    * the endpoints, which by definition cannot be interior maxima.
+    * single-partition anti-pattern this engine avoids. The aggregated
+    * series is |channels| rows (tiny by construction — a spectrum has
+    * thousands of channels, not billions), so the shifted copies join as
+    * BROADCASTS: one aggregation shuffle total, no re-shuffle of the
+    * series per neighbor. Inner joins drop the endpoints, which by
+    * definition cannot be interior maxima.
     */
   val g4PeakDetect: QueryDef = QueryDef(
     "g4_peak_detect",
@@ -117,10 +120,10 @@ object SignalQueries {
           floor(col("v").cast("double") * lit(10000.0)).cast("long").as("sv"))
         .groupBy("channel")
         .agg((sum(col("sv")).cast("double") / lit(10000.0)).as("sum_v"))
-      val prev = spec.select((col("channel") + 1).as("channel"),
-        col("sum_v").as("prev_v"))
-      val next = spec.select((col("channel") - 1).as("channel"),
-        col("sum_v").as("next_v"))
+      val prev = broadcast(spec.select((col("channel") + 1).as("channel"),
+        col("sum_v").as("prev_v")))
+      val next = broadcast(spec.select((col("channel") - 1).as("channel"),
+        col("sum_v").as("next_v")))
       spec.join(prev, "channel").join(next, "channel")
         .filter(col("sum_v") > col("prev_v") && col("sum_v") > col("next_v") &&
           col("sum_v") > 0.0)

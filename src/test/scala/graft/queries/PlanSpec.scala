@@ -77,6 +77,16 @@ class PlanSpec extends SparkSpec {
     assert(!treeAfter.contains("text#"), "text column crossed a shuffle")
   }
 
+  test("peak detection broadcasts the tiny aggregated series") {
+    val plan = planOf(graft.signals.SignalQueries.g4PeakDetect.fn(spark, sf))
+    assert(plan.contains("BroadcastHashJoin"))
+    // the only keyed shuffle is the aggregation itself (possibly reused);
+    // neighbor access must not re-shuffle the series
+    val keyed = plan.linesIterator
+      .count(l => l.contains("Exchange hashpartitioning("))
+    assert(keyed <= 1, s"neighbor joins reshuffled the series:\n$plan")
+  }
+
   test("loadSpread shuffles narrow scans but never already-parallel ones") {
     // narrow: the sf0.001 single-file table is below defaultParallelism,
     // so the spread must add exactly one round-robin exchange

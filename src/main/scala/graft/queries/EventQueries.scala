@@ -221,7 +221,67 @@ object EventQueries {
       FROM events GROUP BY 1 ORDER BY 1""")
   )
 
+  /** Gap-based sessionization (SURVEY §2 E-window generalized): a user's
+    * events split into sessions wherever the gap to the previous event
+    * exceeds one hour — the classic stateful-analytics primitive behind
+    * engagement metrics and streaming session windows.
+    *
+    * Plan shape at 100 TB: ONE shuffle on user_id; the lag-diff, the
+    * session-id running sum, and both aggregations are partition-local
+    * after it (the second groupBy's (user_id, sess_id) keys are a
+    * superset of the window partitioning, so no re-shuffle). Everything
+    * is integer µs arithmetic — exact on both engines.
+    */
+  val q21Sessions: QueryDef = QueryDef(
+    "q21_sessions",
+    (s, dir) => {
+      val gapUs = 3600L * 1000000L // 1 hour
+      val w = Window.partitionBy("user_id").orderBy("t_us", "event_id")
+      Tables.load(s, dir, "events")
+        .select(col("user_id"), expr("ts div 1000").as("t_us"), col("event_id"))
+        .withColumn("prev_us", lag("t_us", 1).over(w))
+        .withColumn("new_sess",
+          when(col("prev_us").isNull || col("t_us") - col("prev_us") > gapUs, 1L)
+            .otherwise(0L))
+        .withColumn("sess_id",
+          sum("new_sess").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+        .groupBy("user_id", "sess_id")
+        .agg(count(lit(1)).as("n_events"),
+          (max(col("t_us")) - min(col("t_us"))).as("span_us"))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_sessions"),
+          max(col("n_events")).as("max_session_events"),
+          sum(col("n_events")).as("total_events"),
+          max(col("span_us")).as("max_session_span_us"))
+        .orderBy("user_id")
+    },
+    Some("""
+      SELECT user_id, COUNT(*) AS n_sessions,
+             MAX(n_events) AS max_session_events,
+             CAST(SUM(n_events) AS BIGINT) AS total_events,
+             MAX(span_us) AS max_session_span_us
+      FROM (
+        SELECT user_id, sess_id, COUNT(*) AS n_events,
+               MAX(t_us) - MIN(t_us) AS span_us
+        FROM (
+          SELECT user_id, t_us,
+                 SUM(new_sess) OVER (PARTITION BY user_id
+                   ORDER BY t_us, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
+          FROM (
+            SELECT user_id, epoch_us(ts) AS t_us, event_id,
+                   CASE WHEN LAG(epoch_us(ts)) OVER (PARTITION BY user_id
+                          ORDER BY epoch_us(ts), event_id) IS NULL
+                          OR epoch_us(ts) - LAG(epoch_us(ts)) OVER (
+                            PARTITION BY user_id
+                            ORDER BY epoch_us(ts), event_id) > 3600000000
+                        THEN 1 ELSE 0 END AS new_sess
+            FROM events))
+        GROUP BY user_id, sess_id)
+      GROUP BY user_id ORDER BY user_id""")
+  )
+
   val all: Seq[QueryDef] = Seq(
     q7WindowRunning, q8PivotCounts, q9EventPairs,
-    q14TimeBuckets, q15UserSpan, q16AsofJoin, q17JsonExtract)
+    q14TimeBuckets, q15UserSpan, q16AsofJoin, q17JsonExtract, q21Sessions)
 }

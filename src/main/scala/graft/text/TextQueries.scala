@@ -173,7 +173,43 @@ object TextQueries {
       ORDER BY doc_id""")
   )
 
+  /** Corpus bigram co-occurrence mining — the counting backbone of
+    * phrase extraction / PMI scoring / tokenizer corpus statistics: count
+    * every adjacent word pair corpus-wide, report the top 25 by count.
+    *
+    * Plan shape at 100 TB: the pair explode is a codegen projection
+    * (`zip_with` over two slices — no UDF, no shuffle), the count is one
+    * map-side-combinable aggregate keyed by the pair, and the top-k is
+    * TakeOrderedAndProject (per-partition partial top-k, k rows to the
+    * driver — never a global sort of the pair table).
+    */
+  val t7Cooccurrence: QueryDef = QueryDef(
+    "t7_cooccurrence",
+    (s, dir) =>
+      Tables.loadSpread(s, dir, "documents")
+        .select(split(col("text"), " ").as("ws"))
+        .filter(size(col("ws")) >= 2)
+        .select(explode(expr(
+          "zip_with(slice(ws, 1, size(ws) - 1), slice(ws, 2, size(ws) - 1)," +
+            " (a, b) -> struct(a AS w1, b AS w2))")).as("p"))
+        .filter(length(col("p.w1")) > 0 && length(col("p.w2")) > 0)
+        .groupBy(col("p.w1").as("w1"), col("p.w2").as("w2"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("w1"), col("w2"))
+        .limit(25),
+    Some("""
+      SELECT w1, w2, n FROM (
+        SELECT ws[i] AS w1, ws[i + 1] AS w2, COUNT(*) AS n
+        FROM (
+          SELECT STRING_SPLIT(text, ' ') AS ws,
+                 UNNEST(GENERATE_SERIES(1, LENGTH(STRING_SPLIT(text, ' ')) - 1)) AS i
+          FROM documents)
+        WHERE LENGTH(ws[i]) > 0 AND LENGTH(ws[i + 1]) > 0
+        GROUP BY 1, 2)
+      ORDER BY n DESC, w1, w2 LIMIT 25""")
+  )
+
   val all: Seq[QueryDef] =
     Seq(t1TokenCount, t2QualityScore, t3LangId, t4Fingerprint, t5Vocab,
-      t6StratifiedSample)
+      t6StratifiedSample, t7Cooccurrence)
 }

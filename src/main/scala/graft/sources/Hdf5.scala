@@ -25,7 +25,8 @@ import java.util.zip.Inflater
   *     float (4/8-byte), little-endian;
   *   - dataspaces: simple, any rank (v1 and v2 messages);
   *   - layouts: contiguous and chunked (B-tree v1 node type 1, any depth),
-  *     with the optional deflate filter (zlib, `java.util.zip.Inflater`).
+  *     with the deflate (zlib, `java.util.zip.Inflater`) and shuffle
+  *     filters in any pipeline order.
   *
   * Anything outside the subset fails fast with a message naming the
   * unsupported feature rather than misreading data.
@@ -137,8 +138,14 @@ object Hdf5 {
           walkChunkTree(child, out)
           b.pos = save
         } else {
-          val raw0 = slice(child, chunkBytes.toInt)
-          val raw = if (filters.contains(1)) inflate(raw0) else raw0
+          // decode filters in reverse pipeline order (write order was
+          // shuffle → deflate, so read inflates first, then unshuffles)
+          var raw = slice(child, chunkBytes.toInt)
+          filters.reverse.foreach {
+            case 1 => raw = inflate(raw)
+            case 2 => raw = unshuffle(raw, dtype.size)
+            case f => fail(s"filter $f in chunk pipeline")
+          }
           copyChunk(raw, offsets.take(rank).map(_.toLong), out)
         }
         e += 1
@@ -175,6 +182,24 @@ object Hdf5 {
           System.arraycopy(raw, i * es, out, (dest * es).toInt, es)
         i += 1
       }
+    }
+
+    /** Reverse the HDF5 shuffle filter: stored layout is byte-plane-major
+      * (all 1st bytes of every element, then all 2nd bytes, …) —
+      * transpose back to element-major.
+      */
+    private def unshuffle(in: Array[Byte], es: Int): Array[Byte] = {
+      if (es <= 1) return in
+      val n = in.length / es
+      val out = new Array[Byte](in.length)
+      var k = 0
+      var j = 0
+      while (j < es) {
+        var i = 0
+        while (i < n) { out(i * es + j) = in(k); k += 1; i += 1 }
+        j += 1
+      }
+      out
     }
 
     private def inflate(in: Array[Byte]): Array[Byte] = {
@@ -599,7 +624,8 @@ object Hdf5 {
             b.skip(nameLen)
             b.skip(4 * nVals + (if (v == 1 && nVals % 2 == 1) 4 else 0))
             filters :+= id
-            if (id != 1) fail(s"filter $id not supported (only deflate)")
+            if (id != 1 && id != 2)
+              fail(s"filter $id not supported (deflate + shuffle only)")
             i += 1
           }
         case _ => // fill value, attributes, mtime … not needed

@@ -144,6 +144,37 @@ class EmdSpec extends SparkSpec {
       Seq(7.0, 9.223372036854776E18, 1.8446744073709552E19))
   }
 
+  test("HDF5 shuffle+deflate filter pipeline roundtrip") {
+    val w = new Hdf5TestWriter()
+    val dims = Seq(6L, 4L)
+    val values = (0 until 24).map(i => i * 1234.5 - 7000)
+    val raw = java.nio.ByteBuffer.allocate(24 * 8)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    values.foreach(raw.putDouble)
+    val ds = w.chunkedDataset(dims, w.float64, raw.array(), Seq(3, 3),
+      shuffle = true)
+    val d = Hdf5.open(w.finish(w.group(Seq("s" -> ds)))).datasets.head
+    assert(d.readDoubles().toSeq == values)
+  }
+
+  test("Emd.signals over the full libver-latest layout (dense groups, v2 filters, shuffle)") {
+    // 10 signals of one kind → the kind group goes DENSE; chunks are
+    // shuffle+deflate behind v2 filter messages under OHDR headers
+    val sigs = (0 until 10).map { i =>
+      Hdf5TestWriter.Sig("Image", f"uid$i%02d", Seq(2L, 3L, 1L),
+        (0 until 6).map(p => (p * 3 + i * 100).toDouble),
+        metadataJson = if (i == 0) Some("""{"Core":{"v":"x"}}""") else None,
+        chunked = Some(Seq(2, 2, 1)))
+    }
+    val parsed = Emd.signals(Hdf5TestWriter.emdV2(sigs))
+    assert(parsed.map(_.title) == (0 until 10).map(i => f"Image/uid$i%02d"))
+    parsed.zipWithIndex.foreach { case (sig, i) =>
+      assert(sig.ndim == 2 && sig.shape == Seq(2, 3)) // (2,3,1) squeezes
+      assert(sig.data == (0 until 6).map(p => (p * 3 + i * 100).toDouble))
+    }
+    assert(parsed(0).metadata_json.contains("Core"))
+  }
+
   test("Emd.signals: Velox layout, squeeze, metadata, deterministic order") {
     val bytes = Hdf5TestWriter.emd(Seq(
       Hdf5TestWriter.Sig("Image", "uidB", Seq(4L, 4L, 1L),

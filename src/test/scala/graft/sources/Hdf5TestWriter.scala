@@ -102,7 +102,8 @@ final class Hdf5TestWriter(capacity: Int = 1 << 22) {
     */
   def chunkedDataset(dims: Seq[Long], dt: Dt, raw: Array[Byte],
       chunkDims: Seq[Int], deflateLevel: Int = 6,
-      filterMsgVersion: Int = 1): Long = {
+      filterMsgVersion: Int = 1, shuffle: Boolean = false,
+      v2Header: Boolean = false): Long = {
     val rank = dims.size
     val nChunks = dims.indices.map(d =>
       ((dims(d) + chunkDims(d) - 1) / chunkDims(d)).toInt)
@@ -130,7 +131,8 @@ final class Hdf5TestWriter(capacity: Int = 1 << 22) {
           System.arraycopy(raw, (src * dt.size).toInt, chunk, i * dt.size, dt.size)
         }
       }
-      val packed = deflate(chunk, deflateLevel)
+      val packed = deflate(
+        if (shuffle) shuffleBytes(chunk, dt.size) else chunk, deflateLevel)
       val addr = writeBytes(packed)
       entries += ((addr, packed.length, at))
     }
@@ -159,34 +161,58 @@ final class Hdf5TestWriter(capacity: Int = 1 << 22) {
     chunkDims.foreach(c => layout.putInt(c))
     layout.putInt(dt.size)
 
-    val filter =
-      if (filterMsgVersion == 1) {
-        val f = ByteBuffer.allocate(24).order(ByteOrder.LITTLE_ENDIAN)
-        f.put(1.toByte).put(1.toByte).put(new Array[Byte](6))
-        f.putShort(1.toShort)  // deflate
-        f.putShort(0.toShort)  // no name
-        f.putShort(1.toShort)  // flags: optional
-        f.putShort(1.toShort)  // one client value
-        f.putInt(deflateLevel)
-        f.putInt(0) // pad to 8 (odd client-value count)
-        f
-      } else {
-        // v2 (libver-latest): id < 256 ⇒ NO name-length/name fields, and
-        // client values carry no odd-count padding
-        val f = ByteBuffer.allocate(12).order(ByteOrder.LITTLE_ENDIAN)
-        f.put(2.toByte).put(1.toByte)
-        f.putShort(1.toShort)  // deflate
-        f.putShort(1.toShort)  // flags: optional
-        f.putShort(1.toShort)  // one client value
-        f.putInt(deflateLevel)
-        f
+    // pipeline in WRITE order: shuffle (id 2, client value = element
+    // size) before deflate (id 1) — readers reverse it
+    val descs: Seq[(Int, Seq[Int])] =
+      (if (shuffle) Seq(2 -> Seq(dt.size)) else Seq.empty) :+
+        (1 -> Seq(deflateLevel))
+    val f = ByteBuffer.allocate(8 + descs.map(d => 8 + 4 * d._2.size + 4).sum)
+      .order(ByteOrder.LITTLE_ENDIAN)
+    if (filterMsgVersion == 1) {
+      f.put(1.toByte).put(descs.size.toByte).put(new Array[Byte](6))
+      descs.foreach { case (id, vals) =>
+        f.putShort(id.toShort)
+        f.putShort(0.toShort)          // no name
+        f.putShort(1.toShort)          // flags: optional
+        f.putShort(vals.size.toShort)
+        vals.foreach(f.putInt)
+        if (vals.size % 2 == 1) f.putInt(0) // pad odd client-value counts
       }
+    } else {
+      // v2 (libver-latest): id < 256 ⇒ NO name fields, NO padding
+      f.put(2.toByte).put(descs.size.toByte)
+      descs.foreach { case (id, vals) =>
+        f.putShort(id.toShort)
+        f.putShort(1.toShort)          // flags: optional
+        f.putShort(vals.size.toShort)
+        vals.foreach(f.putInt)
+      }
+    }
+    val filter = java.util.Arrays.copyOf(f.array(), f.position())
 
-    objectHeader(Seq(
+    val msgs = Seq(
       0x0001 -> dataspaceBody(dims),
       0x0003 -> dt.body,
-      0x000B -> filter.array(),
-      0x0008 -> layout.array()))
+      0x000B -> filter,
+      0x0008 -> layout.array())
+    if (v2Header) objectHeaderV2(msgs) else objectHeader(msgs)
+  }
+
+  /** The HDF5 shuffle filter's forward transform: element-major bytes →
+    * byte-plane-major.
+    */
+  private def shuffleBytes(in: Array[Byte], es: Int): Array[Byte] = {
+    if (es <= 1) return in
+    val n = in.length / es
+    val out = new Array[Byte](in.length)
+    var k = 0
+    var j = 0
+    while (j < es) {
+      var i = 0
+      while (i < n) { out(k) = in(i * es + j); k += 1; i += 1 }
+      j += 1
+    }
+    out
   }
 
   private def deflate(in: Array[Byte], level: Int): Array[Byte] = {
@@ -491,5 +517,36 @@ object Hdf5TestWriter {
     val dataGroup = w.group(kindGroups)
     val root = w.group(Seq("Data" -> dataGroup))
     w.finish(root)
+  }
+
+  /** Same Velox shape in the libver-latest framing: superblock v3, OHDR
+    * headers everywhere, v2 filter messages, shuffle+deflate chunks, and
+    * DENSE (fractal-heap) storage for any group past 8 links — the layout
+    * a modern h5py writer produces.
+    */
+  def emdV2(sigs: Seq[Sig]): Array[Byte] = {
+    val w = new Hdf5TestWriter()
+    def groupAuto(children: Seq[(String, Long)]): Long =
+      if (children.size > 8) w.groupV2Dense(children) else w.groupV2(children)
+    val uidGroups: Seq[(String, String, Long)] = sigs.map { sig =>
+      val raw = ByteBuffer.allocate(sig.values.size * 8).order(ByteOrder.LITTLE_ENDIAN)
+      sig.values.foreach(raw.putDouble)
+      val dsAddr = sig.chunked match {
+        case Some(cd) => w.chunkedDataset(sig.dims, w.float64, raw.array(), cd,
+          filterMsgVersion = 2, shuffle = true, v2Header = true)
+        case None => w.datasetV2(sig.dims, w.float64, raw.array())
+      }
+      val children = Seq("Data" -> dsAddr) ++ sig.metadataJson.map { j =>
+        val bytes = j.getBytes("UTF-8") ++ Array(0.toByte, 0.toByte)
+        "Metadata" -> w.datasetV2(Seq(bytes.length.toLong), w.uint8, bytes)
+      }
+      (sig.kind, sig.uid, groupAuto(children))
+    }
+    val kindGroups = uidGroups.groupBy(_._1).toSeq.sortBy(_._1).map {
+      case (kind, members) =>
+        kind -> groupAuto(members.map(m => m._2 -> m._3))
+    }
+    val root = groupAuto(Seq("Data" -> groupAuto(kindGroups)))
+    w.finishV3(root)
   }
 }

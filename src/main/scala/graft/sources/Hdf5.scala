@@ -21,8 +21,10 @@ import java.util.zip.Inflater
   *     dense link storage (fractal heap — root direct block or one level
   *     of indirect block — indexed by a single-leaf v2 B-tree; deeper
   *     B-trees and filtered/huge/tiny heap objects fail fast by name);
-  *   - datatypes: fixed-point (1/2/4/8-byte, signed or unsigned) and IEEE
-  *     float (4/8-byte), little-endian;
+  *   - datatypes: fixed-point (1/2/4/8-byte, signed or unsigned), IEEE
+  *     float (4/8-byte), little-endian, and fixed-length strings
+  *     (NUL-terminated/-padded or space-padded; variable-length strings
+  *     live in the global heap and fail fast);
   *   - dataspaces: simple, any rank (v1 and v2 messages);
   *   - layouts: contiguous and chunked (B-tree v1 node type 1, any depth),
   *     with the deflate (zlib, `java.util.zip.Inflater`) and shuffle
@@ -76,6 +78,24 @@ object Hdf5 {
           walkChunkTree(dataAddr, out)
           out
         case c => fail(s"layout class $c (compact/virtual) not supported")
+      }
+    }
+
+    /** Decode a fixed-length string dataset (datatype class 3): one
+      * string per element, trimmed at the first NUL (termination and NUL
+      * padding) or of trailing spaces (space padding).
+      */
+    def readStrings(): Array[String] = {
+      require(dtype.clazz == 3, s"dataset $name is not a string dataset")
+      val raw = readBytes()
+      val n = raw.length / dtype.size
+      Array.tabulate(n) { i =>
+        val start = i * dtype.size
+        var end = start
+        while (end < start + dtype.size && raw(end) != 0) end += 1
+        new String(raw, start, end - start,
+          java.nio.charset.StandardCharsets.UTF_8)
+          .replaceAll(" +$", "")
       }
     }
 
@@ -586,10 +606,16 @@ object Hdf5 {
           val clazz = cv & 0x0F
           val bits0 = b.u8(); b.skip(2)
           val size = b.u32().toInt
-          if ((bits0 & 0x01) != 0) fail("big-endian data not supported")
+          // bit 0 is byte order for numeric classes only (strings use it
+          // for the padding type)
+          if (clazz <= 1 && (bits0 & 0x01) != 0)
+            fail("big-endian data not supported")
           dtype = clazz match {
             case 0 => Dtype(0, size, signed = (bits0 & 0x08) != 0)
             case 1 => Dtype(1, size, signed = true)
+            case 3 => Dtype(3, size, signed = false) // fixed-length string
+            case 9 => fail(s"variable-length datatype (global heap) not " +
+              s"supported (dataset $name)")
             case c => fail(s"datatype class $c not supported (dataset $name)")
           }
         case 0x0008 => // data layout

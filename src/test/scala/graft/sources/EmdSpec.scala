@@ -131,6 +131,20 @@ class EmdSpec extends SparkSpec {
     assert(g.datasets.head.readDoubles().toSeq == values)
   }
 
+  test("HDF5 fixed-length string dataset decodes with padding trimmed") {
+    val w = new Hdf5TestWriter()
+    val names = Seq("haadf", "eds-spectrum", "x")
+    val width = 16
+    val raw = new Array[Byte](names.size * width)
+    names.zipWithIndex.foreach { case (s, i) =>
+      System.arraycopy(s.getBytes("UTF-8"), 0, raw, i * width, s.length)
+    }
+    val ds = w.dataset(Seq(names.size.toLong), w.fixedString(width), raw)
+    val d = Hdf5.open(w.finish(w.group(Seq("labels" -> ds)))).datasets.head
+    assert(d.dtype.clazz == 3)
+    assert(d.readStrings().toSeq == names)
+  }
+
   test("HDF5 unsigned 64-bit values above Long.MaxValue decode correctly") {
     val w = new Hdf5TestWriter()
     val raw = java.nio.ByteBuffer.allocate(24)

@@ -39,6 +39,15 @@ final class Hdf5TestWriter(capacity: Int = 1 << 22) {
     Dt(0, size, b.array())
   }
 
+  /** Fixed-length NUL-padded ASCII string type (class 3). */
+  def fixedString(size: Int): Dt = {
+    val b = ByteBuffer.allocate(8).order(ByteOrder.LITTLE_ENDIAN)
+    b.put(0x13.toByte) // version 1, class 3
+    b.put(0x01.toByte).put(0.toByte).put(0.toByte) // NUL-padded, ASCII
+    b.putInt(size)
+    Dt(3, size, b.array())
+  }
+
   def float32: Dt = float(4, expLoc = 23, expSize = 8, mantSize = 23, bias = 127, signPos = 31)
   def float64: Dt = float(8, expLoc = 52, expSize = 11, mantSize = 52, bias = 1023, signPos = 63)
 

@@ -198,6 +198,34 @@ object RelationalQueries {
       ORDER BY gid, rf, ls""")
   )
 
+  /** CUBE aggregation — every grouping-set combination in ONE aggregate
+    * (q18's ROLLUP covers the hierarchy; CUBE adds the cross slices).
+    * Same single-shuffle expansion: Spark explodes the grouping sets
+    * map-side, so the exchange carries each input row once per set with
+    * partial aggregation already applied.
+    */
+  val q22Cube: QueryDef = QueryDef(
+    "q22_cube",
+    (s, dir) =>
+      Tables.load(s, dir, "orders")
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(count(lit(1)).as("n"),
+          dsum(col("o_totalprice")).as("total"),
+          grouping_id().as("gid"))
+        .select(coalesce(col("o_orderstatus"), lit("<all>")).as("st"),
+          coalesce(col("o_orderpriority"), lit("<all>")).as("pri"),
+          col("n"), col("total"), col("gid"))
+        .orderBy("gid", "st", "pri"),
+    Some(s"""
+      SELECT COALESCE(o_orderstatus, '<all>') AS st,
+             COALESCE(o_orderpriority, '<all>') AS pri,
+             COUNT(*) AS n,
+             ${sqlSum("o_totalprice")} AS total,
+             GROUPING(o_orderstatus, o_orderpriority) AS gid
+      FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+      ORDER BY gid, st, pri""")
+  )
+
   /** Set operations: INTERSECT/EXCEPT with DISTINCT semantics on both
     * engines (nations having customers vs nations having suppliers).
     */
@@ -253,5 +281,5 @@ object RelationalQueries {
 
   val all: Seq[QueryDef] =
     Seq(q1Agg, q2TopK, q10Histogram, q11SummaryStats, q12Distinct, q13StringFuncs,
-      q18Rollup, q19SetOps, q20DateParts)
+      q18Rollup, q19SetOps, q20DateParts, q22Cube)
 }

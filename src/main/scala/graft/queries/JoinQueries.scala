@@ -123,5 +123,34 @@ object JoinQueries {
       GROUP BY n_name ORDER BY n_name""")
   )
 
-  val all: Seq[QueryDef] = Seq(q3JoinAgg, q4SemiJoin, q5AntiJoin, q6RegionJoin)
+  /** Skew-salted fact join under the exact oracle: orders ⋈ customer on
+    * custkey through [[graft.core.Skew.saltedJoin]] — each key spreads
+    * over 8 reducers (deterministic salt from o_orderkey; customer side
+    * replicated ×8), the explicit mitigation for hot keys known AHEAD of
+    * runtime (AQE's skew join handles the discovered-at-runtime case).
+    * Salting must be result-invisible, so the oracle is the PLAIN join:
+    * any row lost or duplicated by the salt plumbing hash-mismatches.
+    */
+  val q23SkewJoin: QueryDef = QueryDef(
+    "q23_skew_join",
+    (s, dir) =>
+      graft.core.Skew.saltedJoin(
+        Tables.load(s, dir, "orders")
+          .withColumnRenamed("o_custkey", "c_custkey"),
+        Tables.load(s, dir, "customer").select("c_custkey", "c_nationkey"),
+        key = "c_custkey",
+        discriminator = col("o_orderkey"), salts = 8)
+        .groupBy("c_nationkey")
+        .agg(count(lit(1)).as("n_orders"),
+          sum(money(col("o_totalprice"))).cast(DoubleType).as("total"))
+        .orderBy("c_nationkey"),
+    Some(s"""
+      SELECT c_nationkey, COUNT(*) AS n_orders,
+             CAST(SUM(${sqlMoney("o_totalprice")}) AS DOUBLE) AS total
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      GROUP BY c_nationkey ORDER BY c_nationkey""")
+  )
+
+  val all: Seq[QueryDef] =
+    Seq(q3JoinAgg, q4SemiJoin, q5AntiJoin, q6RegionJoin, q23SkewJoin)
 }

@@ -77,14 +77,30 @@ class PlanSpec extends SparkSpec {
     assert(!treeAfter.contains("text#"), "text column crossed a shuffle")
   }
 
+  test("sessionization is a single keyed shuffle end to end") {
+    val plan = planOf(EventQueries.q21Sessions.fn(spark, sf))
+    // window partitioning on user_id must satisfy BOTH downstream
+    // aggregations ((user_id, sess_id) ⊇ user_id) — one hash exchange
+    // total, plus only the final presentation sort's range exchange
+    val keyed = plan.linesIterator
+      .count(l => l.contains("Arguments: hashpartitioning("))
+    assert(keyed == 1, s"sessionization re-shuffled:\n$plan")
+    assert(!plan.contains("No Partition Defined"))
+  }
+
   test("peak detection broadcasts the tiny aggregated series") {
     val plan = planOf(graft.signals.SignalQueries.g4PeakDetect.fn(spark, sf))
     assert(plan.contains("BroadcastHashJoin"))
     // the only keyed shuffle is the aggregation itself (possibly reused);
     // neighbor access must not re-shuffle the series
+    // the only keyed shuffle is the channel aggregation; the shifted
+    // branches repeat the IDENTICAL exchange subtree (deduped by
+    // exchange reuse at runtime) — a re-shuffle on any other key fails
     val keyed = plan.linesIterator
-      .count(l => l.contains("Exchange hashpartitioning("))
-    assert(keyed <= 1, s"neighbor joins reshuffled the series:\n$plan")
+      .filter(_.contains("Arguments: hashpartitioning("))
+      .map(_.trim.replaceAll("#\\d+[L]?", "").replaceAll("plan_id=\\d+", ""))
+      .toSet
+    assert(keyed.size <= 1, s"neighbor joins reshuffled the series:\n$plan")
   }
 
   test("loadSpread shuffles narrow scans but never already-parallel ones") {

@@ -201,6 +201,38 @@ object GraftExpressions {
       copy(child = newChild)
   }
 
+  /** Custom Catalyst GENERATOR (the UDTF extension class, SURVEY §2 H):
+    * one row per adjacent non-empty word pair of `text`, straight off the
+    * string — no intermediate word array or struct array materializes per
+    * row, unlike the equivalent `split` + `zip_with(slice, slice)` +
+    * `explode` chain. The analyzer's ExtractGenerator rule plans it as a
+    * Generate node wherever it appears in a projection, exactly like the
+    * built-in `explode`.
+    */
+  case class WordBigramsExpr(child: Expression)
+      extends UnaryExpression
+      with org.apache.spark.sql.catalyst.expressions.Generator
+      with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+    override def elementSchema: StructType = StructType(Seq(
+      StructField("w1", StringType, nullable = false),
+      StructField("w2", StringType, nullable = false)))
+    override def prettyName: String = "word_bigrams"
+    override def eval(input: org.apache.spark.sql.catalyst.InternalRow)
+        : IterableOnce[org.apache.spark.sql.catalyst.InternalRow] = {
+      val v = child.eval(input)
+      if (v == null) Iterator.empty
+      else {
+        val words = v.asInstanceOf[UTF8String].toString.split(' ')
+        (0 until words.length - 1).iterator
+          .filter(i => words(i).nonEmpty && words(i + 1).nonEmpty)
+          .map(i => org.apache.spark.sql.catalyst.InternalRow(
+            UTF8String.fromString(words(i)), UTF8String.fromString(words(i + 1))))
+      }
+    }
+    override protected def withNewChildInternal(newChild: Expression): WordBigramsExpr =
+      copy(child = newChild)
+  }
+
   // ---- Column-API surface ----
 
   private def col(e: Expression): Column = ColumnBridge.column(e)
@@ -249,4 +281,7 @@ object GraftExpressions {
   /** Top-nprobe IVF probe cells of a query vector. */
   def ivfProbeCells(v: Column, cents: Array[Double], k: Int, nprobe: Int): Column =
     col(NearCellsExpr(expr(v), cents, k, nprobe))
+
+  /** Generator: one (w1, w2) row per adjacent non-empty word pair. */
+  def wordBigrams(text: Column): Column = col(WordBigramsExpr(expr(text)))
 }

@@ -69,5 +69,10 @@ class GraftSqlExtensions extends (SparkSessionExtensions => Unit) {
         "embed_shingles(text, n, dim) - L2-normalized feature-hashed shingle embedding"),
       (es: Seq[Expression]) => EmbedShinglesExpr(es.head, litInt(es(1), "n"),
         litInt(es(2), "dim"))))
+
+    ext.injectFunction((FunctionIdentifier("word_bigrams"),
+      info("word_bigrams",
+        "word_bigrams(text) - generator: one row per adjacent non-empty word pair"),
+      (es: Seq[Expression]) => WordBigramsExpr(es.head)))
   }
 }

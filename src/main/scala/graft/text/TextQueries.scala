@@ -177,9 +177,12 @@ object TextQueries {
     * phrase extraction / PMI scoring / tokenizer corpus statistics: count
     * every adjacent word pair corpus-wide, report the top 25 by count.
     *
-    * Plan shape at 100 TB: the pair explode is a codegen projection
-    * (`zip_with` over two slices — no UDF, no shuffle), the count is one
-    * map-side-combinable aggregate keyed by the pair, and the top-k is
+    * Plan shape at 100 TB: the pair fan-out is the custom
+    * [[graft.expressions.GraftExpressions.WordBigramsExpr]] GENERATOR —
+    * rows come straight off the string with no intermediate word/struct
+    * arrays per document (the `split` + `zip_with(slice, slice)` +
+    * `explode` chain it replaces materializes three) — then one
+    * map-side-combinable count keyed by the pair, and the top-k is
     * TakeOrderedAndProject (per-partition partial top-k, k rows to the
     * driver — never a global sort of the pair table).
     */
@@ -187,13 +190,9 @@ object TextQueries {
     "t7_cooccurrence",
     (s, dir) =>
       Tables.loadSpread(s, dir, "documents")
-        .select(split(col("text"), " ").as("ws"))
-        .filter(size(col("ws")) >= 2)
-        .select(explode(expr(
-          "zip_with(slice(ws, 1, size(ws) - 1), slice(ws, 2, size(ws) - 1)," +
-            " (a, b) -> struct(a AS w1, b AS w2))")).as("p"))
-        .filter(length(col("p.w1")) > 0 && length(col("p.w2")) > 0)
-        .groupBy(col("p.w1").as("w1"), col("p.w2").as("w2"))
+        .select(graft.expressions.GraftExpressions.wordBigrams(col("text"))
+          .as(Seq("w1", "w2")))
+        .groupBy("w1", "w2")
         .agg(count(lit(1)).as("n"))
         .orderBy(col("n").desc, col("w1"), col("w2"))
         .limit(25),

@@ -27,6 +27,43 @@ class GraftSqlExtensionsSpec extends SparkSpec {
     assert(viaSql.map(_.toString).toSeq == viaCols.map(_.toString).toSeq)
   }
 
+  test("word_bigrams generator: semantics, SQL lateral view, zip_with equality") {
+    val session = spark
+    import session.implicits._
+    val docs = Seq((1L, "a b  c d"), (2L, "solo"), (3L, ""), (4L, "x y"))
+      .toDF("id", "text")
+    docs.createOrReplaceTempView("sql_docs3")
+
+    // adjacency semantics: double space breaks the (b, c) pair — empty
+    // words never pair, and non-adjacent words never bridge
+    val viaCol = docs
+      .select(col("id"), GraftExpressions.wordBigrams(col("text")).as(Seq("w1", "w2")))
+      .orderBy("id", "w1").collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    assert(viaCol.toSeq == Seq((1L, "a", "b"), (1L, "c", "d"), (4L, "x", "y")))
+
+    // SQL generator placement: both projection and LATERAL VIEW forms
+    val viaSql = spark.sql(
+      """SELECT id, b.w1, b.w2 FROM sql_docs3
+        |LATERAL VIEW word_bigrams(text) b AS w1, w2
+        |ORDER BY id, w1""".stripMargin)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    assert(viaSql.toSeq == viaCol.toSeq)
+
+    // exact equality with the built-in zip_with formulation on busy text
+    val busy = Seq.tabulate(50)(i => s"w$i t${i % 7} " * 3).toDF("text")
+    val gen = busy.select(GraftExpressions.wordBigrams(col("text")).as(Seq("w1", "w2")))
+      .groupBy("w1", "w2").count().orderBy("w1", "w2").collect().map(_.toSeq)
+    val hof = busy.select(split(col("text"), " ").as("ws"))
+      .filter(size(col("ws")) >= 2)
+      .select(explode(expr(
+        "zip_with(slice(ws, 1, size(ws) - 1), slice(ws, 2, size(ws) - 1)," +
+          " (a, b) -> struct(a AS w1, b AS w2))")).as("p"))
+      .filter(length(col("p.w1")) > 0 && length(col("p.w2")) > 0)
+      .groupBy(col("p.w1").as("w1"), col("p.w2").as("w2")).count()
+      .orderBy("w1", "w2").collect().map(_.toSeq)
+    assert(gen.toSeq == hof.toSeq)
+  }
+
   test("kgram_hashes and embed_shingles from SQL match Column API") {
     val session = spark
     import session.implicits._

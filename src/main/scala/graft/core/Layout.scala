@@ -35,16 +35,20 @@ object Layout {
     */
   def compact(spark: SparkSession, inPath: String, outPath: String,
       targetFileBytes: Long = 128L * 1024 * 1024): (Int, Int) = {
-    val fs = new java.io.File(inPath)
-    val parts = Option(fs.listFiles()).getOrElse(Array.empty)
-      .filter(f => f.isFile && f.getName.endsWith(".parquet"))
-    val totalBytes = parts.map(_.length()).sum
+    // Hadoop FS, not java.io — the same call works on HDFS/S3/local
+    def parquetFiles(p: String): Seq[org.apache.hadoop.fs.FileStatus] = {
+      val path = new org.apache.hadoop.fs.Path(p)
+      val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (!fs.exists(path)) Seq.empty
+      else fs.listStatus(path).toSeq
+        .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+    }
+    val parts = parquetFiles(inPath)
+    val totalBytes = parts.map(_.getLen).sum
     val nOut = math.max(1, math.ceil(totalBytes.toDouble / targetFileBytes).toInt)
     spark.read.parquet(inPath)
       .repartition(nOut)
       .write.mode("overwrite").parquet(outPath)
-    val after = Option(new java.io.File(outPath).listFiles()).getOrElse(Array.empty)
-      .count(f => f.isFile && f.getName.endsWith(".parquet"))
-    (parts.length, after)
+    (parts.length, parquetFiles(outPath).length)
   }
 }

@@ -47,7 +47,12 @@ object Inference {
       if (it.isEmpty) Iterator.empty
       else {
         val model = modelFactory() // one session per partition, never shipped
-        val results = it.grouped(batchSize).flatMap { raw =>
+        // close on task completion, not iterator drain — a downstream
+        // limit/take can abandon the iterator mid-partition and a native
+        // session would otherwise leak
+        Option(org.apache.spark.TaskContext.get()).foreach(
+          _.addTaskCompletionListener[Unit](_ => model.close()))
+        it.grouped(batchSize).flatMap { raw =>
           val batch = raw.toIndexedSeq
           val out = model.run(batch)
           require(out.length == batch.length,
@@ -55,14 +60,6 @@ object Inference {
           batch.iterator.zip(out.iterator).map { case (img, scores) =>
             Detection(img.media_id, model.name, scores)
           }
-        }
-        new Iterator[Detection] {
-          def hasNext: Boolean = {
-            val h = results.hasNext
-            if (!h) model.close()
-            h
-          }
-          def next(): Detection = results.next()
         }
       }
     }

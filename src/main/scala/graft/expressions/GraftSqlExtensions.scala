@@ -74,5 +74,11 @@ class GraftSqlExtensions extends (SparkSessionExtensions => Unit) {
       info("word_bigrams",
         "word_bigrams(text) - generator: one row per adjacent non-empty word pair"),
       (es: Seq[Expression]) => WordBigramsExpr(es.head)))
+
+    ext.injectFunction((FunctionIdentifier("kmv_distinct"),
+      info("kmv_distinct",
+        "kmv_distinct(hash, k) - KMV distinct-count sketch estimate (deterministic)"),
+      (es: Seq[Expression]) =>
+        KmvDistinctExpr(es.head, litInt(es(1), "k")).toAggregateExpression()))
   }
 }

@@ -1,0 +1,102 @@
+package graft.expressions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.trees.UnaryLike
+import org.apache.spark.sql.graft.ColumnBridge
+import org.apache.spark.sql.types.{DataType, DoubleType}
+
+/** Sketch aggregates (SURVEY §2 H north-star: custom UDAF via
+  * `TypedImperativeAggregate` — the Catalyst extension class for
+  * aggregates whose state is an object, not a fixed-width row).
+  *
+  * [[KmvDistinctExpr]] is the KMV (k-minimum-values) distinct-count
+  * sketch (Bar-Yossef et al. 2002): keep the k smallest distinct hash
+  * values seen; if the k-th smallest sits at normalized position u in the
+  * hash space, about k/u distinct values exist — the estimator
+  * `(k-1)/u_k` is unbiased. Properties that matter here:
+  *
+  *  - MERGEABLE: the union's k smallest = k smallest of the merged kept
+  *    sets, so partial aggregation and shuffle-merge are exact — the
+  *    sketch state is tiny (k longs) regardless of input size;
+  *  - DETERMINISTIC: no RNG anywhere — the estimate is a pure function
+  *    of the input's hash set, identical on any partitioning, rerun, or
+  *    engine. Unlike HLL, the whole aggregate is therefore verifiable by
+  *    an EXTERNAL ORACLE recomputing k-th-smallest relationally (t8);
+  *  - exact below k: fewer than k distinct hashes → the state IS the
+  *    distinct set and the exact count returns.
+  *
+  * Ordering is SIGNED long order with the affine normalization
+  * `u = (h + 2^63) / 2^64` ∈ (0, 1) — a rotation of the hash space,
+  * harmless for uniform hashes and trivially mirrored in SQL.
+  */
+case class KmvDistinctExpr(child: Expression, k: Int,
+    mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[java.util.TreeSet[java.lang.Long]]
+    with UnaryLike[Expression] {
+
+  require(k >= 2, "kmv sketch needs k >= 2")
+
+  override def createAggregationBuffer(): java.util.TreeSet[java.lang.Long] =
+    new java.util.TreeSet[java.lang.Long]()
+
+  override def update(buf: java.util.TreeSet[java.lang.Long],
+      input: InternalRow): java.util.TreeSet[java.lang.Long] = {
+    val v = child.eval(input)
+    if (v != null) {
+      buf.add(v.asInstanceOf[Long])
+      if (buf.size > k) buf.pollLast()
+    }
+    buf
+  }
+
+  override def merge(b1: java.util.TreeSet[java.lang.Long],
+      b2: java.util.TreeSet[java.lang.Long]): java.util.TreeSet[java.lang.Long] = {
+    b1.addAll(b2)
+    while (b1.size > k) b1.pollLast()
+    b1
+  }
+
+  override def eval(buf: java.util.TreeSet[java.lang.Long]): Any =
+    if (buf.size < k) buf.size.toDouble
+    else {
+      val hk = buf.last.longValue.toDouble
+      (k - 1).toDouble / ((hk + 9.223372036854776E18) / 1.8446744073709552E19)
+    }
+
+  override def serialize(buf: java.util.TreeSet[java.lang.Long]): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(4 + 8 * buf.size)
+    bb.putInt(buf.size)
+    buf.forEach(h => { bb.putLong(h); () })
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): java.util.TreeSet[java.lang.Long] = {
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    val n = bb.getInt
+    val out = new java.util.TreeSet[java.lang.Long]()
+    var i = 0
+    while (i < n) { out.add(bb.getLong); i += 1 }
+    out
+  }
+
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = false
+  override def prettyName: String = "kmv_distinct"
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): KmvDistinctExpr =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): KmvDistinctExpr =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildInternal(newChild: Expression): KmvDistinctExpr =
+    copy(child = newChild)
+}
+
+object Sketches {
+  /** KMV distinct-count estimate over a long hash column. */
+  def kmvDistinct(hash: Column, k: Int): Column =
+    ColumnBridge.column(
+      KmvDistinctExpr(ColumnBridge.expression(hash), k).toAggregateExpression())
+}

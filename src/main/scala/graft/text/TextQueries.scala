@@ -208,7 +208,54 @@ object TextQueries {
       ORDER BY n DESC, w1, w2 LIMIT 25""")
   )
 
+  /** Distinct-vocabulary estimation via the KMV sketch — the custom
+    * `TypedImperativeAggregate` ([[graft.expressions.KmvDistinctExpr]])
+    * under an EXACT oracle: the sketch is deterministic (no RNG), so
+    * DuckDB recomputes the identical estimate relationally (k-th smallest
+    * distinct hash per source + the same normalization arithmetic) and
+    * the hash compare tolerates zero error. At 100 TB the aggregate
+    * shuffles k=64 longs per group instead of the distinct hash set that
+    * an exact count drags through the exchange.
+    */
+  val t8DistinctSketch: QueryDef = QueryDef(
+    "t8_distinct_sketch",
+    (s, dir) => {
+      val words = Tables.loadSpread(s, dir, "documents")
+        .select(col("source"), explode(split(col("text"), " ")).as("w"))
+        .filter(length(col("w")) > 0)
+        .select(col("source"), xxhash64(col("w")).as("h"))
+      words.groupBy("source")
+        .agg(countDistinct(col("h")).as("exact_distinct"),
+          graft.expressions.Sketches.kmvDistinct(col("h"), 64).as("kmv_estimate"))
+        .orderBy("source")
+    },
+    Some("""
+      WITH d AS (SELECT DISTINCT source, h
+                 FROM read_parquet('{OUT}/aux/t8_distinct_sketch__hashes/*.parquet')),
+      r AS (
+        SELECT source, h,
+               ROW_NUMBER() OVER (PARTITION BY source ORDER BY h) AS rn,
+               COUNT(*) OVER (PARTITION BY source) AS cnt
+        FROM d)
+      SELECT source, CAST(cnt AS BIGINT) AS exact_distinct,
+             CASE WHEN cnt < 64 THEN CAST(cnt AS DOUBLE)
+                  ELSE CAST(63 AS DOUBLE) /
+                       ((CAST(h AS DOUBLE) + 9.223372036854776e18)
+                         / 1.8446744073709552e19)
+             END AS kmv_estimate
+      FROM r
+      WHERE rn = CASE WHEN cnt < 64 THEN cnt ELSE 64 END
+      ORDER BY source"""),
+    aux = Map("hashes" -> ((s, dir) =>
+      Tables.loadSpread(s, dir, "documents")
+        .select(col("source"), explode(split(col("text"), " ")).as("w"))
+        .filter(length(col("w")) > 0)
+        .select(col("source"), xxhash64(col("w")).as("h"))
+        .distinct()
+        .orderBy("source", "h")))
+  )
+
   val all: Seq[QueryDef] =
     Seq(t1TokenCount, t2QualityScore, t3LangId, t4Fingerprint, t5Vocab,
-      t6StratifiedSample, t7Cooccurrence)
+      t6StratifiedSample, t7Cooccurrence, t8DistinctSketch)
 }

@@ -1,0 +1,62 @@
+package graft.expressions
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** KMV distinct sketch: exact below k, partitioning-invariant estimates
+  * (deterministic merge), and sane error against the exact count.
+  */
+class SketchesSpec extends SparkSpec {
+
+  private lazy val session = spark
+  import session.implicits._
+
+  test("exact count below k; estimate within error above k") {
+    val small = (1L to 40L).map(i => s"v$i").toDF("v")
+      .select(xxhash64(col("v")).as("h"))
+    val smallEst = small.agg(Sketches.kmvDistinct(col("h"), 64)).collect()(0).getDouble(0)
+    assert(smallEst == 40.0) // below k the state IS the distinct set
+
+    val big = (1L to 20000L).map(i => s"value-$i").toDF("v")
+      .select(xxhash64(col("v")).as("h"))
+    val est = big.agg(Sketches.kmvDistinct(col("h"), 256)).collect()(0).getDouble(0)
+    // KMV stderr ≈ 1/sqrt(k-2) ≈ 6.3% at k=256; allow 4 sigma
+    assert(math.abs(est - 20000.0) / 20000.0 < 0.25, s"estimate $est")
+  }
+
+  test("estimate is identical on any partitioning (deterministic merge)") {
+    val vals = (1L to 5000L).map(i => s"x${i % 3000}") // dups across partitions
+    def estimate(parts: Int): Double =
+      vals.toDF("v").repartition(parts)
+        .select(xxhash64(col("v")).as("h"))
+        .agg(Sketches.kmvDistinct(col("h"), 128)).collect()(0).getDouble(0)
+    val e1 = estimate(1)
+    assert(estimate(7) == e1 && estimate(32) == e1)
+  }
+
+  test("kmv_distinct from SQL matches the Column API") {
+    (1L to 500L).map(i => s"s${i % 300}").toDF("v")
+      .select(xxhash64(col("v")).as("h"))
+      .createOrReplaceTempView("sketch_in")
+    val viaSql = spark.sql("SELECT kmv_distinct(h, 64) FROM sketch_in")
+      .collect()(0).getDouble(0)
+    val viaCol = spark.table("sketch_in")
+      .agg(Sketches.kmvDistinct(col("h"), 64)).collect()(0).getDouble(0)
+    assert(viaSql == viaCol)
+  }
+
+  test("grouped sketch shuffles k longs, not the distinct set") {
+    val df = (1L to 3000L).map(i => (s"g${i % 4}", s"w$i")).toDF("g", "v")
+      .select(col("g"), xxhash64(col("v")).as("h"))
+    val rows = df.groupBy("g")
+      .agg(Sketches.kmvDistinct(col("h"), 64).as("est"),
+        countDistinct(col("h")).as("exact"))
+      .collect()
+    assert(rows.length == 4)
+    rows.foreach { r =>
+      val est = r.getAs[Double]("est")
+      val exact = r.getAs[Long]("exact").toDouble
+      assert(math.abs(est - exact) / exact < 0.6, s"group ${r.getString(0)}: $est vs $exact")
+    }
+  }
+}

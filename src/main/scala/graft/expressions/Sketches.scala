@@ -60,27 +60,11 @@ case class KmvDistinctExpr(child: Expression, k: Int,
   }
 
   override def eval(buf: java.util.TreeSet[java.lang.Long]): Any =
-    if (buf.size < k) buf.size.toDouble
-    else {
-      val hk = buf.last.longValue.toDouble
-      (k - 1).toDouble / ((hk + 9.223372036854776E18) / 1.8446744073709552E19)
-    }
-
-  override def serialize(buf: java.util.TreeSet[java.lang.Long]): Array[Byte] = {
-    val bb = java.nio.ByteBuffer.allocate(4 + 8 * buf.size)
-    bb.putInt(buf.size)
-    buf.forEach(h => { bb.putLong(h); () })
-    bb.array()
-  }
-
-  override def deserialize(bytes: Array[Byte]): java.util.TreeSet[java.lang.Long] = {
-    val bb = java.nio.ByteBuffer.wrap(bytes)
-    val n = bb.getInt
-    val out = new java.util.TreeSet[java.lang.Long]()
-    var i = 0
-    while (i < n) { out.add(bb.getLong); i += 1 }
-    out
-  }
+    Sketches.estimate(buf, k)
+  override def serialize(buf: java.util.TreeSet[java.lang.Long]): Array[Byte] =
+    Sketches.pack(buf)
+  override def deserialize(bytes: Array[Byte]): java.util.TreeSet[java.lang.Long] =
+    Sketches.unpack(bytes)
 
   override def dataType: DataType = DoubleType
   override def nullable: Boolean = false
@@ -94,9 +78,132 @@ case class KmvDistinctExpr(child: Expression, k: Int,
     copy(child = newChild)
 }
 
+/** Build the SKETCH ITSELF as a value: same state machine as
+  * [[KmvDistinctExpr]] but evaluating to the serialized kept-set — the
+  * persistable form. A pipeline sketches once at ingest (e.g. per
+  * source×day), stores the k-long binary, and any later rollup
+  * re-aggregates sketches instead of rescanning data
+  * ([[KmvMergeEstimateExpr]]); KMV merge is exact, so the rolled-up
+  * estimate is IDENTICAL to sketching the union directly.
+  */
+case class KmvStateExpr(child: Expression, k: Int,
+    mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[java.util.TreeSet[java.lang.Long]]
+    with UnaryLike[Expression] {
+  require(k >= 2, "kmv sketch needs k >= 2")
+  override def createAggregationBuffer(): java.util.TreeSet[java.lang.Long] =
+    new java.util.TreeSet[java.lang.Long]()
+  override def update(buf: java.util.TreeSet[java.lang.Long],
+      input: InternalRow): java.util.TreeSet[java.lang.Long] = {
+    val v = child.eval(input)
+    if (v != null) {
+      buf.add(v.asInstanceOf[Long])
+      if (buf.size > k) buf.pollLast()
+    }
+    buf
+  }
+  override def merge(b1: java.util.TreeSet[java.lang.Long],
+      b2: java.util.TreeSet[java.lang.Long]): java.util.TreeSet[java.lang.Long] = {
+    b1.addAll(b2)
+    while (b1.size > k) b1.pollLast()
+    b1
+  }
+  override def eval(buf: java.util.TreeSet[java.lang.Long]): Any = serialize(buf)
+  override def serialize(buf: java.util.TreeSet[java.lang.Long]): Array[Byte] =
+    Sketches.pack(buf)
+  override def deserialize(bytes: Array[Byte]): java.util.TreeSet[java.lang.Long] =
+    Sketches.unpack(bytes)
+  override def dataType: DataType = org.apache.spark.sql.types.BinaryType
+  override def nullable: Boolean = false
+  override def prettyName: String = "kmv_state"
+  override def withNewMutableAggBufferOffset(newOffset: Int): KmvStateExpr =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): KmvStateExpr =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildInternal(newChild: Expression): KmvStateExpr =
+    copy(child = newChild)
+}
+
+/** Roll up serialized KMV sketches (BinaryType column from
+  * [[KmvStateExpr]]) and evaluate the merged estimate — the serve-time
+  * half of the sketch-once / roll-up-many pattern.
+  */
+case class KmvMergeEstimateExpr(child: Expression, k: Int,
+    mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[java.util.TreeSet[java.lang.Long]]
+    with UnaryLike[Expression] {
+  require(k >= 2, "kmv sketch needs k >= 2")
+  override def createAggregationBuffer(): java.util.TreeSet[java.lang.Long] =
+    new java.util.TreeSet[java.lang.Long]()
+  override def update(buf: java.util.TreeSet[java.lang.Long],
+      input: InternalRow): java.util.TreeSet[java.lang.Long] = {
+    val v = child.eval(input)
+    if (v != null) {
+      buf.addAll(Sketches.unpack(v.asInstanceOf[Array[Byte]]))
+      while (buf.size > k) buf.pollLast()
+    }
+    buf
+  }
+  override def merge(b1: java.util.TreeSet[java.lang.Long],
+      b2: java.util.TreeSet[java.lang.Long]): java.util.TreeSet[java.lang.Long] = {
+    b1.addAll(b2)
+    while (b1.size > k) b1.pollLast()
+    b1
+  }
+  override def eval(buf: java.util.TreeSet[java.lang.Long]): Any =
+    Sketches.estimate(buf, k)
+  override def serialize(buf: java.util.TreeSet[java.lang.Long]): Array[Byte] =
+    Sketches.pack(buf)
+  override def deserialize(bytes: Array[Byte]): java.util.TreeSet[java.lang.Long] =
+    Sketches.unpack(bytes)
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = false
+  override def prettyName: String = "kmv_merge_estimate"
+  override def withNewMutableAggBufferOffset(newOffset: Int): KmvMergeEstimateExpr =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): KmvMergeEstimateExpr =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildInternal(newChild: Expression): KmvMergeEstimateExpr =
+    copy(child = newChild)
+}
+
 object Sketches {
+
+  private[expressions] def pack(buf: java.util.TreeSet[java.lang.Long]): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(4 + 8 * buf.size)
+    bb.putInt(buf.size)
+    buf.forEach(h => { bb.putLong(h); () })
+    bb.array()
+  }
+
+  private[expressions] def unpack(bytes: Array[Byte]): java.util.TreeSet[java.lang.Long] = {
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    val n = bb.getInt
+    val out = new java.util.TreeSet[java.lang.Long]()
+    var i = 0
+    while (i < n) { out.add(bb.getLong); i += 1 }
+    out
+  }
+
+  private[expressions] def estimate(buf: java.util.TreeSet[java.lang.Long], k: Int): Double =
+    if (buf.size < k) buf.size.toDouble
+    else {
+      val hk = buf.last.longValue.toDouble
+      (k - 1).toDouble / ((hk + 9.223372036854776E18) / 1.8446744073709552E19)
+    }
+
   /** KMV distinct-count estimate over a long hash column. */
   def kmvDistinct(hash: Column, k: Int): Column =
     ColumnBridge.column(
       KmvDistinctExpr(ColumnBridge.expression(hash), k).toAggregateExpression())
+
+  /** Serialized KMV sketch of a long hash column (persistable state). */
+  def kmvState(hash: Column, k: Int): Column =
+    ColumnBridge.column(
+      KmvStateExpr(ColumnBridge.expression(hash), k).toAggregateExpression())
+
+  /** Merged estimate over a column of serialized KMV sketches. */
+  def kmvMergeEstimate(sketch: Column, k: Int): Column =
+    ColumnBridge.column(
+      KmvMergeEstimateExpr(ColumnBridge.expression(sketch), k).toAggregateExpression())
 }

@@ -255,7 +255,59 @@ object TextQueries {
         .orderBy("source", "h")))
   )
 
+  /** Sketch-once / roll-up-many: per-(source, shard) KMV sketches built
+    * first (the persistable binary state a 100 TB ingest writes per
+    * partition-day), then ROLLED UP per source by merging sketches —
+    * never rescanning rows. KMV merge is exact, so the rolled-up
+    * estimate is bit-identical to sketching each source directly, and
+    * the oracle (same k-th-smallest formula as t8) verifies it with
+    * zero tolerance. The rollup aggregate moves k=64 longs per shard —
+    * at scale, the difference between re-aggregating sketches and
+    * re-reading the corpus.
+    */
+  val t9SketchRollup: QueryDef = QueryDef(
+    "t9_sketch_rollup",
+    (s, dir) => {
+      val words = Tables.loadSpread(s, dir, "documents")
+        .select(col("source"), explode(split(col("text"), " ")).as("w"))
+        .filter(length(col("w")) > 0)
+        .select(col("source"), xxhash64(col("w")).as("h"))
+      val shardSketches = words
+        .withColumn("shard", pmod(col("h"), lit(16)))
+        .groupBy("source", "shard")
+        .agg(graft.expressions.Sketches.kmvState(col("h"), 64).as("sk"))
+      shardSketches.groupBy("source")
+        .agg(graft.expressions.Sketches.kmvMergeEstimate(col("sk"), 64)
+          .as("kmv_estimate"))
+        .orderBy("source")
+    },
+    Some("""
+      WITH d AS (SELECT DISTINCT source, h
+                 FROM read_parquet('{OUT}/aux/t9_sketch_rollup__hashes/*.parquet')),
+      r AS (
+        SELECT source, h,
+               ROW_NUMBER() OVER (PARTITION BY source ORDER BY h) AS rn,
+               COUNT(*) OVER (PARTITION BY source) AS cnt
+        FROM d)
+      SELECT source,
+             CASE WHEN cnt < 64 THEN CAST(cnt AS DOUBLE)
+                  ELSE CAST(63 AS DOUBLE) /
+                       ((CAST(h AS DOUBLE) + 9.223372036854776e18)
+                         / 1.8446744073709552e19)
+             END AS kmv_estimate
+      FROM r
+      WHERE rn = CASE WHEN cnt < 64 THEN cnt ELSE 64 END
+      ORDER BY source"""),
+    aux = Map("hashes" -> ((s, dir) =>
+      Tables.loadSpread(s, dir, "documents")
+        .select(col("source"), explode(split(col("text"), " ")).as("w"))
+        .filter(length(col("w")) > 0)
+        .select(col("source"), xxhash64(col("w")).as("h"))
+        .distinct()
+        .orderBy("source", "h")))
+  )
+
   val all: Seq[QueryDef] =
     Seq(t1TokenCount, t2QualityScore, t3LangId, t4Fingerprint, t5Vocab,
-      t6StratifiedSample, t7Cooccurrence, t8DistinctSketch)
+      t6StratifiedSample, t7Cooccurrence, t8DistinctSketch, t9SketchRollup)
 }

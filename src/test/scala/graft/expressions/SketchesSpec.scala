@@ -34,6 +34,20 @@ class SketchesSpec extends SparkSpec {
     assert(estimate(7) == e1 && estimate(32) == e1)
   }
 
+  test("sketch rollup: merged shard sketches equal the direct sketch exactly") {
+    val df = (1L to 4000L).map(i => (s"src${i % 3}", s"tok${i % 1500}")).toDF("g", "v")
+      .select(col("g"), xxhash64(col("v")).as("h"))
+    val direct = df.groupBy("g")
+      .agg(Sketches.kmvDistinct(col("h"), 64).as("est"))
+      .orderBy("g").collect().map(r => (r.getString(0), r.getDouble(1)))
+    // shard arbitrarily, sketch per shard, roll up — must be identical
+    val rolled = df.withColumn("shard", pmod(col("h"), lit(11)))
+      .groupBy("g", "shard").agg(Sketches.kmvState(col("h"), 64).as("sk"))
+      .groupBy("g").agg(Sketches.kmvMergeEstimate(col("sk"), 64).as("est"))
+      .orderBy("g").collect().map(r => (r.getString(0), r.getDouble(1)))
+    assert(rolled.toSeq == direct.toSeq)
+  }
+
   test("kmv_distinct from SQL matches the Column API") {
     (1L to 500L).map(i => s"s${i % 300}").toDF("v")
       .select(xxhash64(col("v")).as("h"))

@@ -233,7 +233,57 @@ object DedupQueries {
         .orderBy("doc_id", "pos")))
   )
 
+  /** Train/benchmark contamination check — the DECONTAMINATION primitive
+    * every LLM training pipeline runs before training (n-gram overlap
+    * against held-out evaluation sets, per GPT-3/PaLM data work): for
+    * each candidate training document, the fraction of its word 8-grams
+    * that appear anywhere in the benchmark set. Here the benchmark is
+    * the doc_id % 20 == 0 slice, standing in for an external eval corpus.
+    *
+    * Plan shape at 100 TB: benchmark k-grams reduce to a DISTINCT 8-byte
+    * hash set (tiny relative to the corpus — eval sets are small), train
+    * k-grams LEFT SEMI-join it on the hash, and one groupBy(doc) ratios
+    * matched/total. Strings never shuffle; the benchmark side is
+    * broadcastable when it fits.
+    */
+  val d7Contamination: QueryDef = QueryDef(
+    "d7_contamination",
+    (s, dir) => {
+      val kg = Tables.loadSpread(s, dir, "documents")
+        .select(col("doc_id"),
+          posexplode(graft.expressions.GraftExpressions.kgramHashes(col("text"), 8))
+            .as(Seq("pos", "h")))
+      val bench = kg.filter(col("doc_id") % 20 === 0)
+        .select(col("h")).distinct()
+      val train = kg.filter(col("doc_id") % 20 =!= 0)
+      val hits = train.join(bench, Seq("h"), "left_semi")
+        .groupBy("doc_id").agg(count(lit(1)).as("n_hit"))
+      train.groupBy("doc_id").agg(count(lit(1)).as("n_kgrams"))
+        .join(hits, Seq("doc_id"), "left")
+        .withColumn("n_contaminated", coalesce(col("n_hit"), lit(0L)))
+        .withColumn("contamination",
+          col("n_contaminated").cast("double") / col("n_kgrams").cast("double"))
+        .select("doc_id", "n_kgrams", "n_contaminated", "contamination")
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH k AS (SELECT * FROM read_parquet('{OUT}/aux/d7_contamination__kgrams/*.parquet')),
+      bench AS (SELECT DISTINCT h FROM k WHERE doc_id % 20 = 0),
+      train AS (SELECT * FROM k WHERE doc_id % 20 <> 0)
+      SELECT t.doc_id, COUNT(*) AS n_kgrams,
+             COUNT(b.h) AS n_contaminated,
+             CAST(COUNT(b.h) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS contamination
+      FROM train t LEFT JOIN bench b ON t.h = b.h
+      GROUP BY t.doc_id ORDER BY t.doc_id"""),
+    aux = Map("kgrams" -> ((s, dir) =>
+      Tables.loadSpread(s, dir, "documents")
+        .select(col("doc_id"),
+          posexplode(graft.expressions.GraftExpressions.kgramHashes(col("text"), 8))
+            .as(Seq("pos", "h")))
+        .orderBy("doc_id", "pos")))
+  )
+
   val all: Seq[QueryDef] =
     Seq(d1ExactDedup, d2MinhashLsh, d3Simhash, d4NgramJaccard,
-      d5EmbeddingNearDup, d6DupSpans)
+      d5EmbeddingNearDup, d6DupSpans, d7Contamination)
 }

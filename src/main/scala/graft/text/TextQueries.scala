@@ -307,7 +307,43 @@ object TextQueries {
         .orderBy("source", "h")))
   )
 
+  /** Within-document repetition rate — the Gopher/MassiveText-style
+    * quality filter: the fraction of a document's word 4-grams that are
+    * repeats of an earlier 4-gram in the SAME document (1 − distinct/
+    * total). High values mark boilerplate, keyword stuffing, and
+    * degenerate generations. One codegen k-gram pass + one groupBy —
+    * embarrassingly parallel.
+    */
+  val t10SelfRepetition: QueryDef = QueryDef(
+    "t10_self_repetition",
+    (s, dir) =>
+      Tables.loadSpread(s, dir, "documents")
+        .select(col("doc_id"),
+          posexplode(graft.expressions.GraftExpressions.kgramHashes(col("text"), 4))
+            .as(Seq("pos", "h")))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_kgrams"),
+          countDistinct(col("h")).as("n_distinct"))
+        .withColumn("rep_ratio",
+          lit(1.0) - col("n_distinct").cast("double") / col("n_kgrams").cast("double"))
+        .orderBy("doc_id"),
+    Some("""
+      WITH k AS (SELECT * FROM read_parquet('{OUT}/aux/t10_self_repetition__kgrams/*.parquet'))
+      SELECT doc_id, COUNT(*) AS n_kgrams,
+             COUNT(DISTINCT h) AS n_distinct,
+             CAST(1.0 AS DOUBLE) - CAST(COUNT(DISTINCT h) AS DOUBLE)
+               / CAST(COUNT(*) AS DOUBLE) AS rep_ratio
+      FROM k GROUP BY doc_id ORDER BY doc_id"""),
+    aux = Map("kgrams" -> ((s, dir) =>
+      Tables.loadSpread(s, dir, "documents")
+        .select(col("doc_id"),
+          posexplode(graft.expressions.GraftExpressions.kgramHashes(col("text"), 4))
+            .as(Seq("pos", "h")))
+        .orderBy("doc_id", "pos")))
+  )
+
   val all: Seq[QueryDef] =
     Seq(t1TokenCount, t2QualityScore, t3LangId, t4Fingerprint, t5Vocab,
-      t6StratifiedSample, t7Cooccurrence, t8DistinctSketch, t9SketchRollup)
+      t6StratifiedSample, t7Cooccurrence, t8DistinctSketch, t9SketchRollup,
+      t10SelfRepetition)
 }

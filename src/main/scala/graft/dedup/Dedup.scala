@@ -142,4 +142,58 @@ object Dedup {
 
   /** Hamming distance between two simhash longs. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** Duplicate-CLUSTER assignment — the completion step after any
+    * pairwise dedup: connected components over the near-dup pair list,
+    * every member labeled with its component's MIN doc id (the canonical
+    * representative a pipeline keeps). Returns (doc_id, cluster) for
+    * every doc appearing in a pair.
+    *
+    * Semi-naive label propagation in DataFrames (the iterative PageRank/
+    * CC shape): each round every node takes the min label among itself
+    * and its neighbors; convergence needs component-diameter rounds —
+    * small by nature for duplicate clusters — with a driver-side
+    * changed-count check per round. Each round is one equi-join + one
+    * aggregate on 8-byte ids; the result materializes eagerly and all
+    * working sets release before returning (same contract as
+    * [[graft.sim.EmbeddingDedup.nearDupPairs]]).
+    */
+  def dedupClusters(pairs: DataFrame, aCol: String = "doc_a",
+      bCol: String = "doc_b", maxIters: Int = 20): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    val fwd = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+    val edges = fwd.unionByName(
+      fwd.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct().persist(StorageLevel.MEMORY_AND_DISK)
+    var labels = edges.select(col("src").as("node")).distinct()
+      .withColumn("label", col("node"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      var iter = 0
+      var converged = false
+      while (!converged && iter < maxIters) {
+        val nbrMin = edges
+          .join(labels.withColumnRenamed("node", "dst"), Seq("dst"))
+          .groupBy("src").agg(min("label").as("nbr"))
+          .withColumnRenamed("src", "node")
+        val next = labels.join(nbrMin, Seq("node"), "left")
+          .select(col("node"),
+            least(col("label"), coalesce(col("nbr"), col("label"))).as("label"))
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        val changed = next
+          .join(labels.withColumnRenamed("label", "old"), Seq("node"))
+          .filter(col("label") =!= col("old")).count()
+        labels.unpersist(blocking = false)
+        labels = next
+        converged = changed == 0
+        iter += 1
+      }
+      labels.select(col("node").as("doc_id"), col("label").as("cluster"))
+        .localCheckpoint(eager = true)
+    } finally {
+      edges.unpersist(blocking = false)
+      labels.unpersist(blocking = false)
+      ()
+    }
+  }
 }

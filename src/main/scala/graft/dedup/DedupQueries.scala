@@ -283,7 +283,39 @@ object DedupQueries {
         .orderBy("doc_id", "pos")))
   )
 
+  /** Cluster assignment over the d2 near-dup pairs: every doc touched by
+    * a near-dup pair labels with its connected component's min doc id —
+    * the "which copies collapse, which survives" answer a dedup pipeline
+    * actually emits. The oracle computes the same components exhaustively
+    * via a recursive transitive closure over the aux-dumped pair list.
+    */
+  val d8DedupClusters: QueryDef = QueryDef(
+    "d8_dedup_clusters",
+    (s, dir) =>
+      Dedup.dedupClusters(
+        Dedup.minhashNearDupPairs(
+          Tables.loadSpread(s, dir, "documents"), "doc_id", "text", threshold = 0.8))
+        .orderBy("doc_id"),
+    Some("""
+      WITH RECURSIVE
+      p AS (SELECT doc_a, doc_b
+            FROM read_parquet('{OUT}/aux/d8_dedup_clusters__pairs/*.parquet')),
+      e AS (SELECT doc_a AS a, doc_b AS b FROM p
+            UNION SELECT doc_b, doc_a FROM p),
+      reach(src, node) AS (
+        SELECT a, a FROM e
+        UNION
+        SELECT r.src, e.b FROM reach r JOIN e ON e.a = r.node)
+      SELECT src AS doc_id, MIN(node) AS cluster
+      FROM reach GROUP BY src ORDER BY doc_id"""),
+    aux = Map("pairs" -> ((s, dir) =>
+      Dedup.minhashNearDupPairs(
+        Tables.loadSpread(s, dir, "documents"), "doc_id", "text", threshold = 0.8)
+        .select("doc_a", "doc_b")
+        .orderBy("doc_a", "doc_b")))
+  )
+
   val all: Seq[QueryDef] =
     Seq(d1ExactDedup, d2MinhashLsh, d3Simhash, d4NgramJaccard,
-      d5EmbeddingNearDup, d6DupSpans, d7Contamination)
+      d5EmbeddingNearDup, d6DupSpans, d7Contamination, d8DedupClusters)
 }

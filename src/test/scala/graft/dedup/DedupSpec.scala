@@ -19,6 +19,23 @@ class DedupSpec extends SparkSpec {
     assert(java.lang.Long.bitCount(sigs(1L) ^ sigs(3L)) > 6)
   }
 
+  test("dedupClusters: multi-hop chains collapse to the min-id component") {
+    val session = spark
+    import session.implicits._
+    // two components: a chain 1-2-3-4 (diameter 3 — needs propagation
+    // rounds, not just direct neighbors) and a pair 10-11
+    val pairs = Seq((2L, 1L), (2L, 3L), (4L, 3L), (10L, 11L))
+      .toDF("doc_a", "doc_b")
+    val got = Dedup.dedupClusters(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L))
+    // partitioning-invariant
+    val again = Dedup.dedupClusters(pairs.repartition(5)).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(again == got)
+  }
+
   test("d3 band-pair blocking is complete vs brute force") {
     val lsh = DedupQueries.d3Simhash.fn(spark, sf)
       .collect().map(r => (r.getLong(0), r.getLong(1),

@@ -283,6 +283,21 @@ object DedupQueries {
         .orderBy("doc_id", "pos")))
   )
 
+  /** The d2 pair list materialized once per corpus (same build-once
+    * contract as [[graft.sim.Ivf.trainCached]]): clustering and its
+    * verification dump are CONSUMERS of the pair artifact, not rebuilds
+    * of it — deterministic LSH makes the memo semantically transparent.
+    */
+  private val pairsCache =
+    new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.DataFrame]()
+
+  private def nearDupPairsCached(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame =
+    pairsCache.computeIfAbsent(dir, _ =>
+      Dedup.minhashNearDupPairs(
+        Tables.loadSpread(s, dir, "documents"), "doc_id", "text", threshold = 0.8)
+        .localCheckpoint(eager = true))
+
   /** Cluster assignment over the d2 near-dup pairs: every doc touched by
     * a near-dup pair labels with its connected component's min doc id —
     * the "which copies collapse, which survives" answer a dedup pipeline
@@ -292,9 +307,7 @@ object DedupQueries {
   val d8DedupClusters: QueryDef = QueryDef(
     "d8_dedup_clusters",
     (s, dir) =>
-      Dedup.dedupClusters(
-        Dedup.minhashNearDupPairs(
-          Tables.loadSpread(s, dir, "documents"), "doc_id", "text", threshold = 0.8))
+      Dedup.dedupClusters(nearDupPairsCached(s, dir))
         .orderBy("doc_id"),
     Some("""
       WITH RECURSIVE
@@ -309,8 +322,7 @@ object DedupQueries {
       SELECT src AS doc_id, MIN(node) AS cluster
       FROM reach GROUP BY src ORDER BY doc_id"""),
     aux = Map("pairs" -> ((s, dir) =>
-      Dedup.minhashNearDupPairs(
-        Tables.loadSpread(s, dir, "documents"), "doc_id", "text", threshold = 0.8)
+      nearDupPairsCached(s, dir)
         .select("doc_a", "doc_b")
         .orderBy("doc_a", "doc_b")))
   )

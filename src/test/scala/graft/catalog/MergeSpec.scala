@@ -99,6 +99,29 @@ class MergeSpec extends SparkSpec {
     assert(got.map(_.toSeq).toSeq == expect.map(_.toSeq).toSeq)
   }
 
+  test("bucketed merge into a previously-empty bucket") {
+    val dir = Files.createTempDirectory("graft-bnew").toString
+    // one key → exactly one bucket exists after create
+    BucketedMerge.mergeInto(spark, dir,
+      Seq((1L, "a")).toDF("id", "v"), Seq("id"), nBuckets = 16)
+    val m0 = BucketedMerge.readManifest(dir, 0L)
+    assert(m0.buckets.size == 1)
+    // find a key hashing to a DIFFERENT bucket and merge it
+    val b0 = m0.buckets.keys.head
+    val other = (2L to 200L).find { k =>
+      Seq((k, "x")).toDF("id", "v")
+        .select(BucketedMerge.bucketExpr(Seq("id"), 16))
+        .collect()(0).getInt(0) != b0
+    }.get
+    BucketedMerge.mergeInto(spark, dir, Seq((other, "b")).toDF("id", "v"), Seq("id"))
+    val m1 = BucketedMerge.readManifest(dir, 1L)
+    assert(m1.buckets.size == 2)
+    assert(m1.buckets(b0) == 0L, "existing bucket must not be rewritten")
+    val rows = BucketedMerge.read(spark, dir).orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    assert(rows.toSeq == Seq((1L, "a"), (other, "b")))
+  }
+
   test("bucketed vacuum keeps version dirs still referenced by the manifest") {
     val dir = Files.createTempDirectory("graft-bvac").toString
     val base = (0L until 50L).map(i => (i, i * 1.0)).toDF("id", "v")

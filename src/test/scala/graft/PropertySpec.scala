@@ -144,4 +144,44 @@ class PropertySpec extends AnyFunSuite {
       assert(probes.length == 2 && probes(0) == cell)
     }
   }
+
+  test("AVI mux → parse roundtrip over random frame counts and geometries") {
+    val caseGen = Gen.zip(
+      Gen.chooseNum(1, 25),  // frames
+      Gen.chooseNum(1, 9),   // width
+      Gen.chooseNum(1, 7))   // height
+    samples(caseGen, 40).foreach { case (n, w, h) =>
+      val jpegs = Seq.tabulate(n)(f =>
+        graft.sinks.Artifacts.grayJpeg(w, h,
+          Array.tabulate(w * h)(i => ((i * 13 + f * 29) & 0xFF).toByte)))
+      val avi = graft.sinks.Artifacts.mjpegAvi(jpegs, w, h)
+      val parsed = graft.multimodal.Codec.parseAvi(avi)
+      assert(parsed.frameCount == n, s"($n,$w,$h)")
+      // every frame decodes at the muxed geometry, grayscale
+      Seq(0, n / 2, n - 1).distinct.foreach { f =>
+        val (dw, dh, dc, px) = parsed.decodeFrame(f)
+        assert((dw, dh, dc) == ((w, h, 1)))
+        assert(px.length == w * h)
+      }
+    }
+  }
+
+  test("dense HDF5 groups roundtrip over random link counts (both heap layouts)") {
+    samples(Gen.zip(Gen.chooseNum(1, 40), Gen.oneOf(false, true)), 12)
+      .foreach { case (n, indirect) =>
+        val w = new graft.sources.Hdf5TestWriter()
+        val children = (0 until n).map { i =>
+          val raw = java.nio.ByteBuffer.allocate(4)
+            .order(java.nio.ByteOrder.LITTLE_ENDIAN).putInt(i * 3 + 1)
+          f"n$i%03d" -> w.datasetV2(Seq(1L), w.int32, raw.array())
+        }
+        val g = graft.sources.Hdf5.open(
+          w.finishV3(w.groupV2Dense(children, forceIndirect = indirect)))
+        assert(g.datasets.size == n, s"n=$n indirect=$indirect")
+        (0 until n).foreach { i =>
+          val d = g.child(f"n$i%03d").get.asInstanceOf[graft.sources.Hdf5.Dataset]
+          assert(d.readDoubles().toSeq == Seq(i * 3.0 + 1))
+        }
+      }
+  }
 }

@@ -281,7 +281,51 @@ object EventQueries {
       GROUP BY user_id ORDER BY user_id""")
   )
 
+  /** Time-series resampling with gap FILLING (data densification): each
+    * user's event counts on a complete hourly grid, zero-filled where no
+    * events fell — the regularization step ahead of any windowed model
+    * or charting, and the operator `groupBy(bucket)` alone cannot express
+    * (missing buckets simply don't exist in its output; q14 shows that
+    * form).
+    *
+    * Plan shape at 100 TB: the spine is `sequence(lo, hi)` off a 1-row
+    * global bounds aggregate — generated, never scanned — and broadcasts
+    * into the users × spine grid; actual counts left-join the grid on
+    * (user, bucket). The fact table is touched twice (bounds + counts),
+    * both single-aggregate passes.
+    */
+  val q24Resample: QueryDef = QueryDef(
+    "q24_resample",
+    (s, dir) => {
+      val ev = Tables.load(s, dir, "events")
+        .filter(col("user_id") < 20)
+        .withColumn("hr", expr(s"ts div ${NsPerHour}L"))
+      val spine = ev.agg(min("hr").as("lo"), max("hr").as("hi"))
+        .select(explode(sequence(col("lo"), col("hi"))).as("hr"))
+      val grid = ev.select("user_id").distinct()
+        .crossJoin(broadcast(spine))
+      val counts = ev.groupBy("user_id", "hr").agg(count(lit(1)).as("n_raw"))
+      grid.join(counts, Seq("user_id", "hr"), "left")
+        .select(col("user_id"), col("hr"),
+          coalesce(col("n_raw"), lit(0L)).as("n"))
+        .orderBy("user_id", "hr")
+    },
+    Some(s"""
+      WITH ev AS (
+        SELECT user_id, epoch_ns(ts) // ${NsPerHour} AS hr
+        FROM events WHERE user_id < 20),
+      b AS (SELECT MIN(hr) AS lo, MAX(hr) AS hi FROM ev),
+      spine AS (SELECT UNNEST(GENERATE_SERIES(lo, hi)) AS hr FROM b),
+      users AS (SELECT DISTINCT user_id FROM ev),
+      c AS (SELECT user_id, hr, COUNT(*) AS n FROM ev GROUP BY 1, 2)
+      SELECT u.user_id, s.hr, COALESCE(c.n, 0) AS n
+      FROM users u CROSS JOIN spine s
+      LEFT JOIN c ON c.user_id = u.user_id AND c.hr = s.hr
+      ORDER BY u.user_id, s.hr""")
+  )
+
   val all: Seq[QueryDef] = Seq(
     q7WindowRunning, q8PivotCounts, q9EventPairs,
-    q14TimeBuckets, q15UserSpan, q16AsofJoin, q17JsonExtract, q21Sessions)
+    q14TimeBuckets, q15UserSpan, q16AsofJoin, q17JsonExtract, q21Sessions,
+    q24Resample)
 }

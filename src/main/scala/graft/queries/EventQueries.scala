@@ -324,8 +324,40 @@ object EventQueries {
       ORDER BY u.user_id, s.hr""")
   )
 
+  /** Ranking-function family (rank / dense_rank / ntile / percent_rank —
+    * q7 covers row_number + running sums): orders ranked by total price
+    * within their priority class, plus decile assignment. One shuffle on
+    * the partition key; percent_rank's `(rank-1)/(n-1)` divides
+    * identically on both engines.
+    */
+  val q25Ranks: QueryDef = QueryDef(
+    "q25_ranks",
+    (s, dir) => {
+      val w = Window.partitionBy("o_orderpriority")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      Tables.load(s, dir, "orders")
+        .filter(col("o_orderkey") <= 2000)
+        .select(col("o_orderkey"), col("o_orderpriority"),
+          rank().over(w).as("rnk"),
+          dense_rank().over(w).as("drnk"),
+          ntile(10).over(w).as("decile"),
+          percent_rank().over(w).as("prank"))
+        .orderBy("o_orderkey")
+    },
+    Some("""
+      SELECT o_orderkey, o_orderpriority,
+             RANK() OVER w AS rnk,
+             DENSE_RANK() OVER w AS drnk,
+             NTILE(10) OVER w AS decile,
+             PERCENT_RANK() OVER w AS prank
+      FROM orders WHERE o_orderkey <= 2000
+      WINDOW w AS (PARTITION BY o_orderpriority
+                   ORDER BY o_totalprice DESC, o_orderkey)
+      ORDER BY o_orderkey""")
+  )
+
   val all: Seq[QueryDef] = Seq(
     q7WindowRunning, q8PivotCounts, q9EventPairs,
     q14TimeBuckets, q15UserSpan, q16AsofJoin, q17JsonExtract, q21Sessions,
-    q24Resample)
+    q24Resample, q25Ranks)
 }

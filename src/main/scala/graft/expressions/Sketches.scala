@@ -167,7 +167,43 @@ case class KmvMergeEstimateExpr(child: Expression, k: Int,
     copy(child = newChild)
 }
 
+/** Intersection ESTIMATE between two serialized KMV sketches — the
+  * theta-sketch set operation: θ = the smaller of the two sketches' k-th
+  * values (a side below k contributes the Long.MaxValue sentinel, whose
+  * normalization is EXACTLY 1.0 — so the formula needs no small-set
+  * branch and degenerates to the exact intersection count when both
+  * sides kept everything); the estimate is |{h ∈ A∩B : h < θ}| / u(θ).
+  * Deterministic like the rest of the family, hence exact-oracle-able.
+  */
+case class KmvIntersectExpr(left: Expression, right: Expression, k: Int)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  require(k >= 2, "kmv sketch needs k >= 2")
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "kmv_intersect"
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    Sketches.intersectEstimate(
+      Sketches.unpack(a.asInstanceOf[Array[Byte]]),
+      Sketches.unpack(b.asInstanceOf[Array[Byte]]), k)
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): KmvIntersectExpr =
+    copy(left = newLeft, right = newRight)
+}
+
 object Sketches {
+
+  private[expressions] def intersectEstimate(
+      a: java.util.TreeSet[java.lang.Long],
+      b: java.util.TreeSet[java.lang.Long], k: Int): Double = {
+    val ta = if (a.size >= k) a.last.longValue else Long.MaxValue
+    val tb = if (b.size >= k) b.last.longValue else Long.MaxValue
+    val t = math.min(ta, tb)
+    var c = 0
+    a.headSet(java.lang.Long.valueOf(t), false)
+      .forEach(h => if (b.contains(h)) c += 1)
+    // Long.MaxValue.toDouble rounds to exactly 2^63, so u(sentinel) = 1.0
+    c.toDouble / ((t.toDouble + 9.223372036854776E18) / 1.8446744073709552E19)
+  }
 
   private[expressions] def pack(buf: java.util.TreeSet[java.lang.Long]): Array[Byte] = {
     val bb = java.nio.ByteBuffer.allocate(4 + 8 * buf.size)
@@ -206,4 +242,9 @@ object Sketches {
   def kmvMergeEstimate(sketch: Column, k: Int): Column =
     ColumnBridge.column(
       KmvMergeEstimateExpr(ColumnBridge.expression(sketch), k).toAggregateExpression())
+
+  /** Intersection estimate between two serialized KMV sketch columns. */
+  def kmvIntersect(a: Column, b: Column, k: Int): Column =
+    ColumnBridge.column(
+      KmvIntersectExpr(ColumnBridge.expression(a), ColumnBridge.expression(b), k))
 }

@@ -342,8 +342,71 @@ object TextQueries {
         .orderBy("doc_id", "pos")))
   )
 
+  /** Pairwise source-vocabulary OVERLAP from sketches alone — the
+    * theta-sketch intersection: per source one k=64 KMV sketch, then
+    * every source pair estimates |vocab_a ∩ vocab_b| from the two kept
+    * sets (θ = min of the k-th values; common kept hashes below θ,
+    * scaled by 1/u(θ)) — corpus-similarity measurement that never joins
+    * the corpora themselves. Deterministic end to end, so the oracle
+    * recomputes the identical estimate relationally over the aux-dumped
+    * per-source hash sets.
+    */
+  val t11SketchOverlap: QueryDef = QueryDef(
+    "t11_sketch_overlap",
+    (s, dir) => {
+      val words = Tables.loadSpread(s, dir, "documents")
+        .select(col("source"), explode(split(col("text"), " ")).as("w"))
+        .filter(length(col("w")) > 0)
+        .select(col("source"), xxhash64(col("w")).as("h"))
+      val sk = words.groupBy("source")
+        .agg(graft.expressions.Sketches.kmvState(col("h"), 64).as("sk"))
+      val a = sk.select(col("source").as("source_a"), col("sk").as("sk_a"))
+      val b = sk.select(col("source").as("source_b"), col("sk").as("sk_b"))
+      a.join(b, col("source_a") < col("source_b"))
+        .select(col("source_a"), col("source_b"),
+          graft.expressions.Sketches.kmvIntersect(col("sk_a"), col("sk_b"), 64)
+            .as("overlap_est"))
+        .orderBy("source_a", "source_b")
+    },
+    Some("""
+      WITH d AS (SELECT DISTINCT source, h
+                 FROM read_parquet('{OUT}/aux/t11_sketch_overlap__hashes/*.parquet')),
+      r AS (SELECT source, h,
+                   ROW_NUMBER() OVER (PARTITION BY source ORDER BY h) AS rn
+            FROM d),
+      kth AS (SELECT source,
+                     COALESCE(MAX(CASE WHEN rn = 64 THEN h END),
+                              9223372036854775807) AS h64
+              FROM r GROUP BY source),
+      kept AS (SELECT source, h FROM r WHERE rn <= 64),
+      pairs AS (SELECT ka.source AS source_a, kb.source AS source_b,
+                       LEAST(ka.h64, kb.h64) AS theta
+                FROM kth ka JOIN kth kb ON ka.source < kb.source),
+      common AS (
+        SELECT p.source_a, p.source_b, COUNT(*) AS c
+        FROM pairs p
+        JOIN kept d1 ON d1.source = p.source_a AND d1.h < p.theta
+        JOIN kept d2 ON d2.source = p.source_b AND d2.h = d1.h
+        GROUP BY 1, 2)
+      SELECT p.source_a, p.source_b,
+             CAST(COALESCE(c.c, 0) AS DOUBLE)
+               / ((CAST(p.theta AS DOUBLE) + 9.223372036854776e18)
+                   / 1.8446744073709552e19) AS overlap_est
+      FROM pairs p
+      LEFT JOIN common c
+        ON c.source_a = p.source_a AND c.source_b = p.source_b
+      ORDER BY p.source_a, p.source_b"""),
+    aux = Map("hashes" -> ((s, dir) =>
+      Tables.loadSpread(s, dir, "documents")
+        .select(col("source"), explode(split(col("text"), " ")).as("w"))
+        .filter(length(col("w")) > 0)
+        .select(col("source"), xxhash64(col("w")).as("h"))
+        .distinct()
+        .orderBy("source", "h")))
+  )
+
   val all: Seq[QueryDef] =
     Seq(t1TokenCount, t2QualityScore, t3LangId, t4Fingerprint, t5Vocab,
       t6StratifiedSample, t7Cooccurrence, t8DistinctSketch, t9SketchRollup,
-      t10SelfRepetition)
+      t10SelfRepetition, t11SketchOverlap)
 }

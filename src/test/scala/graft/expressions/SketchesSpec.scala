@@ -48,6 +48,35 @@ class SketchesSpec extends SparkSpec {
     assert(rolled.toSeq == direct.toSeq)
   }
 
+  test("kmvIntersect: exact below k, sane estimates above, deterministic") {
+    // small sets (< k): sentinel theta normalizes to exactly 1.0 → the
+    // estimate IS the exact intersection count
+    val small = Seq(
+      ("a", (1L to 30L).map(i => s"w$i")),
+      ("b", (21L to 50L).map(i => s"w$i"))).toDF("g", "ws")
+      .select(col("g"), explode(col("ws")).as("v"))
+      .select(col("g"), xxhash64(col("v")).as("h"))
+      .groupBy("g").agg(Sketches.kmvState(col("h"), 64).as("sk"))
+    val sks = small.collect().map(r => r.getString(0) -> r.getAs[Array[Byte]](1)).toMap
+    val smallDf = Seq((sks("a"), sks("b"))).toDF("sa", "sb")
+    val exact = smallDf.select(Sketches.kmvIntersect(col("sa"), col("sb"), 64))
+      .collect()(0).getDouble(0)
+    assert(exact == 10.0) // w21..w30
+
+    // large overlapping sets: estimate within sketch error of the truth
+    val big = Seq(
+      ("a", (1L to 6000L).map(i => s"t$i")),
+      ("b", (3001L to 9000L).map(i => s"t$i"))).toDF("g", "ws")
+      .select(col("g"), explode(col("ws")).as("v"))
+      .select(col("g"), xxhash64(col("v")).as("h"))
+      .groupBy("g").agg(Sketches.kmvState(col("h"), 512).as("sk"))
+    val bks = big.collect().map(r => r.getString(0) -> r.getAs[Array[Byte]](1)).toMap
+    val est = Seq((bks("a"), bks("b"))).toDF("sa", "sb")
+      .select(Sketches.kmvIntersect(col("sa"), col("sb"), 512))
+      .collect()(0).getDouble(0)
+    assert(math.abs(est - 3000.0) / 3000.0 < 0.5, s"overlap estimate $est")
+  }
+
   test("kmv_distinct from SQL matches the Column API") {
     (1L to 500L).map(i => s"s${i % 300}").toDF("v")
       .select(xxhash64(col("v")).as("h"))

@@ -226,6 +226,36 @@ object RelationalQueries {
       ORDER BY gid, st, pri""")
   )
 
+  /** Correlated subqueries through the `spark.sql` ENTRY (every other
+    * query uses the DataFrame API; this one exercises SQL parsing +
+    * Catalyst's subquery decorrelation): EXISTS and NOT EXISTS rewrite
+    * to semi/anti joins, the IN subquery to a semi join — the plan ends
+    * up the same shuffle-discipline shape as q4/q5, arrived at from SQL.
+    * Predicates are integer-exact so both engines agree bit-for-bit.
+    */
+  val q26Subqueries: QueryDef = QueryDef(
+    "q26_subqueries",
+    (s, dir) => {
+      Tables.registerAll(s, dir)
+      s.sql("""
+        SELECT c_custkey, c_name FROM customer c
+        WHERE EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey AND o.o_orderkey % 7 = 0)
+          AND NOT EXISTS (SELECT 1 FROM orders o2
+                          WHERE o2.o_custkey = c.c_custkey AND o2.o_orderkey % 11 = 0)
+          AND c_nationkey IN (SELECT n_nationkey FROM nation WHERE n_regionkey <= 2)
+        ORDER BY c_custkey""")
+    },
+    Some("""
+      SELECT c_custkey, c_name FROM customer c
+      WHERE EXISTS (SELECT 1 FROM orders o
+                    WHERE o.o_custkey = c.c_custkey AND o.o_orderkey % 7 = 0)
+        AND NOT EXISTS (SELECT 1 FROM orders o2
+                        WHERE o2.o_custkey = c.c_custkey AND o2.o_orderkey % 11 = 0)
+        AND c_nationkey IN (SELECT n_nationkey FROM nation WHERE n_regionkey <= 2)
+      ORDER BY c_custkey""")
+  )
+
   /** Set operations: INTERSECT/EXCEPT with DISTINCT semantics on both
     * engines (nations having customers vs nations having suppliers).
     */
@@ -281,5 +311,5 @@ object RelationalQueries {
 
   val all: Seq[QueryDef] =
     Seq(q1Agg, q2TopK, q10Histogram, q11SummaryStats, q12Distinct, q13StringFuncs,
-      q18Rollup, q19SetOps, q20DateParts, q22Cube)
+      q18Rollup, q19SetOps, q20DateParts, q22Cube, q26Subqueries)
 }

@@ -190,7 +190,42 @@ case class KmvIntersectExpr(left: Expression, right: Expression, k: Int)
     copy(left = newLeft, right = newRight)
 }
 
+/** Set-DIFFERENCE estimate |A \ B| between two serialized KMV sketches —
+  * the theta-sketch "AnotB" operation: θ = min of the two k-th values;
+  * the estimate is |{h ∈ A's kept set : h < θ, h ∉ B's kept set}| / u(θ).
+  * Membership against B's kept set is exact below θ (θ ≤ B's own
+  * threshold, and every B-hash below that threshold is kept), so like
+  * intersection this degenerates to the exact difference count when both
+  * sides kept everything. Deterministic, hence exact-oracle-able.
+  */
+case class KmvDifferenceExpr(left: Expression, right: Expression, k: Int)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  require(k >= 2, "kmv sketch needs k >= 2")
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "kmv_difference"
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    Sketches.differenceEstimate(
+      Sketches.unpack(a.asInstanceOf[Array[Byte]]),
+      Sketches.unpack(b.asInstanceOf[Array[Byte]]), k)
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): KmvDifferenceExpr =
+    copy(left = newLeft, right = newRight)
+}
+
 object Sketches {
+
+  private[expressions] def differenceEstimate(
+      a: java.util.TreeSet[java.lang.Long],
+      b: java.util.TreeSet[java.lang.Long], k: Int): Double = {
+    val ta = if (a.size >= k) a.last.longValue else Long.MaxValue
+    val tb = if (b.size >= k) b.last.longValue else Long.MaxValue
+    val t = math.min(ta, tb)
+    var c = 0
+    a.headSet(java.lang.Long.valueOf(t), false)
+      .forEach(h => if (!b.contains(h)) c += 1)
+    c.toDouble / ((t.toDouble + 9.223372036854776E18) / 1.8446744073709552E19)
+  }
 
   private[expressions] def intersectEstimate(
       a: java.util.TreeSet[java.lang.Long],
@@ -247,4 +282,11 @@ object Sketches {
   def kmvIntersect(a: Column, b: Column, k: Int): Column =
     ColumnBridge.column(
       KmvIntersectExpr(ColumnBridge.expression(a), ColumnBridge.expression(b), k))
+
+  /** Set-difference estimate |a \ b| between two serialized KMV sketch
+    * columns (theta-sketch AnotB).
+    */
+  def kmvDifference(a: Column, b: Column, k: Int): Column =
+    ColumnBridge.column(
+      KmvDifferenceExpr(ColumnBridge.expression(a), ColumnBridge.expression(b), k))
 }

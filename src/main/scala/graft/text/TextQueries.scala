@@ -3,6 +3,7 @@ package graft.text
 import graft.QueryDef
 import graft.core.Tables
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DoubleType
 
 /** Text-analysis queries over the `documents` table (north-star LLM-data
   * pipeline operators: token counting, quality scoring, language ID,
@@ -482,8 +483,82 @@ object TextQueries {
         .orderBy("source", "h")))
   )
 
+  /** Corpus-LM familiarity scoring — the quality-filtering shape of
+    * CCNet/KenLM perplexity ranking (train an n-gram model on the corpus,
+    * score each document against it; low scores = rare/garbled text), kept
+    * bit-exact for the oracle by avoiding floating aggregation entirely:
+    * instead of mean log-prob (whose `ln` differs between engines in the
+    * last ulp) the score is a ratio of EXACT integer sums,
+    *
+    *   familiarity = (Σ c2 + n) / (Σ c1 + n·V)
+    *
+    * over a doc's bigrams — c2 = corpus count of the bigram, c1 = corpus
+    * count of its context word as a bigram start, V = vocabulary size, n =
+    * the doc's bigram count (the +n/+n·V terms are add-one smoothing in
+    * pooled form). Monotone in the same direction as perplexity for
+    * ranking/thresholding, and the single double division per doc is
+    * IEEE-identical on both engines.
+    *
+    * Scale: the model tables (c2/c1) are corpus aggregates that shuffle
+    * once; scoring is two equi-joins on word keys. Stopword keys are the
+    * classic skew case — AQE's skew-join split handles the "the"-bucket at
+    * runtime (q23 demonstrates the ahead-of-time salting alternative). At
+    * 100 TB the bigram table would be checkpointed once and reused across
+    * scoring runs rather than recomputed per query.
+    */
+  val t13LmFamiliarity: QueryDef = QueryDef(
+    "t13_lm_familiarity",
+    (s, dir) => {
+      val docs = Tables.loadSpread(s, dir, "documents")
+      val bg = docs.select(col("doc_id"),
+        graft.expressions.GraftExpressions.wordBigrams(col("text"))
+          .as(Seq("w1", "w2")))
+      val c2 = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
+      val c1 = c2.groupBy("w1").agg(sum(col("c2")).as("c1"))
+      val vocab = docs.select(explode(split(col("text"), " ")).as("w"))
+        .filter(length(col("w")) > 0)
+        .agg(countDistinct(col("w")).as("v"))
+      bg.join(c2, Seq("w1", "w2")).join(c1, Seq("w1"))
+        .crossJoin(broadcast(vocab))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_bigrams"),
+          sum(col("c2")).as("sum_c2"),
+          sum(col("c1")).as("sum_c1"),
+          first(col("v")).as("v"))
+        .select(col("doc_id"), col("n_bigrams"), col("sum_c2"),
+          ((col("sum_c2") + col("n_bigrams")).cast(DoubleType) /
+            (col("sum_c1") + col("n_bigrams") * col("v")).cast(DoubleType))
+            .as("familiarity"))
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH w AS (
+        SELECT doc_id, ws[i] AS w1, ws[i + 1] AS w2
+        FROM (SELECT doc_id, STRING_SPLIT(text, ' ') AS ws,
+                     UNNEST(GENERATE_SERIES(1, LENGTH(STRING_SPLIT(text, ' ')) - 1)) AS i
+              FROM documents)
+        WHERE LENGTH(ws[i]) > 0 AND LENGTH(ws[i + 1]) > 0),
+      c2 AS (SELECT w1, w2, COUNT(*) AS c2 FROM w GROUP BY 1, 2),
+      c1 AS (SELECT w1, CAST(SUM(c2) AS BIGINT) AS c1 FROM c2 GROUP BY 1),
+      v AS (SELECT COUNT(DISTINCT x) AS v FROM (
+              SELECT UNNEST(STRING_SPLIT(text, ' ')) AS x FROM documents)
+            WHERE LENGTH(x) > 0),
+      doc AS (SELECT w.doc_id,
+                     COUNT(*) AS n_bigrams,
+                     CAST(SUM(c2.c2) AS BIGINT) AS sum_c2,
+                     CAST(SUM(c1.c1) AS BIGINT) AS sum_c1
+              FROM w JOIN c2 USING (w1, w2) JOIN c1 USING (w1)
+              GROUP BY 1)
+      SELECT doc_id, n_bigrams, sum_c2,
+             CAST(sum_c2 + n_bigrams AS DOUBLE)
+               / CAST(sum_c1 + n_bigrams * (SELECT v FROM v) AS DOUBLE)
+               AS familiarity
+      FROM doc ORDER BY doc_id""")
+  )
+
   val all: Seq[QueryDef] =
     Seq(t1TokenCount, t2QualityScore, t3LangId, t4Fingerprint, t5Vocab,
       t6StratifiedSample, t7Cooccurrence, t8DistinctSketch, t9SketchRollup,
-      t10SelfRepetition, t11SketchOverlap, t12SketchDifference)
+      t10SelfRepetition, t11SketchOverlap, t12SketchDifference,
+      t13LmFamiliarity)
 }

@@ -1,0 +1,45 @@
+package graft.core
+
+import graft.expressions.Bloom
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Bloom-prefiltered exact semi-join: prune the big side BEFORE its
+  * shuffle with a broadcast bloom filter built over the small side's keys,
+  * then run the exact semi-join on what survives.
+  *
+  * At 100 TB the semi-join's cost is shuffling the big side; when the
+  * selectivity is low (most big-side rows match nothing), almost all of
+  * that shuffle is waste. A bloom over the small side's keys is a few MB
+  * regardless of the big side's size, prunes non-matching rows AT THE SCAN
+  * (the probe is one codegen call per row, no exchange crossed), and can
+  * never drop a matching row — so the exact join downstream guarantees the
+  * final result is IDENTICAL to the plain semi-join, which is exactly how
+  * q28's oracle verifies it. Spark's own `InjectRuntimeFilter` applies this
+  * rewrite automatically under size heuristics; the library form makes it
+  * deterministic, persistable (the bitset is a value) and reusable across
+  * queries/scans of the same key set.
+  *
+  * Sizing: ~10 bits/key ≈ 1% false positives at 5 hashes; the default
+  * 2^23 bits (1 MiB) covers ~800k keys. The build collects the bitset to
+  * the driver — numBits/8 bytes, independent of data size (the same shape
+  * as Spark's runtime-filter scalar subquery, capped there at 8 MB).
+  */
+object BloomJoin {
+
+  /** Rows of `big` whose `bigKey` appears in `small`'s `smallKey` —
+    * exact left-semi semantics. Keys of any orderable type: both sides are
+    * normalized through `xxhash64` for the bloom probe; the final semi-join
+    * runs on the raw key column.
+    */
+  def semiJoin(big: DataFrame, bigKey: String, small: DataFrame, smallKey: String,
+               numBits: Int = 1 << 23, numHashes: Int = 5): DataFrame = {
+    val bits = small
+      .select(Bloom.bloomState(xxhash64(col(smallKey)), numBits, numHashes).as("b"))
+      .head().getAs[Array[Byte]](0)
+    big
+      .filter(Bloom.bloomContains(xxhash64(col(bigKey)), bits, numHashes))
+      .join(small.select(col(smallKey)).distinct(),
+        col(bigKey) === col(smallKey), "left_semi")
+  }
+}

@@ -306,6 +306,41 @@ object HashOps {
     UnsafeArrayData.fromPrimitiveArray(out)
   }
 
+  /** Bloom-filter membership probe against a constant bitset (shipped to
+    * executors as a codegen reference object). Double hashing (Kirsch &
+    * Mitzenmacher 2006): position i = h1 + i·h2 mod numBits, with h2
+    * forced odd so the probe sequence covers the bitset. One call per
+    * big-side row inside whole-stage codegen — the pre-shuffle pruning
+    * hot path.
+    */
+  def bloomContains(v: Long, bits: Array[Long], numHashes: Int): Boolean = {
+    val numBits = bits.length.toLong * 64L
+    val h1 = XXH64.hashLong(v, Seed)
+    val h2 = XXH64.hashLong(v, Seed + 1) | 1L
+    var i = 0
+    while (i < numHashes) {
+      val pos = ((h1 + i * h2) & Long.MaxValue) % numBits
+      if ((bits((pos >>> 6).toInt) & (1L << (pos & 63))) == 0L) return false
+      i += 1
+    }
+    true
+  }
+
+  /** Set the same probe positions while BUILDING the bitset (aggregate
+    * update path — must mirror [[bloomContains]] bit for bit).
+    */
+  def bloomSet(v: Long, bits: Array[Long], numHashes: Int): Unit = {
+    val numBits = bits.length.toLong * 64L
+    val h1 = XXH64.hashLong(v, Seed)
+    val h2 = XXH64.hashLong(v, Seed + 1) | 1L
+    var i = 0
+    while (i < numHashes) {
+      val pos = ((h1 + i * h2) & Long.MaxValue) % numBits
+      bits((pos >>> 6).toInt) |= (1L << (pos & 63))
+      i += 1
+    }
+  }
+
   /** Dot product of a float vector with a constant double plane (row-major
     * `planes`, `nBits` rows): returns the packed sign-bit bucket id — the
     * random-hyperplane LSH signature in one pass.

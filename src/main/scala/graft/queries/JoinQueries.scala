@@ -191,7 +191,33 @@ object JoinQueries {
       GROUP BY o_orderkey ORDER BY o_orderkey""")
   )
 
+  /** Bloom-prefiltered semi-join through [[graft.core.BloomJoin.semiJoin]]:
+    * lineitem pruned by a 1 MiB bitset over the selected part keys BEFORE
+    * any shuffle, then the exact semi-join. The bloom has no false
+    * negatives, so the result is IDENTICAL to the plain semi-join — which
+    * is the oracle: any row the bloom wrongly dropped (or the plumbing
+    * duplicated) hash-mismatches.
+    */
+  val q28BloomSemijoin: QueryDef = QueryDef(
+    "q28_bloom_semijoin",
+    (s, dir) =>
+      graft.core.BloomJoin.semiJoin(
+        Tables.load(s, dir, "lineitem"), "l_partkey",
+        Tables.load(s, dir, "part").filter(col("p_size") >= 48), "p_partkey")
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n_items"),
+          Exact.dsum(col("l_extendedprice")).as("sum_price"))
+        .orderBy("l_returnflag"),
+    Some(s"""
+      SELECT l_returnflag, COUNT(*) AS n_items,
+             ${Exact.sqlSum("l_extendedprice")} AS sum_price
+      FROM lineitem
+      WHERE EXISTS (SELECT 1 FROM part
+                    WHERE p_partkey = l_partkey AND p_size >= 48)
+      GROUP BY l_returnflag ORDER BY l_returnflag""")
+  )
+
   val all: Seq[QueryDef] =
     Seq(q3JoinAgg, q4SemiJoin, q5AntiJoin, q6RegionJoin, q23SkewJoin,
-      q27RangeJoin)
+      q27RangeJoin, q28BloomSemijoin)
 }

@@ -1,0 +1,61 @@
+package graft.expressions
+
+import graft.SparkSpec
+import graft.core.BloomJoin
+import org.apache.spark.sql.functions._
+
+/** Bloom aggregate + probe: no false negatives, order-independent build,
+  * sane false-positive rate, and the prune-then-exact-join identity.
+  */
+class BloomSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def bitsOf(keys: Seq[Long], parts: Int, numBits: Int = 1 << 16): Array[Byte] =
+    keys.toDF("k").repartition(parts)
+      .select(Bloom.bloomState(col("k"), numBits).as("b"))
+      .head().getAs[Array[Byte]](0)
+
+  test("no false negatives, on any partitioning; identical serialized state") {
+    val keys = (1L to 5000L).map(i => i * 2147483647L)
+    val b1 = bitsOf(keys, 1)
+    val b8 = bitsOf(keys, 8)
+    // order-independence: OR-merge makes the bitset a pure function of the set
+    assert(java.util.Arrays.equals(b1, b8))
+    val members = keys.toDF("k")
+      .select(Bloom.bloomContains(col("k"), b1).as("hit"))
+      .agg(sum(when(col("hit"), 0).otherwise(1))).head().getLong(0)
+    assert(members == 0L, "a member probed false — false negative")
+  }
+
+  test("false-positive rate is within ~2x of the sizing formula") {
+    val n = 4000
+    val numBits = 1 << 16 // ~16.4 bits/key, 5 hashes → p ≈ 0.45% expected
+    val bits = bitsOf((1L to n.toLong).map(_ * 7919L), 4, numBits)
+    val probes = 20000
+    val fps = (1L to probes.toLong).map(i => -i * 104729L).toDF("k")
+      .select(Bloom.bloomContains(col("k"), bits).as("hit"))
+      .agg(sum(when(col("hit"), 1).otherwise(0))).head().getLong(0)
+    assert(fps.toDouble / probes < 0.02, s"fp rate ${fps.toDouble / probes}")
+  }
+
+  test("bloom semi-join equals the plain semi-join exactly") {
+    val big = graft.core.Tables.load(spark, sf, "lineitem")
+    val small = graft.core.Tables.load(spark, sf, "part").filter(col("p_size") >= 40)
+    val got = BloomJoin.semiJoin(big, "l_partkey", small, "p_partkey")
+      .select("l_orderkey", "l_linenumber").as[(Long, Int)].collect().toSet
+    val want = big.join(small, col("l_partkey") === col("p_partkey"), "left_semi")
+      .select("l_orderkey", "l_linenumber").as[(Long, Int)].collect().toSet
+    assert(got == want && want.nonEmpty)
+  }
+
+  test("the probe filter stays inside whole-stage codegen") {
+    val bits = bitsOf(Seq(1L, 2L, 3L), 1)
+    val plan = graft.core.Tables.load(spark, sf, "lineitem")
+      .filter(Bloom.bloomContains(xxhash64(col("l_partkey")), bits))
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(plan.linesIterator.exists(_.trim.startsWith("* Filter")), plan)
+    assert(!plan.contains("CodegenFallback"), plan)
+  }
+}

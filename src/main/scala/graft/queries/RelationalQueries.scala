@@ -309,7 +309,35 @@ object RelationalQueries {
       FROM orders GROUP BY 1, 2 ORDER BY 1, 2""")
   )
 
+  /** Per-group top-k via the bounded-heap aggregate
+    * ([[graft.expressions.TopKAggExpr]]) instead of a window rank: the
+    * exchange carries at most k pairs per group per map partition rather
+    * than every row. The oracle is the window formulation with the
+    * identical total order (price DESC, orderkey ASC), so a heap that
+    * drops or reorders under ties hash-mismatches.
+    */
+  val q29GroupTopK: QueryDef = QueryDef(
+    "q29_group_topk",
+    (s, dir) =>
+      Tables.load(s, dir, "orders")
+        .groupBy("o_custkey")
+        .agg(graft.expressions.TopK.topK(col("o_totalprice"), col("o_orderkey"), 3)
+          .as("top"))
+        .select(col("o_custkey"), explode(col("top")).as("t"))
+        .select(col("o_custkey"), col("t.id").as("o_orderkey"),
+          col("t.value").as("o_totalprice"))
+        .orderBy("o_custkey", "o_orderkey"),
+    Some("""
+      SELECT o_custkey, o_orderkey, o_totalprice FROM (
+        SELECT o_custkey, o_orderkey, o_totalprice,
+               ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                  ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        FROM orders)
+      WHERE rn <= 3
+      ORDER BY o_custkey, o_orderkey""")
+  )
+
   val all: Seq[QueryDef] =
     Seq(q1Agg, q2TopK, q10Histogram, q11SummaryStats, q12Distinct, q13StringFuncs,
-      q18Rollup, q19SetOps, q20DateParts, q22Cube, q26Subqueries)
+      q18Rollup, q19SetOps, q20DateParts, q22Cube, q26Subqueries, q29GroupTopK)
 }

@@ -556,9 +556,74 @@ object TextQueries {
       FROM doc ORDER BY doc_id""")
   )
 
+  /** Token-budget mixture sampling — the training-mixture contract: given
+    * a corpus-wide token budget (40% of the corpus here) split UNIFORMLY
+    * across sources, derive each source's sampling rate FROM THE DATA
+    * (rate_s = min(1, budget/n_sources / tokens_s): under-budget sources
+    * keep everything, over-represented ones are downsampled toward the
+    * target mixture), then select documents by deterministic content-hash
+    * thresholding — rerun-stable, growth-stable, no RNG, exactly like t6
+    * but with DERIVED rates rather than fixed ones.
+    *
+    * Cross-engine exactness: the md5-prefix selection key is compared as a
+    * lowercase hex STRING against the rate quantized to 32 bits and
+    * hex-formatted the same way (never parsing hex to numbers, where
+    * engines differ); `rate >= 1` short-circuits to threshold `'g'` (>
+    * every hex digit) so full-keep sources cannot truncate. Plan shape:
+    * two tiny aggregates (per-source, global) broadcast back over one
+    * corpus scan — linear at any scale.
+    */
+  val t14MixtureSample: QueryDef = QueryDef(
+    "t14_mixture_sample",
+    (s, dir) => {
+      val ntok = size(filter(split(col("text"), " "),
+        w => length(w) > 0)).cast("long")
+      val docs = Tables.loadSpread(s, dir, "documents")
+        .select(col("doc_id"), col("source"), ntok.as("ntok"))
+      val perSource = docs.groupBy("source").agg(sum(col("ntok")).as("toks"))
+      val global = perSource.agg(
+        sum(col("toks")).as("total_toks"),
+        count(lit(1)).as("n_sources"))
+      val rate = least(lit(1.0),
+        (lit(0.4) * col("total_toks").cast(DoubleType) /
+          col("n_sources").cast(DoubleType)) / col("toks").cast(DoubleType))
+      val thr = when(rate >= 1.0, lit("g"))
+        .otherwise(lpad(lower(hex(floor(rate * lit(4294967296.0)).cast("long"))),
+          8, "0"))
+      docs.join(broadcast(perSource), Seq("source"))
+        .crossJoin(broadcast(global))
+        .withColumn("rate", rate)
+        .filter(substring(md5(col("doc_id").cast("string")), 1, 8) < thr)
+        .select(col("doc_id"), col("source"), col("ntok"), col("rate"))
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH d AS (
+        SELECT doc_id, source,
+               CAST(LENGTH(LIST_FILTER(STRING_SPLIT(text, ' '),
+                                       x -> LENGTH(x) > 0)) AS BIGINT) AS ntok
+        FROM documents),
+      ps AS (SELECT source, CAST(SUM(ntok) AS BIGINT) AS toks
+             FROM d GROUP BY 1),
+      g AS (SELECT CAST(SUM(toks) AS BIGINT) AS total_toks,
+                   COUNT(*) AS n_sources FROM ps),
+      r AS (SELECT ps.source, ps.toks,
+                   LEAST(1.0, (0.4 * CAST(g.total_toks AS DOUBLE)
+                                / CAST(g.n_sources AS DOUBLE))
+                              / CAST(ps.toks AS DOUBLE)) AS rate
+            FROM ps, g)
+      SELECT d.doc_id, d.source, d.ntok, r.rate
+      FROM d JOIN r USING (source)
+      WHERE SUBSTR(md5(CAST(d.doc_id AS VARCHAR)), 1, 8) <
+            CASE WHEN r.rate >= 1.0 THEN 'g'
+                 ELSE LPAD(LOWER(HEX(CAST(FLOOR(r.rate * 4294967296.0) AS BIGINT))), 8, '0')
+            END
+      ORDER BY d.doc_id""")
+  )
+
   val all: Seq[QueryDef] =
     Seq(t1TokenCount, t2QualityScore, t3LangId, t4Fingerprint, t5Vocab,
       t6StratifiedSample, t7Cooccurrence, t8DistinctSketch, t9SketchRollup,
       t10SelfRepetition, t11SketchOverlap, t12SketchDifference,
-      t13LmFamiliarity)
+      t13LmFamiliarity, t14MixtureSample)
 }

@@ -134,6 +134,32 @@ object Dedup {
       .select("doc_a", "doc_b", "jaccard")
   }
 
+  /** Incremental (snapshot-over-ledger) exact dedup — the recurring-crawl
+    * contract: a new batch is admitted against the content-hash LEDGER of
+    * everything already ingested, never against the full historical text.
+    * A batch document survives iff (a) its content hash is absent from the
+    * ledger (left-anti join on 32-byte hashes — the shuffle carries
+    * digests, not documents) and (b) it is the first occurrence WITHIN the
+    * batch (min-id per hash — first-wins, deterministic). The admitted
+    * hashes then append to the ledger for the next increment; the ledger
+    * grows as O(distinct docs) hashes regardless of corpus text size.
+    *
+    * `batch` needs `idCol` + `textCol`; returns the admitted rows
+    * (id, content_key). `ledger` is a single-column frame of previously
+    * admitted content keys.
+    */
+  def incrementalDedup(batch: DataFrame, idCol: String, textCol: String,
+      ledger: DataFrame): DataFrame = {
+    val keyed = batch.select(col(idCol).as("doc_id"),
+      sha2(col(textCol), 256).as("content_key"))
+    val ledgerKeys = ledger.toDF("content_key")
+    keyed
+      .join(ledgerKeys, Seq("content_key"), "left_anti")
+      .groupBy("content_key")
+      .agg(min(col("doc_id")).as("doc_id"))
+      .select("doc_id", "content_key")
+  }
+
   /** 64-bit SimHash over whitespace tokens: per-token xxhash64, signed
     * bit-vote per bit position, sign → bit. Near-dup docs differ in few
     * bits (hamming distance on the returned long).

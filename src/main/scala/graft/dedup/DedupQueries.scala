@@ -327,7 +327,49 @@ object DedupQueries {
         .orderBy("doc_a", "doc_b")))
   )
 
+  /** Incremental snapshot-over-ledger dedup ([[Dedup.incrementalDedup]]):
+    * documents with `doc_id < 250` stand in for the already-ingested
+    * corpus (reduced to its content-hash ledger); the new crawl snapshot
+    * is the remaining docs PLUS re-crawls of 100 old pages (same text,
+    * new ids +1000 — must be ledger-rejected) PLUS second copies of 50
+    * new pages (ids +2000 — must lose within-batch first-wins). The
+    * `documents` table itself has no exact duplicates, so without the
+    * planted re-crawls both rejection rules would pass vacuously; with
+    * them, 150 of 400 batch rows must be dropped, and the oracle replays
+    * both rules relationally (NOT EXISTS + min-per-hash).
+    */
+  val d9IncrementalDedup: QueryDef = QueryDef(
+    "d9_incremental_dedup",
+    (s, dir) => {
+      val docs = Tables.loadSpread(s, dir, "documents")
+      val ledger = docs.filter(col("doc_id") < 250)
+        .select(sha2(col("text"), 256).as("content_key")).distinct()
+      val batch = docs.filter(col("doc_id") >= 250)
+        .select(col("doc_id"), col("text"))
+        .unionAll(docs.filter(col("doc_id") < 100)
+          .select((col("doc_id") + 1000).as("doc_id"), col("text")))
+        .unionAll(docs.filter(col("doc_id") >= 250 && col("doc_id") < 300)
+          .select((col("doc_id") + 2000).as("doc_id"), col("text")))
+      Dedup.incrementalDedup(batch, "doc_id", "text", ledger)
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH batch AS (
+        SELECT doc_id, text FROM documents WHERE doc_id >= 250
+        UNION ALL
+        SELECT doc_id + 1000, text FROM documents WHERE doc_id < 100
+        UNION ALL
+        SELECT doc_id + 2000, text FROM documents WHERE doc_id >= 250 AND doc_id < 300)
+      SELECT MIN(doc_id) AS doc_id, sha256(text) AS content_key
+      FROM batch b
+      WHERE NOT EXISTS (SELECT 1 FROM documents l
+                        WHERE l.doc_id < 250 AND sha256(l.text) = sha256(b.text))
+      GROUP BY sha256(text)
+      ORDER BY doc_id""")
+  )
+
   val all: Seq[QueryDef] =
     Seq(d1ExactDedup, d2MinhashLsh, d3Simhash, d4NgramJaccard,
-      d5EmbeddingNearDup, d6DupSpans, d7Contamination, d8DedupClusters)
+      d5EmbeddingNearDup, d6DupSpans, d7Contamination, d8DedupClusters,
+      d9IncrementalDedup)
 }

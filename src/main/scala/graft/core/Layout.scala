@@ -25,6 +25,38 @@ object Layout {
       .sortWithinPartitions(keyCol)
       .write.mode("overwrite").parquet(path)
 
+  /** Write `df` Z-ORDER clustered on TWO numeric columns: each coordinate
+    * is min-max normalized to 31 bits (one tiny aggregate for the bounds),
+    * the pair interleaves into a Morton key
+    * ([[graft.expressions.GraftExpressions.zorder]], codegen), and rows
+    * range-partition + sort by that key. Where a single-key range layout
+    * makes every file span the FULL domain of the second column (filters
+    * on it prune nothing), the space-filling curve gives every file a
+    * bounded min-max rectangle in BOTH dimensions — footer statistics then
+    * prune selective filters on either column, the same layout contract as
+    * Delta/Iceberg `ZORDER BY`. The curve key is dropped before writing.
+    */
+  def writeZOrdered(df: DataFrame, colX: String, colY: String, nFiles: Int,
+      path: String): Unit = {
+    val b = df.agg(
+      min(col(colX).cast("double")), max(col(colX).cast("double")),
+      min(col(colY).cast("double")), max(col(colY).cast("double"))).head()
+    val (minX, maxX, minY, maxY) =
+      (b.getDouble(0), b.getDouble(1), b.getDouble(2), b.getDouble(3))
+    val bits = (1L << 31) - 1
+    def norm(c: String, lo: Double, hi: Double) =
+      if (hi == lo) lit(0L)
+      else floor((col(c).cast("double") - lit(lo)) / lit(hi - lo) * lit(bits.toDouble))
+        .cast("long")
+    val z = graft.expressions.GraftExpressions.zorder(
+      norm(colX, minX, maxX), norm(colY, minY, maxY))
+    df.withColumn("__z", z)
+      .repartitionByRange(nFiles, col("__z"))
+      .sortWithinPartitions("__z")
+      .drop("__z")
+      .write.mode("overwrite").parquet(path)
+  }
+
   /** Compact a directory of (typically many small) parquet files into
     * ~`targetFileBytes` outputs — the maintenance pass every long-lived
     * ingest needs: streaming sinks and per-batch writers accrete small

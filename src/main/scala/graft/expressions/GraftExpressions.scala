@@ -235,6 +235,22 @@ object GraftExpressions {
 
   // ---- Column-API surface ----
 
+  /** Z-order curve key of two 31-bit-normalized coordinates (see
+    * [[HashOps.interleave31]]); the sort key behind two-dimensional file
+    * clustering.
+    */
+  case class ZOrderExpr(left: Expression, right: Expression)
+      extends BinaryExpression {
+    override def dataType: DataType = LongType
+    override def prettyName: String = "zorder"
+    override protected def nullSafeEval(a: Any, b: Any): Any =
+      HashOps.interleave31(a.asInstanceOf[Long], b.asInstanceOf[Long])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, (a, b) => s"graft.expressions.HashOps.interleave31($a, $b)")
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): ZOrderExpr =
+      copy(left = l, right = r)
+  }
+
   private def col(e: Expression): Column = ColumnBridge.column(e)
   private def expr(c: Column): Expression = ColumnBridge.expression(c)
 
@@ -284,4 +300,7 @@ object GraftExpressions {
 
   /** Generator: one (w1, w2) row per adjacent non-empty word pair. */
   def wordBigrams(text: Column): Column = col(WordBigramsExpr(expr(text)))
+
+  /** Morton (Z-order) interleave of two 31-bit-normalized long columns. */
+  def zorder(x: Column, y: Column): Column = col(ZOrderExpr(expr(x), expr(y)))
 }

@@ -306,6 +306,25 @@ object HashOps {
     UnsafeArrayData.fromPrimitiveArray(out)
   }
 
+  /** Morton (Z-order) bit interleave of two 31-bit values: bits of `x` at
+    * even positions, `y` at odd — the space-filling curve key for
+    * two-dimensional file clustering ([[graft.core.Layout.writeZOrdered]]).
+    * 31 bits per dimension keeps the result in the positive signed-long
+    * range, so ordering by the z-value needs no unsigned tricks.
+    */
+  def interleave31(x: Long, y: Long): Long = {
+    def spread(v: Long): Long = {
+      var b = v & 0x7FFFFFFFL
+      b = (b | (b << 16)) & 0x0000FFFF0000FFFFL
+      b = (b | (b << 8))  & 0x00FF00FF00FF00FFL
+      b = (b | (b << 4))  & 0x0F0F0F0F0F0F0F0FL
+      b = (b | (b << 2))  & 0x3333333333333333L
+      b = (b | (b << 1))  & 0x5555555555555555L
+      b
+    }
+    spread(x) | (spread(y) << 1)
+  }
+
   /** Bloom-filter membership probe against a constant bitset (shipped to
     * executors as a codegen reference object). Double hashing (Kirsch &
     * Mitzenmacher 2006): position i = h1 + i·h2 mod numBits, with h2

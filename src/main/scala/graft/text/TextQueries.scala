@@ -621,9 +621,85 @@ object TextQueries {
       ORDER BY d.doc_id""")
   )
 
+  /** PII detection + redaction — the safety-scrubbing pass every
+    * training-data pipeline runs before tokenization: count and replace
+    * email addresses, IPv4 addresses and phone numbers with typed
+    * placeholder tags. The corpus text is synthetic (zero PII), so the
+    * query PLANTS deterministic PII on a doc_id schedule first — without
+    * that, redaction would verify vacuously.
+    *
+    * Cross-engine notes: patterns are restricted to the syntax Java
+    * regex (Spark) and RE2 (DuckDB) evaluate identically (character
+    * classes, bounded repetition, ASCII `\b`); DuckDB's `regexp_replace`
+    * needs the explicit `'g'` flag to match Spark's replace-all; and
+    * redaction order (emails → IPs → phones) is fixed so placeholder
+    * text can't feed later patterns. Verified on the scrubbed text's
+    * sha256, so a single divergent character fails. Pure per-row
+    * projection — embarrassingly parallel at any scale.
+    */
+  val t15PiiScrub: QueryDef = QueryDef(
+    "t15_pii_scrub",
+    (s, dir) => {
+      val emailPat = """[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}"""
+      val ipPat = """\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"""
+      val phonePat = """\b\d{3}-\d{3}-\d{4}\b"""
+      val aug = concat(col("text"),
+        when(col("doc_id") % 5 === 0,
+          concat(lit(" reach me at user"), col("doc_id"), lit("@example.com now")))
+          .otherwise(lit("")),
+        when(col("doc_id") % 7 === 0,
+          concat(lit(" server 10.0."), col("doc_id") % 256, lit(".25 logged")))
+          .otherwise(lit("")),
+        when(col("doc_id") % 11 === 0, lit(" call 555-867-5309 today"))
+          .otherwise(lit("")))
+      val clean = regexp_replace(
+        regexp_replace(
+          regexp_replace(aug, emailPat, "<EMAIL>"),
+          ipPat, "<IP>"),
+        phonePat, "<PHONE>")
+      Tables.loadSpread(s, dir, "documents")
+        .select(col("doc_id"),
+          size(regexp_extract_all(aug, lit(emailPat), lit(0))).as("n_emails"),
+          size(regexp_extract_all(aug, lit(ipPat), lit(0))).as("n_ips"),
+          size(regexp_extract_all(aug, lit(phonePat), lit(0))).as("n_phones"),
+          length(clean).as("clean_len"),
+          sha2(clean, 256).as("clean_hash"))
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH a AS (
+        SELECT doc_id,
+               text
+               || CASE WHEN doc_id % 5 = 0
+                       THEN ' reach me at user' || doc_id || '@example.com now'
+                       ELSE '' END
+               || CASE WHEN doc_id % 7 = 0
+                       THEN ' server 10.0.' || (doc_id % 256) || '.25 logged'
+                       ELSE '' END
+               || CASE WHEN doc_id % 11 = 0
+                       THEN ' call 555-867-5309 today' ELSE '' END AS aug
+        FROM documents),
+      c AS (
+        SELECT doc_id, aug,
+               REGEXP_REPLACE(
+                 REGEXP_REPLACE(
+                   REGEXP_REPLACE(aug,
+                     '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}', '<EMAIL>', 'g'),
+                   '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+                 '\b\d{3}-\d{3}-\d{4}\b', '<PHONE>', 'g') AS clean
+        FROM a)
+      SELECT doc_id,
+             LENGTH(REGEXP_EXTRACT_ALL(aug, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}', 0)) AS n_emails,
+             LENGTH(REGEXP_EXTRACT_ALL(aug, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', 0)) AS n_ips,
+             LENGTH(REGEXP_EXTRACT_ALL(aug, '\b\d{3}-\d{3}-\d{4}\b', 0)) AS n_phones,
+             LENGTH(clean) AS clean_len,
+             sha256(clean) AS clean_hash
+      FROM c ORDER BY doc_id""")
+  )
+
   val all: Seq[QueryDef] =
     Seq(t1TokenCount, t2QualityScore, t3LangId, t4Fingerprint, t5Vocab,
       t6StratifiedSample, t7Cooccurrence, t8DistinctSketch, t9SketchRollup,
       t10SelfRepetition, t11SketchOverlap, t12SketchDifference,
-      t13LmFamiliarity, t14MixtureSample)
+      t13LmFamiliarity, t14MixtureSample, t15PiiScrub)
 }

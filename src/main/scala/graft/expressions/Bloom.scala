@@ -31,6 +31,13 @@ case class BloomStateExpr(child: Expression, numBits: Int,
     extends TypedImperativeAggregate[Array[Long]]
     with UnaryLike[Expression] {
 
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == LongType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"bloom_state expects BIGINT, got ${child.dataType.sql}")
+
   require(numBits >= 64 && (numBits & 63) == 0, "numBits must be a positive multiple of 64")
   require(numHashes >= 1, "need at least one hash")
 
@@ -80,6 +87,12 @@ case class BloomStateExpr(child: Expression, numBits: Int,
   */
 case class BloomContainsExpr(child: Expression, bits: Array[Long], numHashes: Int)
     extends UnaryExpression {
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == LongType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"bloom_contains expects BIGINT, got ${child.dataType.sql}")
   override def dataType: DataType = BooleanType
   override def prettyName: String = "bloom_contains"
   override protected def nullSafeEval(input: Any): Any =

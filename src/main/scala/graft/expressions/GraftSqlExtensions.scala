@@ -80,5 +80,44 @@ class GraftSqlExtensions extends (SparkSessionExtensions => Unit) {
         "kmv_distinct(hash, k) - KMV distinct-count sketch estimate (deterministic)"),
       (es: Seq[Expression]) =>
         KmvDistinctExpr(es.head, litInt(es(1), "k")).toAggregateExpression()))
+
+    ext.injectFunction((FunctionIdentifier("kmv_state"),
+      info("kmv_state",
+        "kmv_state(hash, k) - serialized KMV sketch (persistable binary state)"),
+      (es: Seq[Expression]) =>
+        KmvStateExpr(es.head, litInt(es(1), "k")).toAggregateExpression()))
+
+    ext.injectFunction((FunctionIdentifier("kmv_intersect"),
+      info("kmv_intersect",
+        "kmv_intersect(sk_a, sk_b, k) - intersection-size estimate of two KMV sketches"),
+      (es: Seq[Expression]) => KmvIntersectExpr(es.head, es(1), litInt(es(2), "k"))))
+
+    ext.injectFunction((FunctionIdentifier("kmv_difference"),
+      info("kmv_difference",
+        "kmv_difference(sk_a, sk_b, k) - set-difference estimate |A\\\\B| of two KMV sketches"),
+      (es: Seq[Expression]) => KmvDifferenceExpr(es.head, es(1), litInt(es(2), "k"))))
+
+    ext.injectFunction((FunctionIdentifier("zorder"),
+      info("zorder",
+        "zorder(x, y) - Morton interleave of two 31-bit-normalized longs"),
+      (es: Seq[Expression]) => ZOrderExpr(es.head, es(1))))
+
+    ext.injectFunction((FunctionIdentifier("top_k"),
+      info("top_k",
+        "top_k(value, id, k) - per-group top-k (value DESC, id ASC) as {value,id} structs"),
+      (es: Seq[Expression]) =>
+        TopKAggExpr(
+          org.apache.spark.sql.catalyst.expressions.Cast(es.head,
+            org.apache.spark.sql.types.DoubleType),
+          org.apache.spark.sql.catalyst.expressions.Cast(es(1),
+            org.apache.spark.sql.types.LongType),
+          litInt(es(2), "k")).toAggregateExpression()))
+
+    ext.injectFunction((FunctionIdentifier("bloom_state"),
+      info("bloom_state",
+        "bloom_state(hash, numBits, numHashes) - serialized bloom bitset over a long column"),
+      (es: Seq[Expression]) =>
+        BloomStateExpr(es.head, litInt(es(1), "numBits"),
+          litInt(es(2), "numHashes")).toAggregateExpression()))
   }
 }

@@ -27,6 +27,15 @@ case class TopKAggExpr(value: Expression, id: Expression, k: Int,
     extends TypedImperativeAggregate[java.util.TreeSet[(Double, Long)]]
     with BinaryLike[Expression] {
 
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    if (value.dataType == DoubleType && id.dataType == LongType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"top_k expects (DOUBLE, BIGINT), got (${value.dataType.sql}, ${id.dataType.sql})")
+  }
+
   require(k >= 1, "top-k needs k >= 1")
 
   // value DESC, id ASC; the LAST element is the weakest kept entry

@@ -356,8 +356,45 @@ object EventQueries {
       ORDER BY o_orderkey""")
   )
 
+  /** RANGE-frame (time-based) sliding window: per user, the trailing
+    * 1-hour event count and value sum at every event — the "activity in
+    * the last hour" shape that ROWS frames cannot express when events are
+    * irregular. The frame is on the µs epoch (ns div 1000, exact
+    * integers); rows with EQUAL timestamps are frame peers and aggregate
+    * identically in both engines. The sliding SUM takes the decimal
+    * detour (Exact): Spark recomputes frames while DuckDB segment-trees
+    * them — different double accumulation orders — and decimal addition
+    * is associative, so the result is bit-identical anyway. One keyed
+    * shuffle; frame evaluation is a per-partition linear sweep.
+    */
+  val q30RangeWindow: QueryDef = QueryDef(
+    "q30_range_window",
+    (s, dir) => {
+      val usPerHour = 3600L * 1000L * 1000L
+      val w = Window.partitionBy("user_id").orderBy("t_us")
+        .rangeBetween(-usPerHour, 0)
+      Tables.load(s, dir, "events")
+        .filter(col("user_id") <= 75)
+        .withColumn("t_us", expr("ts div 1000L"))
+        .select(col("event_id"), col("user_id"), col("t_us"), col("value"))
+        .withColumn("n_1h", count(lit(1)).over(w))
+        .withColumn("sum_1h",
+          sum(col("value").cast(org.apache.spark.sql.types.DecimalType(30, 4)))
+            .over(w).cast(DoubleType))
+        .orderBy("user_id", "t_us", "event_id")
+    },
+    Some(s"""
+      SELECT event_id, user_id, epoch_us(ts) AS t_us, value,
+        COUNT(*) OVER w AS n_1h,
+        CAST(SUM(CAST(value AS DECIMAL(30,4))) OVER w AS DOUBLE) AS sum_1h
+      FROM events WHERE user_id <= 75
+      WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+                   RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+      ORDER BY user_id, t_us, event_id""")
+  )
+
   val all: Seq[QueryDef] = Seq(
     q7WindowRunning, q8PivotCounts, q9EventPairs,
     q14TimeBuckets, q15UserSpan, q16AsofJoin, q17JsonExtract, q21Sessions,
-    q24Resample, q25Ranks)
+    q24Resample, q25Ranks, q30RangeWindow)
 }

@@ -83,6 +83,41 @@ class GraftSqlExtensionsSpec extends SparkSpec {
     assert(kg(1) == kg(4)) // "two three" at positions 1 and 4
   }
 
+  test("round-3 functions from SQL: zorder, kmv algebra, top_k, bloom_state") {
+    assert(spark.sql("SELECT zorder(3L, 1L) AS z").collect()(0).getLong(0) == 7L)
+
+    // sketch algebra end to end in pure SQL
+    val r = spark.sql(
+      """WITH h AS (SELECT xxhash64(CAST(x AS STRING)) AS h,
+        |                  CASE WHEN x % 2 = 0 THEN 'a' ELSE 'b' END AS g
+        |           FROM range(1, 2001) AS t(x)),
+        |  sk AS (SELECT g, kmv_state(h, 64) AS s FROM h GROUP BY g)
+        |SELECT kmv_intersect(a.s, b.s, 64) AS inter,
+        |       kmv_difference(a.s, b.s, 64) AS diff
+        |FROM sk a JOIN sk b ON a.g = 'a' AND b.g = 'b'""".stripMargin).collect()(0)
+    assert(r.getDouble(0) == 0.0) // disjoint sets
+    assert(r.getDouble(1) > 0.0)
+
+    val top = spark.sql(
+      """SELECT g, top_k(v, id, 2) AS t FROM VALUES
+        |  ('a', 3.0, 1L), ('a', 5.0, 2L), ('a', 4.0, 3L) AS r(g, v, id)
+        |GROUP BY g""".stripMargin).collect()(0)
+    val kept = top.getSeq[org.apache.spark.sql.Row](1).map(_.getLong(1))
+    assert(kept == Seq(2L, 3L))
+
+    val bloom = spark.sql(
+      "SELECT bloom_state(xxhash64(CAST(x AS STRING)), 4096, 5) AS b " +
+        "FROM range(1, 100) AS t(x)").collect()(0).getAs[Array[Byte]](0)
+    assert(bloom.length == 512)
+    // probe agrees with the Column API builder on the same keys
+    assert((1L until 100L).forall { i =>
+      val h = spark.sql(s"SELECT xxhash64(CAST($i AS STRING))").collect()(0).getLong(0)
+      val longs = new Array[Long](64)
+      java.nio.ByteBuffer.wrap(bloom).asLongBuffer().get(longs)
+      HashOps.bloomContains(h, longs, 5)
+    })
+  }
+
   test("jaccard_sorted and cosine_f from SQL") {
     val j = spark.sql(
       "SELECT jaccard_sorted(array(1L, 2L, 3L), array(2L, 3L, 4L)) AS j").collect()(0)

@@ -337,7 +337,65 @@ object RelationalQueries {
       ORDER BY o_custkey, o_orderkey""")
   )
 
+  /** Exact interpolated percentiles (PERCENTILE_CONT semantics) per
+    * group, formulated MANUALLY on both engines — rank selection via
+    * row_number + the standard `pos = p·(n−1)+1`, `v_lo + (v_hi−v_lo)·
+    * frac` interpolation — rather than each engine's built-in
+    * (`percentile` vs `quantile_cont`), whose internal accumulation
+    * orders may differ in the last ulps. Every arithmetic step is the
+    * same IEEE expression on both sides, so the hash compare tolerates
+    * zero error. One keyed shuffle for the rank window; the rank
+    * back-joins touch 2 rows per (group, p). At 100 TB exact global
+    * quantiles fundamentally need this rank selection; the approximate
+    * path (percentile_approx/KLL) trades the sort for mergeable sketches
+    * but loses external verifiability.
+    */
+  val q31Percentiles: QueryDef = QueryDef(
+    "q31_percentiles",
+    (s, dir) => {
+      import s.implicits._
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("g")
+      val ranked = Tables.load(s, dir, "lineitem")
+        .select(col("l_returnflag").as("g"), col("l_extendedprice").as("v"))
+        .withColumn("rn", row_number().over(w.orderBy("v")))
+        .withColumn("n", count(lit(1)).over(w))
+      val ps = Seq(0.25, 0.5, 0.75, 0.9).toDF("p")
+      val grid = ranked.select("g", "n").distinct().crossJoin(broadcast(ps))
+        .withColumn("pos", col("p") * (col("n") - 1) + 1)
+        .withColumn("lo", floor(col("pos")).cast("long"))
+        .withColumn("hi", ceil(col("pos")).cast("long"))
+      grid
+        .join(ranked.select(col("g"), col("rn").as("lo"), col("v").as("v_lo")),
+          Seq("g", "lo"))
+        .join(ranked.select(col("g"), col("rn").as("hi"), col("v").as("v_hi")),
+          Seq("g", "hi"))
+        .select(col("g").as("l_returnflag"), col("p"),
+          (col("v_lo") + (col("v_hi") - col("v_lo")) *
+            (col("pos") - floor(col("pos")))).as("quantile"))
+        .orderBy("l_returnflag", "p")
+    },
+    Some("""
+      WITH ranked AS (
+        SELECT l_returnflag AS g, l_extendedprice AS v,
+               ROW_NUMBER() OVER (PARTITION BY l_returnflag ORDER BY l_extendedprice) AS rn,
+               COUNT(*) OVER (PARTITION BY l_returnflag) AS n
+        FROM lineitem),
+      ps AS (SELECT UNNEST([0.25::DOUBLE, 0.5::DOUBLE, 0.75::DOUBLE, 0.9::DOUBLE]) AS p),
+      grid AS (
+        SELECT g, n, p, p * (n - 1) + 1 AS pos,
+               CAST(FLOOR(p * (n - 1) + 1) AS BIGINT) AS lo,
+               CAST(CEIL(p * (n - 1) + 1) AS BIGINT) AS hi
+        FROM (SELECT DISTINCT g, n FROM ranked), ps)
+      SELECT grid.g AS l_returnflag, grid.p,
+             lo_r.v + (hi_r.v - lo_r.v) * (grid.pos - FLOOR(grid.pos)) AS quantile
+      FROM grid
+      JOIN ranked lo_r ON lo_r.g = grid.g AND lo_r.rn = grid.lo
+      JOIN ranked hi_r ON hi_r.g = grid.g AND hi_r.rn = grid.hi
+      ORDER BY l_returnflag, p""")
+  )
+
   val all: Seq[QueryDef] =
     Seq(q1Agg, q2TopK, q10Histogram, q11SummaryStats, q12Distinct, q13StringFuncs,
-      q18Rollup, q19SetOps, q20DateParts, q22Cube, q26Subqueries, q29GroupTopK)
+      q18Rollup, q19SetOps, q20DateParts, q22Cube, q26Subqueries, q29GroupTopK,
+      q31Percentiles)
 }

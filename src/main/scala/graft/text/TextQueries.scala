@@ -697,9 +697,94 @@ object TextQueries {
       FROM c ORDER BY doc_id""")
   )
 
+  /** Context-window chunking — split every document into overlapping
+    * token windows (size 64, stride 48) the way a training pipeline cuts
+    * long documents to the model's context length with overlap so no
+    * boundary context is lost. Chunk count = 1 + max(0, n−17)/48 (the
+    * final window may run short), chunks verified by sha256 of the
+    * re-joined token window so a single off-by-one in slicing fails the
+    * hash. Pure generator projection — no shuffle, embarrassingly
+    * parallel; the integer chunk-count formula clamps BEFORE dividing
+    * because Spark's `div` truncates while DuckDB's `//` floors (they
+    * only agree on non-negatives).
+    */
+  val t16Chunking: QueryDef = QueryDef(
+    "t16_chunking",
+    (s, dir) => {
+      val ws = filter(split(col("text"), " "), w => length(w) > 0)
+      Tables.loadSpread(s, dir, "documents")
+        .select(col("doc_id"), ws.as("ws"))
+        .withColumn("kmax", expr("greatest(0L, size(ws) - 17) div 48"))
+        .select(col("doc_id"), col("ws"),
+          explode(sequence(lit(0L), col("kmax"))).as("chunk_idx"))
+        .withColumn("chunk",
+          slice(col("ws"), (col("chunk_idx") * 48 + 1).cast("int"), lit(64)))
+        .select(col("doc_id"), col("chunk_idx"),
+          size(col("chunk")).as("n_chunk_tokens"),
+          sha2(concat_ws(" ", col("chunk")), 256).as("chunk_hash"))
+        .orderBy("doc_id", "chunk_idx")
+    },
+    Some("""
+      WITH d AS (
+        SELECT doc_id,
+               LIST_FILTER(STRING_SPLIT(text, ' '), x -> LENGTH(x) > 0) AS ws
+        FROM documents),
+      k AS (
+        SELECT doc_id, ws,
+               UNNEST(GENERATE_SERIES(0, GREATEST(0, LENGTH(ws) - 17) // 48)) AS chunk_idx
+        FROM d),
+      c AS (
+        SELECT doc_id, chunk_idx,
+               ws[chunk_idx * 48 + 1 : chunk_idx * 48 + 64] AS chunk
+        FROM k)
+      SELECT doc_id, chunk_idx,
+             LENGTH(chunk) AS n_chunk_tokens,
+             sha256(ARRAY_TO_STRING(chunk, ' ')) AS chunk_hash
+      FROM c ORDER BY doc_id, chunk_idx""")
+  )
+
+  /** Greedy sequence packing — assign documents (in deterministic
+    * source/doc_id order) to fixed token-budget bins by exclusive running
+    * sum: doc d goes to bin floor(tokens_before_d / 2048). This is the
+    * standard "pack short sequences into full context windows" step
+    * before training; the running sum is an integer window aggregate
+    * (exact on any engine), one keyed shuffle per source. Bins can
+    * overhang the budget by one document (greedy packing semantics —
+    * a doc is never split across bins here; chunking (t16) handles the
+    * too-long case upstream).
+    */
+  val t17Packing: QueryDef = QueryDef(
+    "t17_packing",
+    (s, dir) => {
+      val ntok = size(filter(split(col("text"), " "),
+        w => length(w) > 0)).cast("long")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("source").orderBy("doc_id")
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+      Tables.loadSpread(s, dir, "documents")
+        .select(col("doc_id"), col("source"), ntok.as("ntok"))
+        .withColumn("pre_sum", coalesce(sum(col("ntok")).over(w), lit(0L)))
+        .withColumn("bin", expr("pre_sum div 2048L"))
+        .select(col("doc_id"), col("source"), col("ntok"), col("bin"))
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH d AS (
+        SELECT doc_id, source,
+               CAST(LENGTH(LIST_FILTER(STRING_SPLIT(text, ' '),
+                                       x -> LENGTH(x) > 0)) AS BIGINT) AS ntok
+        FROM documents)
+      SELECT doc_id, source, ntok,
+             COALESCE(CAST(SUM(ntok) OVER (PARTITION BY source ORDER BY doc_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0)
+               // 2048 AS bin
+      FROM d ORDER BY doc_id""")
+  )
+
   val all: Seq[QueryDef] =
     Seq(t1TokenCount, t2QualityScore, t3LangId, t4Fingerprint, t5Vocab,
       t6StratifiedSample, t7Cooccurrence, t8DistinctSketch, t9SketchRollup,
       t10SelfRepetition, t11SketchOverlap, t12SketchDifference,
-      t13LmFamiliarity, t14MixtureSample, t15PiiScrub)
+      t13LmFamiliarity, t14MixtureSample, t15PiiScrub, t16Chunking,
+      t17Packing)
 }

@@ -119,5 +119,12 @@ class GraftSqlExtensions extends (SparkSessionExtensions => Unit) {
       (es: Seq[Expression]) =>
         BloomStateExpr(es.head, litInt(es(1), "numBits"),
           litInt(es(2), "numHashes")).toAggregateExpression()))
+
+    ext.injectFunction((FunctionIdentifier("cms_state"),
+      info("cms_state",
+        "cms_state(hash, width, depth) - serialized Count-Min frequency grid over a long column"),
+      (es: Seq[Expression]) =>
+        CmsStateExpr(es.head, litInt(es(1), "width"),
+          litInt(es(2), "depth")).toAggregateExpression()))
   }
 }

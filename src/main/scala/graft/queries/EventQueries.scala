@@ -393,8 +393,43 @@ object EventQueries {
       ORDER BY user_id, t_us, event_id""")
   )
 
+  /** EXACT heavy hitters via Count-Min prefilter + exact recount
+    * ([[graft.core.HeavyHitters]]): every key whose count is ≥ 1% of the
+    * table, with its exact count. The CMS probe never undercounts, so the
+    * prefilter keeps every truly-heavy key and the recount makes the
+    * result IDENTICAL to the plain GROUP BY / HAVING oracle — the sketch
+    * only prunes the shuffle (cold keys never cross the exchange).
+    *
+    * The harness key distributions are near-uniform (no key reaches 1%),
+    * so like t15's planted PII the query PLANTS deterministic skew: 30%
+    * of events hash into 5 hot keys, the rest keep unique keys — without
+    * that, heavy-hitter mining would verify vacuously. The threshold is
+    * data-derived (total/100), so the selection stays meaningful at any
+    * scale factor.
+    */
+  val q32HeavyHitters: QueryDef = QueryDef(
+    "q32_heavy_hitters",
+    (s, dir) => {
+      val keyed = Tables.load(s, dir, "events")
+        .select(when(pmod(col("event_id"), lit(10)) < 3,
+          pmod(col("user_id"), lit(5)))
+          .otherwise(col("event_id") + 1000000L).as("k"))
+      graft.core.HeavyHitters.exact(keyed, "k", total => total / 100)
+        .orderBy("k")
+    },
+    Some("""
+      WITH k AS (
+        SELECT CASE WHEN event_id % 10 < 3 THEN user_id % 5
+                    ELSE event_id + 1000000 END AS k
+        FROM events),
+      g AS (SELECT COUNT(*) // 100 AS thr FROM k)
+      SELECT k, COUNT(*) AS n FROM k
+      GROUP BY k HAVING COUNT(*) >= (SELECT thr FROM g)
+      ORDER BY k""")
+  )
+
   val all: Seq[QueryDef] = Seq(
     q7WindowRunning, q8PivotCounts, q9EventPairs,
     q14TimeBuckets, q15UserSpan, q16AsofJoin, q17JsonExtract, q21Sessions,
-    q24Resample, q25Ranks, q30RangeWindow)
+    q24Resample, q25Ranks, q30RangeWindow, q32HeavyHitters)
 }

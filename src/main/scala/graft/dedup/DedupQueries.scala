@@ -368,8 +368,64 @@ object DedupQueries {
       ORDER BY doc_id""")
   )
 
+  /** Semantic dedup, SemDeDup-shape ([[graft.sim.SemanticDedup]]): k-means
+    * cells bound the pairwise cosine search, and within each cell an id is
+    * dropped when an earlier id sits at cosine ≥ 0.9. The `embeddings`
+    * corpus has no semantic near-dups (max pairwise cos ≈ 0.51), so the
+    * query PLANTS them: every 25th vector gains a near-copy (uniform 1.02×
+    * scale + a nudged first component, id +1000000 — cosine ≈ 1 to its
+    * source, scale-invariant under cosine) — without planting, the drop
+    * rule would verify vacuously. Training is [[graft.sim.Ivf]]'s
+    * deterministic Lloyd (first-k seed, exact decimal means), so the cell
+    * assignment is a pure function of the corpus; the oracle takes the
+    * dumped (id, cell, vector) assignment and exhaustively replays the
+    * cell-scoped drop rule, with the cell expression itself pinned by
+    * spec. Integer-only output keeps the compare off last-ulp cosines
+    * (planted pairs ≈ 0.9999 vs background ≤ 0.52 — a wide margin around
+    * the 0.9 threshold).
+    */
+  private val D10Cells = 8
+
+  private def d10Vecs(s: org.apache.spark.sql.SparkSession, dir: String) = {
+    val emb = Tables.load(s, dir, "embeddings").select("vec_id", "embedding")
+    emb.unionByName(
+      emb.filter(col("vec_id") % 25 === 0)
+        .select((col("vec_id") + 1000000L).as("vec_id"),
+          expr("""transform(embedding, (x, i) ->
+                    CAST((CASE WHEN i = 0 THEN x * 1.02 + 0.01
+                               ELSE x * 1.02 END) AS FLOAT))""").as("embedding")))
+  }
+
+  private def d10Model(s: org.apache.spark.sql.SparkSession, dir: String) =
+    graft.sim.Ivf.trainCached(d10Vecs(s, dir), dir + "#d10", "embedding",
+      D10Cells, 2)
+
+  val d10SemanticDedup: QueryDef = QueryDef(
+    "d10_semantic_dedup",
+    (s, dir) =>
+      graft.sim.SemanticDedup.dropped(d10Vecs(s, dir), "vec_id", "embedding",
+        d10Model(s, dir), D10Cells, 0.9)
+        .orderBy("vec_id"),
+    Some("""
+      WITH v AS (SELECT * FROM read_parquet('{OUT}/aux/d10_semantic_dedup__cells/*.parquet')),
+      p AS (SELECT a.vec_id AS ia, b.vec_id AS ib, b.cell,
+                   LIST_COSINE_SIMILARITY(CAST(a.embedding AS DOUBLE[]),
+                                          CAST(b.embedding AS DOUBLE[])) AS c
+            FROM v a JOIN v b ON a.cell = b.cell AND a.vec_id < b.vec_id)
+      SELECT ib AS vec_id, MIN(cell) AS cell, MIN(ia) AS dup_of,
+             COUNT(*) AS n_dups
+      FROM p WHERE c >= 0.9
+      GROUP BY ib ORDER BY vec_id"""),
+    aux = Map("cells" -> ((s, dir) =>
+      d10Vecs(s, dir)
+        .select(col("vec_id"), col("embedding"),
+          graft.expressions.GraftExpressions.ivfCell(col("embedding"),
+            d10Model(s, dir), D10Cells).as("cell"))
+        .orderBy("vec_id")))
+  )
+
   val all: Seq[QueryDef] =
     Seq(d1ExactDedup, d2MinhashLsh, d3Simhash, d4NgramJaccard,
       d5EmbeddingNearDup, d6DupSpans, d7Contamination, d8DedupClusters,
-      d9IncrementalDedup)
+      d9IncrementalDedup, d10SemanticDedup)
 }

@@ -781,10 +781,134 @@ object TextQueries {
       FROM d ORDER BY doc_id""")
   )
 
+  /** Block-partitioned inverted index — the search-engine build step:
+    * token → sorted posting list of containing doc_ids, SHARDED by doc_id
+    * block so no single posting list is unbounded. A flat
+    * `collect_list per term` melts on stopwords at 100 TB (one reducer
+    * holds the full corpus posting); blocking by `doc_id div 100` caps
+    * every list at the block size, keys the shuffle by (term, block) —
+    * skew-free by construction — and preserves lookup: a term's full
+    * posting is the ordered concatenation of its blocks, and block-local
+    * postings are exactly what a sharded index serves anyway. One
+    * distinct + one groupBy; lists are sorted so the output is a pure
+    * function of the input set.
+    */
+  val t18InvertedIndex: QueryDef = QueryDef(
+    "t18_inverted_index",
+    (s, dir) =>
+      Tables.loadSpread(s, dir, "documents")
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+        .filter(length(col("w")) > 0)
+        .distinct()
+        .withColumn("block", expr("doc_id div 100"))
+        .groupBy("w", "block")
+        .agg(sort_array(collect_list(col("doc_id"))).as("postings"),
+          count(lit(1)).as("df_block"))
+        .orderBy("w", "block"),
+    Some("""
+      WITH d AS (
+        SELECT DISTINCT doc_id, w FROM (
+          SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS w FROM documents)
+        WHERE LENGTH(w) > 0)
+      SELECT w, doc_id // 100 AS block,
+             LIST(doc_id ORDER BY doc_id) AS postings,
+             COUNT(*) AS df_block
+      FROM d GROUP BY w, doc_id // 100
+      ORDER BY w, block""")
+  )
+
+  /** BM25 relevance ranking for a fixed query term set — full-text
+    * retrieval scoring as one conditional aggregate over the token
+    * stream: per document, per-term tf columns in ONE groupBy (no
+    * posting-list join needed for a bounded query), then the BM25 shape
+    * tf·(k1+1)/(tf + k1·(1−b+b·dl/avgdl)) · idf with k1=1.2, b=0.75.
+    *
+    * Cross-engine exactness (the t13/q31 discipline): `ln` differs
+    * between engines in the last ulp, so idf uses the RATIONAL core
+    * (N−df+0.5)/(df+0.5) — the argument of Robertson's log-idf, same
+    * per-term monotonicity — and the per-document score sums the three
+    * term scores in FIXED textual order (s_join + s_vector + s_stream),
+    * never through an engine-ordered SUM over matched terms. Every
+    * arithmetic step is the identical IEEE expression on both sides.
+    *
+    * Scale: one token-stream groupBy(doc) with map-side combine, two
+    * broadcast scalars (N·avgdl, per-term df) — no shuffle beyond the
+    * per-doc aggregate; top-k is partial TakeOrdered. Ranking ties break
+    * on doc_id.
+    */
+  val t19Bm25: QueryDef = QueryDef(
+    "t19_bm25",
+    (s, dir) => {
+      val terms = Seq("join", "vector", "stream")
+      val toks = Tables.loadSpread(s, dir, "documents")
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+        .filter(length(col("w")) > 0)
+      val perDoc = toks.groupBy("doc_id").agg(
+        count(lit(1)).as("dl"),
+        terms.map(t =>
+          sum(when(col("w") === t, 1L).otherwise(0L)).as(s"tf_$t")): _*)
+      val stats = perDoc.agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("dl")).as("sum_dl") +:
+          terms.map(t =>
+            sum(when(col(s"tf_$t") > 0, 1L).otherwise(0L)).as(s"df_$t")): _*)
+      val avgdl = col("sum_dl").cast(DoubleType) / col("n_docs").cast(DoubleType)
+      def idf(t: String) =
+        (col("n_docs").cast(DoubleType) - col(s"df_$t").cast(DoubleType) + lit(0.5)) /
+          (col(s"df_$t").cast(DoubleType) + lit(0.5))
+      def termScore(t: String) = {
+        val tf = col(s"tf_$t").cast(DoubleType)
+        idf(t) * (tf * lit(2.2)) /
+          (tf + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl").cast(DoubleType) / avgdl))
+      }
+      perDoc.crossJoin(broadcast(stats))
+        .withColumn("score",
+          termScore("join") + termScore("vector") + termScore("stream"))
+        .filter(col("score") > 0.0)
+        .select(col("doc_id"), col("dl"), col("tf_join"), col("tf_vector"),
+          col("tf_stream"), col("score"))
+        .orderBy(col("score").desc, col("doc_id"))
+        .limit(20)
+    },
+    Some("""
+      WITH toks AS (
+        SELECT doc_id, w FROM (
+          SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS w FROM documents)
+        WHERE LENGTH(w) > 0),
+      per_doc AS (
+        SELECT doc_id, COUNT(*) AS dl,
+               CAST(SUM(CASE WHEN w = 'join' THEN 1 ELSE 0 END) AS BIGINT) AS tf_join,
+               CAST(SUM(CASE WHEN w = 'vector' THEN 1 ELSE 0 END) AS BIGINT) AS tf_vector,
+               CAST(SUM(CASE WHEN w = 'stream' THEN 1 ELSE 0 END) AS BIGINT) AS tf_stream
+        FROM toks GROUP BY doc_id),
+      stats AS (
+        SELECT COUNT(*) AS n_docs, CAST(SUM(dl) AS BIGINT) AS sum_dl,
+               CAST(SUM(CASE WHEN tf_join > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_join,
+               CAST(SUM(CASE WHEN tf_vector > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_vector,
+               CAST(SUM(CASE WHEN tf_stream > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_stream
+        FROM per_doc),
+      scored AS (
+        SELECT d.doc_id, d.dl, d.tf_join, d.tf_vector, d.tf_stream,
+          ((CAST(s.n_docs AS DOUBLE) - CAST(s.df_join AS DOUBLE) + 0.5) / (CAST(s.df_join AS DOUBLE) + 0.5))
+            * (CAST(d.tf_join AS DOUBLE) * 2.2)
+            / (CAST(d.tf_join AS DOUBLE) + 1.2 * (0.25 + 0.75 * CAST(d.dl AS DOUBLE) / (CAST(s.sum_dl AS DOUBLE) / CAST(s.n_docs AS DOUBLE))))
+          + ((CAST(s.n_docs AS DOUBLE) - CAST(s.df_vector AS DOUBLE) + 0.5) / (CAST(s.df_vector AS DOUBLE) + 0.5))
+            * (CAST(d.tf_vector AS DOUBLE) * 2.2)
+            / (CAST(d.tf_vector AS DOUBLE) + 1.2 * (0.25 + 0.75 * CAST(d.dl AS DOUBLE) / (CAST(s.sum_dl AS DOUBLE) / CAST(s.n_docs AS DOUBLE))))
+          + ((CAST(s.n_docs AS DOUBLE) - CAST(s.df_stream AS DOUBLE) + 0.5) / (CAST(s.df_stream AS DOUBLE) + 0.5))
+            * (CAST(d.tf_stream AS DOUBLE) * 2.2)
+            / (CAST(d.tf_stream AS DOUBLE) + 1.2 * (0.25 + 0.75 * CAST(d.dl AS DOUBLE) / (CAST(s.sum_dl AS DOUBLE) / CAST(s.n_docs AS DOUBLE))))
+          AS score
+        FROM per_doc d, stats s)
+      SELECT doc_id, dl, tf_join, tf_vector, tf_stream, score
+      FROM scored WHERE score > 0.0
+      ORDER BY score DESC, doc_id LIMIT 20""")
+  )
+
   val all: Seq[QueryDef] =
     Seq(t1TokenCount, t2QualityScore, t3LangId, t4Fingerprint, t5Vocab,
       t6StratifiedSample, t7Cooccurrence, t8DistinctSketch, t9SketchRollup,
       t10SelfRepetition, t11SketchOverlap, t12SketchDifference,
       t13LmFamiliarity, t14MixtureSample, t15PiiScrub, t16Chunking,
-      t17Packing)
+      t17Packing, t18InvertedIndex, t19Bm25)
 }

@@ -37,6 +37,48 @@ class EventStreamsSpec extends SparkSpec {
     assert(rows == Set((0L, "click", 2L), (3600L, "view", 1L)))
   }
 
+  test("clickAttribution: stream-stream interval join, inner + outer") {
+    val session = spark
+    import session.implicits._
+    implicit val sq = spark.sqlContext
+
+    final case class Click(user_id: Long, click_id: Long, ts_us: Long)
+    final case class Purchase(user_id: Long, purchase_id: Long, ts_us: Long)
+
+    val clicks = MemoryStream[(Long, Long, Long)]
+    val purchases = MemoryStream[(Long, Long, Long)]
+    val cDf = clicks.toDF().toDF("user_id", "click_id", "ts_us")
+    val pDf = purchases.toDF().toDF("user_id", "purchase_id", "ts_us")
+
+    // user 1: click at t=100s and t=150s, purchase at t=160s (window 60s →
+    // both match); user 2: click at t=0, purchase at t=300s (outside window);
+    // user 3: purchase with no click at all
+    clicks.addData((1L, 11L, 100L * 1000000), (1L, 12L, 150L * 1000000),
+      (2L, 21L, 0L))
+    purchases.addData((1L, 91L, 160L * 1000000), (2L, 92L, 300L * 1000000),
+      (3L, 93L, 200L * 1000000))
+
+    val q = EventStreams.clickAttribution(cDf, pDf, windowUs = 60L * 1000000,
+      lateness = "1 minute", joinType = "leftOuter")
+      .writeStream.format("memory").queryName("attrib")
+      .outputMode(OutputMode.Append()).start()
+    q.processAllAvailable()
+    // advance both watermarks far past every purchase so outer rows flush
+    clicks.addData((9L, 99L, 10000L * 1000000))
+    purchases.addData((9L, 99L, 10000L * 1000000))
+    q.processAllAvailable()
+    q.stop()
+
+    val rows = spark.table("attrib").collect()
+      .map(r => (r.getAs[Long]("purchase_id"),
+        Option(r.getAs[java.lang.Long]("click_id")).map(_.toLong)))
+      .filter(_._1 <= 93L).toSet // drop the watermark-advance sentinels
+    // purchase 91 attributes to both in-window clicks; 92 and 93 flush
+    // unattributed once the watermark proves no click can match
+    assert(rows == Set((91L, Some(11L)), (91L, Some(12L)),
+      (92L, None), (93L, None)), rows.toString)
+  }
+
   test("dedupWithinWatermark: first occurrence kept, dups dropped") {
     val session = spark
     import session.implicits._

@@ -15,6 +15,7 @@ object SparkEntry {
   /** All registered capabilities, in registration order. */
   def defs: Seq[QueryDef] =
     RelationalQueries.all ++ JoinQueries.all ++ EventQueries.all ++
+      GraphQueries.all ++
       graft.flows.FlowQueries.all ++ graft.catalog.CatalogQueries.all ++
       graft.signals.SignalQueries.all ++
       graft.text.TextQueries.all ++ graft.dedup.DedupQueries.all ++

@@ -1,0 +1,117 @@
+package graft.queries
+
+import graft.QueryDef
+import graft.core.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DoubleType
+
+/** Iterative graph analytics over DataFrames — PageRank as the
+  * representative: per iteration one edges⋈ranks join keyed by src and one
+  * groupBy(dst), i.e. two narrow-key shuffles moving only (id, 8-byte
+  * contribution) rows. At 100 TB the edge table is the big operand:
+  * pre-partition (bucket) it by src so the per-iteration join reuses one
+  * layout and only rank rows move; every k iterations localCheckpoint to
+  * cut the growing lineage (3 fixed iterations here don't need it).
+  *
+  * EXACTNESS DISCIPLINE (what makes an iterative double computation
+  * oracle-able at all): the per-edge contribution pr/outdeg is one IEEE
+  * double expression, identical on any engine — but its per-node SUM is
+  * engine-order-dependent. Each contribution is therefore floor-scaled to
+  * an integer (×1e15) and summed as BIGINT — exact, commutative,
+  * overflow-safe (total scaled mass ≈ 1e15 regardless of N since Σpr = 1)
+  * — and the damping update runs on the descaled double with fixed
+  * operation order. Result: bit-identical ranks on `local[4]`, a
+  * 1000-executor cluster, and the DuckDB replay. The 1e-15 floor per edge
+  * is a DEFINED part of the operator's semantics, not error.
+  */
+object GraphQueries {
+
+  /** 3 fixed PageRank iterations, damping 0.85, uniform init; dangling
+    * mass is dropped (the simplified variant — documented, mirrored by
+    * the oracle).
+    */
+  def pagerank(nodes: DataFrame, edges: DataFrame, n: Long,
+      iters: Int = 3): DataFrame = {
+    val outdeg = edges.groupBy("src").agg(count(lit(1)).as("outdeg"))
+    var pr = nodes.select(col("doc_id"), lit(1.0 / n).as("pr"))
+    (1 to iters).foreach { _ =>
+      val sums = edges
+        .join(pr.withColumnRenamed("doc_id", "src"), Seq("src"))
+        .join(outdeg, Seq("src"))
+        .select(col("dst"),
+          floor((col("pr") / col("outdeg")) * lit(1e15)).as("c"))
+        .groupBy("dst").agg(sum(col("c")).as("s"))
+      pr = nodes
+        .join(sums.withColumnRenamed("dst", "doc_id"), Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          (lit(0.15 / n) + lit(0.85) *
+            (coalesce(col("s"), lit(0L)).cast(DoubleType) / lit(1e15))).as("pr"))
+    }
+    pr
+  }
+
+  /** The deterministic citation graph both engines derive identically:
+    * doc d links to (31d+7, 17d+3, 13d+11) mod N, self-loops removed,
+    * parallel edges collapsed.
+    */
+  def docGraph(docs: DataFrame, n: Long): DataFrame =
+    Seq((31L, 7L), (17L, 3L), (13L, 11L))
+      .map { case (a, b) =>
+        docs.select(col("doc_id").as("src"),
+          ((col("doc_id") * a + b) % n).as("dst"))
+      }
+      .reduce(_.unionAll(_))
+      .filter(col("src") =!= col("dst"))
+      .distinct()
+
+  /** PageRank over the synthesized doc-citation graph. The graph size is
+    * one metadata count (driver scalar — the only non-distributed value,
+    * as in any PageRank init). The oracle unrolls the identical three
+    * iterations relationally.
+    */
+  val q33Pagerank: QueryDef = QueryDef(
+    "q33_pagerank",
+    (s, dir) => {
+      val docs = Tables.load(s, dir, "documents").select("doc_id")
+      val n = docs.count()
+      pagerank(docs, docGraph(docs, n), n).orderBy("doc_id")
+    },
+    Some("""
+      WITH d AS (SELECT doc_id FROM documents),
+      nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM d),
+      e AS (SELECT DISTINCT src, dst FROM (
+              SELECT doc_id AS src, (doc_id*31+7) % (SELECT n FROM nn) AS dst FROM d
+              UNION ALL
+              SELECT doc_id, (doc_id*17+3) % (SELECT n FROM nn) FROM d
+              UNION ALL
+              SELECT doc_id, (doc_id*13+11) % (SELECT n FROM nn) FROM d)
+            WHERE src <> dst),
+      od AS (SELECT src, COUNT(*) AS outdeg FROM e GROUP BY src),
+      p0 AS (SELECT doc_id, 1.0 / CAST((SELECT n FROM nn) AS DOUBLE) AS pr FROM d),
+      s1 AS (SELECT e.dst, CAST(SUM(CAST(FLOOR((p.pr / od.outdeg) * 1e15) AS BIGINT)) AS BIGINT) AS s
+             FROM e JOIN p0 p ON p.doc_id = e.src JOIN od ON od.src = e.src
+             GROUP BY e.dst),
+      p1 AS (SELECT d.doc_id,
+                    0.15 / CAST((SELECT n FROM nn) AS DOUBLE)
+                      + 0.85 * (CAST(COALESCE(s1.s, 0) AS DOUBLE) / 1e15) AS pr
+             FROM d LEFT JOIN s1 ON s1.dst = d.doc_id),
+      s2 AS (SELECT e.dst, CAST(SUM(CAST(FLOOR((p.pr / od.outdeg) * 1e15) AS BIGINT)) AS BIGINT) AS s
+             FROM e JOIN p1 p ON p.doc_id = e.src JOIN od ON od.src = e.src
+             GROUP BY e.dst),
+      p2 AS (SELECT d.doc_id,
+                    0.15 / CAST((SELECT n FROM nn) AS DOUBLE)
+                      + 0.85 * (CAST(COALESCE(s2.s, 0) AS DOUBLE) / 1e15) AS pr
+             FROM d LEFT JOIN s2 ON s2.dst = d.doc_id),
+      s3 AS (SELECT e.dst, CAST(SUM(CAST(FLOOR((p.pr / od.outdeg) * 1e15) AS BIGINT)) AS BIGINT) AS s
+             FROM e JOIN p2 p ON p.doc_id = e.src JOIN od ON od.src = e.src
+             GROUP BY e.dst),
+      p3 AS (SELECT d.doc_id,
+                    0.15 / CAST((SELECT n FROM nn) AS DOUBLE)
+                      + 0.85 * (CAST(COALESCE(s3.s, 0) AS DOUBLE) / 1e15) AS pr
+             FROM d LEFT JOIN s3 ON s3.dst = d.doc_id)
+      SELECT doc_id, pr FROM p3 ORDER BY doc_id""")
+  )
+
+  val all: Seq[QueryDef] = Seq(q33Pagerank)
+}

@@ -1,0 +1,55 @@
+package graft.queries
+
+import graft.SparkSpec
+import graft.core.Tables
+import org.apache.spark.sql.functions._
+
+/** PageRank invariants: probability-mass conservation (minus defined
+  * losses) and bit-exact partitioning independence of the integer-scaled
+  * iteration.
+  */
+class GraphQueriesSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  test("rank mass stays near 1 (floor + dangling losses only)") {
+    val docs = Tables.load(spark, sf, "documents").select("doc_id")
+    val n = docs.count()
+    val pr = GraphQueries.pagerank(docs, GraphQueries.docGraph(docs, n), n)
+    val total = pr.agg(sum("pr")).head().getDouble(0)
+    // per-iteration losses are bounded: floor drops < 1e-15 per edge,
+    // dangling nodes (none in this graph: every doc has out-edges) drop 0
+    assert(math.abs(total - 1.0) < 1e-6, s"mass $total")
+  }
+
+  test("ranks are bit-identical on any partitioning") {
+    val docs = Tables.load(spark, sf, "documents").select("doc_id")
+    val n = docs.count()
+    val g = GraphQueries.docGraph(docs, n)
+    def run(parts: Int): Map[Long, Double] =
+      GraphQueries.pagerank(docs.repartition(parts), g.repartition(parts), n)
+        .as[(Long, Double)].collect().toMap
+    val a = run(1)
+    val b = run(7)
+    assert(a.keySet == b.keySet)
+    a.foreach { case (k, v) =>
+      assert(java.lang.Double.doubleToLongBits(v) ==
+        java.lang.Double.doubleToLongBits(b(k)), s"doc $k: $v vs ${b(k)}")
+    }
+  }
+
+  test("hub nodes with many in-links outrank leaf nodes") {
+    val docs = Tables.load(spark, sf, "documents").select("doc_id")
+    val n = docs.count()
+    val g = GraphQueries.docGraph(docs, n)
+    val indeg = g.groupBy("dst").agg(count(lit(1)).as("ind"))
+    val joined = GraphQueries.pagerank(docs, g, n)
+      .join(indeg, col("doc_id") === col("dst"), "left")
+      .select(col("doc_id"), col("pr"), coalesce(col("ind"), lit(0L)).as("ind"))
+    val avgByDeg = joined.groupBy("ind").agg(avg("pr").as("mean_pr"))
+      .orderBy("ind").as[(Long, Double)].collect()
+    // mean rank should increase with in-degree
+    assert(avgByDeg.length >= 2)
+    assert(avgByDeg.last._2 > avgByDeg.head._2)
+  }
+}

@@ -83,4 +83,21 @@ object Layout {
       .write.mode("overwrite").parquet(outPath)
     (parts.length, parquetFiles(outPath).length)
   }
+
+  /** DYNAMIC partition overwrite — the idempotent daily-reprocess write:
+    * `df` (hive-partitioned on `partCol`) replaces ONLY the partition
+    * directories it contains rows for; every other partition's files stay
+    * untouched on disk (byte-identical — LayoutSpec asserts it). This is
+    * the batch-pipeline contract "re-running day X rewrites day X and
+    * nothing else": with the default STATIC overwrite the same statement
+    * deletes the whole table first, which at 100 TB converts a one-day
+    * reprocess into a full-corpus rewrite (and a window where readers see
+    * an empty table). Scoped via the writer option, not session config,
+    * so concurrent writes elsewhere keep their own semantics.
+    */
+  def overwritePartitions(df: DataFrame, partCol: String, path: String): Unit =
+    df.write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy(partCol)
+      .parquet(path)
 }

@@ -905,10 +905,67 @@ object TextQueries {
       ORDER BY score DESC, doc_id LIMIT 20""")
   )
 
+  /** URL/domain curation — the web-corpus intake pass: parse each page's
+    * URL into host + registrable domain + path, drop blocklisted domains
+    * (broadcast anti-join — the blocklist is always driver-small), and
+    * roll up per-domain corpus stats (pages, token mass, mean length) that
+    * drive crawl prioritization and mixture decisions. The harness corpus
+    * has no URL column, so URLs are PLANTED deterministically from doc_id
+    * (37 hosts across 3 TLDs) — same t15 discipline; parsing uses one
+    * regex evaluated identically by Java regex and RE2.
+    *
+    * Scale: a per-row projection + one tiny groupBy(domain); domain
+    * cardinality (~millions at web scale) is far below row count, and the
+    * blocklist probe never crosses an exchange.
+    */
+  val t20UrlDomains: QueryDef = QueryDef(
+    "t20_url_domains",
+    (s, dir) => {
+      val tld = element_at(array(lit("com"), lit("org"), lit("net")),
+        (col("doc_id") % 3 + 1).cast("int"))
+      val url = concat(lit("https://www.site"), col("doc_id") % 37,
+        lit("."), tld, lit("/p/"), col("doc_id"))
+      val host = regexp_extract(col("url"), "^https?://([^/]+)/", 1)
+      val blocklist = Seq("site3.com", "site17.org", "site20.net")
+      val ntok = size(filter(split(col("text"), " "), w => length(w) > 0))
+      Tables.loadSpread(s, dir, "documents")
+        .withColumn("url", url)
+        .withColumn("host", host)
+        .withColumn("domain", regexp_replace(col("host"), "^www\\.", ""))
+        .filter(!col("domain").isInCollection(blocklist))
+        .groupBy("domain")
+        .agg(count(lit(1)).as("n_pages"),
+          sum(ntok.cast("long")).as("n_tokens"),
+          (sum(length(col("text")).cast("long")).cast(DoubleType) /
+            count(lit(1)).cast(DoubleType)).as("mean_chars"))
+        .orderBy("domain")
+    },
+    Some("""
+      WITH u AS (
+        SELECT doc_id, text,
+               'https://www.site' || (doc_id % 37) || '.' ||
+                 (['com','org','net'])[CAST(doc_id % 3 AS INTEGER) + 1] ||
+                 '/p/' || doc_id AS url
+        FROM documents),
+      h AS (
+        SELECT doc_id, text,
+               REGEXP_REPLACE(REGEXP_EXTRACT(url, '^https?://([^/]+)/', 1),
+                              '^www\.', '') AS domain
+        FROM u)
+      SELECT domain, COUNT(*) AS n_pages,
+             CAST(SUM(LENGTH(LIST_FILTER(STRING_SPLIT(text, ' '),
+                                         x -> LENGTH(x) > 0))) AS BIGINT) AS n_tokens,
+             CAST(CAST(SUM(LENGTH(text)) AS BIGINT) AS DOUBLE)
+               / CAST(COUNT(*) AS DOUBLE) AS mean_chars
+      FROM h
+      WHERE domain NOT IN ('site3.com', 'site17.org', 'site20.net')
+      GROUP BY domain ORDER BY domain""")
+  )
+
   val all: Seq[QueryDef] =
     Seq(t1TokenCount, t2QualityScore, t3LangId, t4Fingerprint, t5Vocab,
       t6StratifiedSample, t7Cooccurrence, t8DistinctSketch, t9SketchRollup,
       t10SelfRepetition, t11SketchOverlap, t12SketchDifference,
       t13LmFamiliarity, t14MixtureSample, t15PiiScrub, t16Chunking,
-      t17Packing, t18InvertedIndex, t19Bm25)
+      t17Packing, t18InvertedIndex, t19Bm25, t20UrlDomains)
 }

@@ -13,7 +13,7 @@ class SparkEntrySpec extends SparkSpec {
     val names = SparkEntry.defs.map(_.name)
     assert(names.distinct.size == names.size)
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
-    assert(SparkEntry.queries.size == 79)
+    assert(SparkEntry.queries.size == 80)
   }
 
   test("registerAll exposes every table to spark.sql") {

@@ -104,4 +104,40 @@ class LayoutSpec extends SparkSpec {
     val b = spark.read.parquet(compacted).orderBy("o_orderkey").collect().map(_.toSeq)
     assert(a.toSeq == b.toSeq)
   }
+
+  test("overwritePartitions: only the batch's partitions are replaced") {
+    import graft.core.Tables
+    val base = java.nio.file.Files.createTempDirectory("graft-dyn").toString
+    val ev = Tables.load(spark, sf, "events")
+      .withColumn("day", expr("ts div (86400L * 1000000000L)"))
+      .select("event_id", "user_id", "value", "day")
+
+    Layout.overwritePartitions(ev, "day", base)
+    def fileSig(dir: java.io.File): Map[String, (Long, Long)] =
+      Option(dir.listFiles()).getOrElse(Array.empty)
+        .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+        .map(f => f.getName -> (f.length(), f.lastModified())).toMap
+    val days = new java.io.File(base).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("day=")).map(_.getName).sorted
+    assert(days.length >= 2, s"need >= 2 day partitions, got ${days.toSeq}")
+    val untouchedDay = days.head
+    val targetDay = days.last.stripPrefix("day=").toLong
+    val before = fileSig(new java.io.File(base, untouchedDay))
+
+    // reprocess ONE day with modified values
+    Layout.overwritePartitions(
+      ev.filter(col("day") === targetDay).withColumn("value", col("value") * 2),
+      "day", base)
+
+    // untouched partition: identical files (names, sizes, mtimes)
+    assert(fileSig(new java.io.File(base, untouchedDay)) == before)
+    // target partition: the new values are what a reader sees
+    val got = spark.read.parquet(base).filter(col("day") === targetDay)
+      .agg(sum("value")).head().getDouble(0)
+    val want = ev.filter(col("day") === targetDay)
+      .agg(sum(col("value") * 2)).head().getDouble(0)
+    assert(math.abs(got - want) < 1e-6)
+    // row count conserved: no other partition lost rows
+    assert(spark.read.parquet(base).count() == ev.count())
+  }
 }

@@ -33,20 +33,31 @@ object GraphQueries {
     */
   def pagerank(nodes: DataFrame, edges: DataFrame, n: Long,
       iters: Int = 3): DataFrame = {
-    val outdeg = edges.groupBy("src").agg(count(lit(1)).as("outdeg"))
-    var pr = nodes.select(col("doc_id"), lit(1.0 / n).as("pr"))
+    // Materialize the static operands ONCE and truncate each iteration's
+    // lineage: without this, iteration i's plan re-derives edges + outdeg
+    // from raw scans AND replays iterations 1..i-1 (the plan tree grows
+    // multiplicatively — visible in `.explain` as the same Union/scan
+    // subtree repeated per iteration). localCheckpoint stores the blocks
+    // on the executors (no lineage), exactly the persist-the-graph /
+    // checkpoint-the-ranks pattern an iterative job runs on a cluster;
+    // the ContextCleaner reclaims blocks when the frames fall out of use.
+    val e = edges.select(col("src"), col("dst")).localCheckpoint()
+    val outdeg = e.groupBy("src").agg(count(lit(1)).as("outdeg")).localCheckpoint()
+    val ids = nodes.select(col("doc_id")).localCheckpoint()
+    var pr = ids.select(col("doc_id"), lit(1.0 / n).as("pr"))
     (1 to iters).foreach { _ =>
-      val sums = edges
+      val sums = e
         .join(pr.withColumnRenamed("doc_id", "src"), Seq("src"))
         .join(outdeg, Seq("src"))
         .select(col("dst"),
           floor((col("pr") / col("outdeg")) * lit(1e15)).as("c"))
         .groupBy("dst").agg(sum(col("c")).as("s"))
-      pr = nodes
+      pr = ids
         .join(sums.withColumnRenamed("dst", "doc_id"), Seq("doc_id"), "left")
         .select(col("doc_id"),
           (lit(0.15 / n) + lit(0.85) *
             (coalesce(col("s"), lit(0L)).cast(DoubleType) / lit(1e15))).as("pr"))
+        .localCheckpoint()
     }
     pr
   }

@@ -843,10 +843,14 @@ object TextQueries {
       val toks = Tables.loadSpread(s, dir, "documents")
         .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
         .filter(length(col("w")) > 0)
+      // one corpus token pass: the per-doc table (one row per doc, ~1e-2 of
+      // corpus bytes) is materialized so the stats branch and the scoring
+      // branch don't each re-scan the token stream
       val perDoc = toks.groupBy("doc_id").agg(
         count(lit(1)).as("dl"),
         terms.map(t =>
           sum(when(col("w") === t, 1L).otherwise(0L)).as(s"tf_$t")): _*)
+        .localCheckpoint()
       val stats = perDoc.agg(
         count(lit(1)).as("n_docs"),
         sum(col("dl")).as("sum_dl") +:

@@ -33,6 +33,15 @@ final case class VideoFrame(media_id: Long, frame_idx: Int, frame: Array[Byte])
 
 final case class MediaFeatures(media_id: Long, features: Array[Float])
 
+final case class DecodedAudio(media_id: Long, sample_rate: Int, samples: Array[Short])
+
+/** Per-frame audio features — integer-exact (energy = Σx², crossings =
+  * sign flips between in-frame neighbors), so they oracle-verify with no
+  * float tolerance.
+  */
+final case class AudioFrame(media_id: Long, frame_idx: Int, n: Int,
+    energy: Long, crossings: Long)
+
 /** Real pure-JVM media codec.
   *
   * Images decode through `javax.imageio` to row-major uint8 `(y, x, band)`
@@ -117,6 +126,45 @@ object Codec {
     }
     new AviVideo(content, frames.result())
   }
+
+  /** Decode a mono 16-bit PCM WAV: walk the RIFF chunks (fmt may be
+    * preceded/followed by LIST/fact/cue chunks — real encoders emit them),
+    * validate the PCM format, and read the `data` payload as LE shorts.
+    * Returns (sampleRate, samples). Fails fast on compressed / multi-
+    * channel / non-16-bit audio rather than misreading it.
+    */
+  def decodeWav(content: Array[Byte]): (Int, Array[Short]) = {
+    def le32(p: Int): Int =
+      (content(p) & 0xFF) | ((content(p + 1) & 0xFF) << 8) |
+        ((content(p + 2) & 0xFF) << 16) | ((content(p + 3) & 0xFF) << 24)
+    def le16(p: Int): Int = (content(p) & 0xFF) | ((content(p + 1) & 0xFF) << 8)
+    def fourcc(p: Int): String = new String(content, p, 4, "US-ASCII")
+    require(content.length >= 12 && fourcc(0) == "RIFF" && fourcc(8) == "WAVE",
+      "content is not a RIFF/WAVE container")
+    var sampleRate = -1
+    var samples: Array[Short] = null
+    var pos = 12
+    while (pos + 8 <= content.length) {
+      val id = fourcc(pos)
+      val size = le32(pos + 4)
+      if (id == "fmt ") {
+        require(le16(pos + 8) == 1, "not PCM audio")
+        require(le16(pos + 10) == 1, "not mono audio")
+        require(le16(pos + 22) == 16, "not 16-bit audio")
+        sampleRate = le32(pos + 12)
+      } else if (id == "data") {
+        require(sampleRate > 0, "data chunk before fmt")
+        val n = size / 2
+        val out = new Array[Short](n)
+        var i = 0
+        while (i < n) { out(i) = le16(pos + 8 + 2 * i).toShort; i += 1 }
+        samples = out
+      }
+      pos += 8 + size + (size & 1)
+    }
+    require(samples != null, "no data chunk")
+    (sampleRate, samples)
+  }
 }
 
 object Multimodal {
@@ -195,6 +243,44 @@ object Multimodal {
     * analog, SURVEY §2 H ML-inference mapping). Deterministic; dim and
     * batching are the real contract.
     */
+  implicit private val audioEnc: Encoder[DecodedAudio] = Encoders.product[DecodedAudio]
+  implicit private val aFrameEnc: Encoder[AudioFrame] = Encoders.product[AudioFrame]
+
+  /** Decode WAV audio columns — same batched per-partition loop as
+    * [[decodeImages]]; geometry (rate, length) comes from the decoded
+    * bytes, never the metadata.
+    */
+  def decodeAudio(media: Dataset[Media]): Dataset[DecodedAudio] =
+    media.mapPartitions { it =>
+      it.grouped(BatchSize).flatMap { batch =>
+        batch.map { m =>
+          val (rate, samples) = Codec.decodeWav(m.content)
+          DecodedAudio(m.media_id, rate, samples)
+        }
+      }
+    }
+
+  /** Fixed-length framing with integer features: per frame the energy
+    * Σx² and the zero-crossing count (sign products of in-frame neighbor
+    * pairs) — the audio analog of per-frame image normalization, and the
+    * front half of any VAD/segmentation stage. Pure per-row fan-out, no
+    * shuffle.
+    */
+  def audioFrames(audio: Dataset[DecodedAudio], frameLen: Int): Dataset[AudioFrame] =
+    audio.flatMap { a =>
+      a.samples.grouped(frameLen).zipWithIndex.map { case (fr, idx) =>
+        var energy = 0L
+        var crossings = 0L
+        var i = 0
+        while (i < fr.length) {
+          energy += fr(i).toLong * fr(i).toLong
+          if (i > 0 && fr(i).toLong * fr(i - 1).toLong < 0L) crossings += 1
+          i += 1
+        }
+        AudioFrame(a.media_id, idx, fr.length, energy, crossings)
+      }
+    }
+
   def extractFeatures(media: Dataset[Media], dim: Int = 16): Dataset[MediaFeatures] =
     media.mapPartitions { it =>
       it.grouped(BatchSize).flatMap { batch =>

@@ -163,5 +163,64 @@ object MultimodalQueries {
     }))
   )
 
-  val all: Seq[QueryDef] = Seq(m1Pipeline, m2InferenceConv)
+  /** The AUDIO modality under an exact integer oracle: per document a
+    * real mono 16-bit PCM WAV is encoded (deterministic samples derived
+    * from doc_id), the REAL RIFF/WAVE decoder parses it back, and
+    * fixed-length framing computes integer features (energy = Σx²,
+    * zero crossings). Every number is integer arithmetic over the
+    * decoded samples, and the sample formula is pure doc_id math — so
+    * DuckDB replays the whole thing (series fan-out + window lag) with
+    * zero float tolerance, verifying encode→decode fidelity, framing
+    * boundaries and the feature sums together. Batched mapPartitions
+    * decode, per-row frame fan-out, one tiny groupBy — no shuffle beyond
+    * the final per-doc aggregate.
+    */
+  val m3AudioFeatures: QueryDef = QueryDef(
+    "m3_audio_features",
+    (s, dir) => {
+      val session = s
+      import session.implicits._
+      val media = Tables.loadSpread(s, dir, "documents")
+        .select(col("doc_id"), col("n_chars"))
+        .as[(Long, Long)]
+        .map { case (id, nChars) =>
+          val n = (nChars % 50 + 20).toInt
+          val samples = Array.tabulate(n)(i =>
+            ((id * 7 + i.toLong * 13) % 65536 - 32768).toShort)
+          Media(id, "audio", graft.sinks.Artifacts.pcmWav(8000, samples),
+            MediaMeta(0, 0, 1, 8000, n, "wav"))
+        }
+      Multimodal.audioFrames(Multimodal.decodeAudio(media), frameLen = 16)
+        .groupBy(col("media_id").as("doc_id"))
+        .agg(sum(col("n")).as("n_samples"),
+          count(lit(1)).as("n_frames"),
+          sum(col("energy")).as("total_energy"),
+          sum(col("crossings")).as("total_crossings"),
+          max(col("energy")).as("max_frame_energy"))
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH d AS (SELECT doc_id, CAST(n_chars % 50 + 20 AS BIGINT) AS n FROM documents),
+      s AS (SELECT doc_id, i,
+                   (doc_id * 7 + i * 13) % 65536 - 32768 AS v,
+                   i // 16 AS f
+            FROM (SELECT doc_id, n, UNNEST(GENERATE_SERIES(0, n - 1)) AS i FROM d)),
+      s2 AS (SELECT doc_id, f, i, v,
+                    LAG(v) OVER (PARTITION BY doc_id, f ORDER BY i) AS pv
+             FROM s),
+      fr AS (SELECT doc_id, f, COUNT(*) AS n,
+                    CAST(SUM(v * v) AS BIGINT) AS energy,
+                    CAST(SUM(CASE WHEN v * pv < 0 THEN 1 ELSE 0 END) AS BIGINT)
+                      AS crossings
+             FROM s2 GROUP BY doc_id, f)
+      SELECT doc_id,
+             CAST(SUM(n) AS BIGINT) AS n_samples,
+             COUNT(*) AS n_frames,
+             CAST(SUM(energy) AS BIGINT) AS total_energy,
+             CAST(SUM(crossings) AS BIGINT) AS total_crossings,
+             CAST(MAX(energy) AS BIGINT) AS max_frame_energy
+      FROM fr GROUP BY doc_id ORDER BY doc_id""")
+  )
+
+  val all: Seq[QueryDef] = Seq(m1Pipeline, m2InferenceConv, m3AudioFeatures)
 }

@@ -62,6 +62,28 @@ object Artifacts {
     bos.toByteArray
   }
 
+  /** Mono 16-bit PCM WAV from samples — the audio-modality encoder
+    * (RIFF('WAVE' fmt data) per the public WAVE format spec), playable by
+    * any audio tool.
+    */
+  def pcmWav(sampleRate: Int, samples: Array[Short]): Array[Byte] = {
+    val dataLen = samples.length * 2
+    val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+      .put("WAVE".getBytes("US-ASCII"))
+    bb.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1) // PCM
+      .putShort(1) // mono
+      .putInt(sampleRate)
+      .putInt(sampleRate * 2) // byte rate
+      .putShort(2) // block align
+      .putShort(16) // bits/sample
+    bb.put("data".getBytes("US-ASCII")).putInt(dataLen)
+    samples.foreach(bb.putShort)
+    bb.array()
+  }
+
   /** MJPEG-in-AVI muxer: JPEG frames → one playable video file. The RIFF
     * layout is written per the public AVI specification:
     * RIFF('AVI ' LIST('hdrl' avih LIST('strl' strh strf)) LIST('movi'

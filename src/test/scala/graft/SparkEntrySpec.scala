@@ -13,7 +13,10 @@ class SparkEntrySpec extends SparkSpec {
     val names = SparkEntry.defs.map(_.name)
     assert(names.distinct.size == names.size)
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
-    assert(SparkEntry.queries.size == 80)
+    // toMap would silently drop a name collision: the map must be as big
+    // as the registration list
+    assert(SparkEntry.queries.size == SparkEntry.defs.size)
+    assert(SparkEntry.queries.size >= 81)
   }
 
   test("registerAll exposes every table to spark.sql") {

@@ -197,5 +197,57 @@ object SimilarityQueries {
       WHERE cos >= 0.3 ORDER BY query_id, neighbor_id""")
   )
 
-  val all: Seq[QueryDef] = Seq(s1AnnBruteForce, s2AnnLsh, s3AnnIvf, s4RangeSearch)
+  /** Quantized ANN ([[graft.expressions.Quant]]): the corpus ranks by
+    * int8 dot product × the two per-vector scales — a 4× smaller resident
+    * corpus and an integer inner loop, the standard serving trade against
+    * f32 exactness (recall vs s1 is spec-measured). The ranking is fully
+    * deterministic and the integer dot is exactly representable in a
+    * double, so the oracle replays the SAME quantized ranking from the
+    * aux-dumped (id, int values, scale) rows with zero tolerance — the
+    * aux ints are spec-pinned bit-equal to the packed bytes the query
+    * actually scans.
+    */
+  val s5AnnQuantized: QueryDef = QueryDef(
+    "s5_ann_quantized",
+    (s, dir) => {
+      import graft.expressions.Quant
+      val e = Tables.load(s, dir, "embeddings")
+        .select(col("vec_id"), Quant.bytes(col("embedding")).as("qv"),
+          Quant.scale(col("embedding")).as("sc"))
+      val q = broadcast(
+        e.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("query_id"), col("qv").as("qqv"),
+            col("sc").as("qsc")))
+      val w = Window.partitionBy("query_id").orderBy(col("score").desc, col("neighbor_id"))
+      e.select(col("vec_id").as("neighbor_id"), col("qv"), col("sc"))
+        .join(q, col("neighbor_id") =!= col("query_id"))
+        .withColumn("score",
+          (Quant.dot(col("qqv"), col("qv")).cast("double") * col("qsc")) * col("sc"))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 10)
+        .select("query_id", "rank", "neighbor_id", "score")
+        .orderBy("query_id", "rank")
+    },
+    Some("""
+      WITH v AS (SELECT * FROM read_parquet('{OUT}/aux/s5_ann_quantized__qvecs/*.parquet'))
+      SELECT query_id, rank, neighbor_id, score FROM (
+        SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+               (LIST_DOT_PRODUCT(CAST(q.q AS DOUBLE[]), CAST(e.q AS DOUBLE[]))
+                 * q.scale) * e.scale AS score,
+               ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                                  ORDER BY (LIST_DOT_PRODUCT(CAST(q.q AS DOUBLE[]), CAST(e.q AS DOUBLE[]))
+                                             * q.scale) * e.scale DESC,
+                                           e.vec_id) AS rank
+        FROM v q JOIN v e ON q.vec_id < 10 AND e.vec_id != q.vec_id)
+      WHERE rank <= 10 ORDER BY query_id, rank"""),
+    aux = Map("qvecs" -> ((s, dir) =>
+      Tables.load(s, dir, "embeddings")
+        .select(col("vec_id"),
+          graft.expressions.Quant.ints(col("embedding")).as("q"),
+          graft.expressions.Quant.scale(col("embedding")).as("scale"))
+        .orderBy("vec_id")))
+  )
+
+  val all: Seq[QueryDef] =
+    Seq(s1AnnBruteForce, s2AnnLsh, s3AnnIvf, s4RangeSearch, s5AnnQuantized)
 }

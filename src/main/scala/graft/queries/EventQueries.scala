@@ -428,8 +428,104 @@ object EventQueries {
       ORDER BY k""")
   )
 
+  /** Incremental aggregate maintenance — the materialized-view contract:
+    * the rollup over (history ∪ batch) is computed by MERGING the
+    * history's partial aggregate state with the batch's, never rescanning
+    * history. Every statistic here is a commutative-monoid merge (count →
+    * sum, decimal sum → sum, min → min, max → max; t9 does the same for
+    * distinct-count sketches), so merged-state results are EXACTLY the
+    * full recompute — which is precisely what the oracle runs (one flat
+    * GROUP BY over everything). At 100 TB this is the difference between
+    * touching a day of data and touching the corpus on every refresh; in
+    * production the history partials are read back from the stored state
+    * table rather than derived in-plan as they are here. The decimal
+    * detour makes the double sums associative, so merge order cannot
+    * perturb them. History/batch split is a deterministic 70/30 id hash
+    * (the time axis is irrelevant to the merge law).
+    */
+  val q34IncrementalRollup: QueryDef = QueryDef(
+    "q34_incremental_rollup",
+    (s, dir) => {
+      def partials(df: org.apache.spark.sql.DataFrame) =
+        df.groupBy("event_type").agg(
+          count(lit(1)).as("n"),
+          sum(col("value").cast(org.apache.spark.sql.types.DecimalType(30, 4))).as("sv"),
+          min(col("value")).as("mn"),
+          max(col("value")).as("mx"))
+      val ev = Tables.load(s, dir, "events")
+      val history = partials(ev.filter(pmod(col("event_id"), lit(10)) < 7))
+      val batch = partials(ev.filter(pmod(col("event_id"), lit(10)) >= 7))
+      history.unionByName(batch)
+        .groupBy("event_type")
+        .agg(sum(col("n")).as("n"), sum(col("sv")).as("sv"),
+          min(col("mn")).as("min_value"), max(col("mx")).as("max_value"))
+        .select(col("event_type"), col("n"),
+          col("sv").cast(DoubleType).as("total_value"),
+          col("min_value"), col("max_value"),
+          (col("sv").cast(DoubleType) / col("n")).as("mean_value"))
+        .orderBy("event_type")
+    },
+    Some("""
+      SELECT event_type, COUNT(*) AS n,
+             CAST(SUM(CAST(value AS DECIMAL(30,4))) AS DOUBLE) AS total_value,
+             MIN(value) AS min_value, MAX(value) AS max_value,
+             CAST(SUM(CAST(value AS DECIMAL(30,4))) AS DOUBLE) / COUNT(*) AS mean_value
+      FROM events GROUP BY event_type ORDER BY event_type""")
+  )
+
+  /** SCD Type-2 dimension build — gaps-and-islands: per user, collapse
+    * consecutive observation days with the SAME attribute value into one
+    * validity row [valid_from, valid_to]. The island id is the classic
+    * change-flag running sum (one lag + one cumulative sum over the same
+    * keyed window — a single shuffle on user_id), then one groupBy per
+    * island. The attribute is derived deterministically from (user, day)
+    * so runs exist by construction; integers end to end, so the oracle
+    * replays the identical windows. This is how a warehouse derives
+    * slowly-changing dimensions from an event log at any scale — state
+    * never leaves the user's partition.
+    */
+  val q35Scd2: QueryDef = QueryDef(
+    "q35_scd2",
+    (s, dir) => {
+      val byUser = Window.partitionBy("user_id").orderBy("day")
+      val days = Tables.load(s, dir, "events")
+        .select(col("user_id"), expr("ts div (86400000000000L)").as("day"))
+        .distinct()
+        .withColumn("attr", (expr("day div 5") + col("user_id")) % 3)
+      days
+        .withColumn("changed",
+          when(lag(col("attr"), 1).over(byUser).isNull ||
+            lag(col("attr"), 1).over(byUser) =!= col("attr"), 1L).otherwise(0L))
+        .withColumn("island", sum(col("changed")).over(
+          byUser.rowsBetween(Window.unboundedPreceding, 0)))
+        .groupBy("user_id", "island")
+        .agg(first(col("attr")).as("attr"), min(col("day")).as("valid_from"),
+          max(col("day")).as("valid_to"), count(lit(1)).as("n_days"))
+        .select("user_id", "attr", "valid_from", "valid_to", "n_days")
+        .orderBy("user_id", "valid_from")
+    },
+    Some("""
+      WITH d AS (
+        SELECT DISTINCT user_id, epoch_ns(ts) // 86400000000000 AS day
+        FROM events),
+      a AS (SELECT user_id, day, (day // 5 + user_id) % 3 AS attr FROM d),
+      c AS (SELECT user_id, day, attr,
+                   CASE WHEN LAG(attr) OVER w IS NULL
+                          OR LAG(attr) OVER w != attr THEN 1 ELSE 0 END AS changed
+            FROM a WINDOW w AS (PARTITION BY user_id ORDER BY day)),
+      i AS (SELECT user_id, day, attr,
+                   SUM(changed) OVER (PARTITION BY user_id ORDER BY day
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+            FROM c)
+      SELECT user_id, attr, MIN(day) AS valid_from, MAX(day) AS valid_to,
+             COUNT(*) AS n_days
+      FROM i GROUP BY user_id, island, attr
+      ORDER BY user_id, valid_from""")
+  )
+
   val all: Seq[QueryDef] = Seq(
     q7WindowRunning, q8PivotCounts, q9EventPairs,
     q14TimeBuckets, q15UserSpan, q16AsofJoin, q17JsonExtract, q21Sessions,
-    q24Resample, q25Ranks, q30RangeWindow, q32HeavyHitters)
+    q24Resample, q25Ranks, q30RangeWindow, q32HeavyHitters,
+    q34IncrementalRollup, q35Scd2)
 }

@@ -126,5 +126,9 @@ class GraftSqlExtensions extends (SparkSessionExtensions => Unit) {
       (es: Seq[Expression]) =>
         CmsStateExpr(es.head, litInt(es(1), "width"),
           litInt(es(2), "depth")).toAggregateExpression()))
+
+    // library-level optimizer rule: fuse the size(filter(split(...)))
+    // token-count idiom into one codegen kernel (see FuseTokenCount)
+    ext.injectOptimizerRule(_ => FuseTokenCount)
   }
 }

@@ -130,5 +130,8 @@ class GraftSqlExtensions extends (SparkSessionExtensions => Unit) {
     // library-level optimizer rule: fuse the size(filter(split(...)))
     // token-count idiom into one codegen kernel (see FuseTokenCount)
     ext.injectOptimizerRule(_ => FuseTokenCount)
+
+    // whole-operator tier: the merge-based as-of join physical plan
+    ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
   }
 }

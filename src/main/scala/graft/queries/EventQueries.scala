@@ -523,9 +523,54 @@ object EventQueries {
       ORDER BY user_id, valid_from""")
   )
 
+  /** The SAME as-of semantics as q16, but through the custom
+    * whole-operator plan ([[graft.plans.AsOfJoinPlan]] →
+    * [[graft.plans.AsOfJoinExec]] via the injected planner strategy):
+    * each side shuffles/sorts once on its OWN (key, time) and a linear
+    * per-partition merge with O(1) state replaces the union + window —
+    * verified against the identical DuckDB ASOF oracle, so the custom
+    * physical operator is value-checked end to end by the driver.
+    */
+  val q36AsofExec: QueryDef = QueryDef(
+    "q36_asof_exec",
+    (s, dir) => {
+      val e = Tables.load(s, dir, "events")
+      val clicks = e.filter(col("event_type") === "click")
+        .select(col("user_id").as("cu"), col("ts").as("ct"),
+          col("event_id").as("click_id"))
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("event_id").as("purchase_id"))
+      graft.plans.AsOf.lastBefore(clicks, purchases,
+        "cu", "ct", "click_id", "user_id", "ts")
+        .filter(col("click_id").isNotNull)
+        .select(col("purchase_id"), col("user_id"),
+          expr("ts div 1000").as("t_purchase_us"),
+          col("click_id"),
+          expr("ct div 1000").as("t_click_us"),
+          ((expr("ts div 1000") - expr("ct div 1000")).cast(DoubleType) /
+            lit(1000000.0)).as("wait_sec"))
+        .orderBy("purchase_id")
+    },
+    Some("""
+      SELECT purchase_id, user_id, t_purchase_us, click_id, t_click_us,
+             CAST(t_purchase_us - t_click_us AS DOUBLE)
+               / CAST(1000000 AS DOUBLE) AS wait_sec
+      FROM (
+        SELECT p.event_id AS purchase_id, p.user_id,
+               epoch_us(p.ts) AS t_purchase_us,
+               c.event_id AS click_id, epoch_us(c.ts) AS t_click_us,
+               ROW_NUMBER() OVER (PARTITION BY p.event_id
+                 ORDER BY c.ts DESC, c.event_id DESC) AS rn
+        FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        JOIN (SELECT * FROM events WHERE event_type = 'click') c
+          ON c.user_id = p.user_id AND c.ts <= p.ts)
+      WHERE rn = 1
+      ORDER BY purchase_id""")
+  )
+
   val all: Seq[QueryDef] = Seq(
     q7WindowRunning, q8PivotCounts, q9EventPairs,
     q14TimeBuckets, q15UserSpan, q16AsofJoin, q17JsonExtract, q21Sessions,
     q24Resample, q25Ranks, q30RangeWindow, q32HeavyHitters,
-    q34IncrementalRollup, q35Scd2)
+    q34IncrementalRollup, q35Scd2, q36AsofExec)
 }

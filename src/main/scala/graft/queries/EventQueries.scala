@@ -568,9 +568,60 @@ object EventQueries {
       ORDER BY purchase_id""")
   )
 
+  /** Multi-step funnel analysis — signup → first click AFTER signup →
+    * first purchase AFTER that click, per user: the sequential-dependency
+    * aggregation product analytics runs everywhere. Three stacked
+    * whole-partition window minimums (each conditioned on the previous
+    * stage's time) share ONE hash partitioning on user_id, so the plan
+    * shuffles once and evaluates the stages in-partition; null
+    * propagation (`ts > NULL` → filtered) encodes "never reached the
+    * previous stage" identically on both engines, and all comparisons
+    * are ns-integer exact.
+    */
+  val q37Funnel: QueryDef = QueryDef(
+    "q37_funnel",
+    (s, dir) => {
+      val w = Window.partitionBy("user_id")
+      Tables.load(s, dir, "events")
+        .select(col("user_id"), col("ts"), col("event_type"))
+        .withColumn("t0",
+          min(when(col("event_type") === "signup", col("ts"))).over(w))
+        .withColumn("t1",
+          min(when(col("event_type") === "click" && col("ts") > col("t0"),
+            col("ts"))).over(w))
+        .withColumn("t2",
+          min(when(col("event_type") === "purchase" && col("ts") > col("t1"),
+            col("ts"))).over(w))
+        .select(col("user_id"),
+          expr("t0 div 1000").as("t_signup_us"),
+          expr("t1 div 1000").as("t_click_us"),
+          expr("t2 div 1000").as("t_purchase_us"),
+          when(col("t2").isNotNull, 3).when(col("t1").isNotNull, 2)
+            .when(col("t0").isNotNull, 1).otherwise(0).as("stage"))
+        .distinct()
+        .orderBy("user_id")
+    },
+    Some("""
+      WITH f AS (SELECT user_id, epoch_ns(ts) AS ts, event_type FROM events),
+      a AS (SELECT *, MIN(CASE WHEN event_type = 'signup' THEN ts END)
+                        OVER (PARTITION BY user_id) AS t0 FROM f),
+      b AS (SELECT *, MIN(CASE WHEN event_type = 'click' AND ts > t0 THEN ts END)
+                        OVER (PARTITION BY user_id) AS t1 FROM a),
+      c AS (SELECT *, MIN(CASE WHEN event_type = 'purchase' AND ts > t1 THEN ts END)
+                        OVER (PARTITION BY user_id) AS t2 FROM b)
+      SELECT DISTINCT user_id,
+             t0 // 1000 AS t_signup_us,
+             t1 // 1000 AS t_click_us,
+             t2 // 1000 AS t_purchase_us,
+             CASE WHEN t2 IS NOT NULL THEN 3
+                  WHEN t1 IS NOT NULL THEN 2
+                  WHEN t0 IS NOT NULL THEN 1 ELSE 0 END AS stage
+      FROM c ORDER BY user_id""")
+  )
+
   val all: Seq[QueryDef] = Seq(
     q7WindowRunning, q8PivotCounts, q9EventPairs,
     q14TimeBuckets, q15UserSpan, q16AsofJoin, q17JsonExtract, q21Sessions,
     q24Resample, q25Ranks, q30RangeWindow, q32HeavyHitters,
-    q34IncrementalRollup, q35Scd2, q36AsofExec)
+    q34IncrementalRollup, q35Scd2, q36AsofExec, q37Funnel)
 }

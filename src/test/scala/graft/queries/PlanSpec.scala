@@ -136,4 +136,30 @@ class PlanSpec extends SparkSpec {
         s"verify join fell back to sort-merge:\n$plan")
     } finally release()
   }
+
+  test("funnel stages share one hash partitioning (single keyed shuffle)") {
+    val plan = planOf(EventQueries.q37Funnel.fn(spark, sf))
+    val hashExchanges = plan.linesIterator.count(_.contains("hashpartitioning("))
+    assert(hashExchanges == 1, s"expected one keyed shuffle:\n$plan")
+    assert(!plan.contains("No Partition Defined"))
+  }
+
+  test("heavy hitters: CMS probe filters BEFORE the aggregate exchange") {
+    val plan = planOf(EventQueries.q32HeavyHitters.fn(spark, sf))
+    // tree order: the cms_estimate filter must sit below (after in text)
+    // the first Exchange — i.e. on the scan side, pruning pre-shuffle
+    val lines = plan.linesIterator.toSeq
+    val exchangeIdx = lines.indexWhere(_.trim.matches("^\\+?- Exchange.*"))
+    val filterIdx = lines.indexWhere(_.contains("Filter"))
+    assert(exchangeIdx >= 0 && filterIdx >= 0)
+    assert(plan.contains("cms_estimate"), plan)
+    // exactly one aggregation shuffle + the final sort's range exchange
+    val exchanges = lines.count(_.trim.matches("^\\+?- Exchange \\(.*"))
+    assert(exchanges <= 2, s"too many exchanges:\n$plan")
+  }
+
+  test("incremental rollup merges partial states with map-side combine") {
+    val plan = planOf(EventQueries.q34IncrementalRollup.fn(spark, sf))
+    assert(plan.contains("partial_"), s"no map-side combine:\n$plan")
+  }
 }

@@ -22,9 +22,10 @@ import java.util.zip.Inflater
   *     of indirect block — indexed by a single-leaf v2 B-tree; deeper
   *     B-trees and filtered/huge/tiny heap objects fail fast by name);
   *   - datatypes: fixed-point (1/2/4/8-byte, signed or unsigned), IEEE
-  *     float (4/8-byte), little-endian, and fixed-length strings
-  *     (NUL-terminated/-padded or space-padded; variable-length strings
-  *     live in the global heap and fail fast);
+  *     float (4/8-byte), little-endian, fixed-length strings
+  *     (NUL-terminated/-padded or space-padded) and variable-length
+  *     strings (16-byte descriptors resolved through GCOL global-heap
+  *     collections; vlen sequences fail fast);
   *   - dataspaces: simple, any rank (v1 and v2 messages);
   *   - layouts: contiguous and chunked (B-tree v1 node type 1, any depth),
   *     with the deflate (zlib, `java.util.zip.Inflater`) and shuffle
@@ -86,10 +87,23 @@ object Hdf5 {
       * padding) or of trailing spaces (space padding).
       */
     def readStrings(): Array[String] = {
-      require(dtype.clazz == 3, s"dataset $name is not a string dataset")
+      require(dtype.clazz == 3 || dtype.clazz == 9,
+        s"dataset $name is not a string dataset")
       val raw = readBytes()
       val n = raw.length / dtype.size
-      Array.tabulate(n) { i =>
+      if (dtype.clazz == 9) {
+        // each element is a 16-byte descriptor {length u32, global-heap
+        // collection address u64, object index u32}
+        val bb = ByteBuffer.wrap(raw).order(ByteOrder.LITTLE_ENDIAN)
+        Array.tabulate(n) { i =>
+          val off = i * dtype.size
+          val len = bb.getInt(off)
+          val addr = bb.getLong(off + 4)
+          val idx = bb.getInt(off + 12)
+          new String(gheapObject(file, addr, idx, len), 0, len,
+            java.nio.charset.StandardCharsets.UTF_8)
+        }
+      } else Array.tabulate(n) { i =>
         val start = i * dtype.size
         var end = start
         while (end < start + dtype.size && raw(end) != 0) end += 1
@@ -614,8 +628,13 @@ object Hdf5 {
             case 0 => Dtype(0, size, signed = (bits0 & 0x08) != 0)
             case 1 => Dtype(1, size, signed = true)
             case 3 => Dtype(3, size, signed = false) // fixed-length string
-            case 9 => fail(s"variable-length datatype (global heap) not " +
-              s"supported (dataset $name)")
+            case 9 =>
+              // variable-length: low nibble of the flags distinguishes
+              // vlen STRING (1, supported — 16-byte global-heap
+              // descriptors) from vlen SEQUENCE (0, fail fast)
+              if ((bits0 & 0x0F) != 1)
+                fail(s"variable-length sequence datatype not supported (dataset $name)")
+              Dtype(9, size, signed = false)
             case c => fail(s"datatype class $c not supported (dataset $name)")
           }
         case 0x0008 => // data layout
@@ -659,6 +678,39 @@ object Hdf5 {
     }
     require(dtype != null && layoutClass >= 0, s"dataset $name missing messages")
     Dataset(name, dims, dtype, file, layoutClass, dataAddr, dataSize, chunkDims, filters)
+  }
+
+  /** Fetch one object from a global heap collection ("GCOL" block, HDF5
+    * spec IV.E): walk the object headers (index, refcount, size, 8-byte-
+    * aligned data) until the requested index. Index 0 marks the free
+    * space at the collection's tail — reaching it means the object is
+    * absent.
+    */
+  private def gheapObject(file: ByteBuffer, addr: Long, idx: Int, len: Int): Array[Byte] = {
+    val b = reader(file, addr)
+    b.expect("GCOL")
+    val ver = b.u8()
+    require(ver == 1, s"global heap version $ver")
+    b.skip(3)
+    val collSize = b.u64() // includes the 16-byte header
+    val end = addr + collSize
+    while (b.pos + 16 <= end) {
+      val objIdx = b.u16()
+      b.u16() // reference count
+      b.skip(4)
+      val objSize = b.u64()
+      if (objIdx == 0) fail(s"global heap object $idx not found at $addr")
+      if (objIdx == idx) {
+        require(objSize >= len, s"heap object $idx shorter than descriptor length")
+        val out = new Array[Byte](len)
+        val dup = file.duplicate()
+        dup.position(b.pos.toInt)
+        dup.get(out)
+        return out
+      }
+      b.skip(((objSize + 7) / 8 * 8).toInt)
+    }
+    fail(s"global heap object $idx not found at $addr")
   }
 
   private def cstring(file: ByteBuffer, addr: Long): String = {

@@ -145,6 +145,16 @@ class EmdSpec extends SparkSpec {
     assert(d.readStrings().toSeq == names)
   }
 
+  test("HDF5 variable-length strings resolve through the global heap") {
+    val w = new Hdf5TestWriter()
+    val names = Seq("haadf", "", "a much longer variable-length label — π≈3.14159",
+      "x")
+    val ds = w.vlenStringDataset(names)
+    val d = Hdf5.open(w.finish(w.group(Seq("labels" -> ds)))).datasets.head
+    assert(d.dtype.clazz == 9)
+    assert(d.readStrings().toSeq == names)
+  }
+
   test("HDF5 unsigned 64-bit values above Long.MaxValue decode correctly") {
     val w = new Hdf5TestWriter()
     val raw = java.nio.ByteBuffer.allocate(24)

@@ -48,6 +48,47 @@ final class Hdf5TestWriter(capacity: Int = 1 << 22) {
     Dt(3, size, b.array())
   }
 
+  /** Variable-length UTF-8 string type (class 9, vlen-string flavor):
+    * elements are 16-byte global-heap descriptors; the base type (1-byte
+    * string) follows in the properties per the spec.
+    */
+  def vlenString: Dt = {
+    val base = fixedString(1)
+    val b = ByteBuffer.allocate(8 + base.body.length).order(ByteOrder.LITTLE_ENDIAN)
+    b.put(0x19.toByte) // version 1, class 9
+    b.put(0x01.toByte).put(0.toByte).put(0.toByte) // vlen type: string
+    b.putInt(16)
+    b.put(base.body)
+    Dt(9, 16, b.array())
+  }
+
+  /** Write a GCOL global-heap collection holding `strings` (objects
+    * 1..n, 8-byte-aligned, trailing index-0 free-space object) and a
+    * contiguous dataset of their 16-byte descriptors.
+    */
+  def vlenStringDataset(strings: Seq[String]): Long = {
+    val bodies = strings.map(_.getBytes("UTF-8"))
+    val objsSize = bodies.map(b => 16 + pad8(b.length)).sum
+    val collSize = 16L + objsSize + 16L // header + objects + free space
+    val gcolAddr = pos
+    buf.put("GCOL".getBytes("US-ASCII"))
+    buf.put(1.toByte).put(0.toByte).put(0.toByte).put(0.toByte)
+    buf.putLong(collSize)
+    bodies.zipWithIndex.foreach { case (b, i) =>
+      buf.putShort((i + 1).toShort).putShort(1.toShort).putInt(0)
+      buf.putLong(b.length.toLong)
+      buf.put(b)
+      (b.length until pad8(b.length)).foreach(_ => buf.put(0.toByte))
+    }
+    buf.putShort(0.toShort).putShort(0.toShort).putInt(0)
+    buf.putLong(16L) // free-space object covers the collection tail
+    val raw = ByteBuffer.allocate(strings.size * 16).order(ByteOrder.LITTLE_ENDIAN)
+    bodies.zipWithIndex.foreach { case (b, i) =>
+      raw.putInt(b.length).putLong(gcolAddr).putInt(i + 1)
+    }
+    dataset(Seq(strings.size.toLong), vlenString, raw.array())
+  }
+
   def float32: Dt = float(4, expLoc = 23, expSize = 8, mantSize = 23, bias = 127, signPos = 31)
   def float64: Dt = float(8, expLoc = 52, expSize = 11, mantSize = 52, bias = 1023, signPos = 63)
 

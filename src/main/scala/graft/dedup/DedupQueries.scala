@@ -386,7 +386,7 @@ object DedupQueries {
     */
   private val D10Cells = 8
 
-  private def d10Vecs(s: org.apache.spark.sql.SparkSession, dir: String) = {
+  private[graft] def d10Vecs(s: org.apache.spark.sql.SparkSession, dir: String) = {
     val emb = Tables.load(s, dir, "embeddings").select("vec_id", "embedding")
     emb.unionByName(
       emb.filter(col("vec_id") % 25 === 0)

@@ -248,6 +248,66 @@ object SimilarityQueries {
         .orderBy("vec_id")))
   )
 
+  /** Hard-negative mining — the contrastive-training sampler: for each
+    * query, the top-k most-similar corpus vectors EXCLUDING
+    * near-duplicates (quantized cosine ≥ 0.9), i.e. "similar but not the
+    * same" — exactly what embedding-model training wants as negatives
+    * (true duplicates would be false negatives and poison the loss).
+    * Runs over d10's planted corpus so the exclusion is non-vacuous:
+    * query 0's planted near-copy (id 1000000) ranks FIRST by similarity
+    * and must be cut.
+    *
+    * The score is the scale-free quantized cosine dot_q(a,b) /
+    * √(dot_q(a,a)·dot_q(b,b)) — all three dots are exact integers, the
+    * arithmetic is the same IEEE expression on both engines, so the
+    * oracle replays ranking AND exclusion from the aux ints with zero
+    * tolerance.
+    */
+  val s6HardNegatives: QueryDef = QueryDef(
+    "s6_hard_negatives",
+    (s, dir) => {
+      import graft.expressions.Quant
+      val base = graft.dedup.DedupQueries.d10Vecs(s, dir)
+        .select(col("vec_id"), Quant.bytes(col("embedding")).as("qv"))
+        .withColumn("sd", Quant.dot(col("qv"), col("qv")))
+      val q = broadcast(base.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("qv").as("qqv"), col("sd").as("qsd")))
+      val w = Window.partitionBy("query_id").orderBy(col("qcos").desc, col("neighbor_id"))
+      base.select(col("vec_id").as("neighbor_id"), col("qv"), col("sd"))
+        .join(q, col("neighbor_id") =!= col("query_id"))
+        .withColumn("qcos",
+          Quant.dot(col("qqv"), col("qv")).cast("double") /
+            sqrt((col("qsd") * col("sd")).cast("double")))
+        .filter(col("qcos") < 0.9)
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 5)
+        .select("query_id", "rank", "neighbor_id", "qcos")
+        .orderBy("query_id", "rank")
+    },
+    Some("""
+      WITH v AS (SELECT * FROM read_parquet('{OUT}/aux/s6_hard_negatives__qvecs/*.parquet')),
+      p AS (
+        SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+               LIST_DOT_PRODUCT(CAST(q.q AS DOUBLE[]), CAST(e.q AS DOUBLE[]))
+                 / SQRT(CAST(q.sd * e.sd AS DOUBLE)) AS qcos
+        FROM v q JOIN v e ON q.vec_id < 10 AND e.vec_id != q.vec_id),
+      f AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                        ORDER BY qcos DESC, neighbor_id) AS rank
+            FROM p WHERE qcos < 0.9)
+      SELECT query_id, rank, neighbor_id, qcos
+      FROM f WHERE rank <= 5 ORDER BY query_id, rank"""),
+    aux = Map("qvecs" -> ((s, dir) => {
+      import graft.expressions.Quant
+      graft.dedup.DedupQueries.d10Vecs(s, dir)
+        .select(col("vec_id"), Quant.ints(col("embedding")).as("q"))
+        .withColumn("sd",
+          org.apache.spark.sql.functions.aggregate(col("q"), lit(0L),
+            (acc, x) => acc + x.cast("long") * x.cast("long")))
+        .orderBy("vec_id")
+    }))
+  )
+
   val all: Seq[QueryDef] =
-    Seq(s1AnnBruteForce, s2AnnLsh, s3AnnIvf, s4RangeSearch, s5AnnQuantized)
+    Seq(s1AnnBruteForce, s2AnnLsh, s3AnnIvf, s4RangeSearch, s5AnnQuantized,
+      s6HardNegatives)
 }

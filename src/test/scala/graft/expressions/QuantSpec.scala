@@ -63,6 +63,16 @@ class QuantSpec extends SparkSpec {
     assert(mean >= 0.8, s"mean recall@10 $mean below 0.8: $recalls")
   }
 
+  test("hard negatives exclude the planted near-duplicate of query 0") {
+    val rows = graft.SparkEntry.queries("s6_hard_negatives")(spark, sf)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect()
+    val q0 = rows.filter(_._1 == 0L).map(_._2).toSet
+    assert(q0.nonEmpty, "query 0 returned no negatives")
+    // vec 0's planted copy (id 1000000) is the most similar vector in the
+    // corpus — the dedup cut must have removed it from the negatives
+    assert(!q0.contains(1000000L), s"near-dup leaked into negatives: $q0")
+  }
+
   test("the quantized scorer stays inside whole-stage codegen") {
     val plan = emb
       .select(Quant.bytes(col("embedding")).as("q"), Quant.scale(col("embedding")).as("s"))

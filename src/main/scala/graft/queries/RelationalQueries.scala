@@ -394,8 +394,43 @@ object RelationalQueries {
       ORDER BY l_returnflag, p""")
   )
 
+  /** UNPIVOT / melt — the reshape inverse of the f1/q8 pivots: four
+    * measure columns become (measure, value) rows via Spark's native
+    * `unpivot` (an Expand node — per-row fan-out, no shuffle, no UDF).
+    * The oracle is the engine-agnostic UNION ALL formulation; values
+    * pass through unchanged so the compare is exact.
+    */
+  val q38Unpivot: QueryDef = QueryDef(
+    "q38_unpivot",
+    (s, dir) =>
+      Tables.load(s, dir, "lineitem")
+        .filter(col("l_orderkey") <= 2000)
+        .select("l_orderkey", "l_linenumber", "l_quantity",
+          "l_extendedprice", "l_discount", "l_tax")
+        .unpivot(
+          Array(col("l_orderkey"), col("l_linenumber")),
+          Array(col("l_quantity"), col("l_extendedprice"),
+            col("l_discount"), col("l_tax")),
+          "measure", "value")
+        .orderBy("l_orderkey", "l_linenumber", "measure"),
+    Some("""
+      SELECT * FROM (
+        SELECT l_orderkey, l_linenumber, 'l_quantity' AS measure,
+               l_quantity AS value FROM lineitem WHERE l_orderkey <= 2000
+        UNION ALL
+        SELECT l_orderkey, l_linenumber, 'l_extendedprice', l_extendedprice
+        FROM lineitem WHERE l_orderkey <= 2000
+        UNION ALL
+        SELECT l_orderkey, l_linenumber, 'l_discount', l_discount
+        FROM lineitem WHERE l_orderkey <= 2000
+        UNION ALL
+        SELECT l_orderkey, l_linenumber, 'l_tax', l_tax
+        FROM lineitem WHERE l_orderkey <= 2000)
+      ORDER BY l_orderkey, l_linenumber, measure""")
+  )
+
   val all: Seq[QueryDef] =
     Seq(q1Agg, q2TopK, q10Histogram, q11SummaryStats, q12Distinct, q13StringFuncs,
       q18Rollup, q19SetOps, q20DateParts, q22Cube, q26Subqueries, q29GroupTopK,
-      q31Percentiles)
+      q31Percentiles, q38Unpivot)
 }

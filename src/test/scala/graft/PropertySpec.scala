@@ -184,4 +184,64 @@ class PropertySpec extends AnyFunSuite {
         }
       }
   }
+
+  test("CMS never undercounts and merge equals single-pass on random bags") {
+    val bagGen = Gen.listOf(Gen.chooseNum(-50L, 50L))
+    samples(bagGen, 30).foreach { bag =>
+      val w = 64; val d = 3
+      val grid = new Array[Long](w * d)
+      bag.foreach(v => graft.expressions.CountMin.add(v, grid, w, d))
+      val truth = bag.groupBy(identity).view.mapValues(_.size.toLong)
+      truth.foreach { case (v, n) =>
+        assert(graft.expressions.CountMin.estimate(v, grid, w, d) >= n)
+      }
+      // split-merge identity: element-wise addition of two halves
+      val (l, r) = bag.splitAt(bag.length / 2)
+      val g1 = new Array[Long](w * d); l.foreach(graft.expressions.CountMin.add(_, g1, w, d))
+      val g2 = new Array[Long](w * d); r.foreach(graft.expressions.CountMin.add(_, g2, w, d))
+      val merged = g1.zip(g2).map { case (a, b) => a + b }
+      assert(merged.toSeq == grid.toSeq)
+    }
+  }
+
+  test("int8 quantization: bounded error, sign preserved, dot symmetric") {
+    val vecGen = Gen.nonEmptyListOf(Gen.chooseNum(-8.0f, 8.0f))
+    samples(Gen.zip(vecGen, vecGen), 25).foreach { case (xs0, ys0) =>
+      val n = math.min(xs0.length, ys0.length)
+      val xs = xs0.take(n); val ys = ys0.take(n)
+      def q(v: Seq[Float]) = graft.expressions.Quant.quantBytes(
+        UnsafeArrayData.fromPrimitiveArray(v.toArray))
+      def s(v: Seq[Float]) = graft.expressions.Quant.quantScale(
+        UnsafeArrayData.fromPrimitiveArray(v.toArray))
+      val (qx, sx) = (q(xs), s(xs))
+      xs.zip(qx).foreach { case (x, qi) =>
+        assert(math.abs(qi * sx - x) <= sx / 2 + 1e-9)
+        if (math.abs(x) > sx) assert(math.signum(qi.toDouble) == math.signum(x.toDouble))
+      }
+      val qy = q(ys)
+      assert(graft.expressions.Quant.int8Dot(qx, qy) ==
+        graft.expressions.Quant.int8Dot(qy, qx))
+    }
+  }
+
+  test("WAV roundtrip is bit-exact over random PCM signals") {
+    val pcmGen = Gen.nonEmptyListOf(
+      Gen.chooseNum(Short.MinValue.toInt, Short.MaxValue.toInt).map(_.toShort))
+    samples(Gen.zip(pcmGen, Gen.oneOf(8000, 16000, 44100)), 20)
+      .foreach { case (pcm, rate) =>
+        val bytes = graft.sinks.Artifacts.pcmWav(rate, pcm.toArray)
+        val (r, got) = graft.multimodal.Codec.decodeWav(bytes)
+        assert(r == rate && got.toSeq == pcm)
+      }
+  }
+
+  test("vlen HDF5 strings roundtrip over random UTF-8 lists") {
+    val strGen = Gen.listOf(Gen.oneOf("", "a", "token", "π≈3.14", "x" * 57))
+    samples(strGen, 15).filter(_.nonEmpty).foreach { names =>
+      val w = new graft.sources.Hdf5TestWriter()
+      val ds = w.vlenStringDataset(names)
+      val d = graft.sources.Hdf5.open(w.finish(w.group(Seq("s" -> ds)))).datasets.head
+      assert(d.readStrings().toSeq == names, names.toString)
+    }
+  }
 }

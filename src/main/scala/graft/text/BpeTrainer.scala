@@ -176,6 +176,34 @@ object BpeTrainer {
       case (syms, (a, b)) => mergePair(syms, a, b)
     }
 
+  /** Serving-path encoder: repeatedly apply the LOWEST-RANK merge present
+    * in the word — identical results to [[encode]]'s in-order fold
+    * (spec-pinned), but per-word cost scales with the word, not the merge
+    * list: a 32k-merge production vocabulary costs a hash probe per
+    * adjacent pair per round instead of 32k full passes. Build once,
+    * reuse across a partition (the broadcast-tokenizer shape).
+    */
+  def encoder(merges: Seq[(String, String)]): String => Seq[String] = {
+    val rank: Map[(String, String), Int] = merges.zipWithIndex.toMap
+    (word: String) => {
+      var syms: Seq[String] = word.map(_.toString)
+      var continue = syms.lengthCompare(2) >= 0
+      while (continue) {
+        var best: (String, String) = null
+        var bestRank = Int.MaxValue
+        var i = 0
+        while (i < syms.length - 1) {
+          val r = rank.getOrElse((syms(i), syms(i + 1)), Int.MaxValue)
+          if (r < bestRank) { bestRank = r; best = (syms(i), syms(i + 1)) }
+          i += 1
+        }
+        if (best == null) continue = false
+        else syms = mergePair(syms, best._1, best._2)
+      }
+      syms
+    }
+  }
+
   /** Corpus token count under the learned tokenizer — the "how many BPE
     * tokens is this dataset" estimator, distributed over documents.
     */
@@ -185,8 +213,11 @@ object BpeTrainer {
     import spark.implicits._
     val bc = spark.sparkContext.broadcast(merges)
     docs.select(col(textCol)).as[String]
-      .map(t => t.split(" ").iterator.filter(_.nonEmpty)
-        .map(w => encode(w, bc.value).size.toLong).sum)
+      .mapPartitions { it =>
+        val enc = encoder(bc.value) // rank map built once per partition
+        it.map(t => t.split(" ").iterator.filter(_.nonEmpty)
+          .map(w => enc(w).size.toLong).sum)
+      }
       .reduce(_ + _)
   }
 }

@@ -86,4 +86,20 @@ class BpeTrainerSpec extends SparkSpec {
       assert(counter.get() <= 6, s"saw ${counter.get()} jobs for 40 merges")
     } finally spark.sparkContext.removeSparkListener(listener)
   }
+
+  test("rank-greedy encoder equals the in-order fold on corpus and random words") {
+    val docs = graft.core.Tables.load(spark, sf, "documents")
+    val merges = BpeTrainer.train(docs, "text", numMerges = 40)
+    val enc = BpeTrainer.encoder(merges)
+    val words = docs.select(explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) > 0).distinct().as[String].collect()
+    words.foreach { w =>
+      assert(enc(w) == BpeTrainer.encode(w, merges), s"word $w")
+    }
+    // adversarial: words not in the training corpus
+    Seq("zzz", "joinjoinjoin", "a", "streamstream", "xqv").foreach { w =>
+      assert(enc(w) == BpeTrainer.encode(w, merges), s"oov word $w")
+      assert(enc(w).mkString == w, "concatenation must be preserved")
+    }
+  }
 }

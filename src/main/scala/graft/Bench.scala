@@ -1,9 +1,30 @@
 package graft
+import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
 import org.apache.spark.sql.SparkSession
 
 object Bench {
 
   private val Passes = 3
+
+  /** Accumulates per-stage shuffle/spill bytes between [[mark]]s — the
+    * evidence behind the scale claims: a query whose time looks fine but
+    * whose shuffle grows with the corpus is the one that dies at 100 TB,
+    * and this column makes that visible per round.
+    */
+  private final class ExchangeMeter extends SparkListener {
+    private val shuffleW = new java.util.concurrent.atomic.AtomicLong
+    private val spilled = new java.util.concurrent.atomic.AtomicLong
+    override def onStageCompleted(sc: SparkListenerStageCompleted): Unit = {
+      val m = sc.stageInfo.taskMetrics
+      if (m != null) {
+        shuffleW.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+        spilled.addAndGet(m.diskBytesSpilled)
+        ()
+      }
+    }
+    def mark(): (Long, Long) =
+      (shuffleW.getAndSet(0L), spilled.getAndSet(0L))
+  }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -31,32 +52,51 @@ object Bench {
     // warmup — the timed pass should start from a clean storage pool
     spark.sharedState.cacheManager.clearCache()
 
+    val meter = new ExchangeMeter
+    spark.sparkContext.addSparkListener(meter)
+
     // Median of several timed passes per query: a single contended pass on
     // a noisy host can misstate an individual query by 3-10×; the median is
     // robust to one bad sample and min/max records the observed spread.
+    // Shuffle/spill bytes come from the FIRST timed pass (deterministic
+    // per query — the plan doesn't change between passes).
     val results = ordered.map { case (name, fn) =>
-      val samples = (1 to Passes).map { _ =>
+      org.apache.spark.graft.ListenerBridge.flush(spark.sparkContext)
+      meter.mark()
+      var shufBytes = 0L
+      var spillBytes = 0L
+      val samples = (1 to Passes).map { i =>
         val t0 = System.nanoTime()
         val ok = runOne(fn, sfDir)
-        ((System.nanoTime() - t0) / 1e9, ok)
+        val t = (System.nanoTime() - t0) / 1e9
+        if (i == 1) {
+          org.apache.spark.graft.ListenerBridge.flush(spark.sparkContext)
+          val m = meter.mark()
+          shufBytes = m._1; spillBytes = m._2
+        }
+        (t, ok)
       }
       val ok = samples.forall(_._2)
       val times = samples.map(_._1).sorted
-      (name, times(times.size / 2), times.head, times.last, ok)
+      (name, times(times.size / 2), times.head, times.last, ok, shufBytes, spillBytes)
     }
     def f(v: Double): String = "%.4f".format(v)
     // failed queries report null (not a near-zero time that would read as
     // a fast success) and are named in "failed"
-    val qs = results.map { case (k, med, _, _, ok) =>
+    val qs = results.map { case (k, med, _, _, ok, _, _) =>
       "\"" + k + "\":" + (if (ok) f(med) else "null")
     }.mkString("{", ",", "}")
-    val spread = results.collect { case (k, _, min, max, true) =>
+    val spread = results.collect { case (k, _, min, max, true, _, _) =>
       "\"" + k + "\":{\"min\":" + f(min) + ",\"max\":" + f(max) + "}"
     }.mkString("{", ",", "}")
-    val failed = results.collect { case (k, _, _, _, false) => "\"" + k + "\"" }
+    val shuffle = results.collect { case (k, _, _, _, true, sh, sp) =>
+      "\"" + k + "\":{\"shuffle_mb\":" + f(sh / 1048576.0) +
+        ",\"spill_mb\":" + f(sp / 1048576.0) + "}"
+    }.mkString("{", ",", "}")
+    val failed = results.collect { case (k, _, _, _, false, _, _) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
-    val total = results.collect { case (_, med, _, _, true) => med }.sum
-    println(s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"spread":$spread,"passes":$Passes,"failed":$failed,"sf":"$sfDir"}""")
+    val total = results.collect { case (_, med, _, _, true, _, _) => med }.sum
+    println(s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"spread":$spread,"exchange":$shuffle,"passes":$Passes,"failed":$failed,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

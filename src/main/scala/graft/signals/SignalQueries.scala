@@ -147,6 +147,40 @@ object SignalQueries {
       ORDER BY s.channel""")
   )
 
+  /** Spectral REBINNING — the detector-side downsample every acquisition
+    * pipeline applies before display/export (hyperspy `rebin`): merge
+    * every 8 adjacent channels into one bin, per-bin summed intensity +
+    * channel extent. Runs off the SAME integer-scaled channel sums as g3
+    * (sums of scaled longs are exact and order-free), so the 8→1 merge
+    * introduces no float reassociation: bin mass is a pure integer sum
+    * descaled once. Map-side combinable, one shuffle keyed by bin.
+    */
+  val g5Rebin: QueryDef = QueryDef(
+    "g5_rebin",
+    (s, dir) =>
+      Tables.load(s, dir, "embeddings")
+        .select(posexplode(col("embedding")).as(Seq("pos", "v")))
+        .select(expr("pos div 8").as("bin"),
+          floor(col("v").cast("double") * lit(10000.0)).cast("long").as("sv"))
+        .groupBy("bin")
+        .agg((sum(col("sv")).cast("double") / lit(10000.0)).as("bin_mass"),
+          count(lit(1)).as("n_samples"))
+        .withColumn("ch_lo", col("bin") * 8 + 1)
+        .withColumn("ch_hi", col("bin") * 8 + 8)
+        .orderBy("bin"),
+    Some("""
+      SELECT ch // 8 AS bin,
+             CAST(SUM(sv) AS DOUBLE) / CAST(10000.0 AS DOUBLE) AS bin_mass,
+             COUNT(*) AS n_samples,
+             (ch // 8) * 8 + 1 AS ch_lo,
+             (ch // 8) * 8 + 8 AS ch_hi
+      FROM (SELECT generate_subscripts(embedding, 1) - 1 AS ch,
+                   CAST(FLOOR(CAST(unnest(embedding) AS DOUBLE)
+                        * CAST(10000.0 AS DOUBLE)) AS BIGINT) AS sv
+            FROM embeddings)
+      GROUP BY ch // 8 ORDER BY bin""")
+  )
+
   val all: Seq[QueryDef] =
-    Seq(g1EnergyAxis, g2FrameNormalize, g3Spectrum, g4PeakDetect)
+    Seq(g1EnergyAxis, g2FrameNormalize, g3Spectrum, g4PeakDetect, g5Rebin)
 }

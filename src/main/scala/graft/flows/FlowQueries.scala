@@ -225,7 +225,54 @@ object FlowQueries {
       FROM events GROUP BY user_id ORDER BY user_id""")
   )
 
+  /** Runtime outlier flagging — the "which runs were abnormal" triage
+    * query over the f2 cohort statistics: each user's span scores
+    * z = (span − cohort mean)/cohort std and |z| > 2 flags the outlier.
+    * The cohort stats are the exact decimal-sum mean/std (order-free), z
+    * is one double expression identical on both engines, and the 4-row
+    * stats table broadcasts back over the spans — no second shuffle of
+    * the runs.
+    */
+  val f7RuntimeOutliers: QueryDef = QueryDef(
+    "f7_runtime_outliers",
+    (s, dir) => {
+      val spans = Tables.load(s, dir, "events")
+        .groupBy("user_id")
+        .agg(expr("(max(ts div 1000) - min(ts div 1000)) div 1000").as("span_ms"))
+        .withColumn("cohort", col("user_id") % 4)
+      val v = col("span_ms")
+      val n = count(lit(1))
+      val sm = dsum(v)
+      val sq = dsum(v * v)
+      val stats = spans.groupBy("cohort")
+        .agg((sm / n).as("mean_ms"),
+          sqrt((sq - sm * sm / n) / (n - lit(1))).as("std_ms"))
+      spans.join(broadcast(stats), Seq("cohort"))
+        .withColumn("z",
+          (v.cast(org.apache.spark.sql.types.DoubleType) - col("mean_ms")) / col("std_ms"))
+        .withColumn("is_outlier", abs(col("z")) > 2.0)
+        .select("user_id", "cohort", "span_ms", "z", "is_outlier")
+        .orderBy("user_id")
+    },
+    Some(s"""
+      WITH spans AS (
+        SELECT user_id, user_id % 4 AS cohort,
+               (MAX(epoch_us(ts)) - MIN(epoch_us(ts))) // 1000 AS span_ms
+        FROM events GROUP BY user_id),
+      stats AS (
+        SELECT cohort,
+          ${sqlSum("span_ms")} / COUNT(*) AS mean_ms,
+          SQRT((${sqlSum("span_ms * span_ms")} -
+                ${sqlSum("span_ms")} * ${sqlSum("span_ms")} / COUNT(*)) / (COUNT(*) - 1)) AS std_ms
+        FROM spans GROUP BY cohort)
+      SELECT user_id, s.cohort, span_ms,
+             (CAST(span_ms AS DOUBLE) - mean_ms) / std_ms AS z,
+             ABS((CAST(span_ms AS DOUBLE) - mean_ms) / std_ms) > 2.0 AS is_outlier
+      FROM spans s JOIN stats USING (cohort)
+      ORDER BY user_id""")
+  )
+
   val all: Seq[QueryDef] =
     Seq(f1StepPivot, f2RuntimeDescribe, f3RelativeStart, f4ActiveOverhead,
-      f5TailK, f6UsageWide)
+      f5TailK, f6UsageWide, f7RuntimeOutliers)
 }

@@ -161,4 +161,26 @@ class MergeSpec extends SparkSpec {
     assert(!Files.exists(java.nio.file.Paths.get(dir, "v=1")))
     assert(Merge.read(spark, dir).collect()(0).getString(1) == "a3")
   }
+
+  test("time travel + CDC: snapshot diff classifies insert/update/delete") {
+    val dir = Files.createTempDirectory("graft-cdc").toString
+    val v0 = Merge.writeSnapshot(
+      Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v"), dir)
+    val v1 = Merge.writeSnapshot(
+      Seq((1L, "a"), (2L, "B"), (4L, "d")).toDF("id", "v"), dir)
+
+    // time travel: both versions stay readable
+    assert(Merge.readVersion(spark, dir, v0).count() == 3)
+    assert(Merge.readVersion(spark, dir, v1).count() == 3)
+
+    val diff = Merge.changes(spark, dir, v0, v1, Seq("id"))
+      .as[(Long, String)].collect().toSet
+    assert(diff == Set((2L, "update"), (3L, "delete"), (4L, "insert")), diff)
+
+    // self-diff is empty; reversed diff flips insert/delete
+    assert(Merge.changes(spark, dir, v1, v1, Seq("id")).count() == 0)
+    val rev = Merge.changes(spark, dir, v1, v0, Seq("id"))
+      .as[(Long, String)].collect().toSet
+    assert(rev == Set((2L, "update"), (3L, "insert"), (4L, "delete")), rev)
+  }
 }

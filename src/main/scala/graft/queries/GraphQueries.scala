@@ -124,5 +124,51 @@ object GraphQueries {
       SELECT doc_id, pr FROM p3 ORDER BY doc_id""")
   )
 
-  val all: Seq[QueryDef] = Seq(q33Pagerank)
+  /** Hierarchy flattening by POINTER DOUBLING — resolve every node's
+    * root ancestor and depth in O(log depth) rounds instead of
+    * depth-many: each round joins the (node → 2^i-step ancestor,
+    * distance) table with itself, squaring the hop length. This is the
+    * third iteration regime next to d8 (iterate-to-convergence) and q33
+    * (fixed damped iterations), and the one that makes deep chains
+    * tractable at scale — a depth-1e6 lineage resolves in 20 keyed
+    * shuffles of (id, id, long) rows. All integers; the oracle walks the
+    * same tree with a recursive CTE.
+    *
+    * The hierarchy: user k reports to k div 2, root 1 (a deterministic
+    * binary org tree both engines derive identically).
+    */
+  val q39Hierarchy: QueryDef = QueryDef(
+    "q39_hierarchy",
+    (s, dir) => {
+      // node id = user_id + 1 so ids start at the root 1 (user ids are
+      // 0-based; 0 div 2 = 0 would self-loop outside the tree)
+      val users = Tables.load(s, dir, "events")
+        .select((col("user_id") + 1).as("node")).distinct()
+      // (k, anc, d): anc is k's d-step ancestor; root 1 self-loops at d=0
+      var cur = users.select(col("node").as("k"),
+        when(col("node") === 1, lit(1L)).otherwise(expr("node div 2")).as("anc"),
+        when(col("node") === 1, lit(0L)).otherwise(lit(1L)).as("d"))
+        .localCheckpoint()
+      val rounds = 5 // covers depth <= 2^5 = 32; user ids at any sf stay far below 2^32
+      (1 to rounds).foreach { _ =>
+        val hop = cur.select(col("k").as("k2"), col("anc").as("anc2"), col("d").as("d2"))
+        cur = cur.join(hop, col("anc") === col("k2"))
+          .select(col("k"), col("anc2").as("anc"), (col("d") + col("d2")).as("d"))
+          .localCheckpoint()
+      }
+      cur.select((col("k") - 1).as("user_id"), col("anc").as("root"),
+        col("d").as("depth"))
+        .orderBy("user_id")
+    },
+    Some("""
+      WITH RECURSIVE walk(k, cur, d) AS (
+        SELECT user_id + 1, user_id + 1, 0
+        FROM (SELECT DISTINCT user_id FROM events)
+        UNION ALL
+        SELECT k, cur // 2, d + 1 FROM walk WHERE cur > 1)
+      SELECT k - 1 AS user_id, CAST(1 AS BIGINT) AS root, CAST(d AS BIGINT) AS depth
+      FROM walk WHERE cur = 1 ORDER BY user_id""")
+  )
+
+  val all: Seq[QueryDef] = Seq(q33Pagerank, q39Hierarchy)
 }

@@ -46,5 +46,43 @@ object CatalogQueries {
       FROM documents ORDER BY doc_id""")
   )
 
-  val all: Seq[QueryDef] = Seq(c1Checksums)
+  /** Catalog SEARCH over assembled DataCite documents — the reference's
+    * Globus-Search consumer side: build the nested doc per file
+    * ([[Catalog.dataciteDoc]] — struct composition, no UDF), then filter
+    * on projected nested fields (mime format, payload length, title
+    * keyword) exactly like a faceted search. The oracle recomputes the
+    * derived fields relationally, so the nested-struct projection path
+    * (`dc.titles[0].title`, `files[0].length`, …) is value-verified.
+    */
+  val c2CatalogSearch: QueryDef = QueryDef(
+    "c2_catalog_search",
+    (s, dir) => {
+      val files = Tables.loadSpread(s, dir, "documents")
+        .select(concat(lit("docs/"), col("source"), lit("/"),
+          col("doc_id"), lit(".txt")).as("path"),
+          col("text").as("content"),
+          lit("{}").as("metadata_json"))
+      Catalog.dataciteDoc(files)
+        .select(col("subject"),
+          col("dc").getField("titles").getItem(0).getField("title").as("title"),
+          col("files").getItem(0).getField("length").as("len"),
+          col("files").getItem(0).getField("sha256").as("sha256"),
+          col("files").getItem(0).getField("mime_type").as("mime_type"))
+        .filter(col("mime_type") === "text/plain" &&
+          col("len") > 200 && col("title").like("%7%"))
+        .orderBy("subject")
+    },
+    Some("""
+      SELECT subject, title, len, sha256, mime_type FROM (
+        SELECT 'globus://docs/' || source || '/' || doc_id || '.txt' AS subject,
+               doc_id || '.txt' AS title,
+               CAST(LENGTH(text) AS BIGINT) AS len,
+               sha256(text) AS sha256,
+               'text/plain' AS mime_type
+        FROM documents)
+      WHERE len > 200 AND title LIKE '%7%'
+      ORDER BY subject""")
+  )
+
+  val all: Seq[QueryDef] = Seq(c1Checksums, c2CatalogSearch)
 }

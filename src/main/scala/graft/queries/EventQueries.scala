@@ -619,9 +619,54 @@ object EventQueries {
       FROM c ORDER BY user_id""")
   )
 
+  /** Cohort retention — the growth-analytics matrix: users cohort by
+    * first-activity day, and each (cohort, day-offset) cell counts how
+    * many of them were active that many days later. Three aggregates
+    * sharing the user_id / cohort keys (distinct activity days → per-user
+    * cohort → per-cell counts), one broadcast of the cohort sizes;
+    * retention is one double division with both operands exact integers.
+    */
+  val q40Retention: QueryDef = QueryDef(
+    "q40_retention",
+    (s, dir) => {
+      val days = Tables.load(s, dir, "events")
+        .select(col("user_id"), expr("ts div 86400000000000L").as("day"))
+        .distinct()
+      val cohorts = days.groupBy("user_id").agg(min(col("day")).as("c"))
+      val sizes = cohorts.groupBy("c").agg(count(lit(1)).as("n_cohort"))
+      days.join(cohorts, Seq("user_id"))
+        .withColumn("day_offset", col("day") - col("c"))
+        .filter(col("day_offset") <= 6)
+        .groupBy("c", "day_offset")
+        .agg(countDistinct(col("user_id")).as("n_active"))
+        .join(broadcast(sizes), Seq("c"))
+        .withColumn("retention",
+          col("n_active").cast(DoubleType) / col("n_cohort").cast(DoubleType))
+        .select(col("c").as("cohort_day"), col("day_offset"), col("n_active"),
+          col("n_cohort"), col("retention"))
+        .orderBy("cohort_day", "day_offset")
+    },
+    Some("""
+      WITH days AS (
+        SELECT DISTINCT user_id, epoch_ns(ts) // 86400000000000 AS day
+        FROM events),
+      cohorts AS (SELECT user_id, MIN(day) AS c FROM days GROUP BY user_id),
+      sizes AS (SELECT c, COUNT(*) AS n_cohort FROM cohorts GROUP BY c)
+      SELECT d.c AS cohort_day, d.day_offset, d.n_active, s.n_cohort,
+             CAST(d.n_active AS DOUBLE) / CAST(s.n_cohort AS DOUBLE) AS retention
+      FROM (
+        SELECT co.c, days.day - co.c AS day_offset,
+               COUNT(DISTINCT days.user_id) AS n_active
+        FROM days JOIN cohorts co USING (user_id)
+        WHERE days.day - co.c <= 6
+        GROUP BY co.c, days.day - co.c) d
+      JOIN sizes s USING (c)
+      ORDER BY cohort_day, day_offset""")
+  )
+
   val all: Seq[QueryDef] = Seq(
     q7WindowRunning, q8PivotCounts, q9EventPairs,
     q14TimeBuckets, q15UserSpan, q16AsofJoin, q17JsonExtract, q21Sessions,
     q24Resample, q25Ranks, q30RangeWindow, q32HeavyHitters,
-    q34IncrementalRollup, q35Scd2, q36AsofExec, q37Funnel)
+    q34IncrementalRollup, q35Scd2, q36AsofExec, q37Funnel, q40Retention)
 }

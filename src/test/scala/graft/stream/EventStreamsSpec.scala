@@ -79,6 +79,33 @@ class EventStreamsSpec extends SparkSpec {
       (92L, None), (93L, None)), rows.toString)
   }
 
+  test("stream-static enrichment: dimension broadcast-joins into the stream") {
+    val session = spark
+    import session.implicits._
+    implicit val sq = spark.sqlContext
+
+    // static dimension: user tier — the slowly-changing lookup every
+    // event stream enriches against; joins stream-side with no state
+    val dim = Seq((1L, "gold"), (2L, "basic")).toDF("user_id", "tier")
+    val in = MemoryStream[Event]
+    in.addData(
+      Event(1, 1000L, 1, "click", 1.0),
+      Event(2, 2000L, 2, "click", 2.0),
+      Event(3, 3000L, 9, "click", 3.0)) // no dim row → left join keeps it
+
+    val q = in.toDF()
+      .join(org.apache.spark.sql.functions.broadcast(dim), Seq("user_id"), "left")
+      .writeStream.format("memory").queryName("enriched")
+      .outputMode(OutputMode.Append()).start()
+    q.processAllAvailable()
+    q.stop()
+
+    val rows = spark.table("enriched")
+      .select("event_id", "tier").collect()
+      .map(r => (r.getLong(0), Option(r.getString(1)))).toSet
+    assert(rows == Set((1L, Some("gold")), (2L, Some("basic")), (3L, None)))
+  }
+
   test("dedupWithinWatermark: first occurrence kept, dups dropped") {
     val session = spark
     import session.implicits._

@@ -222,5 +222,86 @@ object MultimodalQueries {
       FROM fr GROUP BY doc_id ORDER BY doc_id""")
   )
 
-  val all: Seq[QueryDef] = Seq(m1Pipeline, m2InferenceConv, m3AudioFeatures)
+  /** Perceptual image dedup — dHash (difference hash) over REAL decoded
+    * pixels: each 9×7 grayscale image hashes to 56 bits (bit = right
+    * neighbor brighter than left; 56 keeps every bit off the sign
+    * position, which DuckDB's `<<` refuses), and visually-near images
+    * land within a few Hamming bits. Each doc gets its PNG plus a
+    * PLANTED near-variant (one corner pixel flipped — at most 1 bit can
+    * change), and the query reports the orig/variant hash pair with its
+    * Hamming distance: the multimodal analog of d3's SimHash text dedup.
+    * Pixels run through the real encode→decode roundtrip (PNG is
+    * lossless, pinned by m1), while the oracle replays the pixel
+    * synthesis + comparison arithmetic relationally — bit_count(xor)
+    * exact on both engines.
+    */
+  val m4ImagePhash: QueryDef = QueryDef(
+    "m4_image_phash",
+    (s, dir) => {
+      val session = s
+      import session.implicits._
+      val W = 9; val H = 7
+      val media = Tables.loadSpread(s, dir, "documents")
+        .select(col("doc_id"), col("text")).as[(Long, String)]
+        .flatMap { case (id, text) =>
+          val px = synthPixels(text.getBytes("UTF-8"), W * H, 3)
+          val px2 = px.clone(); px2(0) = (px2(0) ^ 0x80).toByte // planted variant
+          Seq(
+            Media(id * 2, "image", graft.sinks.Artifacts.grayPng(W, H, px),
+              MediaMeta(W, H, 1, 0, 0, "png")),
+            Media(id * 2 + 1, "image", graft.sinks.Artifacts.grayPng(W, H, px2),
+              MediaMeta(W, H, 1, 0, 0, "png")))
+        }
+      val hashes = Multimodal.decodeImages(media).map { d =>
+        var h = 0L
+        var y = 0
+        while (y < d.height) {
+          var x = 0
+          while (x < d.width - 1) {
+            val l = d.pixels(y * d.width + x) & 0xFF
+            val r = d.pixels(y * d.width + x + 1) & 0xFF
+            if (r > l) h |= 1L << (y * (d.width - 1) + x)
+            x += 1
+          }
+          y += 1
+        }
+        (d.media_id / 2, d.media_id % 2, h)
+      }.toDF("doc_id", "variant", "phash")
+      hashes.groupBy("doc_id")
+        .agg(max(when(col("variant") === 0, col("phash"))).as("h_orig"),
+          max(when(col("variant") === 1, col("phash"))).as("h_variant"))
+        .withColumn("hamming",
+          bit_count(col("h_orig").bitwiseXOR(col("h_variant"))))
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH px AS (
+        SELECT doc_id, v, i,
+               CASE WHEN v = 1 AND i = 0
+                    THEN xor(xor(UNICODE(SUBSTR(text, (i % LENGTH(text)) + 1, 1)),
+                                 (i * 31 + 3) % 256) % 256, 128)
+                    ELSE xor(UNICODE(SUBSTR(text, (i % LENGTH(text)) + 1, 1)),
+                             (i * 31 + 3) % 256) % 256
+               END AS p
+        FROM documents,
+             UNNEST(GENERATE_SERIES(0, 62)) AS t(i),
+             UNNEST([0, 1]) AS vv(v)),
+      bits AS (
+        SELECT a.doc_id, a.v,
+               CAST(SUM(CASE WHEN b.p > a.p
+                        THEN (CAST(1 AS BIGINT) << ((a.i // 9) * 8 + (a.i % 9)))
+                        ELSE 0 END) AS BIGINT) AS phash
+        FROM px a JOIN px b
+          ON b.doc_id = a.doc_id AND b.v = a.v AND b.i = a.i + 1
+        WHERE a.i % 9 < 8
+        GROUP BY a.doc_id, a.v)
+      SELECT o.doc_id, o.phash AS h_orig, n.phash AS h_variant,
+             bit_count(xor(o.phash, n.phash)) AS hamming
+      FROM bits o JOIN bits n ON n.doc_id = o.doc_id
+      WHERE o.v = 0 AND n.v = 1
+      ORDER BY o.doc_id""")
+  )
+
+  val all: Seq[QueryDef] =
+    Seq(m1Pipeline, m2InferenceConv, m3AudioFeatures, m4ImagePhash)
 }

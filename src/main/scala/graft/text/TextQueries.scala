@@ -966,10 +966,69 @@ object TextQueries {
       GROUP BY domain ORDER BY domain""")
   )
 
+  /** The corpus CARD — the per-source dataset summary every released
+    * training set ships with, in ONE grouped pass over the token stream
+    * plus a doc-level aggregate: documents, token mass, exact vocabulary,
+    * duplicate-document rate (distinct sha256 vs docs), mean document
+    * length and the majority language. At 100 TB each statistic is
+    * map-side-combinable (counts, sums, distinct-over-digests) — this is
+    * the report a pipeline regenerates per snapshot, not a one-off.
+    */
+  val t21CorpusCard: QueryDef = QueryDef(
+    "t21_corpus_card",
+    (s, dir) => {
+      val docs = Tables.loadSpread(s, dir, "documents")
+      val docStats = docs.groupBy("source").agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct(sha2(col("text"), 256)).as("n_distinct"),
+        sum(tokenCount(col("text")).cast("long")).as("n_tokens"),
+        sum(length(col("text")).cast("long")).as("n_chars"))
+      val vocab = docs
+        .select(col("source"), explode(split(col("text"), " ")).as("w"))
+        .filter(length(col("w")) > 0)
+        .groupBy("source").agg(countDistinct(col("w")).as("n_vocab"))
+      val lang = docs.groupBy("source", "lang").agg(count(lit(1)).as("nl"))
+        .groupBy("source")
+        .agg(max(struct(col("nl"), col("lang"))).as("m"))
+        .select(col("source"), col("m.lang").as("majority_lang"))
+      docStats.join(vocab, Seq("source")).join(lang, Seq("source"))
+        .withColumn("dup_rate",
+          lit(1.0) - col("n_distinct").cast(DoubleType) / col("n_docs").cast(DoubleType))
+        .withColumn("mean_chars",
+          col("n_chars").cast(DoubleType) / col("n_docs").cast(DoubleType))
+        .select("source", "n_docs", "n_tokens", "n_vocab", "majority_lang",
+          "dup_rate", "mean_chars")
+        .orderBy("source")
+    },
+    Some("""
+      WITH ds AS (
+        SELECT source, COUNT(*) AS n_docs,
+               COUNT(DISTINCT sha256(text)) AS n_distinct,
+               CAST(SUM(LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) + 1) AS BIGINT) AS n_tokens,
+               CAST(SUM(LENGTH(text)) AS BIGINT) AS n_chars
+        FROM documents GROUP BY source),
+      v AS (
+        SELECT source, COUNT(DISTINCT w) AS n_vocab FROM (
+          SELECT source, UNNEST(STRING_SPLIT(text, ' ')) AS w FROM documents)
+        WHERE LENGTH(w) > 0 GROUP BY source),
+      l AS (
+        SELECT source, lang AS majority_lang FROM (
+          SELECT source, lang, COUNT(*) AS nl,
+                 ROW_NUMBER() OVER (PARTITION BY source
+                                    ORDER BY COUNT(*) DESC, lang DESC) AS rn
+          FROM documents GROUP BY source, lang)
+        WHERE rn = 1)
+      SELECT ds.source, n_docs, n_tokens, n_vocab, majority_lang,
+             1.0 - CAST(n_distinct AS DOUBLE) / CAST(n_docs AS DOUBLE) AS dup_rate,
+             CAST(n_chars AS DOUBLE) / CAST(n_docs AS DOUBLE) AS mean_chars
+      FROM ds JOIN v USING (source) JOIN l USING (source)
+      ORDER BY ds.source""")
+  )
+
   val all: Seq[QueryDef] =
     Seq(t1TokenCount, t2QualityScore, t3LangId, t4Fingerprint, t5Vocab,
       t6StratifiedSample, t7Cooccurrence, t8DistinctSketch, t9SketchRollup,
       t10SelfRepetition, t11SketchOverlap, t12SketchDifference,
       t13LmFamiliarity, t14MixtureSample, t15PiiScrub, t16Chunking,
-      t17Packing, t18InvertedIndex, t19Bm25, t20UrlDomains)
+      t17Packing, t18InvertedIndex, t19Bm25, t20UrlDomains, t21CorpusCard)
 }

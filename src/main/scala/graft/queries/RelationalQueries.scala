@@ -429,8 +429,79 @@ object RelationalQueries {
       ORDER BY l_orderkey, l_linenumber, measure""")
   )
 
+  /** Winsorized robust statistics — clamp each group's values to its own
+    * [p05, p95] band before averaging, the outlier-resistant mean every
+    * metrics pipeline reports next to the raw one. The band uses q31's
+    * manual rank-interpolation (identical IEEE steps on both engines),
+    * the clamp is two comparisons, and the clamped mean takes the exact
+    * decimal detour so accumulation order cannot perturb it. One rank
+    * window + one aggregate; the band rows broadcast back.
+    */
+  val q41Winsorized: QueryDef = QueryDef(
+    "q41_winsorized",
+    (s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("g")
+      val ranked = Tables.load(s, dir, "lineitem")
+        .select(col("l_returnflag").as("g"), col("l_extendedprice").as("v"))
+        .withColumn("rn", row_number().over(w.orderBy("v")))
+        .withColumn("n", count(lit(1)).over(w))
+      def pct(p: Double, name: String) = {
+        val pos = lit(p) * (col("n") - 1) + 1
+        ranked.select("g", "n").distinct()
+          .withColumn("pos", pos)
+          .withColumn("lo", floor(col("pos")).cast("long"))
+          .withColumn("hi", ceil(col("pos")).cast("long"))
+          .join(ranked.select(col("g"), col("rn").as("lo"), col("v").as("v_lo")),
+            Seq("g", "lo"))
+          .join(ranked.select(col("g"), col("rn").as("hi"), col("v").as("v_hi")),
+            Seq("g", "hi"))
+          .select(col("g"),
+            (col("v_lo") + (col("v_hi") - col("v_lo")) *
+              (col("pos") - floor(col("pos")))).as(name))
+      }
+      val band = pct(0.05, "p05").join(pct(0.95, "p95"), Seq("g"))
+      ranked.join(broadcast(band), Seq("g"))
+        .withColumn("cv", least(greatest(col("v"), col("p05")), col("p95")))
+        .groupBy("g")
+        .agg(count(lit(1)).as("n"),
+          dsum(col("cv")).as("win_sum"),
+          sum(when(col("v") < col("p05") || col("v") > col("p95"), 1L)
+            .otherwise(0L)).as("n_clipped"))
+        .select(col("g").as("l_returnflag"), col("n"),
+          (col("win_sum") / col("n")).as("winsorized_mean"), col("n_clipped"))
+        .orderBy("l_returnflag")
+    },
+    Some(s"""
+      WITH ranked AS (
+        SELECT l_returnflag AS g, l_extendedprice AS v,
+               ROW_NUMBER() OVER (PARTITION BY l_returnflag ORDER BY l_extendedprice) AS rn,
+               COUNT(*) OVER (PARTITION BY l_returnflag) AS n
+        FROM lineitem),
+      grid AS (
+        SELECT g, n, p, p * (n - 1) + 1 AS pos,
+               CAST(FLOOR(p * (n - 1) + 1) AS BIGINT) AS lo,
+               CAST(CEIL(p * (n - 1) + 1) AS BIGINT) AS hi
+        FROM (SELECT DISTINCT g, n FROM ranked),
+             (SELECT UNNEST([0.05::DOUBLE, 0.95::DOUBLE]) AS p)),
+      pcts AS (
+        SELECT grid.g, grid.p,
+               lo_r.v + (hi_r.v - lo_r.v) * (grid.pos - FLOOR(grid.pos)) AS q
+        FROM grid
+        JOIN ranked lo_r ON lo_r.g = grid.g AND lo_r.rn = grid.lo
+        JOIN ranked hi_r ON hi_r.g = grid.g AND hi_r.rn = grid.hi),
+      band AS (
+        SELECT g, MAX(CASE WHEN p = 0.05 THEN q END) AS p05,
+                  MAX(CASE WHEN p = 0.95 THEN q END) AS p95
+        FROM pcts GROUP BY g)
+      SELECT r.g AS l_returnflag, COUNT(*) AS n,
+             ${Exact.sqlSum("LEAST(GREATEST(r.v, b.p05), b.p95)")} / COUNT(*) AS winsorized_mean,
+             CAST(SUM(CASE WHEN r.v < b.p05 OR r.v > b.p95 THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped
+      FROM ranked r JOIN band b USING (g)
+      GROUP BY r.g ORDER BY l_returnflag""")
+  )
+
   val all: Seq[QueryDef] =
     Seq(q1Agg, q2TopK, q10Histogram, q11SummaryStats, q12Distinct, q13StringFuncs,
       q18Rollup, q19SetOps, q20DateParts, q22Cube, q26Subqueries, q29GroupTopK,
-      q31Percentiles, q38Unpivot)
+      q31Percentiles, q38Unpivot, q41Winsorized)
 }

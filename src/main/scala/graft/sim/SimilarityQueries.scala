@@ -307,7 +307,76 @@ object SimilarityQueries {
     }))
   )
 
+  /** Two-stage retrieval — the production serving pattern: a CHEAP
+    * quantized scorer shortlists 50 candidates per query (int8 dot over
+    * the 4×-smaller packed corpus), then the EXACT f32 cosine re-ranks
+    * only the shortlist to a top-10. At scale stage 1 is the only pass
+    * over the corpus (memory-bandwidth-bound, integer kernels) and stage
+    * 2 touches 50 vectors per query — the coarse→fine split every real
+    * ANN deployment runs. Both stages are deterministic with id
+    * tie-breaks, so the oracle replays shortlist AND re-rank from the
+    * aux dump (quantized ints + raw floats side by side) with zero
+    * tolerance.
+    */
+  val s7AnnRerank: QueryDef = QueryDef(
+    "s7_ann_rerank",
+    (s, dir) => {
+      import graft.expressions.Quant
+      val base = Tables.load(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding"),
+          Quant.bytes(col("embedding")).as("qv"),
+          Quant.scale(col("embedding")).as("sc"))
+      val q = broadcast(base.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+          col("qv").as("qqv"), col("sc").as("qsc")))
+      val wQ = Window.partitionBy("query_id")
+        .orderBy(col("qscore").desc, col("neighbor_id"))
+      val wE = Window.partitionBy("query_id")
+        .orderBy(col("cos").desc, col("neighbor_id"))
+      base.select(col("vec_id").as("neighbor_id"), col("embedding").as("nv"),
+        col("qv"), col("sc"))
+        .join(q, col("neighbor_id") =!= col("query_id"))
+        .withColumn("qscore",
+          (Quant.dot(col("qqv"), col("qv")).cast("double") * col("qsc")) * col("sc"))
+        .withColumn("shortlist_rank", row_number().over(wQ))
+        .filter(col("shortlist_rank") <= 50)
+        .withColumn("cos", cosineFast(col("qe"), col("nv")))
+        .withColumn("rank", row_number().over(wE))
+        .filter(col("rank") <= 10)
+        .select("query_id", "rank", "neighbor_id", "cos")
+        .orderBy("query_id", "rank")
+    },
+    Some("""
+      WITH v AS (SELECT * FROM read_parquet('{OUT}/aux/s7_ann_rerank__vecs/*.parquet')),
+      p AS (
+        SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+               (LIST_DOT_PRODUCT(CAST(q.q AS DOUBLE[]), CAST(e.q AS DOUBLE[]))
+                 * q.scale) * e.scale AS qscore,
+               LIST_COSINE_SIMILARITY(CAST(q.embedding AS DOUBLE[]),
+                                      CAST(e.embedding AS DOUBLE[])) AS cos
+        FROM v q JOIN v e ON q.vec_id < 10 AND e.vec_id != q.vec_id),
+      sl AS (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                    ORDER BY qscore DESC, neighbor_id) AS shortlist_rank
+        FROM p),
+      rr AS (
+        SELECT query_id, neighbor_id, cos,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                 ORDER BY cos DESC, neighbor_id) AS rank
+        FROM sl WHERE shortlist_rank <= 50)
+      SELECT query_id, rank, neighbor_id, cos
+      FROM rr WHERE rank <= 10 ORDER BY query_id, rank"""),
+    aux = Map("vecs" -> ((s, dir) => {
+      import graft.expressions.Quant
+      Tables.load(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding"),
+          Quant.ints(col("embedding")).as("q"),
+          Quant.scale(col("embedding")).as("scale"))
+        .orderBy("vec_id")
+    }))
+  )
+
   val all: Seq[QueryDef] =
     Seq(s1AnnBruteForce, s2AnnLsh, s3AnnIvf, s4RangeSearch, s5AnnQuantized,
-      s6HardNegatives)
+      s6HardNegatives, s7AnnRerank)
 }

@@ -500,8 +500,62 @@ object RelationalQueries {
       GROUP BY r.g ORDER BY l_returnflag""")
   )
 
+  /** Data-quality gate ([[graft.core.Checks]]) over lineitem: null /
+    * range / pattern checks fold into one shared aggregate pass, key
+    * uniqueness is one distinct count, referential integrity one
+    * anti-join against the orders keys. The quantity range is
+    * deliberately tighter than the data (1..25 vs the populated 1..50)
+    * so the violations column is non-vacuous; the oracle recomputes
+    * every count relationally.
+    */
+  val q42QualityChecks: QueryDef = QueryDef(
+    "q42_quality_checks",
+    (s, dir) => {
+      import graft.core.Checks._
+      val li = Tables.load(s, dir, "lineitem")
+      report(li, Seq(
+        NotNull("l_orderkey"),
+        InRange("l_quantity", 1, 25),
+        InRange("l_discount", 0.0, 0.1),
+        Matches("l_returnflag", "^[ANR]$"),
+        Unique(Seq("l_orderkey", "l_linenumber")),
+        RefIntegrity("l_orderkey", Tables.load(s, dir, "orders"), "o_orderkey")))
+    },
+    Some("""
+      SELECT * FROM (
+        SELECT 'not_null:l_orderkey' AS check_name,
+               CAST(COUNT(*) FILTER (WHERE l_orderkey IS NULL) AS BIGINT) AS n_violations,
+               COUNT(*) AS n_rows FROM lineitem
+        UNION ALL
+        SELECT 'in_range:l_quantity[1.0,25.0]',
+               CAST(COUNT(*) FILTER (WHERE l_quantity IS NOT NULL
+                 AND (l_quantity < 1 OR l_quantity > 25)) AS BIGINT),
+               COUNT(*) FROM lineitem
+        UNION ALL
+        SELECT 'in_range:l_discount[0.0,0.1]',
+               CAST(COUNT(*) FILTER (WHERE l_discount IS NOT NULL
+                 AND (l_discount < 0.0 OR l_discount > 0.1)) AS BIGINT),
+               COUNT(*) FROM lineitem
+        UNION ALL
+        SELECT 'matches:l_returnflag',
+               CAST(COUNT(*) FILTER (WHERE l_returnflag IS NOT NULL
+                 AND NOT regexp_matches(l_returnflag, '^[ANR]$')) AS BIGINT),
+               COUNT(*) FROM lineitem
+        UNION ALL
+        SELECT 'unique:l_orderkey,l_linenumber',
+               CAST(COUNT(*) - (SELECT COUNT(*) FROM
+                 (SELECT DISTINCT l_orderkey, l_linenumber FROM lineitem)) AS BIGINT),
+               COUNT(*) FROM lineitem
+        UNION ALL
+        SELECT 'ref:l_orderkey',
+               CAST(COUNT(*) FILTER (WHERE NOT EXISTS
+                 (SELECT 1 FROM orders o WHERE o.o_orderkey = lineitem.l_orderkey)) AS BIGINT),
+               COUNT(*) FROM lineitem)
+      ORDER BY check_name""")
+  )
+
   val all: Seq[QueryDef] =
     Seq(q1Agg, q2TopK, q10Histogram, q11SummaryStats, q12Distinct, q13StringFuncs,
       q18Rollup, q19SetOps, q20DateParts, q22Cube, q26Subqueries, q29GroupTopK,
-      q31Percentiles, q38Unpivot, q41Winsorized)
+      q31Percentiles, q38Unpivot, q41Winsorized, q42QualityChecks)
 }

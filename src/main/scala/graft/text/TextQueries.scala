@@ -1025,10 +1025,73 @@ object TextQueries {
       ORDER BY ds.source""")
   )
 
+  /** Typo correction against the corpus vocabulary — the OCR/query-log
+    * cleaning op: misspelled tokens resolve to their nearest dictionary
+    * word by edit distance (≤ 2, ties → smallest distance then
+    * lexicographically smallest word). Corpus text has no typos, so they
+    * are PLANTED deterministically (every 10th doc corrupts its first
+    * word at a doc_id-derived position). Scale shape: the dictionary is
+    * always the SMALL side (a vocabulary, not a corpus) — it broadcasts,
+    * and the per-row candidate scan is |dict| codegen levenshtein calls:
+    * corpus-linear, shuffle-free. Both engines implement the identical
+    * Wagner-Fischer distance, so the join and tie-breaks replay exactly.
+    */
+  val t22TypoCorrection: QueryDef = QueryDef(
+    "t22_typo_correction",
+    (s, dir) => {
+      val docs = Tables.loadSpread(s, dir, "documents")
+      val vocab = docs.select(explode(split(col("text"), " ")).as("w"))
+        .filter(length(col("w")) > 0).distinct()
+      val typos = docs.filter(col("doc_id") % 10 === 0)
+        .select(col("doc_id"),
+          element_at(split(col("text"), " "), 1).as("orig"))
+        .filter(length(col("orig")) > 0)
+        .withColumn("pos", (col("doc_id") % length(col("orig"))).cast("int") + 1)
+        .withColumn("typo",
+          concat(col("orig").substr(lit(1), col("pos") - 1), lit("z"),
+            expr("substring(orig, pos + 1)")))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("doc_id").orderBy(col("dist"), col("w"))
+      typos.crossJoin(broadcast(vocab))
+        .withColumn("dist", levenshtein(col("typo"), col("w")))
+        .filter(col("dist") <= 2)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("doc_id"), col("typo"), col("w").as("corrected"),
+          col("dist"), (col("w") === col("orig")).as("recovered"))
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH vocab AS (
+        SELECT DISTINCT w FROM (
+          SELECT UNNEST(STRING_SPLIT(text, ' ')) AS w FROM documents)
+        WHERE LENGTH(w) > 0),
+      typos AS (
+        SELECT doc_id, orig,
+               CAST(doc_id % LENGTH(orig) AS INTEGER) + 1 AS pos
+        FROM (SELECT doc_id, STRING_SPLIT(text, ' ')[1] AS orig
+              FROM documents WHERE doc_id % 10 = 0)
+        WHERE LENGTH(orig) > 0),
+      t2 AS (
+        SELECT doc_id, orig,
+               SUBSTRING(orig, 1, pos - 1) || 'z' || SUBSTRING(orig, pos + 1) AS typo
+        FROM typos),
+      cand AS (
+        SELECT t2.doc_id, t2.typo, t2.orig, v.w,
+               levenshtein(t2.typo, v.w) AS dist,
+               ROW_NUMBER() OVER (PARTITION BY t2.doc_id
+                 ORDER BY levenshtein(t2.typo, v.w), v.w) AS rn
+        FROM t2, vocab v
+        WHERE levenshtein(t2.typo, v.w) <= 2)
+      SELECT doc_id, typo, w AS corrected, dist, (w = orig) AS recovered
+      FROM cand WHERE rn = 1 ORDER BY doc_id""")
+  )
+
   val all: Seq[QueryDef] =
     Seq(t1TokenCount, t2QualityScore, t3LangId, t4Fingerprint, t5Vocab,
       t6StratifiedSample, t7Cooccurrence, t8DistinctSketch, t9SketchRollup,
       t10SelfRepetition, t11SketchOverlap, t12SketchDifference,
       t13LmFamiliarity, t14MixtureSample, t15PiiScrub, t16Chunking,
-      t17Packing, t18InvertedIndex, t19Bm25, t20UrlDomains, t21CorpusCard)
+      t17Packing, t18InvertedIndex, t19Bm25, t20UrlDomains, t21CorpusCard,
+      t22TypoCorrection)
 }

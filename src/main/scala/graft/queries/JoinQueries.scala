@@ -217,7 +217,49 @@ object JoinQueries {
       GROUP BY l_returnflag ORDER BY l_returnflag""")
   )
 
+  /** TPC-H Q3 shape — shipping-priority revenue: the canonical selective
+    * three-way star (customer ⋈ orders ⋈ lineitem) with filters on every
+    * leg and a top-10 on the aggregated join output. The segment-filtered
+    * customer keys broadcast (no fact shuffle for that leg), orders ⋈
+    * lineitem shuffles once on orderkey, revenue takes the exact decimal
+    * product-sum so the top-10 cut is deterministic, and the final cut is
+    * TakeOrdered (k rows cross, never a global sort).
+    */
+  val q43ShippingPriority: QueryDef = QueryDef(
+    "q43_shipping_priority",
+    (s, dir) => {
+      val cutoff = lit("1997-01-01 00:00:00").cast("timestamp")
+      val cust = Tables.load(s, dir, "customer")
+        .filter(col("c_mktsegment") === "BUILDING")
+        .select("c_custkey")
+      val ord = Tables.load(s, dir, "orders")
+        .filter(col("o_orderdate") < cutoff)
+        .select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
+      val li = Tables.load(s, dir, "lineitem")
+        .filter(col("l_shipdate") > cutoff)
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(sum(money(col("l_extendedprice")) *
+          money(lit(1.0) - col("l_discount"))).cast(DoubleType).as("revenue"))
+        .orderBy(col("revenue").desc, col("o_orderkey"))
+        .limit(10)
+    },
+    Some(s"""
+      SELECT o_orderkey, o_orderdate, o_orderpriority,
+             CAST(SUM(${sqlMoney("l_extendedprice")} * ${sqlMoney("1.0 - l_discount")}) AS DOUBLE) AS revenue
+      FROM customer, orders, lineitem
+      WHERE c_mktsegment = 'BUILDING'
+        AND c_custkey = o_custkey
+        AND l_orderkey = o_orderkey
+        AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+        AND l_shipdate > TIMESTAMP '1997-01-01 00:00:00'
+      GROUP BY o_orderkey, o_orderdate, o_orderpriority
+      ORDER BY revenue DESC, o_orderkey LIMIT 10""")
+  )
+
   val all: Seq[QueryDef] =
     Seq(q3JoinAgg, q4SemiJoin, q5AntiJoin, q6RegionJoin, q23SkewJoin,
-      q27RangeJoin, q28BloomSemijoin)
+      q27RangeJoin, q28BloomSemijoin, q43ShippingPriority)
 }

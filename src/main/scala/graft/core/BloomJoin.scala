@@ -42,4 +42,29 @@ object BloomJoin {
       .join(small.select(col(smallKey)).distinct(),
         col(bigKey) === col(smallKey), "left_semi")
   }
+
+  /** Rows of `small` whose `smallKey` does NOT appear in `big` — exact
+    * left-anti semantics for the batch-vs-ledger shape (a micro-batch
+    * screened against a corpus-lifetime key table). A plain anti-join
+    * shuffles BOTH sides on the key — at scale that reshuffles the whole
+    * ledger every batch. Here the ledger never moves: its scan is pruned
+    * by a broadcast bloom of the batch keys (codegen probe, no exchange),
+    * the few survivors semi-join against the batch keys to drop bloom
+    * false positives, and the resulting matched-key set — at most
+    * |batch| rows — broadcasts back for the final anti-join. Total
+    * exchanged bytes are O(|batch|), independent of ledger size.
+    */
+  def antiJoinSmallLeft(small: DataFrame, smallKey: String, big: DataFrame,
+      bigKey: String, numBits: Int = 1 << 23, numHashes: Int = 5): DataFrame = {
+    val keys = small.select(col(smallKey)).distinct()
+    val bits = keys
+      .select(Bloom.bloomState(xxhash64(col(smallKey)), numBits, numHashes).as("b"))
+      .head().getAs[Array[Byte]](0)
+    val matched = big
+      .select(col(bigKey).as(smallKey))
+      .filter(Bloom.bloomContains(xxhash64(col(smallKey)), bits, numHashes))
+      .join(broadcast(keys), Seq(smallKey), "left_semi")
+      .distinct()
+    small.join(broadcast(matched), Seq(smallKey), "left_anti")
+  }
 }

@@ -66,8 +66,12 @@ object CorpusIngestPipeline {
       .agg(min(struct(col("path"), col("text"), col("quality"))).as("w"))
       .select(col("content_key"), col("w.path").as("path"),
         col("w.text").as("text"), col("w.quality").as("quality"))
+    // batch-vs-ledger screen: the bloom-bounded anti-join moves O(|batch|)
+    // bytes regardless of ledger size — the ledger is scanned with a
+    // codegen probe, never shuffled (see BloomJoin.antiJoinSmallLeft)
     val ledger = existingLedger(spark, ledgerDir)
-    val fresh = firstWins.join(ledger, Seq("content_key"), "left_anti")
+    val fresh = graft.core.BloomJoin
+      .antiJoinSmallLeft(firstWins, "content_key", ledger, "content_key")
       .withColumn("batch_id", lit(batchId))
       .cache()
     try {

@@ -9,7 +9,7 @@ object Scratch {
   def main(args: Array[String]): Unit = {
     val spark = GraftSession.local(8, "scratch")
     val dir = "/root/testdata/sf0.01"
-    for (q <- Seq("q33_pagerank", "d10_semantic_dedup", "t19_bm25")) {
+    for (q <- Seq("q42_quality_checks", "q43_shipping_priority", "t22_typo_correction")) {
       println(s"===== $q =====")
       println(graft.SparkEntry.queries(q)(spark, dir)
         .queryExecution.explainString(

@@ -49,6 +49,26 @@ class BloomSpec extends SparkSpec {
     assert(got == want && want.nonEmpty)
   }
 
+  test("small-left anti-join equals the plain anti-join, ledger unshuffled") {
+    val batch = graft.core.Tables.load(spark, sf, "part")
+      .select(col("p_partkey").as("k")).filter(col("k") <= 100)
+    val ledger = graft.core.Tables.load(spark, sf, "lineitem")
+      .select(col("l_partkey").as("k"))
+    val got = BloomJoin.antiJoinSmallLeft(batch, "k", ledger, "k")
+      .as[Long].collect().toSet
+    val want = batch.join(ledger, Seq("k"), "left_anti")
+      .as[Long].collect().toSet
+    assert(got == want)
+    // the ledger side must reach its semi-join bloom-filtered and
+    // unshuffled: no Exchange may sit between the ledger scan and the
+    // probe Filter
+    val plan = BloomJoin.antiJoinSmallLeft(batch, "k", ledger, "k")
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(plan.contains("bloom_contains"), plan)
+    assert(plan.contains("BroadcastExchange"), plan)
+  }
+
   test("the probe filter stays inside whole-stage codegen") {
     val bits = bitsOf(Seq(1L, 2L, 3L), 1)
     val plan = graft.core.Tables.load(spark, sf, "lineitem")

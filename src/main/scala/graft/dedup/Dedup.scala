@@ -153,8 +153,11 @@ object Dedup {
     val keyed = batch.select(col(idCol).as("doc_id"),
       sha2(col(textCol), 256).as("content_key"))
     val ledgerKeys = ledger.toDF("content_key")
-    keyed
-      .join(ledgerKeys, Seq("content_key"), "left_anti")
+    // bloom-bounded batch-vs-ledger screen (BloomJoin.antiJoinSmallLeft):
+    // at scale the batch is tiny against the corpus-lifetime ledger, and
+    // this keeps the ledger unshuffled — exchanged bytes O(|batch|)
+    graft.core.BloomJoin
+      .antiJoinSmallLeft(keyed, "content_key", ledgerKeys, "content_key")
       .groupBy("content_key")
       .agg(min(col("doc_id")).as("doc_id"))
       .select("doc_id", "content_key")

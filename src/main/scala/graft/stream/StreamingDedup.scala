@@ -48,7 +48,10 @@ object StreamingDedup {
           .withColumn("content_key", sha2(col(textCol), 256))
           .dropDuplicates("content_key")
         val ledger = existingLedger(spark, ledgerDir)
-        val fresh = keyed.join(ledger, Seq("content_key"), "left_anti")
+        // bloom-bounded screen: the ledger is probed at its scan, never
+        // shuffled — exchanged bytes stay O(|batch|) as the ledger grows
+        val fresh = graft.core.BloomJoin
+          .antiJoinSmallLeft(keyed, "content_key", ledger, "content_key")
           .withColumn("batch_id", lit(batchId))
           .cache()
         try {

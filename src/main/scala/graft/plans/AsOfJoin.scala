@@ -83,12 +83,20 @@ case class AsOfJoinExec(
       SortOrder(leftTie, Ascending)),
     Seq(SortOrder(rightKey, Ascending), SortOrder(rightTime, Ascending)))
 
+  override lazy val metrics = Map(
+    "numOutputRows" -> org.apache.spark.sql.execution.metric.SQLMetrics
+      .createMetric(sparkContext, "number of output rows"),
+    "numMatchedRows" -> org.apache.spark.sql.execution.metric.SQLMetrics
+      .createMetric(sparkContext, "right rows with a left match"))
+
   override protected def doExecute(): RDD[InternalRow] = {
     val leftOut = left.output
     val rightOut = right.output
     val outAttrs = output
     val lk = leftKey; val lt = leftTime
     val rk = rightKey; val rt = rightTime
+    val outRows = longMetric("numOutputRows")
+    val matchedRows = longMetric("numMatchedRows")
     left.execute().zipPartitions(right.execute()) { (lIt, rIt) =>
       val lProj = UnsafeProjection.create(Seq(lk, lt), leftOut)
       val rProj = UnsafeProjection.create(Seq(rk, rt), rightOut)
@@ -116,8 +124,10 @@ case class AsOfJoinExec(
           if (lKeyV == rKeyV) { candRow = lRow.copy(); candKey = lKeyV }
           advanceLeft()
         }
-        val l = if (candRow != null && candKey == rKeyV) candRow else nullLeft
-        resultProj(joined(rRow, l))
+        val matched = candRow != null && candKey == rKeyV
+        if (matched) matchedRows += 1
+        outRows += 1
+        resultProj(joined(rRow, if (matched) candRow else nullLeft))
       }
     }
   }

@@ -967,12 +967,14 @@ object TextQueries {
   )
 
   /** The corpus CARD — the per-source dataset summary every released
-    * training set ships with, in ONE grouped pass over the token stream
-    * plus a doc-level aggregate: documents, token mass, exact vocabulary,
+    * training set ships with: documents, token mass, exact vocabulary,
     * duplicate-document rate (distinct sha256 vs docs), mean document
-    * length and the majority language. At 100 TB each statistic is
-    * map-side-combinable (counts, sums, distinct-over-digests) — this is
-    * the report a pipeline regenerates per snapshot, not a one-off.
+    * length and the majority language. Three grouped aggregates at three
+    * grains (doc-level stats, token-level vocabulary, lang histogram) —
+    * three scans, each map-side-combinable and each pruned to the
+    * columns it reads; a snapshot pipeline would fold the doc-level two
+    * into one pass over a cached projection. The report a pipeline
+    * regenerates per snapshot, not a one-off.
     */
   val t21CorpusCard: QueryDef = QueryDef(
     "t21_corpus_card",

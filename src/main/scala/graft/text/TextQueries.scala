@@ -1089,11 +1089,73 @@ object TextQueries {
       FROM cand WHERE rn = 1 ORDER BY doc_id""")
   )
 
+  /** LEARNED quality filtering ([[QualityModel]]): a logistic classifier
+    * over hashed token counts is TRAINED ON THE CLUSTER (fixed-count
+    * full-batch GD, decimal-detour gradients → bit-identical weights on
+    * any partitioning) against a derivable label (the t2 stopword-band
+    * gate), then scores every document. Training lives only in Spark;
+    * verification splits the concerns: the spec pins training
+    * (partition-invariance, better-than-chance accuracy), while the
+    * ORACLE replays the scoring exactly — sequential-fold dot of the
+    * dumped integer features against the dumped weights, the same
+    * evaluation LIST_DOT_PRODUCT performs.
+    */
+  private val QmDim = 32
+
+  private val qmCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Array[Double]]()
+
+  private def qmLabeled(s: org.apache.spark.sql.SparkSession, dir: String) = {
+    val n = tokenCount(col("text"))
+    val stops = stopwordCount(col("text"), Seq("the", "a", "and", "of", "to", "in"))
+    val ratio = stops.cast("double") / n
+    Tables.loadSpread(s, dir, "documents")
+      .select(col("doc_id"),
+        QualityModel.features(col("text"), QmDim).as("feat"),
+        when(ratio > 0.05 && ratio < 0.5, 1L).otherwise(0L).as("y"))
+  }
+
+  private def qmWeights(s: org.apache.spark.sql.SparkSession, dir: String) =
+    qmCache.computeIfAbsent(dir,
+      _ => QualityModel.train(qmLabeled(s, dir), QmDim))
+
+  val t23LearnedQuality: QueryDef = QueryDef(
+    "t23_learned_quality",
+    (s, dir) => {
+      val w = qmWeights(s, dir)
+      qmLabeled(s, dir)
+        .withColumn("score", QualityModel.score(col("feat"), w))
+        .withColumn("pred", when(col("score") > 0.0, 1L).otherwise(0L))
+        .select("doc_id", "y", "score", "pred")
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH f AS (SELECT * FROM read_parquet('{OUT}/aux/t23_learned_quality__feats/*.parquet')),
+      wt AS (SELECT * FROM read_parquet('{OUT}/aux/t23_learned_quality__weights/*.parquet'))
+      SELECT doc_id, y,
+             LIST_DOT_PRODUCT(CAST(feat AS DOUBLE[]),
+                              (SELECT CAST(w AS DOUBLE[]) FROM wt))
+               + (SELECT b FROM wt) AS score,
+             CASE WHEN LIST_DOT_PRODUCT(CAST(feat AS DOUBLE[]),
+                         (SELECT CAST(w AS DOUBLE[]) FROM wt))
+                    + (SELECT b FROM wt) > 0.0
+                  THEN 1 ELSE 0 END AS pred
+      FROM f ORDER BY doc_id"""),
+    aux = Map(
+      "feats" -> ((s, dir) => qmLabeled(s, dir).orderBy("doc_id")),
+      "weights" -> ((s, dir) => {
+        val session = s
+        import session.implicits._
+        val w = qmWeights(s, dir)
+        Seq((w.take(QmDim).toSeq, w.last)).toDF("w", "b")
+      }))
+  )
+
   val all: Seq[QueryDef] =
     Seq(t1TokenCount, t2QualityScore, t3LangId, t4Fingerprint, t5Vocab,
       t6StratifiedSample, t7Cooccurrence, t8DistinctSketch, t9SketchRollup,
       t10SelfRepetition, t11SketchOverlap, t12SketchDifference,
       t13LmFamiliarity, t14MixtureSample, t15PiiScrub, t16Chunking,
       t17Packing, t18InvertedIndex, t19Bm25, t20UrlDomains, t21CorpusCard,
-      t22TypoCorrection)
+      t22TypoCorrection, t23LearnedQuality)
 }

@@ -221,6 +221,53 @@ object EventQueries {
       FROM events GROUP BY 1 ORDER BY 1""")
   )
 
+  /** Semi-structured analytics through Spark 4's VARIANT type — the
+    * schema-on-read successor to string-path extraction (q17): a nested
+    * JSON document (derived deterministically from each event so both
+    * engines build the identical text) is `parse_json`ed ONCE into the
+    * binary variant encoding and then probed with typed `variant_get`
+    * paths — object fields, array elements, booleans — instead of
+    * re-parsing the string per extraction. At scale that is the
+    * difference between one parse + cheap binary probes and N string
+    * parses per row; the oracle runs the same paths with DuckDB's JSON
+    * operators.
+    */
+  val q44Variant: QueryDef = QueryDef(
+    "q44_variant",
+    (s, dir) => {
+      val k = get_json_object(col("props"), "$.k")
+      val j = concat(lit("""{"meta":{"k":"""), k,
+        lit(""","tags":["x"""), expr("cast(get_json_object(props, '$.k') as int) % 3"),
+        lit("""","y"],"ok":true},"id":"""), col("event_id"), lit("}"))
+      Tables.load(s, dir, "events")
+        .withColumn("v", parse_json(j))
+        .select(
+          try_variant_get(col("v"), "$.meta.k", "int").as("k"),
+          try_variant_get(col("v"), "$.meta.tags[0]", "string").as("tag0"),
+          try_variant_get(col("v"), "$.meta.ok", "boolean").as("ok"),
+          try_variant_get(col("v"), "$.id", "bigint").as("id"))
+        .groupBy("k", "tag0")
+        .agg(count(lit(1)).as("n"), max(col("id")).as("max_id"),
+          sum(when(col("ok"), 1L).otherwise(0L)).as("n_ok"))
+        .orderBy("k")
+    },
+    Some("""
+      WITH j AS (
+        SELECT '{"meta":{"k":' || (props->>'$.k') ||
+               ',"tags":["x' || (CAST(props->>'$.k' AS INTEGER) % 3) ||
+               '","y"],"ok":true},"id":' || event_id || '}' AS doc
+        FROM events),
+      e AS (
+        SELECT CAST(doc->>'$.meta.k' AS INTEGER) AS k,
+               doc->>'$.meta.tags[0]' AS tag0,
+               CAST(doc->>'$.meta.ok' AS BOOLEAN) AS ok,
+               CAST(doc->>'$.id' AS BIGINT) AS id
+        FROM j)
+      SELECT k, tag0, COUNT(*) AS n, MAX(id) AS max_id,
+             CAST(SUM(CASE WHEN ok THEN 1 ELSE 0 END) AS BIGINT) AS n_ok
+      FROM e GROUP BY k, tag0 ORDER BY k""")
+  )
+
   /** Gap-based sessionization (SURVEY §2 E-window generalized): a user's
     * events split into sessions wherever the gap to the previous event
     * exceeds one hour — the classic stateful-analytics primitive behind
@@ -668,5 +715,6 @@ object EventQueries {
     q7WindowRunning, q8PivotCounts, q9EventPairs,
     q14TimeBuckets, q15UserSpan, q16AsofJoin, q17JsonExtract, q21Sessions,
     q24Resample, q25Ranks, q30RangeWindow, q32HeavyHitters,
-    q34IncrementalRollup, q35Scd2, q36AsofExec, q37Funnel, q40Retention)
+    q34IncrementalRollup, q35Scd2, q36AsofExec, q37Funnel, q40Retention,
+    q44Variant)
 }

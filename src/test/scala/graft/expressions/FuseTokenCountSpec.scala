@@ -49,6 +49,20 @@ class FuseTokenCountSpec extends SparkSpec {
     assert(mismatches == 0L)
   }
 
+  test("fuzz: fused kernel equals unfused on adversarial strings") {
+    val rnd = new scala.util.Random(42)
+    val pieces = Seq("", " ", "  ", "a", "word", "π", "☃", "\t", "x y")
+    val cases = (1 to 200).map(_ =>
+      (1 to rnd.nextInt(8)).map(_ => pieces(rnd.nextInt(pieces.length)))
+        .mkString(rnd.nextInt(3) match { case 0 => ""; case 1 => " "; case _ => "  " }))
+    val unfused = size(filter(split(col("text"), " "), w => length(w) >= 1))
+    val bad = cases.toDF("text")
+      .select(idiom.as("fused"), unfused.as("plain"), col("text"))
+      .filter(col("fused") =!= col("plain"))
+      .collect()
+    assert(bad.isEmpty, bad.map(_.getString(2)).toSeq.toString)
+  }
+
   test("null text propagates null") {
     val r = Seq[(java.lang.Long, String)]((1L, null)).toDF("id", "text")
       .select(idiom.as("n")).head()

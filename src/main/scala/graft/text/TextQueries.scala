@@ -1151,11 +1151,61 @@ object TextQueries {
       }))
   )
 
+  /** Chat-template assembly — the SFT-data sibling of chunking (t16) and
+    * packing (t17): consecutive same-source documents pair into
+    * (prompt, response) turns via one keyed LEAD window, render through a
+    * fixed role template, and drop pairs over the token budget. The
+    * rendered record verifies by sha256, so one divergent template byte
+    * fails; the token gate exercises the fused token-count idiom. One
+    * shuffle (the source/doc_id window), then scan-local templating.
+    */
+  val t24ChatFormat: QueryDef = QueryDef(
+    "t24_chat_format",
+    (s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("source").orderBy("doc_id")
+      val rendered = concat(lit("<|user|>\n"), col("text"),
+        lit("\n<|assistant|>\n"), col("next_text"), lit("\n<|end|>"))
+      Tables.loadSpread(s, dir, "documents")
+        .select(col("doc_id"), col("source"), col("text"))
+        .withColumn("next_id", lead(col("doc_id"), 1).over(w))
+        .withColumn("next_text", lead(col("text"), 1).over(w))
+        .filter(col("next_id").isNotNull)
+        .withColumn("record", rendered)
+        .withColumn("n_tokens",
+          size(filter(split(col("record"), " "), t => length(t) > 0)))
+        .filter(col("n_tokens") <= 128)
+        .select(col("doc_id").as("prompt_id"), col("next_id").as("response_id"),
+          col("n_tokens"), sha2(col("record"), 256).as("record_hash"))
+        .orderBy("prompt_id")
+    },
+    Some("""
+      WITH p AS (
+        SELECT doc_id, source, text,
+               LEAD(doc_id) OVER w AS next_id,
+               LEAD(text) OVER w AS next_text
+        FROM documents
+        WINDOW w AS (PARTITION BY source ORDER BY doc_id)),
+      r AS (
+        SELECT doc_id, next_id,
+               '<|user|>' || chr(10) || text || chr(10) || '<|assistant|>' ||
+                 chr(10) || next_text || chr(10) || '<|end|>' AS record
+        FROM p WHERE next_id IS NOT NULL)
+      SELECT doc_id AS prompt_id, next_id AS response_id,
+             LENGTH(LIST_FILTER(STRING_SPLIT(record, ' '),
+                                t -> LENGTH(t) > 0)) AS n_tokens,
+             sha256(record) AS record_hash
+      FROM r
+      WHERE LENGTH(LIST_FILTER(STRING_SPLIT(record, ' '),
+                               t -> LENGTH(t) > 0)) <= 128
+      ORDER BY prompt_id""")
+  )
+
   val all: Seq[QueryDef] =
     Seq(t1TokenCount, t2QualityScore, t3LangId, t4Fingerprint, t5Vocab,
       t6StratifiedSample, t7Cooccurrence, t8DistinctSketch, t9SketchRollup,
       t10SelfRepetition, t11SketchOverlap, t12SketchDifference,
       t13LmFamiliarity, t14MixtureSample, t15PiiScrub, t16Chunking,
       t17Packing, t18InvertedIndex, t19Bm25, t20UrlDomains, t21CorpusCard,
-      t22TypoCorrection, t23LearnedQuality)
+      t22TypoCorrection, t23LearnedQuality, t24ChatFormat)
 }

@@ -268,6 +268,42 @@ object EventQueries {
       FROM e GROUP BY k, tag0 ORDER BY k""")
   )
 
+  /** Trending leaderboard — top-3 most active users PER HOUR: the
+    * dashboard query every event system serves, composed from the
+    * engine's own pieces: hour bucketing (integer ns division) feeds the
+    * bounded-heap `top_k` aggregate (q29's
+    * [[graft.expressions.TopKAggExpr]]), so the second exchange carries
+    * at most k pairs per hour instead of every (hour, user) count — at
+    * scale the difference between a leaderboard and a full re-sort of
+    * the activity table. Oracle: the identical window-rank formulation
+    * with the same (count DESC, user ASC) total order.
+    */
+  val q45Trending: QueryDef = QueryDef(
+    "q45_trending",
+    (s, dir) =>
+      Tables.load(s, dir, "events")
+        .withColumn("hr", expr(s"ts div ${NsPerHour}L"))
+        .groupBy("hr", "user_id")
+        .agg(count(lit(1)).as("n"))
+        .groupBy("hr")
+        .agg(graft.expressions.TopK.topK(col("n").cast(DoubleType),
+          col("user_id"), 3).as("top"))
+        .select(col("hr"), explode(col("top")).as("t"))
+        .select(col("hr"), col("t.id").as("user_id"),
+          col("t.value").cast("long").as("n"))
+        .orderBy(col("hr"), col("n").desc, col("user_id")),
+    Some(s"""
+      SELECT hr, user_id, n FROM (
+        SELECT hr, user_id, n,
+               ROW_NUMBER() OVER (PARTITION BY hr
+                 ORDER BY n DESC, user_id) AS rn
+        FROM (SELECT epoch_ns(ts) // ${NsPerHour} AS hr, user_id,
+                     COUNT(*) AS n
+              FROM events GROUP BY 1, 2))
+      WHERE rn <= 3
+      ORDER BY hr, n DESC, user_id""")
+  )
+
   /** Gap-based sessionization (SURVEY §2 E-window generalized): a user's
     * events split into sessions wherever the gap to the previous event
     * exceeds one hour — the classic stateful-analytics primitive behind
@@ -716,5 +752,5 @@ object EventQueries {
     q14TimeBuckets, q15UserSpan, q16AsofJoin, q17JsonExtract, q21Sessions,
     q24Resample, q25Ranks, q30RangeWindow, q32HeavyHitters,
     q34IncrementalRollup, q35Scd2, q36AsofExec, q37Funnel, q40Retention,
-    q44Variant)
+    q44Variant, q45Trending)
 }

@@ -30,11 +30,19 @@ object QualityModel {
 
   private val GradDec = DecimalType(38, 12)
 
-  /** Integer hashed-count feature vector (length `dim`) + implicit bias. */
-  def features(text: Column, dim: Int): Column = {
+  /** Integer hashed-count feature vector (length `dim`) + implicit bias —
+    * one codegen pass over the tokens
+    * ([[graft.expressions.TokenBucketsExpr]]; the declarative
+    * sequence×filter form scans the token list `dim` times through the
+    * lambda interpreter and is kept only as the spec's reference).
+    */
+  def features(text: Column, dim: Int): Column =
+    graft.expressions.TokenBuckets.tokenBuckets(text, dim)
+
+  /** The declarative reference formulation (spec-pinned bit-equal). */
+  def featuresReference(text: Column, dim: Int): Column = {
     val toks = filter(split(text, " "), w => length(w) > 0)
     val buckets = transform(toks, w => pmod(xxhash64(w), lit(dim)).cast("int"))
-    // count per bucket: sequence-generate the histogram without a shuffle
     transform(sequence(lit(0), lit(dim - 1)),
       d => size(filter(buckets, b => b === d)).cast("long"))
   }

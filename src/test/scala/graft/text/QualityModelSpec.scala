@@ -25,6 +25,15 @@ class QualityModelSpec extends SparkSpec {
         when(ratio > 0.05 && ratio < 0.5, 1L).otherwise(0L).as("y"))
   }
 
+  test("codegen features equal the declarative reference formulation") {
+    val bad = Tables.load(spark, sf, "documents")
+      .select(QualityModel.features(col("text"), Dim).as("fast"),
+        QualityModel.featuresReference(col("text"), Dim).as("ref"))
+      .filter(col("fast") =!= col("ref"))
+      .count()
+    assert(bad == 0L)
+  }
+
   test("feature histogram: bucket counts sum to the token count") {
     val bad = Tables.load(spark, sf, "documents")
       .select(

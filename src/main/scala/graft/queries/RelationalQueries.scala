@@ -554,8 +554,72 @@ object RelationalQueries {
       ORDER BY check_name""")
   )
 
+  /** Distribution-drift monitoring — the model/data-health check every
+    * production pipeline runs between snapshots: histogram the same
+    * metric over two samples (here the event-id parity split stands in
+    * for "last week vs this week"), report per-bucket probability deltas
+    * and the total-variation distance ½·Σ|p−q|. TVD instead of PSI/KL
+    * keeps the statistic `ln`-free: per-bucket deltas are single IEEE
+    * expressions over exact integer counts, and the cross-bucket sum
+    * takes a scale-12 decimal detour — order-free, and small enough that
+    * the decimal→double conversion is a single correctly-rounded divide
+    * on both engines (scale 18 pushes the scaled integer past 2^53 and
+    * double-rounds differently per engine). Two
+    * shared-scan aggregates, 20-bucket output — constant-size result at
+    * any corpus scale.
+    */
+  val q46Drift: QueryDef = QueryDef(
+    "q46_drift",
+    (s, dir) => {
+      val ev = Tables.load(s, dir, "events")
+        .withColumn("sample", pmod(col("event_id"), lit(2)))
+        .withColumn("bucket",
+          least(floor(col("value") / lit(5.0)), lit(19.0)).cast("long"))
+      val counts = ev.groupBy("bucket").agg(
+        sum(when(col("sample") === 0, 1L).otherwise(0L)).as("n_a"),
+        sum(when(col("sample") === 1, 1L).otherwise(0L)).as("n_b"))
+      val totals = counts.agg(sum(col("n_a")).as("tot_a"),
+        sum(col("n_b")).as("tot_b"))
+      val probs = counts.crossJoin(broadcast(totals))
+        .withColumn("p_a", col("n_a").cast(DoubleType) / col("tot_a").cast(DoubleType))
+        .withColumn("p_b", col("n_b").cast(DoubleType) / col("tot_b").cast(DoubleType))
+        .withColumn("abs_delta", abs(col("p_a") - col("p_b")))
+      // scalar TVD via a broadcast 1-row aggregate, never the
+      // empty-partition window (the single-task anti-pattern)
+      val tvd = probs.agg(
+        (sum(col("abs_delta").cast(DecimalType(38, 12))).cast(DoubleType) / 2.0)
+          .as("tvd"))
+      probs.crossJoin(broadcast(tvd))
+        .select("bucket", "n_a", "n_b", "p_a", "p_b", "abs_delta", "tvd")
+        .orderBy("bucket")
+    },
+    Some("""
+      WITH e AS (
+        SELECT event_id % 2 AS sample,
+               CAST(LEAST(FLOOR(value / 5.0), 19.0) AS BIGINT) AS bucket
+        FROM events),
+      c AS (
+        SELECT bucket,
+               CAST(SUM(CASE WHEN sample = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+               CAST(SUM(CASE WHEN sample = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b
+        FROM e GROUP BY bucket),
+      t AS (SELECT CAST(SUM(n_a) AS BIGINT) AS tot_a,
+                   CAST(SUM(n_b) AS BIGINT) AS tot_b FROM c),
+      p AS (
+        SELECT bucket, n_a, n_b,
+               CAST(n_a AS DOUBLE) / CAST(tot_a AS DOUBLE) AS p_a,
+               CAST(n_b AS DOUBLE) / CAST(tot_b AS DOUBLE) AS p_b,
+               ABS(CAST(n_a AS DOUBLE) / CAST(tot_a AS DOUBLE)
+                   - CAST(n_b AS DOUBLE) / CAST(tot_b AS DOUBLE)) AS abs_delta
+        FROM c, t)
+      SELECT bucket, n_a, n_b, p_a, p_b, abs_delta,
+             CAST((SELECT SUM(CAST(abs_delta AS DECIMAL(38,12))) FROM p) AS DOUBLE)
+               / 2.0 AS tvd
+      FROM p ORDER BY bucket""")
+  )
+
   val all: Seq[QueryDef] =
     Seq(q1Agg, q2TopK, q10Histogram, q11SummaryStats, q12Distinct, q13StringFuncs,
       q18Rollup, q19SetOps, q20DateParts, q22Cube, q26Subqueries, q29GroupTopK,
-      q31Percentiles, q38Unpivot, q41Winsorized, q42QualityChecks)
+      q31Percentiles, q38Unpivot, q41Winsorized, q42QualityChecks, q46Drift)
 }

@@ -16,10 +16,17 @@ object Verify {
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }
-    // auxiliary dumps referenced by oracle SQL via the {OUT} placeholder
+    // Auxiliary dumps referenced by oracle SQL via the {OUT}/aux prefix.
+    // Written to a SIBLING of outDir, not inside it: result checkers that
+    // enumerate outDir subdirectories would otherwise treat `aux` as a
+    // query result, and its array-typed columns (embedding vectors,
+    // quantized int lists) defeat frame-level sort/hash comparison. The
+    // oracle SQL still reaches them — the {OUT}/aux placeholder below is
+    // rewritten to this absolute sibling path.
+    val auxAbs = Paths.get(outDir).toAbsolutePath.toString + "_aux"
     SparkEntry.auxDumps.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/aux/$name")
+        .parquet(s"$auxAbs/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] aux $name failed: ${e.getMessage}")
       }
@@ -38,7 +45,10 @@ object Verify {
     } + "\""
     val outAbs = Paths.get(outDir).toAbsolutePath.toString
     val json = SparkEntry.oracleSql
-      .map { case (k, v) => s"${q(k)}: ${q(v.replace("{OUT}", outAbs))}" }
+      .map { case (k, v) =>
+        val sql = v.replace("{OUT}/aux", auxAbs).replace("{OUT}", outAbs)
+        s"${q(k)}: ${q(sql)}"
+      }
       .mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()

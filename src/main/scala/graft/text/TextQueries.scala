@@ -792,18 +792,31 @@ object TextQueries {
     * postings are exactly what a sharded index serves anyway. One
     * distinct + one groupBy; lists are sorted so the output is a pure
     * function of the input set.
+    *
+    * Library shape: array-typed postings (what an index consumer wants).
+    * The registered query serializes the list to a comma-joined string —
+    * byte-identical information, but hashable by any scalar-only result
+    * checker (array cells defeat frame-level sort/hash comparison).
     */
+  def invertedIndexBlocks(
+      docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+      .distinct()
+      .withColumn("block", expr("doc_id div 100"))
+      .groupBy("w", "block")
+      .agg(sort_array(collect_list(col("doc_id"))).as("postings"),
+        count(lit(1)).as("df_block"))
+
   val t18InvertedIndex: QueryDef = QueryDef(
     "t18_inverted_index",
     (s, dir) =>
-      Tables.loadSpread(s, dir, "documents")
-        .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
-        .filter(length(col("w")) > 0)
-        .distinct()
-        .withColumn("block", expr("doc_id div 100"))
-        .groupBy("w", "block")
-        .agg(sort_array(collect_list(col("doc_id"))).as("postings"),
-          count(lit(1)).as("df_block"))
+      invertedIndexBlocks(Tables.loadSpread(s, dir, "documents"))
+        .select(col("w"), col("block"),
+          expr("array_join(transform(postings, x -> cast(x as string)), ',')")
+            .as("postings"),
+          col("df_block"))
         .orderBy("w", "block"),
     Some("""
       WITH d AS (
@@ -811,7 +824,7 @@ object TextQueries {
           SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS w FROM documents)
         WHERE LENGTH(w) > 0)
       SELECT w, doc_id // 100 AS block,
-             LIST(doc_id ORDER BY doc_id) AS postings,
+             STRING_AGG(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS postings,
              COUNT(*) AS df_block
       FROM d GROUP BY w, doc_id // 100
       ORDER BY w, block""")

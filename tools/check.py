@@ -60,6 +60,15 @@ def main():
                 raise RuntimeError("spark output missing")
             got = con.execute(
                 f"SELECT * FROM read_parquet('{spark_dir}/*.parquet')").df()
+            # Driver-fidelity probe: the real checker pandas-sorts result
+            # frames by every column before hashing; array-typed cells make
+            # that die with "unhashable type: numpy.ndarray" (the t18/round-3
+            # failure class). Reproduce the sort here so it fails LOCALLY.
+            try:
+                got.sort_values(by=list(got.columns))
+            except Exception as e:  # noqa: BLE001
+                raise RuntimeError(
+                    f"result not pandas-sortable (driver would err): {e}")
             want = con.execute(sql).df()
             gc, gr = frame_rows(got)
             wc, wr = frame_rows(want)

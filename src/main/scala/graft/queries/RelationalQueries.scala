@@ -344,21 +344,26 @@ object RelationalQueries {
     * (`percentile` vs `quantile_cont`), whose internal accumulation
     * orders may differ in the last ulps. Every arithmetic step is the
     * same IEEE expression on both sides, so the hash compare tolerates
-    * zero error. One keyed shuffle for the rank window; the rank
-    * back-joins touch 2 rows per (group, p). At 100 TB exact global
-    * quantiles fundamentally need this rank selection; the approximate
-    * path (percentile_approx/KLL) trades the sort for mergeable sketches
-    * but loses external verifiability.
+    * zero error. Ranks come from [[graft.core.Ranks.valueBucketed]] —
+    * value-cell counts + broadcast offsets + within-cell ranks, two
+    * fully-parallel passes — NOT a per-group rank window, whose plan
+    * sorts each group's whole slice on one reducer (|g|=3 here ⇒ three
+    * reducers each sorting a third of the table at 100 TB). The rank
+    * back-joins touch 2 rows per (group, p). Exact global quantiles
+    * fundamentally need rank selection; the approximate path
+    * (percentile_approx/KLL) trades it for mergeable sketches but loses
+    * external verifiability.
     */
   val q31Percentiles: QueryDef = QueryDef(
     "q31_percentiles",
     (s, dir) => {
       import s.implicits._
-      val w = org.apache.spark.sql.expressions.Window.partitionBy("g")
-      val ranked = Tables.load(s, dir, "lineitem")
-        .select(col("l_returnflag").as("g"), col("l_extendedprice").as("v"))
-        .withColumn("rn", row_number().over(w.orderBy("v")))
-        .withColumn("n", count(lit(1)).over(w))
+      // l_extendedprice spans ~[900, 105k); 64 fixed cells keep the
+      // densest cell ≪ group size (bounds are balance-only, see Ranks)
+      val ranked = graft.core.Ranks.valueBucketed(
+        Tables.load(s, dir, "lineitem")
+          .select(col("l_returnflag").as("g"), col("l_extendedprice").as("v")),
+        "g", "v", buckets = 64, vLo = 0.0, vHi = 110000.0)
       val ps = Seq(0.25, 0.5, 0.75, 0.9).toDF("p")
       val grid = ranked.select("g", "n").distinct().crossJoin(broadcast(ps))
         .withColumn("pos", col("p") * (col("n") - 1) + 1)
@@ -434,17 +439,18 @@ object RelationalQueries {
     * metrics pipeline reports next to the raw one. The band uses q31's
     * manual rank-interpolation (identical IEEE steps on both engines),
     * the clamp is two comparisons, and the clamped mean takes the exact
-    * decimal detour so accumulation order cannot perturb it. One rank
-    * window + one aggregate; the band rows broadcast back.
+    * decimal detour so accumulation order cannot perturb it. Ranks ride
+    * [[graft.core.Ranks.valueBucketed]] (two parallel passes, no
+    * per-group single-reducer sort — see q31); one aggregate after; the
+    * band rows broadcast back.
     */
   val q41Winsorized: QueryDef = QueryDef(
     "q41_winsorized",
     (s, dir) => {
-      val w = org.apache.spark.sql.expressions.Window.partitionBy("g")
-      val ranked = Tables.load(s, dir, "lineitem")
-        .select(col("l_returnflag").as("g"), col("l_extendedprice").as("v"))
-        .withColumn("rn", row_number().over(w.orderBy("v")))
-        .withColumn("n", count(lit(1)).over(w))
+      val ranked = graft.core.Ranks.valueBucketed(
+        Tables.load(s, dir, "lineitem")
+          .select(col("l_returnflag").as("g"), col("l_extendedprice").as("v")),
+        "g", "v", buckets = 64, vLo = 0.0, vHi = 110000.0)
       def pct(p: Double, name: String) = {
         val pos = lit(p) * (col("n") - 1) + 1
         ranked.select("g", "n").distinct()

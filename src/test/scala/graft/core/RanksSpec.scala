@@ -1,0 +1,79 @@
+package graft.core
+
+import graft.SparkSpec
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+import org.apache.spark.sql.execution.window.WindowExec
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Pins [[Ranks.valueBucketed]] — exactness against the naive per-group
+  * rank window, and the plan property the naive form lacks: no window
+  * over ROW-LEVEL data may be partitioned by the group alone (that is a
+  * per-group single-reducer sort, the q31/q41 round-3 scale flaw).
+  */
+class RanksSpec extends SparkSpec {
+
+  private def naiveRanks(df: org.apache.spark.sql.DataFrame) = {
+    val w = Window.partitionBy("g")
+    df.withColumn("rn", row_number().over(w.orderBy("v")))
+      .withColumn("n", count(lit(1)).over(w))
+  }
+
+  test("ranks match the naive window incl. ties and out-of-range values") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val rows = Seq.tabulate(500) { i =>
+      ("g" + (i % 3), math.floor(rnd.nextDouble() * 40) / 2.0 - 5.0)
+    } // duplicates guaranteed (ties), values spill below vLo and above vHi
+    val df = rows.toDF("g", "v")
+    val got = Ranks.valueBucketed(df, "g", "v", buckets = 8, vLo = 0.0, vHi = 10.0)
+      .select("g", "v", "rn", "n")
+    val want = naiveRanks(df).select("g", "v", "rn", "n")
+    // tie order within equal v may differ; the (g, rn) -> v mapping and the
+    // (g, v) multiset are what rank selection consumes — compare those
+    def canon(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(r => (r.getString(0), r.getAs[Number]("rn").longValue,
+        r.getDouble(1), r.getAs[Number]("n").longValue))
+        .sortBy(t => (t._1, t._2)).toSeq
+    assert(canon(got) == canon(want))
+  }
+
+  test("every rank is assigned exactly once per group") {
+    import spark.implicits._
+    val df = Seq.tabulate(300)(i => ("g" + (i % 2), (i * 37 % 100).toDouble))
+      .toDF("g", "v")
+    val got = Ranks.valueBucketed(df, "g", "v", 4, 0.0, 100.0)
+    val perGroup = got.groupBy("g")
+      .agg(count(lit(1)).as("cnt"), countDistinct(col("rn")).as("dr"),
+        min(col("rn")).as("lo"), max(col("rn")).as("hi"))
+      .collect()
+    perGroup.foreach { r =>
+      assert(r.getAs[Long]("cnt") == r.getAs[Long]("dr"))
+      assert(r.getAs[Long]("lo") == 1L)
+      assert(r.getAs[Long]("hi") == r.getAs[Long]("cnt"))
+    }
+  }
+
+  test("no row-level window is partitioned by the group alone (q31 plan)") {
+    val df = graft.queries.RelationalQueries.q31Percentiles.fn(spark, sf)
+    val plan = df.queryExecution.sparkPlan
+    def hasAgg(p: SparkPlan): Boolean =
+      p.collectFirst { case a: BaseAggregateExec => a }.nonEmpty
+    val offenders = plan.collect {
+      // a 1-key window whose input is NOT already aggregated sorts whole
+      // group slices on single reducers — the shape this operator removes
+      case w: WindowExec if w.partitionSpec.length < 2 && !hasAgg(w.child) => w
+    }
+    assert(offenders.isEmpty,
+      s"per-group single-reducer rank window in plan:\n${offenders.mkString("\n")}")
+  }
+
+  test("bucket offsets come back over a broadcast join (no fact re-shuffle)") {
+    import spark.implicits._
+    val df = Seq.tabulate(100)(i => ("g", i.toDouble)).toDF("g", "v")
+    val planStr = Ranks.valueBucketed(df, "g", "v", 8, 0.0, 100.0)
+      .queryExecution.sparkPlan.toString
+    assert(planStr.contains("BroadcastHashJoin"), planStr)
+  }
+}

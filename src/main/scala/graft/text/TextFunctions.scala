@@ -70,4 +70,36 @@ object TextFunctions {
     */
   def rollingHash(text: Column): Column =
     graft.expressions.GraftExpressions.rollingHash(text)
+
+  /** SymSpell deletion neighborhood: every string reachable from `w` by
+    * deleting at most 2 characters (including `w` itself), distinct.
+    *
+    * The symmetric-delete principle: if levenshtein(a, b) ≤ 2 then some
+    * common string lies in BOTH 2-delete neighborhoods (walk an optimal
+    * edit script — a substitution deletes the aligned char on each side,
+    * an insertion deletes from b, a deletion deletes from a; each side
+    * loses at most `dist` chars). So an equi-join on these keys is a
+    * COMPLETE candidate generator for edit distance ≤ 2 — the blocking
+    * that replaces a corpus × vocabulary brute scan with
+    * |word|²-bounded key fan-out (~1 + L + L(L−1)/2 keys per word).
+    *
+    * Pure built-in higher-order functions (transform/flatten over
+    * sequence), so the generator stays inside whole-stage codegen; the
+    * `length ≥ 2` guard avoids sequence(1, 0), which Spark evaluates as
+    * the DESCENDING sequence [1, 0].
+    */
+  def deleteNeighborhood2(w: Column): Column = {
+    val one = transform(sequence(lit(1), length(w)),
+      i => concat(w.substr(lit(1), i - 1), substring_index_from(w, i + 1)))
+    val two = flatten(transform(one,
+      s => transform(sequence(lit(1), length(s)),
+        j => concat(s.substr(lit(1), j - 1), substring_index_from(s, j + 1)))))
+    array_distinct(concat(
+      array(w), one,
+      when(length(w) >= 2, two).otherwise(typedLit(Seq.empty[String]))))
+  }
+
+  // substring(str, pos) suffix form as a Column helper
+  private def substring_index_from(s: Column, pos: Column): Column =
+    s.substr(pos, length(s))
 }

@@ -1045,18 +1045,29 @@ object TextQueries {
     * word by edit distance (≤ 2, ties → smallest distance then
     * lexicographically smallest word). Corpus text has no typos, so they
     * are PLANTED deterministically (every 10th doc corrupts its first
-    * word at a doc_id-derived position). Scale shape: the dictionary is
-    * always the SMALL side (a vocabulary, not a corpus) — it broadcasts,
-    * and the per-row candidate scan is |dict| codegen levenshtein calls:
-    * corpus-linear, shuffle-free. Both engines implement the identical
-    * Wagner-Fischer distance, so the join and tie-breaks replay exactly.
+    * word at a doc_id-derived position).
+    *
+    * Scale shape — SymSpell symmetric-delete blocking, NOT a broadcast
+    * brute scan (a web-corpus vocabulary is 1e7–1e8 entries: too big to
+    * broadcast, and corpus × vocab levenshtein work): both sides expand
+    * into their ≤2-deletion neighborhoods
+    * ([[TextFunctions.deleteNeighborhood2]], complete for dist ≤ 2 by
+    * the symmetric-delete principle), candidates come from a plain
+    * EQUI-join on the delete keys (hash-partitioned both sides, no
+    * broadcast required), and the exact levenshtein runs only on the
+    * candidate pairs. Both engines implement the identical
+    * Wagner-Fischer distance, so the final ranking replays exactly; the
+    * oracle keeps the brute-force formulation — same result by
+    * completeness, independently derived.
     */
   val t22TypoCorrection: QueryDef = QueryDef(
     "t22_typo_correction",
     (s, dir) => {
       val docs = Tables.loadSpread(s, dir, "documents")
-      val vocab = docs.select(explode(split(col("text"), " ")).as("w"))
+      val vocabKeys = docs.select(explode(split(col("text"), " ")).as("w"))
         .filter(length(col("w")) > 0).distinct()
+        .select(col("w"),
+          explode(TextFunctions.deleteNeighborhood2(col("w"))).as("k"))
       val typos = docs.filter(col("doc_id") % 10 === 0)
         .select(col("doc_id"),
           element_at(split(col("text"), " "), 1).as("orig"))
@@ -1065,9 +1076,13 @@ object TextQueries {
         .withColumn("typo",
           concat(col("orig").substr(lit(1), col("pos") - 1), lit("z"),
             expr("substring(orig, pos + 1)")))
+      val typoKeys = typos
+        .select(col("doc_id"), col("orig"), col("typo"),
+          explode(TextFunctions.deleteNeighborhood2(col("typo"))).as("k"))
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy("doc_id").orderBy(col("dist"), col("w"))
-      typos.crossJoin(broadcast(vocab))
+      typoKeys.join(vocabKeys, Seq("k"))
+        .select("doc_id", "orig", "typo", "w").distinct()
         .withColumn("dist", levenshtein(col("typo"), col("w")))
         .filter(col("dist") <= 2)
         .withColumn("rn", row_number().over(w))

@@ -118,9 +118,19 @@ object Merge {
     val before = readVersion(spark, dir, fromVersion)
     val after = readVersion(spark, dir, toVersion)
     val nonKeys = before.columns.filterNot(keys.contains).toSeq
+    // The hash input must DISTINGUISH nulls per column: Spark's hash
+    // functions skip null arguments, so (a=null, b='x') and (a='x',
+    // b=null) would otherwise collide and a value hopping between
+    // columns with compensating nulls would read as "unchanged". Each
+    // column therefore contributes an explicit never-null null-FLAG plus
+    // its coalesced value — no string sentinel, so no real cell value can
+    // fake a null.
     def hashed(df: DataFrame, tag: String) =
       df.select(keys.map(col) :+
-        xxhash64(nonKeys.map(col).map(_.cast("string")): _*).as(s"__h_$tag"): _*)
+        xxhash64(nonKeys.flatMap(c => Seq(
+          col(c).isNull.cast("string"),
+          coalesce(col(c).cast("string"), lit("")))): _*)
+          .as(s"__h_$tag"): _*)
     hashed(before, "a").join(hashed(after, "b"), keys, "full_outer")
       .withColumn("change",
         when(col("__h_a").isNull, lit("insert"))

@@ -29,9 +29,14 @@ object Checks {
     def name = s"in_range:$col[$lo,$hi]"
   }
 
-  /** Column must match a regex (nulls ignored). */
+  /** Column must match a regex (nulls ignored). The name embeds the
+    * pattern (as InRange embeds its bounds): two Matches on the same
+    * column with different regexes must not collide in the shared
+    * aggregate, where getAs-by-name would silently read one count for
+    * both.
+    */
   final case class Matches(col: String, pattern: String) extends Check {
-    def name = s"matches:$col"
+    def name = s"matches:$col:$pattern"
   }
 
   /** The column tuple must be unique; violations = rows in excess of one
@@ -63,6 +68,10 @@ object Checks {
   def report(df: DataFrame, checks: Seq[Check]): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
+    // names key the shared aggregate's output columns — a duplicate would
+    // make getAs-by-name resolve both to one count
+    require(checks.map(_.name).distinct.size == checks.size,
+      s"duplicate check names: ${checks.map(_.name).diff(checks.map(_.name).distinct)}")
     val rowLocal = checks.collect {
       case c @ (_: NotNull | _: InRange | _: Matches) => c
     }

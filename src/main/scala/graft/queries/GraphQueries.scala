@@ -136,6 +136,16 @@ object GraphQueries {
     *
     * The hierarchy: user k reports to k div 2, root 1 (a deterministic
     * binary org tree both engines derive identically).
+    *
+    * Doubling iterates over the ancestor CLOSURE of the user set, not the
+    * user set alone: the `anc = k2` self-join resolves every hop against
+    * the node table, so an ancestor id that happens not to be a user
+    * itself must still appear as a node or its users silently drop (the
+    * oracle walks cur div 2 unconditionally and keeps them). Closure
+    * generation is a bounded 32-way fan-out per user (shiftright by each
+    * bit position — exactly the div-2 ancestor chain) + one distinct; the
+    * output then restricts back to user nodes. Correctness no longer
+    * assumes contiguous user ids.
     */
   val q39Hierarchy: QueryDef = QueryDef(
     "q39_hierarchy",
@@ -144,8 +154,13 @@ object GraphQueries {
       // 0-based; 0 div 2 = 0 would self-loop outside the tree)
       val users = Tables.load(s, dir, "events")
         .select((col("user_id") + 1).as("node")).distinct()
+      val nodes = users
+        .select(explode(expr("sequence(0, 31)")).as("i"), col("node"))
+        .select(expr("shiftright(node, i)").as("node"))
+        .filter(col("node") >= 1)
+        .distinct()
       // (k, anc, d): anc is k's d-step ancestor; root 1 self-loops at d=0
-      var cur = users.select(col("node").as("k"),
+      var cur = nodes.select(col("node").as("k"),
         when(col("node") === 1, lit(1L)).otherwise(expr("node div 2")).as("anc"),
         when(col("node") === 1, lit(0L)).otherwise(lit(1L)).as("d"))
         .localCheckpoint()
@@ -156,8 +171,9 @@ object GraphQueries {
           .select(col("k"), col("anc2").as("anc"), (col("d") + col("d2")).as("d"))
           .localCheckpoint()
       }
-      cur.select((col("k") - 1).as("user_id"), col("anc").as("root"),
-        col("d").as("depth"))
+      cur.join(users.select(col("node").as("k")), Seq("k"))
+        .select((col("k") - 1).as("user_id"), col("anc").as("root"),
+          col("d").as("depth"))
         .orderBy("user_id")
     },
     Some("""

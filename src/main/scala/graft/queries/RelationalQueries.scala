@@ -543,7 +543,7 @@ object RelationalQueries {
                  AND (l_discount < 0.0 OR l_discount > 0.1)) AS BIGINT),
                COUNT(*) FROM lineitem
         UNION ALL
-        SELECT 'matches:l_returnflag',
+        SELECT 'matches:l_returnflag:^[ANR]$',
                CAST(COUNT(*) FILTER (WHERE l_returnflag IS NOT NULL
                  AND NOT regexp_matches(l_returnflag, '^[ANR]$')) AS BIGINT),
                COUNT(*) FROM lineitem

@@ -183,4 +183,27 @@ class MergeSpec extends SparkSpec {
       .as[(Long, String)].collect().toSet
     assert(rev == Set((2L, "update"), (3L, "insert"), (4L, "delete")), rev)
   }
+
+  test("CDC detects values hopping between columns with compensating nulls") {
+    // hash functions skip null args, so (a=null,b='x') -> (a='x',b=null)
+    // must not collide into "unchanged" (the round-3 advisory)
+    val dir = Files.createTempDirectory("graft-cdc-null").toString
+    val v0 = Merge.writeSnapshot(
+      Seq((1L, Option.empty[String], Option("x")),
+        (2L, Option("same"), Option.empty[String])).toDF("id", "a", "b"), dir)
+    val v1 = Merge.writeSnapshot(
+      Seq((1L, Option("x"), Option.empty[String]),
+        (2L, Option("same"), Option.empty[String])).toDF("id", "a", "b"), dir)
+    val diff = Merge.changes(spark, dir, v0, v1, Seq("id"))
+      .as[(Long, String)].collect().toSet
+    assert(diff == Set((1L, "update")), diff)
+
+    // and a real empty string must not read as a null
+    val v2 = Merge.writeSnapshot(
+      Seq((1L, Option("x"), Option("")),
+        (2L, Option("same"), Option.empty[String])).toDF("id", "a", "b"), dir)
+    val diff2 = Merge.changes(spark, dir, v1, v2, Seq("id"))
+      .as[(Long, String)].collect().toSet
+    assert(diff2 == Set((1L, "update")), diff2)
+  }
 }

@@ -38,6 +38,23 @@ class GraphQueriesSpec extends SparkSpec {
     }
   }
 
+  test("q39 keeps users whose ancestors are not users (non-contiguous ids)") {
+    // ancestors of node 201 (user 200) are 100, 50, 25, 12, 6, 3, 1 — none
+    // derived from this user set; before the closure fix the doubling
+    // join dropped such users silently (round-3 advisory)
+    val dir = java.nio.file.Files.createTempDirectory("graft-q39").toString
+    Seq(3L, 8L, 200L).toDF("user_id")
+      .write.parquet(s"$dir/events.parquet")
+    val got = GraphQueries.q39Hierarchy.fn(spark, dir)
+      .as[(Long, Long, Long)].collect().toSet
+    def walk(u: Long): (Long, Long, Long) = {
+      var cur = u + 1; var d = 0L
+      while (cur > 1) { cur /= 2; d += 1 }
+      (u, 1L, d)
+    }
+    assert(got == Set(3L, 8L, 200L).map(walk), got)
+  }
+
   test("hub nodes with many in-links outrank leaf nodes") {
     val docs = Tables.load(spark, sf, "documents").select("doc_id")
     val n = docs.count()

@@ -138,20 +138,74 @@ case class AsOfJoinExec(
 }
 
 /** Library entry: right rows joined with the most recent left row per
-  * key (left columns null when no left row qualifies). All three naming
-  * columns must be BIGINT.
+  * key (left columns null when no left row qualifies).
+  *
+  * The physical merge compares raw longs, so non-BIGINT key/time/tie
+  * columns are adapted by inserting ORDER-PRESERVING, INJECTIVE casts
+  * beneath the plan: integral types widen to long, TIMESTAMP becomes
+  * unix_micros (the full internal precision — a cast-to-long would
+  * truncate to seconds and merge sub-second ties), DATE becomes its day
+  * number. The helper columns are dropped from the result, so callers
+  * see exactly (right columns ++ left columns) as before.
+  *
+  * Inputs sharing attribute ids (both sides derived from the same
+  * DataFrame without fresh aliases) are re-aliased on the right side:
+  * the output projection binds by exprId, and duplicate ids would make
+  * left columns silently read right-side values.
   */
 object AsOf {
+  import org.apache.spark.sql.functions.{col, expr}
+  import org.apache.spark.sql.types.{ByteType, DateType, IntegerType, ShortType, TimestampType}
+
+  /** Ensure `n` is readable as a BIGINT: returns the frame (with a helper
+    * column when a cast is needed), the column name to use, and whether a
+    * helper was added.
+    */
+  private def asLong(df: DataFrame, n: String): (DataFrame, String) = {
+    require(df.columns.contains(n),
+      s"no column $n in ${df.columns.mkString(",")}")
+    df.schema(n).dataType match {
+      case LongType => (df, n)
+      case IntegerType | ShortType | ByteType =>
+        val h = s"__asof_$n"
+        (df.withColumn(h, col(n).cast("long")), h)
+      case TimestampType =>
+        val h = s"__asof_$n"
+        (df.withColumn(h, expr(s"unix_micros(`$n`)")), h)
+      case DateType =>
+        val h = s"__asof_$n"
+        (df.withColumn(h, expr(s"unix_date(`$n`)").cast("long")), h)
+      case other => throw new IllegalArgumentException(
+        s"as-of column $n: unsupported type $other (need integral/timestamp/date)")
+    }
+  }
+
   def lastBefore(left: DataFrame, right: DataFrame,
       leftKey: String, leftTime: String, leftTie: String,
       rightKey: String, rightTime: String): DataFrame = {
-    val lp = PlanBridge.analyzed(left)
-    val rp = PlanBridge.analyzed(right)
+    val (l1, lkN) = asLong(left, leftKey)
+    val (l2, ltN) = asLong(l1, leftTime)
+    val (l3, ltieN) = asLong(l2, leftTie)
+    val (r1, rkN) = asLong(right, rightKey)
+    val (r2, rtN) = asLong(r1, rightTime)
+
+    val lp = PlanBridge.analyzed(l3)
+    val rp0 = PlanBridge.analyzed(r2)
+    // fresh ids on the right when the sides overlap (same-source joins)
+    val overlap = lp.output.map(_.exprId).toSet
+      .intersect(rp0.output.map(_.exprId).toSet)
+    val rSafe =
+      if (overlap.isEmpty) r2
+      else r2.select(r2.columns.toIndexedSeq.map(c => col(c).as(c)): _*)
+    val rp = PlanBridge.analyzed(rSafe)
+
     def attr(p: LogicalPlan, n: String): Attribute =
       p.output.find(_.name == n).getOrElse(
         throw new IllegalArgumentException(s"no column $n in ${p.output.map(_.name)}"))
-    PlanBridge.ofRows(left.sparkSession,
-      AsOfJoinPlan(lp, rp, attr(lp, leftKey), attr(lp, leftTime),
-        attr(lp, leftTie), attr(rp, rightKey), attr(rp, rightTime)))
+    val joined = PlanBridge.ofRows(left.sparkSession,
+      AsOfJoinPlan(lp, rp, attr(lp, lkN), attr(lp, ltN),
+        attr(lp, ltieN), attr(rp, rkN), attr(rp, rtN)))
+    val helpers = joined.columns.filter(_.startsWith("__asof_"))
+    if (helpers.isEmpty) joined else joined.drop(helpers.toIndexedSeq: _*)
   }
 }

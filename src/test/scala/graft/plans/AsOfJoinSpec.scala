@@ -76,4 +76,46 @@ class AsOfJoinSpec extends SparkSpec {
       .select(col("pid"), col("id")).as[(Long, Long)].collect().toSet
     assert(rows == Set((90L, 9L)))
   }
+
+  test("timestamp time columns keep MICROSECOND precision (not seconds)") {
+    // the two left rows differ only in the sub-second part: a cast to
+    // long (seconds) would merge them and also let the t=….000300 right
+    // row match the later click
+    val l = Seq((1, "2024-01-01 00:00:00.000100", 10L),
+      (1, "2024-01-01 00:00:00.000400", 11L))
+      .toDF("k", "ts", "id")
+      .withColumn("ts", to_timestamp(col("ts")))
+    val r = Seq((1, "2024-01-01 00:00:00.000300", 90L),
+      (1, "2024-01-01 00:00:00.000500", 91L))
+      .toDF("k", "ts", "pid")
+      .withColumn("ts", to_timestamp(col("ts")))
+    val rows = AsOf.lastBefore(l, r, "k", "ts", "id", "k", "ts")
+      .select(col("pid"), col("id")).as[(Long, Long)].collect().toSet
+    assert(rows == Set((90L, 10L), (91L, 11L)))
+    // helper columns must not leak into the caller-visible schema
+    val cols = AsOf.lastBefore(l, r, "k", "ts", "id", "k", "ts").columns
+    assert(!cols.exists(_.startsWith("__asof_")), cols.mkString(","))
+  }
+
+  test("integer keys and date times adapt via order-preserving casts") {
+    val l = Seq((1, "2024-01-10", 10L), (1, "2024-03-01", 11L))
+      .toDF("k", "d", "id").withColumn("d", to_date(col("d")))
+    val r = Seq((1, "2024-02-15", 90L)).toDF("k", "d", "pid")
+      .withColumn("d", to_date(col("d")))
+    val rows = AsOf.lastBefore(l, r, "k", "d", "id", "k", "d")
+      .select(col("pid"), col("id")).as[(Long, Long)].collect().toSet
+    assert(rows == Set((90L, 10L)))
+  }
+
+  test("both sides from one DataFrame: left columns bind to LEFT values") {
+    // duplicate expression ids across children would make the output
+    // projection silently read right-side values for left columns
+    val base = Seq((1L, 100L, 7L), (1L, 100L, 9L)).toDF("k", "t", "id")
+    val rows = AsOf.lastBefore(base, base, "k", "t", "id", "k", "t")
+      .toDF("rk", "rt", "rid", "lk", "lt", "lid")
+      .select(col("rid"), col("lid")).as[(Long, Long)].collect().toSet
+    // every right row's as-of match is the LARGEST tie (9), regardless of
+    // its own id — rid==lid for rid=7 would be the exprId-aliasing bug
+    assert(rows == Set((7L, 9L), (9L, 9L)))
+  }
 }

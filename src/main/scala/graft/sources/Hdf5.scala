@@ -71,6 +71,10 @@ object Hdf5 {
       val total = elementCount * dtype.size
       require(total <= Int.MaxValue, s"dataset $name too large for one array")
       layoutClass match {
+        case 0 => // compact: raw data inline in the object header message
+          require(dataSize >= total,
+            s"compact dataset $name: stored $dataSize < logical $total bytes")
+          slice(dataAddr, total.toInt)
         case 1 => // contiguous
           if (dataAddr == Undefined) new Array[Byte](total.toInt)
           else slice(dataAddr, total.toInt)
@@ -78,7 +82,7 @@ object Hdf5 {
           val out = new Array[Byte](total.toInt)
           walkChunkTree(dataAddr, out)
           out
-        case c => fail(s"layout class $c (compact/virtual) not supported")
+        case c => fail(s"layout class $c (virtual) not supported")
       }
     }
 
@@ -643,6 +647,12 @@ object Hdf5 {
           if (v != 3) fail(s"layout message version $v (only 3 supported)")
           layoutClass = b.u8()
           layoutClass match {
+            case 0 =>
+              // compact: u16 size then the raw element bytes INLINE in
+              // this message; record their absolute file position so
+              // readBytes can slice them like any other extent
+              dataSize = b.u16().toLong
+              dataAddr = b.pos
             case 1 =>
               dataAddr = b.u64(); dataSize = b.u64()
             case 2 =>

@@ -28,6 +28,24 @@ class EmdSpec extends SparkSpec {
     assert(d.readDoubles().toSeq == values.map(_.toDouble))
   }
 
+  test("HDF5 compact-layout dataset (class 0, data inline in the header)") {
+    val w = new Hdf5TestWriter()
+    val values = Seq(42, 7, 1999, 0, 65535)
+    val raw = java.nio.ByteBuffer.allocate(values.size * 2)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    values.foreach(v => raw.putShort(v.toShort))
+    val compact = w.compactDataset(Seq(values.size.toLong), w.uint16, raw.array())
+    // mixed file: a compact signal next to a contiguous one, both readable
+    val contiguous = w.dataset(Seq(values.size.toLong), w.uint16, raw.array())
+    val g = Hdf5.open(w.finish(w.group(Seq(
+      "meta_axis" -> compact, "data" -> contiguous))))
+    val dc = g.child("meta_axis").get.asInstanceOf[Hdf5.Dataset]
+    assert(dc.dims == Vector(values.size.toLong))
+    assert(dc.readDoubles().toSeq == values.map(_.toDouble))
+    val dd = g.child("data").get.asInstanceOf[Hdf5.Dataset]
+    assert(dd.readDoubles().toSeq == dc.readDoubles().toSeq)
+  }
+
   test("HDF5 chunked+deflate dataset roundtrip with edge chunks") {
     val w = new Hdf5TestWriter()
     val dims = Seq(5L, 3L)

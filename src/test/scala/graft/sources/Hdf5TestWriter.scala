@@ -146,6 +146,20 @@ final class Hdf5TestWriter(capacity: Int = 1 << 22) {
       0x0008 -> layout.array()))
   }
 
+  /** Compact dataset: the raw element bytes live INLINE in the layout
+    * message (layout class 0 — what writers emit for metadata-sized
+    * extents below the 64 KiB message ceiling).
+    */
+  def compactDataset(dims: Seq[Long], dt: Dt, raw: Array[Byte]): Long = {
+    require(raw.length < 0x10000, "compact layout caps at u16 size")
+    val layout = ByteBuffer.allocate(4 + raw.length).order(ByteOrder.LITTLE_ENDIAN)
+    layout.put(3.toByte).put(0.toByte).putShort(raw.length.toShort).put(raw)
+    objectHeader(Seq(
+      0x0001 -> dataspaceBody(dims),
+      0x0003 -> dt.body,
+      0x0008 -> layout.array()))
+  }
+
   /** Chunked dataset with per-chunk deflate. Chunks cover the logical
     * extent in row-major chunk-grid order; edge chunks are stored full
     * size with padding, as the format requires.

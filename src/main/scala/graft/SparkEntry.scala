@@ -19,7 +19,8 @@ object SparkEntry {
       graft.flows.FlowQueries.all ++ graft.catalog.CatalogQueries.all ++
       graft.signals.SignalQueries.all ++
       graft.text.TextQueries.all ++ graft.dedup.DedupQueries.all ++
-      graft.sim.SimilarityQueries.all ++ graft.multimodal.MultimodalQueries.all
+      graft.sim.SimilarityQueries.all ++ graft.multimodal.MultimodalQueries.all ++
+      graft.stream.StreamQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,79 @@
+package graft.stream
+
+import graft.QueryDef
+import graft.core.{Exact, Tables}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DoubleType
+
+/** Oracle-checked STREAMING surface (SURVEY §2 G): a bounded replay of a
+  * harness table through real Structured Streaming machinery — file
+  * source micro-batches, event-time watermark, stateful windowed
+  * aggregation, memory sink — whose final state is a pure function of
+  * the input set and therefore DuckDB-verifiable like any batch query.
+  * The streaming paths were spec-only through round 3; this registers
+  * one of them in the correctness gate (the d9 ledger precedent).
+  */
+object StreamQueries {
+
+  // One-time per sf-dir: re-lay events as several files so the file
+  // source replays a genuinely MULTI-batch stream (maxFilesPerTrigger=1),
+  // merging window state across triggers rather than aggregating one
+  // batch. Cached like Ivf.trainCached — the bench's steady-state passes
+  // measure the replay, not the fixture write.
+  private val splitCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def splitEvents(s: SparkSession, dir: String): String =
+    splitCache.computeIfAbsent(dir, _ => {
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft-st1-replay").toString
+      Tables.load(s, dir, "events")
+        .repartition(8, col("event_id"))
+        .write.mode("overwrite").parquet(s"$tmp/events")
+      s"$tmp/events"
+    })
+
+  /** st1: watermarked tumbling-window counts/sums per event type, fed by
+    * an 8-file replay, one file per micro-batch. Complete-mode memory
+    * sink: the final table equals the batch aggregation over the same
+    * rows EXACTLY — the value sum takes the decimal detour (order-free
+    * across state merges), the window start is epoch-hour-aligned
+    * integer arithmetic, and complete mode drops nothing — so the
+    * relational oracle below replays it with zero tolerance. A
+    * production deployment keeps the identical plan with a finite
+    * watermark; boundedness comes from the input being finite, not from
+    * changed semantics.
+    */
+  val st1StreamWindows: QueryDef = QueryDef(
+    "st1_stream_windows",
+    (s, dir) => {
+      val batch = Tables.load(s, dir, "events") // sets nanosAsLong
+      val src = s.readStream.schema(batch.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(splitEvents(s, dir))
+      val agg = src
+        .withColumn("event_time", timestamp_micros(expr("ts div 1000")))
+        .withWatermark("event_time", "30 days")
+        .groupBy(window(col("event_time"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(Exact.money(col("value"))).cast(DoubleType).as("total_value"))
+      val sink = "st1_sink_" +
+        java.util.UUID.randomUUID.toString.replace("-", "")
+      val q = agg.writeStream.format("memory").queryName(sink)
+        .outputMode("complete").start()
+      try q.processAllAvailable() finally q.stop()
+      s.table(sink)
+        .select(unix_micros(col("window.start")).as("w_start_us"),
+          col("event_type"), col("n"), col("total_value"))
+        .orderBy("w_start_us", "event_type")
+    },
+    Some(s"""
+      SELECT ((epoch_ns(ts) // 1000) // 3600000000) * 3600000000 AS w_start_us,
+             event_type, COUNT(*) AS n,
+             CAST(SUM(${Exact.sqlMoney("value")}) AS DOUBLE) AS total_value
+      FROM events GROUP BY 1, 2 ORDER BY 1, 2""")
+  )
+
+  val all: Seq[QueryDef] = Seq(st1StreamWindows)
+}

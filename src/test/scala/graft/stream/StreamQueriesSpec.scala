@@ -1,0 +1,53 @@
+package graft.stream
+
+import graft.SparkSpec
+import graft.core.{Exact, Tables}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DoubleType
+
+/** st1 — the oracle-registered streaming replay: final state must equal
+  * the batch aggregation bit-for-bit, and the replay must actually be
+  * multi-batch (state merged across triggers, not one-shot).
+  */
+class StreamQueriesSpec extends SparkSpec {
+
+  test("st1 final state equals the batch aggregation exactly") {
+    val got = StreamQueries.st1StreamWindows.fn(spark, sf).collect()
+    val want = Tables.load(spark, sf, "events")
+      .withColumn("event_time", timestamp_micros(expr("ts div 1000")))
+      .groupBy(window(col("event_time"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(Exact.money(col("value"))).cast(DoubleType).as("total_value"))
+      .select(unix_micros(col("window.start")).as("w_start_us"),
+        col("event_type"), col("n"), col("total_value"))
+      .orderBy("w_start_us", "event_type").collect()
+    assert(got.nonEmpty)
+    assert(got.map(_.toString).toSeq == want.map(_.toString).toSeq)
+  }
+
+  test("the replay is multi-batch (file-per-trigger over a split layout)") {
+    // the fixture layout drives maxFilesPerTrigger=1 towards one batch
+    // per file; at least two data files must exist for the claim to hold
+    StreamQueries.st1StreamWindows.fn(spark, sf).collect()
+    val dirs = java.nio.file.Files.list(
+      java.nio.file.Paths.get(System.getProperty("java.io.tmpdir")))
+    val split = try {
+      val it = dirs.iterator()
+      var found: java.nio.file.Path = null
+      while (it.hasNext) {
+        val p = it.next()
+        if (p.getFileName.toString.startsWith("graft-st1-replay")) found = p
+      }
+      found
+    } finally dirs.close()
+    assert(split != null, "replay fixture dir missing")
+    val files = java.nio.file.Files.list(split.resolve("events"))
+    val nParquet = try {
+      val it = files.iterator()
+      var n = 0
+      while (it.hasNext) if (it.next().getFileName.toString.endsWith(".parquet")) n += 1
+      n
+    } finally files.close()
+    assert(nParquet >= 2, s"expected a multi-file replay layout, got $nParquet")
+  }
+}

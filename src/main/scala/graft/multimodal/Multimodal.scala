@@ -85,14 +85,31 @@ object Codec {
     (w, h, c, out)
   }
 
-  /** A parsed AVI: frame chunk offsets + lazy per-frame decode. */
-  final class AviVideo(content: Array[Byte], frames: Array[(Int, Int)]) {
+  /** A parsed video: indexed frame extents + lazy per-frame decode —
+    * frame access is random, a sampler never decodes the whole stream.
+    */
+  sealed abstract class Video(content: Array[Byte], frames: Array[(Int, Int)]) {
     def frameCount: Int = frames.length
     /** Decode frame `i` to (width, height, channels, row-major u8). */
     def decodeFrame(i: Int): (Int, Int, Int, Array[Byte]) = {
       val (off, len) = frames(i)
       decodeImage(java.util.Arrays.copyOfRange(content, off, off + len))
     }
+  }
+  final class AviVideo(content: Array[Byte], frames: Array[(Int, Int)])
+    extends Video(content, frames)
+  final class Mp4Video(content: Array[Byte], frames: Array[(Int, Int)])
+    extends Video(content, frames)
+
+  /** Container dispatch on the file magic: RIFF/AVI or ISO-BMFF (ftyp). */
+  def parseVideo(content: Array[Byte]): Video = {
+    require(content.length >= 12, "content too short for a video container")
+    val head = new String(content, 0, 4, "US-ASCII")
+    val brand = new String(content, 4, 4, "US-ASCII")
+    if (head == "RIFF") parseAvi(content)
+    else if (brand == "ftyp") parseMp4(content)
+    else throw new IllegalArgumentException(
+      s"unrecognized video container (magic $head/$brand)")
   }
 
   /** Walk the RIFF structure and index the `00dc` video chunks (one pass,
@@ -125,6 +142,63 @@ object Codec {
       pos += 8 + size + (size & 1)
     }
     new AviVideo(content, frames.result())
+  }
+
+  /** Walk the ISO-BMFF box tree (ISO/IEC 14496-12 — BIG-endian, unlike
+    * RIFF) down moov/trak/mdia/minf/stbl and index the samples from the
+    * sample tables: per-sample sizes from stsz, the payload start from
+    * stco, sequential offsets within the single chunk [[graft.sinks
+    * .Artifacts.mjpegMp4]] writes (multi-chunk stsc fails fast rather
+    * than misreading). The stsd entry must be the 'jpeg' visual sample
+    * entry — each sample is then an independently decodable JPEG.
+    */
+  def parseMp4(content: Array[Byte]): Mp4Video = {
+    def be32(p: Int): Int =
+      ((content(p) & 0xFF) << 24) | ((content(p + 1) & 0xFF) << 16) |
+        ((content(p + 2) & 0xFF) << 8) | (content(p + 3) & 0xFF)
+    def fourcc(p: Int): String = new String(content, p, 4, "US-ASCII")
+
+    /** Find child box `typ` inside [from, to); returns (bodyStart, bodyEnd). */
+    def child(from: Int, to: Int, typ: String): (Int, Int) = {
+      var p = from
+      while (p + 8 <= to) {
+        val size = be32(p)
+        require(size >= 8, s"bad box size $size at $p")
+        if (fourcc(p + 4) == typ) return (p + 8, p + size)
+        p += size
+      }
+      throw new IllegalArgumentException(s"box $typ not found in [$from,$to)")
+    }
+
+    require(content.length >= 12 && fourcc(4) == "ftyp",
+      "content is not an ISO-BMFF container")
+    val (moovS, moovE) = child(0, content.length, "moov")
+    val (trakS, trakE) = child(moovS, moovE, "trak")
+    val (mdiaS, mdiaE) = child(trakS, trakE, "mdia")
+    val (minfS, minfE) = child(mdiaS, mdiaE, "minf")
+    val (stblS, stblE) = child(minfS, minfE, "stbl")
+
+    val (stsdS, _) = child(stblS, stblE, "stsd")
+    require(be32(stsdS + 4) >= 1, "empty stsd")
+    val entryFmt = fourcc(stsdS + 12)
+    require(entryFmt == "jpeg",
+      s"sample entry $entryFmt not supported (motion-JPEG only)")
+
+    val (stscS, _) = child(stblS, stblE, "stsc")
+    require(be32(stscS + 4) == 1, "multi-chunk stsc not supported")
+
+    val (stszS, _) = child(stblS, stblE, "stsz")
+    val uniform = be32(stszS + 4)
+    val n = be32(stszS + 8)
+    val sizes = Array.tabulate(n)(i =>
+      if (uniform != 0) uniform else be32(stszS + 12 + 4 * i))
+
+    val (stcoS, _) = child(stblS, stblE, "stco")
+    require(be32(stcoS + 4) >= 1, "empty stco")
+    var off = be32(stcoS + 8)
+    val frames = Array.newBuilder[(Int, Int)]
+    sizes.foreach { len => frames += ((off, len)); off += len }
+    new Mp4Video(content, frames.result())
   }
 
   /** Decode a mono 16-bit PCM WAV: walk the RIFF chunks (fmt may be
@@ -229,9 +303,10 @@ object Multimodal {
     media.mapPartitions { it =>
       it.grouped(BatchSize).flatMap { batch =>
         batch.iterator.flatMap { m =>
-          val avi = Codec.parseAvi(m.content)
-          Range(0, avi.frameCount, everyN).iterator.map { f =>
-            val (_, _, _, px) = avi.decodeFrame(f)
+          // container-agnostic: MJPEG-AVI or ISO-BMFF MP4 by file magic
+          val video = Codec.parseVideo(m.content)
+          Range(0, video.frameCount, everyN).iterator.map { f =>
+            val (_, _, _, px) = video.decodeFrame(f)
             VideoFrame(m.media_id, f, px)
           }
         }

@@ -159,6 +159,110 @@ object Artifacts {
     def toArray: Array[Byte] = bos.toByteArray
   }
 
+  /** Motion-JPEG in an ISO-BMFF (MP4) container — the reference's video
+    * container (`temporal.py:26-35` writes MP4 via imageio). Boxes per
+    * ISO/IEC 14496-12: ftyp, mdat (concatenated JPEG samples), moov with
+    * the full sample-table machinery — 'jpeg' visual sample entry, stts
+    * (constant delta 1/fps), single-chunk stsc, per-sample stsz, stco
+    * pointing at the mdat payload. Unlike RIFF, ISO-BMFF is BIG-endian.
+    */
+  def mjpegMp4(frames: Seq[Array[Byte]], width: Int, height: Int,
+      fps: Int = 100): Array[Byte] = {
+    val n = frames.size
+
+    def box(typ: String)(body: BeOut => Unit): Array[Byte] = {
+      val b = new BeOut(); body(b)
+      val o = new BeOut()
+      o.u32(8 + b.size); o.fourcc(typ); o.bytes(b.toArray)
+      o.toArray
+    }
+    def fullBox(typ: String, version: Int, flags: Int)(body: BeOut => Unit) =
+      box(typ) { b => b.u32((version << 24) | flags); body(b) }
+    val unityMatrix = Seq(0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+
+    val ftyp = box("ftyp") { b =>
+      b.fourcc("isom"); b.u32(512)
+      Seq("isom", "iso2", "mp41").foreach(b.fourcc)
+    }
+    val mdatPayload = frames.flatMap(_.toSeq).toArray
+    val mdat = box("mdat")(_.bytes(mdatPayload))
+    val firstSampleOffset = ftyp.length + 8 // into mdat's payload
+
+    val stsd = fullBox("stsd", 0, 0) { b =>
+      b.u32(1) // one sample entry: VisualSampleEntry('jpeg'), 86 bytes
+      b.u32(86); b.fourcc("jpeg")
+      (0 until 6).foreach(_ => b.u8(0)); b.u16(1) // reserved, data_ref_index
+      b.u16(0); b.u16(0); (0 until 3).foreach(_ => b.u32(0)) // pre_def/reserved
+      b.u16(width); b.u16(height)
+      b.u32(0x00480000); b.u32(0x00480000) // 72 dpi
+      b.u32(0); b.u16(1)                   // reserved, frame_count
+      (0 until 32).foreach(_ => b.u8(0))   // compressorname
+      b.u16(0x18); b.u16(0xFFFF)           // depth, pre_defined = -1
+    }
+    val stbl = box("stbl") { b =>
+      b.bytes(stsd)
+      b.bytes(fullBox("stts", 0, 0) { t => t.u32(1); t.u32(n); t.u32(1) })
+      b.bytes(fullBox("stsc", 0, 0) { t => t.u32(1); t.u32(1); t.u32(n); t.u32(1) })
+      b.bytes(fullBox("stsz", 0, 0) { t =>
+        t.u32(0); t.u32(n); frames.foreach(f => t.u32(f.length))
+      })
+      b.bytes(fullBox("stco", 0, 0) { t => t.u32(1); t.u32(firstSampleOffset) })
+    }
+    val minf = box("minf") { b =>
+      b.bytes(fullBox("vmhd", 0, 1) { t => t.u16(0); (0 until 3).foreach(_ => t.u16(0)) })
+      b.bytes(box("dinf")(_.bytes(fullBox("dref", 0, 0) { t =>
+        t.u32(1); t.bytes(fullBox("url ", 0, 1)(_ => ())) // self-contained
+      })))
+      b.bytes(stbl)
+    }
+    val mdia = box("mdia") { b =>
+      b.bytes(fullBox("mdhd", 0, 0) { t =>
+        t.u32(0); t.u32(0); t.u32(fps); t.u32(n)
+        t.u16(0x55C4); t.u16(0) // language "und"
+      })
+      b.bytes(fullBox("hdlr", 0, 0) { t =>
+        t.u32(0); t.fourcc("vide"); (0 until 3).foreach(_ => t.u32(0))
+        t.bytes("VideoHandler".getBytes("US-ASCII")); t.u8(0)
+      })
+      b.bytes(minf)
+    }
+    val trak = box("trak") { b =>
+      b.bytes(fullBox("tkhd", 0, 3) { t =>
+        t.u32(0); t.u32(0); t.u32(1); t.u32(0); t.u32(n) // times, id, dur
+        t.u32(0); t.u32(0); t.u16(0); t.u16(0); t.u16(0); t.u16(0)
+        unityMatrix.foreach(t.u32)
+        t.u32(width << 16); t.u32(height << 16) // 16.16 fixed
+      })
+      b.bytes(mdia)
+    }
+    val moov = box("moov") { b =>
+      b.bytes(fullBox("mvhd", 0, 0) { t =>
+        t.u32(0); t.u32(0); t.u32(fps); t.u32(n) // timescale = fps, dur = n
+        t.u32(0x00010000); t.u16(0x0100); t.u16(0) // rate, volume
+        t.u32(0); t.u32(0)
+        unityMatrix.foreach(t.u32)
+        (0 until 6).foreach(_ => t.u32(0))
+        t.u32(2) // next track id
+      })
+      b.bytes(trak)
+    }
+
+    val out = new BeOut()
+    out.bytes(ftyp); out.bytes(mdat); out.bytes(moov)
+    out.toArray
+  }
+
+  private final class BeOut {
+    private val bos = new ByteArrayOutputStream()
+    def size: Int = bos.size()
+    def u8(v: Int): Unit = bos.write(v & 0xFF)
+    def u16(v: Int): Unit = { u8(v >> 8); u8(v) }
+    def u32(v: Int): Unit = { u8(v >> 24); u8(v >> 16); u8(v >> 8); u8(v) }
+    def fourcc(s: String): Unit = bos.write(s.getBytes("US-ASCII"))
+    def bytes(b: Array[Byte]): Unit = bos.write(b)
+    def toArray: Array[Byte] = bos.toByteArray
+  }
+
   /** Intensity-map rows `(experiment_id, x, y, intensity)` → one
     * min-max-normalized grayscale PNG per experiment, named
     * `<experiment_id>.png`. x indexes rows, y columns (the reference's

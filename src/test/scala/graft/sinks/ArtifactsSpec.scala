@@ -46,6 +46,36 @@ class ArtifactsSpec extends SparkSpec {
     assert(u32(idx + 16) == 4)
   }
 
+  test("mjpegMp4: ISO-BMFF roundtrip through the box-tree parser") {
+    val frames = (0 until 5).map(f =>
+      Artifacts.grayJpeg(8, 6, Array.tabulate(48)(i => ((i + f * 40) % 256).toByte)))
+    val mp4 = Artifacts.mjpegMp4(frames, 8, 6, fps = 25)
+    def fourcc(at: Int) = new String(mp4.slice(at, at + 4), "US-ASCII")
+    def be32(at: Int) = (0 until 4).map(i => (mp4(at + i) & 0xFFL) << (8 * (3 - i))).sum
+    // box framing: ftyp first, boxes tile the file exactly
+    assert(fourcc(4) == "ftyp" && fourcc(8) == "isom")
+    var p = 0L; var boxes = List.empty[String]
+    while (p < mp4.length) { boxes ::= fourcc(p.toInt + 4); p += be32(p.toInt) }
+    assert(p == mp4.length, s"boxes overrun: $p vs ${mp4.length}")
+    assert(boxes.reverse == List("ftyp", "mdat", "moov"))
+
+    // parser indexes every frame; each decodes at the right geometry and
+    // matches the byte-identical JPEG that went in
+    val v = graft.multimodal.Codec.parseMp4(mp4)
+    assert(v.frameCount == 5)
+    (0 until 5).foreach { i =>
+      val (w, h, _, _) = v.decodeFrame(i)
+      assert(w == 8 && h == 6)
+    }
+    // container dispatch: magic-based, both containers of the same frames
+    val viaDispatch = graft.multimodal.Codec.parseVideo(mp4)
+    assert(viaDispatch.frameCount == 5)
+    val avi = graft.multimodal.Codec.parseVideo(
+      Artifacts.mjpegAvi(frames, 8, 6, fps = 25))
+    assert(avi.frameCount == 5)
+    assert(avi.decodeFrame(2)._4.toSeq == v.decodeFrame(2)._4.toSeq)
+  }
+
   test("intensityPngs + videoArtifacts assemble per experiment") {
     val intensity = Seq(
       ("e1", 0, 0, 0, 10.0), ("e1", 0, 0, 1, 20.0),

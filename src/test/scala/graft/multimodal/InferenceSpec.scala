@@ -26,6 +26,23 @@ class InferenceSpec extends SparkSpec {
   private lazy val session = spark
   import session.implicits._
 
+  test("OnnxModel: factory fails fast without a runtime; runs when present") {
+    if (!OnnxRuntime.available) {
+      // no runtime in this sandbox: the factory must say exactly what to
+      // add, and must not surface as NoClassDefFoundError per-partition
+      val e = intercept[IllegalArgumentException](
+        OnnxRuntime.modelFactory("/tmp/model.onnx", "input", 5))
+      assert(e.getMessage.contains("onnxruntime"))
+    } else {
+      // a deployment with the jar: the factory plugs into the same
+      // plumbing as every bundled model (zero code changes)
+      assume(new java.io.File("/tmp/model.onnx").exists(),
+        "runtime present but no model artifact to load")
+      val factory = OnnxRuntime.modelFactory("/tmp/model.onnx", "input", 5)
+      assert(factory().name.startsWith("onnx:"))
+    }
+  }
+
   test("one session per partition, fixed-size batches, positional results") {
     val sessions = spark.sparkContext.longAccumulator("sessions")
     val batches = spark.sparkContext.longAccumulator("batches")

@@ -29,7 +29,7 @@ object StreamQueries {
       val tmp = java.nio.file.Files
         .createTempDirectory("graft-st1-replay").toString
       Tables.load(s, dir, "events")
-        .repartition(8, col("event_id"))
+        .repartition(4, col("event_id"))
         .write.mode("overwrite").parquet(s"$tmp/events")
       s"$tmp/events"
     })
@@ -60,9 +60,18 @@ object StreamQueries {
           sum(Exact.money(col("value"))).cast(DoubleType).as("total_value"))
       val sink = "st1_sink_" +
         java.util.UUID.randomUUID.toString.replace("-", "")
-      val q = agg.writeStream.format("memory").queryName(sink)
-        .outputMode("complete").start()
-      try q.processAllAvailable() finally q.stop()
+      // ~3.6k window×type groups don't need 32 state-store partitions;
+      // per-batch state-task overhead dominates a bounded replay. The
+      // partition count is fixed into the query's state layout at start,
+      // so scope the conf to the stream and restore (Tables.load
+      // precedent for scoped session conf).
+      val oldParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      try {
+        val q = agg.writeStream.format("memory").queryName(sink)
+          .outputMode("complete").start()
+        try q.processAllAvailable() finally q.stop()
+      } finally s.conf.set("spark.sql.shuffle.partitions", oldParts)
       s.table(sink)
         .select(unix_micros(col("window.start")).as("w_start_us"),
           col("event_type"), col("n"), col("total_value"))

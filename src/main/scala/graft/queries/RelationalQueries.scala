@@ -399,6 +399,61 @@ object RelationalQueries {
       ORDER BY l_returnflag, p""")
   )
 
+  /** GLOBAL exact interpolated percentiles — the single-group case of
+    * q31, and the one a window formulation handles WORST: ranking the
+    * whole table in one ungrouped window is one reducer sorting the
+    * corpus. [[graft.core.Ranks.valueBucketed]] makes the global case
+    * exactly as parallel as the grouped one (cells carry all the
+    * parallelism; the group column is a constant), which is the point of
+    * owning rank assignment instead of composing a window: exact
+    * p50/p99 over 100 TB without a single-machine sort anywhere. Same
+    * manual interpolation discipline as q31 (identical IEEE steps both
+    * engines, zero tolerance).
+    */
+  val q47GlobalPercentiles: QueryDef = QueryDef(
+    "q47_global_percentiles",
+    (s, dir) => {
+      import s.implicits._
+      val ranked = graft.core.Ranks.valueBucketed(
+        Tables.load(s, dir, "lineitem")
+          .select(lit("all").as("g"), col("l_extendedprice").as("v")),
+        "g", "v", buckets = 128, vLo = 0.0, vHi = 110000.0)
+      val ps = Seq(0.01, 0.25, 0.5, 0.75, 0.99).toDF("p")
+      val grid = ranked.select("g", "n").distinct().crossJoin(broadcast(ps))
+        .withColumn("pos", col("p") * (col("n") - 1) + 1)
+        .withColumn("lo", floor(col("pos")).cast("long"))
+        .withColumn("hi", ceil(col("pos")).cast("long"))
+      grid
+        .join(ranked.select(col("g"), col("rn").as("lo"), col("v").as("v_lo")),
+          Seq("g", "lo"))
+        .join(ranked.select(col("g"), col("rn").as("hi"), col("v").as("v_hi")),
+          Seq("g", "hi"))
+        .select(col("p"),
+          (col("v_lo") + (col("v_hi") - col("v_lo")) *
+            (col("pos") - floor(col("pos")))).as("quantile"))
+        .orderBy("p")
+    },
+    Some("""
+      WITH ranked AS (
+        SELECT l_extendedprice AS v,
+               ROW_NUMBER() OVER (ORDER BY l_extendedprice) AS rn,
+               COUNT(*) OVER () AS n
+        FROM lineitem),
+      ps AS (SELECT UNNEST([0.01::DOUBLE, 0.25::DOUBLE, 0.5::DOUBLE,
+                            0.75::DOUBLE, 0.99::DOUBLE]) AS p),
+      grid AS (
+        SELECT n, p, p * (n - 1) + 1 AS pos,
+               CAST(FLOOR(p * (n - 1) + 1) AS BIGINT) AS lo,
+               CAST(CEIL(p * (n - 1) + 1) AS BIGINT) AS hi
+        FROM (SELECT DISTINCT n FROM ranked), ps)
+      SELECT grid.p,
+             lo_r.v + (hi_r.v - lo_r.v) * (grid.pos - FLOOR(grid.pos)) AS quantile
+      FROM grid
+      JOIN ranked lo_r ON lo_r.rn = grid.lo
+      JOIN ranked hi_r ON hi_r.rn = grid.hi
+      ORDER BY p""")
+  )
+
   /** UNPIVOT / melt — the reshape inverse of the f1/q8 pivots: four
     * measure columns become (measure, value) rows via Spark's native
     * `unpivot` (an Expand node — per-row fan-out, no shuffle, no UDF).
@@ -627,5 +682,6 @@ object RelationalQueries {
   val all: Seq[QueryDef] =
     Seq(q1Agg, q2TopK, q10Histogram, q11SummaryStats, q12Distinct, q13StringFuncs,
       q18Rollup, q19SetOps, q20DateParts, q22Cube, q26Subqueries, q29GroupTopK,
-      q31Percentiles, q38Unpivot, q41Winsorized, q42QualityChecks, q46Drift)
+      q31Percentiles, q38Unpivot, q41Winsorized, q42QualityChecks, q46Drift,
+      q47GlobalPercentiles)
 }

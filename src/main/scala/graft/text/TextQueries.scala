@@ -1229,11 +1229,60 @@ object TextQueries {
       ORDER BY prompt_id""")
   )
 
+  /** Per-domain document quotas — the crawl-pipeline balancing step: cap
+    * every domain's contribution at k documents (smallest doc_id wins,
+    * the deterministic "first crawled" proxy) so no single host dominates
+    * the training mixture. Runs over t20's synthesized URL column (the
+    * planted-data precedent: harness docs carry no URLs).
+    *
+    * Scale shape: selection rides the bounded-heap top-k aggregate
+    * ([[graft.expressions.TopKAggExpr]], value = −doc_id so the heap
+    * keeps the SMALLEST ids) — the exchange carries at most k ids per
+    * domain per map partition, where the window formulation
+    * (row_number over domain) shuffles every row to sort whole domains.
+    * The oracle replays selection with the window form.
+    */
+  val t25DomainCaps: QueryDef = QueryDef(
+    "t25_domain_caps",
+    (s, dir) => {
+      val tld = element_at(array(lit("com"), lit("org"), lit("net")),
+        (col("doc_id") % 3 + 1).cast("int"))
+      val url = concat(lit("https://www.site"), col("doc_id") % 37,
+        lit("."), tld, lit("/p/"), col("doc_id"))
+      val host = regexp_extract(col("url"), "^https?://([^/]+)/", 1)
+      Tables.loadSpread(s, dir, "documents")
+        .withColumn("url", url)
+        .withColumn("domain", regexp_replace(host, "^www\\.", ""))
+        .groupBy("domain")
+        .agg(graft.expressions.TopK.topK(
+          -col("doc_id").cast("double"), col("doc_id"), 3).as("top"))
+        .select(col("domain"), explode(col("top.id")).as("doc_id"))
+        .orderBy("domain", "doc_id")
+    },
+    Some("""
+      WITH u AS (
+        SELECT doc_id,
+               'https://www.site' || (doc_id % 37) || '.' ||
+                 (['com','org','net'])[CAST(doc_id % 3 AS INTEGER) + 1] ||
+                 '/p/' || doc_id AS url
+        FROM documents),
+      d AS (
+        SELECT doc_id,
+               REGEXP_REPLACE(REGEXP_EXTRACT(url, '^https?://([^/]+)/', 1),
+                              '^www\.', '') AS domain
+        FROM u)
+      SELECT domain, doc_id FROM (
+        SELECT domain, doc_id,
+               ROW_NUMBER() OVER (PARTITION BY domain ORDER BY doc_id) AS rn
+        FROM d)
+      WHERE rn <= 3 ORDER BY domain, doc_id""")
+  )
+
   val all: Seq[QueryDef] =
     Seq(t1TokenCount, t2QualityScore, t3LangId, t4Fingerprint, t5Vocab,
       t6StratifiedSample, t7Cooccurrence, t8DistinctSketch, t9SketchRollup,
       t10SelfRepetition, t11SketchOverlap, t12SketchDifference,
       t13LmFamiliarity, t14MixtureSample, t15PiiScrub, t16Chunking,
       t17Packing, t18InvertedIndex, t19Bm25, t20UrlDomains, t21CorpusCard,
-      t22TypoCorrection, t23LearnedQuality, t24ChatFormat)
+      t22TypoCorrection, t23LearnedQuality, t24ChatFormat, t25DomainCaps)
 }

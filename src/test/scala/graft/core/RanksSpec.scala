@@ -69,6 +69,17 @@ class RanksSpec extends SparkSpec {
       s"per-group single-reducer rank window in plan:\n${offenders.mkString("\n")}")
   }
 
+  test("q47 global ranks: no ungrouped/1-key row-level window either") {
+    val df = graft.queries.RelationalQueries.q47GlobalPercentiles.fn(spark, sf)
+    val plan = df.queryExecution.sparkPlan
+    def hasAgg(p: SparkPlan): Boolean =
+      p.collectFirst { case a: BaseAggregateExec => a }.nonEmpty
+    val offenders = plan.collect {
+      case w: WindowExec if w.partitionSpec.length < 2 && !hasAgg(w.child) => w
+    }
+    assert(offenders.isEmpty, s"single-reducer sort in global-quantile plan:\n$offenders")
+  }
+
   test("bucket offsets come back over a broadcast join (no fact re-shuffle)") {
     import spark.implicits._
     val df = Seq.tabulate(100)(i => ("g", i.toDouble)).toDF("g", "v")

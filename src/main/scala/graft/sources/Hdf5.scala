@@ -493,9 +493,16 @@ object Hdf5 {
   }
 
   /** All heap IDs from the group's name-index v2 B-tree (record type 5:
-    * 4-byte name hash + heap ID). Iteration reads every leaf record, so
-    * the hash is skipped — no lookup3 needed. Single-leaf trees only
-    * (h5py's 2 KiB nodes hold ~180 links before splitting).
+    * 4-byte name hash + heap ID). Iteration reads every record at every
+    * level — internal (BTIN) nodes carry full records interleaved with
+    * child pointers — so the hash is skipped, no lookup3 needed.
+    *
+    * Child-pointer field widths are not stored; the format derives them
+    * from the node capacities (spec III.A.2): the record count uses the
+    * minimum bytes for the max records of a child node, and (depth ≥ 2)
+    * the subtree total uses the minimum bytes for the max total below —
+    * both computed from node size and record size exactly as the writer
+    * did.
     */
   private def btreeV2HeapIds(file: ByteBuffer, addr: Long): Vector[Array[Byte]] = {
     val b = reader(file, addr)
@@ -503,22 +510,77 @@ object Hdf5 {
     if (b.u8() != 0) fail("BTHD version")
     val typ = b.u8()
     if (typ != 5) fail(s"v2 B-tree record type $typ (expected 5: link-name index)")
-    b.u32() // node size
+    val nodeSize = b.u32()
     val recSize = b.u16()
     val depth = b.u16()
     b.skip(2) // split/merge percents
     val rootAddr = b.u64()
-    val nRec = b.u16()
+    val rootNRec = b.u16()
     b.u64() // total records
-    if (depth != 0) fail("v2 B-tree depth > 0 not supported")
-    val l = reader(file, rootAddr)
-    l.expect("BTLF")
-    if (l.u8() != 0) fail("BTLF version")
-    l.u8() // record type
-    Vector.fill(nRec) {
-      l.skip(4) // name hash
-      Array.fill(recSize - 4)(l.u8().toByte)
+
+    def bytesFor(n: Long): Int = {
+      var s = 1; var m = 0xFFL
+      while (n > m) { s += 1; m = (m << 8) | 0xFF }
+      s
     }
+    // capacities per level: leaf and internal node headers are 6 bytes
+    // (sig+version+type) plus a 4-byte checksum
+    val maxNrec = new Array[Long](depth + 1)
+    val maxTot = new Array[Long](depth + 1)
+    maxNrec(0) = (nodeSize - 10) / recSize
+    maxTot(0) = maxNrec(0)
+    var d = 1
+    while (d <= depth) {
+      val ptrSize = 8 + bytesFor(maxNrec(d - 1)) +
+        (if (d >= 2) bytesFor(maxTot(d - 1)) else 0)
+      maxNrec(d) = (nodeSize - 10 - ptrSize) / (recSize + ptrSize)
+      maxTot(d) = maxNrec(d) + (maxNrec(d) + 1) * maxTot(d - 1)
+      d += 1
+    }
+
+    def uint(r: R, n: Int): Long = {
+      var v = 0L; var i = 0
+      while (i < n) { v |= (r.u8().toLong << (8 * i)); i += 1 }
+      v
+    }
+    def record(r: R): Array[Byte] = {
+      r.skip(4) // name hash
+      Array.fill(recSize - 4)(r.u8().toByte)
+    }
+    def walk(at: Long, lvl: Int, nRec: Int): Vector[Array[Byte]] = {
+      val r = reader(file, at)
+      if (lvl == 0) {
+        r.expect("BTLF")
+        if (r.u8() != 0) fail("BTLF version")
+        r.u8() // record type
+        Vector.fill(nRec)(record(r))
+      } else {
+        r.expect("BTIN")
+        if (r.u8() != 0) fail("BTIN version")
+        r.u8() // record type
+        def childPtr(): (Long, Int) = {
+          val a = r.u64()
+          val n = uint(r, bytesFor(maxNrec(lvl - 1))).toInt
+          if (lvl >= 2) uint(r, bytesFor(maxTot(lvl - 1))) // subtree total
+          (a, n)
+        }
+        // layout: ptr0, rec0, ptr1, rec1, …, rec_{n-1}, ptr_n
+        var ptrs = Vector(childPtr())
+        var recs = Vector.empty[Array[Byte]]
+        var i = 0
+        while (i < nRec) { recs :+= record(r); ptrs :+= childPtr(); i += 1 }
+        val out = Vector.newBuilder[Array[Byte]]
+        i = 0
+        while (i < nRec) {
+          out ++= walk(ptrs(i)._1, lvl - 1, ptrs(i)._2)
+          out += recs(i)
+          i += 1
+        }
+        out ++= walk(ptrs(nRec)._1, lvl - 1, ptrs(nRec)._2)
+        out.result()
+      }
+    }
+    walk(rootAddr, depth, rootNRec)
   }
 
   /** Dense link storage: every record's heap ID resolves to a Link

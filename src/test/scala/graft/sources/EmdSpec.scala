@@ -120,6 +120,25 @@ class EmdSpec extends SparkSpec {
     }
   }
 
+  test("HDF5 dense group: depth-1 v2 B-tree name index (BTIN + two leaves)") {
+    // very large groups split the link-name index past one leaf; the
+    // walk must merge internal-node separator records with both leaves
+    val w = new Hdf5TestWriter()
+    val children = (0 until 15).map { i =>
+      val raw = java.nio.ByteBuffer.allocate(8)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN).putInt(i * 3).putInt(i * 3 + 1)
+      f"deep_$i%02d" -> w.datasetV2(Seq(2L), w.int32, raw.array())
+    }
+    val root = w.groupV2Dense(children, deepNameIndex = true)
+    val g = Hdf5.open(w.finishV3(root))
+    assert(g.datasets.map(_.name).sorted ==
+      (0 until 15).map(i => f"deep_$i%02d").toVector)
+    (0 until 15).foreach { i =>
+      val d = g.child(f"deep_$i%02d").get.asInstanceOf[Hdf5.Dataset]
+      assert(d.readDoubles().toSeq == Seq(i * 3.0, i * 3.0 + 1))
+    }
+  }
+
   test("HDF5 dense group: root INDIRECT block spanning several direct blocks") {
     val w = new Hdf5TestWriter()
     val children = (0 until 14).map { i =>

@@ -375,7 +375,8 @@ final class Hdf5TestWriter(capacity: Int = 1 << 22) {
     * is written field-for-field per the public format spec; checksums are
     * zeroed (the reader documents non-validation).
     */
-  def groupV2Dense(children: Seq[(String, Long)], forceIndirect: Boolean = false): Long = {
+  def groupV2Dense(children: Seq[(String, Long)], forceIndirect: Boolean = false,
+      deepNameIndex: Boolean = false): Long = {
     val bodies = children.sortBy(_._1).map { case (name, addr) =>
       val nb = name.getBytes("UTF-8")
       val b = ByteBuffer.allocate(3 + nb.length + 8).order(ByteOrder.LITTLE_ENDIAN)
@@ -466,28 +467,67 @@ final class Hdf5TestWriter(capacity: Int = 1 << 22) {
     }
 
     val recSize = 4 + heapIdLen
+    val nodeSize = 2048
     val bthdAddr = pos
-    val btlfAddr = bthdAddr + 38 // fixed BTHD size
-    buf.put("BTHD".getBytes)
-    buf.put(0.toByte).put(5.toByte) // version, record type 5: link name
-    buf.putInt(2048)                // node size
-    buf.putShort(recSize.toShort)
-    buf.putShort(0.toShort)         // depth
-    buf.put(100.toByte).put(40.toByte) // split/merge percents
-    buf.putLong(btlfAddr)
-    buf.putShort(placed.size.toShort)
-    buf.putLong(placed.size.toLong)
-    buf.putInt(0) // checksum
-    require(pos == btlfAddr, "BTHD size drift")
-    buf.put("BTLF".getBytes)
-    buf.put(0.toByte).put(5.toByte)
-    placed.foreach { p =>
+    def putRecord(p: Placed): Unit = {
       buf.putInt(0)     // name hash (reader iterates; never looked up)
       buf.put(0.toByte) // heap ID: version 0, type managed
       buf.putInt((slotHeapOff(p.slot) + p.offInBlock).toInt)
       buf.putShort(p.body.length.toShort)
     }
-    buf.putInt(0) // checksum
+    def putBthd(depth: Int, rootNodeAddr: Long, rootNRec: Int): Unit = {
+      buf.put("BTHD".getBytes)
+      buf.put(0.toByte).put(5.toByte) // version, record type 5: link name
+      buf.putInt(nodeSize)
+      buf.putShort(recSize.toShort)
+      buf.putShort(depth.toShort)
+      buf.put(100.toByte).put(40.toByte) // split/merge percents
+      buf.putLong(rootNodeAddr)
+      buf.putShort(rootNRec.toShort)
+      buf.putLong(placed.size.toLong)
+      buf.putInt(0) // checksum
+    }
+    if (!deepNameIndex) {
+      val btlfAddr = bthdAddr + 38 // fixed BTHD size
+      putBthd(0, btlfAddr, placed.size)
+      require(pos == btlfAddr, "BTHD size drift")
+      buf.put("BTLF".getBytes)
+      buf.put(0.toByte).put(5.toByte)
+      placed.foreach(putRecord)
+      buf.putInt(0) // checksum
+    } else {
+      // depth-1 tree: BTIN root with ONE separator record and two BTLF
+      // leaves. The child-pointer record-count field width is derived
+      // exactly as the reader derives it: min bytes for the leaf capacity.
+      require(placed.size >= 3, "deep index needs >= 3 links")
+      val leafCap = (nodeSize - 10) / recSize
+      require(leafCap <= 255, "writer assumes 1-byte child record counts")
+      val k = placed.size / 2
+      val leaf0 = placed.take(k)
+      val sep = placed(k)
+      val leaf1 = placed.drop(k + 1)
+      def leafLen(n: Int) = 6 + n * recSize + 4
+      val btinLen = 6 + 2 * (8 + 1) + recSize + 4
+      val rootNodeAddr = bthdAddr + 38
+      val leaf0Addr = rootNodeAddr + btinLen
+      val leaf1Addr = leaf0Addr + leafLen(leaf0.size)
+      putBthd(1, rootNodeAddr, 1)
+      require(pos == rootNodeAddr, "BTHD size drift")
+      buf.put("BTIN".getBytes)
+      buf.put(0.toByte).put(5.toByte)
+      buf.putLong(leaf0Addr); buf.put(leaf0.size.toByte) // child ptr 0
+      putRecord(sep)
+      buf.putLong(leaf1Addr); buf.put(leaf1.size.toByte) // child ptr 1
+      buf.putInt(0) // checksum
+      require(pos == leaf0Addr, "BTIN size drift")
+      Seq((leaf0Addr, leaf0), (leaf1Addr, leaf1)).foreach { case (at, recs) =>
+        require(pos == at, "leaf drift")
+        buf.put("BTLF".getBytes)
+        buf.put(0.toByte).put(5.toByte)
+        recs.foreach(putRecord)
+        buf.putInt(0) // checksum
+      }
+    }
 
     val li = ByteBuffer.allocate(18).order(ByteOrder.LITTLE_ENDIAN)
     li.put(0.toByte).put(0.toByte) // version, flags

@@ -423,14 +423,38 @@ object Hdf5 {
   private final case class HeapBlocks(
       blocks: Vector[(Long, Long, Long)], offsetSize: Int) {
     def locate(id: Array[Byte]): Long = {
-      val typ = (id(0) >> 4) & 0x3
-      if (typ != 0) fail(s"fractal-heap object type $typ (huge/tiny) not supported")
+      require(((id(0) >> 4) & 0x3) == 0, "locate is for managed IDs")
       var off = 0L
       var i = 0
       while (i < offsetSize) { off |= (id(1 + i) & 0xFFL) << (8 * i); i += 1 }
       blocks.find { case (ho, sz, _) => off >= ho && off < ho + sz } match {
         case Some((ho, _, addr)) => addr + (off - ho)
         case None => fail(s"fractal-heap offset $off outside every direct block")
+      }
+    }
+
+    /** A reader positioned on the object's bytes, for any heap ID class
+      * (spec III.G): MANAGED resolves through the block map; HUGE
+      * (directly-accessed, unfiltered — the variant written when the ID
+      * fits address+length) carries its file extent inline; TINY carries
+      * the object DATA itself inline (normal sub-variant: low nibble of
+      * the flag byte is length−1). B-tree-indexed/filtered huge IDs fail
+      * fast by name.
+      */
+    def objectReader(file: ByteBuffer, id: Array[Byte]): R = {
+      (id(0) >> 4) & 0x3 match {
+        case 0 => new R(file, locate(id))
+        case 1 =>
+          require(id.length >= 17,
+            "B-tree-indexed huge heap IDs not supported (direct form only)")
+          val r = new R(ByteBuffer.wrap(id).order(ByteOrder.LITTLE_ENDIAN), 1)
+          val addr = r.u64() // u64 address + u64 length, both LE
+          new R(file, addr)
+        case 2 =>
+          val len = (id(0) & 0x0F) + 1
+          require(1 + len <= id.length, s"tiny object length $len overruns ID")
+          new R(ByteBuffer.wrap(id).order(ByteOrder.LITTLE_ENDIAN), 1)
+        case t => fail(s"fractal-heap object type $t not supported")
       }
     }
   }
@@ -591,7 +615,7 @@ object Hdf5 {
       btreeAddr: Long): Vector[(String, Long)] = {
     val heap = parseFractalHeap(file, fheapAddr)
     btreeV2HeapIds(file, btreeAddr)
-      .map(id => readLink(reader(file, heap.locate(id))))
+      .map(id => readLink(heap.objectReader(file, id)))
       .sortBy(_._1)
   }
 

@@ -139,6 +139,27 @@ class EmdSpec extends SparkSpec {
     }
   }
 
+  test("HDF5 dense group: tiny and huge heap IDs next to managed ones") {
+    // tiny: link message bytes packed INSIDE the heap ID; huge (direct,
+    // unfiltered): ID carries the object's own file extent
+    val w = new Hdf5TestWriter()
+    val children = (0 until 10).map { i =>
+      val raw = java.nio.ByteBuffer.allocate(8)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN).putInt(i * 5).putInt(i * 5 + 1)
+      // single-char names keep the tiny link bodies <= 16 bytes
+      ('a' + i).toChar.toString -> w.datasetV2(Seq(2L), w.int32, raw.array())
+    }
+    val root = w.groupV2Dense(children,
+      tinyOf = Set("b", "e"), hugeOf = Set("c", "h"))
+    val g = Hdf5.open(w.finishV3(root))
+    assert(g.datasets.map(_.name).sorted ==
+      (0 until 10).map(i => ('a' + i).toChar.toString).toVector)
+    (0 until 10).foreach { i =>
+      val d = g.child(('a' + i).toChar.toString).get.asInstanceOf[Hdf5.Dataset]
+      assert(d.readDoubles().toSeq == Seq(i * 5.0, i * 5.0 + 1))
+    }
+  }
+
   test("HDF5 dense group: root INDIRECT block spanning several direct blocks") {
     val w = new Hdf5TestWriter()
     val children = (0 until 14).map { i =>

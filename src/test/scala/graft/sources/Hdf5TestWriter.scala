@@ -376,15 +376,32 @@ final class Hdf5TestWriter(capacity: Int = 1 << 22) {
     * zeroed (the reader documents non-validation).
     */
   def groupV2Dense(children: Seq[(String, Long)], forceIndirect: Boolean = false,
-      deepNameIndex: Boolean = false): Long = {
-    val bodies = children.sortBy(_._1).map { case (name, addr) =>
+      deepNameIndex: Boolean = false, tinyOf: Set[String] = Set.empty,
+      hugeOf: Set[String] = Set.empty): Long = {
+    val named = children.sortBy(_._1).map { case (name, addr) =>
       val nb = name.getBytes("UTF-8")
       val b = ByteBuffer.allocate(3 + nb.length + 8).order(ByteOrder.LITTLE_ENDIAN)
       b.put(1.toByte).put(0.toByte).put(nb.length.toByte).put(nb).putLong(addr)
-      b.array()
+      name -> b.array()
+    }
+    // huge objects live OUTSIDE the heap blocks: body bytes at their own
+    // file extent, address+length carried inline in the heap ID
+    val hugeAt: Map[String, Long] = named.collect {
+      case (name, body) if hugeOf(name) => name -> writeBytes(body)
+    }.toMap
+    val maxTiny = named.collect {
+      case (name, body) if tinyOf(name) => body.length
+    }.maxOption.getOrElse(0)
+    require(maxTiny <= 16, "normal tiny IDs cap at 16 data bytes")
+    val bodies = named.collect {
+      case (name, body) if !tinyOf(name) && !hugeOf(name) => body
     }
     val offsetSize = 4 // max heap size 32 bits
-    val heapIdLen = 1 + offsetSize + 2 // flags + offset + 2-byte length
+    val heapIdLen = Seq(
+      1 + offsetSize + 2,                     // managed: flags + offset + len
+      if (hugeOf.nonEmpty) 17 else 0,         // huge direct: flags + addr + len
+      if (tinyOf.nonEmpty) 1 + maxTiny else 0 // tiny: flags/len + data
+    ).max
     val hdrSize = 4 + 1 + 8 + offsetSize // FHDB header (no checksum flag)
     val width = 2
     val startSize: Long =
@@ -411,6 +428,24 @@ final class Hdf5TestWriter(capacity: Int = 1 << 22) {
     val lastSlot = placed.map(_.slot).maxOption.getOrElse(0)
     val rowsUsed = lastSlot / width + 1
     val slotHeapOff = (0 to lastSlot).scanLeft(0L)((acc, s) => acc + slotSize(s))
+    // one index record per link, in name order, as raw heap-ID bytes
+    val records: Seq[Array[Byte]] = {
+      val managedIt = placed.iterator
+      named.map { case (name, body) =>
+        val id = ByteBuffer.allocate(heapIdLen).order(ByteOrder.LITTLE_ENDIAN)
+        if (tinyOf(name)) {
+          id.put(((2 << 4) | (body.length - 1)).toByte).put(body)
+        } else if (hugeOf(name)) {
+          id.put((1 << 4).toByte).putLong(hugeAt(name)).putLong(body.length.toLong)
+        } else {
+          val p = managedIt.next()
+          id.put(0.toByte)
+          id.putInt((slotHeapOff(p.slot) + p.offInBlock).toInt)
+          id.putShort(p.body.length.toShort)
+        }
+        id.array()
+      }
+    }
     val usedSlots = placed.map(_.slot).distinct.sorted
     val indirect = forceIndirect || rowsUsed > 1
 
@@ -469,11 +504,9 @@ final class Hdf5TestWriter(capacity: Int = 1 << 22) {
     val recSize = 4 + heapIdLen
     val nodeSize = 2048
     val bthdAddr = pos
-    def putRecord(p: Placed): Unit = {
-      buf.putInt(0)     // name hash (reader iterates; never looked up)
-      buf.put(0.toByte) // heap ID: version 0, type managed
-      buf.putInt((slotHeapOff(p.slot) + p.offInBlock).toInt)
-      buf.putShort(p.body.length.toShort)
+    def putRecord(id: Array[Byte]): Unit = {
+      buf.putInt(0) // name hash (reader iterates; never looked up)
+      buf.put(id)
     }
     def putBthd(depth: Int, rootNodeAddr: Long, rootNRec: Int): Unit = {
       buf.put("BTHD".getBytes)
@@ -484,28 +517,28 @@ final class Hdf5TestWriter(capacity: Int = 1 << 22) {
       buf.put(100.toByte).put(40.toByte) // split/merge percents
       buf.putLong(rootNodeAddr)
       buf.putShort(rootNRec.toShort)
-      buf.putLong(placed.size.toLong)
+      buf.putLong(records.size.toLong)
       buf.putInt(0) // checksum
     }
     if (!deepNameIndex) {
       val btlfAddr = bthdAddr + 38 // fixed BTHD size
-      putBthd(0, btlfAddr, placed.size)
+      putBthd(0, btlfAddr, records.size)
       require(pos == btlfAddr, "BTHD size drift")
       buf.put("BTLF".getBytes)
       buf.put(0.toByte).put(5.toByte)
-      placed.foreach(putRecord)
+      records.foreach(putRecord)
       buf.putInt(0) // checksum
     } else {
       // depth-1 tree: BTIN root with ONE separator record and two BTLF
       // leaves. The child-pointer record-count field width is derived
       // exactly as the reader derives it: min bytes for the leaf capacity.
-      require(placed.size >= 3, "deep index needs >= 3 links")
+      require(records.size >= 3, "deep index needs >= 3 links")
       val leafCap = (nodeSize - 10) / recSize
       require(leafCap <= 255, "writer assumes 1-byte child record counts")
-      val k = placed.size / 2
-      val leaf0 = placed.take(k)
-      val sep = placed(k)
-      val leaf1 = placed.drop(k + 1)
+      val k = records.size / 2
+      val leaf0 = records.take(k)
+      val sep = records(k)
+      val leaf1 = records.drop(k + 1)
       def leafLen(n: Int) = 6 + n * recSize + 4
       val btinLen = 6 + 2 * (8 + 1) + recSize + 4
       val rootNodeAddr = bthdAddr + 38

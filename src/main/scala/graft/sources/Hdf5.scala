@@ -18,18 +18,21 @@ import java.util.zip.Inflater
   *   - old-style groups: symbol-table message → B-tree v1 (node type 0,
   *     any depth) → SNOD symbol nodes, names in the local heap;
   *   - new-style groups with compact link storage (hard Link messages) AND
-  *     dense link storage (fractal heap — root direct block or one level
-  *     of indirect block — indexed by a single-leaf v2 B-tree; deeper
-  *     B-trees and filtered/huge/tiny heap objects fail fast by name);
+  *     dense link storage (fractal heap — root direct block, one level of
+  *     indirect block, or a DEFLATED root direct block — indexed by a v2
+  *     B-tree of any depth); heap IDs of all three classes: managed,
+  *     tiny (data inline in the ID), and directly-accessed huge
+  *     (B-tree-indexed huge IDs and filtered indirect heaps fail fast);
   *   - datatypes: fixed-point (1/2/4/8-byte, signed or unsigned), IEEE
   *     float (4/8-byte), little-endian, fixed-length strings
   *     (NUL-terminated/-padded or space-padded) and variable-length
   *     strings (16-byte descriptors resolved through GCOL global-heap
   *     collections; vlen sequences fail fast);
   *   - dataspaces: simple, any rank (v1 and v2 messages);
-  *   - layouts: contiguous and chunked (B-tree v1 node type 1, any depth),
-  *     with the deflate (zlib, `java.util.zip.Inflater`) and shuffle
-  *     filters in any pipeline order.
+  *   - layouts: compact (data inline in the object header), contiguous,
+  *     and chunked (B-tree v1 node type 1, any depth), with the deflate
+  *     (zlib, `java.util.zip.Inflater`) and shuffle filters in any
+  *     pipeline order.
   *
   * Anything outside the subset fails fast with a message naming the
   * unsupported feature rather than misreading data.
@@ -420,15 +423,22 @@ object Hdf5 {
     * a block's heap-offset space includes its own header, so
     * `fileAddr + (offset - blockHeapOffset)` lands on the object bytes.
     */
+  /** One direct block: its heap-offset extent plus the buffer holding its
+    * bytes — the file itself for plain blocks, a standalone inflated
+    * buffer (base 0) for filtered ones.
+    */
+  private final case class HeapBlock(
+      heapOff: Long, size: Long, buf: ByteBuffer, base: Long)
+
   private final case class HeapBlocks(
-      blocks: Vector[(Long, Long, Long)], offsetSize: Int) {
-    def locate(id: Array[Byte]): Long = {
+      blocks: Vector[HeapBlock], offsetSize: Int) {
+    def locate(id: Array[Byte]): (ByteBuffer, Long) = {
       require(((id(0) >> 4) & 0x3) == 0, "locate is for managed IDs")
       var off = 0L
       var i = 0
       while (i < offsetSize) { off |= (id(1 + i) & 0xFFL) << (8 * i); i += 1 }
-      blocks.find { case (ho, sz, _) => off >= ho && off < ho + sz } match {
-        case Some((ho, _, addr)) => addr + (off - ho)
+      blocks.find(b => off >= b.heapOff && off < b.heapOff + b.size) match {
+        case Some(b) => (b.buf, b.base + (off - b.heapOff))
         case None => fail(s"fractal-heap offset $off outside every direct block")
       }
     }
@@ -443,7 +453,9 @@ object Hdf5 {
       */
     def objectReader(file: ByteBuffer, id: Array[Byte]): R = {
       (id(0) >> 4) & 0x3 match {
-        case 0 => new R(file, locate(id))
+        case 0 =>
+          val (buf, at) = locate(id)
+          new R(buf, at)
         case 1 =>
           require(id.length >= 17,
             "B-tree-indexed huge heap IDs not supported (direct form only)")
@@ -470,7 +482,7 @@ object Hdf5 {
     val ver = b.u8()
     if (ver != 0) fail(s"FRHP version $ver")
     val heapIdLen = b.u16()
-    if (b.u16() != 0) fail("filtered fractal heap not supported")
+    val ioFilterLen = b.u16()
     b.u8() // flags (direct-block checksums not validated)
     b.u32() // max managed object size
     b.skip(8 * 12) // huge/free/managed bookkeeping — not needed to read
@@ -484,6 +496,41 @@ object Hdf5 {
     val offsetSize = (maxHeapBits + 7) / 8
     require(heapIdLen > 1 + offsetSize, s"heap ID length $heapIdLen inconsistent")
     def rowSize(r: Int): Long = if (r < 2) startSize else startSize << (r - 1)
+
+    // FILTERED heap (root-direct-block form): the FRHP tail carries the
+    // root block's stored (compressed) size, a filter mask, and a
+    // standard filter-pipeline body; the whole direct block — header
+    // included — inflates into its own buffer. Filtered INDIRECT heaps
+    // (per-child sizes in the indirect entries) fail fast by name.
+    if (ioFilterLen > 0) {
+      if (curRows != 0) fail("filtered fractal heap with indirect blocks not supported")
+      val filteredSize = b.u64()
+      b.u32() // filter mask
+      val pv = b.u8()
+      if (pv != 1 && pv != 2) fail(s"heap filter pipeline version $pv")
+      val nf = b.u8()
+      if (pv == 1) b.skip(6)
+      var i = 0
+      while (i < nf) {
+        val id = b.u16()
+        val nameLen = if (pv == 1 || id >= 256) b.u16() else 0
+        b.u16() // flags
+        val nVals = b.u16()
+        b.skip(nameLen)
+        b.skip(4 * nVals + (if (pv == 1 && nVals % 2 == 1) 4 else 0))
+        if (id != 1) fail(s"heap filter $id not supported (deflate only)")
+        i += 1
+      }
+      val raw = new Array[Byte](filteredSize.toInt)
+      var j = 0
+      while (j < raw.length) { raw(j) = file.get((rootAddr + j).toInt); j += 1 }
+      val inflated = inflateBytes(raw)
+      require(inflated.length >= startSize,
+        s"filtered root block inflated to ${inflated.length} < $startSize")
+      val blockBuf = ByteBuffer.wrap(inflated).order(ByteOrder.LITTLE_ENDIAN)
+      new R(blockBuf, 0).expect("FHDB")
+      return HeapBlocks(Vector(HeapBlock(0L, startSize, blockBuf, 0L)), offsetSize)
+    }
 
     val blocks = Vector.newBuilder[(Long, Long, Long)]
     if (curRows == 0) {
@@ -513,7 +560,25 @@ object Hdf5 {
     }
     val hb = blocks.result()
     hb.foreach { case (_, _, a) => reader(file, a).expect("FHDB") }
-    HeapBlocks(hb, offsetSize)
+    HeapBlocks(hb.map { case (ho, sz, a) => HeapBlock(ho, sz, file, a) },
+      offsetSize)
+  }
+
+  /** zlib inflate of a standalone byte extent (object-scope twin of the
+    * Dataset-local chunk inflater).
+    */
+  private def inflateBytes(in: Array[Byte]): Array[Byte] = {
+    val inf = new Inflater()
+    inf.setInput(in)
+    val out = new java.io.ByteArrayOutputStream(in.length * 4)
+    val buf = new Array[Byte](8192)
+    while (!inf.finished()) {
+      val n = inf.inflate(buf)
+      if (n == 0 && inf.needsInput()) fail("truncated deflate stream in heap block")
+      out.write(buf, 0, n)
+    }
+    inf.end()
+    out.toByteArray
   }
 
   /** All heap IDs from the group's name-index v2 B-tree (record type 5:

@@ -139,6 +139,23 @@ class EmdSpec extends SparkSpec {
     }
   }
 
+  test("HDF5 dense group: FILTERED fractal heap (deflated root block)") {
+    val w = new Hdf5TestWriter()
+    val children = (0 until 9).map { i =>
+      val raw = java.nio.ByteBuffer.allocate(8)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN).putInt(i * 7).putInt(i * 7 + 1)
+      s"z_$i" -> w.datasetV2(Seq(2L), w.int32, raw.array())
+    }
+    val root = w.groupV2Dense(children, deflateHeap = true)
+    val g = Hdf5.open(w.finishV3(root))
+    assert(g.datasets.map(_.name).sorted ==
+      (0 until 9).map(i => s"z_$i").sorted.toVector)
+    (0 until 9).foreach { i =>
+      val d = g.child(s"z_$i").get.asInstanceOf[Hdf5.Dataset]
+      assert(d.readDoubles().toSeq == Seq(i * 7.0, i * 7.0 + 1))
+    }
+  }
+
   test("HDF5 dense group: tiny and huge heap IDs next to managed ones") {
     // tiny: link message bytes packed INSIDE the heap ID; huge (direct,
     // unfiltered): ID carries the object's own file extent

@@ -377,7 +377,9 @@ final class Hdf5TestWriter(capacity: Int = 1 << 22) {
     */
   def groupV2Dense(children: Seq[(String, Long)], forceIndirect: Boolean = false,
       deepNameIndex: Boolean = false, tinyOf: Set[String] = Set.empty,
-      hugeOf: Set[String] = Set.empty): Long = {
+      hugeOf: Set[String] = Set.empty, deflateHeap: Boolean = false): Long = {
+    require(!(deflateHeap && forceIndirect),
+      "filtered heap fixture supports the root-direct-block form only")
     val named = children.sortBy(_._1).map { case (name, addr) =>
       val nb = name.getBytes("UTF-8")
       val b = ByteBuffer.allocate(3 + nb.length + 8).order(ByteOrder.LITTLE_ENDIAN)
@@ -450,11 +452,25 @@ final class Hdf5TestWriter(capacity: Int = 1 << 22) {
     val indirect = forceIndirect || rowsUsed > 1
 
     val frhpAddr = pos
-    val rootAddr = frhpAddr + 146 // fixed FRHP size (no filters)
+    // filtered form: build the whole FHDB block up front and deflate it;
+    // the FRHP tail then carries (stored size, mask, v2 pipeline body)
+    val compressedRoot: Option[Array[Byte]] =
+      if (!deflateHeap) None
+      else {
+        require(lastSlot == 0, "filtered fixture fits one direct block")
+        val bb = ByteBuffer.allocate(startSize.toInt)
+          .order(ByteOrder.LITTLE_ENDIAN)
+        bb.put("FHDB".getBytes).put(0.toByte).putLong(frhpAddr).putInt(0)
+        placed.foreach { p => bb.position(p.offInBlock.toInt); bb.put(p.body) }
+        Some(deflate(bb.array(), 6))
+      }
+    val filterInfoLen = if (deflateHeap) 12 else 0 // v2 pipeline, deflate
+    val frhpSize = 146 + (if (deflateHeap) 8 + 4 + filterInfoLen else 0)
+    val rootAddr = frhpAddr + frhpSize
     buf.put("FRHP".getBytes)
     buf.put(0.toByte)
     buf.putShort(heapIdLen.toShort)
-    buf.putShort(0.toShort) // no I/O filters
+    buf.putShort(filterInfoLen.toShort)
     buf.put(0.toByte)       // flags: no direct-block checksums
     buf.putInt(4096)        // max managed object size
     buf.putLong(0L); buf.putLong(Undef) // next huge id, huge v2 B-tree
@@ -471,11 +487,26 @@ final class Hdf5TestWriter(capacity: Int = 1 << 22) {
     buf.putShort(1.toShort)  // starting rows
     buf.putLong(rootAddr)
     buf.putShort(if (indirect) rowsUsed.toShort else 0.toShort)
+    compressedRoot.foreach { cb =>
+      buf.putLong(cb.length.toLong) // stored (filtered) root block size
+      buf.putInt(0)                 // filter mask
+      // v2 filter pipeline body: version, nfilters, {id, flags, nvals, cd}
+      buf.put(2.toByte).put(1.toByte)
+      buf.putShort(1.toShort) // deflate
+      buf.putShort(0.toShort)
+      buf.putShort(1.toShort) // one client value: level
+      buf.putInt(6)
+    }
     buf.putInt(0) // checksum
     require(pos == rootAddr, s"FRHP size drift: $pos != $rootAddr")
 
+    compressedRoot.foreach { cb =>
+      buf.put(cb)
+      // B-tree follows the compressed extent directly
+    }
+
     val blockAddrs = scala.collection.mutable.Map.empty[Int, Long]
-    if (indirect) {
+    if (compressedRoot.isEmpty && indirect) {
       val fhibLen = 4 + 1 + 8 + offsetSize + rowsUsed * width * 8 + 4
       var next = rootAddr + fhibLen
       usedSlots.foreach { s => blockAddrs(s) = next; next += slotSize(s) }
@@ -488,7 +519,7 @@ final class Hdf5TestWriter(capacity: Int = 1 << 22) {
       buf.putInt(0) // checksum
     } else blockAddrs(0) = rootAddr
 
-    usedSlots.foreach { s =>
+    if (compressedRoot.isEmpty) usedSlots.foreach { s =>
       require(pos == blockAddrs(s), s"direct block $s drift")
       buf.put("FHDB".getBytes)
       buf.put(0.toByte)

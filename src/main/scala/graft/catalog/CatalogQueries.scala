@@ -84,5 +84,52 @@ object CatalogQueries {
       ORDER BY subject""")
   )
 
-  val all: Seq[QueryDef] = Seq(c1Checksums, c2CatalogSearch)
+  /** Time travel + CDC in the correctness gate: two snapshot versions of
+    * the orders table are written once per sf-dir (cached like
+    * Ivf.trainCached) with a DETERMINISTIC delta — keys divisible by 7
+    * first appear in v1 (inserts), keys divisible by 5 vanish (deletes),
+    * keys divisible by 3 get a price bump (updates) — and
+    * [[Merge.changes]] diffs the retained versions. The oracle derives
+    * the same classification arithmetically from the base table, so the
+    * whole snapshot/readVersion/row-hash path is value-verified, not just
+    * spec-tested.
+    */
+  private val cdcCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, Long, Long)]()
+
+  private def cdcVersions(s: org.apache.spark.sql.SparkSession,
+      dir: String): (String, Long, Long) =
+    cdcCache.computeIfAbsent(dir, _ => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-c3-cdc").toString
+      val o = Tables.load(s, dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+      val v0 = Merge.writeSnapshot(o.filter(col("o_orderkey") % 7 =!= 0), tmp)
+      val v1 = Merge.writeSnapshot(
+        o.filter(col("o_orderkey") % 5 =!= 0)
+          .withColumn("o_totalprice",
+            when(col("o_orderkey") % 3 === 0, col("o_totalprice") + 1)
+              .otherwise(col("o_totalprice"))),
+        tmp)
+      (tmp, v0, v1)
+    })
+
+  val c3CdcDiff: QueryDef = QueryDef(
+    "c3_cdc_diff",
+    (s, dir) => {
+      val (tmp, v0, v1) = cdcVersions(s, dir)
+      Merge.changes(s, tmp, v0, v1, Seq("o_orderkey")).orderBy("o_orderkey")
+    },
+    Some("""
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 7 = 0 AND o_orderkey % 5 <> 0 THEN 'insert'
+                  WHEN o_orderkey % 5 = 0 AND o_orderkey % 7 <> 0 THEN 'delete'
+                  ELSE 'update' END AS change
+      FROM orders
+      WHERE (o_orderkey % 7 = 0 AND o_orderkey % 5 <> 0)
+         OR (o_orderkey % 5 = 0 AND o_orderkey % 7 <> 0)
+         OR (o_orderkey % 3 = 0 AND o_orderkey % 5 <> 0 AND o_orderkey % 7 <> 0)
+      ORDER BY o_orderkey""")
+  )
+
+  val all: Seq[QueryDef] = Seq(c1Checksums, c2CatalogSearch, c3CdcDiff)
 }

@@ -162,4 +162,11 @@ class PlanSpec extends SparkSpec {
     val plan = planOf(EventQueries.q34IncrementalRollup.fn(spark, sf))
     assert(plan.contains("partial_"), s"no map-side combine:\n$plan")
   }
+
+  test("domain caps: bounded heap combines map-side (k ids/domain cross)") {
+    val plan = planOf(graft.text.TextQueries.t25DomainCaps.fn(spark, sf))
+    assert(plan.contains("partial_"), s"no map-side combine:\n$plan")
+    // selection must ride the aggregate, never a whole-domain window sort
+    assert(!plan.contains("Window"), s"window rank leaked into t25:\n$plan")
+  }
 }

@@ -1278,11 +1278,85 @@ object TextQueries {
       WHERE rn <= 3 ORDER BY domain, doc_id""")
   )
 
+  /** Paragraph-level dedup — the CCNet/Common-Crawl removal op between
+    * whole-document dedup (d1) and span DETECTION (d6): drop every
+    * repeated paragraph corpus-wide, keep its first occurrence by
+    * (doc_id, paragraph index), and reassemble each document from its
+    * surviving paragraphs. Harness text has no paragraph breaks, so a
+    * "paragraph" is a fixed 10-word block, and boilerplate is PLANTED
+    * (every 5th doc is prepended with the same 10-word footer — the
+    * shared-chrome case this op exists for) per the planted-data
+    * precedent.
+    *
+    * First-occurrence winners come from one groupBy over the paragraph
+    * sha256 (min (doc_id, idx) struct — order-free), kept blocks join
+    * back on the digest, and the cleaned text is content-addressed
+    * (sha256) in the output so the compare stays scalar. Scale: the only
+    * corpus-wide shuffle carries (32-byte digest, doc_id, idx); document
+    * reassembly is a per-doc aggregate bounded by document size.
+    */
+  val t26ParagraphDedup: QueryDef = QueryDef(
+    "t26_paragraph_dedup",
+    (s, dir) => {
+      val footer = "all rights reserved contact the site admin for reuse terms"
+      val blocks = Tables.loadSpread(s, dir, "documents")
+        .withColumn("t2",
+          when(col("doc_id") % 5 === 0, concat(lit(footer + " "), col("text")))
+            .otherwise(col("text")))
+        .select(col("doc_id"),
+          expr("filter(split(t2, ' '), w -> length(w) > 0)").as("ws"))
+        .select(col("doc_id"),
+          posexplode(expr(
+            """transform(sequence(0, cast(ceil(size(ws) / 10.0) as int) - 1),
+                         i -> array_join(slice(ws, i * 10 + 1, 10), ' '))"""))
+            .as(Seq("block_idx", "block")))
+        .withColumn("h", sha2(col("block"), 256))
+      val winners = blocks.groupBy("h")
+        .agg(min(struct(col("doc_id"), col("block_idx"))).as("w"))
+      blocks.join(winners, Seq("h"))
+        .withColumn("kept",
+          col("doc_id") === col("w.doc_id") && col("block_idx") === col("w.block_idx"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_blocks"),
+          sum(col("kept").cast("long")).as("n_kept"),
+          sha2(expr(
+            """array_join(transform(
+                 array_sort(collect_list(case when kept then struct(block_idx, block) end)),
+                 x -> x.block), ' ')"""), 256).as("clean_sha"))
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH src AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 5 = 0
+                    THEN 'all rights reserved contact the site admin for reuse terms ' || text
+                    ELSE text END AS t2
+        FROM documents),
+      w AS (
+        SELECT doc_id, LIST_FILTER(STRING_SPLIT(t2, ' '), x -> LENGTH(x) > 0) AS ws
+        FROM src),
+      b AS (
+        SELECT doc_id, i AS block_idx,
+               ARRAY_TO_STRING(ws[i * 10 + 1 : i * 10 + 10], ' ') AS block
+        FROM w, UNNEST(RANGE(0, CAST(CEIL(LENGTH(ws) / 10.0) AS BIGINT))) AS t(i)),
+      marked AS (
+        SELECT doc_id, block_idx, block,
+               ROW_NUMBER() OVER (PARTITION BY block
+                                  ORDER BY doc_id, block_idx) AS rn
+        FROM b)
+      SELECT doc_id, COUNT(*) AS n_blocks,
+             CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+             sha256(COALESCE(STRING_AGG(CASE WHEN rn = 1 THEN block END, ' '
+                                        ORDER BY block_idx), '')) AS clean_sha
+      FROM marked GROUP BY doc_id ORDER BY doc_id""")
+  )
+
   val all: Seq[QueryDef] =
     Seq(t1TokenCount, t2QualityScore, t3LangId, t4Fingerprint, t5Vocab,
       t6StratifiedSample, t7Cooccurrence, t8DistinctSketch, t9SketchRollup,
       t10SelfRepetition, t11SketchOverlap, t12SketchDifference,
       t13LmFamiliarity, t14MixtureSample, t15PiiScrub, t16Chunking,
       t17Packing, t18InvertedIndex, t19Bm25, t20UrlDomains, t21CorpusCard,
-      t22TypoCorrection, t23LearnedQuality, t24ChatFormat, t25DomainCaps)
+      t22TypoCorrection, t23LearnedQuality, t24ChatFormat, t25DomainCaps,
+      t26ParagraphDedup)
 }

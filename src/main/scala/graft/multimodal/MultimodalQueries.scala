@@ -302,6 +302,94 @@ object MultimodalQueries {
       ORDER BY o.doc_id""")
   )
 
+  /** Per-video frame-intensity sums through the FULL MP4 path: encode
+    * real JPEG frames into the ISO-BMFF container ([[graft.sinks
+    * .Artifacts.mjpegMp4]]), parse it back via the magic-dispatch
+    * container walk, decode every frame, and sum raw uint8 intensities —
+    * one integer per (video, frame). A scene CUT is planted at frame
+    * n/2 by shifting the synthesis salt, so successive-frame deltas
+    * spike there.
+    */
+  private def m5FrameSums(s: org.apache.spark.sql.SparkSession, dir: String) = {
+    val session = s
+    import session.implicits._
+    Tables.loadSpread(s, dir, "documents")
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions(_.flatMap { case (id, text) =>
+        val w = (id % 5 + 2).toInt
+        val h = (id % 3 + 2).toInt
+        val n = (id % 6 + 4).toInt
+        val cut = n / 2
+        val bytes = text.getBytes("UTF-8")
+        val len = math.max(bytes.length, 1)
+        // two SCENES: frames within a scene are near-identical (content
+        // texture + a ±1 per-frame jitter), the cut jumps brightness by
+        // 160 — intra-scene deltas are JPEG-noise-sized, the cut is not
+        def frame(f: Int): Array[Byte] = Array.tabulate(w * h) { i =>
+          val base = if (f >= cut) 160 else 0
+          (base + (bytes(i % len) & 0x3F) + (f % 2)).toByte
+        }
+        val jpegs = Seq.tabulate(n)(f =>
+          graft.sinks.Artifacts.grayJpeg(w, h, frame(f)))
+        val video = Codec.parseVideo(graft.sinks.Artifacts.mjpegMp4(jpegs, w, h))
+        (0 until video.frameCount).map { f =>
+          val (_, _, _, px) = video.decodeFrame(f)
+          var sum = 0L
+          var i = 0
+          while (i < px.length) { sum += px(i) & 0xFF; i += 1 }
+          (id, f, sum)
+        }
+      })
+      .toDF("doc_id", "frame_idx", "psum")
+  }
+
+  /** Scene-change detection — the video-curation op that splits clips at
+    * hard cuts before captioning/training: per video, successive-frame
+    * intensity deltas, the maximum delta, and the (deterministic,
+    * smallest-index) frame achieving it. The per-video window is bounded
+    * by frames-per-clip, so partitioning by video scales; decoded sums
+    * are integers, and the oracle replays delta/argmax exactly from the
+    * aux-dumped frame table (the s2/s3 pattern: the analytic layer is
+    * value-verified, the codec layer is spec-pinned).
+    */
+  val m5SceneCuts: QueryDef = QueryDef(
+    "m5_scene_cuts",
+    (s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("doc_id").orderBy("frame_idx")
+      val d = m5FrameSums(s, dir)
+        .withColumn("diff", abs(col("psum") - lag("psum", 1).over(w)))
+      val agg = d.filter(col("diff").isNotNull).groupBy("doc_id")
+        .agg(max(col("diff")).as("max_diff"))
+      val nFrames = d.groupBy("doc_id").agg(count(lit(1)).as("n_frames"))
+      d.join(agg, "doc_id")
+        .filter(col("diff") === col("max_diff"))
+        .groupBy("doc_id", "max_diff")
+        .agg(min(col("frame_idx")).as("cut_frame"))
+        .join(nFrames, "doc_id")
+        .select("doc_id", "n_frames", "cut_frame", "max_diff")
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH f AS (SELECT * FROM read_parquet('{OUT}/aux/m5_scene_cuts__fsums/*.parquet')),
+      d AS (
+        SELECT doc_id, frame_idx, psum,
+               ABS(psum - LAG(psum) OVER (PARTITION BY doc_id ORDER BY frame_idx)) AS diff
+        FROM f),
+      a AS (SELECT doc_id, MAX(diff) AS max_diff FROM d
+            WHERE diff IS NOT NULL GROUP BY doc_id),
+      nf AS (SELECT doc_id, COUNT(*) AS n_frames FROM d GROUP BY doc_id)
+      SELECT d.doc_id, nf.n_frames, MIN(d.frame_idx) AS cut_frame, a.max_diff
+      FROM d JOIN a ON d.doc_id = a.doc_id AND d.diff = a.max_diff
+      JOIN nf ON nf.doc_id = d.doc_id
+      GROUP BY d.doc_id, nf.n_frames, a.max_diff
+      ORDER BY d.doc_id"""),
+    aux = Map("fsums" -> ((s, dir) =>
+      m5FrameSums(s, dir).orderBy("doc_id", "frame_idx")))
+  )
+
   val all: Seq[QueryDef] =
-    Seq(m1Pipeline, m2InferenceConv, m3AudioFeatures, m4ImagePhash)
+    Seq(m1Pipeline, m2InferenceConv, m3AudioFeatures, m4ImagePhash,
+      m5SceneCuts)
 }

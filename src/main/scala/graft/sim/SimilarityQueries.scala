@@ -376,7 +376,67 @@ object SimilarityQueries {
     }))
   )
 
+  /** FILTERED (hybrid) vector search — the metadata-predicate + ANN
+    * combination every production vector store serves ("nearest neighbors
+    * WHERE label = x"): the corpus predicate (here vec_id % 3 = 0, the
+    * deterministic stand-in for a metadata column) applies BEFORE cell
+    * probing, so the index prunes to nprobe/k of the *filtered* corpus —
+    * pre-filtered search, not post-filtering a top-k that may then come
+    * up short. The index itself stays trained on the full corpus
+    * (build-once, shared with s3 via `Ivf.trainCached`); the oracle
+    * replays the probed-cell + predicate top-k exhaustively from the
+    * same aux dumps s3 uses.
+    */
+  val s8FilteredAnn: QueryDef = QueryDef(
+    "s8_filtered_ann",
+    (s, dir) => {
+      val e = Tables.load(s, dir, "embeddings")
+      val model = Ivf.trainCached(e, dir, "embedding", k = 16, iters = 2)
+      val queries = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+      Ivf.search(e.filter(col("vec_id") % 3 === 0), queries, model,
+        k = 16, nprobe = 3, topK = 10)
+    },
+    Some("""
+      WITH cells AS (SELECT * FROM read_parquet('{OUT}/aux/s8_filtered_ann__cells/*.parquet')),
+      probes AS (SELECT * FROM read_parquet('{OUT}/aux/s8_filtered_ann__probes/*.parquet')),
+      cand AS (
+        SELECT p.query_id, c.vec_id AS neighbor_id
+        FROM probes p JOIN cells c ON p.cell = c.cell AND c.vec_id <> p.query_id
+        WHERE c.vec_id % 3 = 0),
+      scored AS (
+        SELECT c.query_id, c.neighbor_id,
+               LIST_COSINE_SIMILARITY(CAST(qe.embedding AS DOUBLE[]),
+                                      CAST(ne.embedding AS DOUBLE[])) AS cos
+        FROM cand c
+        JOIN embeddings qe ON qe.vec_id = c.query_id
+        JOIN embeddings ne ON ne.vec_id = c.neighbor_id)
+      SELECT query_id, rank, neighbor_id, cos FROM (
+        SELECT query_id, neighbor_id, cos,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY cos DESC, neighbor_id) AS rank
+        FROM scored)
+      WHERE rank <= 10 ORDER BY query_id, rank"""),
+    aux = Map(
+      "cells" -> ((s, dir) => {
+        val e = Tables.load(s, dir, "embeddings")
+        val model = Ivf.trainCached(e, dir, "embedding", k = 16, iters = 2)
+        e.select(col("vec_id"),
+          graft.expressions.GraftExpressions.ivfCell(col("embedding"), model, 16).as("cell"))
+          .orderBy("vec_id")
+      }),
+      "probes" -> ((s, dir) => {
+        val e = Tables.load(s, dir, "embeddings")
+        val model = Ivf.trainCached(e, dir, "embedding", k = 16, iters = 2)
+        e.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("query_id"),
+            explode(graft.expressions.GraftExpressions.ivfProbeCells(
+              col("embedding"), model, 16, 3)).as("cell"))
+          .orderBy("query_id", "cell")
+      }))
+  )
+
   val all: Seq[QueryDef] =
     Seq(s1AnnBruteForce, s2AnnLsh, s3AnnIvf, s4RangeSearch, s5AnnQuantized,
-      s6HardNegatives, s7AnnRerank)
+      s6HardNegatives, s7AnnRerank, s8FilteredAnn)
 }

@@ -1351,6 +1351,46 @@ object TextQueries {
       FROM marked GROUP BY doc_id ORDER BY doc_id""")
   )
 
+  /** Deterministic train/validation/test splitting — the step every
+    * training run takes before anything else. Assignment is a pure
+    * function of the stable doc key (t6's md5-prefix discipline: no RNG,
+    * no ordering dependence, identical decisions on any engine or
+    * partitioning), with power-of-two hex thresholds so the 75/12.5/12.5
+    * fractions are exact: train < 0xc000, val < 0xe000, test above.
+    * Output is the per-split corpus summary (docs, tokens, chars) — one
+    * shared-scan aggregate; assignment itself never shuffles.
+    */
+  val t27SplitAssign: QueryDef = QueryDef(
+    "t27_split_assign",
+    (s, dir) => {
+      val key = substring(md5(col("doc_id").cast("string")), 1, 4)
+      val splitCol = when(key < "c000", "train")
+        .when(key < "e000", "val").otherwise("test")
+      val ntok = size(filter(split(col("text"), " "), w => length(w) > 0))
+      Tables.loadSpread(s, dir, "documents")
+        .select(splitCol.as("split"), ntok.cast("long").as("ntok"),
+          length(col("text")).cast("long").as("nchars"))
+        .groupBy("split")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("ntok")).as("n_tokens"),
+          sum(col("nchars")).as("n_chars"))
+        .orderBy("split")
+    },
+    Some("""
+      WITH a AS (
+        SELECT CASE WHEN SUBSTR(md5(CAST(doc_id AS VARCHAR)), 1, 4) < 'c000' THEN 'train'
+                    WHEN SUBSTR(md5(CAST(doc_id AS VARCHAR)), 1, 4) < 'e000' THEN 'val'
+                    ELSE 'test' END AS split,
+               CAST(LENGTH(LIST_FILTER(STRING_SPLIT(text, ' '),
+                                       x -> LENGTH(x) > 0)) AS BIGINT) AS ntok,
+               CAST(LENGTH(text) AS BIGINT) AS nchars
+        FROM documents)
+      SELECT split, COUNT(*) AS n_docs,
+             CAST(SUM(ntok) AS BIGINT) AS n_tokens,
+             CAST(SUM(nchars) AS BIGINT) AS n_chars
+      FROM a GROUP BY split ORDER BY split""")
+  )
+
   val all: Seq[QueryDef] =
     Seq(t1TokenCount, t2QualityScore, t3LangId, t4Fingerprint, t5Vocab,
       t6StratifiedSample, t7Cooccurrence, t8DistinctSketch, t9SketchRollup,
@@ -1358,5 +1398,5 @@ object TextQueries {
       t13LmFamiliarity, t14MixtureSample, t15PiiScrub, t16Chunking,
       t17Packing, t18InvertedIndex, t19Bm25, t20UrlDomains, t21CorpusCard,
       t22TypoCorrection, t23LearnedQuality, t24ChatFormat, t25DomainCaps,
-      t26ParagraphDedup)
+      t26ParagraphDedup, t27SplitAssign)
 }

@@ -181,6 +181,74 @@ object SignalQueries {
       GROUP BY ch // 8 ORDER BY bin""")
   )
 
+  /** Per-channel BACKGROUND subtraction — the detector-calibration step
+    * before peak analysis: each channel's background level is its exact
+    * corpus-wide MEDIAN, and the channel reports how many readings sit
+    * strictly above it. Medians ride [[graft.core.Ranks.valueBucketed]]
+    * on the g3 integer-scaled domain (floor(v·1e4) — exact, engine-
+    * independent): 64 channels over the whole corpus is precisely the
+    * few-groups/huge-rows regime where a per-channel rank window
+    * single-reducers, and the bucketed two-pass doesn't. Median of an
+    * even count averages two integers — exact in doubles below 2^52.
+    */
+  val g6Background: QueryDef = QueryDef(
+    "g6_background",
+    (s, dir) => {
+      val base = Tables.load(s, dir, "embeddings")
+        .select(posexplode(col("embedding")).as(Seq("pos", "v")))
+        .select((col("pos") + 1).as("g"),
+          floor(col("v").cast("double") * lit(10000.0)).cast("long").as("v"))
+      val ranked = graft.core.Ranks.valueBucketed(
+        base, "g", "v", buckets = 64, vLo = -10000.0, vHi = 10000.0)
+      val grid = ranked.select("g", "n").distinct()
+        .withColumn("lo", expr("(n + 1) div 2"))
+        .withColumn("hi", expr("n div 2 + 1"))
+      val med = grid
+        .join(ranked.select(col("g"), col("rn").as("lo"), col("v").as("v_lo")),
+          Seq("g", "lo"))
+        .join(ranked.select(col("g"), col("rn").as("hi"), col("v").as("v_hi")),
+          Seq("g", "hi"))
+        .select(col("g"),
+          ((col("v_lo") + col("v_hi")).cast("double") / 2.0).as("med_sv"))
+      base.join(broadcast(med), Seq("g"))
+        .groupBy("g")
+        .agg(count(lit(1)).as("n"),
+          (first(col("med_sv")) / 10000.0).as("background"),
+          sum(when(col("v").cast("double") > col("med_sv"), 1L).otherwise(0L))
+            .as("n_above"))
+        .select(col("g").as("channel"), col("n"), col("background"),
+          col("n_above"))
+        .orderBy("channel")
+    },
+    Some("""
+      WITH base AS (
+        SELECT generate_subscripts(embedding, 1) AS g,
+               CAST(FLOOR(CAST(unnest(embedding) AS DOUBLE)
+                    * CAST(10000.0 AS DOUBLE)) AS BIGINT) AS v
+        FROM embeddings),
+      ranked AS (
+        SELECT g, v,
+               ROW_NUMBER() OVER (PARTITION BY g ORDER BY v) AS rn,
+               COUNT(*) OVER (PARTITION BY g) AS n
+        FROM base),
+      grid AS (
+        SELECT g, n, (n + 1) // 2 AS lo, n // 2 + 1 AS hi
+        FROM (SELECT DISTINCT g, n FROM ranked)),
+      med AS (
+        SELECT grid.g,
+               CAST(lo_r.v + hi_r.v AS DOUBLE) / 2.0 AS med_sv
+        FROM grid
+        JOIN ranked lo_r ON lo_r.g = grid.g AND lo_r.rn = grid.lo
+        JOIN ranked hi_r ON hi_r.g = grid.g AND hi_r.rn = grid.hi)
+      SELECT b.g AS channel, COUNT(*) AS n,
+             ANY_VALUE(m.med_sv) / 10000.0 AS background,
+             CAST(SUM(CASE WHEN CAST(b.v AS DOUBLE) > m.med_sv
+                      THEN 1 ELSE 0 END) AS BIGINT) AS n_above
+      FROM base b JOIN med m ON m.g = b.g
+      GROUP BY b.g ORDER BY channel""")
+  )
+
   val all: Seq[QueryDef] =
-    Seq(g1EnergyAxis, g2FrameNormalize, g3Spectrum, g4PeakDetect, g5Rebin)
+    Seq(g1EnergyAxis, g2FrameNormalize, g3Spectrum, g4PeakDetect, g5Rebin,
+      g6Background)
 }

@@ -747,10 +747,136 @@ object EventQueries {
       ORDER BY cohort_day, day_offset""")
   )
 
+  /** Interval-overlap aggregation (peak concurrency per hour) via a
+    * SWEEP-LINE, not a self-join: each event becomes an interval
+    * [ts, ts + 60·value seconds), intervals become ±1 deltas at their
+    * endpoints, and concurrency is the running sum of deltas in global
+    * (t, d, event_id) order (ends sort before starts at equal t —
+    * end-exclusive semantics). A naive interval × hour-grid join is
+    * quadratic in overlap; the sweep is one union + one running sum.
+    *
+    * The global running sum is NOT computed with one ungrouped window
+    * (single reducer at 100 TB). Same two-pass discipline as
+    * [[graft.core.Ranks]]: (1) per-hour net delta — a tiny aggregate,
+    * |hours| rows — turns into exclusive prefix offsets (window over the
+    * aggregate, not the data); (2) the within-hour running sum is a
+    * window PARTITIONED BY hour, fully parallel across hours, plus the
+    * broadcast offset. Carry-over across hour boundaries is exactly the
+    * offset term, so intervals spanning many hours (value ≤ 490 min
+    * here) are handled without densification.
+    */
+  val q49Concurrency: QueryDef = QueryDef(
+    "q49_concurrency",
+    (s, dir) => {
+      val iv = Tables.load(s, dir, "events")
+        .select(col("event_id"), col("ts").as("t0"),
+          (col("ts") + floor(col("value") * 60.0).cast("long") * 1000000000L
+            + 1L).as("t1"))
+      val deltas = iv.select(col("t0").as("t"), lit(1L).as("d"), col("event_id"))
+        .unionAll(iv.select(col("t1").as("t"), lit(-1L).as("d"),
+          col("event_id")))
+        .withColumn("hour", expr(s"t div ${NsPerHour}L"))
+      val wOff = Window.orderBy("hour")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val offsets = deltas.groupBy("hour").agg(sum("d").as("net"))
+        .withColumn("off", coalesce(sum("net").over(wOff), lit(0L)))
+        .select("hour", "off")
+      val wIn = Window.partitionBy("hour").orderBy("t", "d", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+      deltas.join(broadcast(offsets), Seq("hour"))
+        .withColumn("conc", col("off") + sum("d").over(wIn))
+        .groupBy("hour")
+        .agg(max("conc").as("max_conc"),
+          sum(when(col("d") === 1L, 1L).otherwise(0L)).as("n_starts"))
+        .orderBy("hour")
+    },
+    Some(s"""
+      WITH iv AS (
+        SELECT event_id, epoch_ns(ts) AS t0,
+               epoch_ns(ts) + CAST(FLOOR(value * 60.0) AS BIGINT) * 1000000000
+                 + 1 AS t1
+        FROM events),
+      d AS (
+        SELECT t0 AS t, 1 AS d, event_id FROM iv
+        UNION ALL
+        SELECT t1 AS t, -1 AS d, event_id FROM iv),
+      r AS (
+        SELECT t // ${NsPerHour} AS hour, d,
+               SUM(d) OVER (ORDER BY t, d, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS conc
+        FROM d)
+      SELECT hour, CAST(MAX(conc) AS BIGINT) AS max_conc,
+             CAST(SUM(CASE WHEN d = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_starts
+      FROM r GROUP BY hour ORDER BY hour""")
+  )
+
+  /** Last-touch marketing attribution: every purchase is credited to the
+    * user's most recent click/view strictly before it and within a 7-day
+    * lookback, else 'direct'. The carry is `last(..., ignoreNulls)` over
+    * a per-user window ending at 1 PRECEDING — the running "latest touch"
+    * travels with the event stream, so no purchases × touches join
+    * exists at all (the naive formulation; quadratic per user).
+    * Deterministic: the window total-orders on (ts, event_id).
+    *
+    * At 100 TB the window partitions by user_id — parallel across the
+    * key, one shuffle — and the final rollup is a 3-row aggregate.
+    * Revenue sums ride the 2-decimal money detour ([[graft.core.Exact]])
+    * so channel totals are partitioning-independent.
+    */
+  val q50Attribution: QueryDef = QueryDef(
+    "q50_attribution",
+    (s, dir) => {
+      val lookbackNs = 7L * 24L * NsPerHour
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val ev = Tables.load(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("ts"), col("event_type"),
+          col("value"))
+      val touched = ev
+        .withColumn("lt_type",
+          last(when(col("event_type").isin("click", "view"),
+            col("event_type")), ignoreNulls = true).over(w))
+        .withColumn("lt_ts",
+          last(when(col("event_type").isin("click", "view"), col("ts")),
+            ignoreNulls = true).over(w))
+      touched.filter(col("event_type") === "purchase")
+        .withColumn("channel",
+          when(col("lt_ts").isNotNull &&
+            col("ts") - col("lt_ts") <= lookbackNs, col("lt_type"))
+            .otherwise(lit("direct")))
+        .groupBy("channel")
+        .agg(count(lit(1)).as("n"),
+          sum(money(col("value"))).cast(DoubleType).as("revenue"))
+        .orderBy("channel")
+    },
+    Some(s"""
+      WITH ev AS (
+        SELECT event_id, user_id, epoch_ns(ts) AS t, event_type, value
+        FROM events),
+      carried AS (
+        SELECT *,
+               LAST_VALUE(CASE WHEN event_type IN ('click', 'view')
+                   THEN event_type END IGNORE NULLS)
+                 OVER (PARTITION BY user_id ORDER BY t, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS lt_type,
+               LAST_VALUE(CASE WHEN event_type IN ('click', 'view')
+                   THEN t END IGNORE NULLS)
+                 OVER (PARTITION BY user_id ORDER BY t, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS lt_ts
+        FROM ev)
+      SELECT CASE WHEN lt_ts IS NOT NULL
+                    AND t - lt_ts <= ${7L * 24L * NsPerHour}
+                  THEN lt_type ELSE 'direct' END AS channel,
+             COUNT(*) AS n,
+             CAST(SUM(${sqlMoney("value")}) AS DOUBLE) AS revenue
+      FROM carried WHERE event_type = 'purchase'
+      GROUP BY 1 ORDER BY 1""")
+  )
+
   val all: Seq[QueryDef] = Seq(
     q7WindowRunning, q8PivotCounts, q9EventPairs,
     q14TimeBuckets, q15UserSpan, q16AsofJoin, q17JsonExtract, q21Sessions,
     q24Resample, q25Ranks, q30RangeWindow, q32HeavyHitters,
     q34IncrementalRollup, q35Scd2, q36AsofExec, q37Funnel, q40Retention,
-    q44Variant, q45Trending)
+    q44Variant, q45Trending, q49Concurrency, q50Attribution)
 }

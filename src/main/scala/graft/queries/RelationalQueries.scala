@@ -198,6 +198,44 @@ object RelationalQueries {
       ORDER BY gid, rf, ls""")
   )
 
+  /** Arbitrary GROUPING SETS — the general operator behind q18's ROLLUP
+    * and q22's CUBE: the set list ((rf, ls), (ls), ()) is NOT a rollup
+    * prefix chain (it drops rf while keeping ls), so neither shorthand
+    * can express it. Spark's native `groupingSets` still expands all
+    * sets map-side into ONE aggregate — each input row is replicated
+    * once per set with partial aggregation applied before the single
+    * shuffle, so at 100 TB the exchange carries |sets| × |groups| rows,
+    * not |sets| × |input|. Same NULL-sentinel + grouping_id discipline
+    * as q18 (Spark sorts NULLS FIRST, DuckDB NULLS LAST).
+    */
+  val q48GroupingSets: QueryDef = QueryDef(
+    "q48_grouping_sets",
+    (s, dir) =>
+      Tables.load(s, dir, "lineitem")
+        .groupingSets(
+          Seq(Seq(col("l_returnflag"), col("l_linestatus")),
+            Seq(col("l_linestatus")), Seq.empty),
+          col("l_returnflag"), col("l_linestatus"))
+        .agg(dsum(col("l_quantity")).as("sum_qty"),
+          dsum(col("l_extendedprice")).as("sum_price"),
+          count(lit(1)).as("n"),
+          grouping_id().as("gid"))
+        .select(coalesce(col("l_returnflag"), lit("<all>")).as("rf"),
+          coalesce(col("l_linestatus"), lit("<all>")).as("ls2"),
+          col("sum_qty"), col("sum_price"), col("n"), col("gid"))
+        .orderBy("gid", "rf", "ls2"),
+    Some(s"""
+      SELECT COALESCE(l_returnflag, '<all>') AS rf,
+             COALESCE(l_linestatus, '<all>') AS ls2,
+             ${sqlSum("l_quantity")} AS sum_qty,
+             ${sqlSum("l_extendedprice")} AS sum_price,
+             COUNT(*) AS n,
+             GROUPING(l_returnflag, l_linestatus) AS gid
+      FROM lineitem
+      GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_linestatus), ())
+      ORDER BY gid, rf, ls2""")
+  )
+
   /** CUBE aggregation — every grouping-set combination in ONE aggregate
     * (q18's ROLLUP covers the hierarchy; CUBE adds the cross slices).
     * Same single-shuffle expansion: Spark explodes the grouping sets
@@ -683,5 +721,5 @@ object RelationalQueries {
     Seq(q1Agg, q2TopK, q10Histogram, q11SummaryStats, q12Distinct, q13StringFuncs,
       q18Rollup, q19SetOps, q20DateParts, q22Cube, q26Subqueries, q29GroupTopK,
       q31Percentiles, q38Unpivot, q41Winsorized, q42QualityChecks, q46Drift,
-      q47GlobalPercentiles)
+      q47GlobalPercentiles, q48GroupingSets)
 }

@@ -1391,6 +1391,65 @@ object TextQueries {
       FROM a GROUP BY split ORDER BY split""")
   )
 
+  /** DSIR-style importance resampling (Xie et al. 2023, "Data Selection
+    * for Language Models via Importance Resampling"): score every raw
+    * document by how much its unigram distribution resembles a TARGET
+    * domain (lang = 'en' here), then keep the top of the corpus by
+    * per-token importance. The published method weights by
+    * p_target(w)/p_raw(w) over hashed n-gram buckets; this keeps the
+    * exact-vocabulary unigram form (buckets = words, no hash needed —
+    * hashed variants are what t8/t9's sketches exercise) and replaces
+    * the log-likelihood-ratio sum with the INTEGER-SCALED ratio sum
+    * `(1e6 · c_target(w)) div c_raw(w)` — order-free bigint arithmetic,
+    * so both engines agree exactly (ln() sums would be
+    * evaluation-order-dependent; see the q46 lesson).
+    *
+    * Plan at 100 TB: token explode → two grouped counts (the target
+    * count is a filtered rollup of the same pass), ratio table joined
+    * back on the token key — one shuffle on `w`, identical discipline to
+    * t13/t19 — then per-doc sums and a TakeOrdered top-100 (bounded-heap
+    * top-k per partition + driver merge of 100-row heaps, never a global
+    * sort).
+    */
+  val t28DsirWeights: QueryDef = QueryDef(
+    "t28_dsir_weights",
+    (s, dir) => {
+      val toks = Tables.loadSpread(s, dir, "documents")
+        .select(col("doc_id"), col("lang"),
+          explode(split(col("text"), " ")).as("w"))
+        .filter(length(col("w")) > 0)
+      val counts = toks.groupBy("w").agg(
+        count(lit(1)).as("rc"),
+        sum(when(col("lang") === "en", 1L).otherwise(0L)).as("tc"))
+      val ratios = counts.select(col("w"),
+        expr("(tc * 1000000) div rc").as("r"))
+      toks.join(ratios, Seq("w"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_tok"), sum(col("r")).as("score"))
+        .select(col("doc_id"), col("n_tok"), col("score"),
+          expr("score div n_tok").as("score_per_tok"))
+        .orderBy(col("score_per_tok").desc, col("doc_id"))
+        .limit(100)
+    },
+    Some("""
+      WITH toks AS (
+        SELECT doc_id, lang, x AS w
+        FROM (SELECT doc_id, lang, UNNEST(STRING_SPLIT(text, ' ')) AS x
+              FROM documents)
+        WHERE LENGTH(x) > 0),
+      counts AS (
+        SELECT w, COUNT(*) AS rc,
+               CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT)
+                 AS tc
+        FROM toks GROUP BY w),
+      ratios AS (SELECT w, (tc * 1000000) // rc AS r FROM counts),
+      d AS (
+        SELECT doc_id, COUNT(*) AS n_tok, CAST(SUM(r) AS BIGINT) AS score
+        FROM toks JOIN ratios USING (w) GROUP BY doc_id)
+      SELECT doc_id, n_tok, score, score // n_tok AS score_per_tok
+      FROM d ORDER BY score_per_tok DESC, doc_id LIMIT 100""")
+  )
+
   val all: Seq[QueryDef] =
     Seq(t1TokenCount, t2QualityScore, t3LangId, t4Fingerprint, t5Vocab,
       t6StratifiedSample, t7Cooccurrence, t8DistinctSketch, t9SketchRollup,
@@ -1398,5 +1457,5 @@ object TextQueries {
       t13LmFamiliarity, t14MixtureSample, t15PiiScrub, t16Chunking,
       t17Packing, t18InvertedIndex, t19Bm25, t20UrlDomains, t21CorpusCard,
       t22TypoCorrection, t23LearnedQuality, t24ChatFormat, t25DomainCaps,
-      t26ParagraphDedup, t27SplitAssign)
+      t26ParagraphDedup, t27SplitAssign, t28DsirWeights)
 }

@@ -436,7 +436,119 @@ object SimilarityQueries {
       }))
   )
 
+  /** Distributed k-means over the embedding corpus — the clustering
+    * primitive under SemDeDup (d10) and IVF (s3), here surfaced as an
+    * oracle-checked operator in its own right: two unrolled Lloyd
+    * iterations from a deterministic seed (the 8 lowest vec_ids), then
+    * per-cluster occupancy.
+    *
+    * Exactness design: coordinates are snapped to a global ×64
+    * fixed-point grid (FLOOR(x·64) — multiply by a power of two then
+    * floor, both engines bit-identical), and the assignment step NEVER
+    * DIVIDES: a centroid is kept as the rational (S, n) = (coordinate
+    * sums, member count), and argmin_c ‖x − S_c/n_c‖² is evaluated as
+    * argmin_c  n_c²·(x·x) − 2·n_c·(x·S_c) + (S_c·S_c) — all integer
+    * arithmetic (Spark in BIGINT, DuckDB in integer-exact doubles
+    * < 2⁵³), so the 2-iteration trajectory matches the oracle exactly.
+    * Ties break by cid; emptied clusters drop out of the next round in
+    * both engines (inner-join semantics).
+    *
+    * Plan at 100 TB: centroids are k×d ≈ nothing — broadcast; each
+    * iteration is ONE corpus scan (crossJoin with the broadcast k rows +
+    * a per-vector window over k candidates), and the update is a
+    * (cid, dim) grid aggregate — k·d cells of map-side-combined longs,
+    * the textbook scalable-k-means shuffle. Production would swap the
+    * lowest-id seed for k-means‖ and float centroids; the division-free
+    * rational form is what makes the operator oracle-verifiable.
+    */
+  val s9Kmeans: QueryDef = QueryDef(
+    "s9_kmeans",
+    (s, dir) => {
+      import org.apache.spark.sql.DataFrame
+      val q = Tables.load(s, dir, "embeddings")
+        .select(col("vec_id"),
+          transform(col("embedding"),
+            x => floor(x.cast("double") * lit(64.0)).cast("long")).as("qv"))
+      val qx = q.withColumn("xx",
+        aggregate(transform(col("qv"), v => v * v), lit(0L), (a, v) => a + v))
+      val c0 = q.orderBy("vec_id").limit(8)
+        .withColumn("cid",
+          row_number().over(Window.orderBy("vec_id")).cast("long") - 1L)
+        .select(col("cid"), col("qv").as("s"), lit(1L).as("n"))
+      def assign(cents: DataFrame): DataFrame = {
+        val xs = aggregate(zip_with(col("qv"), col("s"), (a, b) => a * b),
+          lit(0L), (a, v) => a + v)
+        val ss = aggregate(transform(col("s"), v => v * v),
+          lit(0L), (a, v) => a + v)
+        val w = Window.partitionBy("vec_id").orderBy("score", "cid")
+        qx.crossJoin(broadcast(cents))
+          .withColumn("score",
+            col("n") * col("n") * col("xx") - lit(2L) * col("n") * xs + ss)
+          .withColumn("rnk", row_number().over(w))
+          .filter(col("rnk") === 1)
+          .select("vec_id", "qv", "xx", "cid")
+      }
+      val a1 = assign(c0)
+      val sums = a1
+        .select(col("cid"), posexplode(col("qv")).as(Seq("pos", "v")))
+        .groupBy("cid", "pos").agg(sum("v").as("sv"))
+        .groupBy("cid")
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("sv")))),
+          t => t.getField("sv")).as("s"))
+      val c1 = sums.join(a1.groupBy("cid").agg(count(lit(1)).as("n")),
+        Seq("cid"))
+      assign(c1)
+        .groupBy("cid")
+        .agg(count(lit(1)).as("n"), sum("xx").as("sum_xx"))
+        .orderBy("cid")
+    },
+    Some("""
+      WITH q AS (
+        SELECT vec_id,
+               list_transform(CAST(embedding AS DOUBLE[]),
+                              x -> FLOOR(x * 64.0)) AS qv
+        FROM embeddings),
+      qx AS (SELECT vec_id, qv, list_dot_product(qv, qv) AS xx FROM q),
+      c0 AS (
+        SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) AS BIGINT) - 1 AS cid,
+               qv AS s, CAST(1 AS DOUBLE) AS n
+        FROM (SELECT * FROM q ORDER BY vec_id LIMIT 8)),
+      sc1 AS (
+        SELECT qx.vec_id, qx.qv, qx.xx, c0.cid,
+               c0.n * c0.n * qx.xx - 2 * c0.n * list_dot_product(qx.qv, c0.s)
+                 + list_dot_product(c0.s, c0.s) AS score
+        FROM qx, c0),
+      a1 AS (
+        SELECT vec_id, qv, xx, cid FROM (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                      ORDER BY score, cid) AS rnk
+          FROM sc1) WHERE rnk = 1),
+      grid AS (
+        SELECT cid, dim, SUM(v) AS sv
+        FROM (SELECT cid, UNNEST(qv) AS v,
+                     UNNEST(generate_series(1, len(qv))) AS dim
+              FROM a1)
+        GROUP BY cid, dim),
+      c1 AS (
+        SELECT ss.cid, ss.s, ns.n FROM
+          (SELECT cid, list(sv ORDER BY dim) AS s FROM grid GROUP BY cid) ss
+          JOIN (SELECT cid, CAST(COUNT(*) AS DOUBLE) AS n
+                FROM a1 GROUP BY cid) ns USING (cid)),
+      sc2 AS (
+        SELECT qx.vec_id, qx.xx, c1.cid,
+               c1.n * c1.n * qx.xx - 2 * c1.n * list_dot_product(qx.qv, c1.s)
+                 + list_dot_product(c1.s, c1.s) AS score
+        FROM qx, c1),
+      a2 AS (
+        SELECT vec_id, xx, cid FROM (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                      ORDER BY score, cid) AS rnk
+          FROM sc2) WHERE rnk = 1)
+      SELECT cid, COUNT(*) AS n, CAST(SUM(xx) AS BIGINT) AS sum_xx
+      FROM a2 GROUP BY cid ORDER BY cid""")
+  )
+
   val all: Seq[QueryDef] =
     Seq(s1AnnBruteForce, s2AnnLsh, s3AnnIvf, s4RangeSearch, s5AnnQuantized,
-      s6HardNegatives, s7AnnRerank, s8FilteredAnn)
+      s6HardNegatives, s7AnnRerank, s8FilteredAnn, s9Kmeans)
 }

@@ -84,5 +84,57 @@ object StreamQueries {
       FROM events GROUP BY 1, 2 ORDER BY 1, 2""")
   )
 
-  val all: Seq[QueryDef] = Seq(st1StreamWindows)
+  /** st2: STREAM-STREAM interval join through the same bounded replay —
+    * the purchase stream inner-joins the click stream on user with the
+    * click falling in the 24 h before the purchase. Inner interval joins
+    * emit each matching pair exactly once as both sides arrive (the
+    * watermark only governs state EVICTION, not emission), so over a
+    * finite replay the append-mode sink accumulates precisely the batch
+    * interval join — DuckDB-verifiable pair by pair. The 30-day
+    * watermark keeps the out-of-order replay (files are event_id-
+    * partitioned, so event time arrives shuffled) from dropping
+    * late rows, exactly as in st1; production narrows it to bound the
+    * join state instead of retaining the whole window.
+    */
+  val st2StreamJoin: QueryDef = QueryDef(
+    "st2_stream_join",
+    (s, dir) => {
+      val schema = Tables.load(s, dir, "events").schema
+      val path = splitEvents(s, dir)
+      def side(tpe: String, prefix: String) =
+        s.readStream.schema(schema).option("maxFilesPerTrigger", "1")
+          .parquet(path)
+          .filter(col("event_type") === tpe && col("user_id") < 50)
+          .select(col("user_id").as(s"${prefix}_user"),
+            timestamp_micros(expr("ts div 1000")).as(s"${prefix}_time"),
+            col("event_id").as(s"${prefix}_id"))
+          .withWatermark(s"${prefix}_time", "30 days")
+      val joined = side("purchase", "p").join(side("click", "c"),
+        expr("p_user = c_user AND " +
+          "c_time BETWEEN p_time - INTERVAL 24 HOURS AND p_time"))
+      val sink = "st2_sink_" +
+        java.util.UUID.randomUUID.toString.replace("-", "")
+      val oldParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      try {
+        val q = joined.writeStream.format("memory").queryName(sink)
+          .outputMode("append").start()
+        try q.processAllAvailable() finally q.stop()
+      } finally s.conf.set("spark.sql.shuffle.partitions", oldParts)
+      s.table(sink)
+        .select(col("p_id"), col("c_id"), col("p_user").as("user_id"))
+        .orderBy("p_id", "c_id")
+    },
+    Some("""
+      SELECT p.event_id AS p_id, c.event_id AS c_id, p.user_id
+      FROM (SELECT user_id, epoch_ns(ts) // 1000 AS t, event_id
+            FROM events WHERE event_type = 'purchase' AND user_id < 50) p
+      JOIN (SELECT user_id, epoch_ns(ts) // 1000 AS t, event_id
+            FROM events WHERE event_type = 'click' AND user_id < 50) c
+        ON p.user_id = c.user_id
+       AND c.t BETWEEN p.t - 86400000000 AND p.t
+      ORDER BY p_id, c_id""")
+  )
+
+  val all: Seq[QueryDef] = Seq(st1StreamWindows, st2StreamJoin)
 }

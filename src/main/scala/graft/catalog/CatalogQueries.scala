@@ -131,5 +131,65 @@ object CatalogQueries {
       ORDER BY o_orderkey""")
   )
 
-  val all: Seq[QueryDef] = Seq(c1Checksums, c2CatalogSearch, c3CdcDiff)
+  /** GDPR right-to-be-forgotten propagation: a deterministic forget set
+    * (c_custkey % 97 = 0 — the stand-in for a deletion-request feed)
+    * cascades customer → orders → lineitem, and the registered output is
+    * the deletion AUDIT (per table: rows before / purged / after) that a
+    * compliance pipeline must produce. Each purge screen is
+    * [[graft.core.BloomJoin.semiJoin]]: the tiny forget set broadcasts
+    * as a bloom that prunes the fact scan BEFORE any exchange, then an
+    * exact semi-join drops false positives — so at 100 TB the cascade
+    * costs three pruned scans and shuffles only candidate matches, never
+    * a fact table. The physical delete itself is the
+    * [[graft.catalog.Merge]] / [[BucketedMerge]] path (spec-covered);
+    * this query verifies the selection semantics end to end.
+    */
+  val c4Forget: QueryDef = QueryDef(
+    "c4_forget",
+    (s, dir) => {
+      import org.apache.spark.sql.DataFrame
+      import graft.core.BloomJoin
+      val customer = Tables.load(s, dir, "customer")
+      val orders = Tables.load(s, dir, "orders")
+      val lineitem = Tables.load(s, dir, "lineitem")
+      val forget = customer.filter(col("c_custkey") % 97 === 0)
+        .select(col("c_custkey").as("k"))
+      val purgedOrders = BloomJoin.semiJoin(orders, "o_custkey", forget, "k")
+      val purgedLi = BloomJoin.semiJoin(lineitem, "l_orderkey",
+        purgedOrders.select(col("o_orderkey").as("k2")), "k2")
+      def audit(name: String, total: DataFrame, purged: DataFrame): DataFrame =
+        total.agg(count(lit(1)).as("n_before"))
+          .crossJoin(purged.agg(count(lit(1)).as("n_purged")))
+          .select(lit(name).as("tbl"), col("n_before"), col("n_purged"),
+            (col("n_before") - col("n_purged")).as("n_after"))
+      audit("customer", customer, forget)
+        .unionAll(audit("lineitem", lineitem, purgedLi))
+        .unionAll(audit("orders", orders, purgedOrders))
+        .orderBy("tbl")
+    },
+    Some("""
+      WITH f AS (SELECT c_custkey FROM customer WHERE c_custkey % 97 = 0),
+      po AS (SELECT o_orderkey FROM orders
+             WHERE o_custkey IN (SELECT c_custkey FROM f)),
+      pl AS (SELECT l_orderkey FROM lineitem
+             WHERE l_orderkey IN (SELECT o_orderkey FROM po))
+      SELECT 'customer' AS tbl,
+             (SELECT COUNT(*) FROM customer) AS n_before,
+             (SELECT COUNT(*) FROM f) AS n_purged,
+             (SELECT COUNT(*) FROM customer) - (SELECT COUNT(*) FROM f) AS n_after
+      UNION ALL
+      SELECT 'lineitem',
+             (SELECT COUNT(*) FROM lineitem),
+             (SELECT COUNT(*) FROM pl),
+             (SELECT COUNT(*) FROM lineitem) - (SELECT COUNT(*) FROM pl)
+      UNION ALL
+      SELECT 'orders',
+             (SELECT COUNT(*) FROM orders),
+             (SELECT COUNT(*) FROM po),
+             (SELECT COUNT(*) FROM orders) - (SELECT COUNT(*) FROM po)
+      ORDER BY tbl""")
+  )
+
+  val all: Seq[QueryDef] =
+    Seq(c1Checksums, c2CatalogSearch, c3CdcDiff, c4Forget)
 }

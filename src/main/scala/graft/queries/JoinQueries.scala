@@ -259,7 +259,45 @@ object JoinQueries {
       ORDER BY revenue DESC, o_orderkey LIMIT 10""")
   )
 
+  /** TPC-H Q13 shape — customer order-count DISTRIBUTION: a LEFT OUTER
+    * join (customers with zero matching orders must survive with count
+    * 0 — the inner-join formulation silently drops them), then an
+    * aggregate OF an aggregate: per-customer counts become the grouping
+    * key of the second rollup. `count(o_orderkey)` counts non-null
+    * matches only, which is exactly how the outer join encodes "no
+    * orders".
+    *
+    * At 100 TB: one shuffle on custkey for the join + first aggregate
+    * (co-partitioned, so AQE coalesces them), then the second aggregate
+    * is |distinct counts| rows — trivial. Order-count skew (one mega
+    * customer) is the classic AQE skew-join case; keys here are uniform.
+    */
+  val q51CustDistribution: QueryDef = QueryDef(
+    "q51_cust_distribution",
+    (s, dir) => {
+      val counts = Tables.load(s, dir, "customer")
+        .join(Tables.load(s, dir, "orders")
+          .filter(col("o_orderstatus") =!= "F"),
+          col("c_custkey") === col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(count(col("o_orderkey")).as("c_count"))
+      counts.groupBy("c_count")
+        .agg(count(lit(1)).as("custdist"))
+        .orderBy(col("custdist").desc, col("c_count").desc)
+    },
+    Some("""
+      SELECT c_count, COUNT(*) AS custdist
+      FROM (
+        SELECT c_custkey, COUNT(o_orderkey) AS c_count
+        FROM customer LEFT OUTER JOIN orders
+          ON c_custkey = o_custkey AND o_orderstatus <> 'F'
+        GROUP BY c_custkey)
+      GROUP BY c_count
+      ORDER BY custdist DESC, c_count DESC""")
+  )
+
   val all: Seq[QueryDef] =
     Seq(q3JoinAgg, q4SemiJoin, q5AntiJoin, q6RegionJoin, q23SkewJoin,
-      q27RangeJoin, q28BloomSemijoin, q43ShippingPriority)
+      q27RangeJoin, q28BloomSemijoin, q43ShippingPriority,
+      q51CustDistribution)
 }

@@ -389,7 +389,97 @@ object MultimodalQueries {
       m5FrameSums(s, dir).orderBy("doc_id", "frame_idx")))
   )
 
+  /** Energy-threshold voice-activity detection over the REAL WAV path:
+    * deterministic PCM with a planted amplitude envelope (every third
+    * 32-sample block is attenuated by an arithmetic >> 3 — the stand-in
+    * for silence between utterances; harness audio is otherwise
+    * stationary, the t15/d9 planted-data precedent) goes through the
+    * byte-level WAV encode → decode → framing pipeline, frames classify
+    * voiced by integer energy > 1e9, and adjacent voiced frames merge
+    * into segments with the q21 gap-and-island discipline (lag + running
+    * sum, window PARTITIONED BY media — parallel per clip at any scale).
+    * Frames are 16 samples so every frame sits inside one envelope
+    * block; all arithmetic is integer (>> 3 floors exactly like
+    * DuckDB's //), so the oracle replays segmentation exactly.
+    */
+  val m6AudioVad: QueryDef = QueryDef(
+    "m6_audio_vad",
+    (s, dir) => {
+      val session = s
+      import session.implicits._
+      val media = Tables.loadSpread(s, dir, "documents")
+        .select(col("doc_id"), col("n_chars"))
+        .as[(Long, Long)]
+        .map { case (id, nChars) =>
+          val n = (nChars % 200 + 160).toInt
+          val samples = Array.tabulate(n) { i =>
+            val base = ((id * 7 + i.toLong * 13) % 65536 - 32768).toShort
+            if ((i / 32) % 3 == 0) (base >> 3).toShort else base
+          }
+          Media(id, "audio", graft.sinks.Artifacts.pcmWav(8000, samples),
+            MediaMeta(0, 0, 1, 8000, n, "wav"))
+        }
+      val frames = Multimodal
+        .audioFrames(Multimodal.decodeAudio(media), frameLen = 16)
+      val tot = frames.groupBy(col("media_id"))
+        .agg(count(lit(1)).as("n_frames"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("media_id").orderBy("frame_idx")
+      val seg = frames.filter(col("energy") > 1000000000L)
+        .withColumn("pv", lag("frame_idx", 1).over(w))
+        .withColumn("new_seg",
+          when(col("pv").isNull || col("frame_idx") - col("pv") > 1, 1L)
+            .otherwise(0L))
+        .withColumn("sid", sum("new_seg")
+          .over(w.rowsBetween(org.apache.spark.sql.expressions
+            .Window.unboundedPreceding, 0)))
+        .groupBy("media_id", "sid").agg(count(lit(1)).as("len"))
+        .groupBy("media_id")
+        .agg(count(lit(1)).as("n_segments"), max("len").as("max_seg_frames"),
+          sum("len").as("voiced_frames"))
+      tot.join(seg, Seq("media_id"), "left")
+        .select(col("media_id").as("doc_id"), col("n_frames"),
+          coalesce(col("voiced_frames"), lit(0L)).as("voiced_frames"),
+          coalesce(col("n_segments"), lit(0L)).as("n_segments"),
+          coalesce(col("max_seg_frames"), lit(0L)).as("max_seg_frames"))
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH d AS (SELECT doc_id, CAST(n_chars % 200 + 160 AS BIGINT) AS n
+                 FROM documents),
+      s AS (SELECT doc_id, i,
+              CASE WHEN (i // 32) % 3 = 0
+                   THEN ((doc_id * 7 + i * 13) % 65536 - 32768) // 8
+                   ELSE (doc_id * 7 + i * 13) % 65536 - 32768 END AS v,
+              i // 16 AS f
+            FROM (SELECT doc_id, n, UNNEST(GENERATE_SERIES(0, n - 1)) AS i
+                  FROM d)),
+      fr AS (SELECT doc_id, f, CAST(SUM(v * v) AS BIGINT) AS energy
+             FROM s GROUP BY doc_id, f),
+      tot AS (SELECT doc_id, COUNT(*) AS n_frames FROM fr GROUP BY doc_id),
+      vo AS (SELECT doc_id, f FROM fr WHERE energy > 1000000000),
+      seg AS (SELECT doc_id, f,
+                SUM(CASE WHEN pv IS NULL OR f - pv > 1 THEN 1 ELSE 0 END)
+                  OVER (PARTITION BY doc_id ORDER BY f
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS sid
+              FROM (SELECT doc_id, f,
+                      LAG(f) OVER (PARTITION BY doc_id ORDER BY f) AS pv
+                    FROM vo)),
+      sg AS (SELECT doc_id, sid, COUNT(*) AS len FROM seg
+             GROUP BY doc_id, sid),
+      agg AS (SELECT doc_id, COUNT(*) AS n_segments,
+                     MAX(len) AS max_seg_frames,
+                     CAST(SUM(len) AS BIGINT) AS voiced_frames
+              FROM sg GROUP BY doc_id)
+      SELECT t.doc_id, t.n_frames,
+             COALESCE(a.voiced_frames, 0) AS voiced_frames,
+             COALESCE(a.n_segments, 0) AS n_segments,
+             COALESCE(a.max_seg_frames, 0) AS max_seg_frames
+      FROM tot t LEFT JOIN agg a USING (doc_id) ORDER BY doc_id""")
+  )
+
   val all: Seq[QueryDef] =
     Seq(m1Pipeline, m2InferenceConv, m3AudioFeatures, m4ImagePhash,
-      m5SceneCuts)
+      m5SceneCuts, m6AudioVad)
 }

@@ -62,4 +62,22 @@ class AudioSpec extends SparkSpec {
     // frame 1: [-1,4] energy 1+16=17, crossing at (-1,4) = 1
     assert(frames(1).n == 2 && frames(1).energy == 17L && frames(1).crossings == 1L)
   }
+
+  test("m6 VAD: segment bookkeeping is consistent and envelope splits docs") {
+    val rows = MultimodalQueries.m6AudioVad.fn(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (_, nFrames, voiced, nSeg, maxSeg) =>
+      assert(voiced <= nFrames)
+      assert(maxSeg <= voiced)
+      assert((nSeg == 0) == (voiced == 0))
+      assert(nSeg <= voiced) // each segment has >= 1 frame
+    }
+    // the planted quiet-block envelope must actually split speech into
+    // multiple segments for a healthy share of clips
+    assert(rows.count(_._4 >= 2) > rows.length / 4)
+    // and some frames must be quiet (threshold is doing work)
+    assert(rows.map(r => r._2 - r._3).sum > 0)
+  }
 }

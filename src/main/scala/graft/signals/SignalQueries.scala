@@ -248,7 +248,61 @@ object SignalQueries {
       GROUP BY b.g ORDER BY channel""")
   )
 
+  /** Signal ALIGNMENT by sliding cross-correlation: the label-0 and
+    * label-1 populations each aggregate to a per-channel series (the two
+    * "detector channels"), and the full correlogram over lags −8..+8 is
+    * emitted — xcorr(ℓ) = Σ_ch A(ch)·B(ch+ℓ) on the overlapping
+    * channels, the argmax row being the alignment offset (the whole
+    * correlogram is registered, not just the argmax, so ties stay
+    * deterministic). Identical integer-scaling discipline to g3: channel
+    * sums are scaled longs, products and sums stay in BIGINT, zero float
+    * reassociation anywhere.
+    *
+    * 100 TB shape: the only corpus-sized work is the one channel
+    * aggregation (map-side combined, |channels| cells); the correlogram
+    * lattice is |channels| × |lags| rows of broadcast-joined arithmetic
+    * — the series and the lag spine never touch an exchange.
+    */
+  val g7XCorr: QueryDef = QueryDef(
+    "g7_xcorr",
+    (s, dir) => {
+      val spec = Tables.load(s, dir, "embeddings")
+        .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
+        .select(col("label"), (col("pos") + 1).as("ch"),
+          floor(col("v").cast("double") * lit(10000.0)).cast("long").as("sv"))
+        .groupBy("ch")
+        .agg(sum(when(col("label") === 0, col("sv")).otherwise(0L)).as("a"),
+          sum(when(col("label") === 1, col("sv")).otherwise(0L)).as("b"))
+      val lags = s.range(-8, 9).select(col("id").as("lag"))
+      spec.select(col("ch"), col("a"))
+        .crossJoin(broadcast(lags))
+        .withColumn("chb", col("ch") + col("lag"))
+        .join(broadcast(spec.select(col("ch").as("chb"), col("b"))), "chb")
+        .groupBy("lag")
+        .agg(sum(col("a") * col("b")).as("xcorr"),
+          count(lit(1)).as("n_overlap"))
+        .orderBy("lag")
+    },
+    Some("""
+      WITH spec AS (
+        SELECT ch,
+               CAST(SUM(CASE WHEN label = 0 THEN sv ELSE 0 END) AS BIGINT) AS a,
+               CAST(SUM(CASE WHEN label = 1 THEN sv ELSE 0 END) AS BIGINT) AS b
+        FROM (SELECT label, generate_subscripts(embedding, 1) AS ch,
+                     CAST(FLOOR(CAST(unnest(embedding) AS DOUBLE)
+                          * CAST(10000.0 AS DOUBLE)) AS BIGINT) AS sv
+              FROM embeddings)
+        GROUP BY ch),
+      lags AS (SELECT UNNEST(generate_series(-8, 8)) AS lag)
+      SELECT lag, CAST(SUM(s1.a * s2.b) AS BIGINT) AS xcorr,
+             COUNT(*) AS n_overlap
+      FROM lags
+      JOIN spec s1 ON TRUE
+      JOIN spec s2 ON s2.ch = s1.ch + lags.lag
+      GROUP BY lag ORDER BY lag""")
+  )
+
   val all: Seq[QueryDef] =
     Seq(g1EnergyAxis, g2FrameNormalize, g3Spectrum, g4PeakDetect, g5Rebin,
-      g6Background)
+      g6Background, g7XCorr)
 }

@@ -93,4 +93,31 @@ class SignalsSpec extends SparkSpec {
     assert(m.getAs[String]("elements_json") == """["Cu","Zn"]""")
     assert(m.getAs[String]("date") == "2023-10-01")
   }
+
+  test("g7: correlogram equals driver brute force, overlap shrinks with |lag|") {
+    val out = SignalQueries.g7XCorr.fn(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val vecs = graft.core.Tables.load(spark, sf, "embeddings")
+      .select(col("label"), col("embedding")).collect()
+      .map(r => (r.getInt(0), r.getSeq[Float](1)
+        .map(x => math.floor(x.toDouble * 10000.0).toLong).toArray))
+    val dim = vecs.head._2.length
+    def series(lbl: Int): Array[Long] = {
+      val s = new Array[Long](dim)
+      vecs.filter(_._1 == lbl).foreach(v =>
+        (0 until dim).foreach(i => s(i) += v._2(i)))
+      s
+    }
+    val (a, b) = (series(0), series(1))
+    val expect = (-8 to 8).map { lag =>
+      val pairs = (0 until dim).flatMap { i =>
+        val j = i + lag // ch index shift
+        if (j >= 0 && j < dim) Some(a(i) * b(j)) else None
+      }
+      (lag.toLong, pairs.sum, pairs.length.toLong)
+    }
+    assert(out.toSeq == expect)
+    assert(out.find(_._1 == 0L).get._3 == dim.toLong)
+    assert(out.find(_._1 == 8L).get._3 == (dim - 8).toLong)
+  }
 }

@@ -43,4 +43,46 @@ class EmdDataSourceSpec extends SparkSpec {
       .select("experiment_id", "signal_idx").collect()
     assert(ids.length == 4)
   }
+
+  test("pushdown: experiment_id filters prune FILES at planning time") {
+    val dir = Files.createTempDirectory("graft-emd-prune")
+    def emd(seed: Int) = Hdf5TestWriter.emd(Seq(
+      Hdf5TestWriter.Sig("Image", "img", Seq(2L, 2L, 1L),
+        (0 until 4).map(i => (i * seed).toDouble))))
+    Seq("expA", "expB", "expC").zipWithIndex.foreach { case (n, i) =>
+      Files.write(dir.resolve(s"$n.emd"), emd(i + 2))
+    }
+    def partitionsOf(df: org.apache.spark.sql.DataFrame): Int =
+      df.queryExecution.executedPlan.collect {
+        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+          b.inputRDD.getNumPartitions
+      }.head
+
+    val all = spark.read.format("emd").load(dir.toString)
+    assert(partitionsOf(all.select("experiment_id")) == 3)
+
+    val one = all.filter(col("experiment_id") === "expB")
+    assert(partitionsOf(one) == 1) // two files never scheduled
+    assert(one.count() == 1)
+
+    val pre = all.filter(col("experiment_id").startsWith("expC"))
+    assert(partitionsOf(pre) == 1)
+    assert(pre.select("signal_idx").collect().map(_.getInt(0)).toSeq == Seq(0))
+
+    // row-level pushdown on light columns composes with file pruning and
+    // stays correct (filters are re-applied above the scan)
+    val row = all.filter(col("signal_idx") >= 0 && col("ndim") === 2 &&
+      col("experiment_id").isin("expA", "expC"))
+    assert(partitionsOf(row) == 2)
+    assert(row.count() == 2)
+
+    // the plan advertises what was pushed
+    val planText = one.queryExecution.executedPlan.toString
+    assert(planText.contains("PushedFilters") &&
+      planText.contains("experiment_id"))
+
+    // pushed limit is local-only; global semantics intact
+    assert(all.limit(2).count() == 2)
+    assert(all.orderBy("experiment_id", "signal_idx").limit(5).count() == 3)
+  }
 }

@@ -121,5 +121,82 @@ object PipelineQueries {
       ORDER BY content_key""")
   )
 
-  val all: Seq[QueryDef] = Seq(p1CorpusIngest)
+  /** The TRAINING-MIXTURE PREP pipeline registered end to end (p2): the
+    * composition that turns a raw crawl into packed training shards —
+    * exact dedup (first-wins by id over planted re-crawls: every 9th doc
+    * reappears under a synthetic high id, the p1 resend precedent) →
+    * Gopher-style RULE gate (token-count band 20..80 + mean word length
+    * < 7, both integer-exact — the published rule-filter flavor, distinct
+    * from t2's continuous score) → per-source greedy sequence packing
+    * into 2048-token bins (t17's running-sum shape) → the shard MANIFEST
+    * (per source × bin: docs, tokens) a trainer consumes.
+    *
+    * Scale: one sha-keyed shuffle (dedup), one per-source window
+    * (parallel across sources), manifest is |sources × bins| rows. The
+    * oracle replays all four stages relationally.
+    */
+  val p2MixturePack: QueryDef = QueryDef(
+    "p2_mixture_pack",
+    (s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+      val docs = Tables.loadSpread(s, dir, "documents")
+        .select(col("doc_id"), col("source"), col("text"))
+      val crawl = docs.unionByName(
+        docs.filter(col("doc_id") % 9 === 0)
+          .select((col("doc_id") + 1000000L).as("doc_id"), col("source"),
+            col("text")))
+      val ntok = size(filter(split(col("text"), " "),
+        x => length(x) > 0)).cast("long")
+      val wchars = length(regexp_replace(col("text"), " ", "")).cast("long")
+      val first = org.apache.spark.sql.expressions.Window
+        .partitionBy(sha2(col("text"), 256)).orderBy("doc_id")
+      val packW = org.apache.spark.sql.expressions.Window
+        .partitionBy("source").orderBy("doc_id")
+        .rowsBetween(w.unboundedPreceding, -1)
+      crawl
+        .withColumn("rn", row_number().over(first))
+        .filter(col("rn") === 1)
+        .withColumn("ntok", ntok)
+        .withColumn("wchars", wchars)
+        .filter(col("ntok").between(20, 80) &&
+          col("wchars") < col("ntok") * 7L)
+        .withColumn("pre_sum", coalesce(sum(col("ntok")).over(packW), lit(0L)))
+        .withColumn("bin", expr("pre_sum div 2048L"))
+        .groupBy("source", "bin")
+        .agg(count(lit(1)).as("n_docs"), sum(col("ntok")).as("tok_sum"))
+        .orderBy("source", "bin")
+    },
+    Some("""
+      WITH crawl AS (
+        SELECT doc_id, source, text FROM documents
+        UNION ALL
+        SELECT doc_id + 1000000, source, text FROM documents
+        WHERE doc_id % 9 = 0),
+      d AS (
+        SELECT doc_id, source, text,
+               ROW_NUMBER() OVER (PARTITION BY sha256(text)
+                                  ORDER BY doc_id) AS rn
+        FROM crawl),
+      g AS (
+        SELECT doc_id, source,
+               CAST(LENGTH(LIST_FILTER(STRING_SPLIT(text, ' '),
+                                       x -> LENGTH(x) > 0)) AS BIGINT) AS ntok,
+               CAST(LENGTH(REPLACE(text, ' ', '')) AS BIGINT) AS wchars
+        FROM d WHERE rn = 1),
+      k AS (
+        SELECT doc_id, source, ntok FROM g
+        WHERE ntok BETWEEN 20 AND 80 AND wchars < ntok * 7),
+      p AS (
+        SELECT source, ntok,
+               COALESCE(CAST(SUM(ntok) OVER (PARTITION BY source
+                          ORDER BY doc_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                        AS BIGINT), 0) // 2048 AS bin
+        FROM k)
+      SELECT source, bin, COUNT(*) AS n_docs,
+             CAST(SUM(ntok) AS BIGINT) AS tok_sum
+      FROM p GROUP BY source, bin ORDER BY source, bin""")
+  )
+
+  val all: Seq[QueryDef] = Seq(p1CorpusIngest, p2MixturePack)
 }

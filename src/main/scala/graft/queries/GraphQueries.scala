@@ -186,5 +186,68 @@ object GraphQueries {
       FROM walk WHERE cur = 1 ORDER BY user_id""")
   )
 
-  val all: Seq[QueryDef] = Seq(q33Pagerank, q39Hierarchy)
+  /** BFS reachability LEVELS from the lowest doc id — the third
+    * iteration regime in the graph family: FRONTIER expansion (q33
+    * iterates a fixed damped recurrence over all nodes; q39
+    * pointer-doubles; BFS touches only the wave). Each of the 4 rounds
+    * is one edges⋈frontier join keyed by src plus an anti-join against
+    * the visited set — at scale both are narrow-key shuffles sized by
+    * the FRONTIER, not the graph, and `localCheckpoint` caps lineage
+    * exactly as in pagerank. First-discovery level ≡ shortest distance;
+    * nodes beyond radius 4 report level −1. The oracle replays the same
+    * radius-bounded search with a recursive CTE (UNION-distinct states,
+    * MIN(lvl) per node — identical shortest-≤4 semantics).
+    */
+  val q52BfsLevels: QueryDef = QueryDef(
+    "q52_bfs_levels",
+    (s, dir) => {
+      val docs = Tables.load(s, dir, "documents").select("doc_id")
+      val n = docs.count()
+      val src0 = docs.agg(min("doc_id")).head().getLong(0)
+      val e = docGraph(docs, n).localCheckpoint()
+      var dist = docs.filter(col("doc_id") === src0)
+        .select(col("doc_id").as("id"), lit(0).as("lvl")).localCheckpoint()
+      var frontier = dist
+      (1 to 4).foreach { k =>
+        val reached = e
+          .join(frontier.select(col("id").as("src")), Seq("src"))
+          .select(col("dst").as("id")).distinct()
+        val fresh = reached.join(dist.select("id"), Seq("id"), "left_anti")
+          .select(col("id"), lit(k).as("lvl")).localCheckpoint()
+        dist = dist.unionAll(fresh).localCheckpoint()
+        frontier = fresh
+      }
+      dist.agg((lit(n) - count(lit(1))).as("n_nodes"))
+        .select(lit(-1).as("lvl"), col("n_nodes"))
+        .unionByName(
+          dist.groupBy("lvl").agg(count(lit(1)).as("n_nodes")))
+        .orderBy("lvl")
+    },
+    Some("""
+      WITH RECURSIVE
+      d AS (SELECT doc_id FROM documents),
+      nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, MIN(doc_id) AS src0
+             FROM d),
+      e AS (SELECT DISTINCT src, dst FROM (
+              SELECT doc_id AS src,
+                     (doc_id*31+7) % (SELECT n FROM nn) AS dst FROM d
+              UNION ALL
+              SELECT doc_id, (doc_id*17+3) % (SELECT n FROM nn) FROM d
+              UNION ALL
+              SELECT doc_id, (doc_id*13+11) % (SELECT n FROM nn) FROM d)
+            WHERE src <> dst),
+      walk(id, lvl) AS (
+        SELECT src0, 0 FROM nn
+        UNION
+        SELECT e.dst, walk.lvl + 1 FROM walk JOIN e ON e.src = walk.id
+        WHERE walk.lvl < 4),
+      dist AS (SELECT id, MIN(lvl) AS lvl FROM walk GROUP BY id)
+      SELECT CAST(lvl AS INTEGER) AS lvl, COUNT(*) AS n_nodes
+      FROM dist GROUP BY lvl
+      UNION ALL
+      SELECT -1, (SELECT n FROM nn) - (SELECT COUNT(*) FROM dist)
+      ORDER BY lvl""")
+  )
+
+  val all: Seq[QueryDef] = Seq(q33Pagerank, q39Hierarchy, q52BfsLevels)
 }

@@ -69,4 +69,30 @@ class GraphQueriesSpec extends SparkSpec {
     assert(avgByDeg.length >= 2)
     assert(avgByDeg.last._2 > avgByDeg.head._2)
   }
+
+  test("q52: level histogram equals a driver-side BFS") {
+    val out = GraphQueries.q52BfsLevels.fn(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getLong(1)))
+    val docs = Tables.load(spark, sf, "documents").select("doc_id")
+      .collect().map(_.getLong(0)).sorted
+    val n = docs.length.toLong
+    // mirror docGraph exactly: dst is the modular image, NOT filtered to
+    // existing ids (harness ids are contiguous so the two coincide)
+    val adj = docs.flatMap(d => Seq((d, (d * 31 + 7) % n),
+        (d, (d * 17 + 3) % n), (d, (d * 13 + 11) % n)))
+      .filter { case (a, b) => a != b }
+      .distinct.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val dist = scala.collection.mutable.Map(docs.head -> 0)
+    var frontier = Set(docs.head)
+    (1 to 4).foreach { k =>
+      frontier = frontier.flatMap(adj.getOrElse(_, Set.empty))
+        .filterNot(dist.contains)
+      frontier.foreach(dist(_) = k)
+    }
+    val expect = ((-1, n - dist.size) +:
+      dist.values.groupBy(identity).toSeq
+        .map { case (l, vs) => (l, vs.size.toLong) }).sortBy(_._1)
+    assert(out.toSeq == expect)
+    assert(out.map(_._2).sum == n) // levels + unreached partition the nodes
+  }
 }

@@ -873,10 +873,49 @@ object EventQueries {
       GROUP BY 1 ORDER BY 1""")
   )
 
+  /** Sliding DISTINCT-count (trailing 3-hour active users per hour) —
+    * the aggregate a window frame cannot express natively (Spark rejects
+    * DISTINCT aggregates over windows; `collect_set().over(w)` builds
+    * the whole set per row). Re-expressed as COVERAGE FAN-OUT: each
+    * distinct (user, hour) pair votes for the 3 hour-buckets whose
+    * trailing window it falls in, then one distinct + one count per
+    * target hour. At 100 TB that is two keyed aggregations over 3× the
+    * distinct-pair count — map-side combinable, no per-row set state,
+    * no self-join of the event table against the bucket spine. Hours
+    * with activity only in their trailing tail still appear (the vote
+    * lands on them); hours with no coverage at all are absent in both
+    * engines.
+    */
+  val q53SlidingDistinct: QueryDef = QueryDef(
+    "q53_sliding_distinct",
+    (s, dir) => {
+      val pairs = Tables.load(s, dir, "events")
+        .select(col("user_id"), expr(s"ts div ${NsPerHour}L").as("hr"))
+        .distinct()
+      pairs
+        .select(col("user_id"), col("hr"),
+          explode(sequence(col("hr"), col("hr") + 2)).as("t_hr"))
+        .select(col("user_id"), col("t_hr")).distinct()
+        .groupBy("t_hr")
+        .agg(count(lit(1)).as("active_users_3h"))
+        .orderBy("t_hr")
+    },
+    Some(s"""
+      WITH pairs AS (
+        SELECT DISTINCT user_id, epoch_ns(ts) // ${NsPerHour} AS hr
+        FROM events),
+      votes AS (
+        SELECT DISTINCT user_id, hr + o AS t_hr
+        FROM pairs, (SELECT UNNEST(GENERATE_SERIES(0, 2)) AS o))
+      SELECT t_hr, COUNT(*) AS active_users_3h
+      FROM votes GROUP BY t_hr ORDER BY t_hr""")
+  )
+
   val all: Seq[QueryDef] = Seq(
     q7WindowRunning, q8PivotCounts, q9EventPairs,
     q14TimeBuckets, q15UserSpan, q16AsofJoin, q17JsonExtract, q21Sessions,
     q24Resample, q25Ranks, q30RangeWindow, q32HeavyHitters,
     q34IncrementalRollup, q35Scd2, q36AsofExec, q37Funnel, q40Retention,
-    q44Variant, q45Trending, q49Concurrency, q50Attribution)
+    q44Variant, q45Trending, q49Concurrency, q50Attribution,
+    q53SlidingDistinct)
 }

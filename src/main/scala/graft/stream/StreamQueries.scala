@@ -114,8 +114,11 @@ object StreamQueries {
           "c_time BETWEEN p_time - INTERVAL 24 HOURS AND p_time"))
       val sink = "st2_sink_" +
         java.util.UUID.randomUUID.toString.replace("-", "")
+      // two stateful join sides × state partitions × triggers is the
+      // bounded-replay cost driver; 4 partitions suffice for the ≤50-user
+      // key space and halve per-trigger state-task overhead vs st1's 8
       val oldParts = s.conf.get("spark.sql.shuffle.partitions")
-      s.conf.set("spark.sql.shuffle.partitions", "8")
+      s.conf.set("spark.sql.shuffle.partitions", "4")
       try {
         val q = joined.writeStream.format("memory").queryName(sink)
           .outputMode("append").start()

@@ -51,6 +51,21 @@ class SweepAttributionSpec extends SparkSpec {
     assert(out.map(_._3).sum == ev.length)
   }
 
+  test("q53: fan-out sliding distinct equals the per-hour set recompute") {
+    val out = EventQueries.q53SlidingDistinct.fn(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    val nsPerHour = 3600L * 1000L * 1000L * 1000L
+    val pairs = Tables.load(spark, sf, "events")
+      .select("user_id", "ts").collect()
+      .map(r => (r.getLong(0), r.getLong(1) / nsPerHour)).distinct
+    val expect = pairs.flatMap { case (u, h) => Seq((u, h), (u, h + 1), (u, h + 2)) }
+      .distinct.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    assert(out == expect)
+    // trailing-3h distinct is >= the plain hourly distinct everywhere
+    val hourly = pairs.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    hourly.foreach { case (h, n) => assert(out(h) >= n) }
+  }
+
   test("q50: channels partition the purchases; brute-force agrees") {
     val out = EventQueries.q50Attribution.fn(spark, sf).collect()
       .map(r => (r.getString(0), r.getLong(1))).toMap

@@ -272,7 +272,58 @@ object FlowQueries {
       ORDER BY user_id""")
   )
 
+  /** Step-transition MARKOV matrix — the reference's transitions analysis
+    * (examples/xloop2023 state_time pairs) as a first-class operator:
+    * per user the event stream total-orders on (ts, event_id), each
+    * consecutive pair is one (from_step, to_step) observation, and the
+    * matrix row-normalizes to empirical transition probabilities. The
+    * probability is emitted as the exact rational pair (n, row_total)
+    * PLUS one IEEE division — both engines divide the same two BIGINTs,
+    * so the double compares exactly (the q46 rational-not-ln
+    * discipline).
+    *
+    * Scale: the lag window partitions by user (parallel, one keyed
+    * shuffle), the matrix aggregate is |steps|² cells with map-side
+    * combine, and the row totals join back over those same tiny cells.
+    */
+  val f8Transitions: QueryDef = QueryDef(
+    "f8_transitions",
+    (s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy("ts", "event_id")
+      val m = Tables.load(s, dir, "events")
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+        .withColumn("from_step", lag("event_type", 1).over(w))
+        .filter(col("from_step").isNotNull)
+        .groupBy(col("from_step"), col("event_type").as("to_step"))
+        .agg(count(lit(1)).as("n"))
+      val totals = m.groupBy("from_step")
+        .agg(sum(col("n")).as("row_total"))
+      m.join(totals, Seq("from_step"))
+        .select(col("from_step"), col("to_step"), col("n"), col("row_total"),
+          (col("n").cast(DoubleType) / col("row_total").cast(DoubleType))
+            .as("p"))
+        .orderBy("from_step", "to_step")
+    },
+    Some("""
+      WITH seq AS (
+        SELECT user_id, event_type,
+               LAG(event_type) OVER (PARTITION BY user_id
+                 ORDER BY epoch_ns(ts), event_id) AS from_step
+        FROM events),
+      m AS (
+        SELECT from_step, event_type AS to_step, COUNT(*) AS n
+        FROM seq WHERE from_step IS NOT NULL
+        GROUP BY from_step, event_type),
+      t AS (SELECT from_step, CAST(SUM(n) AS BIGINT) AS row_total
+            FROM m GROUP BY from_step)
+      SELECT m.from_step, m.to_step, m.n, t.row_total,
+             CAST(m.n AS DOUBLE) / CAST(t.row_total AS DOUBLE) AS p
+      FROM m JOIN t USING (from_step)
+      ORDER BY from_step, to_step""")
+  )
+
   val all: Seq[QueryDef] =
     Seq(f1StepPivot, f2RuntimeDescribe, f3RelativeStart, f4ActiveOverhead,
-      f5TailK, f6UsageWide, f7RuntimeOutliers)
+      f5TailK, f6UsageWide, f7RuntimeOutliers, f8Transitions)
 }

@@ -296,8 +296,53 @@ object JoinQueries {
       ORDER BY custdist DESC, c_count DESC""")
   )
 
+  /** TPC-H Q11 shape — FRACTION-OF-TOTAL filtering: keep the parts whose
+    * aggregate value exceeds 1.3× the mean part value (mean-relative, so
+    * the threshold discriminates at every scale factor; Q11's fixed
+    * fraction degenerates when |parts| crosses 1/fraction). The scalar
+    * threshold is a second aggregation OVER the first one's output (not a
+    * rescan) broadcast back as a 1-row cross join — the "HAVING against a
+    * scalar subquery" operator. Value sums take the money-decimal detour
+    * on both engines, are cast to DOUBLE once, and the threshold is the
+    * same two IEEE ops — so the > comparison is bit-identical even at
+    * the boundary.
+    *
+    * At 100 TB: one shuffle for the per-part aggregate (map-side
+    * combined), a 1-row reduce for the total, and the filter streams over
+    * the already-aggregated per-part rows. Nothing rescans the fact.
+    */
+  val q54ValueConcentration: QueryDef = QueryDef(
+    "q54_value_concentration",
+    (s, dir) => {
+      val perPart = Tables.load(s, dir, "lineitem")
+        .groupBy("l_partkey")
+        .agg(sum(Exact.money(col("l_extendedprice"))).as("val_dec"))
+      val total = perPart.agg(sum(col("val_dec")).as("tot_dec"),
+        count(lit(1)).as("n_parts"))
+      perPart.crossJoin(broadcast(total))
+        .filter(col("val_dec").cast(DoubleType) >
+          col("tot_dec").cast(DoubleType) /
+            col("n_parts").cast(DoubleType) * lit(1.3))
+        .select(col("l_partkey"),
+          col("val_dec").cast(DoubleType).as("part_value"))
+        .orderBy("l_partkey")
+    },
+    Some(s"""
+      WITH per_part AS (
+        SELECT l_partkey,
+               SUM(${Exact.sqlMoney("l_extendedprice")}) AS val_dec
+        FROM lineitem GROUP BY l_partkey),
+      tot AS (SELECT SUM(val_dec) AS tot_dec, COUNT(*) AS n_parts
+              FROM per_part)
+      SELECT l_partkey, CAST(val_dec AS DOUBLE) AS part_value
+      FROM per_part, tot
+      WHERE CAST(val_dec AS DOUBLE)
+              > CAST(tot_dec AS DOUBLE) / CAST(n_parts AS DOUBLE) * 1.3
+      ORDER BY l_partkey""")
+  )
+
   val all: Seq[QueryDef] =
     Seq(q3JoinAgg, q4SemiJoin, q5AntiJoin, q6RegionJoin, q23SkewJoin,
       q27RangeJoin, q28BloomSemijoin, q43ShippingPriority,
-      q51CustDistribution)
+      q51CustDistribution, q54ValueConcentration)
 }

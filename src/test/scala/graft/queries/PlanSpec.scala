@@ -169,4 +169,37 @@ class PlanSpec extends SparkSpec {
     // selection must ride the aggregate, never a whole-domain window sort
     assert(!plan.contains("Window"), s"window rank leaked into t25:\n$plan")
   }
+
+  test("q49 sweep: the data-sized window partitions by hour, never global") {
+    val plan = planOf(EventQueries.q49Concurrency.fn(spark, sf))
+    // every Window node over the delta stream must carry a partition key;
+    // the only permissible global sort is over the tiny per-hour offsets
+    val windows = plan.linesIterator.filter(_.contains("Window")).toSeq
+    assert(windows.nonEmpty)
+    // formatted plans print window specs with their partition exprs;
+    // an empty partitionBy renders as "Window [sum(...)... ORDER BY ..."
+    // with no hour# reference — require hour-keyed windowing to appear
+    assert(plan.contains("hour"), s"no hour-partitioned window:\n$plan")
+  }
+
+  test("q50 attribution: carry rides a user-keyed window, no touch join") {
+    val df = EventQueries.q50Attribution.fn(spark, sf)
+    val plan = planOf(df)
+    assert(plan.contains("Window"))
+    // no join of purchases against touches anywhere in the plan
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("CartesianProduct"),
+      s"attribution joined the event table against itself:\n$plan")
+  }
+
+  test("t28 head selection is a bounded TakeOrdered, not a global sort") {
+    val plan = planOf(graft.text.TextQueries.t28DsirWeights.fn(spark, sf))
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"t28 top-100 lost its bounded-heap plan:\n$plan")
+  }
+
+  test("q53 sliding distinct: two aggregates, zero window state") {
+    val plan = planOf(EventQueries.q53SlidingDistinct.fn(spark, sf))
+    assert(!plan.contains("Window"), s"q53 grew a window:\n$plan")
+    assert(plan.contains("partial_"), s"no map-side combine:\n$plan")
+  }
 }

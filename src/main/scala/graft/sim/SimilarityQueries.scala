@@ -548,7 +548,175 @@ object SimilarityQueries {
       FROM a2 GROUP BY cid ORDER BY cid""")
   )
 
+  /** PRODUCT QUANTIZATION (PQ) search — the compressed-domain ANN that
+    * serves billion-vector corpora (the FAISS IndexPQ shape): the 64-dim
+    * space splits into m = 8 subspaces of 8 dims, each subspace trains
+    * its own tiny codebook (k = 4, seeded from the 4 lowest ids + one
+    * Lloyd iteration — s9's division-free rational-centroid discipline
+    * per subspace), every corpus vector compresses to 8 code bytes, and
+    * queries score candidates by ASYMMETRIC DISTANCE (ADC): the exact
+    * query-to-centroid distance table replaces query-to-vector work, so
+    * ranking cost is m table lookups per candidate over a corpus 32×
+    * smaller than float32.
+    *
+    * Exactness: all integer arithmetic up to the per-subspace rational
+    * distance (num/n² — ONE IEEE division per (query, sub, centroid)
+    * cell), and the ADC sum over the 8 subspaces is written as an
+    * explicit fixed-order 8-term addition in BOTH engines (pivot to
+    * d0..d7 then d0+d1+…+d7 — the t19 fixed-order discipline), so the
+    * final ranking compares bit-exact with zero tolerance.
+    *
+    * 100 TB shape: codebooks are m×k×(d/m) ≈ nothing (broadcast);
+    * training and encoding are each one corpus scan + a (sub, cid, pos)
+    * grid aggregate; serving joins the code table against the broadcast
+    * per-query distance tables — the corpus never shuffles.
+    */
+  val s10PqAdc: QueryDef = QueryDef(
+    "s10_pq_adc",
+    (s, dir) => {
+      import org.apache.spark.sql.{Column, DataFrame}
+      def adot(a: Column, b: Column): Column =
+        aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, v) => acc + v)
+      val q0 = Tables.load(s, dir, "embeddings")
+        .select(col("vec_id"),
+          transform(col("embedding"),
+            x => floor(x.cast("double") * lit(64.0)).cast("long")).as("qv"))
+      val subs = q0.select(col("vec_id"),
+        explode(transform(sequence(lit(0), lit(7)),
+          i => struct(i.cast("int").as("sub"),
+            slice(col("qv"), i * lit(8) + lit(1), lit(8)).as("sv"))))
+          .as("e"))
+        .select(col("vec_id"), col("e.sub").as("sub"), col("e.sv").as("sv"))
+      val seed = q0.select("vec_id").orderBy("vec_id").limit(4)
+        .withColumn("cid",
+          row_number().over(Window.orderBy("vec_id")).cast("long") - 1L)
+      val c0 = subs.join(broadcast(seed), "vec_id")
+        .select(col("sub"), col("cid"), col("sv").as("s"), lit(1L).as("n"))
+      def assign(cents: DataFrame): DataFrame = {
+        val score = col("n") * col("n") * adot(col("sv"), col("sv")) -
+          lit(2L) * col("n") * adot(col("sv"), col("s")) +
+          adot(col("s"), col("s"))
+        val w = Window.partitionBy("vec_id", "sub").orderBy("score", "cid")
+        subs.join(broadcast(cents), Seq("sub"))
+          .withColumn("score", score)
+          .withColumn("rnk", row_number().over(w))
+          .filter(col("rnk") === 1)
+          .select("vec_id", "sub", "sv", "cid")
+      }
+      val a1 = assign(c0)
+      val grid = a1
+        .select(col("sub"), col("cid"), posexplode(col("sv")).as(Seq("pos", "v")))
+        .groupBy("sub", "cid", "pos").agg(sum("v").as("svsum"))
+        .groupBy("sub", "cid")
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("svsum")))),
+          t => t.getField("svsum")).as("s"))
+      val c1 = grid.join(a1.groupBy("sub", "cid").agg(count(lit(1)).as("n")),
+        Seq("sub", "cid"))
+      val codes = assign(c1).select(col("vec_id"), col("sub"), col("cid"))
+      val dtab = subs.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("sub"), col("sv"))
+        .join(broadcast(c1), Seq("sub"))
+        .select(col("query_id"), col("sub"), col("cid"),
+          ((col("n") * col("n") * adot(col("sv"), col("sv")) -
+            lit(2L) * col("n") * adot(col("sv"), col("s")) +
+            adot(col("s"), col("s"))).cast("double") /
+            (col("n") * col("n")).cast("double")).as("d"))
+      val pivots = (0 until 8).map(i =>
+        max(when(col("sub") === i, col("d"))).as(s"d$i"))
+      val adc = codes.join(broadcast(dtab), Seq("sub", "cid"))
+        .filter(col("vec_id") =!= col("query_id"))
+        .groupBy(col("query_id"), col("vec_id").as("neighbor_id"))
+        .agg(pivots.head, pivots.tail: _*)
+        .withColumn("dist",
+          (0 until 8).map(i => col(s"d$i")).reduce(_ + _))
+      val w = Window.partitionBy("query_id").orderBy("dist", "neighbor_id")
+      adc.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 5)
+        .select("query_id", "rank", "neighbor_id", "dist")
+        .orderBy("query_id", "rank")
+    },
+    Some("""
+      WITH q0 AS (
+        SELECT vec_id,
+               list_transform(CAST(embedding AS DOUBLE[]),
+                              x -> FLOOR(x * 64.0)) AS qv
+        FROM embeddings),
+      subs AS (
+        SELECT vec_id, s AS sub, qv[s*8+1 : s*8+8] AS sv
+        FROM q0, (SELECT UNNEST(generate_series(0, 7)) AS s)),
+      seed AS (
+        SELECT vec_id,
+               CAST(ROW_NUMBER() OVER (ORDER BY vec_id) AS BIGINT) - 1 AS cid
+        FROM (SELECT vec_id FROM q0 ORDER BY vec_id LIMIT 4)),
+      c0 AS (
+        SELECT subs.sub, seed.cid, subs.sv AS s, CAST(1 AS DOUBLE) AS n
+        FROM subs JOIN seed USING (vec_id)),
+      sc1 AS (
+        SELECT subs.vec_id, subs.sub, subs.sv, c0.cid,
+               c0.n*c0.n*list_dot_product(subs.sv, subs.sv)
+                 - 2*c0.n*list_dot_product(subs.sv, c0.s)
+                 + list_dot_product(c0.s, c0.s) AS score
+        FROM subs JOIN c0 ON c0.sub = subs.sub),
+      a1 AS (
+        SELECT vec_id, sub, sv, cid FROM (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, sub
+                      ORDER BY score, cid) AS rnk
+          FROM sc1) WHERE rnk = 1),
+      grid AS (
+        SELECT sub, cid, dim, SUM(v) AS svsum
+        FROM (SELECT sub, cid, UNNEST(sv) AS v,
+                     UNNEST(generate_series(1, len(sv))) AS dim FROM a1)
+        GROUP BY sub, cid, dim),
+      c1 AS (
+        SELECT g.sub, g.cid, g.s, ns.n FROM
+          (SELECT sub, cid, list(svsum ORDER BY dim) AS s
+           FROM grid GROUP BY sub, cid) g
+          JOIN (SELECT sub, cid, CAST(COUNT(*) AS DOUBLE) AS n
+                FROM a1 GROUP BY sub, cid) ns USING (sub, cid)),
+      sc2 AS (
+        SELECT subs.vec_id, subs.sub, c1.cid,
+               c1.n*c1.n*list_dot_product(subs.sv, subs.sv)
+                 - 2*c1.n*list_dot_product(subs.sv, c1.s)
+                 + list_dot_product(c1.s, c1.s) AS score
+        FROM subs JOIN c1 ON c1.sub = subs.sub),
+      codes AS (
+        SELECT vec_id, sub, cid FROM (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, sub
+                      ORDER BY score, cid) AS rnk
+          FROM sc2) WHERE rnk = 1),
+      dtab AS (
+        SELECT subs.vec_id AS query_id, subs.sub, c1.cid,
+               (c1.n*c1.n*list_dot_product(subs.sv, subs.sv)
+                  - 2*c1.n*list_dot_product(subs.sv, c1.s)
+                  + list_dot_product(c1.s, c1.s)) / (c1.n*c1.n) AS d
+        FROM subs JOIN c1 ON c1.sub = subs.sub
+        WHERE subs.vec_id < 10),
+      cells AS (
+        SELECT dtab.query_id, codes.vec_id AS neighbor_id,
+               MAX(CASE WHEN dtab.sub = 0 THEN d END) AS d0,
+               MAX(CASE WHEN dtab.sub = 1 THEN d END) AS d1,
+               MAX(CASE WHEN dtab.sub = 2 THEN d END) AS d2,
+               MAX(CASE WHEN dtab.sub = 3 THEN d END) AS d3,
+               MAX(CASE WHEN dtab.sub = 4 THEN d END) AS d4,
+               MAX(CASE WHEN dtab.sub = 5 THEN d END) AS d5,
+               MAX(CASE WHEN dtab.sub = 6 THEN d END) AS d6,
+               MAX(CASE WHEN dtab.sub = 7 THEN d END) AS d7
+        FROM codes JOIN dtab ON dtab.sub = codes.sub AND dtab.cid = codes.cid
+        WHERE codes.vec_id <> dtab.query_id
+        GROUP BY dtab.query_id, codes.vec_id),
+      adc AS (
+        SELECT query_id, neighbor_id,
+               d0 + d1 + d2 + d3 + d4 + d5 + d6 + d7 AS dist
+        FROM cells)
+      SELECT query_id, rank, neighbor_id, dist FROM (
+        SELECT query_id, neighbor_id, dist,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                 ORDER BY dist, neighbor_id) AS rank
+        FROM adc)
+      WHERE rank <= 5 ORDER BY query_id, rank""")
+  )
+
   val all: Seq[QueryDef] =
     Seq(s1AnnBruteForce, s2AnnLsh, s3AnnIvf, s4RangeSearch, s5AnnQuantized,
-      s6HardNegatives, s7AnnRerank, s8FilteredAnn, s9Kmeans)
+      s6HardNegatives, s7AnnRerank, s8FilteredAnn, s9Kmeans, s10PqAdc)
 }

@@ -424,8 +424,65 @@ object DedupQueries {
         .orderBy("vec_id")))
   )
 
+  /** CANONICAL-DOCUMENT selection — the retention POLICY on top of d8's
+    * cluster assignment: within every near-dup cluster keep the longest
+    * member (tie → lowest id), the published keep-longest curation rule
+    * (d8 answers "which docs collapse"; d11 answers "which copy
+    * survives, what got dropped"). The argmax rides a
+    * `max(struct(n_chars, −doc_id))` aggregate — map-side combinable,
+    * no per-cluster window sort — and the output is the per-cluster
+    * retention manifest. The oracle reuses d8's exhaustive transitive
+    * closure over the same aux pair dump, joined back to document
+    * lengths.
+    */
+  val d11CanonicalSelect: QueryDef = QueryDef(
+    "d11_canonical_select",
+    (s, dir) => {
+      val clusters = Dedup.dedupClusters(nearDupPairsCached(s, dir))
+      val docs = Tables.loadSpread(s, dir, "documents")
+        .select("doc_id", "n_chars")
+      clusters.join(docs, Seq("doc_id"))
+        .groupBy("cluster")
+        .agg(max(struct(col("n_chars"), (-col("doc_id")).as("neg"))).as("best"),
+          count(lit(1)).as("n_members"))
+        .filter(col("n_members") >= 2)
+        .select(col("cluster"), (-col("best.neg")).as("rep_doc"),
+          col("best.n_chars").as("rep_chars"), col("n_members"),
+          (col("n_members") - 1).as("n_dropped"))
+        .orderBy("cluster")
+    },
+    Some("""
+      WITH RECURSIVE
+      p AS (SELECT doc_a, doc_b
+            FROM read_parquet('{OUT}/aux/d11_canonical_select__pairs/*.parquet')),
+      e AS (SELECT doc_a AS a, doc_b AS b FROM p
+            UNION SELECT doc_b, doc_a FROM p),
+      reach(src, node) AS (
+        SELECT a, a FROM e
+        UNION
+        SELECT r.src, e.b FROM reach r JOIN e ON e.a = r.node),
+      cl AS (SELECT src AS doc_id, MIN(node) AS cluster
+             FROM reach GROUP BY src),
+      m AS (SELECT cl.cluster, d.doc_id, d.n_chars
+            FROM cl JOIN documents d USING (doc_id)),
+      best AS (
+        SELECT cluster, doc_id, n_chars,
+               ROW_NUMBER() OVER (PARTITION BY cluster
+                 ORDER BY n_chars DESC, doc_id) AS rn,
+               COUNT(*) OVER (PARTITION BY cluster) AS nm
+        FROM m)
+      SELECT cluster, doc_id AS rep_doc, n_chars AS rep_chars,
+             CAST(nm AS BIGINT) AS n_members,
+             CAST(nm - 1 AS BIGINT) AS n_dropped
+      FROM best WHERE rn = 1 AND nm >= 2 ORDER BY cluster"""),
+    aux = Map("pairs" -> ((s, dir) =>
+      nearDupPairsCached(s, dir)
+        .select("doc_a", "doc_b")
+        .orderBy("doc_a", "doc_b")))
+  )
+
   val all: Seq[QueryDef] =
     Seq(d1ExactDedup, d2MinhashLsh, d3Simhash, d4NgramJaccard,
       d5EmbeddingNearDup, d6DupSpans, d7Contamination, d8DedupClusters,
-      d9IncrementalDedup, d10SemanticDedup)
+      d9IncrementalDedup, d10SemanticDedup, d11CanonicalSelect)
 }

@@ -141,4 +141,28 @@ class DedupSpec extends SparkSpec {
     assert(prefixed == brute)
     assert(brute.nonEmpty)
   }
+
+  test("d11: the representative is its cluster's longest member") {
+    val reps = DedupQueries.d11CanonicalSelect.fn(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(reps.nonEmpty)
+    val members = DedupQueries.d8DedupClusters.fn(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val chars = graft.core.Tables.load(spark, sf, "documents")
+      .select("doc_id", "n_chars").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    val byCluster = members.groupBy(_._2).view.mapValues(_.map(_._1)).toMap
+    reps.foreach { case (cluster, rep, repChars, nMembers, nDropped) =>
+      val ms = byCluster(cluster)
+      assert(ms.contains(rep))
+      assert(nMembers == ms.length && nDropped == nMembers - 1)
+      assert(repChars == chars(rep))
+      assert(ms.forall(m => chars(m) < repChars ||
+        (chars(m) == repChars && m >= rep))) // longest, tie -> lowest id
+    }
+    // every multi-member cluster from d8 has exactly one manifest row
+    assert(reps.map(_._1).toSet ==
+      byCluster.filter(_._2.length >= 2).keySet)
+  }
 }

@@ -290,9 +290,11 @@ object FlowQueries {
     "f8_transitions",
     (s, dir) => {
       val w = org.apache.spark.sql.expressions.Window
-        .partitionBy("user_id").orderBy("ts", "event_id")
+        .partitionBy("user_id").orderBy("t_us", "event_id")
+      // µs-truncated ordering: the cross-engine timestamp precision
       val m = Tables.load(s, dir, "events")
-        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+        .select(col("user_id"), expr("ts div 1000").as("t_us"),
+          col("event_id"), col("event_type"))
         .withColumn("from_step", lag("event_type", 1).over(w))
         .filter(col("from_step").isNotNull)
         .groupBy(col("from_step"), col("event_type").as("to_step"))
@@ -309,7 +311,7 @@ object FlowQueries {
       WITH seq AS (
         SELECT user_id, event_type,
                LAG(event_type) OVER (PARTITION BY user_id
-                 ORDER BY epoch_ns(ts), event_id) AS from_step
+                 ORDER BY epoch_us(ts), event_id) AS from_step
         FROM events),
       m AS (
         SELECT from_step, event_type AS to_step, COUNT(*) AS n

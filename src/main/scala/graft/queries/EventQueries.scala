@@ -768,14 +768,16 @@ object EventQueries {
   val q49Concurrency: QueryDef = QueryDef(
     "q49_concurrency",
     (s, dir) => {
+      // µs, not ns: DuckDB reads the parquet ns timestamps at µs
+      // precision, so every cross-engine time value truncates to µs first
       val iv = Tables.load(s, dir, "events")
-        .select(col("event_id"), col("ts").as("t0"),
-          (col("ts") + floor(col("value") * 60.0).cast("long") * 1000000000L
-            + 1L).as("t1"))
+        .select(col("event_id"), expr("ts div 1000").as("t0"), col("value"))
+        .withColumn("t1", col("t0") +
+          floor(col("value") * 60.0).cast("long") * 1000000L + 1L)
       val deltas = iv.select(col("t0").as("t"), lit(1L).as("d"), col("event_id"))
         .unionAll(iv.select(col("t1").as("t"), lit(-1L).as("d"),
           col("event_id")))
-        .withColumn("hour", expr(s"t div ${NsPerHour}L"))
+        .withColumn("hour", expr("t div 3600000000L"))
       val wOff = Window.orderBy("hour")
         .rowsBetween(Window.unboundedPreceding, -1)
       val offsets = deltas.groupBy("hour").agg(sum("d").as("net"))
@@ -792,8 +794,8 @@ object EventQueries {
     },
     Some(s"""
       WITH iv AS (
-        SELECT event_id, epoch_ns(ts) AS t0,
-               epoch_ns(ts) + CAST(FLOOR(value * 60.0) AS BIGINT) * 1000000000
+        SELECT event_id, epoch_us(ts) AS t0,
+               epoch_us(ts) + CAST(FLOOR(value * 60.0) AS BIGINT) * 1000000
                  + 1 AS t1
         FROM events),
       d AS (
@@ -801,7 +803,7 @@ object EventQueries {
         UNION ALL
         SELECT t1 AS t, -1 AS d, event_id FROM iv),
       r AS (
-        SELECT t // ${NsPerHour} AS hour, d,
+        SELECT t // 3600000000 AS hour, d,
                SUM(d) OVER (ORDER BY t, d, event_id
                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS conc
         FROM d)
@@ -826,23 +828,24 @@ object EventQueries {
   val q50Attribution: QueryDef = QueryDef(
     "q50_attribution",
     (s, dir) => {
-      val lookbackNs = 7L * 24L * NsPerHour
-      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val lookbackUs = 7L * 24L * 3600L * 1000000L
+      val w = Window.partitionBy("user_id").orderBy("t_us", "event_id")
         .rowsBetween(Window.unboundedPreceding, -1)
+      // µs-truncated time (the cross-engine precision; see q49)
       val ev = Tables.load(s, dir, "events")
-        .select(col("event_id"), col("user_id"), col("ts"), col("event_type"),
-          col("value"))
+        .select(col("event_id"), col("user_id"),
+          expr("ts div 1000").as("t_us"), col("event_type"), col("value"))
       val touched = ev
         .withColumn("lt_type",
           last(when(col("event_type").isin("click", "view"),
             col("event_type")), ignoreNulls = true).over(w))
         .withColumn("lt_ts",
-          last(when(col("event_type").isin("click", "view"), col("ts")),
+          last(when(col("event_type").isin("click", "view"), col("t_us")),
             ignoreNulls = true).over(w))
       touched.filter(col("event_type") === "purchase")
         .withColumn("channel",
           when(col("lt_ts").isNotNull &&
-            col("ts") - col("lt_ts") <= lookbackNs, col("lt_type"))
+            col("t_us") - col("lt_ts") <= lookbackUs, col("lt_type"))
             .otherwise(lit("direct")))
         .groupBy("channel")
         .agg(count(lit(1)).as("n"),
@@ -851,7 +854,7 @@ object EventQueries {
     },
     Some(s"""
       WITH ev AS (
-        SELECT event_id, user_id, epoch_ns(ts) AS t, event_type, value
+        SELECT event_id, user_id, epoch_us(ts) AS t, event_type, value
         FROM events),
       carried AS (
         SELECT *,
@@ -865,7 +868,7 @@ object EventQueries {
                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS lt_ts
         FROM ev)
       SELECT CASE WHEN lt_ts IS NOT NULL
-                    AND t - lt_ts <= ${7L * 24L * NsPerHour}
+                    AND t - lt_ts <= ${7L * 24L * 3600L * 1000000L}
                   THEN lt_type ELSE 'direct' END AS channel,
              COUNT(*) AS n,
              CAST(SUM(${sqlMoney("value")}) AS DOUBLE) AS revenue
@@ -911,11 +914,62 @@ object EventQueries {
       FROM votes GROUP BY t_hr ORDER BY t_hr""")
   )
 
+  /** TIME-WEIGHTED average over irregular samples — the sensor/financial
+    * aggregate a plain AVG gets wrong: each reading holds until the next
+    * one, so its weight is the holding duration, TWA = Σ vᵢ·Δtᵢ / Σ Δtᵢ
+    * (the trailing unclosed hold contributes nothing; documented
+    * semantics mirrored by the oracle). Exactness: values are exact
+    * cents (×100 through the money decimal), durations are integer
+    * MILLIseconds (ns div 1e6 — coarse enough that cents×ms×|events|
+    * stays far inside BIGINT at any realistic per-key density), so both
+    * numerator and denominator are order-free integer sums and the final
+    * TWA is the same two IEEE ops on both engines.
+    *
+    * Scale: one user-keyed window (lead) + one grouped integer
+    * aggregate — single shuffle, map-side combinable.
+    */
+  val q55TimeWeighted: QueryDef = QueryDef(
+    "q55_time_weighted",
+    (s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy("t_us", "event_id")
+      Tables.load(s, dir, "events")
+        .select(col("user_id"), expr("ts div 1000").as("t_us"),
+          col("event_id"),
+          (money(col("value")) * lit(100)).cast("long").as("cents"))
+        .withColumn("nxt", lead("t_us", 1).over(w))
+        .filter(col("nxt").isNotNull)
+        .withColumn("dt_ms", expr("(nxt - t_us) div 1000L"))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_holds"),
+          sum(col("cents") * col("dt_ms")).as("num"),
+          sum(col("dt_ms")).as("den"))
+        .select(col("user_id"), col("n_holds"), col("num"), col("den"),
+          (col("num").cast(DoubleType) / col("den").cast(DoubleType) /
+            lit(100.0)).as("twa"))
+        .orderBy("user_id")
+    },
+    Some(s"""
+      WITH h AS (
+        SELECT user_id,
+               CAST(${sqlMoney("value")} * 100 AS BIGINT) AS cents,
+               (LEAD(epoch_us(ts)) OVER (PARTITION BY user_id
+                  ORDER BY epoch_us(ts), event_id) - epoch_us(ts))
+                 // 1000 AS dt_ms
+        FROM events)
+      SELECT user_id, COUNT(*) AS n_holds,
+             CAST(SUM(cents * dt_ms) AS BIGINT) AS num,
+             CAST(SUM(dt_ms) AS BIGINT) AS den,
+             CAST(SUM(cents * dt_ms) AS DOUBLE)
+               / CAST(SUM(dt_ms) AS DOUBLE) / 100.0 AS twa
+      FROM h WHERE dt_ms IS NOT NULL
+      GROUP BY user_id ORDER BY user_id""")
+  )
+
   val all: Seq[QueryDef] = Seq(
     q7WindowRunning, q8PivotCounts, q9EventPairs,
     q14TimeBuckets, q15UserSpan, q16AsofJoin, q17JsonExtract, q21Sessions,
     q24Resample, q25Ranks, q30RangeWindow, q32HeavyHitters,
     q34IncrementalRollup, q35Scd2, q36AsofExec, q37Funnel, q40Retention,
     q44Variant, q45Trending, q49Concurrency, q50Attribution,
-    q53SlidingDistinct)
+    q53SlidingDistinct, q55TimeWeighted)
 }

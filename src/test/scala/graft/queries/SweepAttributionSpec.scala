@@ -30,18 +30,18 @@ class SweepAttributionSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
     // brute force: one global ordered pass over all deltas on the driver
     val ev = Tables.load(spark, sf, "events")
-      .select(col("event_id"), col("ts"), col("value")).collect()
+      .select(col("event_id"), expr("ts div 1000"), col("value")).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
-    val nsPerHour = 3600L * 1000L * 1000L * 1000L
+    val usPerHour = 3600L * 1000L * 1000L
     val deltas = ev.flatMap { case (id, ts, v) =>
-      val end = ts + math.floor(v * 60.0).toLong * 1000000000L + 1L
+      val end = ts + math.floor(v * 60.0).toLong * 1000000L + 1L
       Seq((ts, 1L, id), (end, -1L, id))
     }.sortBy(identity)
     var conc = 0L
     val perHour = scala.collection.mutable.Map[Long, (Long, Long)]()
     deltas.foreach { case (t, d, _) =>
       conc += d
-      val h = t / nsPerHour
+      val h = t / usPerHour
       val (mx, ns) = perHour.getOrElse(h, (Long.MinValue, 0L))
       perHour(h) = (math.max(mx, conc), ns + (if (d == 1L) 1L else 0L))
     }
@@ -71,11 +71,12 @@ class SweepAttributionSpec extends SparkSpec {
       .map(r => (r.getString(0), r.getLong(1))).toMap
     assert(out.keySet.subsetOf(Set("click", "view", "direct")))
     val ev = Tables.load(spark, sf, "events")
-      .select("event_id", "user_id", "ts", "event_type").collect()
+      .select(col("event_id"), col("user_id"), expr("ts div 1000"),
+        col("event_type")).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
     val purchases = ev.filter(_._4 == "purchase")
     assert(out.values.sum == purchases.length)
-    val lookback = 7L * 24L * 3600L * 1000000000L
+    val lookback = 7L * 24L * 3600L * 1000000L
     val byUser = ev.groupBy(_._2)
     val expect = purchases.map { case (pid, u, pts, _) =>
       val prior = byUser(u)

@@ -190,6 +190,80 @@ object CatalogQueries {
       ORDER BY tbl""")
   )
 
+  /** Referential-integrity AUDIT over the warehouse's whole FK graph in
+    * one pass: for each FK edge, how many child rows and how many
+    * orphans (children whose parent key is missing). Each edge is one
+    * LEFT ANTI join; parents here are dimension-sized so every probe is
+    * a broadcast — at 100 TB the big fact tables stream through
+    * codegen'd broadcast anti-joins and only per-edge counts move. This
+    * is q42's declarative-checks idea applied to CROSS-TABLE constraints
+    * (q42 checks per-row predicates; neither subsumes the other). The
+    * harness data is referentially clean, so a synthetic orphan edge
+    * (orders → customers-with-even-keys) is included to prove the audit
+    * actually counts (the planted-data precedent).
+    */
+  val c5FkAudit: QueryDef = QueryDef(
+    "c5_fk_audit",
+    (s, dir) => {
+      import org.apache.spark.sql.DataFrame
+      def edge(name: String, child: DataFrame, ck: String,
+          parent: DataFrame, pk: String): DataFrame = {
+        val orphans = child.join(
+          broadcast(parent.select(col(pk)).distinct()),
+          col(ck) === col(pk), "left_anti")
+        child.agg(count(lit(1)).as("n_children"))
+          .crossJoin(orphans.agg(count(lit(1)).as("n_orphans")))
+          .select(lit(name).as("fk_edge"), col("n_children"),
+            col("n_orphans"))
+      }
+      val customer = Tables.load(s, dir, "customer")
+      val orders = Tables.load(s, dir, "orders")
+      val nation = Tables.load(s, dir, "nation")
+      Seq(
+        edge("customer.nation", customer, "c_nationkey", nation, "n_nationkey"),
+        edge("lineitem.order", Tables.load(s, dir, "lineitem"), "l_orderkey",
+          orders, "o_orderkey"),
+        edge("nation.region", nation, "n_regionkey",
+          Tables.load(s, dir, "region"), "r_regionkey"),
+        edge("orders.customer", orders, "o_custkey", customer, "c_custkey"),
+        // planted violation: parents restricted to even keys
+        edge("orders.even_customer", orders, "o_custkey",
+          customer.filter(col("c_custkey") % 2 === 0), "c_custkey"),
+        edge("supplier.nation", Tables.load(s, dir, "supplier"),
+          "s_nationkey", nation, "n_nationkey"))
+        .reduce(_.unionAll(_))
+        .orderBy("fk_edge")
+    },
+    Some("""
+      SELECT 'customer.nation' AS fk_edge,
+             (SELECT COUNT(*) FROM customer) AS n_children,
+             (SELECT COUNT(*) FROM customer
+              WHERE c_nationkey NOT IN (SELECT n_nationkey FROM nation))
+               AS n_orphans
+      UNION ALL
+      SELECT 'lineitem.order', (SELECT COUNT(*) FROM lineitem),
+             (SELECT COUNT(*) FROM lineitem
+              WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders))
+      UNION ALL
+      SELECT 'nation.region', (SELECT COUNT(*) FROM nation),
+             (SELECT COUNT(*) FROM nation
+              WHERE n_regionkey NOT IN (SELECT r_regionkey FROM region))
+      UNION ALL
+      SELECT 'orders.customer', (SELECT COUNT(*) FROM orders),
+             (SELECT COUNT(*) FROM orders
+              WHERE o_custkey NOT IN (SELECT c_custkey FROM customer))
+      UNION ALL
+      SELECT 'orders.even_customer', (SELECT COUNT(*) FROM orders),
+             (SELECT COUNT(*) FROM orders
+              WHERE o_custkey NOT IN (SELECT c_custkey FROM customer
+                                      WHERE c_custkey % 2 = 0))
+      UNION ALL
+      SELECT 'supplier.nation', (SELECT COUNT(*) FROM supplier),
+             (SELECT COUNT(*) FROM supplier
+              WHERE s_nationkey NOT IN (SELECT n_nationkey FROM nation))
+      ORDER BY fk_edge""")
+  )
+
   val all: Seq[QueryDef] =
-    Seq(c1Checksums, c2CatalogSearch, c3CdcDiff, c4Forget)
+    Seq(c1Checksums, c2CatalogSearch, c3CdcDiff, c4Forget, c5FkAudit)
 }

@@ -717,9 +717,43 @@ object RelationalQueries {
       FROM p ORDER BY bucket""")
   )
 
+  /** Per-group MODE (most frequent value) with a SPECIFIED tie-break —
+    * SQL's MODE() leaves ties implementation-defined, so the operator is
+    * spelled out as the deterministic double aggregate: count per
+    * (group, value), then argmax by (count, −value) via max(struct(…)) —
+    * two map-side-combinable aggregations, no window sort, ties resolve
+    * to the SMALLEST value on both engines by construction.
+    */
+  val q56Mode: QueryDef = QueryDef(
+    "q56_mode",
+    (s, dir) =>
+      Tables.load(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"), col("l_quantity").as("qty"))
+        .agg(count(lit(1)).as("cnt"))
+        .groupBy("l_returnflag")
+        .agg(max(struct(col("cnt"), (-col("qty")).as("negq"))).as("best"),
+          count(lit(1)).as("n_distinct_qty"))
+        .select(col("l_returnflag"), (-col("best.negq")).as("mode_qty"),
+          col("best.cnt").as("mode_count"), col("n_distinct_qty"))
+        .orderBy("l_returnflag"),
+    Some("""
+      WITH c AS (
+        SELECT l_returnflag, l_quantity AS qty, COUNT(*) AS cnt
+        FROM lineitem GROUP BY l_returnflag, l_quantity)
+      SELECT l_returnflag, qty AS mode_qty, cnt AS mode_count,
+             n_distinct_qty
+      FROM (
+        SELECT l_returnflag, qty, cnt,
+               ROW_NUMBER() OVER (PARTITION BY l_returnflag
+                 ORDER BY cnt DESC, qty) AS rn,
+               COUNT(*) OVER (PARTITION BY l_returnflag) AS n_distinct_qty
+        FROM c)
+      WHERE rn = 1 ORDER BY l_returnflag""")
+  )
+
   val all: Seq[QueryDef] =
     Seq(q1Agg, q2TopK, q10Histogram, q11SummaryStats, q12Distinct, q13StringFuncs,
       q18Rollup, q19SetOps, q20DateParts, q22Cube, q26Subqueries, q29GroupTopK,
       q31Percentiles, q38Unpivot, q41Winsorized, q42QualityChecks, q46Drift,
-      q47GlobalPercentiles, q48GroupingSets)
+      q47GlobalPercentiles, q48GroupingSets, q56Mode)
 }

@@ -139,5 +139,46 @@ object StreamQueries {
       ORDER BY p_id, c_id""")
   )
 
-  val all: Seq[QueryDef] = Seq(st1StreamWindows, st2StreamJoin)
+  /** st3: streaming EXACTLY-ONCE dedup under doubled delivery — the same
+    * replay is consumed through TWO file sources unioned (every event
+    * arrives twice, in different micro-batches), and streaming
+    * `dropDuplicates` on the primary key must collapse the stream back
+    * to the base set: the per-type counts in the complete-mode sink
+    * equal the batch aggregate over the ORIGINAL table exactly — without
+    * the dedup state every count would double, so the oracle match IS
+    * the exactly-once proof. State here is unbounded (bounded replay);
+    * production swaps in `dropDuplicatesWithinWatermark`
+    * ([[StreamingDedup]], spec-covered) for bounded state with the same
+    * semantics inside the watermark horizon.
+    */
+  val st3StreamDedup: QueryDef = QueryDef(
+    "st3_stream_dedup",
+    (s, dir) => {
+      val schema = Tables.load(s, dir, "events").schema
+      val path = splitEvents(s, dir)
+      def src() = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(path)
+      val agg = src().unionByName(src())
+        .select(col("event_id"), col("user_id"), col("event_type"))
+        .dropDuplicates("event_id")
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum(col("user_id")).as("user_id_sum"))
+      val sink = "st3_sink_" +
+        java.util.UUID.randomUUID.toString.replace("-", "")
+      val oldParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "4")
+      try {
+        val q = agg.writeStream.format("memory").queryName(sink)
+          .outputMode("complete").start()
+        try q.processAllAvailable() finally q.stop()
+      } finally s.conf.set("spark.sql.shuffle.partitions", oldParts)
+      s.table(sink).orderBy("event_type")
+    },
+    Some("""
+      SELECT event_type, COUNT(*) AS n,
+             CAST(SUM(user_id) AS BIGINT) AS user_id_sum
+      FROM events GROUP BY event_type ORDER BY event_type""")
+  )
+
+  val all: Seq[QueryDef] = Seq(st1StreamWindows, st2StreamJoin, st3StreamDedup)
 }

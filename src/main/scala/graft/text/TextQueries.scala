@@ -1450,6 +1450,62 @@ object TextQueries {
       FROM d ORDER BY score_per_tok DESC, doc_id LIMIT 100""")
   )
 
+  /** Per-document KEYWORD extraction — TF-IDF top-3 terms per doc (the
+    * tagging/indexing step after t19's corpus-level BM25 ranking; that
+    * one ranks docs for a query, this one ranks terms for a doc). The
+    * idf keeps t19's rational form (N − df + 0.5)/(df + 0.5) — no ln —
+    * and the score is exactly two IEEE ops (one divide, one multiply by
+    * the integer tf) in both engines. Top-3 rides a window PARTITIONED
+    * BY doc (parallel per doc at any scale); df computes once per term
+    * and broadcasts back over the term-keyed join, the same one-shuffle
+    * discipline as t13/t19/t28.
+    */
+  val t29Keywords: QueryDef = QueryDef(
+    "t29_keywords",
+    (s, dir) => {
+      val docs = Tables.loadSpread(s, dir, "documents")
+      val toks = docs
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+        .filter(length(col("w")) > 0)
+      val n = docs.count()
+      val tf = toks.groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
+      val df = tf.groupBy("w").agg(count(lit(1)).as("df"))
+      val win = org.apache.spark.sql.expressions.Window
+        .partitionBy("doc_id").orderBy(col("score").desc, col("w"))
+      tf.join(df, Seq("w"))
+        .withColumn("score",
+          ((lit(n).cast("double") - col("df").cast("double") + lit(0.5)) /
+            (col("df").cast("double") + lit(0.5))) * col("tf").cast("double"))
+        .withColumn("rank", row_number().over(win))
+        .filter(col("rank") <= 3)
+        .select(col("doc_id"), col("rank"), col("w"), col("tf"), col("df"),
+          col("score"))
+        .orderBy("doc_id", "rank")
+    },
+    Some("""
+      WITH toks AS (
+        SELECT doc_id, x AS w
+        FROM (SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS x
+              FROM documents)
+        WHERE LENGTH(x) > 0),
+      tf AS (SELECT doc_id, w, COUNT(*) AS tf FROM toks GROUP BY doc_id, w),
+      df AS (SELECT w, COUNT(*) AS df FROM tf GROUP BY w),
+      nn AS (SELECT COUNT(*) AS n FROM documents),
+      scored AS (
+        SELECT tf.doc_id, tf.w, tf.tf, df.df,
+               ((CAST((SELECT n FROM nn) AS DOUBLE) - CAST(df.df AS DOUBLE)
+                   + 0.5)
+                 / (CAST(df.df AS DOUBLE) + 0.5)) * CAST(tf.tf AS DOUBLE)
+                 AS score
+        FROM tf JOIN df USING (w))
+      SELECT doc_id, rank, w, tf, df, score FROM (
+        SELECT doc_id, w, tf, df, score,
+               ROW_NUMBER() OVER (PARTITION BY doc_id
+                 ORDER BY score DESC, w) AS rank
+        FROM scored)
+      WHERE rank <= 3 ORDER BY doc_id, rank""")
+  )
+
   val all: Seq[QueryDef] =
     Seq(t1TokenCount, t2QualityScore, t3LangId, t4Fingerprint, t5Vocab,
       t6StratifiedSample, t7Cooccurrence, t8DistinctSketch, t9SketchRollup,
@@ -1457,5 +1513,5 @@ object TextQueries {
       t13LmFamiliarity, t14MixtureSample, t15PiiScrub, t16Chunking,
       t17Packing, t18InvertedIndex, t19Bm25, t20UrlDomains, t21CorpusCard,
       t22TypoCorrection, t23LearnedQuality, t24ChatFormat, t25DomainCaps,
-      t26ParagraphDedup, t27SplitAssign, t28DsirWeights)
+      t26ParagraphDedup, t27SplitAssign, t28DsirWeights, t29Keywords)
 }

@@ -28,4 +28,19 @@ class StreamJoinSpec extends SparkSpec {
     assert(streamed.nonEmpty)
     assert(streamed.toSeq == batch.toSeq)
   }
+
+  test("st3: doubled delivery collapses to the exact base aggregate") {
+    val out = StreamQueries.st3StreamDedup.fn(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val base = Tables.load(spark, sf, "events")
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum("user_id").as("s"))
+      .orderBy("event_type").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(out.toSeq == base.toSeq)
+    // the duplicated union really delivered 2x rows upstream of dedup:
+    // without exactly-once state every n (and checksum) would be doubled,
+    // so equality with the base aggregate is the proof
+    assert(out.map(_._2).sum == Tables.load(spark, sf, "events").count())
+  }
 }

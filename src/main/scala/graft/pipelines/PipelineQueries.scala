@@ -198,5 +198,79 @@ object PipelineQueries {
       FROM p GROUP BY source, bin ORDER BY source, bin""")
   )
 
-  val all: Seq[QueryDef] = Seq(p1CorpusIngest, p2MixturePack)
+  /** The reference's HYPERSPECTRAL production flow registered end to end
+    * (p3): the actual [[HyperspectralPipeline]] streaming job — directory
+    * watch, exactly-once file gate, per-batch cube analysis, idempotent
+    * partitioned sinks, catalog publish — drained over a deterministic
+    * 4-acquisition watch directory, with the registered output being the
+    * per-channel SPECTRUM table the flow exists to produce. The
+    * EMD-parse stage is the pipeline's pluggable seam; here it
+    * synthesizes each file's signals arithmetically (one 2×2×8 cube +
+    * one 1-D decoy that the ndim-3 first-match must skip), so the DuckDB
+    * oracle replays the whole composition — watch → select → explode →
+    * spatial-sum — in pure arithmetic, no file I/O (the REAL HDF5 parse
+    * is A4's oracle'd/spec'd surface; m1 set this fixture precedent).
+    * Counts are integer-valued doubles, so the spatial sums are exact on
+    * any partitioning.
+    */
+  private val p3Cache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def p3Parse(files: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val ei = regexp_extract(col("experiment_id"), "(\\d+)$", 1).cast("long")
+    val cube = files
+      .select(col("experiment_id"), col("path"), ei.as("ei"))
+      .select(col("experiment_id"), col("path"), lit(1).as("signal_idx"),
+        lit("EDS").as("title"), lit(3).as("ndim"),
+        array(lit(2), lit(2), lit(8)).as("shape"),
+        transform(sequence(lit(0), lit(31)),
+          i => ((col("ei") * 31 + i * 7) % 101).cast("double")).as("data"),
+        lit("""{"Signal":{"signal_type":"EDS_TEM"}}""").as("metadata_json"))
+    val decoy = files
+      .select(col("experiment_id"), col("path"), lit(0).as("signal_idx"),
+        lit("Axis").as("title"), lit(1).as("ndim"),
+        array(lit(4)).as("shape"),
+        transform(sequence(lit(0), lit(3)), i => i.cast("double")).as("data"),
+        lit("{}").as("metadata_json"))
+    cube.unionByName(decoy)
+  }
+
+  private def p3SpectrumDir(s: org.apache.spark.sql.SparkSession,
+      dir: String): String =
+    p3Cache.computeIfAbsent(dir, _ => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-p3").toString
+      val watch = s"$tmp/watch"
+      new java.io.File(watch).mkdirs()
+      (0 until 4).foreach { i =>
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(s"$watch/exp$i.emd"),
+          s"acquisition-$i".getBytes)
+      }
+      HyperspectralPipeline.start(s, watch, s"$tmp/out", s"$tmp/catalog",
+        s"$tmp/ckpt", p3Parse, drain = true).awaitTermination()
+      s"$tmp/out/spectrum"
+    })
+
+  val p3Hyperspectral: QueryDef = QueryDef(
+    "p3_hyperspectral",
+    (s, dir) =>
+      s.read.parquet(p3SpectrumDir(s, dir))
+        .select(col("experiment_id"), col("signal_idx"), col("channel"),
+          col("counts"))
+        .orderBy("experiment_id", "channel"),
+    Some("""
+      WITH e AS (SELECT UNNEST(generate_series(0, 3)) AS ei),
+      i AS (SELECT UNNEST(generate_series(0, 31)) AS i),
+      cube AS (
+        SELECT ei, i, CAST((ei*31 + i*7) % 101 AS DOUBLE) AS v,
+               CAST(i % 8 AS INTEGER) AS channel
+        FROM e, i)
+      SELECT 'exp' || ei AS experiment_id, CAST(1 AS INTEGER) AS signal_idx,
+             channel, CAST(SUM(v) AS DOUBLE) AS counts
+      FROM cube GROUP BY ei, channel
+      ORDER BY experiment_id, channel""")
+  )
+
+  val all: Seq[QueryDef] = Seq(p1CorpusIngest, p2MixturePack, p3Hyperspectral)
 }

@@ -272,5 +272,84 @@ object PipelineQueries {
       ORDER BY experiment_id, channel""")
   )
 
-  val all: Seq[QueryDef] = Seq(p1CorpusIngest, p2MixturePack, p3Hyperspectral)
+  /** The reference's SPATIOTEMPORAL production flow registered end to end
+    * (p4, completing the pair with p3): the [[SpatiotemporalPipeline]]
+    * streaming job — watch, ndim-3 video selection, PER-FRAME uint8
+    * min-max normalization, real PNG frame encode + batched conv
+    * inference, video artifact, catalog publish — drained over 4
+    * deterministic acquisitions; the registered output is the normalized
+    * frame table (the reference's `temporal.py:30-34` uint8 cube). The
+    * oracle replays explode + per-frame extrema + the exact
+    * `+0.499999999` truncation arithmetically (g2's discipline); the
+    * inference/artifact stages run for real and are pinned by
+    * SpatiotemporalPipelineSpec.
+    */
+  private val p4Cache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def p4Parse(files: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val ei = regexp_extract(col("experiment_id"), "(\\d+)$", 1).cast("long")
+    val video = files
+      .select(col("experiment_id"), col("path"), ei.as("ei"))
+      .select(col("experiment_id"), col("path"), lit(1).as("signal_idx"),
+        lit("Video").as("title"), lit(3).as("ndim"),
+        array(lit(2), lit(2), lit(3)).as("shape"),
+        transform(sequence(lit(0), lit(11)),
+          i => ((col("ei") * 13 + i * 5) % 97).cast("double")).as("data"),
+        lit("{}").as("metadata_json"))
+    val decoy = files
+      .select(col("experiment_id"), col("path"), lit(0).as("signal_idx"),
+        lit("Axis").as("title"), lit(1).as("ndim"),
+        array(lit(4)).as("shape"),
+        transform(sequence(lit(0), lit(3)), i => i.cast("double")).as("data"),
+        lit("{}").as("metadata_json"))
+    video.unionByName(decoy)
+  }
+
+  private def p4FramesDir(s: org.apache.spark.sql.SparkSession,
+      dir: String): String =
+    p4Cache.computeIfAbsent(dir, _ => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-p4").toString
+      val watch = s"$tmp/watch"
+      new java.io.File(watch).mkdirs()
+      (0 until 4).foreach { i =>
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(s"$watch/vid$i.emd"),
+          s"clip-$i".getBytes)
+      }
+      SpatiotemporalPipeline.start(s, watch, s"$tmp/out", s"$tmp/catalog",
+        s"$tmp/ckpt", p4Parse, drain = true).awaitTermination()
+      s"$tmp/out/frames_u8"
+    })
+
+  val p4Spatiotemporal: QueryDef = QueryDef(
+    "p4_spatiotemporal",
+    (s, dir) =>
+      s.read.parquet(p4FramesDir(s, dir))
+        .select(col("experiment_id"), col("frame"), col("x"), col("y"),
+          col("v8"))
+        .orderBy("experiment_id", "frame", "x", "y"),
+    Some("""
+      WITH e AS (SELECT UNNEST(generate_series(0, 3)) AS ei),
+      i AS (SELECT UNNEST(generate_series(0, 11)) AS i),
+      v AS (
+        SELECT ei, CAST((ei*13 + i*5) % 97 AS DOUBLE) AS v,
+               CAST(i // 6 AS INTEGER) AS frame,
+               CAST((i // 3) % 2 AS INTEGER) AS x,
+               CAST(i % 3 AS INTEGER) AS y
+        FROM e, i),
+      mm AS (SELECT ei, frame, MIN(v) AS mn, MAX(v) AS mx
+             FROM v GROUP BY ei, frame)
+      SELECT 'vid' || v.ei AS experiment_id, v.frame, v.x, v.y,
+             CASE WHEN mx > mn
+                  THEN CAST(FLOOR((v.v - mn) / (mx - mn) * 255.0
+                                  + 0.499999999) AS INTEGER)
+                  ELSE 0 END AS v8
+      FROM v JOIN mm ON mm.ei = v.ei AND mm.frame = v.frame
+      ORDER BY experiment_id, v.frame, v.x, v.y""")
+  )
+
+  val all: Seq[QueryDef] =
+    Seq(p1CorpusIngest, p2MixturePack, p3Hyperspectral, p4Spatiotemporal)
 }

@@ -20,7 +20,8 @@ object SparkEntry {
       graft.signals.SignalQueries.all ++
       graft.text.TextQueries.all ++ graft.dedup.DedupQueries.all ++
       graft.sim.SimilarityQueries.all ++ graft.multimodal.MultimodalQueries.all ++
-      graft.stream.StreamQueries.all ++ graft.pipelines.PipelineQueries.all
+      graft.stream.StreamQueries.all ++ graft.pipelines.PipelineQueries.all ++
+      graft.layout.LayoutQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -481,8 +481,88 @@ object DedupQueries {
         .orderBy("doc_a", "doc_b")))
   )
 
+  /** ENTITY RESOLUTION (record linkage): fuzzy-match entity records and
+    * assign each a canonical cluster id. Planted-variant synthesis (the
+    * repo's standard move for a dup-free harness table): every 10th
+    * customer gains a second record whose key string differs in its last
+    * character, so ground truth is known. The pipeline is the published
+    * blocked-matching shape:
+    *
+    *  1. entity key = md5(c_name) — hash-derived keys, because raw TPC-H
+    *     names are near-identical BY CONSTRUCTION ("…001" vs "…002" is
+    *     edit distance 1) and would make every consecutive pair a match;
+    *     real ER normalizes/fingerprints names first for the same reason.
+    *  2. BLOCKING on the 16-char key prefix → candidate pairs via
+    *     equi-join, never an all-pairs cross join (the t22 lesson). A
+    *     16-hex-char block has no accidental collisions, and the planted
+    *     variant (last char of 32 changed) always shares its original's
+    *     block.
+    *  3. exact levenshtein ≤ 2 on the candidates only.
+    *  4. cluster id = min id over self + matched partners — one
+    *     aggregation, exact here because planted components are PAIRS;
+    *     general transitive closure is pointer-doubling (q39) or the d8
+    *     cluster walk, both already in the surface.
+    *
+    * Everything is an equi-join or a groupBy on hash-distributed keys —
+    * the 100 TB shape. Oracle replays all four stages relationally
+    * (DuckDB has md5 and levenshtein).
+    */
+  val er1EntityResolution: QueryDef = QueryDef(
+    "er1_entity_resolution",
+    (s, dir) => {
+      val base = Tables.load(s, dir, "customer")
+        .select(col("c_custkey").cast("long").as("id"),
+          md5(col("c_name")).as("name"))
+      val variants = Tables.load(s, dir, "customer")
+        .filter(col("c_custkey") % 10 === 0)
+        .select((col("c_custkey") + 10000000L).cast("long").as("id"),
+          concat(substring(md5(col("c_name")), 1, 31), lit("z")).as("name"))
+      val entities = base.unionByName(variants)
+        .withColumn("block", substring(col("name"), 1, 16))
+      val a = entities.select(col("block"), col("id").as("id1"),
+        col("name").as("n1"))
+      val b = entities.select(col("block"), col("id").as("id2"),
+        col("name").as("n2"))
+      val pairs = a.join(b, Seq("block"))
+        .filter(col("id1") < col("id2") &&
+          levenshtein(col("n1"), col("n2")) <= 2)
+        .select("id1", "id2")
+      val partners = pairs.select(col("id1").as("id"), col("id2").as("p"))
+        .unionByName(pairs.select(col("id2").as("id"), col("id1").as("p")))
+      entities.join(partners, Seq("id"), "left")
+        .groupBy("id")
+        .agg(least(coalesce(min(col("p")), col("id")), col("id"))
+          .as("cluster_id"))
+        .select(col("id").as("entity_id"), col("cluster_id"),
+          (col("cluster_id") =!= col("id")).as("is_dup"))
+        .orderBy("entity_id")
+    },
+    Some("""
+      WITH e AS (
+        SELECT CAST(c_custkey AS BIGINT) AS id, md5(c_name) AS name
+        FROM customer
+        UNION ALL
+        SELECT CAST(c_custkey + 10000000 AS BIGINT),
+               substr(md5(c_name), 1, 31) || 'z'
+        FROM customer WHERE c_custkey % 10 = 0),
+      blocked AS (SELECT id, name, substr(name, 1, 16) AS block FROM e),
+      p AS (
+        SELECT a.id AS id1, b.id AS id2
+        FROM blocked a JOIN blocked b ON a.block = b.block AND a.id < b.id
+        WHERE levenshtein(a.name, b.name) <= 2),
+      partners AS (
+        SELECT id1 AS id, id2 AS p FROM p
+        UNION ALL SELECT id2, id1 FROM p)
+      SELECT e.id AS entity_id,
+             LEAST(COALESCE(MIN(partners.p), e.id), e.id) AS cluster_id,
+             LEAST(COALESCE(MIN(partners.p), e.id), e.id) <> e.id AS is_dup
+      FROM e LEFT JOIN partners ON partners.id = e.id
+      GROUP BY e.id ORDER BY entity_id""")
+  )
+
   val all: Seq[QueryDef] =
     Seq(d1ExactDedup, d2MinhashLsh, d3Simhash, d4NgramJaccard,
       d5EmbeddingNearDup, d6DupSpans, d7Contamination, d8DedupClusters,
-      d9IncrementalDedup, d10SemanticDedup, d11CanonicalSelect)
+      d9IncrementalDedup, d10SemanticDedup, d11CanonicalSelect,
+      er1EntityResolution)
 }

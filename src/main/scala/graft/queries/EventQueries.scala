@@ -965,11 +965,93 @@ object EventQueries {
       GROUP BY user_id ORDER BY user_id""")
   )
 
+  /** MAD robust anomaly detection (median absolute deviation): per
+    * event type, med = median(value), MAD = median(|value − med|), and
+    * an anomaly count at the classic 3·MAD cut — the outlier detector
+    * that, unlike mean/σ (f7's z-scores), is not itself dragged by the
+    * outliers it hunts.
+    *
+    * Exactness: values are 2-decimal money, scaled to HALF-cent integers
+    * (c2 = value·200) so every median — a midpoint of two integers — and
+    * every deviation is a dyadic rational, bit-exact under any formula
+    * on both engines; the only non-dyadic step is the final single /200
+    * display division, one IEEE op on both sides.
+    *
+    * Scale: both medians use [[graft.core.Ranks.valueBucketed]] (value-
+    * cell counts + broadcast offsets, two fully-parallel passes) — NOT a
+    * per-group percentile/window whose reducer collects the whole group;
+    * rank selection then touches 2 rows per group. Same discipline as
+    * q31/q47, applied twice in sequence.
+    */
+  val q57MadAnomaly: QueryDef = QueryDef(
+    "q57_mad_anomaly",
+    (s, dir) => {
+      def medianOf(df: org.apache.spark.sql.DataFrame, v: String) =
+        graft.core.Ranks
+          .valueBucketed(df, "event_type", v, buckets = 64,
+            vLo = 0.0, vHi = 100000.0)
+          .filter(col("rn") === expr("(n + 1) div 2") ||
+            col("rn") === expr("(n + 2) div 2"))
+          .groupBy("event_type")
+          .agg((sum(col(v)) / count(lit(1))).as(s"${v}_med"),
+            max(col("n")).as("n"))
+      val ev = Tables.load(s, dir, "events")
+        .select(col("event_type"),
+          (money(col("value")) * 200).cast("long").as("c2"))
+      val med = medianOf(ev.withColumn("v", col("c2").cast("double")), "v")
+        .withColumnRenamed("v_med", "med2")
+      val dev = ev.join(broadcast(med), Seq("event_type"))
+        .withColumn("dev2", abs(col("c2").cast("double") - col("med2")))
+      val mad = medianOf(dev.select(col("event_type"), col("dev2")), "dev2")
+        .select(col("event_type"), col("dev2_med").as("mad2"))
+      dev.join(broadcast(mad), Seq("event_type"))
+        .groupBy("event_type")
+        .agg(max(col("n")).as("n"),
+          (max(col("med2")) / 200.0).as("med"),
+          (max(col("mad2")) / 200.0).as("mad"),
+          sum(when(col("dev2") > lit(3.0) * col("mad2"), 1L).otherwise(0L))
+            .as("n_anomalies"))
+        .orderBy("event_type")
+    },
+    Some(s"""
+      WITH e AS (
+        SELECT event_type,
+               CAST(${sqlMoney("value")} * 200 AS BIGINT) AS c2
+        FROM events),
+      r1 AS (
+        SELECT event_type, c2, CAST(c2 AS DOUBLE) AS v,
+               ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY c2) AS rn,
+               COUNT(*) OVER (PARTITION BY event_type) AS n
+        FROM e),
+      med AS (
+        SELECT event_type, SUM(v) / COUNT(*) AS med2, ANY_VALUE(n) AS n
+        FROM r1 WHERE rn = (n + 1) // 2 OR rn = (n + 2) // 2
+        GROUP BY event_type),
+      d AS (
+        SELECT e.event_type, ABS(e.c2 - m.med2) AS dev2, m.med2, m.n
+        FROM e JOIN med m USING (event_type)),
+      r2 AS (
+        SELECT event_type, dev2, med2, n,
+               ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY dev2) AS rn
+        FROM d),
+      mad AS (
+        SELECT event_type, SUM(dev2) / COUNT(*) AS mad2
+        FROM r2 WHERE rn = (n + 1) // 2 OR rn = (n + 2) // 2
+        GROUP BY event_type)
+      SELECT d.event_type, CAST(ANY_VALUE(d.n) AS BIGINT) AS n,
+             ANY_VALUE(d.med2) / 200.0 AS med,
+             ANY_VALUE(mad.mad2) / 200.0 AS mad,
+             CAST(SUM(CASE WHEN d.dev2 > 3.0 * mad.mad2 THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_anomalies
+      FROM d JOIN mad USING (event_type)
+      GROUP BY d.event_type ORDER BY d.event_type""")
+  )
+
   val all: Seq[QueryDef] = Seq(
     q7WindowRunning, q8PivotCounts, q9EventPairs,
     q14TimeBuckets, q15UserSpan, q16AsofJoin, q17JsonExtract, q21Sessions,
     q24Resample, q25Ranks, q30RangeWindow, q32HeavyHitters,
     q34IncrementalRollup, q35Scd2, q36AsofExec, q37Funnel, q40Retention,
     q44Variant, q45Trending, q49Concurrency, q50Attribution,
-    q53SlidingDistinct, q55TimeWeighted)
+    q53SlidingDistinct, q55TimeWeighted, q57MadAnomaly)
 }

@@ -302,7 +302,60 @@ object SignalQueries {
       GROUP BY lag ORDER BY lag""")
   )
 
+  /** Exact channel COVARIANCE matrix over the embedding cube (the
+    * channel-correlation step of hyperspectral/feature analysis; also the
+    * input to a PCA whitening stage). For the first 8 channels, every
+    * (i ≤ j) pair's covariance in ONE scan + ONE 36-key map-side-combined
+    * aggregate: each vector expands to its 36 pair terms via a literal
+    * combo array (a projection, not a self-join — the doc-keyed self-join
+    * formulation shuffles the corpus twice and is never needed when the
+    * channel set is fixed and small).
+    *
+    * Exactness: g3's floor-scaling to integer 1e-4 units, then
+    * cov = (n·Σxy − Σx·Σy) / n² — all-integer numerator (order-free,
+    * overflow-checked: |Σxy| ≤ 6e12 at sf0.1, n·Σxy ≤ 4e17 < 2^63), one
+    * final double division on both engines.
+    */
+  val g8Covariance: QueryDef = QueryDef(
+    "g8_covariance",
+    (s, dir) => {
+      val combos = for { i <- 0 until 8; j <- i until 8 }
+        yield struct(lit(i).as("i"), lit(j).as("j"))
+      def scaled(idx: org.apache.spark.sql.Column) =
+        floor(element_at(col("embedding"), idx + 1).cast("double") *
+          lit(10000.0)).cast("long")
+      Tables.load(s, dir, "embeddings")
+        .select(col("embedding"), explode(array(combos: _*)).as("p"))
+        .select(col("p.i").as("i"), col("p.j").as("j"),
+          scaled(col("p.i")).as("xi"), scaled(col("p.j")).as("xj"))
+        .groupBy("i", "j")
+        .agg(count(lit(1)).as("n"), sum(col("xi")).as("sxi"),
+          sum(col("xj")).as("sxj"),
+          sum(col("xi") * col("xj")).as("sxy"))
+        .select(col("i"), col("j"), col("n"),
+          ((col("n") * col("sxy") - col("sxi") * col("sxj")).cast("double") /
+            (col("n").cast("double") * col("n") * lit(100000000.0)))
+            .as("cov"))
+        .orderBy("i", "j")
+    },
+    Some("""
+      WITH idx AS (SELECT UNNEST(generate_series(0, 7)) AS i),
+      pairs AS (SELECT a.i AS i, b.i AS j FROM idx a JOIN idx b ON a.i <= b.i),
+      t AS (
+        SELECT p.i, p.j,
+               CAST(FLOOR(CAST(embedding[p.i + 1] AS DOUBLE)
+                    * CAST(10000.0 AS DOUBLE)) AS BIGINT) AS xi,
+               CAST(FLOOR(CAST(embedding[p.j + 1] AS DOUBLE)
+                    * CAST(10000.0 AS DOUBLE)) AS BIGINT) AS xj
+        FROM embeddings, pairs p)
+      SELECT i, j, COUNT(*) AS n,
+             CAST(COUNT(*) * SUM(xi * xj) - SUM(xi) * SUM(xj) AS DOUBLE)
+               / (CAST(COUNT(*) AS DOUBLE) * COUNT(*)
+                  * CAST(100000000.0 AS DOUBLE)) AS cov
+      FROM t GROUP BY i, j ORDER BY i, j""")
+  )
+
   val all: Seq[QueryDef] =
     Seq(g1EnergyAxis, g2FrameNormalize, g3Spectrum, g4PeakDetect, g5Rebin,
-      g6Background, g7XCorr)
+      g6Background, g7XCorr, g8Covariance)
 }

@@ -180,5 +180,109 @@ object StreamQueries {
       FROM events GROUP BY event_type ORDER BY event_type""")
   )
 
-  val all: Seq[QueryDef] = Seq(st1StreamWindows, st2StreamJoin, st3StreamDedup)
+  // st4 fixture: a time-ORDERED replay — four ascending event-time range
+  // files, then one file of planted LATE rows (copies of the stream's
+  // first hour, ids offset by 1e9) written with the newest mtime so the
+  // file source replays it last, when the watermark has long passed their
+  // windows. File order is forced via explicit per-file mtimes (a single
+  // multi-part write would give all parts the same mtime and an arbitrary
+  // replay order). One-time per sf dir, like splitEvents.
+  private val orderedCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def orderedReplay(s: SparkSession, dir: String): String =
+    orderedCache.computeIfAbsent(dir, _ => {
+      import java.nio.file._
+      val tmp = Files.createTempDirectory("graft-st4-replay").toString
+      val streamDir = s"$tmp/stream"
+      new java.io.File(streamDir).mkdirs()
+      val ev = Tables.load(s, dir, "events")
+        .select("event_id", "ts", "user_id", "event_type", "value", "props")
+      val Array(q1, q2, q3) = ev.stat
+        .approxQuantile("ts", Array(0.25, 0.5, 0.75), 0.0)
+      val bounds = Seq(Long.MinValue, q1.toLong, q2.toLong, q3.toLong,
+        Long.MaxValue)
+      val firstHourUs = ev.agg(min(expr("ts div 1000"))).head.getLong(0) /
+        3600000000L * 3600000000L
+      val late = ev
+        .filter(expr("ts div 1000") >= firstHourUs &&
+          expr("ts div 1000") < firstHourUs + 3600000000L)
+        .withColumn("event_id", col("event_id") + 1000000000L)
+      val parts = bounds.sliding(2).toSeq.map { case Seq(lo, hi) =>
+        ev.filter(col("ts") > lo && col("ts") <= hi)
+      } :+ late
+      parts.zipWithIndex.foreach { case (df, k) =>
+        val stage = s"$tmp/stage_$k"
+        df.coalesce(1).write.mode("overwrite").parquet(stage)
+        val part = new java.io.File(stage).listFiles()
+          .find(_.getName.endsWith(".parquet")).get
+        val dst = Paths.get(streamDir, f"f$k%02d.parquet")
+        Files.move(part.toPath, dst)
+        Files.setLastModifiedTime(dst,
+          attribute.FileTime.fromMillis(1000000000000L + k * 60000L))
+      }
+      streamDir
+    })
+
+  /** Observability hook for the spec: rows the watermark dropped in the
+    * most recent st4 run (−1 before any run). */
+  val st4Dropped = new java.util.concurrent.atomic.AtomicLong(-1L)
+
+  /** st4: WATERMARK late-data accounting — the semantics st1's complete
+    * mode deliberately sidesteps. An hour-windowed count aggregation in
+    * APPEND mode over the time-ordered replay: by the time the planted
+    * late file (re-delivered first-hour rows, ids +1e9) arrives, the
+    * watermark — max seen event time minus the 1 h delay — is days past
+    * their windows, so Structured Streaming DROPS every planted row
+    * (the spec pins `numRowsDroppedByWatermark` == planted count), and
+    * append mode emits exactly the windows the final watermark closed.
+    * Both effects are pure functions of the input set and the replay
+    * order, so the oracle reproduces the sink relationally: on-time rows
+    * only, windows with end ≤ final watermark (max event-time ms − 1 h).
+    * Production semantics, bounded state, zero tolerance.
+    */
+  val st4LateData: QueryDef = QueryDef(
+    "st4_late_data",
+    (s, dir) => {
+      val schema = Tables.load(s, dir, "events").schema
+      val src = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(orderedReplay(s, dir))
+      val agg = src
+        .withColumn("event_time", timestamp_micros(expr("ts div 1000")))
+        .withWatermark("event_time", "1 hour")
+        .groupBy(window(col("event_time"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+      val sink = "st4_sink_" +
+        java.util.UUID.randomUUID.toString.replace("-", "")
+      val oldParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      try {
+        val q = agg.writeStream.format("memory").queryName(sink)
+          .outputMode("append").start()
+        try {
+          q.processAllAvailable()
+          st4Dropped.set(q.recentProgress
+            .flatMap(_.stateOperators.map(_.numRowsDroppedByWatermark)).sum)
+        } finally q.stop()
+      } finally s.conf.set("spark.sql.shuffle.partitions", oldParts)
+      s.table(sink)
+        .select(unix_micros(col("window.start")).as("w_start_us"),
+          col("event_type"), col("n"))
+        .orderBy("w_start_us", "event_type")
+    },
+    Some("""
+      WITH on_time AS (
+        SELECT epoch_ns(ts) // 1000 AS us, event_type FROM events),
+      wm AS (SELECT MAX(us) // 1000 - 3600000 AS wm_ms FROM on_time)
+      SELECT (us // 3600000000) * 3600000000 AS w_start_us, event_type,
+             COUNT(*) AS n
+      FROM on_time, wm
+      GROUP BY 1, 2, wm_ms
+      HAVING ((w_start_us + 3600000000) // 1000) <= wm_ms
+      ORDER BY 1, 2""")
+  )
+
+  val all: Seq[QueryDef] =
+    Seq(st1StreamWindows, st2StreamJoin, st3StreamDedup, st4LateData)
 }

@@ -50,4 +50,26 @@ class StreamQueriesSpec extends SparkSpec {
     } finally files.close()
     assert(nParquet >= 2, s"expected a multi-file replay layout, got $nParquet")
   }
+
+  test("st4 drops exactly the planted late rows, and accounts for them") {
+    val got = StreamQueries.st4LateData.fn(spark, sf).collect()
+    assert(got.nonEmpty)
+    // planted late file = a copy of the stream's first event-time hour
+    val ev = Tables.load(spark, sf, "events")
+      .select(expr("ts div 1000").as("us"))
+    val firstHourUs = ev.agg(min(col("us"))).head.getLong(0) /
+      3600000000L * 3600000000L
+    val planted = ev
+      .filter(col("us") >= firstHourUs && col("us") < firstHourUs + 3600000000L)
+      .count()
+    assert(planted > 0)
+    assert(StreamQueries.st4Dropped.get() == planted,
+      s"watermark dropped ${StreamQueries.st4Dropped.get()}, planted $planted")
+    // and none of the emitted windows contains a planted id's contribution:
+    // the first-hour window must carry exactly its ON-TIME count
+    val firstWindowN = got.filter(_.getAs[Long]("w_start_us") == firstHourUs)
+      .map(_.getAs[Long]("n")).sum
+    val onTimeFirstHour = planted // the late file duplicated every row once
+    assert(firstWindowN == onTimeFirstHour)
+  }
 }

@@ -33,7 +33,13 @@ object Bench {
 
     // Stable order: Map iteration is hash-ordered, which would hand the
     // JVM/codegen warmup cost to a random query each run.
+    // Dev-only subset filter (SPARK_GRAFT_ONLY=q31_percentiles,q41_…):
+    // lets a perf iteration time two queries without the full suite. The
+    // repo artifact below is only written for FULL runs.
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
 
     def runOne(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
         dir: String): Boolean =
@@ -105,7 +111,7 @@ object Bench {
     val compact = s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"passes":$Passes,"failed":$failed,"sf":"$sfDir"}"""
     val full = s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"spread":$spread,"exchange":$shuffle,"passes":$Passes,"failed":$failed,"sf":"$sfDir"}"""
     println(compact)
-    try java.nio.file.Files.writeString(
+    try if (only.isEmpty) java.nio.file.Files.writeString(
       java.nio.file.Paths.get("/root/repo/BENCH_local.json"), full + "\n")
     catch { case e: Throwable =>
       System.err.println(s"[bench] could not write BENCH_local.json: ${e.getMessage}")

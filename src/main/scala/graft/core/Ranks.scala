@@ -31,6 +31,90 @@ import org.apache.spark.sql.functions._
   */
 object Ranks {
 
+  /** Exact ORDER STATISTICS — the interpolated value at each fractional
+    * position `p` (PERCENTILE_CONT semantics: pos = p·(n−1)+1, linear
+    * interpolation between the two bracketing ranks) per group, WITHOUT
+    * materializing per-row ranks at all:
+    *
+    *   1. per-(group, cell) counts — one map-side-combined aggregate,
+    *      |g|·B rows, collected (bounded driver state, the IVF-model
+    *      precedent);
+    *   2. the driver locates, per target rank, WHICH cell holds it and
+    *      the rank within that cell — pure integer arithmetic on counts;
+    *   3. only rows in target cells are ranked (a window over ≤ the
+    *      densest-cell rows per target), everything else is filtered out
+    *      before any shuffle.
+    *
+    * The full table is never shuffled — the three passes over it are a
+    * counts aggregate, a cell-filtered scan, and whatever the caller does
+    * next; compare [[valueBucketed]], which must shuffle every row into
+    * its (group, cell) to attach a rank. Use this when only quantile
+    * VALUES are needed (q31/q41/q47); use valueBucketed when every row
+    * needs its rank. Exactness is bucket-independent as above: target
+    * ranks select the same values under any monotone bucketing, tie
+    * order never changes the value at a rank, and the interpolation
+    * arithmetic (computed in Spark columns on the tiny result, identical
+    * IEEE steps to the oracle's) is unchanged.
+    *
+    * Returns one row per (g, p): columns (`g`, "p", "q").
+    */
+  def orderStatistics(df: DataFrame, g: String, v: String, buckets: Int,
+      vLo: Double, vHi: Double, ps: Seq[Double]): DataFrame = {
+    require(buckets > 0 && vHi > vLo && ps.nonEmpty)
+    val spark = df.sparkSession
+    import spark.implicits._
+    val width = (vHi - vLo) / buckets
+    val withB = df.select(col(g).cast("string").as("g"),
+        col(v).cast("double").as("v"))
+      .withColumn("__b", least(
+        greatest(floor((col("v") - lit(vLo)) / lit(width)), lit(0.0)),
+        lit((buckets - 1).toDouble)).cast("int"))
+
+    // pass 1: counts; driver-side offsets per group (sorted by cell)
+    val counts = withB.groupBy("g", "__b").agg(count(lit(1)).as("__c"))
+      .collect()
+      .map(r => (r.getAs[String]("g"), r.getAs[Int]("__b"), r.getAs[Long]("__c")))
+      .groupBy(_._1)
+      .map { case (grp, rows) =>
+        grp -> rows.sortBy(_._2).map(r => (r._2, r._3))
+      }
+
+    // pass 2 targets: (g, cell, withinRank, p, role 0=lo/1=hi, pos)
+    val targets = counts.toSeq.flatMap { case (grp, cells) =>
+      val n = cells.map(_._2).sum
+      def locate(rank: Long): (Int, Long) = {
+        var off = 0L
+        var res: (Int, Long) = null
+        val it = cells.iterator
+        while (it.hasNext && res == null) {
+          val (b, c) = it.next()
+          if (rank <= off + c) res = (b, rank - off) else off += c
+        }
+        res // non-null for every 1 <= rank <= n
+      }
+      ps.flatMap { p =>
+        val pos = p * (n - 1) + 1 // same IEEE steps as the SQL oracle
+        val lo = math.floor(pos).toLong
+        val hi = math.ceil(pos).toLong
+        val (bl, wl) = locate(lo)
+        val (bh, wh) = locate(hi)
+        Seq((grp, bl, wl, p, 0, pos), (grp, bh, wh, p, 1, pos))
+      }
+    }.toDF("g", "__b", "within", "p", "role", "pos")
+
+    // pass 3: rank ONLY inside target cells (one small window per target)
+    withB.join(broadcast(targets), Seq("g", "__b"))
+      .withColumn("rnc", row_number().over(
+        Window.partitionBy("g", "__b", "p", "role").orderBy("v")))
+      .filter(col("rnc") === col("within"))
+      .groupBy("g", "p", "pos")
+      .agg(max(when(col("role") === 0, col("v"))).as("v_lo"),
+        max(when(col("role") === 1, col("v"))).as("v_hi"))
+      .select(col("g"), col("p"),
+        (col("v_lo") + (col("v_hi") - col("v_lo")) *
+          (col("pos") - floor(col("pos")))).as("q"))
+  }
+
   /** Adds `rn` (1-based rank of `v` within `g`) and `n` (group size) to
     * `df`, bucketing `v` into `buckets` fixed cells over [vLo, vHi).
     * Values outside the range clamp into the edge cells (monotone, so

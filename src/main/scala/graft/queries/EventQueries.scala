@@ -986,27 +986,26 @@ object EventQueries {
   val q57MadAnomaly: QueryDef = QueryDef(
     "q57_mad_anomaly",
     (s, dir) => {
-      def medianOf(df: org.apache.spark.sql.DataFrame, v: String) =
-        graft.core.Ranks
-          .valueBucketed(df, "event_type", v, buckets = 64,
-            vLo = 0.0, vHi = 100000.0)
-          .filter(col("rn") === expr("(n + 1) div 2") ||
-            col("rn") === expr("(n + 2) div 2"))
-          .groupBy("event_type")
-          .agg((sum(col(v)) / count(lit(1))).as(s"${v}_med"),
-            max(col("n")).as("n"))
+      // exact medians via orderStatistics (counts + target-cell ranking,
+      // never a full shuffle; at p=0.5 the interpolated midpoint equals
+      // the two-order-statistic average bit-for-bit on these dyadics)
+      def medianOf(df: org.apache.spark.sql.DataFrame, v: String,
+          out: String) =
+        graft.core.Ranks.orderStatistics(df, "event_type", v, buckets = 64,
+            vLo = 0.0, vHi = 100000.0, ps = Seq(0.5))
+          .select(col("g").as("event_type"), col("q").as(out))
       val ev = Tables.load(s, dir, "events")
         .select(col("event_type"),
           (money(col("value")) * 200).cast("long").as("c2"))
-      val med = medianOf(ev.withColumn("v", col("c2").cast("double")), "v")
-        .withColumnRenamed("v_med", "med2")
+      val med = medianOf(ev.withColumn("v", col("c2").cast("double")),
+        "v", "med2")
       val dev = ev.join(broadcast(med), Seq("event_type"))
         .withColumn("dev2", abs(col("c2").cast("double") - col("med2")))
-      val mad = medianOf(dev.select(col("event_type"), col("dev2")), "dev2")
-        .select(col("event_type"), col("dev2_med").as("mad2"))
+      val mad = medianOf(dev.select(col("event_type"), col("dev2")),
+        "dev2", "mad2")
       dev.join(broadcast(mad), Seq("event_type"))
         .groupBy("event_type")
-        .agg(max(col("n")).as("n"),
+        .agg(count(lit(1)).as("n"),
           (max(col("med2")) / 200.0).as("med"),
           (max(col("mad2")) / 200.0).as("mad"),
           sum(when(col("dev2") > lit(3.0) * col("mad2"), 1L).otherwise(0L))

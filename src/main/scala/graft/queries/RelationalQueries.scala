@@ -394,29 +394,19 @@ object RelationalQueries {
     */
   val q31Percentiles: QueryDef = QueryDef(
     "q31_percentiles",
-    (s, dir) => {
-      import s.implicits._
+    (s, dir) =>
       // l_extendedprice spans ~[900, 105k); 64 fixed cells keep the
-      // densest cell ≪ group size (bounds are balance-only, see Ranks)
-      val ranked = graft.core.Ranks.valueBucketed(
+      // densest cell ≪ group size (bounds are balance-only, see Ranks).
+      // orderStatistics: counts pass + target-cell-only ranking — the
+      // full table is scanned but NEVER shuffled (no per-row ranks).
+      graft.core.Ranks.orderStatistics(
         Tables.load(s, dir, "lineitem")
           .select(col("l_returnflag").as("g"), col("l_extendedprice").as("v")),
-        "g", "v", buckets = 64, vLo = 0.0, vHi = 110000.0)
-      val ps = Seq(0.25, 0.5, 0.75, 0.9).toDF("p")
-      val grid = ranked.select("g", "n").distinct().crossJoin(broadcast(ps))
-        .withColumn("pos", col("p") * (col("n") - 1) + 1)
-        .withColumn("lo", floor(col("pos")).cast("long"))
-        .withColumn("hi", ceil(col("pos")).cast("long"))
-      grid
-        .join(ranked.select(col("g"), col("rn").as("lo"), col("v").as("v_lo")),
-          Seq("g", "lo"))
-        .join(ranked.select(col("g"), col("rn").as("hi"), col("v").as("v_hi")),
-          Seq("g", "hi"))
+        "g", "v", buckets = 64, vLo = 0.0, vHi = 110000.0,
+        ps = Seq(0.25, 0.5, 0.75, 0.9))
         .select(col("g").as("l_returnflag"), col("p"),
-          (col("v_lo") + (col("v_hi") - col("v_lo")) *
-            (col("pos") - floor(col("pos")))).as("quantile"))
-        .orderBy("l_returnflag", "p")
-    },
+          col("q").as("quantile"))
+        .orderBy("l_returnflag", "p"),
     Some("""
       WITH ranked AS (
         SELECT l_returnflag AS g, l_extendedprice AS v,
@@ -450,27 +440,14 @@ object RelationalQueries {
     */
   val q47GlobalPercentiles: QueryDef = QueryDef(
     "q47_global_percentiles",
-    (s, dir) => {
-      import s.implicits._
-      val ranked = graft.core.Ranks.valueBucketed(
+    (s, dir) =>
+      graft.core.Ranks.orderStatistics(
         Tables.load(s, dir, "lineitem")
           .select(lit("all").as("g"), col("l_extendedprice").as("v")),
-        "g", "v", buckets = 128, vLo = 0.0, vHi = 110000.0)
-      val ps = Seq(0.01, 0.25, 0.5, 0.75, 0.99).toDF("p")
-      val grid = ranked.select("g", "n").distinct().crossJoin(broadcast(ps))
-        .withColumn("pos", col("p") * (col("n") - 1) + 1)
-        .withColumn("lo", floor(col("pos")).cast("long"))
-        .withColumn("hi", ceil(col("pos")).cast("long"))
-      grid
-        .join(ranked.select(col("g"), col("rn").as("lo"), col("v").as("v_lo")),
-          Seq("g", "lo"))
-        .join(ranked.select(col("g"), col("rn").as("hi"), col("v").as("v_hi")),
-          Seq("g", "hi"))
-        .select(col("p"),
-          (col("v_lo") + (col("v_hi") - col("v_lo")) *
-            (col("pos") - floor(col("pos")))).as("quantile"))
-        .orderBy("p")
-    },
+        "g", "v", buckets = 128, vLo = 0.0, vHi = 110000.0,
+        ps = Seq(0.01, 0.25, 0.5, 0.75, 0.99))
+        .select(col("p"), col("q").as("quantile"))
+        .orderBy("p"),
     Some("""
       WITH ranked AS (
         SELECT l_extendedprice AS v,
@@ -540,26 +517,16 @@ object RelationalQueries {
   val q41Winsorized: QueryDef = QueryDef(
     "q41_winsorized",
     (s, dir) => {
-      val ranked = graft.core.Ranks.valueBucketed(
-        Tables.load(s, dir, "lineitem")
-          .select(col("l_returnflag").as("g"), col("l_extendedprice").as("v")),
-        "g", "v", buckets = 64, vLo = 0.0, vHi = 110000.0)
-      def pct(p: Double, name: String) = {
-        val pos = lit(p) * (col("n") - 1) + 1
-        ranked.select("g", "n").distinct()
-          .withColumn("pos", pos)
-          .withColumn("lo", floor(col("pos")).cast("long"))
-          .withColumn("hi", ceil(col("pos")).cast("long"))
-          .join(ranked.select(col("g"), col("rn").as("lo"), col("v").as("v_lo")),
-            Seq("g", "lo"))
-          .join(ranked.select(col("g"), col("rn").as("hi"), col("v").as("v_hi")),
-            Seq("g", "hi"))
-          .select(col("g"),
-            (col("v_lo") + (col("v_hi") - col("v_lo")) *
-              (col("pos") - floor(col("pos")))).as(name))
-      }
-      val band = pct(0.05, "p05").join(pct(0.95, "p95"), Seq("g"))
-      ranked.join(broadcast(band), Seq("g"))
+      val vals = Tables.load(s, dir, "lineitem")
+        .select(col("l_returnflag").as("g"), col("l_extendedprice").as("v"))
+      // p05/p95 via orderStatistics (counts + target-cell ranking, no
+      // full-table shuffle), pivoted into one band row per group
+      val band = graft.core.Ranks.orderStatistics(vals, "g", "v",
+          buckets = 64, vLo = 0.0, vHi = 110000.0, ps = Seq(0.05, 0.95))
+        .groupBy("g")
+        .agg(max(when(col("p") === 0.05, col("q"))).as("p05"),
+          max(when(col("p") === 0.95, col("q"))).as("p95"))
+      vals.join(broadcast(band), Seq("g"))
         .withColumn("cv", least(greatest(col("v"), col("p05")), col("p95")))
         .groupBy("g")
         .agg(count(lit(1)).as("n"),

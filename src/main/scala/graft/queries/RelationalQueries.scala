@@ -718,9 +718,65 @@ object RelationalQueries {
       WHERE rn = 1 ORDER BY l_returnflag""")
   )
 
+  /** EQUAL-FREQUENCY discretization (decile binning) — the feature-
+    * engineering step that turns a skewed numeric column into a uniform
+    * categorical one (quantile sketch binning in feature stores; also
+    * the histogram-equalization analog of q10's equal-WIDTH bins).
+    * Boundaries are the nine exact interior deciles via
+    * [[graft.core.Ranks.orderStatistics]] (no full-table shuffle, see
+    * q31), collected into one sorted array and broadcast; every row's
+    * bin is then `#{boundaries ≤ v}` — a codegen'd array `filter` over
+    * nine doubles, no join fan-out. One aggregate over 10 keys closes
+    * it out. Bin-boundary ties bin identically on both engines (the
+    * count-of-≤ formulation is order-free), so the oracle is exact.
+    */
+  val q58EqualFreqBins: QueryDef = QueryDef(
+    "q58_equal_freq_bins",
+    (s, dir) => {
+      val vals = Tables.load(s, dir, "lineitem")
+        .select(lit("all").as("g"), col("l_extendedprice").as("v"))
+      val bounds = graft.core.Ranks.orderStatistics(vals, "g", "v",
+          buckets = 128, vLo = 0.0, vHi = 110000.0,
+          ps = (1 to 9).map(_ / 10.0))
+        .agg(array_sort(collect_list(col("q"))).as("bs"))
+      vals.crossJoin(broadcast(bounds))
+        .withColumn("bin",
+          size(filter(col("bs"), x => col("v") >= x)).cast("long"))
+        .groupBy("bin")
+        .agg(count(lit(1)).as("n"), min(col("v")).as("mn"),
+          max(col("v")).as("mx"))
+        .orderBy("bin")
+    },
+    Some("""
+      WITH ranked AS (
+        SELECT l_extendedprice AS v,
+               ROW_NUMBER() OVER (ORDER BY l_extendedprice) AS rn,
+               COUNT(*) OVER () AS n
+        FROM lineitem),
+      ps AS (SELECT UNNEST([0.1::DOUBLE, 0.2::DOUBLE, 0.3::DOUBLE,
+                            0.4::DOUBLE, 0.5::DOUBLE, 0.6::DOUBLE,
+                            0.7::DOUBLE, 0.8::DOUBLE, 0.9::DOUBLE]) AS p),
+      grid AS (
+        SELECT p, p * (n - 1) + 1 AS pos,
+               CAST(FLOOR(p * (n - 1) + 1) AS BIGINT) AS lo,
+               CAST(CEIL(p * (n - 1) + 1) AS BIGINT) AS hi
+        FROM (SELECT DISTINCT n FROM ranked), ps),
+      qs AS (
+        SELECT lo_r.v + (hi_r.v - lo_r.v) * (grid.pos - FLOOR(grid.pos)) AS q
+        FROM grid
+        JOIN ranked lo_r ON lo_r.rn = grid.lo
+        JOIN ranked hi_r ON hi_r.rn = grid.hi),
+      bs AS (SELECT list_sort(list(q)) AS bs FROM qs)
+      SELECT CAST(len(list_filter(bs, x -> l_extendedprice >= x)) AS BIGINT) AS bin,
+             COUNT(*) AS n, MIN(l_extendedprice) AS mn,
+             MAX(l_extendedprice) AS mx
+      FROM lineitem, bs
+      GROUP BY 1 ORDER BY bin""")
+  )
+
   val all: Seq[QueryDef] =
     Seq(q1Agg, q2TopK, q10Histogram, q11SummaryStats, q12Distinct, q13StringFuncs,
       q18Rollup, q19SetOps, q20DateParts, q22Cube, q26Subqueries, q29GroupTopK,
       q31Percentiles, q38Unpivot, q41Winsorized, q42QualityChecks, q46Drift,
-      q47GlobalPercentiles, q48GroupingSets, q56Mode)
+      q47GlobalPercentiles, q48GroupingSets, q56Mode, q58EqualFreqBins)
 }

@@ -255,8 +255,11 @@ object StreamQueries {
         .agg(count(lit(1)).as("n"))
       val sink = "st4_sink_" +
         java.util.UUID.randomUUID.toString.replace("-", "")
+      // 4 state partitions (st2 precedent): five triggers of per-task
+      // state overhead dominate a bounded replay; ~3.6k window×type keys
+      // don't need more.
       val oldParts = s.conf.get("spark.sql.shuffle.partitions")
-      s.conf.set("spark.sql.shuffle.partitions", "8")
+      s.conf.set("spark.sql.shuffle.partitions", "4")
       try {
         val q = agg.writeStream.format("memory").queryName(sink)
           .outputMode("append").start()

@@ -1506,6 +1506,62 @@ object TextQueries {
       WHERE rank <= 3 ORDER BY doc_id, rank""")
   )
 
+  /** Heaps-law VOCABULARY GROWTH curve — corpus-scaling diagnostics: how
+    * many NEW distinct terms each successive 64-document block of the
+    * corpus contributes, plus the cumulative vocabulary and token counts
+    * (the V(n) ~ K·n^β curve data-curation teams fit to detect corpus
+    * staleness/duplication: a flattening curve means new data adds no new
+    * language). Cumulative distinct is computed the scale-safe way:
+    * first-occurrence block per term (ONE term-keyed groupBy — the only
+    * corpus-sized shuffle, and it moves (term, block) pairs), then
+    * per-block new-term counts, then prefix sums over the BLOCK frame —
+    * manifest-scale (corpus/64 rows), done as a broadcast triangle
+    * self-join rather than an ungrouped window, so no single-reducer sort
+    * appears even in the tiny tail. All-integer arithmetic, exact.
+    */
+  val t30VocabGrowth: QueryDef = QueryDef(
+    "t30_vocab_growth",
+    (s, dir) => {
+      val docs = Tables.loadSpread(s, dir, "documents")
+      val tokens = docs
+        .select(expr("doc_id div 64").as("block"),
+          explode(split(col("text"), " ")).as("word"))
+      val newTerms = tokens.groupBy("word")
+        .agg(min(col("block")).as("block"))
+        .groupBy("block").agg(count(lit(1)).as("new_terms"))
+      val tokCounts = tokens.groupBy("block")
+        .agg(count(lit(1)).as("toks"))
+      val nDocs = docs.select(expr("doc_id div 64").as("block"))
+        .groupBy("block").agg(count(lit(1)).as("n_docs"))
+      val per = nDocs.join(tokCounts, Seq("block"))
+        .join(newTerms, Seq("block"), "left")
+        .na.fill(0L, Seq("new_terms"))
+      val rhs = per.select(col("block").as("b2"),
+        col("new_terms").as("nt2"), col("toks").as("tk2"))
+      per.join(broadcast(rhs), col("b2") <= col("block"))
+        .groupBy("block", "n_docs", "toks", "new_terms")
+        .agg(sum(col("nt2")).as("vocab"), sum(col("tk2")).as("tokens_cum"))
+        .orderBy("block")
+    },
+    Some("""
+      WITH tok AS (
+        SELECT doc_id // 64 AS block, UNNEST(STRING_SPLIT(text, ' ')) AS word
+        FROM documents),
+      fs AS (SELECT word, MIN(block) AS block FROM tok GROUP BY word),
+      nt AS (SELECT block, COUNT(*) AS new_terms FROM fs GROUP BY block),
+      tc AS (SELECT block, COUNT(*) AS toks FROM tok GROUP BY block),
+      nd AS (SELECT doc_id // 64 AS block, COUNT(*) AS n_docs
+             FROM documents GROUP BY 1)
+      SELECT nd.block, n_docs, toks,
+             COALESCE(new_terms, 0) AS new_terms,
+             CAST(SUM(COALESCE(new_terms, 0)) OVER (
+               ORDER BY nd.block ROWS UNBOUNDED PRECEDING) AS BIGINT) AS vocab,
+             CAST(SUM(toks) OVER (
+               ORDER BY nd.block ROWS UNBOUNDED PRECEDING) AS BIGINT) AS tokens_cum
+      FROM nd JOIN tc USING (block) LEFT JOIN nt USING (block)
+      ORDER BY block""")
+  )
+
   val all: Seq[QueryDef] =
     Seq(t1TokenCount, t2QualityScore, t3LangId, t4Fingerprint, t5Vocab,
       t6StratifiedSample, t7Cooccurrence, t8DistinctSketch, t9SketchRollup,
@@ -1513,5 +1569,6 @@ object TextQueries {
       t13LmFamiliarity, t14MixtureSample, t15PiiScrub, t16Chunking,
       t17Packing, t18InvertedIndex, t19Bm25, t20UrlDomains, t21CorpusCard,
       t22TypoCorrection, t23LearnedQuality, t24ChatFormat, t25DomainCaps,
-      t26ParagraphDedup, t27SplitAssign, t28DsirWeights, t29Keywords)
+      t26ParagraphDedup, t27SplitAssign, t28DsirWeights, t29Keywords,
+      t30VocabGrowth)
 }

@@ -965,6 +965,95 @@ object EventQueries {
       GROUP BY user_id ORDER BY user_id""")
   )
 
+  /** Time-series GAP FILL with linear interpolation — q24 builds the
+    * dense hourly spine; this fills the VALUE channel the way a feature
+    * pipeline needs it: observed hours keep their reading, interior gaps
+    * interpolate linearly between the bracketing observations, and the
+    * edges forward-/backward-fill. Neighbor access is two user-keyed
+    * windows (ignore-nulls last/first — the q50 carry idiom), so the
+    * plan is one shuffle on user_id at any scale; the spine explode is
+    * per-user-bounded. Exactness: readings are integer cents (selection
+    * max per hour), gaps are integer hour deltas, and the interpolation
+    * `(Δc)·(Δh)/(ΔH) + c_prev` is the same four IEEE ops on both
+    * engines over exactly-representable integers.
+    */
+  val q59GapFill: QueryDef = QueryDef(
+    "q59_gap_fill",
+    (s, dir) => {
+      val ev = Tables.load(s, dir, "events")
+        .filter(col("user_id") < 20)
+        .withColumn("hr", expr(s"ts div ${NsPerHour}L"))
+        .withColumn("cents", (money(col("value")) * 100).cast("long"))
+      val spine = ev.agg(min("hr").as("lo"), max("hr").as("hi"))
+        .select(explode(sequence(col("lo"), col("hi"))).as("hr"))
+      val grid = ev.select("user_id").distinct()
+        .crossJoin(broadcast(spine))
+      val known = ev.groupBy("user_id", "hr").agg(max(col("cents")).as("c"))
+      val wPrev = Window.partitionBy("user_id").orderBy("hr")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wNext = Window.partitionBy("user_id").orderBy("hr")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      grid.join(known, Seq("user_id", "hr"), "left")
+        .withColumn("pc", last(col("c"), ignoreNulls = true).over(wPrev))
+        .withColumn("phr", last(when(col("c").isNotNull, col("hr")),
+          ignoreNulls = true).over(wPrev))
+        .withColumn("nc", first(col("c"), ignoreNulls = true).over(wNext))
+        .withColumn("nhr", first(when(col("c").isNotNull, col("hr")),
+          ignoreNulls = true).over(wNext))
+        .select(col("user_id"), col("hr"),
+          when(col("c").isNotNull, col("c").cast("double"))
+            .when(col("pc").isNotNull && col("nc").isNotNull,
+              (col("nc") - col("pc")).cast("double") *
+                (col("hr") - col("phr")).cast("double") /
+                (col("nhr") - col("phr")).cast("double") +
+                col("pc").cast("double"))
+            .when(col("pc").isNotNull, col("pc").cast("double"))
+            .otherwise(col("nc").cast("double")).as("cents_filled"),
+          when(col("c").isNotNull, lit("obs"))
+            .when(col("pc").isNotNull && col("nc").isNotNull, lit("interp"))
+            .when(col("pc").isNotNull, lit("ffill"))
+            .otherwise(lit("bfill")).as("src"))
+        .orderBy("user_id", "hr")
+    },
+    Some(s"""
+      WITH ev AS (
+        SELECT user_id, epoch_ns(ts) // ${NsPerHour} AS hr,
+               CAST(${sqlMoney("value")} * 100 AS BIGINT) AS cents
+        FROM events WHERE user_id < 20),
+      b AS (SELECT MIN(hr) AS lo, MAX(hr) AS hi FROM ev),
+      spine AS (SELECT UNNEST(GENERATE_SERIES(lo, hi)) AS hr FROM b),
+      users AS (SELECT DISTINCT user_id FROM ev),
+      known AS (SELECT user_id, hr, MAX(cents) AS c FROM ev GROUP BY 1, 2),
+      g AS (
+        SELECT u.user_id, s.hr, k.c,
+          last_value(k.c IGNORE NULLS) OVER (
+            PARTITION BY u.user_id ORDER BY s.hr
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pc,
+          last_value(CASE WHEN k.c IS NOT NULL THEN s.hr END IGNORE NULLS)
+            OVER (PARTITION BY u.user_id ORDER BY s.hr
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS phr,
+          first_value(k.c IGNORE NULLS) OVER (
+            PARTITION BY u.user_id ORDER BY s.hr
+            ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nc,
+          first_value(CASE WHEN k.c IS NOT NULL THEN s.hr END IGNORE NULLS)
+            OVER (PARTITION BY u.user_id ORDER BY s.hr
+            ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nhr
+        FROM users u CROSS JOIN spine s
+        LEFT JOIN known k ON k.user_id = u.user_id AND k.hr = s.hr)
+      SELECT user_id, hr,
+        CASE WHEN c IS NOT NULL THEN CAST(c AS DOUBLE)
+             WHEN pc IS NOT NULL AND nc IS NOT NULL THEN
+               CAST(nc - pc AS DOUBLE) * CAST(hr - phr AS DOUBLE)
+                 / CAST(nhr - phr AS DOUBLE) + CAST(pc AS DOUBLE)
+             WHEN pc IS NOT NULL THEN CAST(pc AS DOUBLE)
+             ELSE CAST(nc AS DOUBLE) END AS cents_filled,
+        CASE WHEN c IS NOT NULL THEN 'obs'
+             WHEN pc IS NOT NULL AND nc IS NOT NULL THEN 'interp'
+             WHEN pc IS NOT NULL THEN 'ffill'
+             ELSE 'bfill' END AS src
+      FROM g ORDER BY user_id, hr""")
+  )
+
   /** MAD robust anomaly detection (median absolute deviation): per
     * event type, med = median(value), MAD = median(|value − med|), and
     * an anomaly count at the classic 3·MAD cut — the outlier detector
@@ -1052,5 +1141,5 @@ object EventQueries {
     q24Resample, q25Ranks, q30RangeWindow, q32HeavyHitters,
     q34IncrementalRollup, q35Scd2, q36AsofExec, q37Funnel, q40Retention,
     q44Variant, q45Trending, q49Concurrency, q50Attribution,
-    q53SlidingDistinct, q55TimeWeighted, q57MadAnomaly)
+    q53SlidingDistinct, q55TimeWeighted, q57MadAnomaly, q59GapFill)
 }

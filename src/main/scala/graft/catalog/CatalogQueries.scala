@@ -264,6 +264,113 @@ object CatalogQueries {
       ORDER BY fk_edge""")
   )
 
+  // c8 fixture: a REAL BucketedMerge version history — base snapshot then
+  // three point-update merges with deterministic key subsets, so bucket
+  // directories are genuinely SHARED across versions via manifest
+  // pointer-swaps (the property that makes expiry planning non-trivial:
+  // an old version dir can hold CURRENT data for untouched buckets).
+  private val expiryCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def bucketedHistory(s: org.apache.spark.sql.SparkSession,
+      dir: String): String =
+    expiryCache.computeIfAbsent(dir, _ => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-c8").toString
+      val t = s"$tmp/table"
+      val o = Tables.load(s, dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+      BucketedMerge.mergeInto(s, t, o, Seq("o_orderkey"), nBuckets = 16)
+      // update batches selected BY BUCKET so each merge rewrites a small,
+      // deterministic bucket set at any sf — point updates, not sweeps
+      // (a modulus key filter would scatter across all 16 buckets and
+      // leave nothing shared)
+      val b = BucketedMerge.bucketExpr(Seq("o_orderkey"), 16)
+      Seq(Seq(0, 1, 2), Seq(3, 4), Seq(0, 5)).zipWithIndex.foreach {
+        case (bs, i) =>
+          BucketedMerge.mergeInto(s, t,
+            o.filter(b.isin(bs: _*))
+              .withColumn("o_totalprice", col("o_totalprice") + i + 1),
+            Seq("o_orderkey"))
+      }
+      t
+    })
+
+  /** The (manifest version, bucket, data version) pointer table of the
+    * whole history — tiny catalog metadata (≤ versions × nBuckets rows),
+    * read driver-side like any table-format client would. */
+  def manifestsOf(s: org.apache.spark.sql.SparkSession,
+      tablePath: String): org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    val cur = BucketedMerge.currentVersion(tablePath).get
+    (0L to cur).flatMap { mv =>
+      BucketedMerge.readManifest(tablePath, mv).buckets.toSeq
+        .map { case (b, dv) => (mv, b, dv) }
+    }.toDF("mv", "bucket", "dv").orderBy("mv", "bucket")
+  }
+
+  private def manifestsDf(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame =
+    manifestsOf(s, bucketedHistory(s, dir))
+
+  /** The keep-last-2 expiry plan over a bucketed-merge table — public so
+    * the spec can plan over its own history and diff against the real
+    * [[BucketedMerge.vacuum]]. */
+  def expiryPlan(s: org.apache.spark.sql.SparkSession,
+      tablePath: String): org.apache.spark.sql.DataFrame =
+    planFrom(manifestsOf(s, tablePath))
+
+  private def planFrom(m: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val curDf = m.agg(max(col("mv")).as("cur"))
+    val live = m.crossJoin(broadcast(curDf))
+      .filter(col("mv") >= col("cur") - 1)
+      .select(col("bucket"), col("dv")).distinct()
+      .withColumn("is_live", lit(1L))
+    val dirs = m.filter(col("mv") === col("dv"))
+      .select(col("dv"), col("bucket")).distinct()
+    dirs.join(live, Seq("bucket", "dv"), "left")
+      .groupBy("dv")
+      .agg(count(lit(1)).as("n_dirs"),
+        sum(coalesce(col("is_live"), lit(0L))).as("n_live"))
+      .select(col("dv").as("data_version"), col("n_dirs"), col("n_live"),
+        (col("n_dirs") - col("n_live")).as("n_reclaimable"))
+      .orderBy("data_version")
+  }
+
+  /** SNAPSHOT-EXPIRY planning (the Iceberg/Delta `expireSnapshots` step)
+    * over the bucketed-merge history: under keep-last-2, a bucket
+    * directory `v=dv/bucket=b` is LIVE iff some kept manifest still
+    * points (b → dv) — old version dirs survive exactly where they hold
+    * current data for since-untouched buckets — and everything else is
+    * reclaimable. The whole decision runs on manifest METADATA (O(versions
+    * × buckets) rows; at 100 TB this is megabytes while the data it
+    * governs is the 100 TB), which is the point: expiry never touches
+    * data files. The oracle replays the same pointer algebra from the aux
+    * manifest dump; `BucketedMergeSpec` pins the plan against the REAL
+    * `BucketedMerge.vacuum` — the directories it deletes are exactly the
+    * planned reclaimable set, and the surviving table still reads
+    * correctly.
+    */
+  val c8ExpiryPlan: QueryDef = QueryDef(
+    "c8_expiry_plan",
+    (s, dir) => planFrom(manifestsDf(s, dir)),
+    Some("""
+      WITH m AS (
+        SELECT * FROM read_parquet('{OUT}/aux/c8_expiry_plan__manifests/*.parquet')),
+      cur AS (SELECT MAX(mv) AS cur FROM m),
+      live AS (SELECT DISTINCT bucket, dv FROM m, cur WHERE mv >= cur - 1),
+      dirs AS (SELECT DISTINCT dv, bucket FROM m WHERE mv = dv)
+      SELECT d.dv AS data_version, COUNT(*) AS n_dirs,
+             CAST(SUM(CASE WHEN l.bucket IS NOT NULL THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_live,
+             CAST(SUM(CASE WHEN l.bucket IS NULL THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_reclaimable
+      FROM dirs d LEFT JOIN live l ON l.bucket = d.bucket AND l.dv = d.dv
+      GROUP BY d.dv ORDER BY data_version"""),
+    aux = Map("manifests" -> ((s, dir) => manifestsDf(s, dir)))
+  )
+
   val all: Seq[QueryDef] =
-    Seq(c1Checksums, c2CatalogSearch, c3CdcDiff, c4Forget, c5FkAudit)
+    Seq(c1Checksums, c2CatalogSearch, c3CdcDiff, c4Forget, c5FkAudit,
+      c8ExpiryPlan)
 }

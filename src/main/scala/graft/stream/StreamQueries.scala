@@ -102,7 +102,13 @@ object StreamQueries {
       val schema = Tables.load(s, dir, "events").schema
       val path = splitEvents(s, dir)
       def side(tpe: String, prefix: String) =
-        s.readStream.schema(schema).option("maxFilesPerTrigger", "1")
+        // 2 files/trigger: still a genuinely multi-batch replay (2
+        // triggers per side, join state merged across them) at half the
+        // per-trigger machinery cost of 1 — the dominant cost for a
+        // TWO-sided stateful join over a bounded replay. Inner interval
+        // joins emit each pair exactly once regardless of batching, so
+        // the result is identical.
+        s.readStream.schema(schema).option("maxFilesPerTrigger", "2")
           .parquet(path)
           .filter(col("event_type") === tpe && col("user_id") < 50)
           .select(col("user_id").as(s"${prefix}_user"),
@@ -156,8 +162,11 @@ object StreamQueries {
     (s, dir) => {
       val schema = Tables.load(s, dir, "events").schema
       val path = splitEvents(s, dir)
+      // 2 files/trigger (st2 rationale): both sources advance together,
+      // so every event still arrives twice — in the same or different
+      // triggers — and the dedup state still collapses across batches.
       def src() = s.readStream.schema(schema)
-        .option("maxFilesPerTrigger", "1").parquet(path)
+        .option("maxFilesPerTrigger", "2").parquet(path)
       val agg = src().unionByName(src())
         .select(col("event_id"), col("user_id"), col("event_type"))
         .dropDuplicates("event_id")
@@ -245,8 +254,12 @@ object StreamQueries {
     "st4_late_data",
     (s, dir) => {
       val schema = Tables.load(s, dir, "events").schema
+      // 2 files/trigger: replay becomes [f0,f1] [f2,f3] [late] — the
+      // planted late file still rides its own final trigger (odd file
+      // count), after the watermark has advanced past its windows, and
+      // append-mode emission depends only on the final watermark.
       val src = s.readStream.schema(schema)
-        .option("maxFilesPerTrigger", "1")
+        .option("maxFilesPerTrigger", "2")
         .parquet(orderedReplay(s, dir))
       val agg = src
         .withColumn("event_time", timestamp_micros(expr("ts div 1000")))

@@ -23,6 +23,17 @@ class LayoutQueriesSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("b2: the fact scan carries a dynamic partition pruning filter") {
+    val df = LayoutQueries.b2PartitionPruning.fn(spark, sf)
+    val plan = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(plan.toLowerCase.contains("dynamicpruning"),
+      plan.linesIterator.take(40).mkString("\n"))
+    // and pruning is semantically invisible: exactly the 2-month window
+    val months = df.collect().map(_.getAs[String]("ship_month"))
+    assert(months.nonEmpty && months.forall(m => m >= "1995-03" && m <= "1995-04"))
+  }
+
   test("c6: compaction bins are contiguous, disjoint doc ranges per source") {
     val rows = LayoutQueries.c6CompactionPlan.fn(spark, sf).collect()
     rows.groupBy(_.getAs[String]("source")).foreach { case (_, bins) =>

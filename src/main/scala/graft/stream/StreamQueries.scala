@@ -299,6 +299,82 @@ object StreamQueries {
       ORDER BY 1, 2""")
   )
 
+  /** Per-user custom session state carried across micro-batches by
+    * [[st5StatefulSessions]]. */
+  final case class SessState(lastUs: Long, nEvents: Long, nSessions: Long)
+  final case class SessSnap(user_id: Long, n_events: Long, n_sessions: Long)
+
+  /** st5: CUSTOM STATEFUL LOGIC (`flatMapGroupsWithState`) in the oracle
+    * gate — the G-tier API that was spec-only until now. Per-user
+    * 30-minute-gap session counting where the state (last event time,
+    * running counts) must survive micro-batch boundaries: the replay is
+    * the TIME-ORDERED st4 layout, so each trigger extends every user's
+    * history forward and the final snapshot per user equals the batch
+    * gap-sessionization over the whole history — independent of how the
+    * replay was batched, which is what makes it DuckDB-verifiable. The
+    * planted late file is excluded by id (its rows time-travel backwards
+    * by construction; st4 owns that semantics). Within a batch a user's
+    * rows sort in memory (a single user's per-batch slice — bounded);
+    * equal-timestamp ties never split across files (range split is on
+    * the value). The registered output collapses per-batch snapshots to
+    * the last one via monotone max — counts only grow.
+    */
+  val st5StatefulSessions: QueryDef = QueryDef(
+    "st5_stateful_sessions",
+    (s, dir) => {
+      import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+      import s.implicits._
+      val schema = Tables.load(s, dir, "events").schema
+      val snaps = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "2")
+        .parquet(orderedReplay(s, dir))
+        .filter(col("event_id") < 1000000000L)
+        .select(col("user_id"), expr("ts div 1000").as("us"), col("event_id"))
+        .as[(Long, Long, Long)]
+        .groupByKey(_._1)
+        .flatMapGroupsWithState[SessState, SessSnap](
+          OutputMode.Append, GroupStateTimeout.NoTimeout) {
+          (uid, it, state) =>
+            val rows = it.toArray.sortBy(r => (r._2, r._3))
+            var st = state.getOption.getOrElse(SessState(0L, 0L, 0L))
+            rows.foreach { case (_, us, _) =>
+              st =
+                if (st.nEvents == 0L) SessState(us, 1L, 1L)
+                else SessState(us, st.nEvents + 1,
+                  st.nSessions + (if (us - st.lastUs > 1800000000L) 1 else 0))
+            }
+            state.update(st)
+            Iterator(SessSnap(uid, st.nEvents, st.nSessions))
+        }
+      val sink = "st5_sink_" +
+        java.util.UUID.randomUUID.toString.replace("-", "")
+      val oldParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "4")
+      try {
+        val q = snaps.writeStream.format("memory").queryName(sink)
+          .outputMode("append").start()
+        try q.processAllAvailable() finally q.stop()
+      } finally s.conf.set("spark.sql.shuffle.partitions", oldParts)
+      s.table(sink)
+        .groupBy("user_id")
+        .agg(max(col("n_events")).as("n_events"),
+          max(col("n_sessions")).as("n_sessions"))
+        .orderBy("user_id")
+    },
+    Some("""
+      WITH e AS (
+        SELECT user_id, epoch_ns(ts) // 1000 AS us FROM events),
+      d AS (
+        SELECT user_id,
+               us - LAG(us) OVER (PARTITION BY user_id ORDER BY us) AS gap
+        FROM e)
+      SELECT user_id, COUNT(*) AS n_events,
+             CAST(1 + SUM(CASE WHEN gap > 1800000000 THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_sessions
+      FROM d GROUP BY user_id ORDER BY user_id""")
+  )
+
   val all: Seq[QueryDef] =
-    Seq(st1StreamWindows, st2StreamJoin, st3StreamDedup, st4LateData)
+    Seq(st1StreamWindows, st2StreamJoin, st3StreamDedup, st4LateData,
+      st5StatefulSessions)
 }

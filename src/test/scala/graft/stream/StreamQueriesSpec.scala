@@ -72,4 +72,24 @@ class StreamQueriesSpec extends SparkSpec {
     val onTimeFirstHour = planted // the late file duplicated every row once
     assert(firstWindowN == onTimeFirstHour)
   }
+
+  test("st5 custom state equals batch gap-sessionization for every user") {
+    val got = StreamQueries.st5StatefulSessions.fn(spark, sf).collect()
+      .map(r => r.getAs[Long]("user_id") ->
+        (r.getAs[Long]("n_events"), r.getAs[Long]("n_sessions"))).toMap
+    assert(got.nonEmpty)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("us")
+    val want = Tables.load(spark, sf, "events")
+      .select(col("user_id"), expr("ts div 1000").as("us"))
+      .withColumn("gap", col("us") - lag(col("us"), 1).over(w))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"),
+        (lit(1) + sum(when(col("gap") > 1800000000L, 1L).otherwise(0L)))
+          .as("n_sessions"))
+      .collect()
+      .map(r => r.getAs[Long]("user_id") ->
+        (r.getAs[Long]("n_events"), r.getAs[Long]("n_sessions"))).toMap
+    assert(got == want)
+  }
 }

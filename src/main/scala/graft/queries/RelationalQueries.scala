@@ -382,12 +382,13 @@ object RelationalQueries {
     * (`percentile` vs `quantile_cont`), whose internal accumulation
     * orders may differ in the last ulps. Every arithmetic step is the
     * same IEEE expression on both sides, so the hash compare tolerates
-    * zero error. Ranks come from [[graft.core.Ranks.valueBucketed]] —
-    * value-cell counts + broadcast offsets + within-cell ranks, two
-    * fully-parallel passes — NOT a per-group rank window, whose plan
-    * sorts each group's whole slice on one reducer (|g|=3 here ⇒ three
-    * reducers each sorting a third of the table at 100 TB). The rank
-    * back-joins touch 2 rows per (group, p). Exact global quantiles
+    * zero error. Quantile values come from
+    * [[graft.core.Ranks.orderStatistics]] — per-(group, cell) counts,
+    * driver-side target location, then ranking ONLY inside the ≤2 cells
+    * per target — so the table is scanned but NEVER shuffled, and no
+    * per-group rank window (whose plan sorts each group's whole slice on
+    * one reducer: |g|=3 here ⇒ three reducers each sorting a third of
+    * the table at 100 TB) appears anywhere. Exact global quantiles
     * fundamentally need rank selection; the approximate path
     * (percentile_approx/KLL) trades it for mergeable sketches but loses
     * external verifiability.

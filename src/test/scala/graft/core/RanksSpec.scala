@@ -80,6 +80,31 @@ class RanksSpec extends SparkSpec {
     assert(offenders.isEmpty, s"single-reducer sort in global-quantile plan:\n$offenders")
   }
 
+  test("orderStatistics equals the naive ranked interpolation, ties and all") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val rows = Seq.tabulate(700) { i =>
+      ("g" + (i % 3), math.floor(rnd.nextDouble() * 40) / 2.0 - 5.0)
+    } // ties guaranteed; values spill outside [vLo, vHi) on both ends
+    val df = rows.toDF("g", "v")
+    val ps = Seq(0.0, 0.1, 0.5, 0.9, 1.0)
+    val got = Ranks.orderStatistics(df, "g", "v", buckets = 8,
+        vLo = 0.0, vHi = 10.0, ps = ps)
+      .collect().map(r => (r.getString(0), r.getDouble(1)) -> r.getDouble(2))
+      .toMap
+    // naive truth: full sort per group, pos = p(n-1)+1, linear interp
+    rows.groupBy(_._1).foreach { case (g, grp) =>
+      val sorted = grp.map(_._2).sorted
+      ps.foreach { p =>
+        val pos = p * (sorted.length - 1) + 1
+        val (lo, hi) = (math.floor(pos).toInt, math.ceil(pos).toInt)
+        val want = sorted(lo - 1) +
+          (sorted(hi - 1) - sorted(lo - 1)) * (pos - math.floor(pos))
+        assert(got((g, p)) == want, s"($g, $p): ${got((g, p))} != $want")
+      }
+    }
+  }
+
   test("bucket offsets come back over a broadcast join (no fact re-shuffle)") {
     import spark.implicits._
     val df = Seq.tabulate(100)(i => ("g", i.toDouble)).toDF("g", "v")

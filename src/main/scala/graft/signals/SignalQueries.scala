@@ -355,7 +355,120 @@ object SignalQueries {
       FROM t GROUP BY i, j ORDER BY i, j""")
   )
 
+  /** Driver-side top-eigenvector estimate: 8 unrolled power iterations
+    * over the EXACT integer covariance numerators, every FP op in a
+    * fixed order the oracle SQL mirrors textually (ascending-j left-
+    * associated sums, normalize by component 0 after each multiply), so
+    * both engines derive bit-identical eigenvector literals from their
+    * bit-identical integer matrices.
+    */
+  private[signals] def powerIteration(c: Array[Array[Double]],
+      iters: Int = 8): Array[Double] = {
+    var v = Array.fill(8)(1.0)
+    (0 until iters).foreach { _ =>
+      val nv = Array.tabulate(8) { i =>
+        var s = 0.0
+        var j = 0
+        while (j < 8) { s += c(i)(j) * v(j); j += 1 }
+        s
+      }
+      v = nv.map(_ / nv(0))
+    }
+    v
+  }
+
+  /** PCA PROJECTION (g9): project every embedding onto the leading
+    * principal direction of the first 8 channels — the dimensionality-
+    * reduction / whitening step a feature pipeline runs after g8. The
+    * covariance NUMERATORS (n·Σxy − Σx·Σy, exact integers — g8's
+    * discipline) are a 36-value driver-side model (the IVF/BPE
+    * build-once precedent); the eigenvector comes from
+    * [[powerIteration]]; the corpus-side work is ONE projection scan —
+    * an 8-term fixed-order dot product per row, no shuffle at all before
+    * the top-10 TakeOrdered. The oracle rebuilds the same integer
+    * matrix relationally and unrolls the identical eight iterations in
+    * SQL (generated below — ascending-j sums, same normalization), so
+    * eigenvector and projections match to the last bit.
+    */
+  val g9PcaProjection: QueryDef = QueryDef(
+    "g9_pca_projection",
+    (s, dir) => {
+      val combos = for { i <- 0 until 8; j <- i until 8 }
+        yield struct(lit(i).as("i"), lit(j).as("j"))
+      def scaled(idx: org.apache.spark.sql.Column) =
+        floor(element_at(col("embedding"), idx + 1).cast("double") *
+          lit(10000.0)).cast("long")
+      val nums = Tables.load(s, dir, "embeddings")
+        .select(col("embedding"), explode(array(combos: _*)).as("p"))
+        .select(col("p.i").as("i"), col("p.j").as("j"),
+          scaled(col("p.i")).as("xi"), scaled(col("p.j")).as("xj"))
+        .groupBy("i", "j")
+        .agg(count(lit(1)).as("n"), sum(col("xi")).as("sxi"),
+          sum(col("xj")).as("sxj"), sum(col("xi") * col("xj")).as("sxy"))
+        .select(col("i"), col("j"),
+          (col("n") * col("sxy") - col("sxi") * col("sxj")).as("num"))
+        .collect()
+      val c = Array.ofDim[Double](8, 8)
+      nums.foreach { r =>
+        val (i, j) = (r.getAs[Int]("i"), r.getAs[Int]("j"))
+        val v = r.getAs[Long]("num").toDouble
+        c(i)(j) = v; c(j)(i) = v
+      }
+      val w = powerIteration(c)
+      val proj = (0 until 8).map { j =>
+        floor(element_at(col("embedding"), lit(j + 1)).cast("double") *
+          lit(10000.0)).cast("long").cast("double") * lit(w(j))
+      }.reduce(_ + _)
+      Tables.load(s, dir, "embeddings")
+        .select(col("vec_id"), proj.as("p"))
+        .orderBy(col("p").desc, col("vec_id"))
+        .limit(10)
+    },
+    Some {
+      // the same arithmetic, generated so op order matches by construction
+      def cRef(i: Int, j: Int) =
+        if (i <= j) s"c${i}$j" else s"c${j}$i"
+      val covPivot = (for { i <- 0 until 8; j <- i until 8 } yield
+        s"MAX(CASE WHEN i = $i AND j = $j THEN CAST(num AS DOUBLE) END) AS c${i}$j")
+        .mkString(",\n               ")
+      def matvec(vPrefix: String, wPrefix: String) =
+        (0 until 8).map { i =>
+          (0 until 8).map(j => s"${cRef(i, j)} * ${wPrefix}$j")
+            .mkString(" + ") + s" AS ${vPrefix}$i"
+        }.mkString(",\n               ")
+      def normalize(vPrefix: String, wPrefix: String) =
+        (0 until 8).map(i => s"${vPrefix}$i / ${vPrefix}0 AS ${wPrefix}$i")
+          .mkString(", ")
+      val ones = (0 until 8).map(i => s"1.0 AS w0_$i").mkString(", ")
+      val projTerms = (0 until 8).map(j =>
+        s"CAST(CAST(FLOOR(CAST(embedding[${j + 1}] AS DOUBLE) * 10000.0) AS BIGINT) AS DOUBLE) * w8_$j")
+        .mkString(" + ")
+      s"""
+      WITH idx AS (SELECT UNNEST(generate_series(0, 7)) AS i),
+      prs AS (SELECT a.i AS i, b.i AS j FROM idx a JOIN idx b ON a.i <= b.i),
+      t AS (
+        SELECT p.i, p.j,
+               CAST(FLOOR(CAST(embedding[p.i + 1] AS DOUBLE) * 10000.0) AS BIGINT) AS xi,
+               CAST(FLOOR(CAST(embedding[p.j + 1] AS DOUBLE) * 10000.0) AS BIGINT) AS xj
+        FROM embeddings, prs p),
+      cov AS (
+        SELECT i, j, COUNT(*) * SUM(xi * xj) - SUM(xi) * SUM(xj) AS num
+        FROM t GROUP BY i, j),
+      m AS (SELECT $covPivot
+            FROM cov),
+      i0 AS (SELECT $ones FROM m),
+      ${(1 to 8).map { k =>
+        s"""v$k AS (SELECT ${matvec(s"v${k}_", s"w${k - 1}_")} FROM m, ${
+          if (k == 1) "i0" else s"w${k - 1}"}),
+      w$k AS (SELECT ${normalize(s"v${k}_", s"w${k}_")} FROM v$k)"""
+      }.mkString(",\n      ")}
+      SELECT vec_id, $projTerms AS p
+      FROM embeddings, w8
+      ORDER BY p DESC, vec_id LIMIT 10"""
+    }
+  )
+
   val all: Seq[QueryDef] =
     Seq(g1EnergyAxis, g2FrameNormalize, g3Spectrum, g4PeakDetect, g5Rebin,
-      g6Background, g7XCorr, g8Covariance)
+      g6Background, g7XCorr, g8Covariance, g9PcaProjection)
 }

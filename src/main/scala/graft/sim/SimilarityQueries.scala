@@ -716,7 +716,95 @@ object SimilarityQueries {
       WHERE rank <= 5 ORDER BY query_id, rank""")
   )
 
+  /** MMR (maximal-marginal-relevance) DIVERSIFIED rerank — the RAG/
+    * retrieval head that trades pure relevance for coverage: greedily
+    * pick 5 of the top-20 shortlist maximizing `2·rel(d) − max_{s∈S}
+    * sim(d, s)` (λ=2/3 in integer weights). The arithmetic lives
+    * entirely in the QUANTIZED INT dot domain (s5's discipline), so
+    * every comparison is exact-integer and the greedy trajectory is
+    * bit-deterministic — which is what lets the oracle replay all five
+    * unrolled selection steps relationally. Distribution split mirrors
+    * production rerankers: shortlist generation is the corpus-scale part
+    * (one TakeOrdered scan, no shuffle); the O(k²) MMR greedy runs on
+    * the k=20-item shortlist (driver-bounded, the IVF-model precedent).
+    */
+  val s11MmrRerank: QueryDef = QueryDef(
+    "s11_mmr_rerank",
+    (s, dir) => {
+      import graft.expressions.Quant
+      import s.implicits._
+      val e = Tables.load(s, dir, "embeddings")
+        .select(col("vec_id"), Quant.bytes(col("embedding")).as("qv"))
+      val qv = e.filter(col("vec_id") === 0).head.getAs[Array[Byte]]("qv")
+      val shortlist = e.filter(col("vec_id") =!= 0)
+        .withColumn("rel", Quant.dot(lit(qv), col("qv")))
+        .orderBy(col("rel").desc, col("vec_id"))
+        .limit(20)
+        .collect()
+        .map(r => (r.getAs[Long]("vec_id"), r.getAs[Array[Byte]]("qv"),
+          r.getAs[Long]("rel")))
+      val selected =
+        scala.collection.mutable.ArrayBuffer.empty[(Long, Array[Byte])]
+      val out = scala.collection.mutable.ArrayBuffer
+        .empty[(Int, Long, Long, Long, Long)]
+      (1 to 5).foreach { rank =>
+        val chosen = shortlist
+          .filterNot { case (id, _, _) => selected.exists(_._1 == id) }
+          .map { case (id, v, rel) =>
+            val div =
+              if (selected.isEmpty) 0L
+              else selected.map(sv => Quant.int8Dot(v, sv._2)).max
+            (id, v, rel, div, 2 * rel - div)
+          }
+          .minBy { case (id, _, _, _, mmr) => (-mmr, id) }
+        selected += ((chosen._1, chosen._2))
+        out += ((rank, chosen._1, chosen._3, chosen._4, chosen._5))
+      }
+      out.toSeq.toDF("rank", "vec_id", "rel", "div", "mmr").orderBy("rank")
+    },
+    Some {
+      def maxSimTo(prev: String) =
+        s"""(SELECT MAX(CAST(LIST_DOT_PRODUCT(CAST(c.q AS DOUBLE[]),
+             CAST(s.q AS DOUBLE[])) AS BIGINT)) FROM ($prev) s)"""
+      val steps = new StringBuilder
+      (2 to 5).foreach { k =>
+        val prev = (1 until k).map(i => s"SELECT * FROM sel$i")
+          .mkString(" UNION ALL ")
+        steps.append(s""",
+      sel$k AS (
+        SELECT $k AS rank, c.vec_id, c.rel,
+               ${maxSimTo(prev)} AS div,
+               2 * c.rel - ${maxSimTo(prev)} AS mmr, c.q
+        FROM short c
+        WHERE c.vec_id NOT IN (SELECT vec_id FROM ($prev))
+        ORDER BY mmr DESC, c.vec_id LIMIT 1)""")
+      }
+      s"""
+      WITH v AS (SELECT * FROM read_parquet('{OUT}/aux/s11_mmr_rerank__qvecs/*.parquet')),
+      q AS (SELECT q AS qq FROM v WHERE vec_id = 0),
+      rel AS (
+        SELECT v.vec_id,
+               CAST(LIST_DOT_PRODUCT(CAST(v.q AS DOUBLE[]),
+                 CAST(qq AS DOUBLE[])) AS BIGINT) AS rel, v.q
+        FROM v, q WHERE v.vec_id != 0),
+      short AS (SELECT * FROM rel ORDER BY rel DESC, vec_id LIMIT 20),
+      sel1 AS (
+        SELECT 1 AS rank, vec_id, rel, CAST(0 AS BIGINT) AS div,
+               2 * rel AS mmr, q
+        FROM short ORDER BY mmr DESC, vec_id LIMIT 1)${steps}
+      SELECT rank, vec_id, rel, div, mmr
+      FROM (${(1 to 5).map(i => s"SELECT * FROM sel$i").mkString(" UNION ALL ")})
+      ORDER BY rank"""
+    },
+    aux = Map("qvecs" -> ((s, dir) =>
+      Tables.load(s, dir, "embeddings")
+        .select(col("vec_id"),
+          graft.expressions.Quant.ints(col("embedding")).as("q"))
+        .orderBy("vec_id")))
+  )
+
   val all: Seq[QueryDef] =
     Seq(s1AnnBruteForce, s2AnnLsh, s3AnnIvf, s4RangeSearch, s5AnnQuantized,
-      s6HardNegatives, s7AnnRerank, s8FilteredAnn, s9Kmeans, s10PqAdc)
+      s6HardNegatives, s7AnnRerank, s8FilteredAnn, s9Kmeans, s10PqAdc,
+      s11MmrRerank)
 }

@@ -325,7 +325,68 @@ object FlowQueries {
       ORDER BY from_step, to_step""")
   )
 
+  /** BOTTLENECK attribution (f9) — the "which step eats the wall-clock"
+    * question every flow dashboard answers (the reference eyeballs it
+    * off timing plots, flow_analyzer.py): wall-clock between consecutive
+    * events is DWELL attributed to the step that was active (the
+    * preceding event's type), summed per (user, step); each user's
+    * bottleneck is their max-dwell step (ties → lexicographically last
+    * type, mirrored in both engines); the rollup reports how often each
+    * step is the bottleneck and its share of ALL dwell time. Integer-µs
+    * arithmetic end to end (q55's lead-gap idiom — one user-keyed
+    * window, one shuffle); the only FP op is the final share division.
+    */
+  val f9Bottleneck: QueryDef = QueryDef(
+    "f9_bottleneck",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id").orderBy("t_us", "event_id")
+      val perStep = Tables.load(s, dir, "events")
+        .select(col("user_id"), col("event_type"),
+          expr("ts div 1000").as("t_us"), col("event_id"))
+        .withColumn("nxt", lead("t_us", 1).over(w))
+        .filter(col("nxt").isNotNull)
+        .groupBy("user_id", "event_type")
+        .agg(sum(col("nxt") - col("t_us")).as("step_us"))
+      val top = perStep
+        .withColumn("rn", row_number().over(Window.partitionBy("user_id")
+          .orderBy(col("step_us").desc, col("event_type").desc)))
+        .filter(col("rn") === 1)
+      val grand = perStep.agg(sum(col("step_us")).as("g"))
+      top.crossJoin(broadcast(grand))
+        .groupBy("event_type", "g")
+        .agg(count(lit(1)).as("n_users"), sum(col("step_us")).as("us_sum"))
+        .select(col("event_type"), col("n_users"), col("us_sum"),
+          (col("us_sum").cast("double") / col("g").cast("double"))
+            .as("share"))
+        .orderBy("event_type")
+    },
+    Some("""
+      WITH e AS (
+        SELECT user_id, event_type, epoch_us(ts) AS t_us, event_id
+        FROM events),
+      g AS (
+        SELECT user_id, event_type,
+               LEAD(t_us) OVER (PARTITION BY user_id
+                 ORDER BY t_us, event_id) - t_us AS dwell
+        FROM e),
+      ps AS (
+        SELECT user_id, event_type, CAST(SUM(dwell) AS BIGINT) AS step_us
+        FROM g WHERE dwell IS NOT NULL GROUP BY 1, 2),
+      top AS (
+        SELECT * FROM (
+          SELECT ps.*, ROW_NUMBER() OVER (PARTITION BY user_id
+            ORDER BY step_us DESC, event_type DESC) AS rn FROM ps)
+        WHERE rn = 1),
+      grand AS (SELECT CAST(SUM(step_us) AS BIGINT) AS gt FROM ps)
+      SELECT event_type, COUNT(*) AS n_users,
+             CAST(SUM(step_us) AS BIGINT) AS us_sum,
+             CAST(CAST(SUM(step_us) AS BIGINT) AS DOUBLE)
+               / CAST(gt AS DOUBLE) AS share
+      FROM top, grand GROUP BY event_type, gt ORDER BY event_type""")
+  )
+
   val all: Seq[QueryDef] =
     Seq(f1StepPivot, f2RuntimeDescribe, f3RelativeStart, f4ActiveOverhead,
-      f5TailK, f6UsageWide, f7RuntimeOutliers, f8Transitions)
+      f5TailK, f6UsageWide, f7RuntimeOutliers, f8Transitions, f9Bottleneck)
 }

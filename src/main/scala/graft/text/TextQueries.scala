@@ -1562,6 +1562,68 @@ object TextQueries {
       ORDER BY block""")
   )
 
+  /** DECONTAMINATION SENSITIVITY CURVE (t31): d7 screens train docs
+    * against the benchmark split at one shingle width; this sweeps the
+    * width (4-, 8-, 16-gram) and reports, per n, how many train docs and
+    * how many shingles collide — the curve a curation team reads to pick
+    * the screening threshold (short shingles over-flag natural phrase
+    * reuse, long ones miss paraphrased leakage). One job: the three
+    * widths union into a single (n, hash)-keyed semi-screen, so the
+    * shuffles carry 12-byte (n, h) keys, never text. Benchmark split =
+    * doc_id % 20 (d7's convention).
+    */
+  val t31DecontamCurve: QueryDef = QueryDef(
+    "t31_decontam_curve",
+    (s, dir) => {
+      def kg(n: Int) = Tables.loadSpread(s, dir, "documents")
+        .select(lit(n).as("n"), col("doc_id"),
+          posexplode(graft.expressions.GraftExpressions
+            .kgramHashes(col("text"), n)).as(Seq("pos", "h")))
+      val all3 = kg(4).unionByName(kg(8)).unionByName(kg(16))
+      val bench = all3.filter(col("doc_id") % 20 === 0)
+        .select("n", "h").distinct()
+      val train = all3.filter(col("doc_id") % 20 =!= 0)
+      val hits = train.join(bench, Seq("n", "h"))
+        .groupBy("n")
+        .agg(countDistinct(col("doc_id")).as("n_contaminated_docs"),
+          count(lit(1)).as("n_hit_kgrams"))
+      train.groupBy("n")
+        .agg(countDistinct(col("doc_id")).as("n_train_docs"))
+        .join(hits, Seq("n"), "left")
+        .select(col("n"), col("n_train_docs"),
+          coalesce(col("n_contaminated_docs"), lit(0L))
+            .as("n_contaminated_docs"),
+          coalesce(col("n_hit_kgrams"), lit(0L)).as("n_hit_kgrams"))
+        .orderBy("n")
+    },
+    Some("""
+      WITH k AS (
+        SELECT * FROM read_parquet('{OUT}/aux/t31_decontam_curve__kgrams/*.parquet')),
+      bench AS (SELECT DISTINCT n, h FROM k WHERE doc_id % 20 = 0),
+      train AS (SELECT * FROM k WHERE doc_id % 20 <> 0),
+      hits AS (
+        SELECT t.n, COUNT(DISTINCT t.doc_id) AS n_contaminated_docs,
+               COUNT(*) AS n_hit_kgrams
+        FROM train t JOIN bench b ON t.n = b.n AND t.h = b.h
+        GROUP BY t.n),
+      tot AS (SELECT n, COUNT(DISTINCT doc_id) AS n_train_docs
+              FROM train GROUP BY n)
+      SELECT tot.n, tot.n_train_docs,
+             CAST(COALESCE(hits.n_contaminated_docs, 0) AS BIGINT)
+               AS n_contaminated_docs,
+             CAST(COALESCE(hits.n_hit_kgrams, 0) AS BIGINT) AS n_hit_kgrams
+      FROM tot LEFT JOIN hits ON hits.n = tot.n ORDER BY tot.n"""),
+    aux = Map("kgrams" -> ((s, dir) => {
+      def kg(n: Int) = Tables.loadSpread(s, dir, "documents")
+        .select(lit(n).as("n"), col("doc_id"),
+          posexplode(graft.expressions.GraftExpressions
+            .kgramHashes(col("text"), n)).as(Seq("pos", "h")))
+      kg(4).unionByName(kg(8)).unionByName(kg(16))
+        .select("n", "doc_id", "h")
+        .orderBy("n", "doc_id")
+    }))
+  )
+
   val all: Seq[QueryDef] =
     Seq(t1TokenCount, t2QualityScore, t3LangId, t4Fingerprint, t5Vocab,
       t6StratifiedSample, t7Cooccurrence, t8DistinctSketch, t9SketchRollup,
@@ -1570,5 +1632,5 @@ object TextQueries {
       t17Packing, t18InvertedIndex, t19Bm25, t20UrlDomains, t21CorpusCard,
       t22TypoCorrection, t23LearnedQuality, t24ChatFormat, t25DomainCaps,
       t26ParagraphDedup, t27SplitAssign, t28DsirWeights, t29Keywords,
-      t30VocabGrowth)
+      t30VocabGrowth, t31DecontamCurve)
 }

@@ -341,8 +341,44 @@ object JoinQueries {
       ORDER BY l_partkey""")
   )
 
+  /** TPC-H Q18 shape — LARGE-VOLUME orders: aggregate lineitem per order
+    * FIRST (HAVING sum(qty) > threshold), then join the few qualifying
+    * orderkeys back to orders ⋈ customer. The point at scale is the
+    * ORDER of operations: the fact table collapses to qualifying keys
+    * before any join touches it, so the join legs carry hundreds of rows
+    * instead of the corpus — pre-aggregation as join pruning (the dual
+    * of q28's bloom pruning). Quantity sums take the exact decimal
+    * detour, so the HAVING cut is bit-deterministic at the boundary.
+    */
+  val q60LargeOrders: QueryDef = QueryDef(
+    "q60_large_orders",
+    (s, dir) => {
+      val qualifying = Tables.load(s, dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(Exact.dsum(col("l_quantity")).as("sum_qty"))
+        .filter(col("sum_qty") > 175.0)
+      Tables.load(s, dir, "orders")
+        .join(broadcast(qualifying),
+          col("o_orderkey") === col("l_orderkey"))
+        .join(Tables.load(s, dir, "customer"),
+          col("o_custkey") === col("c_custkey"))
+        .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+          col("o_totalprice"), col("sum_qty"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(20)
+    },
+    Some(s"""
+      SELECT c_custkey, c_name, o_orderkey, o_totalprice, sum_qty
+      FROM (SELECT l_orderkey, ${Exact.sqlSum("l_quantity")} AS sum_qty
+            FROM lineitem GROUP BY l_orderkey) q
+      JOIN orders ON o_orderkey = q.l_orderkey
+      JOIN customer ON c_custkey = o_custkey
+      WHERE sum_qty > 175.0
+      ORDER BY o_totalprice DESC, o_orderkey LIMIT 20""")
+  )
+
   val all: Seq[QueryDef] =
     Seq(q3JoinAgg, q4SemiJoin, q5AntiJoin, q6RegionJoin, q23SkewJoin,
       q27RangeJoin, q28BloomSemijoin, q43ShippingPriority,
-      q51CustDistribution, q54ValueConcentration)
+      q51CustDistribution, q54ValueConcentration, q60LargeOrders)
 }

@@ -35,6 +35,16 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("BroadcastExchange"))
   }
 
+  test("q60 pre-aggregates the fact and broadcasts the qualifying keys") {
+    val plan = planOf(JoinQueries.q60LargeOrders.fn(spark, sf))
+    assert(plan.contains("BroadcastExchange"), plan.take(800))
+    // the aggregate runs BELOW the broadcast: orders never joins raw lineitem
+    val aggIdx = plan.indexOf("HashAggregate")
+    val bcastIdx = plan.indexOf("BroadcastExchange")
+    assert(aggIdx >= 0 && bcastIdx >= 0)
+    assert(plan.contains("TakeOrderedAndProject"), "top-20 must not global-sort")
+  }
+
   test("hot-path expressions stay inside whole-stage codegen") {
     val df = Tables.load(spark, sf, "documents")
       .select(graft.dedup.Dedup.simhash(col("text")).as("sig"),

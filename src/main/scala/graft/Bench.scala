@@ -26,9 +26,29 @@ object Bench {
       (shuffleW.getAndSet(0L), spilled.getAndSet(0L))
   }
 
+  /** First three /proc/loadavg fields — recorded in the artifact so a
+    * builder-vs-driver total discrepancy (contended host) self-explains. */
+  private def loadavg(): String =
+    try new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("/proc/loadavg"))).trim
+      .split("\\s+").take(3).mkString(" ")
+    catch { case _: Throwable => "n/a" }
+
+  private def dirBytes(d: String): Long = {
+    def walk(f: java.io.File): Long =
+      if (f.isDirectory) Option(f.listFiles).map(_.map(walk).sum).getOrElse(0L)
+      else f.length()
+    walk(new java.io.File(d))
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // artifacts land in the repo the bench runs FROM (sbt sets user.dir to
+    // the project root), overridable — never a hardcoded absolute path
+    val repoRoot = sys.env.getOrElse("GRAFT_REPO_ROOT",
+      sys.props.getOrElse("user.dir", "."))
+    val loadStart = loadavg()
     val spark = graft.core.GraftSession.local(cpus.toInt, "graft-bench")
 
     // Stable order: Map iteration is hash-ordered, which would hand the
@@ -51,15 +71,27 @@ object Bench {
         false
       }
 
+    val meter = new ExchangeMeter
+    spark.sparkContext.addSparkListener(meter)
+
     // Untimed warmup at the smallest sf: JIT + codegen + classloading are
     // one-time JVM costs, not per-query work; data stays cold for sfDir.
-    ordered.foreach { case (_, fn) => runOne(fn, "/root/testdata/sf0.001") }
+    // The meter rides along: per-query shuffle bytes at the SMALL sf feed
+    // the scale-growth check below (100× data span vs the timed sf) at
+    // zero extra passes.
+    val warmDir = sys.env.getOrElse("SPARK_GRAFT_WARM_DIR",
+      "/root/testdata/sf0.001")
+    val smallShuffle: Map[String, Long] = ordered.map { case (name, fn) =>
+      org.apache.spark.graft.ListenerBridge.flush(spark.sparkContext)
+      meter.mark()
+      val ok = runOne(fn, warmDir)
+      org.apache.spark.graft.ListenerBridge.flush(spark.sparkContext)
+      val (sh, _) = meter.mark()
+      name -> (if (ok) sh else -1L)
+    }.toMap
     // drop working sets persisted by multi-pass queries (LSH dedup) during
     // warmup — the timed pass should start from a clean storage pool
     spark.sharedState.cacheManager.clearCache()
-
-    val meter = new ExchangeMeter
-    spark.sparkContext.addSparkListener(meter)
 
     // Median of several timed passes per query: a single contended pass on
     // a noisy host can misstate an individual query by 3-10×; the median is
@@ -102,17 +134,42 @@ object Bench {
     val failed = results.collect { case (k, _, _, _, false, _, _) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = results.collect { case (_, med, _, _, true, _, _) => med }.sum
+
+    // Scale-growth audit: shuffle bytes at sfDir vs the warmup sf. A query
+    // whose exchange grows FASTER than the data (ratio > 1.5 × data ratio)
+    // is flagged — the query that looks fine at test scale but dies at
+    // 100 TB. Sub-linear growth (fixed fixtures, planted components,
+    // broadcast-crossover) never flags. Queries shuffling < 64 KiB at the
+    // small sf report null (a ratio over noise bytes means nothing).
+    val dataRatio = dirBytes(sfDir).toDouble / math.max(1L, dirBytes(warmDir))
+    val MinSmall = 64L * 1024
+    val growthRows = results.collect { case (k, _, _, _, true, sh, _) =>
+      val small = smallShuffle.getOrElse(k, -1L)
+      val ratio = if (small >= MinSmall && sh >= 0) Some(sh.toDouble / small)
+                  else None
+      (k, small, sh, ratio)
+    }
+    val growthJson = growthRows.map { case (k, small, big, ratio) =>
+      "\"" + k + "\":{\"small_mb\":" + f(math.max(0L, small) / 1048576.0) +
+        ",\"big_mb\":" + f(big / 1048576.0) +
+        ",\"ratio\":" + ratio.map(f).getOrElse("null") + "}"
+    }.mkString("{", ",", "}")
+    val growthFlagged = growthRows.collect {
+      case (k, _, _, Some(r)) if r > 1.5 * dataRatio => "\"" + k + "\""
+    }.mkString("[", ",", "]")
     // stdout carries the COMPACT contract line only (totals + per-query
     // medians): round 3's single line grew past the driver's tail-capture
     // window once the exchange map joined it, and the whole artifact parsed
     // as null. The full detail (spread + shuffle/spill meters) goes to a
     // repo file so every round's bench is self-contained regardless of how
     // much stdout the harness keeps.
-    val compact = s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"passes":$Passes,"failed":$failed,"sf":"$sfDir"}"""
-    val full = s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"spread":$spread,"exchange":$shuffle,"passes":$Passes,"failed":$failed,"sf":"$sfDir"}"""
+    val loadEnd = loadavg()
+    val env = s""""passes":$Passes,"failed":$failed,"sf":"$sfDir","loadavg_start":"$loadStart","loadavg_end":"$loadEnd","data_ratio":${f(dataRatio)},"growth_flagged":$growthFlagged"""
+    val compact = s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,$env}"""
+    val full = s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"spread":$spread,"exchange":$shuffle,"growth":$growthJson,$env}"""
     println(compact)
     try if (only.isEmpty) java.nio.file.Files.writeString(
-      java.nio.file.Paths.get("/root/repo/BENCH_local.json"), full + "\n")
+      java.nio.file.Paths.get(repoRoot, "BENCH_local.json"), full + "\n")
     catch { case e: Throwable =>
       System.err.println(s"[bench] could not write BENCH_local.json: ${e.getMessage}")
     }

@@ -64,8 +64,11 @@ object Ranks {
     val spark = df.sparkSession
     import spark.implicits._
     val width = (vHi - vLo) / buckets
+    // nulls are EXCLUDED, matching PERCENTILE_CONT semantics — without the
+    // filter a null v would produce a null __b and NPE at the driver unbox
     val withB = df.select(col(g).cast("string").as("g"),
         col(v).cast("double").as("v"))
+      .filter(col("v").isNotNull)
       .withColumn("__b", least(
         greatest(floor((col("v") - lit(vLo)) / lit(width)), lit(0.0)),
         lit((buckets - 1).toDouble)).cast("int"))

@@ -26,10 +26,13 @@ object LayoutQueries {
     */
   private val bucketedTables =
     new java.util.concurrent.ConcurrentHashMap[String, (String, String)]()
+  private val tableSeq = new java.util.concurrent.atomic.AtomicLong(0L)
 
   private def ensureBucketed(s: SparkSession, dir: String): (String, String) =
     bucketedTables.computeIfAbsent(dir, _ => {
-      val tag = java.lang.Long.toHexString(dir.hashCode.toLong & 0xffffffffL)
+      // collision-free tag: a per-insert counter (two distinct dirs can
+      // never share a table name, unlike the 32-bit dir.hashCode)
+      val tag = tableSeq.getAndIncrement().toString
       val (lt, ot) = (s"b1_lineitem_$tag", s"b1_orders_$tag")
       val base = java.nio.file.Files.createTempDirectory("graft-b1").toString
       // repartition on the bucket key first: each writer task then owns

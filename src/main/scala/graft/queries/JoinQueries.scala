@@ -345,10 +345,20 @@ object JoinQueries {
     * FIRST (HAVING sum(qty) > threshold), then join the few qualifying
     * orderkeys back to orders ⋈ customer. The point at scale is the
     * ORDER of operations: the fact table collapses to qualifying keys
-    * before any join touches it, so the join legs carry hundreds of rows
-    * instead of the corpus — pre-aggregation as join pruning (the dual
-    * of q28's bloom pruning). Quantity sums take the exact decimal
+    * before any join touches it — pre-aggregation as join pruning (the
+    * dual of q28's bloom pruning). Quantity sums take the exact decimal
     * detour, so the HAVING cut is bit-deterministic at the boundary.
+    *
+    * The qualifying side carries NO broadcast hint on purpose: the
+    * qualifying FRACTION is roughly constant in TPC-H-shaped data, so the
+    * key set grows linearly with scale — a forced hint would bypass AQE's
+    * size check and commit the driver to materializing millions of
+    * (key, sum) rows at 100 TB. Unhinted, AQE broadcasts at runtime when
+    * the aggregate output is actually small and falls back to a keyed
+    * shuffle join (both sides hashed on orderkey) when it isn't — the
+    * right plan at every scale, chosen from observed sizes. PlanSpec pins
+    * that the static plan stays size-adaptive (no unconditional
+    * BroadcastExchange over the fact aggregate).
     */
   val q60LargeOrders: QueryDef = QueryDef(
     "q60_large_orders",
@@ -358,7 +368,7 @@ object JoinQueries {
         .agg(Exact.dsum(col("l_quantity")).as("sum_qty"))
         .filter(col("sum_qty") > 175.0)
       Tables.load(s, dir, "orders")
-        .join(broadcast(qualifying),
+        .join(qualifying,
           col("o_orderkey") === col("l_orderkey"))
         .join(Tables.load(s, dir, "customer"),
           col("o_custkey") === col("c_custkey"))

@@ -134,7 +134,8 @@ private object EmdPushdown {
     case LessThan(a, v)           => asLong(get(a)) < asLong(v)
     case LessThanOrEqual(a, v)    => asLong(get(a)) <= asLong(v)
     case StringStartsWith(a, p)   =>
-      get(a).asInstanceOf[String].startsWith(p)
+      // null field → over-include (all filters re-evaluate above the scan)
+      get(a) match { case s: String => s.startsWith(p); case _ => true }
     case _                        => true
   }
 }

@@ -89,8 +89,12 @@ object TextFunctions {
     * the DESCENDING sequence [1, 0].
     */
   def deleteNeighborhood2(w: Column): Column = {
-    val one = transform(sequence(lit(1), length(w)),
-      i => concat(w.substr(lit(1), i - 1), substring_index_from(w, i + 1)))
+    // both layers guard length explicitly: an empty input would otherwise
+    // hit sequence(1, 0) in the ONE-delete layer too
+    val one = when(length(w) >= 1,
+      transform(sequence(lit(1), length(w)),
+        i => concat(w.substr(lit(1), i - 1), substring_index_from(w, i + 1))))
+      .otherwise(typedLit(Seq.empty[String]))
     val two = flatten(transform(one,
       s => transform(sequence(lit(1), length(s)),
         j => concat(s.substr(lit(1), j - 1), substring_index_from(s, j + 1)))))

@@ -5,16 +5,25 @@ import java.nio.file.{Files, Paths}
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
   def main(args: Array[String]): Unit = {
-    val Array(sfDir, outDir) = args
+    val (sfDir, outDir) = (args(0), args(1))
+    // optional dev-only 3rd arg: comma-separated name prefixes to run a
+    // subset (the driver always passes exactly two args — full run)
+    val keep: String => Boolean = args.lift(2) match {
+      case Some(prefixes) =>
+        val ps = prefixes.split(',').toSeq
+        name => ps.exists(name.startsWith)
+      case None => _ => true
+    }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = graft.core.GraftSession.local(cpus.toInt, "graft-verify")
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
-      }
+      if (keep(name))
+        try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
+        catch { case e: Throwable =>
+          System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        }
     }
     // Auxiliary dumps referenced by oracle SQL via the {OUT}/aux prefix.
     // Written to a SIBLING of outDir, not inside it: result checkers that
@@ -25,11 +34,12 @@ object Verify {
     // rewritten to this absolute sibling path.
     val auxAbs = Paths.get(outDir).toAbsolutePath.toString + "_aux"
     SparkEntry.auxDumps.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$auxAbs/$name")
-      catch { case e: Throwable =>
-        System.err.println(s"[verify] aux $name failed: ${e.getMessage}")
-      }
+      if (keep(name))
+        try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+          .parquet(s"$auxAbs/$name")
+        catch { case e: Throwable =>
+          System.err.println(s"[verify] aux $name failed: ${e.getMessage}")
+        }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
@@ -45,6 +55,7 @@ object Verify {
     } + "\""
     val outAbs = Paths.get(outDir).toAbsolutePath.toString
     val json = SparkEntry.oracleSql
+      .filter { case (k, _) => keep(k) }
       .map { case (k, v) =>
         val sql = v.replace("{OUT}/aux", auxAbs).replace("{OUT}", outAbs)
         s"${q(k)}: ${q(sql)}"

@@ -208,8 +208,12 @@ object CatalogQueries {
       import org.apache.spark.sql.DataFrame
       def edge(name: String, child: DataFrame, ck: String,
           parent: DataFrame, pk: String): DataFrame = {
+        // no broadcast hint: the parent key set grows with the parent
+        // (orders is a fact — forcing its distinct PK into a broadcast
+        // is the q60 class of scale bug); AQE broadcasts the small
+        // parents (nation, customer) from observed sizes at runtime
         val orphans = child.join(
-          broadcast(parent.select(col(pk)).distinct()),
+          parent.select(col(pk)).distinct(),
           col(ck) === col(pk), "left_anti")
         child.agg(count(lit(1)).as("n_children"))
           .crossJoin(orphans.agg(count(lit(1)).as("n_orphans")))

@@ -374,7 +374,91 @@ object StreamQueries {
       FROM d GROUP BY user_id ORDER BY user_id""")
   )
 
+  // st6 fixture: the query half of the streaming-ANN lifecycle — the
+  // first 20 corpus vectors re-laid as three files so the file source
+  // serves them across several micro-batches. One-time per sf dir
+  // (splitEvents precedent); each query vector lands in exactly one
+  // batch, so per-query results are independent of the batching.
+  private val annQueryCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def splitAnnQueries(s: SparkSession, dir: String): String =
+    annQueryCache.computeIfAbsent(dir, _ => {
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft-st6-replay").toString
+      Tables.load(s, dir, "embeddings")
+        .filter(col("vec_id") < 20)
+        .repartition(3, col("vec_id"))
+        .write.mode("overwrite").parquet(s"$tmp/queries")
+      s"$tmp/queries"
+    })
+
+  /** st6: STREAMING ANN SERVING ([[StreamingAnn]], spec-only until now)
+    * in the oracle gate — a continuous query-vector stream served
+    * against the statically indexed corpus. The replay drains under
+    * `Trigger.AvailableNow` through the production `foreachBatch` path:
+    * each micro-batch broadcasts its (small) query set against the
+    * hyperplane-bucketed corpus, window-ranks per query, and appends a
+    * batch_id-partitioned parquet partition (idempotent overwrite — an
+    * at-least-once redelivery rewrites its own partition). Because a
+    * query vector's top-k depends only on the static corpus, the union
+    * of per-batch results equals the batch LSH search over the same
+    * query set regardless of batching — so the s2-style aux-bucket
+    * oracle verifies the streamed answer exhaustively.
+    */
+  val st6StreamingAnn: QueryDef = QueryDef(
+    "st6_streaming_ann",
+    (s, dir) => {
+      val corpus = Tables.load(s, dir, "embeddings")
+      val indexed = StreamingAnn.indexCorpus(corpus)
+      val stream = s.readStream.schema(corpus.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(splitAnnQueries(s, dir))
+      // fresh sink + checkpoint per run (st-series convention: every
+      // call replays the stream; the bench measures serving, not a
+      // checkpoint no-op)
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft-st6-out").toString
+      // per-batch query sets are tiny (broadcast) and the rank window
+      // keys on ≤20 query ids; 4 state partitions (st2 rationale)
+      val oldParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "4")
+      try {
+        val q = StreamingAnn.start(stream, indexed, s"$tmp/results",
+          s"$tmp/ckpt", topK = 10, drain = true)
+        q.awaitTermination()
+      } finally s.conf.set("spark.sql.shuffle.partitions", oldParts)
+      s.read.parquet(s"$tmp/results")
+        .select("query_id", "rank", "neighbor_id", "cos")
+        .orderBy("query_id", "rank")
+    },
+    Some("""
+      WITH b AS (SELECT * FROM
+        read_parquet('{OUT}/aux/st6_streaming_ann__buckets/*.parquet')),
+      cand AS (
+        SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id
+        FROM b q JOIN b e ON q.bucket = e.bucket AND e.vec_id <> q.vec_id
+        WHERE q.vec_id < 20),
+      scored AS (
+        SELECT c.query_id, c.neighbor_id,
+               LIST_COSINE_SIMILARITY(CAST(qe.embedding AS DOUBLE[]),
+                                      CAST(ne.embedding AS DOUBLE[])) AS cos
+        FROM cand c
+        JOIN embeddings qe ON qe.vec_id = c.query_id
+        JOIN embeddings ne ON ne.vec_id = c.neighbor_id)
+      SELECT query_id, rank, neighbor_id, cos FROM (
+        SELECT query_id, neighbor_id, cos,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY cos DESC, neighbor_id) AS rank
+        FROM scored)
+      WHERE rank <= 10 ORDER BY query_id, rank"""),
+    aux = Map("buckets" -> ((s, dir) =>
+      StreamingAnn.indexCorpus(Tables.load(s, dir, "embeddings"))
+        .select(col("vec_id"), col("bucket"))
+        .orderBy("vec_id")))
+  )
+
   val all: Seq[QueryDef] =
     Seq(st1StreamWindows, st2StreamJoin, st3StreamDedup, st4LateData,
-      st5StatefulSessions)
+      st5StatefulSessions, st6StreamingAnn)
 }

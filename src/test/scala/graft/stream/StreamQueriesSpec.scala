@@ -73,6 +73,17 @@ class StreamQueriesSpec extends SparkSpec {
     assert(firstWindowN == onTimeFirstHour)
   }
 
+  test("st6 streamed ANN serving equals the one-shot batch LSH search") {
+    val got = StreamQueries.st6StreamingAnn.fn(spark, sf).collect()
+    assert(got.nonEmpty)
+    val corpus = Tables.load(spark, sf, "embeddings")
+    val want = StreamingAnn.searchBatch(
+      corpus.filter(col("vec_id") < 20),
+      StreamingAnn.indexCorpus(corpus), topK = 10)
+      .orderBy("query_id", "rank").collect()
+    assert(got.map(_.toString).toSeq == want.map(_.toString).toSeq)
+  }
+
   test("st5 custom state equals batch gap-sessionization for every user") {
     val got = StreamQueries.st5StatefulSessions.fn(spark, sf).collect()
       .map(r => r.getAs[Long]("user_id") ->

@@ -13,10 +13,27 @@ import org.apache.spark.sql.functions._
   * the normalized-frame video (tools/temporal.py:20-35).
   *
   * Encoders are fully real and pure-JVM: PNG/JPEG via `javax.imageio`
-  * (part of the JDK), video as MJPEG inside a RIFF AVI container written
-  * field-for-field — a playable file, standing in for the reference's
-  * imageio MP4 (an H.264 encoder does not exist inside the JVM; MJPEG-AVI
-  * carries the same frame content losslessly-decodable by any player).
+  * (part of the JDK), video as MJPEG in BOTH containers — a RIFF AVI and
+  * an ISO-BMFF MP4 — written field-for-field; playable files standing in
+  * for the reference's imageio MP4 (tools/temporal.py:26-35).
+  *
+  * ==Video-codec stance (deliberate)==
+  * The CODEC is MJPEG (every frame an independent JPEG) in both
+  * containers. The reference's imageio output is typically
+  * H.264-in-MP4; no H.264 encoder or decoder exists in the JVM or this
+  * build's dependency set, and reimplementing one (CABAC/CAVLC entropy
+  * coding, intra/inter prediction, the deblocking filter) is a codec
+  * project, not a data-engine feature. MJPEG-in-MP4 keeps the container
+  * layer — mux, timing, per-frame addressing, the `mapGroups` assembly
+  * and decode plumbing — fully real and testable; a real H.264 path
+  * would slot in as (a) a JNI/FFI binding to a native encoder (ffmpeg/
+  * x264) behind the same frames-in/bytes-out function, or (b) a
+  * pure-JVM decoder dependency (JCodec-style) for the read side, with
+  * zero changes to the Spark plumbing. Consequence: MP4s produced here
+  * decode everywhere MJPEG is supported, and H.264 files from other
+  * producers are decoded only for their container metadata, not their
+  * frame content ([[graft.multimodal.Multimodal]] fails fast by codec
+  * name there).
   *
   * Scale shape: images/videos are assembled per experiment with
   * `groupByKey.mapGroups` — a single detector image or acquisition video

@@ -19,15 +19,17 @@ import java.util.zip.Inflater
   *     any depth) → SNOD symbol nodes, names in the local heap;
   *   - new-style groups with compact link storage (hard Link messages) AND
   *     dense link storage (fractal heap — root direct block, one level of
-  *     indirect block, or a DEFLATED root direct block — indexed by a v2
-  *     B-tree of any depth); heap IDs of all three classes: managed,
-  *     tiny (data inline in the ID), and directly-accessed huge
-  *     (B-tree-indexed huge IDs and filtered indirect heaps fail fast);
+  *     indirect block, DEFLATED in either form: a filtered root direct
+  *     block, or a filtered indirect heap with per-child stored sizes in
+  *     the FHIB entries — indexed by a v2 B-tree of any depth); heap IDs
+  *     of all three classes: managed, tiny (data inline in the ID), and
+  *     directly-accessed huge (B-tree-indexed huge IDs fail fast);
   *   - datatypes: fixed-point (1/2/4/8-byte, signed or unsigned), IEEE
   *     float (4/8-byte), little-endian, fixed-length strings
-  *     (NUL-terminated/-padded or space-padded) and variable-length
-  *     strings (16-byte descriptors resolved through GCOL global-heap
-  *     collections; vlen sequences fail fast);
+  *     (NUL-terminated/-padded or space-padded), variable-length strings
+  *     (16-byte descriptors resolved through GCOL global-heap
+  *     collections), and variable-length SEQUENCES of any numeric base
+  *     type (same descriptors; `readVlenSeqs`);
   *   - dataspaces: simple, any rank (v1 and v2 messages);
   *   - layouts: compact (data inline in the object header), contiguous,
   *     and chunked (B-tree v1 node type 1, any depth), with the deflate
@@ -45,8 +47,12 @@ object Hdf5 {
 
   private val Undefined = -1L // 0xFFFF_FFFF_FFFF_FFFF: "undefined address"
 
-  /** HDF5 datatype: `clazz` 0 = fixed-point, 1 = float. */
-  final case class Dtype(clazz: Int, size: Int, signed: Boolean)
+  /** HDF5 datatype: `clazz` 0 = fixed-point, 1 = float, 3 = fixed string,
+    * 9 = variable-length — vlen STRING when `base` is empty, vlen
+    * SEQUENCE (of `base`) otherwise.
+    */
+  final case class Dtype(clazz: Int, size: Int, signed: Boolean,
+      base: Option[Dtype] = None)
 
   sealed trait Node { def name: String }
 
@@ -94,7 +100,7 @@ object Hdf5 {
       * padding) or of trailing spaces (space padding).
       */
     def readStrings(): Array[String] = {
-      require(dtype.clazz == 3 || dtype.clazz == 9,
+      require(dtype.clazz == 3 || (dtype.clazz == 9 && dtype.base.isEmpty),
         s"dataset $name is not a string dataset")
       val raw = readBytes()
       val n = raw.length / dtype.size
@@ -121,8 +127,32 @@ object Hdf5 {
     }
 
     /** Decode to doubles (the engine's signal `data` representation). */
-    def readDoubles(): Array[Double] = {
+    def readDoubles(): Array[Double] = decodeDoubles(readBytes(), dtype, name)
+
+    /** Decode a variable-length SEQUENCE dataset (datatype class 9,
+      * non-string flavor): each element is a 16-byte descriptor
+      * {count u32, global-heap collection address u64, object index u32}
+      * whose heap object holds `count` packed base-type elements.
+      */
+    def readVlenSeqs(): Array[Array[Double]] = {
+      val base = dtype.base.getOrElse(
+        fail(s"dataset $name is not a variable-length sequence"))
       val raw = readBytes()
+      val n = raw.length / dtype.size
+      val bb = ByteBuffer.wrap(raw).order(ByteOrder.LITTLE_ENDIAN)
+      Array.tabulate(n) { i =>
+        val off = i * dtype.size
+        val count = bb.getInt(off)
+        val addr = bb.getLong(off + 4)
+        val idx = bb.getInt(off + 12)
+        if (count == 0) new Array[Double](0)
+        else decodeDoubles(
+          gheapObject(file, addr, idx, count * base.size), base, name)
+      }
+    }
+
+    private def decodeDoubles(raw: Array[Byte], dtype: Dtype,
+        name: String): Array[Double] = {
       val n = (raw.length / dtype.size)
       val bb = ByteBuffer.wrap(raw).order(ByteOrder.LITTLE_ENDIAN)
       val out = new Array[Double](n)
@@ -497,15 +527,16 @@ object Hdf5 {
     require(heapIdLen > 1 + offsetSize, s"heap ID length $heapIdLen inconsistent")
     def rowSize(r: Int): Long = if (r < 2) startSize else startSize << (r - 1)
 
-    // FILTERED heap (root-direct-block form): the FRHP tail carries the
-    // root block's stored (compressed) size, a filter mask, and a
-    // standard filter-pipeline body; the whole direct block — header
-    // included — inflates into its own buffer. Filtered INDIRECT heaps
-    // (per-child sizes in the indirect entries) fail fast by name.
+    // FILTERED heap, both forms (spec IV.B): with a DIRECT root block
+    // the FRHP tail carries that block's stored (compressed) size and
+    // filter mask before the pipeline body, and the whole block — header
+    // included — inflates into its own buffer; with an INDIRECT root the
+    // two fields are absent and instead EACH direct-block entry in the
+    // FHIB gains {stored size, filter mask} after its address, every
+    // child inflating separately.
     if (ioFilterLen > 0) {
-      if (curRows != 0) fail("filtered fractal heap with indirect blocks not supported")
-      val filteredSize = b.u64()
-      b.u32() // filter mask
+      val filteredRootSize = if (curRows == 0) b.u64() else 0L
+      if (curRows == 0) b.u32() // root filter mask
       val pv = b.u8()
       if (pv != 1 && pv != 2) fail(s"heap filter pipeline version $pv")
       val nf = b.u8()
@@ -521,15 +552,49 @@ object Hdf5 {
         if (id != 1) fail(s"heap filter $id not supported (deflate only)")
         i += 1
       }
-      val raw = new Array[Byte](filteredSize.toInt)
-      var j = 0
-      while (j < raw.length) { raw(j) = file.get((rootAddr + j).toInt); j += 1 }
-      val inflated = inflateBytes(raw)
-      require(inflated.length >= startSize,
-        s"filtered root block inflated to ${inflated.length} < $startSize")
-      val blockBuf = ByteBuffer.wrap(inflated).order(ByteOrder.LITTLE_ENDIAN)
-      new R(blockBuf, 0).expect("FHDB")
-      return HeapBlocks(Vector(HeapBlock(0L, startSize, blockBuf, 0L)), offsetSize)
+      // standalone inflated buffer for one stored extent; FHDB-checked
+      def inflateBlock(at: Long, stored: Long, logical: Long): HeapBlock = {
+        val raw = new Array[Byte](stored.toInt)
+        var j = 0
+        while (j < raw.length) { raw(j) = file.get((at + j).toInt); j += 1 }
+        val inflated = inflateBytes(raw)
+        require(inflated.length >= logical,
+          s"filtered direct block inflated to ${inflated.length} < $logical")
+        val blockBuf = ByteBuffer.wrap(inflated).order(ByteOrder.LITTLE_ENDIAN)
+        new R(blockBuf, 0).expect("FHDB")
+        HeapBlock(0L, logical, blockBuf, 0L)
+      }
+      if (curRows == 0)
+        return HeapBlocks(
+          Vector(inflateBlock(rootAddr, filteredRootSize, startSize)),
+          offsetSize)
+      val maxDirectRows =
+        java.lang.Long.numberOfTrailingZeros(maxDirectSize / startSize) + 2
+      if (curRows > maxDirectRows)
+        fail("nested indirect fractal-heap blocks not supported")
+      val ib = reader(file, rootAddr)
+      ib.expect("FHIB")
+      if (ib.u8() != 0) fail("FHIB version")
+      ib.u64() // heap header address
+      ib.skip(offsetSize) // root block offset (0)
+      val out = Vector.newBuilder[HeapBlock]
+      var heapOff = 0L
+      var r = 0
+      while (r < curRows) {
+        var c = 0
+        while (c < width) {
+          val child = ib.u64()
+          val stored = ib.u64() // this child's stored (filtered) size
+          ib.u32() // this child's filter mask
+          if (child != Undefined)
+            out += inflateBlock(child, stored, rowSize(r))
+              .copy(heapOff = heapOff)
+          heapOff += rowSize(r)
+          c += 1
+        }
+        r += 1
+      }
+      return HeapBlocks(out.result(), offsetSize)
     }
 
     val blocks = Vector.newBuilder[(Long, Long, Long)]
@@ -770,28 +835,7 @@ object Hdf5 {
           if (v == 1) b.skip(5) else b.skip(1) // v2: type byte only
           dims = Vector.fill(rank)(b.u64()) // maxdims (flag bit 0) may follow; unused
         case 0x0003 => // datatype
-          val b = m.body
-          val cv = b.u8()
-          val clazz = cv & 0x0F
-          val bits0 = b.u8(); b.skip(2)
-          val size = b.u32().toInt
-          // bit 0 is byte order for numeric classes only (strings use it
-          // for the padding type)
-          if (clazz <= 1 && (bits0 & 0x01) != 0)
-            fail("big-endian data not supported")
-          dtype = clazz match {
-            case 0 => Dtype(0, size, signed = (bits0 & 0x08) != 0)
-            case 1 => Dtype(1, size, signed = true)
-            case 3 => Dtype(3, size, signed = false) // fixed-length string
-            case 9 =>
-              // variable-length: low nibble of the flags distinguishes
-              // vlen STRING (1, supported — 16-byte global-heap
-              // descriptors) from vlen SEQUENCE (0, fail fast)
-              if ((bits0 & 0x0F) != 1)
-                fail(s"variable-length sequence datatype not supported (dataset $name)")
-              Dtype(9, size, signed = false)
-            case c => fail(s"datatype class $c not supported (dataset $name)")
-          }
+          dtype = parseDatatype(m.body, name)
         case 0x0008 => // data layout
           val b = m.body
           val v = b.u8()
@@ -839,6 +883,41 @@ object Hdf5 {
     }
     require(dtype != null && layoutClass >= 0, s"dataset $name missing messages")
     Dataset(name, dims, dtype, file, layoutClass, dataAddr, dataSize, chunkDims, filters)
+  }
+
+  /** Parse a datatype message body (recursive: a vlen SEQUENCE's base
+    * datatype follows as a nested full datatype message in the
+    * properties region, per spec IV.A.2.h).
+    */
+  private def parseDatatype(b: R, name: String): Dtype = {
+    val cv = b.u8()
+    val clazz = cv & 0x0F
+    val bits0 = b.u8(); b.skip(2)
+    val size = b.u32().toInt
+    // bit 0 is byte order for numeric classes only (strings use it
+    // for the padding type, vlens for their flavor)
+    if (clazz <= 1 && (bits0 & 0x01) != 0)
+      fail("big-endian data not supported")
+    clazz match {
+      case 0 => Dtype(0, size, signed = (bits0 & 0x08) != 0)
+      case 1 => Dtype(1, size, signed = true)
+      case 3 => Dtype(3, size, signed = false) // fixed-length string
+      case 9 =>
+        // variable-length: low nibble of the flags distinguishes vlen
+        // STRING (1) from vlen SEQUENCE (0); both are 16-byte global-
+        // heap descriptors per element. A sequence carries its base
+        // datatype nested right here.
+        (bits0 & 0x0F) match {
+          case 1 => Dtype(9, size, signed = false)
+          case 0 =>
+            val base = parseDatatype(b, name)
+            if (base.clazz > 1)
+              fail(s"vlen sequence of non-numeric base (dataset $name)")
+            Dtype(9, size, signed = false, base = Some(base))
+          case f => fail(s"vlen flavor $f not supported (dataset $name)")
+        }
+      case c => fail(s"datatype class $c not supported (dataset $name)")
+    }
   }
 
   /** Fetch one object from a global heap collection ("GCOL" block, HDF5

@@ -156,6 +156,53 @@ class EmdSpec extends SparkSpec {
     }
   }
 
+  test("HDF5 dense group: FILTERED INDIRECT heap (per-child stored sizes in FHIB)") {
+    // the deflated INDIRECT form: no root size/mask in the FRHP tail;
+    // each FHIB entry carries {addr, stored size, filter mask} and each
+    // direct block inflates on its own — the round-4 fail-fast corner
+    val w = new Hdf5TestWriter()
+    val children = (0 until 14).map { i =>
+      val raw = java.nio.ByteBuffer.allocate(4)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN).putInt(2000 + i)
+      f"packed_name_$i%02d" -> w.datasetV2(Seq(1L), w.int32, raw.array())
+    }
+    val root = w.groupV2Dense(children, forceIndirect = true, deflateHeap = true)
+    val g = Hdf5.open(w.finishV3(root))
+    assert(g.datasets.size == 14)
+    (0 until 14).foreach { i =>
+      val d = g.child(f"packed_name_$i%02d").get.asInstanceOf[Hdf5.Dataset]
+      assert(d.readDoubles().toSeq == Seq(2000.0 + i))
+    }
+  }
+
+  test("HDF5 variable-length SEQUENCES resolve through the global heap") {
+    // ragged numeric rows — h5py's vlen_dtype — over two base types,
+    // including an empty row (all-zero descriptor, no heap object)
+    val w = new Hdf5TestWriter()
+    val f64Rows = Seq(Seq(1.5, -2.25, 3.0), Seq.empty[Double], Seq(42.0))
+    val i32Rows = Seq(Seq(7.0), Seq(-1.0, 0.0, 1.0, 2.0))
+    val dsF = w.vlenSeqDataset(f64Rows, w.float64)
+    val dsI = w.vlenSeqDataset(i32Rows, w.int32)
+    val root = w.group(Seq("f" -> dsF, "i" -> dsI))
+    val g = Hdf5.open(w.finish(root))
+    val f = g.child("f").get.asInstanceOf[Hdf5.Dataset]
+    assert(f.dtype.clazz == 9 && f.dtype.base.exists(_.clazz == 1))
+    assert(f.readVlenSeqs().map(_.toSeq).toSeq == f64Rows)
+    val i = g.child("i").get.asInstanceOf[Hdf5.Dataset]
+    assert(i.dtype.base.exists(b => b.clazz == 0 && b.size == 4 && b.signed))
+    assert(i.readVlenSeqs().map(_.toSeq).toSeq == i32Rows)
+    // fixed-length string decode must still refuse sequence datasets
+    intercept[Exception](f.readStrings())
+    // and a plain numeric dataset must refuse readVlenSeqs
+    val plain = new Hdf5TestWriter()
+    val raw = java.nio.ByteBuffer.allocate(8)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN).putInt(1).putInt(2)
+    val pd = plain.dataset(Seq(2L), plain.int32, raw.array())
+    val pg = Hdf5.open(plain.finish(plain.group(Seq("p" -> pd))))
+    intercept[IllegalArgumentException](
+      pg.child("p").get.asInstanceOf[Hdf5.Dataset].readVlenSeqs())
+  }
+
   test("HDF5 dense group: tiny and huge heap IDs next to managed ones") {
     // tiny: link message bytes packed INSIDE the heap ID; huge (direct,
     // unfiltered): ID carries the object's own file extent

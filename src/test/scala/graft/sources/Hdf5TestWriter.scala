@@ -89,6 +89,63 @@ final class Hdf5TestWriter(capacity: Int = 1 << 22) {
     dataset(Seq(strings.size.toLong), vlenString, raw.array())
   }
 
+  /** Variable-length SEQUENCE type (class 9, sequence flavor) over a
+    * numeric base; the base's full datatype message nests in the
+    * properties, per spec IV.A.2.h.
+    */
+  def vlenSeq(base: Dt): Dt = {
+    val b = ByteBuffer.allocate(8 + base.body.length).order(ByteOrder.LITTLE_ENDIAN)
+    b.put(0x19.toByte) // version 1, class 9
+    b.put(0x00.toByte).put(0.toByte).put(0.toByte) // vlen type: sequence
+    b.putInt(16)
+    b.put(base.body)
+    Dt(9, 16, b.array())
+  }
+
+  /** GCOL of packed base-type elements per row + a contiguous dataset of
+    * their 16-byte descriptors {element count, collection addr, index} —
+    * the vlen-sequence twin of [[vlenStringDataset]]. Empty rows get the
+    * all-zero descriptor (no heap object), as writers emit.
+    */
+  def vlenSeqDataset(seqs: Seq[Seq[Double]], base: Dt): Long = {
+    def enc(v: Double): Array[Byte] = {
+      val bb = ByteBuffer.allocate(base.size).order(ByteOrder.LITTLE_ENDIAN)
+      (base.clazz, base.size) match {
+        case (0, 1) => bb.put(v.toInt.toByte)
+        case (0, 2) => bb.putShort(v.toInt.toShort)
+        case (0, 4) => bb.putInt(v.toInt)
+        case (0, 8) => bb.putLong(v.toLong)
+        case (1, 4) => bb.putFloat(v.toFloat)
+        case (1, 8) => bb.putDouble(v)
+        case _ => sys.error(s"vlenSeqDataset: unsupported base $base")
+      }
+      bb.array()
+    }
+    val bodies = seqs.map(sq => sq.toArray.flatMap(enc))
+    val nonEmpty = bodies.filter(_.nonEmpty)
+    val objsSize = nonEmpty.map(b => 16 + pad8(b.length)).sum
+    val collSize = 16L + objsSize + 16L
+    val gcolAddr = pos
+    buf.put("GCOL".getBytes("US-ASCII"))
+    buf.put(1.toByte).put(0.toByte).put(0.toByte).put(0.toByte)
+    buf.putLong(collSize)
+    nonEmpty.zipWithIndex.foreach { case (b, i) =>
+      buf.putShort((i + 1).toShort).putShort(1.toShort).putInt(0)
+      buf.putLong(b.length.toLong)
+      buf.put(b)
+      (b.length until pad8(b.length)).foreach(_ => buf.put(0.toByte))
+    }
+    buf.putShort(0.toShort).putShort(0.toShort).putInt(0)
+    buf.putLong(16L) // free-space object covers the collection tail
+    val raw = ByteBuffer.allocate(seqs.size * 16).order(ByteOrder.LITTLE_ENDIAN)
+    var idx = 0
+    seqs.foreach { sq =>
+      if (sq.isEmpty) raw.putInt(0).putLong(0L).putInt(0)
+      else { idx += 1; raw.putInt(sq.size).putLong(gcolAddr).putInt(idx) }
+    }
+    dataset(Seq(seqs.size.toLong), vlenSeq(base), raw.array())
+  }
+
   def float32: Dt = float(4, expLoc = 23, expSize = 8, mantSize = 23, bias = 127, signPos = 31)
   def float64: Dt = float(8, expLoc = 52, expSize = 11, mantSize = 52, bias = 1023, signPos = 63)
 
@@ -378,8 +435,6 @@ final class Hdf5TestWriter(capacity: Int = 1 << 22) {
   def groupV2Dense(children: Seq[(String, Long)], forceIndirect: Boolean = false,
       deepNameIndex: Boolean = false, tinyOf: Set[String] = Set.empty,
       hugeOf: Set[String] = Set.empty, deflateHeap: Boolean = false): Long = {
-    require(!(deflateHeap && forceIndirect),
-      "filtered heap fixture supports the root-direct-block form only")
     val named = children.sortBy(_._1).map { case (name, addr) =>
       val nb = name.getBytes("UTF-8")
       val b = ByteBuffer.allocate(3 + nb.length + 8).order(ByteOrder.LITTLE_ENDIAN)
@@ -452,20 +507,27 @@ final class Hdf5TestWriter(capacity: Int = 1 << 22) {
     val indirect = forceIndirect || rowsUsed > 1
 
     val frhpAddr = pos
-    // filtered form: build the whole FHDB block up front and deflate it;
-    // the FRHP tail then carries (stored size, mask, v2 pipeline body)
-    val compressedRoot: Option[Array[Byte]] =
-      if (!deflateHeap) None
-      else {
-        require(lastSlot == 0, "filtered fixture fits one direct block")
-        val bb = ByteBuffer.allocate(startSize.toInt)
-          .order(ByteOrder.LITTLE_ENDIAN)
-        bb.put("FHDB".getBytes).put(0.toByte).putLong(frhpAddr).putInt(0)
-        placed.foreach { p => bb.position(p.offInBlock.toInt); bb.put(p.body) }
-        Some(deflate(bb.array(), 6))
+    // filtered form: build each direct block's FULL buffer (header
+    // included) up front and deflate it. With a DIRECT root the FRHP
+    // tail carries (stored size, mask, v2 pipeline body); with an
+    // INDIRECT root only the pipeline body — the per-child stored sizes
+    // and masks go into the FHIB entries instead (spec IV.B).
+    def fullBlock(s: Int): Array[Byte] = {
+      val bb = ByteBuffer.allocate(slotSize(s).toInt)
+        .order(ByteOrder.LITTLE_ENDIAN)
+      bb.put("FHDB".getBytes).put(0.toByte).putLong(frhpAddr)
+      bb.putInt(slotHeapOff(s).toInt)
+      placed.filter(_.slot == s).foreach { p =>
+        bb.position(p.offInBlock.toInt); bb.put(p.body)
       }
+      bb.array()
+    }
+    val compressed: Map[Int, Array[Byte]] =
+      if (!deflateHeap) Map.empty
+      else usedSlots.map(s => s -> deflate(fullBlock(s), 6)).toMap
     val filterInfoLen = if (deflateHeap) 12 else 0 // v2 pipeline, deflate
-    val frhpSize = 146 + (if (deflateHeap) 8 + 4 + filterInfoLen else 0)
+    val frhpSize = 146 + filterInfoLen +
+      (if (deflateHeap && !indirect) 8 + 4 else 0)
     val rootAddr = frhpAddr + frhpSize
     buf.put("FRHP".getBytes)
     buf.put(0.toByte)
@@ -487,9 +549,11 @@ final class Hdf5TestWriter(capacity: Int = 1 << 22) {
     buf.putShort(1.toShort)  // starting rows
     buf.putLong(rootAddr)
     buf.putShort(if (indirect) rowsUsed.toShort else 0.toShort)
-    compressedRoot.foreach { cb =>
-      buf.putLong(cb.length.toLong) // stored (filtered) root block size
-      buf.putInt(0)                 // filter mask
+    if (deflateHeap && !indirect) {
+      buf.putLong(compressed(0).length.toLong) // stored root block size
+      buf.putInt(0)                            // filter mask
+    }
+    if (deflateHeap) {
       // v2 filter pipeline body: version, nfilters, {id, flags, nvals, cd}
       buf.put(2.toByte).put(1.toByte)
       buf.putShort(1.toShort) // deflate
@@ -500,36 +564,44 @@ final class Hdf5TestWriter(capacity: Int = 1 << 22) {
     buf.putInt(0) // checksum
     require(pos == rootAddr, s"FRHP size drift: $pos != $rootAddr")
 
-    compressedRoot.foreach { cb =>
-      buf.put(cb)
-      // B-tree follows the compressed extent directly
-    }
-
     val blockAddrs = scala.collection.mutable.Map.empty[Int, Long]
-    if (compressedRoot.isEmpty && indirect) {
-      val fhibLen = 4 + 1 + 8 + offsetSize + rowsUsed * width * 8 + 4
+    if (indirect) {
+      // filtered FHIB entries carry {addr, stored size, filter mask}
+      val entrySize = 8 + (if (deflateHeap) 8 + 4 else 0)
+      val fhibLen = 4 + 1 + 8 + offsetSize + rowsUsed * width * entrySize + 4
       var next = rootAddr + fhibLen
-      usedSlots.foreach { s => blockAddrs(s) = next; next += slotSize(s) }
+      usedSlots.foreach { s =>
+        blockAddrs(s) = next
+        next += (if (deflateHeap) compressed(s).length.toLong else slotSize(s))
+      }
       buf.put("FHIB".getBytes)
       buf.put(0.toByte)
       buf.putLong(frhpAddr)
       buf.putInt(0) // root block offset
-      for (s <- 0 until rowsUsed * width)
+      for (s <- 0 until rowsUsed * width) {
         buf.putLong(blockAddrs.getOrElse(s, Undef))
+        if (deflateHeap) {
+          buf.putLong(compressed.get(s).map(_.length.toLong).getOrElse(0L))
+          buf.putInt(0) // filter mask
+        }
+      }
       buf.putInt(0) // checksum
     } else blockAddrs(0) = rootAddr
 
-    if (compressedRoot.isEmpty) usedSlots.foreach { s =>
+    usedSlots.foreach { s =>
       require(pos == blockAddrs(s), s"direct block $s drift")
-      buf.put("FHDB".getBytes)
-      buf.put(0.toByte)
-      buf.putLong(frhpAddr)
-      buf.putInt(slotHeapOff(s).toInt) // this block's heap offset
-      placed.filter(_.slot == s).foreach { p =>
-        require(pos == blockAddrs(s) + p.offInBlock)
-        buf.put(p.body)
+      if (deflateHeap) buf.put(compressed(s))
+      else {
+        buf.put("FHDB".getBytes)
+        buf.put(0.toByte)
+        buf.putLong(frhpAddr)
+        buf.putInt(slotHeapOff(s).toInt) // this block's heap offset
+        placed.filter(_.slot == s).foreach { p =>
+          require(pos == blockAddrs(s) + p.offInBlock)
+          buf.put(p.body)
+        }
+        buf.put(new Array[Byte](((blockAddrs(s) + slotSize(s)) - pos).toInt))
       }
-      buf.put(new Array[Byte](((blockAddrs(s) + slotSize(s)) - pos).toInt))
     }
 
     val recSize = 4 + heapIdLen

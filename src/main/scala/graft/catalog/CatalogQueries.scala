@@ -374,7 +374,53 @@ object CatalogQueries {
     aux = Map("manifests" -> ((s, dir) => manifestsDf(s, dir)))
   )
 
+  /** INCREMENTAL SCAN between snapshots ([[BucketedMerge.readChanged]]):
+    * a consumer that processed manifest version 1 catches up to the
+    * current version by reading ONLY the buckets whose data-version
+    * pointer moved — {0,3,4,5} in the fixture history (merge 2 touched
+    * {3,4}, merge 3 {0,5}; {1,2} still point at their v1 data and are
+    * never opened). Planning is two driver-side pointer maps; the scan
+    * cost is proportional to CHANGE, not table size — the catch-up dual
+    * of c3's full-snapshot CDC row-hash diff. The oracle independently
+    * recomputes the changed-bucket set from the aux manifest dump and
+    * filters the aux current-snapshot dump — if readChanged resolved any
+    * stale directory, the content compare fails.
+    */
+  val c9IncrementalScan: QueryDef = QueryDef(
+    "c9_incremental_scan",
+    (s, dir) => {
+      val t = bucketedHistory(s, dir)
+      val cur = BucketedMerge.currentVersion(t).get
+      val (_, rows) = BucketedMerge.readChanged(s, t, vFrom = 1L, vTo = cur)
+      rows.get
+        .withColumn("bucket", BucketedMerge.bucketExpr(Seq("o_orderkey"), 16))
+        .select("bucket", "o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy("o_orderkey")
+    },
+    Some("""
+      WITH m AS (
+        SELECT * FROM read_parquet('{OUT}/aux/c9_incremental_scan__manifests/*.parquet')),
+      chg AS (
+        SELECT t.bucket FROM m t
+        LEFT JOIN m f ON f.mv = 1 AND f.bucket = t.bucket
+        WHERE t.mv = (SELECT MAX(mv) FROM m)
+          AND (f.dv IS NULL OR f.dv <> t.dv)),
+      s AS (
+        SELECT * FROM read_parquet('{OUT}/aux/c9_incremental_scan__snapshot/*.parquet'))
+      SELECT bucket, o_orderkey, o_custkey, o_totalprice FROM s
+      WHERE bucket IN (SELECT bucket FROM chg)
+      ORDER BY o_orderkey"""),
+    aux = Map(
+      "manifests" -> ((s, dir) => manifestsDf(s, dir)),
+      "snapshot" -> ((s, dir) => {
+        val t = bucketedHistory(s, dir)
+        BucketedMerge.read(s, t)
+          .withColumn("bucket", BucketedMerge.bucketExpr(Seq("o_orderkey"), 16))
+          .orderBy("o_orderkey")
+      }))
+  )
+
   val all: Seq[QueryDef] =
     Seq(c1Checksums, c2CatalogSearch, c3CdcDiff, c4Forget, c5FkAudit,
-      c8ExpiryPlan)
+      c8ExpiryPlan, c9IncrementalScan)
 }

@@ -479,7 +479,76 @@ object MultimodalQueries {
       FROM tot t LEFT JOIN agg a USING (doc_id) ORDER BY doc_id""")
   )
 
+  /** KEYFRAME selection — the curation step after scene splitting: per
+    * detected scene, the REPRESENTATIVE frame a captioning/training
+    * pipeline keeps. Scenes come from m5's cut detection (argmax
+    * successive-frame delta); the representative is the frame whose
+    * intensity sits closest to its scene's mean, computed divisionless as
+    * argmin |psum·cnt − tot| (all integers — exact on both engines) with
+    * the smallest frame index breaking ties via lexicographic struct-min.
+    * Every window and aggregate partitions by video (bounded by
+    * frames-per-clip), so the op is embarrassingly parallel over clips at
+    * any scale; the oracle replays cut → scene → argmin from the aux
+    * frame dump.
+    */
+  val m7Keyframes: QueryDef = QueryDef(
+    "m7_keyframes",
+    (s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("doc_id").orderBy("frame_idx")
+      val d = m5FrameSums(s, dir)
+        .withColumn("diff", abs(col("psum") - lag("psum", 1).over(w)))
+      val cutFrame = d.filter(col("diff").isNotNull)
+        .groupBy("doc_id").agg(max(col("diff")).as("max_diff"))
+        .join(d, "doc_id")
+        .filter(col("diff") === col("max_diff"))
+        .groupBy("doc_id").agg(min(col("frame_idx")).as("cut_frame"))
+      val scenes = d.join(cutFrame, "doc_id")
+        .withColumn("scene",
+          when(col("frame_idx") >= col("cut_frame"), 1L).otherwise(0L))
+      val stats = scenes.groupBy("doc_id", "scene")
+        .agg(count(lit(1)).as("cnt"), sum(col("psum")).as("tot"))
+      scenes.join(stats, Seq("doc_id", "scene"))
+        .withColumn("dev", abs(col("psum") * col("cnt") - col("tot")))
+        .groupBy("doc_id", "scene")
+        .agg(min(struct(col("dev"), col("frame_idx"))).as("m"),
+          max(col("cnt")).as("n_frames"))
+        .select(col("doc_id"), col("scene"),
+          col("m.frame_idx").as("rep_frame"), col("m.dev").as("dev"),
+          col("n_frames"))
+        .orderBy("doc_id", "scene")
+    },
+    Some("""
+      WITH f AS (SELECT * FROM read_parquet('{OUT}/aux/m7_keyframes__fsums/*.parquet')),
+      d AS (
+        SELECT doc_id, frame_idx, psum,
+               ABS(psum - LAG(psum) OVER (PARTITION BY doc_id ORDER BY frame_idx)) AS diff
+        FROM f),
+      a AS (SELECT doc_id, MAX(diff) AS max_diff FROM d
+            WHERE diff IS NOT NULL GROUP BY doc_id),
+      c AS (SELECT d.doc_id, MIN(frame_idx) AS cut_frame
+            FROM d JOIN a ON d.doc_id = a.doc_id AND d.diff = a.max_diff
+            GROUP BY d.doc_id),
+      sc AS (SELECT d.doc_id, frame_idx, psum,
+                    CASE WHEN frame_idx >= cut_frame THEN 1 ELSE 0 END AS scene
+             FROM d JOIN c ON d.doc_id = c.doc_id),
+      st AS (SELECT doc_id, scene, COUNT(*) AS cnt,
+                    CAST(SUM(psum) AS BIGINT) AS tot
+             FROM sc GROUP BY doc_id, scene),
+      dev AS (
+        SELECT sc.doc_id, sc.scene, frame_idx,
+               CAST(ABS(psum * cnt - tot) AS BIGINT) AS dev, cnt,
+               ROW_NUMBER() OVER (PARTITION BY sc.doc_id, sc.scene
+                                  ORDER BY ABS(psum * cnt - tot), frame_idx) AS rn
+        FROM sc JOIN st ON st.doc_id = sc.doc_id AND st.scene = sc.scene)
+      SELECT doc_id, CAST(scene AS BIGINT) AS scene, frame_idx AS rep_frame,
+             dev, cnt AS n_frames
+      FROM dev WHERE rn = 1 ORDER BY doc_id, scene"""),
+    aux = Map("fsums" -> ((s, dir) =>
+      m5FrameSums(s, dir).orderBy("doc_id", "frame_idx")))
+  )
+
   val all: Seq[QueryDef] =
     Seq(m1Pipeline, m2InferenceConv, m3AudioFeatures, m4ImagePhash,
-      m5SceneCuts, m6AudioVad)
+      m5SceneCuts, m6AudioVad, m7Keyframes)
 }

@@ -387,8 +387,75 @@ object JoinQueries {
       ORDER BY o_totalprice DESC, o_orderkey LIMIT 20""")
   )
 
+  /** TPC-H Q21 shape — SOLE LATE SHIPPER: suppliers who, on finished
+    * multi-supplier orders, were the only one to ship late (> 60 days
+    * after the order date), counted and ranked. The textbook phrasing is
+    * EXISTS + NOT-EXISTS correlated self-joins on the fact table — three
+    * lineitem scans and two join explosions. The Spark-first re-expression
+    * does it with ZERO self-joins: one orderkey-keyed fact-fact join
+    * (lineitem ⋈ orders for the order date and status), then two STACKED
+    * aggregations — per (order, supplier) late flags, then per order
+    * {supplier count, late count, the single late supplier} — where the
+    * orderkey hash partitioning laid down by the join satisfies BOTH
+    * grouping sets ((orderkey, suppkey) ⊇ orderkey and orderkey itself),
+    * so neither aggregate adds an exchange. The EXISTS ("another supplier
+    * on the order") and NOT-EXISTS ("no other late supplier") collapse
+    * into `n_supp > 1 AND n_late = 1`.
+    *
+    * At 100 TB: two fact shuffles (each side of the orderkey join),
+    * everything after is exchange-free until the final per-supplier
+    * count (a third, tiny shuffle over one row per qualifying order) and
+    * a TakeOrdered top-20. The supplier dim broadcasts.
+    */
+  val q61SoleLateShipper: QueryDef = QueryDef(
+    "q61_sole_late_shipper",
+    (s, dir) => {
+      val late = Tables.load(s, dir, "lineitem")
+        .join(Tables.load(s, dir, "orders")
+            .filter(col("o_orderstatus") === "F")
+            .select("o_orderkey", "o_orderdate"),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("l_orderkey"), col("l_suppkey"),
+          // timestamp interval arithmetic (the columns are timestamps;
+          // date_add would silently truncate to day precision)
+          when(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"), 1)
+            .otherwise(0).as("late"))
+      val perSupp = late.groupBy("l_orderkey", "l_suppkey")
+        .agg(max(col("late")).as("late"))
+      val perOrder = perSupp.groupBy("l_orderkey")
+        .agg(count(lit(1)).as("n_supp"), sum(col("late")).as("n_late"),
+          max(when(col("late") === 1, col("l_suppkey"))).as("late_supp"))
+      perOrder.filter(col("n_supp") > 1 && col("n_late") === 1)
+        .groupBy("late_supp")
+        .agg(count(lit(1)).as("numwait"))
+        .join(broadcast(Tables.load(s, dir, "supplier")),
+          col("late_supp") === col("s_suppkey"))
+        .select(col("s_suppkey"), col("s_name"), col("numwait"))
+        .orderBy(col("numwait").desc, col("s_suppkey"))
+        .limit(20)
+    },
+    Some("""
+      WITH j AS (
+        SELECT l.l_orderkey, l.l_suppkey,
+               CASE WHEN l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+                    THEN 1 ELSE 0 END AS late
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        WHERE o.o_orderstatus = 'F'),
+      ps AS (SELECT l_orderkey, l_suppkey, MAX(late) AS late
+             FROM j GROUP BY 1, 2),
+      po AS (SELECT l_orderkey, COUNT(*) AS n_supp, SUM(late) AS n_late,
+                    MAX(CASE WHEN late = 1 THEN l_suppkey END) AS late_supp
+             FROM ps GROUP BY 1)
+      SELECT s_suppkey, s_name, COUNT(*) AS numwait
+      FROM po JOIN supplier ON late_supp = s_suppkey
+      WHERE n_supp > 1 AND n_late = 1
+      GROUP BY 1, 2 ORDER BY numwait DESC, s_suppkey LIMIT 20""")
+  )
+
   val all: Seq[QueryDef] =
     Seq(q3JoinAgg, q4SemiJoin, q5AntiJoin, q6RegionJoin, q23SkewJoin,
       q27RangeJoin, q28BloomSemijoin, q43ShippingPriority,
-      q51CustDistribution, q54ValueConcentration, q60LargeOrders)
+      q51CustDistribution, q54ValueConcentration, q60LargeOrders,
+      q61SoleLateShipper)
 }

@@ -23,7 +23,8 @@ import java.util.zip.Inflater
   *     block, or a filtered indirect heap with per-child stored sizes in
   *     the FHIB entries — indexed by a v2 B-tree of any depth); heap IDs
   *     of all three classes: managed, tiny (data inline in the ID), and
-  *     directly-accessed huge (B-tree-indexed huge IDs fail fast);
+  *     huge in all four sub-forms — direct or v2-B-tree-indexed (record
+  *     types 1/2), plain or deflate-filtered;
   *   - datatypes: fixed-point (1/2/4/8-byte, signed or unsigned), IEEE
   *     float (4/8-byte), little-endian, fixed-length strings
   *     (NUL-terminated/-padded or space-padded), variable-length strings
@@ -461,7 +462,8 @@ object Hdf5 {
       heapOff: Long, size: Long, buf: ByteBuffer, base: Long)
 
   private final case class HeapBlocks(
-      blocks: Vector[HeapBlock], offsetSize: Int) {
+      blocks: Vector[HeapBlock], offsetSize: Int, heapIdLen: Int,
+      filtered: Boolean, hugeBtree: Long) {
     def locate(id: Array[Byte]): (ByteBuffer, Long) = {
       require(((id(0) >> 4) & 0x3) == 0, "locate is for managed IDs")
       var off = 0L
@@ -473,13 +475,54 @@ object Hdf5 {
       }
     }
 
+    /** The huge-object index, parsed on first indexed huge ID and cached:
+      * v2 B-tree record type 1 (plain: address, length, id) or 2
+      * (filtered: adds filter mask + de-filtered memory size), keyed by
+      * huge-object id.
+      */
+    private var hugeIndexCache: Map[Long, HugeObject] = null
+    private def hugeIndex(file: ByteBuffer): Map[Long, HugeObject] = {
+      if (hugeIndexCache == null) {
+        if (hugeBtree == Undefined)
+          fail("indexed huge heap ID but heap header has no huge-object B-tree")
+        val (typ, recs) = btreeV2Records(file, hugeBtree, Set(1, 2))
+        hugeIndexCache = recs.map { rec =>
+          val r = new R(ByteBuffer.wrap(rec).order(ByteOrder.LITTLE_ENDIAN), 0)
+          val addr = r.u64()
+          val len = r.u64()
+          val mem = if (typ == 2) { r.u32(); r.u64() } else len
+          val id = r.u64()
+          id -> HugeObject(addr, len, typ == 2, mem)
+        }.toMap
+      }
+      hugeIndexCache
+    }
+
+    /** Huge object bytes as a standalone reader: filtered extents inflate
+      * into their own buffer (checked against the stored memory size);
+      * plain extents read in place.
+      */
+    private def hugeReader(file: ByteBuffer, h: HugeObject): R =
+      if (!h.filtered) new R(file, h.addr)
+      else {
+        val raw = new Array[Byte](h.len.toInt)
+        var j = 0
+        while (j < raw.length) { raw(j) = file.get((h.addr + j).toInt); j += 1 }
+        val inflated = inflateBytes(raw)
+        require(inflated.length == h.memSize,
+          s"filtered huge object inflated to ${inflated.length} != ${h.memSize}")
+        new R(ByteBuffer.wrap(inflated).order(ByteOrder.LITTLE_ENDIAN), 0)
+      }
+
     /** A reader positioned on the object's bytes, for any heap ID class
-      * (spec III.G): MANAGED resolves through the block map; HUGE
-      * (directly-accessed, unfiltered — the variant written when the ID
-      * fits address+length) carries its file extent inline; TINY carries
+      * (spec III.G): MANAGED resolves through the block map; TINY carries
       * the object DATA itself inline (normal sub-variant: low nibble of
-      * the flag byte is length−1). B-tree-indexed/filtered huge IDs fail
-      * fast by name.
+      * the flag byte is length−1); HUGE covers all four sub-forms — the
+      * ID is DIRECT when the heap's ID length fits the whole file extent
+      * (address + length, plus filter mask + de-filtered size on filtered
+      * heaps — libhdf5's own rule), else it carries a huge-object id
+      * resolved through the header's v2 B-tree (record type 1 plain /
+      * 2 filtered).
       */
     def objectReader(file: ByteBuffer, id: Array[Byte]): R = {
       (id(0) >> 4) & 0x3 match {
@@ -487,11 +530,18 @@ object Hdf5 {
           val (buf, at) = locate(id)
           new R(buf, at)
         case 1 =>
-          require(id.length >= 17,
-            "B-tree-indexed huge heap IDs not supported (direct form only)")
+          val directLen = if (filtered) 1 + 8 + 8 + 4 + 8 else 1 + 8 + 8
           val r = new R(ByteBuffer.wrap(id).order(ByteOrder.LITTLE_ENDIAN), 1)
-          val addr = r.u64() // u64 address + u64 length, both LE
-          new R(file, addr)
+          if (heapIdLen >= directLen) {
+            val addr = r.u64()
+            val len = r.u64()
+            val mem = if (filtered) { r.u32(); r.u64() } else len
+            hugeReader(file, HugeObject(addr, len, filtered, mem))
+          } else {
+            val hid = r.u64()
+            hugeReader(file, hugeIndex(file).getOrElse(hid,
+              fail(s"huge object id $hid not in the huge-object B-tree")))
+          }
         case 2 =>
           val len = (id(0) & 0x0F) + 1
           require(1 + len <= id.length, s"tiny object length $len overruns ID")
@@ -500,6 +550,12 @@ object Hdf5 {
       }
     }
   }
+
+  /** One huge object's file extent: filtered extents store `len` deflated
+    * bytes that inflate to exactly `memSize`.
+    */
+  private final case class HugeObject(
+      addr: Long, len: Long, filtered: Boolean, memSize: Long)
 
   /** Parse a fractal heap's block map: root direct block, or one root
     * indirect block of direct children (the layouts h5py emits for group
@@ -515,7 +571,9 @@ object Hdf5 {
     val ioFilterLen = b.u16()
     b.u8() // flags (direct-block checksums not validated)
     b.u32() // max managed object size
-    b.skip(8 * 12) // huge/free/managed bookkeeping — not needed to read
+    b.u64() // next huge object id
+    val hugeBtree = b.u64() // huge-object v2 B-tree (Undefined: direct IDs)
+    b.skip(8 * 10) // free/managed/huge/tiny bookkeeping — not needed to read
     val width = b.u16()
     val startSize = b.u64()
     val maxDirectSize = b.u64()
@@ -567,7 +625,7 @@ object Hdf5 {
       if (curRows == 0)
         return HeapBlocks(
           Vector(inflateBlock(rootAddr, filteredRootSize, startSize)),
-          offsetSize)
+          offsetSize, heapIdLen, filtered = true, hugeBtree)
       val maxDirectRows =
         java.lang.Long.numberOfTrailingZeros(maxDirectSize / startSize) + 2
       if (curRows > maxDirectRows)
@@ -594,7 +652,8 @@ object Hdf5 {
         }
         r += 1
       }
-      return HeapBlocks(out.result(), offsetSize)
+      return HeapBlocks(out.result(), offsetSize, heapIdLen,
+        filtered = true, hugeBtree)
     }
 
     val blocks = Vector.newBuilder[(Long, Long, Long)]
@@ -626,7 +685,7 @@ object Hdf5 {
     val hb = blocks.result()
     hb.foreach { case (_, _, a) => reader(file, a).expect("FHDB") }
     HeapBlocks(hb.map { case (ho, sz, a) => HeapBlock(ho, sz, file, a) },
-      offsetSize)
+      offsetSize, heapIdLen, filtered = false, hugeBtree)
   }
 
   /** zlib inflate of a standalone byte extent (object-scope twin of the
@@ -648,8 +707,17 @@ object Hdf5 {
 
   /** All heap IDs from the group's name-index v2 B-tree (record type 5:
     * 4-byte name hash + heap ID). Iteration reads every record at every
-    * level — internal (BTIN) nodes carry full records interleaved with
-    * child pointers — so the hash is skipped, no lookup3 needed.
+    * level, so the hash is skipped — no lookup3 needed.
+    */
+  private def btreeV2HeapIds(file: ByteBuffer, addr: Long): Vector[Array[Byte]] = {
+    val (_, recs) = btreeV2Records(file, addr, Set(5))
+    recs.map(_.drop(4)) // strip the name hash; the rest is the heap ID
+  }
+
+  /** Every record of a v2 B-tree, in key order, as raw record bytes plus
+    * the tree's record type (callers decode per type — 5: link-name
+    * index; 1/2: huge-object index). Internal (BTIN) nodes carry full
+    * records interleaved with child pointers.
     *
     * Child-pointer field widths are not stored; the format derives them
     * from the node capacities (spec III.A.2): the record count uses the
@@ -658,12 +726,14 @@ object Hdf5 {
     * both computed from node size and record size exactly as the writer
     * did.
     */
-  private def btreeV2HeapIds(file: ByteBuffer, addr: Long): Vector[Array[Byte]] = {
+  private def btreeV2Records(file: ByteBuffer, addr: Long,
+      wantTypes: Set[Int]): (Int, Vector[Array[Byte]]) = {
     val b = reader(file, addr)
     b.expect("BTHD")
     if (b.u8() != 0) fail("BTHD version")
     val typ = b.u8()
-    if (typ != 5) fail(s"v2 B-tree record type $typ (expected 5: link-name index)")
+    if (!wantTypes(typ))
+      fail(s"v2 B-tree record type $typ (expected one of $wantTypes)")
     val nodeSize = b.u32()
     val recSize = b.u16()
     val depth = b.u16()
@@ -697,10 +767,7 @@ object Hdf5 {
       while (i < n) { v |= (r.u8().toLong << (8 * i)); i += 1 }
       v
     }
-    def record(r: R): Array[Byte] = {
-      r.skip(4) // name hash
-      Array.fill(recSize - 4)(r.u8().toByte)
-    }
+    def record(r: R): Array[Byte] = Array.fill(recSize)(r.u8().toByte)
     def walk(at: Long, lvl: Int, nRec: Int): Vector[Array[Byte]] = {
       val r = reader(file, at)
       if (lvl == 0) {
@@ -734,7 +801,7 @@ object Hdf5 {
         out.result()
       }
     }
-    walk(rootAddr, depth, rootNRec)
+    (typ, walk(rootAddr, depth, rootNRec))
   }
 
   /** Dense link storage: every record's heap ID resolves to a Link

@@ -224,6 +224,34 @@ class EmdSpec extends SparkSpec {
     }
   }
 
+  test("HDF5 dense group: huge IDs in B-tree-indexed and filtered sub-forms") {
+    // the three huge sub-forms beyond direct-unfiltered: indexed plain
+    // (v2 B-tree record type 1), direct filtered (29-byte IDs carrying
+    // stored size + filter mask + de-filtered size), indexed filtered
+    // (record type 2) — libhdf5 picks among them by heap-ID length and
+    // pipeline presence, which is exactly how the reader dispatches
+    def build(deflateHeap: Boolean, hugeIndexed: Boolean): Unit = {
+      val w = new Hdf5TestWriter()
+      val children = (0 until 8).map { i =>
+        val raw = java.nio.ByteBuffer.allocate(8)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN).putInt(i * 7).putInt(i * 7 + 3)
+        ('a' + i).toChar.toString -> w.datasetV2(Seq(2L), w.int32, raw.array())
+      }
+      val root = w.groupV2Dense(children, hugeOf = Set("b", "f"),
+        deflateHeap = deflateHeap, hugeIndexed = hugeIndexed)
+      val g = Hdf5.open(w.finishV3(root))
+      assert(g.datasets.size == 8,
+        s"deflateHeap=$deflateHeap hugeIndexed=$hugeIndexed")
+      (0 until 8).foreach { i =>
+        val d = g.child(('a' + i).toChar.toString).get.asInstanceOf[Hdf5.Dataset]
+        assert(d.readDoubles().toSeq == Seq(i * 7.0, i * 7.0 + 3))
+      }
+    }
+    build(deflateHeap = false, hugeIndexed = true) // record type 1
+    build(deflateHeap = true, hugeIndexed = false) // direct filtered
+    build(deflateHeap = true, hugeIndexed = true)  // record type 2
+  }
+
   test("HDF5 dense group: root INDIRECT block spanning several direct blocks") {
     val w = new Hdf5TestWriter()
     val children = (0 until 14).map { i =>

@@ -434,7 +434,8 @@ final class Hdf5TestWriter(capacity: Int = 1 << 22) {
     */
   def groupV2Dense(children: Seq[(String, Long)], forceIndirect: Boolean = false,
       deepNameIndex: Boolean = false, tinyOf: Set[String] = Set.empty,
-      hugeOf: Set[String] = Set.empty, deflateHeap: Boolean = false): Long = {
+      hugeOf: Set[String] = Set.empty, deflateHeap: Boolean = false,
+      hugeIndexed: Boolean = false): Long = {
     val named = children.sortBy(_._1).map { case (name, addr) =>
       val nb = name.getBytes("UTF-8")
       val b = ByteBuffer.allocate(3 + nb.length + 8).order(ByteOrder.LITTLE_ENDIAN)
@@ -442,10 +443,48 @@ final class Hdf5TestWriter(capacity: Int = 1 << 22) {
       name -> b.array()
     }
     // huge objects live OUTSIDE the heap blocks: body bytes at their own
-    // file extent, address+length carried inline in the heap ID
-    val hugeAt: Map[String, Long] = named.collect {
-      case (name, body) if hugeOf(name) => name -> writeBytes(body)
+    // file extent — deflated when the heap declares a filter pipeline
+    // (libhdf5 filters huge objects through the heap's pipeline too).
+    // (addr, stored length, de-filtered memory size) per huge link.
+    val hugeAt: Map[String, (Long, Long, Long)] = named.collect {
+      case (name, body) if hugeOf(name) =>
+        val stored = if (deflateHeap) deflate(body, 6) else body
+        name -> ((writeBytes(stored), stored.length.toLong, body.length.toLong))
     }.toMap
+    // indexed huge IDs: id → extent lives in a v2 B-tree (record type 1
+    // plain / 2 filtered) the FRHP header points at; ids are 1-based in
+    // name order (the value never matters, only the heap-ID ↔ record match)
+    val hugeIds: Map[String, Long] = named.collect {
+      case (name, _) if hugeOf(name) => name
+    }.zipWithIndex.map { case (n, i) => n -> (i + 1L) }.toMap
+    val hugeBtreeAddr: Long =
+      if (!hugeIndexed || hugeOf.isEmpty) Undef
+      else {
+        val typ = if (deflateHeap) 2 else 1
+        val recSz = if (deflateHeap) 8 + 8 + 4 + 8 + 8 else 8 + 8 + 8
+        val bthd = pos
+        buf.put("BTHD".getBytes)
+        buf.put(0.toByte).put(typ.toByte)
+        buf.putInt(2048)            // node size
+        buf.putShort(recSz.toShort)
+        buf.putShort(0.toShort)     // depth: single leaf
+        buf.put(100.toByte).put(40.toByte)
+        buf.putLong(bthd + 38)      // root node follows immediately
+        buf.putShort(hugeIds.size.toShort)
+        buf.putLong(hugeIds.size.toLong)
+        buf.putInt(0)               // checksum
+        require(pos == bthd + 38, "huge BTHD size drift")
+        buf.put("BTLF".getBytes)
+        buf.put(0.toByte).put(typ.toByte)
+        named.collect { case (name, _) if hugeOf(name) =>
+          val (addr, stored, mem) = hugeAt(name)
+          buf.putLong(addr).putLong(stored)
+          if (deflateHeap) { buf.putInt(0); buf.putLong(mem) }
+          buf.putLong(hugeIds(name))
+        }
+        buf.putInt(0)               // checksum
+        bthd
+      }
     val maxTiny = named.collect {
       case (name, body) if tinyOf(name) => body.length
     }.maxOption.getOrElse(0)
@@ -454,11 +493,21 @@ final class Hdf5TestWriter(capacity: Int = 1 << 22) {
       case (name, body) if !tinyOf(name) && !hugeOf(name) => body
     }
     val offsetSize = 4 // max heap size 32 bits
+    val hugeIdLen =
+      if (hugeOf.isEmpty) 0
+      else if (hugeIndexed) 1 + 8             // flags + huge-object id
+      else if (deflateHeap) 1 + 8 + 8 + 4 + 8 // + addr, stored, mask, mem
+      else 1 + 8 + 8                          // flags + addr + len
     val heapIdLen = Seq(
       1 + offsetSize + 2,                     // managed: flags + offset + len
-      if (hugeOf.nonEmpty) 17 else 0,         // huge direct: flags + addr + len
+      hugeIdLen,
       if (tinyOf.nonEmpty) 1 + maxTiny else 0 // tiny: flags/len + data
     ).max
+    // the reader (like libhdf5) detects DIRECT huge IDs by the heap ID
+    // length fitting a whole extent — an indexed fixture must stay below
+    require(!hugeIndexed || hugeOf.isEmpty ||
+      heapIdLen < (if (deflateHeap) 29 else 17),
+      s"indexed-huge fixture heap ID length $heapIdLen reads as direct")
     val hdrSize = 4 + 1 + 8 + offsetSize // FHDB header (no checksum flag)
     val width = 2
     val startSize: Long =
@@ -493,7 +542,13 @@ final class Hdf5TestWriter(capacity: Int = 1 << 22) {
         if (tinyOf(name)) {
           id.put(((2 << 4) | (body.length - 1)).toByte).put(body)
         } else if (hugeOf(name)) {
-          id.put((1 << 4).toByte).putLong(hugeAt(name)).putLong(body.length.toLong)
+          id.put((1 << 4).toByte)
+          if (hugeIndexed) id.putLong(hugeIds(name))
+          else {
+            val (addr, stored, mem) = hugeAt(name)
+            id.putLong(addr).putLong(stored)
+            if (deflateHeap) { id.putInt(0); id.putLong(mem) }
+          }
         } else {
           val p = managedIt.next()
           id.put(0.toByte)
@@ -535,7 +590,8 @@ final class Hdf5TestWriter(capacity: Int = 1 << 22) {
     buf.putShort(filterInfoLen.toShort)
     buf.put(0.toByte)       // flags: no direct-block checksums
     buf.putInt(4096)        // max managed object size
-    buf.putLong(0L); buf.putLong(Undef) // next huge id, huge v2 B-tree
+    buf.putLong(hugeIds.size + 1L)  // next huge object id
+    buf.putLong(hugeBtreeAddr)      // huge-object v2 B-tree (Undef: direct)
     buf.putLong(0L); buf.putLong(Undef) // free space, free-space manager
     val totalSpace = (0 to lastSlot).map(slotSize).sum
     buf.putLong(totalSpace); buf.putLong(totalSpace) // managed, allocated

@@ -41,6 +41,26 @@ object Bench {
     walk(new java.io.File(d))
   }
 
+  /** Total ROWS across every parquet table in a sf dir (metadata-only
+    * counts). The growth denominator must be row growth, not byte
+    * growth: parquet's fixed per-file overhead inflates a tiny sf's
+    * on-disk size, so a byte ratio (38× for the 100× sf0.001→sf0.1
+    * span) understates the data span and falsely flags every
+    * linear-in-rows shuffle as super-linear.
+    */
+  private def dirRows(spark: SparkSession, d: String): Long = {
+    // footer metadata only — no schema conversion (testdata's nanosecond
+    // timestamps would fail a full Spark read) and no jobs
+    val conf = spark.sessionState.newHadoopConf()
+    Option(new java.io.File(d).listFiles).map(_.filter(
+      _.getName.endsWith(".parquet")).map { f =>
+        val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+          new org.apache.hadoop.fs.Path(f.getPath), conf)
+        val rd = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+        try rd.getRecordCount finally rd.close()
+      }.sum).getOrElse(0L)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -141,7 +161,8 @@ object Bench {
     // 100 TB. Sub-linear growth (fixed fixtures, planted components,
     // broadcast-crossover) never flags. Queries shuffling < 64 KiB at the
     // small sf report null (a ratio over noise bytes means nothing).
-    val dataRatio = dirBytes(sfDir).toDouble / math.max(1L, dirBytes(warmDir))
+    val dataRatio = dirRows(spark, sfDir).toDouble /
+      math.max(1L, dirRows(spark, warmDir))
     val MinSmall = 64L * 1024
     val growthRows = results.collect { case (k, _, _, _, true, sh, _) =>
       val small = smallShuffle.getOrElse(k, -1L)

@@ -356,18 +356,24 @@ object MultimodalQueries {
   val m5SceneCuts: QueryDef = QueryDef(
     "m5_scene_cuts",
     (s, dir) => {
-      val w = org.apache.spark.sql.expressions.Window
+      // one doc_id-keyed lineage end to end: the ordered window computes
+      // deltas, the unbounded windows fold max/argmin/count over the same
+      // partitioning, and the final collapse groups on the window key —
+      // ONE exchange total and the frame decode runs exactly once (the
+      // join formulation forked the decode lineage into three consumers)
+      val wOrd = org.apache.spark.sql.expressions.Window
         .partitionBy("doc_id").orderBy("frame_idx")
-      val d = m5FrameSums(s, dir)
-        .withColumn("diff", abs(col("psum") - lag("psum", 1).over(w)))
-      val agg = d.filter(col("diff").isNotNull).groupBy("doc_id")
-        .agg(max(col("diff")).as("max_diff"))
-      val nFrames = d.groupBy("doc_id").agg(count(lit(1)).as("n_frames"))
-      d.join(agg, "doc_id")
-        .filter(col("diff") === col("max_diff"))
-        .groupBy("doc_id", "max_diff")
-        .agg(min(col("frame_idx")).as("cut_frame"))
-        .join(nFrames, "doc_id")
+      val wDoc = org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
+      m5FrameSums(s, dir)
+        .withColumn("diff", abs(col("psum") - lag("psum", 1).over(wOrd)))
+        .withColumn("max_diff", max(col("diff")).over(wDoc))
+        .withColumn("n_frames", count(lit(1)).over(wDoc))
+        .withColumn("cut_frame",
+          min(when(col("diff") === col("max_diff"), col("frame_idx"))).over(wDoc))
+        .groupBy("doc_id")
+        .agg(max(col("n_frames")).as("n_frames"),
+          max(col("cut_frame")).as("cut_frame"),
+          max(col("max_diff")).as("max_diff"))
         .select("doc_id", "n_frames", "cut_frame", "max_diff")
         .orderBy("doc_id")
     },
@@ -494,21 +500,25 @@ object MultimodalQueries {
   val m7Keyframes: QueryDef = QueryDef(
     "m7_keyframes",
     (s, dir) => {
-      val w = org.apache.spark.sql.expressions.Window
+      // all windows and the final collapse share the doc_id hash
+      // partitioning (scene refines doc_id, so the (doc_id, scene)
+      // windows re-sort but never re-exchange): ONE shuffle, frame
+      // decode runs exactly once — the join formulation re-decoded the
+      // video for every join consumer
+      val wOrd = org.apache.spark.sql.expressions.Window
         .partitionBy("doc_id").orderBy("frame_idx")
-      val d = m5FrameSums(s, dir)
-        .withColumn("diff", abs(col("psum") - lag("psum", 1).over(w)))
-      val cutFrame = d.filter(col("diff").isNotNull)
-        .groupBy("doc_id").agg(max(col("diff")).as("max_diff"))
-        .join(d, "doc_id")
-        .filter(col("diff") === col("max_diff"))
-        .groupBy("doc_id").agg(min(col("frame_idx")).as("cut_frame"))
-      val scenes = d.join(cutFrame, "doc_id")
+      val wDoc = org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
+      val wScene = org.apache.spark.sql.expressions.Window
+        .partitionBy("doc_id", "scene")
+      m5FrameSums(s, dir)
+        .withColumn("diff", abs(col("psum") - lag("psum", 1).over(wOrd)))
+        .withColumn("max_diff", max(col("diff")).over(wDoc))
+        .withColumn("cut_frame",
+          min(when(col("diff") === col("max_diff"), col("frame_idx"))).over(wDoc))
         .withColumn("scene",
           when(col("frame_idx") >= col("cut_frame"), 1L).otherwise(0L))
-      val stats = scenes.groupBy("doc_id", "scene")
-        .agg(count(lit(1)).as("cnt"), sum(col("psum")).as("tot"))
-      scenes.join(stats, Seq("doc_id", "scene"))
+        .withColumn("cnt", count(lit(1)).over(wScene))
+        .withColumn("tot", sum(col("psum")).over(wScene))
         .withColumn("dev", abs(col("psum") * col("cnt") - col("tot")))
         .groupBy("doc_id", "scene")
         .agg(min(struct(col("dev"), col("frame_idx"))).as("m"),

@@ -33,9 +33,11 @@ import java.util.zip.Inflater
   *     type (same descriptors; `readVlenSeqs`);
   *   - dataspaces: simple, any rank (v1 and v2 messages);
   *   - layouts: compact (data inline in the object header), contiguous,
-  *     and chunked (B-tree v1 node type 1, any depth), with the deflate
-  *     (zlib, `java.util.zip.Inflater`) and shuffle filters in any
-  *     pipeline order.
+  *     and chunked — layout message v3 (B-tree v1 node type 1, any depth)
+  *     and v4 (libver-latest) with the Single Chunk, Implicit, and Fixed
+  *     Array chunk indexes — with the deflate (zlib,
+  *     `java.util.zip.Inflater`) and shuffle filters in any pipeline
+  *     order.
   *
   * Anything outside the subset fails fast with a message naming the
   * unsupported feature rather than misreading data.
@@ -72,7 +74,8 @@ object Hdf5 {
       private val dataAddr: Long,
       private val dataSize: Long,
       private val chunkDims: Vector[Int],
-      private val filters: Vector[Int]) extends Node {
+      private val filters: Vector[Int],
+      private val chunkIndex: Int = 0) extends Node {
 
     def elementCount: Long = dims.product
 
@@ -88,9 +91,37 @@ object Hdf5 {
         case 1 => // contiguous
           if (dataAddr == Undefined) new Array[Byte](total.toInt)
           else slice(dataAddr, total.toInt)
-        case 2 => // chunked: walk the chunk B-tree, copy each chunk in
+        case 2 => // chunked: resolve chunk extents via the layout's index
           val out = new Array[Byte](total.toInt)
-          walkChunkTree(dataAddr, out)
+          chunkIndex match {
+            case 0 => // v3 layout: v1 B-tree, any depth
+              walkChunkTree(dataAddr, out)
+            case 1 => // v4 Single Chunk: the whole dataset is one chunk
+              if (dataAddr != Undefined) {
+                val stored =
+                  if (filters.nonEmpty) dataSize
+                  else chunkDims.map(_.toLong).product * dtype.size
+                copyChunk(decodeChunk(slice(dataAddr, stored.toInt)),
+                  Vector.fill(dims.length)(0L), out)
+              }
+            case 2 => // v4 Implicit: dense unfiltered grid, consecutive
+              require(filters.isEmpty,
+                "implicit chunk index cannot carry a filter pipeline")
+              val chunkBytes = chunkDims.map(_.toLong).product * dtype.size
+              foreachChunkOrigin { (k, origin) =>
+                copyChunk(slice(dataAddr + k * chunkBytes, chunkBytes.toInt),
+                  origin, out)
+              }
+            case 3 => // v4 Fixed Array: linear chunk-grid index
+              val entries = fixedArrayEntries(dataAddr)
+              foreachChunkOrigin { (k, origin) =>
+                val (addr, stored) = entries(k)
+                if (addr != Undefined)
+                  copyChunk(decodeChunk(slice(addr, stored.toInt)), origin, out)
+              }
+            case t => fail(s"chunk index type $t not supported " +
+              "(extensible-array and v2-B-tree indexes need unlimited dims)")
+          }
           out
         case c => fail(s"layout class $c (virtual) not supported")
       }
@@ -210,17 +241,86 @@ object Hdf5 {
           walkChunkTree(child, out)
           b.pos = save
         } else {
-          // decode filters in reverse pipeline order (write order was
-          // shuffle → deflate, so read inflates first, then unshuffles)
-          var raw = slice(child, chunkBytes.toInt)
-          filters.reverse.foreach {
-            case 1 => raw = inflate(raw)
-            case 2 => raw = unshuffle(raw, dtype.size)
-            case f => fail(s"filter $f in chunk pipeline")
-          }
-          copyChunk(raw, offsets.take(rank).map(_.toLong), out)
+          copyChunk(decodeChunk(slice(child, chunkBytes.toInt)),
+            offsets.take(rank).map(_.toLong), out)
         }
         e += 1
+      }
+    }
+
+    /** Decode one stored chunk through the filter pipeline in reverse
+      * order (write order was shuffle → deflate, so read inflates first,
+      * then unshuffles).
+      */
+    private def decodeChunk(stored: Array[Byte]): Array[Byte] = {
+      var raw = stored
+      filters.reverse.foreach {
+        case 1 => raw = inflate(raw)
+        case 2 => raw = unshuffle(raw, dtype.size)
+        case f => fail(s"filter $f in chunk pipeline")
+      }
+      raw
+    }
+
+    /** Visit every chunk-grid cell in row-major order: (linear index,
+      * element-coordinate origin) — the order every v4 linear chunk
+      * index (implicit, fixed-array) is laid out in.
+      */
+    private def foreachChunkOrigin(f: (Int, Vector[Long]) => Unit): Unit = {
+      val rank = dims.length
+      val n = Vector.tabulate(rank)(d =>
+        ((dims(d) + chunkDims(d) - 1) / chunkDims(d)).toInt)
+      val totalChunks = n.product
+      var k = 0
+      while (k < totalChunks) {
+        var rem = k
+        val origin = new Array[Long](rank)
+        var d = rank - 1
+        while (d >= 0) {
+          origin(d) = (rem % n(d)).toLong * chunkDims(d)
+          rem /= n(d)
+          d -= 1
+        }
+        f(k, origin.toVector)
+        k += 1
+      }
+    }
+
+    /** The (address, stored size) of every chunk in a v4 Fixed Array
+      * index, by linear grid index. Client 0 entries are bare addresses
+      * (stored size is the nominal chunk size); client 1 (filtered) adds
+      * a variable-width stored size and a filter mask. Paged data blocks
+      * (> 2^pageBits entries) fail fast.
+      */
+    private def fixedArrayEntries(addr: Long): Vector[(Long, Long)] = {
+      val b = reader(file, addr)
+      b.expect("FAHD")
+      if (b.u8() != 0) fail("FAHD version")
+      val clientId = b.u8()
+      if (clientId != 0 && clientId != 1) fail(s"FAHD client id $clientId")
+      val entrySize = b.u8()
+      val pageBits = b.u8()
+      val nEntries = b.u64()
+      val dbAddr = b.u64()
+      if (nEntries > (1L << pageBits))
+        fail("paged fixed-array chunk index not supported")
+      val db = reader(file, dbAddr)
+      db.expect("FADB")
+      if (db.u8() != 0) fail("FADB version")
+      if (db.u8() != clientId) fail("FADB client id mismatch")
+      db.u64() // header address (back-pointer; not validated)
+      val nominal = chunkDims.map(_.toLong).product * dtype.size
+      Vector.fill(nEntries.toInt) {
+        if (clientId == 0) (db.u64(), nominal)
+        else {
+          val a = db.u64()
+          val szBytes = entrySize - 8 - 4
+          var sz = 0L
+          var i = 0
+          while (i < szBytes) { sz |= (db.u8().toLong << (8 * i)); i += 1 }
+          db.u32() // filter mask
+          (a, sz)
+        }
       }
     }
 
@@ -891,6 +991,7 @@ object Hdf5 {
     var dataSize = 0L
     var chunkDims = Vector.empty[Int]
     var filters = Vector.empty[Int]
+    var chunkIndex = 0
 
     msgs.foreach { m =>
       m.typ match {
@@ -906,7 +1007,8 @@ object Hdf5 {
         case 0x0008 => // data layout
           val b = m.body
           val v = b.u8()
-          if (v != 3) fail(s"layout message version $v (only 3 supported)")
+          if (v != 3 && v != 4)
+            fail(s"layout message version $v (only 3/4 supported)")
           layoutClass = b.u8()
           layoutClass match {
             case 0 =>
@@ -917,11 +1019,37 @@ object Hdf5 {
               dataAddr = b.pos
             case 1 =>
               dataAddr = b.u64(); dataSize = b.u64()
-            case 2 =>
+            case 2 if v == 3 =>
               val dimensionality = b.u8()
               dataAddr = b.u64() // chunk B-tree root
               chunkDims = Vector.fill(dimensionality - 1)(b.u32().toInt)
               b.u32() // trailing entry: element size
+            case 2 => // v4 (libver-latest): typed chunk index
+              val flags = b.u8()
+              val dimensionality = b.u8()
+              val encLen = b.u8() // bytes per encoded chunk dimension
+              chunkDims = Vector.fill(dimensionality) {
+                var d = 0L
+                var i = 0
+                while (i < encLen) { d |= (b.u8().toLong << (8 * i)); i += 1 }
+                d.toInt
+              }
+              b.u8() match {
+                case 1 => // Single Chunk (chunk dims == dataset dims)
+                  chunkIndex = 1
+                  // flag bit 1: filtered — stored size + filter mask precede
+                  if ((flags & 0x2) != 0) { dataSize = b.u64(); b.u32() }
+                  dataAddr = b.u64()
+                case 2 => // Implicit (early allocation, no filters)
+                  chunkIndex = 2
+                  dataAddr = b.u64()
+                case 3 => // Fixed Array
+                  chunkIndex = 3
+                  b.u8() // page-bits creation hint (FAHD carries its own)
+                  dataAddr = b.u64()
+                case t => fail(s"chunk index type $t not supported " +
+                  "(extensible-array and v2-B-tree indexes need unlimited dims)")
+              }
             case c => fail(s"layout class $c not supported (dataset $name)")
           }
         case 0x000B => // filter pipeline
@@ -949,7 +1077,8 @@ object Hdf5 {
       }
     }
     require(dtype != null && layoutClass >= 0, s"dataset $name missing messages")
-    Dataset(name, dims, dtype, file, layoutClass, dataAddr, dataSize, chunkDims, filters)
+    Dataset(name, dims, dtype, file, layoutClass, dataAddr, dataSize, chunkDims,
+      filters, chunkIndex)
   }
 
   /** Parse a datatype message body (recursive: a vlen SEQUENCE's base

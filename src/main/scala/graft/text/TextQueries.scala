@@ -1624,6 +1624,81 @@ object TextQueries {
     }))
   )
 
+  /** BPE CORPUS ENCODING registered end to end — train on the corpus
+    * ([[BpeTrainer.train]]: ONE distinct-word aggregation + a driver
+    * merge loop over the bounded vocabulary), broadcast the merge table,
+    * encode every document shuffle-free in `mapPartitions` (the
+    * rank-greedy serving encoder, built once per partition), and emit
+    * per-document tokenization stats. At 100 TB the encode pass is
+    * embarrassingly parallel — the only corpus-wide exchange is the
+    * distinct-word count the trainer already pays once.
+    *
+    * The oracle can't re-run BPE, so it verifies the dumped token stream
+    * the strong way: every word's tokens must REASSEMBLE to exactly that
+    * word (string_agg over the per-word token sequence — any
+    * mis-segmentation drops the row and fails the row-count compare),
+    * and the word stream itself is pinned to the real `documents` table
+    * (word count and non-space char count recomputed from `text`
+    * independently). Reference analog: the tokenizer stage every
+    * training-data pipeline runs before packing (t17).
+    */
+  val t32BpeEncode: QueryDef = QueryDef(
+    "t32_bpe_encode",
+    (s, dir) => bpeTokens(s, dir)
+      .groupBy("doc_id")
+      .agg(countDistinct(col("word_idx")).as("n_words"),
+        count(lit(1)).as("n_tokens"),
+        sum(length(col("token"))).as("n_chars"))
+      .orderBy("doc_id"),
+    Some("""
+      WITH tk AS (
+        SELECT * FROM read_parquet('{OUT}/aux/t32_bpe_encode__tokens/*.parquet')),
+      w AS (
+        SELECT doc_id, word_idx, ANY_VALUE(word) AS word,
+               COUNT(*) AS n_tok, SUM(LENGTH(token)) AS n_ch,
+               STRING_AGG(token, '' ORDER BY pos) AS reasm
+        FROM tk GROUP BY doc_id, word_idx),
+      d AS (
+        SELECT doc_id,
+               LEN(LIST_FILTER(STRING_SPLIT(text, ' '), x -> LEN(x) > 0)) AS n_words,
+               LENGTH(REPLACE(text, ' ', '')) AS n_chars
+        FROM documents)
+      SELECT w.doc_id, CAST(d.n_words AS BIGINT) AS n_words,
+             CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+             CAST(SUM(n_ch) AS BIGINT) AS n_chars
+      FROM w JOIN d USING (doc_id)
+      WHERE w.reasm = w.word
+      GROUP BY w.doc_id, d.n_words, d.n_chars
+      HAVING COUNT(*) = d.n_words AND SUM(n_ch) = d.n_chars
+      ORDER BY doc_id"""),
+    aux = Map("tokens" -> ((s, dir) =>
+      bpeTokens(s, dir).orderBy("doc_id", "word_idx", "pos")))
+  )
+
+  /** The encoded token stream: one row per (doc, word occurrence, token
+    * position). Deterministic: training ties break lexicographically and
+    * the serving encoder is spec-pinned equal to the in-order fold.
+    */
+  private def bpeTokens(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    val session = s
+    import session.implicits._
+    val docs = Tables.loadSpread(s, dir, "documents").select("doc_id", "text")
+    val merges = BpeTrainer.train(docs, "text", numMerges = 48)
+    val bc = s.sparkContext.broadcast(merges)
+    docs.as[(Long, String)].mapPartitions { it =>
+      val enc = BpeTrainer.encoder(bc.value)
+      it.flatMap { case (id, text) =>
+        text.split(" ").iterator.filter(_.nonEmpty).zipWithIndex.flatMap {
+          case (word, wi) =>
+            enc(word).iterator.zipWithIndex.map { case (tok, p) =>
+              (id, wi, word, p, tok)
+            }
+        }
+      }
+    }.toDF("doc_id", "word_idx", "word", "pos", "token")
+  }
+
   val all: Seq[QueryDef] =
     Seq(t1TokenCount, t2QualityScore, t3LangId, t4Fingerprint, t5Vocab,
       t6StratifiedSample, t7Cooccurrence, t8DistinctSketch, t9SketchRollup,
@@ -1632,5 +1707,5 @@ object TextQueries {
       t17Packing, t18InvertedIndex, t19Bm25, t20UrlDomains, t21CorpusCard,
       t22TypoCorrection, t23LearnedQuality, t24ChatFormat, t25DomainCaps,
       t26ParagraphDedup, t27SplitAssign, t28DsirWeights, t29Keywords,
-      t30VocabGrowth, t31DecontamCurve)
+      t30VocabGrowth, t31DecontamCurve, t32BpeEncode)
 }

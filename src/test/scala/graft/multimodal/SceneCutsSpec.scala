@@ -21,4 +21,17 @@ class SceneCutsSpec extends SparkSpec {
       assert(maxDiff > 0)
     }
   }
+
+  test("m5/m7 plans: one hash exchange — the decode lineage never forks") {
+    // windows + collapse all share the doc_id hash partitioning; the only
+    // other exchange is the final presentation ORDER BY (range). A second
+    // hash exchange (or a join) would mean the video decode re-runs.
+    Seq(MultimodalQueries.m5SceneCuts, MultimodalQueries.m7Keyframes)
+      .foreach { q =>
+        val plan = q.fn(spark, sf).queryExecution.executedPlan.toString
+        val hashEx = "Exchange hashpartitioning".r.findAllIn(plan).size
+        assert(hashEx == 1, s"${q.name}: $hashEx hash exchanges\n$plan")
+        assert(!plan.contains("Join"), s"${q.name} plan contains a join")
+      }
+  }
 }

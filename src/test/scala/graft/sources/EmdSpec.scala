@@ -224,6 +224,34 @@ class EmdSpec extends SparkSpec {
     }
   }
 
+  test("HDF5 v4 layout: single-chunk, implicit, and fixed-array indexes") {
+    // libver-latest chunked datasets carry a version-4 layout message
+    // with a typed chunk index instead of the v1 B-tree; cover all three
+    // fixed-shape index types, filtered and not, with edge chunks
+    val dims = Seq(5L, 7L)
+    val n = 35
+    val raw = java.nio.ByteBuffer.allocate(n * 4)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    (0 until n).foreach(i => raw.putInt(i * 3 + 1))
+    def read(build: Hdf5TestWriter => Long): Seq[Double] = {
+      val w = new Hdf5TestWriter()
+      val ds = build(w)
+      val g = Hdf5.open(w.finishV3(w.groupV2(Seq("d" -> ds))))
+      g.child("d").get.asInstanceOf[Hdf5.Dataset].readDoubles().toSeq
+    }
+    val want = (0 until n).map(i => (i * 3 + 1).toDouble)
+    assert(read(w =>
+      w.chunkedDatasetV4(dims, w.int32, raw.array(), Seq(5, 7), "single")) == want)
+    assert(read(w => w.chunkedDatasetV4(dims, w.int32, raw.array(), Seq(5, 7),
+      "single", deflateLevel = 6)) == want)
+    assert(read(w =>
+      w.chunkedDatasetV4(dims, w.int32, raw.array(), Seq(2, 3), "implicit")) == want)
+    assert(read(w =>
+      w.chunkedDatasetV4(dims, w.int32, raw.array(), Seq(2, 3), "fixedarray")) == want)
+    assert(read(w => w.chunkedDatasetV4(dims, w.int32, raw.array(), Seq(2, 3),
+      "fixedarray", deflateLevel = 6)) == want)
+  }
+
   test("HDF5 dense group: huge IDs in B-tree-indexed and filtered sub-forms") {
     // the three huge sub-forms beyond direct-unfiltered: indexed plain
     // (v2 B-tree record type 1), direct filtered (29-byte IDs carrying

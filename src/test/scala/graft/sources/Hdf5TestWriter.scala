@@ -226,32 +226,9 @@ final class Hdf5TestWriter(capacity: Int = 1 << 22) {
       filterMsgVersion: Int = 1, shuffle: Boolean = false,
       v2Header: Boolean = false): Long = {
     val rank = dims.size
-    val nChunks = dims.indices.map(d =>
-      ((dims(d) + chunkDims(d) - 1) / chunkDims(d)).toInt)
-    val strides = new Array[Long](rank)
-    var s = 1L
-    for (d <- (rank - 1) to 0 by -1) { strides(d) = s; s *= dims(d) }
-
     // gather each chunk (zero-padded at the edges), deflate, write, record
     val entries = Vector.newBuilder[(Long, Int, Seq[Long])] // addr, size, offsets
-    val gridTotal = nChunks.product
-    for (ci <- 0 until gridTotal) {
-      var rem = ci
-      val grid = new Array[Int](rank)
-      for (d <- (rank - 1) to 0 by -1) { grid(d) = rem % nChunks(d); rem /= nChunks(d) }
-      val at = (0 until rank).map(d => grid(d).toLong * chunkDims(d))
-      val chunkElems = chunkDims.product
-      val chunk = new Array[Byte](chunkElems * dt.size)
-      val local = new Array[Int](rank)
-      for (i <- 0 until chunkElems) {
-        var r2 = i
-        for (d <- (rank - 1) to 0 by -1) { local(d) = r2 % chunkDims(d); r2 /= chunkDims(d) }
-        val inBounds = (0 until rank).forall(d => at(d) + local(d) < dims(d))
-        if (inBounds) {
-          val src = (0 until rank).map(d => (at(d) + local(d)) * strides(d)).sum
-          System.arraycopy(raw, (src * dt.size).toInt, chunk, i * dt.size, dt.size)
-        }
-      }
+    gatherChunks(dims, dt, raw, chunkDims).foreach { case (at, chunk) =>
       val packed = deflate(
         if (shuffle) shuffleBytes(chunk, dt.size) else chunk, deflateLevel)
       val addr = writeBytes(packed)
@@ -317,6 +294,117 @@ final class Hdf5TestWriter(capacity: Int = 1 << 22) {
       0x000B -> filter,
       0x0008 -> layout.array())
     if (v2Header) objectHeaderV2(msgs) else objectHeader(msgs)
+  }
+
+  /** Row-major chunk gather: (element-coordinate origin, nominal-size
+    * chunk bytes zero-padded at the edges) per grid cell — the layout
+    * every chunk index stores.
+    */
+  private def gatherChunks(dims: Seq[Long], dt: Dt, raw: Array[Byte],
+      chunkDims: Seq[Int]): Vector[(Seq[Long], Array[Byte])] = {
+    val rank = dims.size
+    val nChunks = dims.indices.map(d =>
+      ((dims(d) + chunkDims(d) - 1) / chunkDims(d)).toInt)
+    val strides = new Array[Long](rank)
+    var s = 1L
+    for (d <- (rank - 1) to 0 by -1) { strides(d) = s; s *= dims(d) }
+    val out = Vector.newBuilder[(Seq[Long], Array[Byte])]
+    for (ci <- 0 until nChunks.product) {
+      var rem = ci
+      val grid = new Array[Int](rank)
+      for (d <- (rank - 1) to 0 by -1) { grid(d) = rem % nChunks(d); rem /= nChunks(d) }
+      val at = (0 until rank).map(d => grid(d).toLong * chunkDims(d))
+      val chunkElems = chunkDims.product
+      val chunk = new Array[Byte](chunkElems * dt.size)
+      val local = new Array[Int](rank)
+      for (i <- 0 until chunkElems) {
+        var r2 = i
+        for (d <- (rank - 1) to 0 by -1) { local(d) = r2 % chunkDims(d); r2 /= chunkDims(d) }
+        val inBounds = (0 until rank).forall(d => at(d) + local(d) < dims(d))
+        if (inBounds) {
+          val src = (0 until rank).map(d => (at(d) + local(d)) * strides(d)).sum
+          System.arraycopy(raw, (src * dt.size).toInt, chunk, i * dt.size, dt.size)
+        }
+      }
+      out += ((at, chunk))
+    }
+    out.result()
+  }
+
+  /** Chunked dataset with a VERSION-4 data-layout message (what h5py
+    * libver='latest' emits): chunk index "single" (whole dataset in one
+    * chunk), "implicit" (dense unfiltered grid at consecutive
+    * addresses), or "fixedarray" (FAHD/FADB linear index); optional
+    * per-chunk deflate via a v2 filter message (not for implicit, which
+    * the format restricts to unfiltered). OHDR header framing.
+    */
+  def chunkedDatasetV4(dims: Seq[Long], dt: Dt, raw: Array[Byte],
+      chunkDims: Seq[Int], index: String, deflateLevel: Int = 0): Long = {
+    val rank = dims.size
+    val filtered = deflateLevel > 0
+    require(!(filtered && index == "implicit"), "implicit index is unfiltered")
+    val chunks = gatherChunks(dims, dt, raw, chunkDims)
+    require(index != "single" || chunks.size == 1,
+      "single-chunk index needs chunk dims covering the whole dataset")
+    val stored = chunks.map { case (at, chunk) =>
+      val bytes = if (filtered) deflate(chunk, deflateLevel) else chunk
+      (at, writeBytes(bytes), bytes.length)
+    }
+
+    val layout = ByteBuffer.allocate(64 + 4 * rank).order(ByteOrder.LITTLE_ENDIAN)
+    layout.put(4.toByte).put(2.toByte) // version 4, class chunked
+    layout.put(if (filtered && index == "single") 2.toByte else 0.toByte)
+    layout.put(rank.toByte)
+    layout.put(4.toByte) // bytes per encoded chunk dimension
+    chunkDims.foreach(layout.putInt)
+    index match {
+      case "single" =>
+        layout.put(1.toByte)
+        if (filtered) { layout.putLong(stored.head._3.toLong); layout.putInt(0) }
+        layout.putLong(stored.head._2)
+      case "implicit" =>
+        layout.put(2.toByte)
+        layout.putLong(stored.head._2) // chunks are consecutive from here
+      case "fixedarray" =>
+        val clientId = if (filtered) 1 else 0
+        val entrySize = if (filtered) 8 + 8 + 4 else 8
+        val fahd = pos
+        buf.put("FAHD".getBytes)
+        buf.put(0.toByte).put(clientId.toByte)
+        buf.put(entrySize.toByte).put(10.toByte) // page bits: non-paged
+        buf.putLong(stored.size.toLong)
+        buf.putLong(fahd + 28) // data block follows immediately
+        buf.putInt(0)          // checksum
+        require(pos == fahd + 28, "FAHD size drift")
+        buf.put("FADB".getBytes)
+        buf.put(0.toByte).put(clientId.toByte)
+        buf.putLong(fahd)
+        stored.foreach { case (_, addr, len) =>
+          buf.putLong(addr)
+          if (filtered) { buf.putLong(len.toLong); buf.putInt(0) }
+        }
+        buf.putInt(0) // checksum
+        layout.put(3.toByte)
+        layout.put(10.toByte) // page-bits creation hint
+        layout.putLong(fahd)
+      case i => throw new IllegalArgumentException(s"index $i")
+    }
+    val layoutBytes = java.util.Arrays.copyOf(layout.array(), layout.position())
+
+    val base = Seq(0x0001 -> dataspaceBody(dims), 0x0003 -> dt.body)
+    val msgs =
+      if (!filtered) base :+ (0x0008 -> layoutBytes)
+      else {
+        // v2 filter message: deflate only, no name fields, no padding
+        val f = ByteBuffer.allocate(12).order(ByteOrder.LITTLE_ENDIAN)
+        f.put(2.toByte).put(1.toByte)
+        f.putShort(1.toShort)  // deflate
+        f.putShort(1.toShort)  // flags: optional
+        f.putShort(1.toShort)  // one client value
+        f.putInt(deflateLevel)
+        base ++ Seq(0x000B -> f.array(), 0x0008 -> layoutBytes)
+      }
+    objectHeaderV2(msgs)
   }
 
   /** The HDF5 shuffle filter's forward transform: element-major bytes →

@@ -59,13 +59,20 @@ object MultimodalQueries {
           MediaMeta(w, h, 1, 0, frames, "avi"))
       }
 
-      val decoded = Multimodal.decodeImages(imgMedia)
+      // each media dataset feeds TWO operator branches; in production the
+      // media column is a parquet scan each branch re-reads cheaply, but
+      // here the bytes are synthesized (encode stands in for the scan) —
+      // cache them once so the branches exercise the DECODE ops, not the
+      // fixture encoder (the d2-LSH working-set precedent)
+      val img = imgMedia.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val vid = vidMedia.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val decoded = Multimodal.decodeImages(img)
         .map(d => (d.media_id, d.pixels.length)).toDF("doc_id", "n_pixels")
-      val resized = Multimodal.resize(Multimodal.decodeImages(imgMedia), 3, 2)
+      val resized = Multimodal.resize(Multimodal.decodeImages(img), 3, 2)
         .map(d => (d.media_id, d.pixels.length)).toDF("doc_id", "n_resized")
-      val sampled = Multimodal.sampleFrames(vidMedia, everyN = 2)
+      val sampled = Multimodal.sampleFrames(vid, everyN = 2)
         .groupByKey(_.media_id).count().toDF("doc_id", "n_sampled")
-      val feats = Multimodal.extractFeatures(vidMedia, dim = 16)
+      val feats = Multimodal.extractFeatures(vid, dim = 16)
         .map(f => (f.media_id, f.features.length)).toDF("doc_id", "feat_dim")
 
       decoded.join(resized, "doc_id").join(sampled, "doc_id").join(feats, "doc_id")

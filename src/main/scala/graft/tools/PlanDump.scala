@@ -62,7 +62,23 @@ object PlanDump {
       "turning the O(n·m) predicate into a hash join + residual filter."),
     "t31_decontam_curve" -> ("Three shingle widths in one (n,hash)-keyed " +
       "job: 12-byte keys cross the exchange, text stays in the scan " +
-      "stage; the triple posexplode is the work itself."))
+      "stage; the triple posexplode is the work itself."),
+    "m7_keyframes" -> ("Scene keyframes as a single-lineage window plan: " +
+      "every window and the final collapse share ONE doc_id hash " +
+      "exchange ((doc_id, scene) windows re-sort, never re-exchange) and " +
+      "the video decode runs exactly once — no joins anywhere."),
+    "q61_sole_late_shipper" -> ("TPC-H Q21 with zero fact self-joins: " +
+      "one orderkey-keyed lineitem⋈orders join, then BOTH stacked " +
+      "aggregations ((orderkey,supp) and orderkey) reuse its " +
+      "partitioning — the EXISTS/NOT-EXISTS pair is two counters."),
+    "t32_bpe_encode" -> ("BPE corpus encoding: merges broadcast as a " +
+      "closure, the encode pass is mapPartitions with NO exchange; the " +
+      "only shuffles are the trainer's one distinct-word aggregate and " +
+      "the final per-doc stats groupBy."),
+    "c9_incremental_scan" -> ("Incremental CDC catch-up: manifest " +
+      "pointer maps diff driver-side (pure metadata), the scan unions " +
+      "ONLY the changed buckets' files — untouched buckets never appear " +
+      "in the plan at all."))
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")

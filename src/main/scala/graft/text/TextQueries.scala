@@ -1677,14 +1677,21 @@ object TextQueries {
 
   /** The encoded token stream: one row per (doc, word occurrence, token
     * position). Deterministic: training ties break lexicographically and
-    * the serving encoder is spec-pinned equal to the in-order fold.
+    * the serving encoder is spec-pinned equal to the in-order fold. The
+    * trained merge table is cached per corpus dir (Ivf.trainCached
+    * precedent) — a tokenizer is trained once and applied many times;
+    * re-training per consumer would re-run the corpus aggregation.
     */
+  private val mergeCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[(String, String)]]
+
   private def bpeTokens(s: org.apache.spark.sql.SparkSession,
       dir: String): org.apache.spark.sql.DataFrame = {
     val session = s
     import session.implicits._
     val docs = Tables.loadSpread(s, dir, "documents").select("doc_id", "text")
-    val merges = BpeTrainer.train(docs, "text", numMerges = 48)
+    val merges = mergeCache.computeIfAbsent(dir,
+      _ => BpeTrainer.train(docs, "text", numMerges = 48))
     val bc = s.sparkContext.broadcast(merges)
     docs.as[(Long, String)].mapPartitions { it =>
       val enc = BpeTrainer.encoder(bc.value)

@@ -6,6 +6,20 @@ object Bench {
 
   private val Passes = 3
 
+  /** Queries whose plan consumes a JVM-memoized trained model (train-once /
+    * serve-many: the model trains on the first touch of a corpus dir and
+    * later passes reuse it). Legitimate serving design, but it means the
+    * median of the timed passes excludes training — so these entries are
+    * marked in the artifact and their FIRST timed pass (train + serve, the
+    * caches are keyed per corpus dir and the timed sf differs from the
+    * warmup sf) is reported alongside the median.
+    */
+  private val amortized: Map[String, String] = Map(
+    "s3_ann_ivf"          -> "Ivf.trainCached",
+    "s9_kmeans"           -> "Ivf.trainCached",
+    "t23_learned_quality" -> "TextQueries.qmCache",
+    "t32_bpe_encode"      -> "TextQueries.mergeCache")
+
   /** Accumulates per-stage shuffle/spill bytes between [[mark]]s — the
     * evidence behind the scale claims: a query whose time looks fine but
     * whose shuffle grows with the corpus is the one that dies at 100 TB,
@@ -135,25 +149,35 @@ object Bench {
         (t, ok)
       }
       val ok = samples.forall(_._2)
+      val firstPass = samples.head._1
       val times = samples.map(_._1).sorted
-      (name, times(times.size / 2), times.head, times.last, ok, shufBytes, spillBytes)
+      (name, times(times.size / 2), times.head, times.last, ok, shufBytes,
+        spillBytes, firstPass)
     }
     def f(v: Double): String = "%.4f".format(v)
     // failed queries report null (not a near-zero time that would read as
     // a fast success) and are named in "failed"
-    val qs = results.map { case (k, med, _, _, ok, _, _) =>
+    val qs = results.map { case (k, med, _, _, ok, _, _, _) =>
       "\"" + k + "\":" + (if (ok) f(med) else "null")
     }.mkString("{", ",", "}")
-    val spread = results.collect { case (k, _, min, max, true, _, _) =>
+    val spread = results.collect { case (k, _, min, max, true, _, _, _) =>
       "\"" + k + "\":{\"min\":" + f(min) + ",\"max\":" + f(max) + "}"
     }.mkString("{", ",", "}")
-    val shuffle = results.collect { case (k, _, _, _, true, sh, sp) =>
+    val shuffle = results.collect { case (k, _, _, _, true, sh, sp, _) =>
       "\"" + k + "\":{\"shuffle_mb\":" + f(sh / 1048576.0) +
         ",\"spill_mb\":" + f(sp / 1048576.0) + "}"
     }.mkString("{", ",", "}")
-    val failed = results.collect { case (k, _, _, _, false, _, _) => "\"" + k + "\"" }
+    // train-once/serve-many disclosure: per amortized query, the memoized
+    // cache its plan consumes and the first timed pass (train + serve) —
+    // the median alone would silently exclude training cost
+    val amortizedJson = results.collect {
+      case (k, _, _, _, true, _, _, first) if amortized.contains(k) =>
+        "\"" + k + "\":{\"cache\":\"" + amortized(k) +
+          "\",\"first_pass\":" + f(first) + "}"
+    }.mkString("{", ",", "}")
+    val failed = results.collect { case (k, _, _, _, false, _, _, _) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
-    val total = results.collect { case (_, med, _, _, true, _, _) => med }.sum
+    val total = results.collect { case (_, med, _, _, true, _, _, _) => med }.sum
 
     // Scale-growth audit: shuffle bytes at sfDir vs the warmup sf. A query
     // whose exchange grows FASTER than the data (ratio > 1.5 × data ratio)
@@ -164,7 +188,7 @@ object Bench {
     val dataRatio = dirRows(spark, sfDir).toDouble /
       math.max(1L, dirRows(spark, warmDir))
     val MinSmall = 64L * 1024
-    val growthRows = results.collect { case (k, _, _, _, true, sh, _) =>
+    val growthRows = results.collect { case (k, _, _, _, true, sh, _, _) =>
       val small = smallShuffle.getOrElse(k, -1L)
       val ratio = if (small >= MinSmall && sh >= 0) Some(sh.toDouble / small)
                   else None
@@ -185,7 +209,7 @@ object Bench {
     // repo file so every round's bench is self-contained regardless of how
     // much stdout the harness keeps.
     val loadEnd = loadavg()
-    val env = s""""passes":$Passes,"failed":$failed,"sf":"$sfDir","loadavg_start":"$loadStart","loadavg_end":"$loadEnd","data_ratio":${f(dataRatio)},"growth_flagged":$growthFlagged"""
+    val env = s""""passes":$Passes,"failed":$failed,"sf":"$sfDir","loadavg_start":"$loadStart","loadavg_end":"$loadEnd","data_ratio":${f(dataRatio)},"growth_flagged":$growthFlagged,"amortized":$amortizedJson"""
     val compact = s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,$env}"""
     val full = s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"spread":$spread,"exchange":$shuffle,"growth":$growthJson,$env}"""
     println(compact)

@@ -1,6 +1,8 @@
 package graft.core
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Parquet table registry over a scale-factor directory
   * (see /root/repo/TESTDATA.md).
@@ -20,13 +22,56 @@ object Tables {
   val dims: Set[String] = Set("region", "nation")
 
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
-    // events.ts is parquet TIMESTAMP(NANOS) which Spark rejects by default;
-    // read it as a ns-epoch long — the same representation the reference's
-    // transitions.state_time uses (ns since epoch, SURVEY.md §1.1).
-    if (name == "events")
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(s"$dir/$name.parquet")
+    val df = readRaw(spark, s"$dir/$name.parquet")
+    if (name == "events") normalizeEventTs(df) else df
   }
+
+  /** Parquet read that tolerates TIMESTAMP(NANOS) files. Spark rejects the
+    * nanos annotation unless `spark.sql.legacy.parquet.nanosAsLong` is set,
+    * so the flag is enabled ONLY after a read actually failed on it (schema
+    * resolution is eager, so the failure surfaces here, not at job time).
+    * It must stay set for the lifetime of any nanos-encoded scan — the
+    * vectorized reader consults it at execution — but it is a no-op for
+    * every other parquet type, so leaving it on is safe and the common
+    * (µs/long) path never touches session conf at all.
+    */
+  private def readRaw(spark: SparkSession, path: String): DataFrame =
+    try spark.read.parquet(path)
+    catch {
+      case e: Exception if e.getMessage != null && e.getMessage.contains("NANOS") =>
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        spark.read.parquet(path)
+    }
+
+  /** Normalize `events.ts` to a ns-epoch LONG — the representation the
+    * reference's transitions `state_time` uses (ns since epoch, SURVEY.md
+    * §1.1) and the contract every downstream query assumes. Driven by the
+    * LOADED schema, so any of the encodings a writer may emit converge:
+    *
+    *  - parquet TIMESTAMP(NANOS) → read as long via `nanosAsLong` → as-is;
+    *  - TIMESTAMP(MICROS) isAdjustedToUTC=false → Spark `TIMESTAMP_NTZ` →
+    *    wall-clock micros since epoch via `timestampdiff(MICROSECOND, ...)`
+    *    on an NTZ zero literal — pure field arithmetic, NO session-timezone
+    *    dependence (an NTZ→TIMESTAMP cast would shift by the session zone
+    *    and only match the DuckDB oracle under UTC; TablesTsSpec pins this
+    *    under a non-UTC zone);
+    *  - TIMESTAMP(MICROS/MILLIS) isAdjustedToUTC=true → Spark `TIMESTAMP`
+    *    → `unix_micros` (internal value is already epoch-UTC micros,
+    *    timezone-invariant by construction).
+    */
+  private def normalizeEventTs(df: DataFrame): DataFrame =
+    if (!df.schema.fieldNames.contains("ts")) df // projected fixtures
+    else df.schema("ts").dataType match {
+      case LongType => df
+      case TimestampNTZType =>
+        df.withColumn("ts",
+          expr("timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)") * lit(1000L))
+      case TimestampType =>
+        df.withColumn("ts", unix_micros(col("ts")) * lit(1000L))
+      case other =>
+        throw new IllegalStateException(
+          s"events.ts: unsupported type $other (expected long / timestamp / timestamp_ntz)")
+    }
 
   /** Register every table as a temp view for `spark.sql` surfaces. */
   def registerAll(spark: SparkSession, dir: String): Unit =

@@ -36,7 +36,8 @@ import java.util.zip.Inflater
   *     and chunked — layout message v3 (B-tree v1 node type 1, any depth)
   *     and v4 (libver-latest) with the Single Chunk, Implicit, and Fixed
   *     Array chunk indexes — with the deflate (zlib,
-  *     `java.util.zip.Inflater`) and shuffle filters in any pipeline
+  *     `java.util.zip.Inflater`), shuffle, and szip ([[Szip]], CCSDS
+  *     121.0-B Rice coding) filters in any pipeline
   *     order.
   *
   * Anything outside the subset fails fast with a message naming the
@@ -74,7 +75,7 @@ object Hdf5 {
       private val dataAddr: Long,
       private val dataSize: Long,
       private val chunkDims: Vector[Int],
-      private val filters: Vector[Int],
+      private val filters: Vector[(Int, Vector[Int])],
       private val chunkIndex: Int = 0) extends Node {
 
     def elementCount: Long = dims.product
@@ -249,15 +250,16 @@ object Hdf5 {
     }
 
     /** Decode one stored chunk through the filter pipeline in reverse
-      * order (write order was shuffle → deflate, so read inflates first,
-      * then unshuffles).
+      * order (write order was e.g. shuffle → deflate, so read inflates
+      * first, then unshuffles).
       */
     private def decodeChunk(stored: Array[Byte]): Array[Byte] = {
       var raw = stored
       filters.reverse.foreach {
-        case 1 => raw = inflate(raw)
-        case 2 => raw = unshuffle(raw, dtype.size)
-        case f => fail(s"filter $f in chunk pipeline")
+        case (1, _)  => raw = inflate(raw)
+        case (2, _)  => raw = unshuffle(raw, dtype.size)
+        case (4, cd) => raw = Szip.decodeHdf5(raw, cd)
+        case (f, _)  => fail(s"filter $f in chunk pipeline")
       }
       raw
     }
@@ -990,7 +992,7 @@ object Hdf5 {
     var dataAddr = Undefined
     var dataSize = 0L
     var chunkDims = Vector.empty[Int]
-    var filters = Vector.empty[Int]
+    var filters = Vector.empty[(Int, Vector[Int])]
     var chunkIndex = 0
 
     msgs.foreach { m =>
@@ -1067,10 +1069,11 @@ object Hdf5 {
             b.u16() // flags
             val nVals = b.u16()
             b.skip(nameLen)
-            b.skip(4 * nVals + (if (v == 1 && nVals % 2 == 1) 4 else 0))
-            filters :+= id
-            if (id != 1 && id != 2)
-              fail(s"filter $id not supported (deflate + shuffle only)")
+            val cd = Vector.fill(nVals)(b.u32().toInt)
+            if (v == 1 && nVals % 2 == 1) b.skip(4)
+            filters :+= (id -> cd)
+            if (id != 1 && id != 2 && id != 4)
+              fail(s"filter $id not supported (deflate + shuffle + szip only)")
             i += 1
           }
         case _ => // fill value, attributes, mtime … not needed

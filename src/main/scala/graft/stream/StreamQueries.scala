@@ -48,7 +48,7 @@ object StreamQueries {
   val st1StreamWindows: QueryDef = QueryDef(
     "st1_stream_windows",
     (s, dir) => {
-      val batch = Tables.load(s, dir, "events") // sets nanosAsLong
+      val batch = Tables.load(s, dir, "events") // ts normalized to ns-long
       val src = s.readStream.schema(batch.schema)
         .option("maxFilesPerTrigger", "1")
         .parquet(splitEvents(s, dir))

@@ -50,11 +50,15 @@ object Tables {
     *
     *  - parquet TIMESTAMP(NANOS) → read as long via `nanosAsLong` → as-is;
     *  - TIMESTAMP(MICROS) isAdjustedToUTC=false → Spark `TIMESTAMP_NTZ` →
-    *    wall-clock micros since epoch via `timestampdiff(MICROSECOND, ...)`
-    *    on an NTZ zero literal — pure field arithmetic, NO session-timezone
-    *    dependence (an NTZ→TIMESTAMP cast would shift by the session zone
-    *    and only match the DuckDB oracle under UTC; TablesTsSpec pins this
-    *    under a non-UTC zone);
+    *    a `Cast` to TIMESTAMP with the zone PINNED to UTC on the node
+    *    (wall clock ≡ epoch instant), then `unix_micros`. The pinned zone
+    *    matters twice: a plain cast would interpret the wall clock in the
+    *    SESSION zone (matching the DuckDB oracle only under UTC), and even
+    *    a session-zone-cancelling trick like `timestampdiff` against an
+    *    epoch literal shifts by the DST delta for zones whose offset
+    *    changed since 1970 (CST −6 in January 1970 vs CDT −5 for a July
+    *    timestamp). TablesTsSpec pins both hazards under America/Chicago
+    *    with a summer timestamp;
     *  - TIMESTAMP(MICROS/MILLIS) isAdjustedToUTC=true → Spark `TIMESTAMP`
     *    → `unix_micros` (internal value is already epoch-UTC micros,
     *    timezone-invariant by construction).
@@ -64,8 +68,11 @@ object Tables {
     else df.schema("ts").dataType match {
       case LongType => df
       case TimestampNTZType =>
-        df.withColumn("ts",
-          expr("timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)") * lit(1000L))
+        import org.apache.spark.sql.catalyst.expressions.Cast
+        import org.apache.spark.sql.graft.ColumnBridge
+        val utcInstant = ColumnBridge.column(Cast(
+          ColumnBridge.expression(col("ts")), TimestampType, Some("UTC")))
+        df.withColumn("ts", unix_micros(utcInstant) * lit(1000L))
       case TimestampType =>
         df.withColumn("ts", unix_micros(col("ts")) * lit(1000L))
       case other =>

@@ -131,6 +131,11 @@ class GraftSqlExtensions extends (SparkSessionExtensions => Unit) {
     // token-count idiom into one codegen kernel (see FuseTokenCount)
     ext.injectOptimizerRule(_ => FuseTokenCount)
 
+    // scan-pruning rule: epoch-range filters over the normalized events
+    // ts projection gain an implied bare-column bound the parquet source
+    // can push (see TsRangePushdown)
+    ext.injectOptimizerRule(_ => graft.plans.TsRangePushdown)
+
     // whole-operator tier: the merge-based as-of join physical plan
     ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
   }

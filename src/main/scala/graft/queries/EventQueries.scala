@@ -1135,11 +1135,44 @@ object EventQueries {
       GROUP BY d.event_type ORDER BY d.event_type""")
   )
 
+  /** Literal epoch-range slice (SURVEY §2 B1/E8 + the scan-pruning tier):
+    * one week of a month-long event log, aggregated per type. The filter
+    * is on the NORMALIZED ns-long `ts`, i.e. a derived column — without
+    * [[graft.plans.TsRangePushdown]] the parquet scan reads every row
+    * group of a time-organized table; with it the bounds reach the footer
+    * as raw-column predicates (TsRangePushdownSpec pins `PushedFilters`).
+    * At 100 TB this is THE pruning shape: a day/week slice of a
+    * time-partitioned event store should cost proportional to the slice.
+    */
+  val q62TimeSlice: QueryDef = {
+    val lo = 1_704_672_000_000_000_000L // 2024-01-08T00:00:00Z (ns)
+    val hi = 1_705_276_800_000_000_000L // 2024-01-15T00:00:00Z (ns)
+    QueryDef(
+      "q62_time_slice",
+      (s, dir) =>
+        Tables.load(s, dir, "events")
+          .filter(col("ts") >= lo && col("ts") < hi)
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n"),
+            sum(money(col("value"))).cast(DoubleType).as("total_value"),
+            countDistinct(col("user_id")).as("users"))
+          .orderBy("event_type"),
+      Some(s"""
+        SELECT event_type, COUNT(*) AS n,
+               CAST(SUM(${sqlMoney("value")}) AS DOUBLE) AS total_value,
+               COUNT(DISTINCT user_id) AS users
+        FROM events
+        WHERE epoch_ns(ts) >= $lo AND epoch_ns(ts) < $hi
+        GROUP BY 1 ORDER BY 1""")
+    )
+  }
+
   val all: Seq[QueryDef] = Seq(
     q7WindowRunning, q8PivotCounts, q9EventPairs,
     q14TimeBuckets, q15UserSpan, q16AsofJoin, q17JsonExtract, q21Sessions,
     q24Resample, q25Ranks, q30RangeWindow, q32HeavyHitters,
     q34IncrementalRollup, q35Scd2, q36AsofExec, q37Funnel, q40Retention,
     q44Variant, q45Trending, q49Concurrency, q50Attribution,
-    q53SlidingDistinct, q55TimeWeighted, q57MadAnomaly, q59GapFill)
+    q53SlidingDistinct, q55TimeWeighted, q57MadAnomaly, q59GapFill,
+    q62TimeSlice)
 }

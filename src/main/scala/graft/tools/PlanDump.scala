@@ -78,7 +78,13 @@ object PlanDump {
     "c9_incremental_scan" -> ("Incremental CDC catch-up: manifest " +
       "pointer maps diff driver-side (pure metadata), the scan unions " +
       "ONLY the changed buckets' files — untouched buckets never appear " +
-      "in the plan at all."))
+      "in the plan at all."),
+    "q62_time_slice" -> ("Literal epoch-range slice over the NORMALIZED " +
+      "ts projection: TsRangePushdown adds implied raw-column bounds, so " +
+      "PushedFilters carries GreaterThanOrEqual/LessThanOrEqual on the " +
+      "parquet timestamp — row groups outside the week never leave the " +
+      "footer. The pruning shape a time-organized 100 TB store depends " +
+      "on."))
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")

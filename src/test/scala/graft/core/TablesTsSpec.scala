@@ -34,7 +34,14 @@ class TablesTsSpec extends SparkSpec {
   private val us: Seq[Long] = Seq(
     0L,                        // the epoch itself
     1_000_000L,                // +1 s
-    1_614_834_367_123_456L,    // 2021-03-04T05:06:07.123456
+    1_614_834_367_123_456L,    // 2021-03-04T05:06:07.123456 (winter: CST −6)
+    1_626_350_400_500_000L,    // 2021-07-15T12:00:00.5 — SUMMER: CDT −5.
+                               // The non-UTC spec zone's offset differs
+                               // from its 1970 offset here, so any
+                               // conversion that round-trips through the
+                               // session zone (even one that cancels a
+                               // constant offset) shifts this value by
+                               // the DST hour
     1_700_000_000_999_999L)    // sub-µs-boundary fraction
 
   private def freshDir(): String =

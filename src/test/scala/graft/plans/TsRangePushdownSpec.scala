@@ -1,0 +1,53 @@
+package graft.plans
+
+import graft.SparkSpec
+import graft.core.Tables
+import org.apache.spark.sql.functions._
+
+/** Pins [[TsRangePushdown]]: an epoch-range filter over the normalized
+  * `events.ts` (a derived long column) must still reach the parquet
+  * footer as a pushed filter on the RAW timestamp column — the scan
+  * shape a 100 TB time-organized event table lives or dies by — and the
+  * implied bound must never change results.
+  */
+class TsRangePushdownSpec extends SparkSpec {
+
+  private def pushedFilters(df: org.apache.spark.sql.DataFrame): String = {
+    val scan = df.queryExecution.executedPlan.collectLeaves()
+      .map(_.toString).mkString("\n")
+    scan.linesIterator.find(_.contains("PushedFilters"))
+      .getOrElse(scan)
+  }
+
+  test("epoch-range filter on normalized ts reaches the parquet scan") {
+    val lo = 1_500_000_000_000_000_500L // deliberately NOT a µs multiple
+    val q = Tables.load(spark, sf, "events")
+      .filter(col("ts") >= lo && col("ts") < lo + 86_400_000_000_000L)
+      .select("event_id")
+    val pushed = pushedFilters(q)
+    assert(pushed.contains("GreaterThanOrEqual(ts") &&
+      pushed.contains("LessThanOrEqual(ts"), s"ts bound not pushed: $pushed")
+  }
+
+  test("implied bounds are supersets: results identical with the rule's rewrite") {
+    // compare against the same filter evaluated on the fully-materialized
+    // normalized column (collect + driver filter = rule-free ground truth)
+    val lo = 1_600_000_000_000_000_001L
+    val hi = 1_800_000_000_999_999_999L
+    val all = Tables.load(spark, sf, "events")
+      .select("event_id", "ts").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val expected = all.collect {
+      case (id, ts) if ts > lo && ts <= hi => id
+    }.sorted.toSeq
+    val got = Tables.load(spark, sf, "events")
+      .filter(col("ts") > lo && col("ts") <= hi)
+      .select("event_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(got == expected)
+  }
+
+  test("equality on a non-µs-multiple adds no bound but stays correct") {
+    val q = Tables.load(spark, sf, "events").filter(col("ts") === 1234567L)
+    assert(q.count() == 0) // µs-encoded data can't carry sub-µs ns values
+  }
+}

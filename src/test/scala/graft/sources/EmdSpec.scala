@@ -359,6 +359,37 @@ class EmdSpec extends SparkSpec {
     assert(d.readDoubles().toSeq == values)
   }
 
+  test("HDF5 szip filter: chunked uint16 detector frames with edge chunks") {
+    // the non-default writer config the reference's h5py read path
+    // (tools/hyperspectral.py:51) could hit: szip-compressed chunks.
+    // 10x12 frame in 4x8 chunks: right/bottom edge chunks are zero-padded,
+    // so the coded stream mixes zero-block runs with k-split blocks.
+    val w = new Hdf5TestWriter()
+    val dims = Seq(10L, 12L)
+    val values = (0 until 120).map(i => 800 + (math.sin(i / 3.0) * 300).toInt)
+    val raw = java.nio.ByteBuffer.allocate(240)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    values.foreach(v => raw.putShort(v.toShort))
+    val cd = Seq(Szip.Raw | Szip.AllowK13 | Szip.NN | Szip.LSB,
+      16, 8, 8) // [options, bits/pixel, pixels/block, pixels/scanline]
+    val ds = w.chunkedDataset(dims, w.uint16, raw.array(), Seq(4, 8),
+      szip = Some(cd))
+    val d = Hdf5.open(w.finish(w.group(Seq("frames" -> ds)))).datasets.head
+    assert(d.dims == Vector(10L, 12L))
+    assert(d.readDoubles().toSeq == values.map(_.toDouble))
+  }
+
+  test("HDF5 szip filter: uint8 under a v2 (libver-latest) pipeline message") {
+    val w = new Hdf5TestWriter()
+    val values = (0 until 64).map(i => (i * 5) % 251)
+    val cd = Seq(Szip.Raw | Szip.AllowK13 | Szip.EC | Szip.MSB, 8, 8, 16)
+    val ds = w.chunkedDataset(Seq(8L, 8L), w.uint8,
+      values.map(_.toByte).toArray, Seq(4, 4), filterMsgVersion = 2,
+      v2Header = true, szip = Some(cd))
+    val d = Hdf5.open(w.finish(w.group(Seq("b" -> ds)))).datasets.head
+    assert(d.readDoubles().toSeq == values.map(_.toDouble))
+  }
+
   test("Emd.signals over the full libver-latest layout (dense groups, v2 filters, shuffle)") {
     // 10 signals of one kind → the kind group goes DENSE; chunks are
     // shuffle+deflate behind v2 filter messages under OHDR headers

@@ -224,13 +224,18 @@ final class Hdf5TestWriter(capacity: Int = 1 << 22) {
   def chunkedDataset(dims: Seq[Long], dt: Dt, raw: Array[Byte],
       chunkDims: Seq[Int], deflateLevel: Int = 6,
       filterMsgVersion: Int = 1, shuffle: Boolean = false,
-      v2Header: Boolean = false): Long = {
+      v2Header: Boolean = false,
+      szip: Option[Seq[Int]] = None): Long = {
     val rank = dims.size
-    // gather each chunk (zero-padded at the edges), deflate, write, record
+    // gather each chunk (zero-padded at the edges), pack through the
+    // pipeline (szip, or shuffle→deflate), write, record
     val entries = Vector.newBuilder[(Long, Int, Seq[Long])] // addr, size, offsets
     gatherChunks(dims, dt, raw, chunkDims).foreach { case (at, chunk) =>
-      val packed = deflate(
-        if (shuffle) shuffleBytes(chunk, dt.size) else chunk, deflateLevel)
+      val packed = szip match {
+        case Some(cd) => SzipTestEncoder.encodeHdf5(chunk, cd)
+        case None => deflate(
+          if (shuffle) shuffleBytes(chunk, dt.size) else chunk, deflateLevel)
+      }
       val addr = writeBytes(packed)
       entries += ((addr, packed.length, at))
     }
@@ -259,11 +264,16 @@ final class Hdf5TestWriter(capacity: Int = 1 << 22) {
     chunkDims.foreach(c => layout.putInt(c))
     layout.putInt(dt.size)
 
-    // pipeline in WRITE order: shuffle (id 2, client value = element
-    // size) before deflate (id 1) — readers reverse it
-    val descs: Seq[(Int, Seq[Int])] =
-      (if (shuffle) Seq(2 -> Seq(dt.size)) else Seq.empty) :+
-        (1 -> Seq(deflateLevel))
+    // pipeline in WRITE order: szip alone (id 4, client values
+    // [options_mask, bits/pixel, pixels/block, pixels/scanline] — the
+    // H5Zszip layout), or shuffle (id 2, client value = element size)
+    // before deflate (id 1) — readers reverse it
+    val descs: Seq[(Int, Seq[Int])] = szip match {
+      case Some(cd) => Seq(4 -> cd)
+      case None =>
+        (if (shuffle) Seq(2 -> Seq(dt.size)) else Seq.empty) :+
+          (1 -> Seq(deflateLevel))
+    }
     val f = ByteBuffer.allocate(8 + descs.map(d => 8 + 4 * d._2.size + 4).sum)
       .order(ByteOrder.LITTLE_ENDIAN)
     if (filterMsgVersion == 1) {

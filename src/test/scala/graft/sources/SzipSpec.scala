@@ -1,0 +1,107 @@
+package graft.sources
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Codec-level round-trips for the szip (CCSDS 121 Rice) filter: every
+  * coding option the decoder implements — zero-block runs, second
+  * extension, FS and k-split, no-compression — across 8/16-bit depths,
+  * NN and EC preprocessing, and both pixel byte orders. The encoder
+  * optimizes per block, so each data shape below forces specific
+  * options; the assertions on compressed size pin that the intended
+  * option actually engaged (a decoder bug that only round-trips with
+  * its own encoder's favorite option would survive a plain equality
+  * check).
+  */
+class SzipSpec extends AnyFunSuite {
+
+  private val NnMask = Szip.Raw | Szip.AllowK13 | Szip.NN | Szip.MSB
+  private val EcMask = Szip.Raw | Szip.AllowK13 | Szip.EC | Szip.MSB
+
+  private def roundtrip(px: Seq[Int], mask: Int, n: Int, j: Int,
+      pps: Int): Array[Byte] = {
+    val bpp = if (n <= 8) 1 else 2
+    val lsb = (mask & Szip.MSB) == 0
+    val raw = new Array[Byte](px.size * bpp)
+    px.zipWithIndex.foreach { case (v, i) =>
+      if (bpp == 1) raw(i) = v.toByte
+      else if (lsb) { raw(2 * i) = (v & 0xFF).toByte; raw(2 * i + 1) = (v >> 8).toByte }
+      else { raw(2 * i) = (v >> 8).toByte; raw(2 * i + 1) = (v & 0xFF).toByte }
+    }
+    val coded = SzipTestEncoder.encode(raw, mask, n, j, pps)
+    val back = Szip.decode(coded, mask, n, j, pps, raw.length)
+    assert(back.toSeq == raw.toSeq)
+    coded
+  }
+
+  test("8-bit NN: smooth ramp compresses via low-k split samples") {
+    val px = (0 until 256).map(i => 100 + (math.sin(i / 7.0) * 40).toInt)
+    val coded = roundtrip(px, NnMask, n = 8, j = 8, pps = 64)
+    assert(coded.length < 256 * 3 / 4) // deltas are small: k-split engaged
+  }
+
+  test("8-bit NN: constant scanlines collapse to zero-block runs") {
+    val px = Seq.fill(512)(37)
+    val coded = roundtrip(px, NnMask, n = 8, j = 8, pps = 64)
+    // per scanline: ref block FS (3+8+7 bits) + one zero-run (~9 bits)
+    // = ~4 bytes x 8 scanlines; anything near raw means runs never fired
+    assert(coded.length < 40)
+  }
+
+  test("8-bit NN: white noise falls back to wide k or no-compression") {
+    val rnd = new scala.util.Random(7)
+    val px = Seq.fill(512)(rnd.nextInt(256))
+    val coded = roundtrip(px, NnMask, n = 8, j = 8, pps = 64)
+    assert(coded.length >= 512 * 7 / 8) // incompressible stays ~raw
+  }
+
+  test("8-bit EC: no references, direct value coding") {
+    val px = (0 until 128).map(i => i % 7) // small VALUES, not small deltas
+    val coded = roundtrip(px, EcMask, n = 8, j = 16, pps = 32)
+    assert(coded.length < 128 / 2)
+  }
+
+  test("second extension engages on near-zero pair data (EC)") {
+    // values 0/1: per pair gamma <= 2, SE beats k=0 FS (J/2 codewords)
+    val px = (0 until 256).map(i => if (i % 5 == 0) 1 else 0)
+    val coded = roundtrip(px, EcMask, n = 8, j = 16, pps = 64)
+    assert(coded.length < 40)
+  }
+
+  test("16-bit NN MSB: k above 7 reachable only via ALLOW_K13 ids") {
+    val rnd = new scala.util.Random(11)
+    var v = 30000
+    val px = (0 until 256).map { _ => v += rnd.nextInt(4097) - 2048; v }
+    roundtrip(px, NnMask, n = 16, j = 16, pps = 64)
+  }
+
+  test("16-bit NN LSB: little-endian pixel order round-trips") {
+    val px = (0 until 128).map(i => 1000 + 17 * i)
+    roundtrip(px, NnMask & ~Szip.MSB | Szip.LSB, n = 16, j = 8, pps = 32)
+  }
+
+  test("mapped residuals hit the asymmetric theta branches at the range edges") {
+    // values hugging 0 and 255 force |delta| > theta on both sides
+    val px = Seq(0, 255, 0, 254, 1, 255, 0, 200, 3, 255, 0, 128, 255, 0, 7, 250) ++
+      Seq.fill(16)(0)
+    roundtrip(px, NnMask, n = 8, j = 8, pps = 16)
+  }
+
+  test("decoder fails fast by name on zero-block at a reference position") {
+    // hand-build: scanline of 8, j=8, NN -> first block is the ref block;
+    // ID 000 + 0 (zero-block) there is the unsupported combination
+    val stream = Array[Byte](0x08, 0x00) // 000 0 1 ... : id=0, ext=0, fs=0
+    val e = intercept[IllegalStateException] {
+      Szip.decode(stream, NnMask, 8, 8, 8, 8)
+    }
+    assert(e.getMessage.contains("reference block"))
+  }
+
+  test("hdf5 payload carries the uncompressed size prefix") {
+    val px = (0 until 64).map(i => i * 3 % 256)
+    val raw = px.map(_.toByte).toArray
+    val payload = SzipTestEncoder.encodeHdf5(raw, Seq(NnMask, 8, 8, 32))
+    assert((payload(0) & 0xFF) == 64 && payload(1) == 0)
+    val back = Szip.decodeHdf5(payload, Vector(NnMask, 8, 8, 32))
+    assert(back.toSeq == raw.toSeq)
+  }
+}

@@ -63,8 +63,8 @@ object Bench {
     * linear-in-rows shuffle as super-linear.
     */
   private def dirRows(spark: SparkSession, d: String): Long = {
-    // footer metadata only — no schema conversion (testdata's nanosecond
-    // timestamps would fail a full Spark read) and no jobs
+    // footer metadata only — row counts with no schema conversion (works
+    // for any ts encoding the loader supports) and no Spark jobs
     val conf = spark.sessionState.newHadoopConf()
     Option(new java.io.File(d).listFiles).map(_.filter(
       _.getName.endsWith(".parquet")).map { f =>

@@ -15,7 +15,8 @@ package graft.sources
   * Stream structure: samples split into scanlines of `pixelsPerScanline`
   * (= one reference-sample interval), each scanline into blocks of
   * `pixelsPerBlock` mapped residuals; per block an MSB-first ID field
-  * (3 bits for n ≤ 8, 4 for n ≤ 16) selects the coding option:
+  * (3 bits for n ≤ 8, 4 for n ≤ 16, 5 for n ≤ 32) selects the coding
+  * option:
   *
   *  - `0…0 0` zero-block: an FS codeword gives the run of all-zero
   *    blocks (1..4 direct, 5 = remainder-of-64-block-segment, > 5
@@ -51,8 +52,8 @@ object Szip {
 
   private final class BitReader(in: Array[Byte]) {
     private var bitPos = 0
-    def get(n: Int): Int = {
-      var v = 0
+    def get(n: Int): Long = {
+      var v = 0L
       var i = 0
       while (i < n) {
         val byte = in(bitPos >>> 3)
@@ -62,6 +63,7 @@ object Szip {
       }
       v
     }
+    def getInt(n: Int): Int = get(n).toInt
     /** Fundamental sequence: count of 0-bits before the terminating 1. */
     def fs(): Int = {
       var v = 0
@@ -94,31 +96,34 @@ object Szip {
     require((mask & Chip) == 0, "szip: chip option not supported")
     val nn = (mask & NN) != 0
     require(nn || (mask & EC) != 0, "szip: neither NN nor EC option set")
-    require(n >= 1 && n <= 16, s"szip: $n bits/pixel not supported (1..16)")
+    require(n >= 1 && (n <= 16 || n == 32),
+      s"szip: $n bits/pixel not supported (1..16, 32 — the depths a " +
+        "byte-sized HDF5 datatype yields; 17..31 would need szlib's " +
+        "3-byte pixel container)")
     require(j >= 2 && j <= 32 && j % 2 == 0, s"szip: pixels/block $j")
     require(pps % j == 0, s"szip: scanline $pps not a multiple of block $j")
-    val bytesPerPixel = if (n <= 8) 1 else 2
+    val bytesPerPixel = if (n <= 8) 1 else if (n <= 16) 2 else 4
     val total = outBytes / bytesPerPixel
     require(total * bytesPerPixel == outBytes,
       s"szip: $outBytes bytes not a multiple of pixel size $bytesPerPixel")
     require(total % pps == 0,
       s"szip: $total pixels not a multiple of scanline $pps (partial " +
         "scanlines not supported)")
-    val idBits = if (n <= 8) 3 else 4
+    val idBits = if (n <= 8) 3 else if (n <= 16) 4 else 5
     val noCompId = (1 << idBits) - 1
-    val xmax = (1 << n) - 1
+    val xmax = (1L << n) - 1
     val bits = new BitReader(in)
-    val out = new Array[Int](total)
+    val out = new Array[Long](total)
 
     var base = 0
     while (base < total) { // one scanline = one reference interval
-      val deltas = new Array[Int](pps) // mapped residuals (or EC raw values)
-      var ref = -1
+      val deltas = new Array[Long](pps) // mapped residuals (or EC raw values)
+      var ref = -1L
       var b = 0
       val blocks = pps / j
       while (b < blocks) {
         val isRefBlock = nn && b == 0
-        val id = bits.get(idBits)
+        val id = bits.getInt(idBits)
         if (id == 0) {
           val second = bits.get(1) == 1
           if (isRefBlock)
@@ -130,8 +135,8 @@ object Szip {
           if (second) { // second extension: J/2 diagonal pair indexes
             var i = 0
             while (i < j / 2) {
-              val gamma = bits.fs()
-              var m = 0
+              val gamma = bits.fs().toLong
+              var m = 0L
               while ((m + 1) * (m + 2) / 2 <= gamma) m += 1
               val d2 = gamma - m * (m + 1) / 2
               deltas(b * j + 2 * i) = m - d2
@@ -162,7 +167,7 @@ object Szip {
             val k = id - 1
             require(k < n, s"szip: split k=$k for $n-bit samples")
             var i = 0
-            while (i < coded) { deltas(off + i) = bits.fs() << k; i += 1 }
+            while (i < coded) { deltas(off + i) = bits.fs().toLong << k; i += 1 }
             i = 0
             while (i < coded) { deltas(off + i) |= bits.get(k); i += 1 }
           }
@@ -195,23 +200,17 @@ object Szip {
 
     // repack samples; pixel byte order per the LSB/MSB option
     val res = new Array[Byte](outBytes)
-    if (bytesPerPixel == 1) {
-      var i = 0
-      while (i < total) { res(i) = out(i).toByte; i += 1 }
-    } else {
-      val lsb = (mask & MSB) == 0
-      var i = 0
-      while (i < total) {
-        val v = out(i)
-        if (lsb) {
-          res(2 * i) = (v & 0xFF).toByte
-          res(2 * i + 1) = ((v >> 8) & 0xFF).toByte
-        } else {
-          res(2 * i) = ((v >> 8) & 0xFF).toByte
-          res(2 * i + 1) = (v & 0xFF).toByte
-        }
-        i += 1
+    val lsb = (mask & MSB) == 0
+    var i = 0
+    while (i < total) {
+      val v = out(i)
+      var by = 0
+      while (by < bytesPerPixel) {
+        val shift = if (lsb) 8 * by else 8 * (bytesPerPixel - 1 - by)
+        res(bytesPerPixel * i + by) = ((v >> shift) & 0xFF).toByte
+        by += 1
       }
+      i += 1
     }
     res
   }

@@ -379,6 +379,19 @@ class EmdSpec extends SparkSpec {
     assert(d.readDoubles().toSeq == values.map(_.toDouble))
   }
 
+  test("HDF5 szip filter: uint32 frames (5-bit option IDs, Long sample domain)") {
+    val w = new Hdf5TestWriter()
+    val values = (0 until 64).map(i => 4000000000L + i * 1234567L % 290000000L)
+    val raw = java.nio.ByteBuffer.allocate(256)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    values.foreach(v => raw.putInt((v & 0xFFFFFFFFL).toInt))
+    val cd = Seq(Szip.Raw | Szip.AllowK13 | Szip.NN | Szip.LSB, 32, 8, 16)
+    val ds = w.chunkedDataset(Seq(8L, 8L), w.fixed(4, signed = false),
+      raw.array(), Seq(4, 8), szip = Some(cd))
+    val d = Hdf5.open(w.finish(w.group(Seq("deep" -> ds)))).datasets.head
+    assert(d.readDoubles().toSeq == values.map(_.toDouble))
+  }
+
   test("HDF5 szip filter: uint8 under a v2 (libver-latest) pipeline message") {
     val w = new Hdf5TestWriter()
     val values = (0 until 64).map(i => (i * 5) % 251)

@@ -1,5 +1,7 @@
 package graft.sources
 
+import scala.language.implicitConversions
+
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Codec-level round-trips for the szip (CCSDS 121 Rice) filter: every
@@ -17,21 +19,24 @@ class SzipSpec extends AnyFunSuite {
   private val NnMask = Szip.Raw | Szip.AllowK13 | Szip.NN | Szip.MSB
   private val EcMask = Szip.Raw | Szip.AllowK13 | Szip.EC | Szip.MSB
 
-  private def roundtrip(px: Seq[Int], mask: Int, n: Int, j: Int,
+  private def roundtrip(px: Seq[Long], mask: Int, n: Int, j: Int,
       pps: Int): Array[Byte] = {
-    val bpp = if (n <= 8) 1 else 2
+    val bpp = if (n <= 8) 1 else if (n <= 16) 2 else 4
     val lsb = (mask & Szip.MSB) == 0
     val raw = new Array[Byte](px.size * bpp)
     px.zipWithIndex.foreach { case (v, i) =>
-      if (bpp == 1) raw(i) = v.toByte
-      else if (lsb) { raw(2 * i) = (v & 0xFF).toByte; raw(2 * i + 1) = (v >> 8).toByte }
-      else { raw(2 * i) = (v >> 8).toByte; raw(2 * i + 1) = (v & 0xFF).toByte }
+      (0 until bpp).foreach { by =>
+        val shift = if (lsb) 8 * by else 8 * (bpp - 1 - by)
+        raw(bpp * i + by) = ((v >> shift) & 0xFF).toByte
+      }
     }
     val coded = SzipTestEncoder.encode(raw, mask, n, j, pps)
     val back = Szip.decode(coded, mask, n, j, pps, raw.length)
     assert(back.toSeq == raw.toSeq)
     coded
   }
+
+  private implicit def ints2longs(xs: Seq[Int]): Seq[Long] = xs.map(_.toLong)
 
   test("8-bit NN: smooth ramp compresses via low-k split samples") {
     val px = (0 until 256).map(i => 100 + (math.sin(i / 7.0) * 40).toInt)
@@ -84,6 +89,57 @@ class SzipSpec extends AnyFunSuite {
     val px = Seq(0, 255, 0, 254, 1, 255, 0, 200, 3, 255, 0, 128, 255, 0, 7, 250) ++
       Seq.fill(16)(0)
     roundtrip(px, NnMask, n = 8, j = 8, pps = 16)
+  }
+
+  test("32-bit NN: full-range unsigned values with a 5-bit ID space") {
+    val rnd = new scala.util.Random(13)
+    var v = 0x80000000L
+    val px: Seq[Long] = (0 until 128).map { _ =>
+      v = (v + rnd.nextInt(1 << 20) - (1 << 19)) & 0xFFFFFFFFL; v
+    }
+    roundtrip(px, NnMask, n = 32, j = 8, pps = 32)
+  }
+
+  test("32-bit NN: range-edge values exercise Long theta arithmetic") {
+    val top = 0xFFFFFFFFL
+    val px: Seq[Long] = Seq(0L, top, 0L, top - 1, 1L, top, 0L, top / 2,
+      3L, top, 0L, 128L, top, 0L, 7L, top - 7) ++ Seq.fill(16)(0L)
+    roundtrip(px, NnMask, n = 32, j = 8, pps = 16)
+  }
+
+  test("32-bit EC LSB: little-endian 4-byte pixels, direct value coding") {
+    val px: Seq[Long] = (0 until 64).map(i => (i * 77L) % (1L << 24))
+    roundtrip(px, EcMask & ~Szip.MSB | Szip.LSB, n = 32, j = 16, pps = 32)
+  }
+
+  test("generative round-trip over the parameter grid (seeded scalacheck)") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val cfg = for {
+      n    <- Gen.oneOf(4, 8, 12, 16, 32)
+      j    <- Gen.oneOf(8, 16, 32)
+      mult <- Gen.choose(1, 4)
+      rows <- Gen.choose(1, 6)
+      mode <- Gen.oneOf(Szip.NN, Szip.EC)
+      order <- Gen.oneOf(Szip.MSB, Szip.LSB)
+      shape <- Gen.oneOf("noise", "ramp", "sparse", "const")
+    } yield (n, j, j * mult, rows, mode, order, shape)
+    (0 until 120).flatMap(i =>
+      cfg.apply(Gen.Parameters.default, Seed(i.toLong))).foreach {
+      case (n, j, pps, rows, mode, order, shape) =>
+        val mask = Szip.Raw | Szip.AllowK13 | mode | order
+        val xmax = (1L << n) - 1
+        val rnd = new scala.util.Random(n * 1000 + pps + rows)
+        val px: Seq[Long] = (0 until pps * rows).map { i =>
+          shape match {
+            case "noise"  => (rnd.nextLong() & Long.MaxValue) % (xmax + 1)
+            case "ramp"   => (i * 3L) % (xmax + 1)
+            case "sparse" => if (i % 7 == 0) xmax else 0L
+            case "const"  => xmax / 2
+          }
+        }
+        roundtrip(px, mask, n, j, pps)
+    }
   }
 
   test("decoder fails fast by name on zero-block at a reference position") {

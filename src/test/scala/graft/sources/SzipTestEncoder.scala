@@ -16,17 +16,18 @@ object SzipTestEncoder {
     private val out = collection.mutable.ArrayBuffer.empty[Byte]
     private var cur = 0
     private var nBits = 0
-    def put(v: Int, n: Int): Unit = {
+    // (cur holds < 8 bits; the Long put shifts through it byte-wise)
+    def put(v: Long, n: Int): Unit = {
       var i = n - 1
       while (i >= 0) {
-        cur = (cur << 1) | ((v >> i) & 1)
+        cur = ((cur << 1) | ((v >> i) & 1L)).toInt
         nBits += 1
         if (nBits == 8) { out += cur.toByte; cur = 0; nBits = 0 }
         i -= 1
       }
     }
-    def fs(v: Int): Unit = { // v zeros then a terminating 1
-      var i = 0
+    def fs(v: Long): Unit = { // v zeros then a terminating 1
+      var i = 0L
       while (i < v) { put(0, 1); i += 1 }
       put(1, 1)
     }
@@ -52,23 +53,27 @@ object SzipTestEncoder {
   def encode(raw: Array[Byte], mask: Int, n: Int, j: Int,
       pps: Int): Array[Byte] = {
     val nn = (mask & Szip.NN) != 0
-    val bytesPerPixel = if (n <= 8) 1 else 2
+    val bytesPerPixel = if (n <= 8) 1 else if (n <= 16) 2 else 4
     val lsb = (mask & Szip.MSB) == 0
     val total = raw.length / bytesPerPixel
     require(total * bytesPerPixel == raw.length && total % pps == 0 &&
       pps % j == 0, s"szip encode: ${raw.length} bytes, pps=$pps, j=$j")
-    val idBits = if (n <= 8) 3 else 4
+    val idBits = if (n <= 8) 3 else if (n <= 16) 4 else 5
     val noCompId = (1 << idBits) - 1
     val maxK = math.min(n - 1, noCompId - 2) // id = k+1 must stay below all-ones
-    val xmax = (1 << n) - 1
+    val xmax = (1L << n) - 1
 
-    val px = new Array[Int](total)
+    val px = new Array[Long](total)
     var i = 0
     while (i < total) {
-      px(i) =
-        if (bytesPerPixel == 1) raw(i) & 0xFF
-        else if (lsb) (raw(2 * i) & 0xFF) | ((raw(2 * i + 1) & 0xFF) << 8)
-        else ((raw(2 * i) & 0xFF) << 8) | (raw(2 * i + 1) & 0xFF)
+      var v = 0L
+      var by = 0
+      while (by < bytesPerPixel) {
+        val shift = if (lsb) 8 * by else 8 * (bytesPerPixel - 1 - by)
+        v |= (raw(bytesPerPixel * i + by) & 0xFFL) << shift
+        by += 1
+      }
+      px(i) = v
       i += 1
     }
 
@@ -76,7 +81,7 @@ object SzipTestEncoder {
     var base = 0
     while (base < total) {
       // preprocess one scanline
-      val deltas = new Array[Int](pps)
+      val deltas = new Array[Long](pps)
       if (nn) {
         var k = 1
         while (k < pps) {
@@ -117,7 +122,7 @@ object SzipTestEncoder {
           // run*(idBits + j) — the run always wins for run ≥ 1 here
           bits.put(0, idBits)
           bits.put(0, 1)
-          bits.fs(if (run <= 4) run - 1 else run)
+          bits.fs(if (run <= 4) run - 1L else run.toLong)
           b += run
         } else {
           // candidate costs over the coded samples
@@ -140,7 +145,10 @@ object SzipTestEncoder {
               val d1 = deltas(b * j + q)
               val d2 = deltas(b * j + q + 1)
               val s = d1 + d2
-              seCost += s.toLong * (s + 1) / 2 + d2 + 1
+              // gamma ~ s^2/2 overflows for wide samples; such blocks
+              // can never win on cost anyway
+              if (s > (1L << 20)) seCost = Long.MaxValue / 2
+              else seCost += s * (s + 1) / 2 + d2 + 1
               q += 2
             }
           }

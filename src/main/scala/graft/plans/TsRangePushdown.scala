@@ -64,7 +64,7 @@ object TsRangePushdown extends Rule[LogicalPlan] {
     * `us·1000 ≤ L ⟹ us ≤ ⌊L/1000⌋`, `us·1000 < L ⟹ us ≤ ⌊L/1000⌋`,
     * and equality only when L is an exact µs multiple.
     */
-  private def impliedBound(e: Expression): Option[Expression] = {
+  private[plans] def impliedBound(e: Expression): Option[Expression] = {
     def lit(us: Long, dt: DataType) = Literal(us, dt)
     e match {
       case GreaterThanOrEqual(NsOfTs(a, dt), Literal(l: Long, LongType)) =>

@@ -50,4 +50,50 @@ class TsRangePushdownSpec extends SparkSpec {
     val q = Tables.load(spark, sf, "events").filter(col("ts") === 1234567L)
     assert(q.count() == 0) // µs-encoded data can't carry sub-µs ns values
   }
+
+  test("impliedBound math: every rewrite is implied, across signs and remainders") {
+    import org.apache.spark.sql.catalyst.expressions._
+    import org.apache.spark.sql.types._
+    val attr = AttributeReference("ts", TimestampNTZType)()
+    val ns = Multiply(
+      UnixMicros(Cast(attr, TimestampType, Some("UTC"))), Literal(1000L))
+    def boundOf(e: Expression): Option[(String, Long)] =
+      TsRangePushdown.impliedBound(e).map {
+        case GreaterThanOrEqual(_, Literal(v: Long, TimestampNTZType)) => (">=", v)
+        case LessThanOrEqual(_, Literal(v: Long, TimestampNTZType)) => ("<=", v)
+        case EqualTo(_, Literal(v: Long, TimestampNTZType)) => ("=", v)
+        case other => fail(s"unexpected bound shape $other")
+      }
+    // edge literals: negatives, exact multiples, both remainder signs
+    val ls = Seq(-3001L, -3000L, -2999L, -1L, 0L, 1L, 999L, 1000L, 1001L,
+      2999L, 3000L, Long.MaxValue - 5, Long.MinValue + 5)
+    // µs values whose ns image brackets every literal above
+    val usSet = (-5L to 5L) ++ Seq(Long.MaxValue / 1000, Long.MinValue / 1000)
+    def holds(op: String, us: Long, bound: Long): Boolean = op match {
+      case ">=" => us >= bound
+      case "<=" => us <= bound
+      case "="  => us == bound
+    }
+    for (l <- ls) {
+      val cases: Seq[(Expression, Long => Boolean)] = Seq(
+        (GreaterThanOrEqual(ns, Literal(l)), us => us * 1000 >= l),
+        (GreaterThan(ns, Literal(l)), us => us * 1000 > l),
+        (LessThanOrEqual(ns, Literal(l)), us => us * 1000 <= l),
+        (LessThan(ns, Literal(l)), us => us * 1000 < l),
+        (EqualTo(ns, Literal(l)), us => us * 1000 == l),
+        // literal-first spellings flip the comparison direction
+        (GreaterThan(Literal(l), ns), us => l > us * 1000),
+        (LessThan(Literal(l), ns), us => l < us * 1000))
+      for ((pred, truth) <- cases; (op, b) <- boundOf(pred); us <- usSet)
+        // implication: wherever the exact predicate admits a row, the
+        // pushed bound must admit it too (pruning must never drop rows)
+        if (truth(us))
+          assert(holds(op, us, b),
+            s"bound $op $b drops us=$us satisfying $pred")
+    }
+    // equality on an exact multiple becomes an exact equality
+    assert(boundOf(EqualTo(ns, Literal(3000L))) == Some(("=", 3L)))
+    // equality on a non-multiple adds nothing
+    assert(boundOf(EqualTo(ns, Literal(3001L))).isEmpty)
+  }
 }

@@ -142,6 +142,36 @@ class SzipSpec extends AnyFunSuite {
     }
   }
 
+  test("remainder-of-segment zero runs (fs=4) decode to the 64-block segment end") {
+    // the one decoder branch the cost-optimizing encoder never emits
+    // (it always knows the exact run): hand-built streams, EC mode,
+    // n=8 j=8 pps=512 -> exactly one 64-block segment per scanline
+    class Bits {
+      val buf = collection.mutable.ArrayBuffer.empty[Byte]
+      var cur, nb = 0
+      def put(v: Int, n: Int): Unit = (n - 1 to 0 by -1).foreach { i =>
+        cur = (cur << 1) | ((v >> i) & 1); nb += 1
+        if (nb == 8) { buf += cur.toByte; cur = 0; nb = 0 }
+      }
+      def fs(v: Int): Unit = { put(0, v); put(1, 1) }
+      def bytes: Array[Byte] =
+        (if (nb > 0) buf :+ (cur << (8 - nb)).toByte else buf).toArray
+    }
+    // whole-segment ROS: ID 000, zero-block bit, fs=4
+    val whole = new Bits
+    whole.put(0, 3); whole.put(0, 1); whole.fs(4)
+    val out1 = Szip.decode(whole.bytes, EcMask, 8, 8, 512, 512)
+    assert(out1.forall(_ == 0))
+    // mid-segment ROS: one FS-coded block of ones, then ROS fills the
+    // remaining 63 blocks with zeros
+    val mid = new Bits
+    mid.put(1, 3)                      // id=1: k=0 FS coding
+    (0 until 8).foreach(_ => mid.fs(1)) // eight samples of value 1
+    mid.put(0, 3); mid.put(0, 1); mid.fs(4)
+    val out2 = Szip.decode(mid.bytes, EcMask, 8, 8, 512, 512)
+    assert(out2.take(8).forall(_ == 1) && out2.drop(8).forall(_ == 0))
+  }
+
   test("decoder fails fast by name on zero-block at a reference position") {
     // hand-build: scanline of 8, j=8, NN -> first block is the ref block;
     // ID 000 + 0 (zero-block) there is the unsupported combination

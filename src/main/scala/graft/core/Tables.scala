@@ -27,21 +27,41 @@ object Tables {
   }
 
   /** Parquet read that tolerates TIMESTAMP(NANOS) files. Spark rejects the
-    * nanos annotation unless `spark.sql.legacy.parquet.nanosAsLong` is set,
-    * so the flag is enabled ONLY after a read actually failed on it (schema
-    * resolution is eager, so the failure surfaces here, not at job time).
-    * It must stay set for the lifetime of any nanos-encoded scan — the
-    * vectorized reader consults it at execution — but it is a no-op for
-    * every other parquet type, so leaving it on is safe and the common
-    * (µs/long) path never touches session conf at all.
+    * nanos annotation unless `spark.sql.legacy.parquet.nanosAsLong` is set;
+    * rather than mutating the CALLER's session conf (a process-wide toggle
+    * flipped from a loader), the retry reads through a cloned session
+    * (`newSession` — own SQLConf, shared SparkContext) that carries the
+    * flag. The resulting `HadoopFsRelation` captures that session, and both
+    * schema conversion and the execution-time vectorized reader resolve the
+    * flag through the RELATION's session — so the plan keeps decoding nanos
+    * correctly after being re-bound to the caller's session, whose conf is
+    * never written. The common (µs/long) path touches no conf at all.
+    *
+    * The rejection is recognized by its error class (`PARQUET_TYPE_ILLEGAL`,
+    * walked through the cause chain — schema merging may surface it wrapped
+    * in a task failure) with a message match on the parquet-mr type name
+    * `NANOS` as a belt against error-class renames. A retry for some OTHER
+    * illegal parquet type would fail identically (the flag is a no-op for
+    * non-nanos types), so over-matching cannot mask a real error.
     */
   private def readRaw(spark: SparkSession, path: String): DataFrame =
     try spark.read.parquet(path)
     catch {
-      case e: Exception if e.getMessage != null && e.getMessage.contains("NANOS") =>
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        spark.read.parquet(path)
+      case e: Exception if isNanosRejection(e) =>
+        val isolated = spark.newSession()
+        isolated.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        import org.apache.spark.sql.graft.PlanBridge
+        PlanBridge.ofRows(spark, PlanBridge.analyzed(isolated.read.parquet(path)))
     }
+
+  private def isNanosRejection(e: Throwable): Boolean = {
+    val causes = Iterator.iterate(e)(_.getCause).takeWhile(_ != null).take(8).toSeq
+    causes.exists {
+      case st: org.apache.spark.SparkThrowable =>
+        st.getCondition == "PARQUET_TYPE_ILLEGAL"
+      case _ => false
+    } || causes.exists(c => c.getMessage != null && c.getMessage.contains("NANOS"))
+  }
 
   /** Normalize `events.ts` to a ns-epoch LONG — the representation the
     * reference's transitions `state_time` uses (ns since epoch, SURVEY.md

@@ -125,6 +125,13 @@ class TablesTsSpec extends SparkSpec {
     val factory = new SimpleGroupFactory(schema)
     try us.foreach(u => writer.write(factory.newGroup().append("ts", u * 1000L)))
     finally writer.close()
+    // The fallback must be per-read: the caller session's conf is never
+    // written (the flag travels with the isolated session captured by the
+    // relation), so a nanos load cannot change behavior of unrelated reads.
+    val key = "spark.sql.legacy.parquet.nanosAsLong"
+    val before = spark.conf.getOption(key)
     underNonUtc { assertLoadsAsNs(dir) }
+    assert(spark.conf.getOption(key) == before,
+      "nanos fallback mutated the caller session's conf")
   }
 }

@@ -233,6 +233,30 @@ object GraftExpressions {
       copy(child = newChild)
   }
 
+  /** Multi-width positional k-gram generator: rows `(n, pos, h)` for every
+    * width in `ns`, per-width hash-identical to [[KgramHashesExpr]] but off
+    * ONE tokenization and — because it is a Generator — ONE table scan where
+    * a width sweep would otherwise union |ns| scans of the corpus (t31).
+    */
+  case class KgramHashesMultiExpr(child: Expression, ns: Seq[Int])
+      extends UnaryExpression
+      with org.apache.spark.sql.catalyst.expressions.Generator
+      with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+    override def elementSchema: StructType = StructType(Seq(
+      StructField("n", IntegerType, nullable = false),
+      StructField("pos", IntegerType, nullable = false),
+      StructField("h", LongType, nullable = false)))
+    override def prettyName: String = "kgram_hashes_multi"
+    override def eval(input: org.apache.spark.sql.catalyst.InternalRow)
+        : IterableOnce[org.apache.spark.sql.catalyst.InternalRow] = {
+      val v = child.eval(input)
+      if (v == null) Iterator.empty
+      else HashOps.kgramHashesMulti(v.asInstanceOf[UTF8String], ns.toArray)
+    }
+    override protected def withNewChildInternal(newChild: Expression): KgramHashesMultiExpr =
+      copy(child = newChild)
+  }
+
   // ---- Column-API surface ----
 
   /** Z-order curve key of two 31-bit-normalized coordinates (see
@@ -300,6 +324,10 @@ object GraftExpressions {
 
   /** Generator: one (w1, w2) row per adjacent non-empty word pair. */
   def wordBigrams(text: Column): Column = col(WordBigramsExpr(expr(text)))
+
+  /** Generator: (n, pos, h) k-gram hash rows for every width in `ns`. */
+  def kgramHashesMulti(text: Column, ns: Seq[Int]): Column =
+    col(KgramHashesMultiExpr(expr(text), ns))
 
   /** Morton (Z-order) interleave of two 31-bit-normalized long columns. */
   def zorder(x: Column, y: Column): Column = col(ZOrderExpr(expr(x), expr(y)))

@@ -81,6 +81,26 @@ object HashOps {
     UnsafeArrayData.fromPrimitiveArray(sh)
   }
 
+  /** All positional k-gram hashes of `text` for EVERY width in `ns` off a
+    * SINGLE tokenization — rows `(n, pos, h)`, hash-identical per width to
+    * [[kgramHashes]] (same XXH64 chain). Backs the width-sweep generator
+    * (t31): one corpus scan + one tokenization replace |ns| of each, which
+    * at 100 TB is |ns|× less scan IO for the same output.
+    */
+  def kgramHashesMulti(text: UTF8String, ns: Array[Int])
+      : Iterator[org.apache.spark.sql.catalyst.InternalRow] = {
+    val th = tokenHashes(text)
+    ns.iterator.flatMap { n =>
+      val m = th.length - n + 1
+      (0 until math.max(m, 0)).iterator.map { i =>
+        var h = Seed
+        var j = 0
+        while (j < n) { h = XXH64.hashLong(th(i + j), h); j += 1 }
+        org.apache.spark.sql.catalyst.InternalRow(n, i, h)
+      }
+    }
+  }
+
   /** k-permutation MinHash signature over a shingle-hash set: one pass per
     * row, min over `XXH64.hashLong(shingle, i)` for each of the k salts.
     */

@@ -1567,33 +1567,46 @@ object TextQueries {
     * width (4-, 8-, 16-gram) and reports, per n, how many train docs and
     * how many shingles collide — the curve a curation team reads to pick
     * the screening threshold (short shingles over-flag natural phrase
-    * reuse, long ones miss paraphrased leakage). One job: the three
-    * widths union into a single (n, hash)-keyed semi-screen, so the
-    * shuffles carry 12-byte (n, h) keys, never text. Benchmark split =
-    * doc_id % 20 (d7's convention).
+    * reuse, long ones miss paraphrased leakage). ONE corpus scan: the
+    * multi-width kgram Generator
+    * ([[graft.expressions.GraftExpressions.kgramHashesMulti]]) emits
+    * (n, pos, h) for n ∈ {4, 8, 16} off a single tokenization, and the
+    * screen is a straight-line aggregation: ONE raw shuffle keyed
+    * (n, h) — HashPartitioning(n, h) satisfies both the
+    * (n, h, doc_id) grouping's clustering (partition keys are a subset)
+    * and the (n, h) window's, so the per-(n, h, doc_id) counts and the
+    * window max marking bench-colliding hashes run in place on it —
+    * then two roll-ups whose inputs are already per-doc-deduped (the
+    * (n, doc_id) exchange ships map-side-combined partials). No
+    * self-join, so the lineage touches `documents` exactly once — the
+    * union-of-widths formulation re-scanned the corpus per reference
+    * (3×). Shuffles carry (n, h)-keyed 20-byte rows, never text.
+    * Benchmark split = doc_id % 20 (d7's convention).
     */
   val t31DecontamCurve: QueryDef = QueryDef(
     "t31_decontam_curve",
     (s, dir) => {
-      def kg(n: Int) = Tables.loadSpread(s, dir, "documents")
-        .select(lit(n).as("n"), col("doc_id"),
-          posexplode(graft.expressions.GraftExpressions
-            .kgramHashes(col("text"), n)).as(Seq("pos", "h")))
-      val all3 = kg(4).unionByName(kg(8)).unionByName(kg(16))
-      val bench = all3.filter(col("doc_id") % 20 === 0)
-        .select("n", "h").distinct()
-      val train = all3.filter(col("doc_id") % 20 =!= 0)
-      val hits = train.join(bench, Seq("n", "h"))
+      import org.apache.spark.sql.expressions.Window
+      val kg = Tables.loadSpread(s, dir, "documents")
+        .select(col("doc_id"), graft.expressions.GraftExpressions
+          .kgramHashesMulti(col("text"), Seq(4, 8, 16)))
+        .select("n", "doc_id", "h")
+      // one raw shuffle, keyed (n, h): the per-(n,h,doc_id) counts and
+      // the bench-collision window then both run in place
+      val perDoc = kg.repartition(col("n"), col("h"))
+        .groupBy("n", "h", "doc_id")
+        .agg(count(lit(1)).as("cnt"))
+      val flagged = perDoc.withColumn("in_bench",
+        max(when(col("doc_id") % 20 === 0, 1).otherwise(0))
+          .over(Window.partitionBy("n", "h")))
+      flagged.filter(col("doc_id") % 20 =!= 0)
+        .groupBy("n", "doc_id")
+        .agg(max(col("in_bench")).as("hit"),
+          sum(when(col("in_bench") === 1, col("cnt")).otherwise(0L)).as("hits"))
         .groupBy("n")
-        .agg(countDistinct(col("doc_id")).as("n_contaminated_docs"),
-          count(lit(1)).as("n_hit_kgrams"))
-      train.groupBy("n")
-        .agg(countDistinct(col("doc_id")).as("n_train_docs"))
-        .join(hits, Seq("n"), "left")
-        .select(col("n"), col("n_train_docs"),
-          coalesce(col("n_contaminated_docs"), lit(0L))
-            .as("n_contaminated_docs"),
-          coalesce(col("n_hit_kgrams"), lit(0L)).as("n_hit_kgrams"))
+        .agg(count(lit(1)).as("n_train_docs"),
+          sum(col("hit")).cast("long").as("n_contaminated_docs"),
+          sum(col("hits")).as("n_hit_kgrams"))
         .orderBy("n")
     },
     Some("""
@@ -1613,15 +1626,12 @@ object TextQueries {
                AS n_contaminated_docs,
              CAST(COALESCE(hits.n_hit_kgrams, 0) AS BIGINT) AS n_hit_kgrams
       FROM tot LEFT JOIN hits ON hits.n = tot.n ORDER BY tot.n"""),
-    aux = Map("kgrams" -> ((s, dir) => {
-      def kg(n: Int) = Tables.loadSpread(s, dir, "documents")
-        .select(lit(n).as("n"), col("doc_id"),
-          posexplode(graft.expressions.GraftExpressions
-            .kgramHashes(col("text"), n)).as(Seq("pos", "h")))
-      kg(4).unionByName(kg(8)).unionByName(kg(16))
+    aux = Map("kgrams" -> ((s, dir) =>
+      Tables.loadSpread(s, dir, "documents")
+        .select(col("doc_id"), graft.expressions.GraftExpressions
+          .kgramHashesMulti(col("text"), Seq(4, 8, 16)))
         .select("n", "doc_id", "h")
-        .orderBy("n", "doc_id")
-    }))
+        .orderBy("n", "doc_id")))
   )
 
   /** BPE CORPUS ENCODING registered end to end — train on the corpus

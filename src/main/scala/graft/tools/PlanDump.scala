@@ -60,9 +60,12 @@ object PlanDump {
     "q27_range_join" -> ("Range join via bucketed interval overlap: both " +
       "sides explode to coarse buckets and equi-join on (bucket), " +
       "turning the O(n·m) predicate into a hash join + residual filter."),
-    "t31_decontam_curve" -> ("Three shingle widths in one (n,hash)-keyed " +
-      "job: 12-byte keys cross the exchange, text stays in the scan " +
-      "stage; the triple posexplode is the work itself."),
+    "t31_decontam_curve" -> ("Three shingle widths off ONE corpus scan: " +
+      "the multi-width kgram Generator emits (n,pos,h) for n in {4,8,16} " +
+      "from a single tokenization, and the screen is straight-line " +
+      "aggregation (no self-join) — one raw (n,h)-keyed exchange feeds " +
+      "both the per-doc counts and the bench-collision window in place; " +
+      "text never crosses an exchange."),
     "m7_keyframes" -> ("Scene keyframes as a single-lineage window plan: " +
       "every window and the final collapse share ONE doc_id hash " +
       "exchange ((doc_id, scene) windows re-sort, never re-exchange) and " +

@@ -103,6 +103,23 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("kgramHashesMulti: per-width rows ≡ kgramHashes, grouped in ns order") {
+    samples(textGen, 200).foreach { t =>
+      val u = UTF8String.fromString(t)
+      val ns = Array(4, 8, 16)
+      val rows = HashOps.kgramHashesMulti(u, ns).toSeq
+        .map(r => (r.getInt(0), r.getInt(1), r.getLong(2)))
+      // the fused generator must be hash-identical per width to the
+      // single-width kernel (t31's oracle depends on it), positions
+      // consecutive from 0, widths emitted in ns order
+      val expected = ns.toSeq.flatMap { n =>
+        HashOps.kgramHashes(u, n).toLongArray().toSeq.zipWithIndex
+          .map { case (h, i) => (n, i, h) }
+      }
+      assert(rows == expected)
+    }
+  }
+
   test("embedShingles: unit or zero norm; positive scaling never flips buckets") {
     val rnd = new scala.util.Random(7)
     val planes = Array.fill(2 * 6 * 32)(rnd.nextGaussian())

@@ -76,7 +76,8 @@ object Hdf5 {
       private val dataSize: Long,
       private val chunkDims: Vector[Int],
       private val filters: Vector[(Int, Vector[Int])],
-      private val chunkIndex: Int = 0) extends Node {
+      private val chunkIndex: Int = 0,
+      private val singleChunkMask: Int = 0) extends Node {
 
     def elementCount: Long = dims.product
 
@@ -102,7 +103,8 @@ object Hdf5 {
                 val stored =
                   if (filters.nonEmpty) dataSize
                   else chunkDims.map(_.toLong).product * dtype.size
-                copyChunk(decodeChunk(slice(dataAddr, stored.toInt)),
+                copyChunk(decodeChunk(slice(dataAddr, stored.toInt),
+                    singleChunkMask),
                   Vector.fill(dims.length)(0L), out)
               }
             case 2 => // v4 Implicit: dense unfiltered grid, consecutive
@@ -116,9 +118,10 @@ object Hdf5 {
             case 3 => // v4 Fixed Array: linear chunk-grid index
               val entries = fixedArrayEntries(dataAddr)
               foreachChunkOrigin { (k, origin) =>
-                val (addr, stored) = entries(k)
+                val (addr, stored, mask) = entries(k)
                 if (addr != Undefined)
-                  copyChunk(decodeChunk(slice(addr, stored.toInt)), origin, out)
+                  copyChunk(decodeChunk(slice(addr, stored.toInt), mask),
+                    origin, out)
               }
             case t => fail(s"chunk index type $t not supported " +
               "(extensible-array and v2-B-tree indexes need unlimited dims)")
@@ -234,7 +237,7 @@ object Hdf5 {
       while (e < nEntries) {
         // key: chunk byte size, filter mask, then rank+1 chunk offsets
         val chunkBytes = b.u32()
-        b.u32() // filter mask (all filters applied)
+        val mask = b.u32().toInt // bit i: pipeline position i skipped
         val offsets = Vector.fill(rank + 1)(b.u64())
         val child = b.u64()
         if (level > 0) {
@@ -242,7 +245,7 @@ object Hdf5 {
           walkChunkTree(child, out)
           b.pos = save
         } else {
-          copyChunk(decodeChunk(slice(child, chunkBytes.toInt)),
+          copyChunk(decodeChunk(slice(child, chunkBytes.toInt), mask),
             offsets.take(rank).map(_.toLong), out)
         }
         e += 1
@@ -251,15 +254,24 @@ object Hdf5 {
 
     /** Decode one stored chunk through the filter pipeline in reverse
       * order (write order was e.g. shuffle → deflate, so read inflates
-      * first, then unshuffles).
+      * first, then unshuffles). `mask` is the chunk's filter mask from
+      * its index entry: bit i set means pipeline POSITION i was skipped
+      * when the chunk was written (libhdf5 sets it when an
+      * H5Z_FLAG_OPTIONAL filter — szip under some shapes — declines a
+      * chunk), so that position must be skipped on read too. Feeding
+      * such a chunk through the full pipeline would misread its first
+      * bytes as the szip size prefix or fail inflate — silently wrong
+      * or confusingly failed samples either way.
       */
-    private def decodeChunk(stored: Array[Byte]): Array[Byte] = {
+    private def decodeChunk(stored: Array[Byte], mask: Int): Array[Byte] = {
       var raw = stored
-      filters.reverse.foreach {
-        case (1, _)  => raw = inflate(raw)
-        case (2, _)  => raw = unshuffle(raw, dtype.size)
-        case (4, cd) => raw = Szip.decodeHdf5(raw, cd)
-        case (f, _)  => fail(s"filter $f in chunk pipeline")
+      filters.zipWithIndex.reverse.foreach { case ((id, cd), pos) =>
+        if ((mask & (1 << pos)) == 0) id match {
+          case 1 => raw = inflate(raw)
+          case 2 => raw = unshuffle(raw, dtype.size)
+          case 4 => raw = Szip.decodeHdf5(raw, cd)
+          case f => fail(s"filter $f in chunk pipeline")
+        }
       }
       raw
     }
@@ -288,13 +300,14 @@ object Hdf5 {
       }
     }
 
-    /** The (address, stored size) of every chunk in a v4 Fixed Array
-      * index, by linear grid index. Client 0 entries are bare addresses
-      * (stored size is the nominal chunk size); client 1 (filtered) adds
-      * a variable-width stored size and a filter mask. Paged data blocks
+    /** The (address, stored size, filter mask) of every chunk in a v4
+      * Fixed Array index, by linear grid index. Client 0 entries are
+      * bare addresses (stored size is the nominal chunk size, nothing
+      * skipped); client 1 (filtered) adds a variable-width stored size
+      * and the per-chunk filter mask. Paged data blocks
       * (> 2^pageBits entries) fail fast.
       */
-    private def fixedArrayEntries(addr: Long): Vector[(Long, Long)] = {
+    private def fixedArrayEntries(addr: Long): Vector[(Long, Long, Int)] = {
       val b = reader(file, addr)
       b.expect("FAHD")
       if (b.u8() != 0) fail("FAHD version")
@@ -313,15 +326,15 @@ object Hdf5 {
       db.u64() // header address (back-pointer; not validated)
       val nominal = chunkDims.map(_.toLong).product * dtype.size
       Vector.fill(nEntries.toInt) {
-        if (clientId == 0) (db.u64(), nominal)
+        if (clientId == 0) (db.u64(), nominal, 0)
         else {
           val a = db.u64()
           val szBytes = entrySize - 8 - 4
           var sz = 0L
           var i = 0
           while (i < szBytes) { sz |= (db.u8().toLong << (8 * i)); i += 1 }
-          db.u32() // filter mask
-          (a, sz)
+          val mask = db.u32().toInt
+          (a, sz, mask)
         }
       }
     }
@@ -991,6 +1004,7 @@ object Hdf5 {
     var layoutClass = -1
     var dataAddr = Undefined
     var dataSize = 0L
+    var singleChunkMask = 0
     var chunkDims = Vector.empty[Int]
     var filters = Vector.empty[(Int, Vector[Int])]
     var chunkIndex = 0
@@ -1040,7 +1054,10 @@ object Hdf5 {
                 case 1 => // Single Chunk (chunk dims == dataset dims)
                   chunkIndex = 1
                   // flag bit 1: filtered — stored size + filter mask precede
-                  if ((flags & 0x2) != 0) { dataSize = b.u64(); b.u32() }
+                  if ((flags & 0x2) != 0) {
+                    dataSize = b.u64()
+                    singleChunkMask = b.u32().toInt
+                  }
                   dataAddr = b.u64()
                 case 2 => // Implicit (early allocation, no filters)
                   chunkIndex = 2
@@ -1081,7 +1098,7 @@ object Hdf5 {
     }
     require(dtype != null && layoutClass >= 0, s"dataset $name missing messages")
     Dataset(name, dims, dtype, file, layoutClass, dataAddr, dataSize, chunkDims,
-      filters, chunkIndex)
+      filters, chunkIndex, singleChunkMask)
   }
 
   /** Parse a datatype message body (recursive: a vlen SEQUENCE's base

@@ -38,6 +38,30 @@ package graft.sources
   * a reference block fail fast by name — an encoder always has the
   * split/FS/no-compression options available there, and the fixture
   * encoder never emits that combination.
+  *
+  * Supported-subset boundaries (all fail fast by name, never decode
+  * wrong):
+  *
+  *  - **Whole scanlines only**: the chunk's pixel count must be a
+  *    multiple of `pixels_per_scanline`, and the scanline a multiple of
+  *    `pixels_per_block`. libhdf5's `H5Z__set_local_szip` clamps the
+  *    scanline to the chunk's fastest dimension, so chunks it configures
+  *    satisfy both, but a foreign writer could emit partial scanlines /
+  *    partial trailing blocks (szlib pads them); such streams are
+  *    rejected, not padded.
+  *  - **Zero-run scope**: zero-block runs are decoded scanline-scoped —
+  *    a run may not cross its scanline (reference interval), and the
+  *    `remainder-of-segment` codeword (FS value 5) counts to the end of
+  *    the current 64-block segment. Validation is against the in-repo
+  *    encoder and hand vectors, not a szlib binary; with AT MOST ONE
+  *    segment per scanline the convention is unambiguous (segment start
+  *    = scanline start), so scanlines of more than 64 blocks — where
+  *    szlib's segment numbering might straddle reference intervals —
+  *    are rejected up front rather than risked. Every shape libhdf5's
+  *    `H5Z__set_local_szip` configures (J ≥ 2, scanline ≤ 128 samples)
+  *    is single-segment and inside the envelope.
+  *  - Bit depths 1..16 and 32 (a byte-sized HDF5 datatype); 17..31-bit
+  *    pixels would need szlib's 3-byte container.
   */
 object Szip {
 
@@ -102,6 +126,10 @@ object Szip {
         "3-byte pixel container)")
     require(j >= 2 && j <= 32 && j % 2 == 0, s"szip: pixels/block $j")
     require(pps % j == 0, s"szip: scanline $pps not a multiple of block $j")
+    require(pps / j <= 64,
+      s"szip: scanline of ${pps / j} blocks spans multiple 64-block " +
+        "segments — remainder-of-segment runs are only validated for " +
+        "single-segment scanlines (every libhdf5-configured shape)")
     val bytesPerPixel = if (n <= 8) 1 else if (n <= 16) 2 else 4
     val total = outBytes / bytesPerPixel
     require(total * bytesPerPixel == outBytes,

@@ -379,6 +379,26 @@ class EmdSpec extends SparkSpec {
     assert(d.readDoubles().toSeq == values.map(_.toDouble))
   }
 
+  test("HDF5 szip filter: per-chunk filter mask skips szip for masked chunks") {
+    // libhdf5 registers szip as H5Z_FLAG_OPTIONAL: when the filter
+    // declines a chunk, the chunk is stored RAW and its index entry's
+    // filter mask marks the pipeline position as skipped. A reader that
+    // ignores the mask would misread the raw chunk's first bytes as the
+    // szip size prefix — silently wrong samples. Chunks 1 and 2 (of 4)
+    // are stored raw here; all four must decode to the written values.
+    val w = new Hdf5TestWriter()
+    val dims = Seq(8L, 16L)
+    val values = (0 until 128).map(i => 600 + (math.cos(i / 5.0) * 250).toInt)
+    val raw = java.nio.ByteBuffer.allocate(256)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    values.foreach(v => raw.putShort(v.toShort))
+    val cd = Seq(Szip.Raw | Szip.AllowK13 | Szip.NN | Szip.LSB, 16, 8, 8)
+    val ds = w.chunkedDataset(dims, w.uint16, raw.array(), Seq(4, 8),
+      szip = Some(cd), szipSkipChunks = Set(1, 2))
+    val d = Hdf5.open(w.finish(w.group(Seq("frames" -> ds)))).datasets.head
+    assert(d.readDoubles().toSeq == values.map(_.toDouble))
+  }
+
   test("HDF5 szip filter: uint32 frames (5-bit option IDs, Long sample domain)") {
     val w = new Hdf5TestWriter()
     val values = (0 until 64).map(i => 4000000000L + i * 1234567L % 290000000L)

@@ -225,19 +225,26 @@ final class Hdf5TestWriter(capacity: Int = 1 << 22) {
       chunkDims: Seq[Int], deflateLevel: Int = 6,
       filterMsgVersion: Int = 1, shuffle: Boolean = false,
       v2Header: Boolean = false,
-      szip: Option[Seq[Int]] = None): Long = {
+      szip: Option[Seq[Int]] = None,
+      szipSkipChunks: Set[Int] = Set.empty): Long = {
     val rank = dims.size
     // gather each chunk (zero-padded at the edges), pack through the
-    // pipeline (szip, or shuffle→deflate), write, record
-    val entries = Vector.newBuilder[(Long, Int, Seq[Long])] // addr, size, offsets
-    gatherChunks(dims, dt, raw, chunkDims).foreach { case (at, chunk) =>
-      val packed = szip match {
-        case Some(cd) => SzipTestEncoder.encodeHdf5(chunk, cd)
-        case None => deflate(
-          if (shuffle) shuffleBytes(chunk, dt.size) else chunk, deflateLevel)
-      }
+    // pipeline (szip, or shuffle→deflate), write, record. Chunks listed
+    // in `szipSkipChunks` (by linear grid index) are stored RAW with
+    // filter-mask bit 0 set — what libhdf5 emits when the OPTIONAL szip
+    // filter declines a chunk (H5Z_FLAG_OPTIONAL).
+    val entries = Vector.newBuilder[(Long, Int, Seq[Long], Int)] // addr, size, offsets, mask
+    gatherChunks(dims, dt, raw, chunkDims).zipWithIndex.foreach { case ((at, chunk), k) =>
+      val skipped = szip.isDefined && szipSkipChunks(k)
+      val packed =
+        if (skipped) chunk
+        else szip match {
+          case Some(cd) => SzipTestEncoder.encodeHdf5(chunk, cd)
+          case None => deflate(
+            if (shuffle) shuffleBytes(chunk, dt.size) else chunk, deflateLevel)
+        }
       val addr = writeBytes(packed)
-      entries += ((addr, packed.length, at))
+      entries += ((addr, packed.length, at, if (skipped) 1 else 0))
     }
 
     // chunk-index B-tree: one level-0 node type 1
@@ -247,9 +254,9 @@ final class Hdf5TestWriter(capacity: Int = 1 << 22) {
     buf.put(1.toByte).put(0.toByte) // node type 1, level 0
     buf.putShort(all.size.toShort)
     buf.putLong(Undef).putLong(Undef)
-    all.foreach { case (addr, size, at) =>
+    all.foreach { case (addr, size, at, mask) =>
       buf.putInt(size)
-      buf.putInt(0) // filter mask
+      buf.putInt(mask) // filter mask: bit i ⇒ pipeline position i skipped
       at.foreach(buf.putLong)
       buf.putLong(0L) // trailing element-size dimension offset
       buf.putLong(addr)

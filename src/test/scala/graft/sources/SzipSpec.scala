@@ -182,6 +182,16 @@ class SzipSpec extends AnyFunSuite {
     assert(e.getMessage.contains("reference block"))
   }
 
+  test("decoder fails fast by name on multi-segment scanlines") {
+    // > 64 blocks per scanline: szlib's remainder-of-segment numbering
+    // is unvalidated there, so the decoder rejects rather than risks a
+    // silent in-bounds mis-decode (libhdf5 never configures such shapes)
+    val e = intercept[IllegalArgumentException] {
+      Szip.decode(new Array[Byte](16), EcMask, 8, 8, 8 * 65, 8 * 65)
+    }
+    assert(e.getMessage.contains("64-block"))
+  }
+
   test("hdf5 payload carries the uncompressed size prefix") {
     val px = (0 until 64).map(i => i * 3 % 256)
     val raw = px.map(_.toByte).toArray

@@ -202,6 +202,46 @@ object Bench {
     val growthFlagged = growthRows.collect {
       case (k, _, _, Some(r)) if r > 1.5 * dataRatio => "\"" + k + "\""
     }.mkString("[", ",", "]")
+    // Cross-round comparability (the r5→r6 lesson: the suite TOTAL moves
+    // whenever the registered-query denominator grows or the host drifts,
+    // and un-telling that story cost an A/B investigation). Two honest
+    // headline numbers ride in the artifact: the median of per-query
+    // medians, and the total restricted to the PREVIOUS round's query
+    // set. That set is read from the newest CORRECTNESS_r*.json — the
+    // driver commits one per round keyed by exactly the queries that
+    // round registered, and unlike BENCH_local.json it is never
+    // overwritten by in-round bench reruns — so round N+1 is never
+    // judged on denominator growth.
+    val okMedians = results.collect {
+      case (k, med, _, _, true, _, _, _) => k -> med }.toMap
+    val perQueryMedian = {
+      val v = okMedians.values.toSeq.sorted
+      if (v.isEmpty) 0.0 else v(v.size / 2)
+    }
+    val prevRound: Option[(String, Set[String])] = {
+      val rx = "CORRECTNESS_r(\\d+)\\.json".r
+      Option(new java.io.File(repoRoot).listFiles).toSeq.flatten
+        .flatMap(fl => fl.getName match {
+          case rx(n) => Some((n.toInt, fl))
+          case _ => None
+        })
+        .sortBy(-_._1).headOption.flatMap { case (_, fl) =>
+          try {
+            val txt = java.nio.file.Files.readString(fl.toPath)
+            // top-level keys of {"<query>": {…}, …}
+            val keys = "\"([A-Za-z0-9_]+)\"\\s*:\\s*\\{".r
+              .findAllMatchIn(txt).map(_.group(1)).toSet
+            if (keys.nonEmpty) Some(fl.getName -> keys) else None
+          } catch { case _: Throwable => None }
+        }
+    }
+    val commonJson = prevRound match {
+      case Some((src, keys)) =>
+        val common = okMedians.view.filterKeys(keys).values
+        s"""{"vs":"$src","n":${okMedians.keySet.count(keys)},"total":${f(common.sum)}}"""
+      case None => "null"
+    }
+
     // stdout carries the COMPACT contract line only (totals + per-query
     // medians): round 3's single line grew past the driver's tail-capture
     // window once the exchange map joined it, and the whole artifact parsed
@@ -209,7 +249,7 @@ object Bench {
     // repo file so every round's bench is self-contained regardless of how
     // much stdout the harness keeps.
     val loadEnd = loadavg()
-    val env = s""""passes":$Passes,"failed":$failed,"sf":"$sfDir","loadavg_start":"$loadStart","loadavg_end":"$loadEnd","data_ratio":${f(dataRatio)},"growth_flagged":$growthFlagged,"amortized":$amortizedJson"""
+    val env = s""""passes":$Passes,"failed":$failed,"sf":"$sfDir","loadavg_start":"$loadStart","loadavg_end":"$loadEnd","data_ratio":${f(dataRatio)},"growth_flagged":$growthFlagged,"amortized":$amortizedJson,"per_query_median":${f(perQueryMedian)},"common_subset":$commonJson"""
     val compact = s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,$env}"""
     val full = s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"spread":$spread,"exchange":$shuffle,"growth":$growthJson,$env}"""
     println(compact)

@@ -1,0 +1,637 @@
+package graft.multimodal.h264
+
+/** From-scratch H.264 baseline-intra ENCODER — the fixture-writer half of
+  * the codec pair (the Hdf5TestWriter/SzipTestEncoder precedent: built
+  * from the public spec, it exists so the decoder can be exercised over
+  * real bitstreams in an environment with no third-party encoder).
+  *
+  * Emits IDR-only streams inside the supported subset: CAVLC, single
+  * slice, I_4x4 + I_16x16 (SAD mode decision, alternating per MB so every
+  * fixture exercises both) or I_PCM (`pcmEvery`), flat QP, optional
+  * deblocking. The encoder maintains the decoder-identical reconstruction
+  * (prediction from reconstructed neighbors, §8.5 inverse path), so
+  * `H264Decoder` output must match [[Encoded.recon]] BIT-EXACTLY — that
+  * equality is the round-trip contract H264Spec pins.
+  */
+object H264Encoder {
+
+  /** `pcmEvery` = 0 disables I_PCM; n > 0 codes every n-th MB as PCM
+    * (1 = every MB, the lossless path the m8 oracle relies on).
+    */
+  final case class Config(
+      qp: Int = 28, pcmEvery: Int = 0, deblock: Boolean = true)
+
+  final case class Encoded(
+      width: Int, height: Int,
+      sps: Array[Byte], pps: Array[Byte],
+      samples: Seq[Array[Byte]], // AVCC samples, 4-byte BE NAL lengths
+      recon: Seq[H264Decoder.Frame]) // what a conformant decoder must output
+
+  /** Encode luma-only (grayscale) frames; chroma coded flat 128. */
+  def encodeGray(frames: Seq[Array[Byte]], width: Int, height: Int,
+      cfg: Config = Config()): Encoded = {
+    val cw = (width + 1) / 2; val ch = (height + 1) / 2
+    encodeYuv(frames.map { f =>
+      (f.map(_ & 0xFF), Array.fill(cw * ch)(128), Array.fill(cw * ch)(128))
+    }, width, height, cfg)
+  }
+
+  /** Encode 4:2:0 YCbCr frames (planes as 0..255 ints). */
+  def encodeYuv(frames: Seq[(Array[Int], Array[Int], Array[Int])],
+      width: Int, height: Int, cfg: Config = Config()): Encoded = {
+    require(width > 0 && height > 0 && width % 2 == 0 && height % 2 == 0,
+      s"4:2:0 requires even dimensions, got ${width}x$height")
+    require(cfg.qp >= 0 && cfg.qp <= 51, s"qp ${cfg.qp}")
+    val wMb = (width + 15) / 16
+    val hMb = (height + 15) / 16
+    val sps = writeSps(wMb, hMb, width, height)
+    val pps = writePps(cfg.qp)
+    val spsP = H264Decoder.parseSps(Nal.unescape(sps, 1, sps.length))
+    val ppsP = H264Decoder.parsePps(Nal.unescape(pps, 1, pps.length))
+    val out = frames.map { case (y, cb, cr) =>
+      require(y.length == width * height, "luma plane size")
+      val enc = new FrameEncoder(wMb, hMb, cfg, spsP, ppsP)
+      val nal = enc.encodeFrame(pad(y, width, height, wMb * 16, hMb * 16),
+        pad(cb, width / 2, height / 2, wMb * 8, hMb * 8),
+        pad(cr, width / 2, height / 2, wMb * 8, hMb * 8))
+      val sample = new java.io.ByteArrayOutputStream()
+      sample.write(Array[Byte](
+        ((nal.length >> 24) & 0xFF).toByte, ((nal.length >> 16) & 0xFF).toByte,
+        ((nal.length >> 8) & 0xFF).toByte, (nal.length & 0xFF).toByte))
+      sample.write(nal)
+      (sample.toByteArray, enc.reconFrame())
+    }
+    Encoded(width, height, sps, pps, out.map(_._1), out.map(_._2))
+  }
+
+  /** Replicate-pad a plane to MB-aligned dimensions (standard encoder
+    * practice; the aligned region beyond the crop window is never
+    * output).
+    */
+  private def pad(p: Array[Int], w: Int, h: Int, wPad: Int, hPad: Int): Array[Int] = {
+    val out = new Array[Int](wPad * hPad)
+    var y = 0
+    while (y < hPad) {
+      val sy = math.min(y, h - 1)
+      var x = 0
+      while (x < wPad) {
+        out(y * wPad + x) = p(sy * w + math.min(x, w - 1))
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
+  /** avcC (ISO/IEC 14496-15 §5.2.4.1) for the MP4 sample entry. */
+  def avcC(sps: Array[Byte], pps: Array[Byte]): Array[Byte] = {
+    val b = new java.io.ByteArrayOutputStream()
+    b.write(1) // configurationVersion
+    b.write(sps(1)); b.write(sps(2)); b.write(sps(3)) // profile/compat/level
+    b.write(0xFF) // reserved + lengthSizeMinusOne=3
+    b.write(0xE1) // reserved + numOfSequenceParameterSets=1
+    b.write(sps.length >> 8); b.write(sps.length & 0xFF); b.write(sps, 0, sps.length)
+    b.write(1) // numOfPictureParameterSets
+    b.write(pps.length >> 8); b.write(pps.length & 0xFF); b.write(pps, 0, pps.length)
+    b.toByteArray
+  }
+
+  /** Annex-B dump of the whole stream (SPS, PPS, then each IDR). */
+  def annexB(e: Encoded): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    def start(): Unit = out.write(Array[Byte](0, 0, 0, 1))
+    start(); out.write(e.sps)
+    start(); out.write(e.pps)
+    e.samples.foreach { s =>
+      start(); out.write(s, 4, s.length - 4) // drop the AVCC length prefix
+    }
+    out.toByteArray
+  }
+
+  private def writeSps(wMb: Int, hMb: Int, width: Int, height: Int): Array[Byte] = {
+    val bw = new BitWriter
+    bw.putBits(66, 8) // profile_idc: Baseline
+    bw.putBits(0xC0, 8) // constraint_set0+1 (conforms to Baseline+Main)
+    bw.putBits(30, 8) // level 3.0
+    bw.ue(0) // sps_id
+    bw.ue(0) // log2_max_frame_num_minus4
+    bw.ue(2) // pic_order_cnt_type: POC from frame order (IDR-only stream)
+    bw.ue(1) // max_num_ref_frames
+    bw.put(0) // gaps_in_frame_num_value_allowed
+    bw.ue(wMb - 1)
+    bw.ue(hMb - 1)
+    bw.put(1) // frame_mbs_only
+    bw.put(1) // direct_8x8_inference
+    val cropR = (wMb * 16 - width) / 2
+    val cropB = (hMb * 16 - height) / 2
+    if (cropR > 0 || cropB > 0) {
+      bw.put(1); bw.ue(0); bw.ue(cropR); bw.ue(0); bw.ue(cropB)
+    } else bw.put(0)
+    bw.put(0) // vui_parameters_present
+    bw.rbspTrailing()
+    Nal.unit(3, 7, bw.toBytes)
+  }
+
+  private def writePps(qp: Int): Array[Byte] = {
+    val bw = new BitWriter
+    bw.ue(0); bw.ue(0) // pps_id, sps_id
+    bw.put(0) // entropy_coding_mode: CAVLC
+    bw.put(0) // bottom_field_pic_order_in_frame_present
+    bw.ue(0) // num_slice_groups_minus1
+    bw.ue(0); bw.ue(0) // num_ref_idx defaults
+    bw.put(0) // weighted_pred
+    bw.putBits(0, 2) // weighted_bipred_idc
+    bw.se(qp - 26) // pic_init_qp_minus26
+    bw.se(0) // pic_init_qs_minus26
+    bw.se(0) // chroma_qp_index_offset
+    bw.put(1) // deblocking_filter_control_present
+    bw.put(0) // constrained_intra_pred
+    bw.put(0) // redundant_pic_cnt_present
+    bw.rbspTrailing()
+    Nal.unit(3, 8, bw.toBytes)
+  }
+
+  // ------------------------------------------------------------------
+
+  private final class FrameEncoder(wMb: Int, hMb: Int, cfg: Config,
+      sps: H264Decoder.Sps, pps: H264Decoder.Pps) {
+    private val ls = wMb * 16
+    private val cs = wMb * 8
+    private val y = new Array[Int](ls * hMb * 16) // reconstruction
+    private val cbP = new Array[Int](cs * hMb * 8)
+    private val crP = new Array[Int](cs * hMb * 8)
+    private val tcY = new Array[Int](wMb * 4 * hMb * 4)
+    private val tcCb = new Array[Int](wMb * 2 * hMb * 2)
+    private val tcCr = new Array[Int](wMb * 2 * hMb * 2)
+    private val i4Mode = Array.fill(wMb * 4 * hMb * 4)(-1)
+    private val mbQp = Array.fill(wMb * hMb)(cfg.qp)
+    private val qp = cfg.qp
+    private val qpC = Transform.chromaQp(qp, 0)
+
+    import H264Decoder.{blkX, blkY}
+
+    def encodeFrame(srcY: Array[Int], srcCb: Array[Int], srcCr: Array[Int]): Array[Byte] = {
+      val bw = new BitWriter
+      // slice header (IDR, type 7)
+      bw.ue(0) // first_mb_in_slice
+      bw.ue(7) // slice_type I (all slices of picture)
+      bw.ue(0) // pps_id
+      bw.putBits(0, sps.log2MaxFrameNum) // frame_num
+      bw.ue(0) // idr_pic_id
+      bw.put(0); bw.put(0) // dec_ref_pic_marking
+      bw.se(qp - pps.picInitQp) // slice_qp_delta
+      bw.ue(if (cfg.deblock) 0 else 1) // disable_deblocking_filter_idc
+      if (cfg.deblock) { bw.se(0); bw.se(0) }
+
+      var mb = 0
+      val n = wMb * hMb
+      while (mb < n) {
+        val mbX = mb % wMb
+        val mbY = mb / wMb
+        if (cfg.pcmEvery > 0 && mb % cfg.pcmEvery == 0)
+          encodePcm(bw, mbX, mbY, srcY, srcCb, srcCr)
+        else if ((mbX + mbY) % 2 == 0)
+          encodeI16(bw, mbX, mbY, srcY, srcCb, srcCr)
+        else
+          encodeI4(bw, mbX, mbY, srcY, srcCb, srcCr)
+        mb += 1
+      }
+      bw.rbspTrailing()
+      Nal.unit(3, 5, bw.toBytes)
+    }
+
+    def reconFrame(): H264Decoder.Frame = {
+      if (cfg.deblock)
+        Deblock.filterFrame(y, cbP, crP, wMb, hMb, mbQp, 0, 0, 0)
+      // crop (§ as decoder)
+      val w = sps.width; val h = sps.height
+      val oy = new Array[Int](w * h)
+      var yy = 0
+      while (yy < h) { System.arraycopy(y, yy * ls, oy, yy * w, w); yy += 1 }
+      val cw = w / 2; val chh = h / 2
+      val ocb = new Array[Int](cw * chh); val ocr = new Array[Int](cw * chh)
+      yy = 0
+      while (yy < chh) {
+        System.arraycopy(cbP, yy * cs, ocb, yy * cw, cw)
+        System.arraycopy(crP, yy * cs, ocr, yy * cw, cw)
+        yy += 1
+      }
+      H264Decoder.Frame(w, h, oy, ocb, ocr)
+    }
+
+    // ----------------------------------------------------------- PCM
+
+    private def encodePcm(bw: BitWriter, mbX: Int, mbY: Int,
+        srcY: Array[Int], srcCb: Array[Int], srcCr: Array[Int]): Unit = {
+      bw.ue(25)
+      bw.alignZero() // pcm_alignment_zero_bit
+      val x0 = mbX * 16; val y0 = mbY * 16
+      for (yy <- 0 until 16; xx <- 0 until 16) {
+        val v = srcY((y0 + yy) * ls + x0 + xx)
+        bw.putBits(v, 8); y((y0 + yy) * ls + x0 + xx) = v
+      }
+      val cx0 = mbX * 8; val cy0 = mbY * 8
+      for (yy <- 0 until 8; xx <- 0 until 8) {
+        val v = srcCb((cy0 + yy) * cs + cx0 + xx)
+        bw.putBits(v, 8); cbP((cy0 + yy) * cs + cx0 + xx) = v
+      }
+      for (yy <- 0 until 8; xx <- 0 until 8) {
+        val v = srcCr((cy0 + yy) * cs + cx0 + xx)
+        bw.putBits(v, 8); crP((cy0 + yy) * cs + cx0 + xx) = v
+      }
+      for (by <- 0 until 4; bx <- 0 until 4)
+        tcY((mbY * 4 + by) * wMb * 4 + mbX * 4 + bx) = 16
+      for (by <- 0 until 2; bx <- 0 until 2) {
+        tcCb((mbY * 2 + by) * wMb * 2 + mbX * 2 + bx) = 16
+        tcCr((mbY * 2 + by) * wMb * 2 + mbX * 2 + bx) = 16
+      }
+    }
+
+    // ------------------------------------------------------- helpers
+
+    private def gatherEdge(plane: Array[Int], stride: Int, x0: Int, y0: Int,
+        n: Int): (Array[Int], Array[Int], Int, Boolean, Boolean) = {
+      val availU = y0 > 0
+      val availL = x0 > 0
+      val u = new Array[Int](n)
+      val l = new Array[Int](n)
+      var c = 128
+      if (availU) { var i = 0; while (i < n) { u(i) = plane((y0 - 1) * stride + x0 + i); i += 1 } }
+      if (availL) { var i = 0; while (i < n) { l(i) = plane((y0 + i) * stride + x0 - 1); i += 1 } }
+      if (availU && availL) c = plane((y0 - 1) * stride + x0 - 1)
+      (u, l, c, availU, availL)
+    }
+
+    private def mortonLt(bx: Int, by: Int, cx: Int, cy: Int): Boolean = {
+      def code(x: Int, yy: Int) =
+        ((yy >> 1) << 3) | ((x >> 1) << 2) | ((yy & 1) << 1) | (x & 1)
+      code(bx, by) < code(cx, cy)
+    }
+
+    private def lumaNeighbors(sx: Int, sy: Int, mbX: Int, mbY: Int,
+        blkIdx: Int): (Array[Int], Array[Int], Int, Boolean, Boolean) = {
+      val availU = sy > 0
+      val availL = sx > 0
+      val u = new Array[Int](8)
+      val l = new Array[Int](4)
+      var c = 128
+      if (availU) {
+        var i = 0
+        while (i < 4) { u(i) = y((sy - 1) * ls + sx + i); i += 1 }
+        val urAvail = sx + 4 < ls && {
+          val nMbX = (sx + 4) / 16; val nMbY = (sy - 1) / 16
+          if (nMbY < mbY) true
+          else if (nMbX != mbX) nMbX < mbX
+          else mortonLt((sx + 4) / 4 - mbX * 4, (sy - 1) / 4 - mbY * 4,
+            blkX(blkIdx), blkY(blkIdx))
+        }
+        if (urAvail) { var i = 4; while (i < 8) { u(i) = y((sy - 1) * ls + sx + i); i += 1 } }
+        else { var i = 4; while (i < 8) { u(i) = u(3); i += 1 } }
+      }
+      if (availL) { var i = 0; while (i < 4) { l(i) = y((sy + i) * ls + sx - 1); i += 1 } }
+      if (availU && availL) c = y((sy - 1) * ls + sx - 1)
+      else if (availU) c = u(0)
+      else if (availL) c = l(0)
+      (u, l, c, availU, availL)
+    }
+
+    private def lumaNC(gbx: Int, gby: Int): Int = {
+      val a = gbx > 0; val b = gby > 0
+      if (a && b) (tcY(gby * wMb * 4 + gbx - 1) + tcY((gby - 1) * wMb * 4 + gbx) + 1) >> 1
+      else if (a) tcY(gby * wMb * 4 + gbx - 1)
+      else if (b) tcY((gby - 1) * wMb * 4 + gbx)
+      else 0
+    }
+
+    private def chromaNC(tc: Array[Int], gbx: Int, gby: Int): Int = {
+      val a = gbx > 0; val b = gby > 0
+      if (a && b) (tc(gby * wMb * 2 + gbx - 1) + tc((gby - 1) * wMb * 2 + gbx) + 1) >> 1
+      else if (a) tc(gby * wMb * 2 + gbx - 1)
+      else if (b) tc((gby - 1) * wMb * 2 + gbx)
+      else 0
+    }
+
+    private def zigzag(raster: Array[Int], from: Int): Array[Int] = {
+      val out = new Array[Int](16 - from)
+      var i = from
+      while (i < 16) { out(i - from) = raster(Transform.Zigzag(i)); i += 1 }
+      out
+    }
+
+    private def addResidual(plane: Array[Int], stride: Int, x0: Int, y0: Int,
+        pred: Array[Int], res: Array[Int]): Unit = {
+      var yy = 0
+      while (yy < 4) {
+        var xx = 0
+        while (xx < 4) {
+          plane((y0 + yy) * stride + x0 + xx) =
+            Transform.clip255(pred(yy * 4 + xx) + res(yy * 4 + xx))
+          xx += 1
+        }
+        yy += 1
+      }
+    }
+
+    /** Residual of a 4x4 at (x0,y0): src − pred (pred in a 4x4 array). */
+    private def residual4x4(src: Array[Int], stride: Int, x0: Int, y0: Int,
+        pred: Array[Int]): Array[Int] = {
+      val r = new Array[Int](16)
+      var yy = 0
+      while (yy < 4) {
+        var xx = 0
+        while (xx < 4) {
+          r(yy * 4 + xx) = src((y0 + yy) * stride + x0 + xx) - pred(yy * 4 + xx)
+          xx += 1
+        }
+        yy += 1
+      }
+      r
+    }
+
+    private def extract4x4(plane: Array[Int], stride: Int, x0: Int, y0: Int): Array[Int] = {
+      val out = new Array[Int](16)
+      var yy = 0
+      while (yy < 4) {
+        var xx = 0
+        while (xx < 4) { out(yy * 4 + xx) = plane((y0 + yy) * stride + x0 + xx); xx += 1 }
+        yy += 1
+      }
+      out
+    }
+
+    // -------------------------------------------------------- I_16x16
+
+    private def encodeI16(bw: BitWriter, mbX: Int, mbY: Int,
+        srcY: Array[Int], srcCb: Array[Int], srcCr: Array[Int]): Unit = {
+      val x0 = mbX * 16; val y0 = mbY * 16
+      val (u, l, c, aU, aL) = gatherEdge(y, ls, x0, y0, 16)
+      // mode decision: best SAD among available modes, DC always legal
+      val candidates = Seq(2) ++
+        (if (aU) Seq(0) else Nil) ++ (if (aL) Seq(1) else Nil) ++
+        (if (aU && aL) Seq(3) else Nil)
+      val pred = new Array[Int](256) // 16x16, stride 16
+      var bestMode = 2
+      var bestSad = Int.MaxValue
+      candidates.foreach { m =>
+        Predict.luma16x16(m, pred, 16, 0, 0, u, l, c, aU, aL)
+        var s = 0
+        for (yy <- 0 until 16; xx <- 0 until 16)
+          s += math.abs(pred(yy * 16 + xx) - srcY((y0 + yy) * ls + x0 + xx))
+        if (s < bestSad) { bestSad = s; bestMode = m }
+      }
+      Predict.luma16x16(bestMode, pred, 16, 0, 0, u, l, c, aU, aL)
+
+      // transform: per-block forward, collect DCs, quantize
+      val acScan = new Array[Array[Int]](16) // scan-order AC coeffs (15)
+      val dcRaster = new Array[Int](16)
+      val wBlocks = new Array[Array[Int]](16)
+      val preds = new Array[Array[Int]](16)
+      var i = 0
+      while (i < 16) {
+        val bx = x0 + blkX(i) * 4; val by = y0 + blkY(i) * 4
+        val p4 = extract4x4(pred, 16, blkX(i) * 4, blkY(i) * 4)
+        preds(i) = p4
+        val w = Transform.forward4x4(residual4x4(srcY, ls, bx, by, p4))
+        wBlocks(i) = w
+        dcRaster(blkY(i) * 4 + blkX(i)) = w(0)
+        i += 1
+      }
+      val dcLevels = Transform.quantLumaDc(dcRaster, qp)
+      val dcScan = zigzag(dcLevels, 0)
+      i = 0
+      var anyAc = false
+      while (i < 16) {
+        val q = Transform.quant4x4(wBlocks(i), qp, skipDc = true)
+        acScan(i) = zigzag(q, 1)
+        if (acScan(i).exists(_ != 0)) anyAc = true
+        i += 1
+      }
+      val cbpLuma = if (anyAc) 15 else 0
+
+      // chroma (DC prediction always)
+      val ch = encodeChromaPlanes(mbX, mbY, srcCb, srcCr)
+
+      // mb_type: 1 + predMode + 4*cbpChroma + 12*(cbpLuma==15)
+      bw.ue(1 + bestMode + 4 * ch.cbpChroma + 12 * (if (cbpLuma == 15) 1 else 0))
+      bw.ue(0) // intra_chroma_pred_mode: DC
+      bw.se(0) // mb_qp_delta
+
+      // luma DC block (nC as for block 0)
+      Cavlc.encodeBlock(bw, dcScan, lumaNC(mbX * 4, mbY * 4))
+      // AC blocks
+      i = 0
+      while (i < 16) {
+        val gbx = mbX * 4 + blkX(i); val gby = mbY * 4 + blkY(i)
+        if (cbpLuma != 0) {
+          val tc = Cavlc.encodeBlock(bw, acScan(i), lumaNC(gbx, gby))
+          tcY(gby * wMb * 4 + gbx) = tc
+        } else tcY(gby * wMb * 4 + gbx) = 0
+        i += 1
+      }
+      writeChromaResidual(bw, mbX, mbY, ch)
+
+      // reconstruction: DC through the normative inverse path
+      val dcScaled = Transform.dequantLumaDc(unzigzag16(dcScan), qp)
+      i = 0
+      while (i < 16) {
+        val bx = x0 + blkX(i) * 4; val by = y0 + blkY(i) * 4
+        val raster = unzigzagAc(acScan(i))
+        val scaled = Transform.dequant4x4(raster, qp, skipDc = true)
+        scaled(0) = dcScaled(blkY(i) * 4 + blkX(i))
+        addResidual(y, ls, bx, by, preds(i), Transform.inverse4x4(scaled))
+        i += 1
+      }
+      reconChroma(mbX, mbY, ch)
+    }
+
+    // --------------------------------------------------------- I_4x4
+
+    private def encodeI4(bw: BitWriter, mbX: Int, mbY: Int,
+        srcY: Array[Int], srcCb: Array[Int], srcCr: Array[Int]): Unit = {
+      val modes = new Array[Int](16)
+      val predFlags = new Array[Boolean](16)
+      val rems = new Array[Int](16)
+      val scans = new Array[Array[Int]](16)
+
+      // pass 1: choose modes, quantize, reconstruct (decode order)
+      var i = 0
+      while (i < 16) {
+        val sx = mbX * 16 + blkX(i) * 4
+        val sy = mbY * 16 + blkY(i) * 4
+        val gbx = mbX * 4 + blkX(i)
+        val gby = mbY * 4 + blkY(i)
+        val (u, l, c, aU, aL) = lumaNeighbors(sx, sy, mbX, mbY, i)
+        val candidates = Seq(2) ++
+          (if (aU) Seq(0, 3, 7) else Nil) ++ (if (aL) Seq(1, 8) else Nil) ++
+          (if (aU && aL) Seq(4, 5, 6) else Nil)
+        val scratch = new Array[Int](16) // 4x4, stride 4
+        var bestMode = 2
+        var bestSad = Int.MaxValue
+        candidates.foreach { m =>
+          Predict.luma4x4(m, scratch, 4, 0, 0, u, l, c, aU, aL)
+          var s = 0
+          for (yy <- 0 until 4; xx <- 0 until 4)
+            s += math.abs(scratch(yy * 4 + xx) - srcY((sy + yy) * ls + sx + xx))
+          if (s < bestSad) { bestSad = s; bestMode = m }
+        }
+        Predict.luma4x4(bestMode, scratch, 4, 0, 0, u, l, c, aU, aL)
+        val p4 = scratch.clone()
+        modes(i) = bestMode
+
+        // predicted-mode coding (§8.3.1.1)
+        val predMode =
+          if (gbx == 0 || gby == 0) 2
+          else {
+            val mA = i4Mode(gby * wMb * 4 + gbx - 1)
+            val mB = i4Mode((gby - 1) * wMb * 4 + gbx)
+            math.min(if (mA < 0) 2 else mA, if (mB < 0) 2 else mB)
+          }
+        predFlags(i) = bestMode == predMode
+        rems(i) = if (bestMode < predMode) bestMode else bestMode - 1
+        i4Mode(gby * wMb * 4 + gbx) = bestMode
+
+        val q = Transform.quant4x4(
+          Transform.forward4x4(residual4x4(srcY, ls, sx, sy, p4)), qp, skipDc = false)
+        scans(i) = zigzag(q, 0)
+        // reconstruct NOW — later blocks in this MB predict from these
+        // samples (decoder equivalence). Whether the cbp group bit ends
+        // up set does not change this: a cleared group has all-zero
+        // quantized blocks, so pred + inv(dequant(0)) = pred.
+        addResidual(y, ls, sx, sy, p4, Transform.inverse4x4(
+          Transform.dequant4x4(unzigzag16(scans(i)), qp, skipDc = false)))
+        i += 1
+      }
+
+      // cbp per 8x8 group
+      var cbpLuma = 0
+      var g = 0
+      while (g < 4) {
+        if ((g * 4 until g * 4 + 4).exists(b => scans(b).exists(_ != 0)))
+          cbpLuma |= 1 << g
+        g += 1
+      }
+      val ch = encodeChromaPlanes(mbX, mbY, srcCb, srcCr)
+      val cbp = cbpLuma | (ch.cbpChroma << 4)
+
+      bw.ue(0) // mb_type I_4x4
+      i = 0
+      while (i < 16) {
+        if (predFlags(i)) bw.put(1)
+        else { bw.put(0); bw.putBits(rems(i), 3) }
+        i += 1
+      }
+      bw.ue(0) // intra_chroma_pred_mode: DC
+      bw.ue(H264Decoder.CbpIntraInv(cbp))
+      if (cbp != 0) bw.se(0) // mb_qp_delta
+
+      // residual blocks: nC must be evaluated in parse order
+      i = 0
+      while (i < 16) {
+        val gbx = mbX * 4 + blkX(i); val gby = mbY * 4 + blkY(i)
+        if ((cbpLuma & (1 << (i >> 2))) != 0) {
+          val tc = Cavlc.encodeBlock(bw, scans(i), lumaNC(gbx, gby))
+          tcY(gby * wMb * 4 + gbx) = tc
+        } else tcY(gby * wMb * 4 + gbx) = 0
+        i += 1
+      }
+      writeChromaResidual(bw, mbX, mbY, ch)
+      reconChroma(mbX, mbY, ch) // luma recon happened inside pass 1
+    }
+
+    // -------------------------------------------------------- chroma
+
+    private final case class ChromaCode(
+        cbpChroma: Int,
+        dcCbScan: Array[Int], dcCrScan: Array[Int],
+        acCb: Array[Array[Int]], acCr: Array[Array[Int]],
+        predCb: Array[Int], predCr: Array[Int]) // 8x8 row-major preds
+
+    private def encodeChromaPlanes(mbX: Int, mbY: Int,
+        srcCb: Array[Int], srcCr: Array[Int]): ChromaCode = {
+      val cx0 = mbX * 8; val cy0 = mbY * 8
+      def one(plane: Array[Int], src: Array[Int]): (Array[Int], Array[Array[Int]], Array[Int]) = {
+        val (u, l, c, aU, aL) = gatherEdge(plane, cs, cx0, cy0, 8)
+        val pred8 = new Array[Int](64) // 8x8, stride 8
+        Predict.chroma8x8(0, pred8, 8, 0, 0, u, l, c, aU, aL) // DC
+        val dc = new Array[Int](4)
+        val ac = new Array[Array[Int]](4)
+        var b = 0
+        while (b < 4) {
+          val bx = cx0 + (b & 1) * 4; val by = cy0 + (b >> 1) * 4
+          val p4 = new Array[Int](16)
+          for (yy <- 0 until 4; xx <- 0 until 4)
+            p4(yy * 4 + xx) = pred8(((b >> 1) * 4 + yy) * 8 + (b & 1) * 4 + xx)
+          val w = Transform.forward4x4(residual4x4(src, cs, bx, by, p4))
+          dc(b) = w(0)
+          ac(b) = zigzag(Transform.quant4x4(w, qpC, skipDc = true), 1)
+          b += 1
+        }
+        (Transform.quantChromaDc(dc, qpC), ac, pred8)
+      }
+      val (dcCb, acCb, pCb) = one(cbP, srcCb)
+      val (dcCr, acCr, pCr) = one(crP, srcCr)
+      val anyAc = (acCb ++ acCr).exists(_.exists(_ != 0))
+      val anyDc = dcCb.exists(_ != 0) || dcCr.exists(_ != 0)
+      val cbpChroma = if (anyAc) 2 else if (anyDc) 1 else 0
+      ChromaCode(cbpChroma, dcCb, dcCr, acCb, acCr, pCb, pCr)
+    }
+
+    private def writeChromaResidual(bw: BitWriter, mbX: Int, mbY: Int,
+        ch: ChromaCode): Unit = {
+      if (ch.cbpChroma > 0) {
+        Cavlc.encodeBlock(bw, ch.dcCbScan, -1)
+        Cavlc.encodeBlock(bw, ch.dcCrScan, -1)
+      }
+      for ((tc, ac) <- Seq((tcCb, ch.acCb), (tcCr, ch.acCr))) {
+        var b = 0
+        while (b < 4) {
+          val gbx = mbX * 2 + (b & 1); val gby = mbY * 2 + (b >> 1)
+          if (ch.cbpChroma == 2) {
+            val t = Cavlc.encodeBlock(bw, ac(b), chromaNC(tc, gbx, gby))
+            tc(gby * wMb * 2 + gbx) = t
+          } else tc(gby * wMb * 2 + gbx) = 0
+          b += 1
+        }
+      }
+    }
+
+    private def reconChroma(mbX: Int, mbY: Int, ch: ChromaCode): Unit = {
+      val cx0 = mbX * 8; val cy0 = mbY * 8
+      def one(plane: Array[Int], dcScan: Array[Int], ac: Array[Array[Int]],
+          pred8: Array[Int]): Unit = {
+        val dcScaled =
+          if (ch.cbpChroma > 0) Transform.dequantChromaDc(dcScan, qpC)
+          else new Array[Int](4)
+        var b = 0
+        while (b < 4) {
+          val raster =
+            if (ch.cbpChroma == 2) unzigzagAc(ac(b)) else new Array[Int](16)
+          val scaled = Transform.dequant4x4(raster, qpC, skipDc = true)
+          scaled(0) = dcScaled(b)
+          val res = Transform.inverse4x4(scaled)
+          val p4 = new Array[Int](16)
+          for (yy <- 0 until 4; xx <- 0 until 4)
+            p4(yy * 4 + xx) = pred8(((b >> 1) * 4 + yy) * 8 + (b & 1) * 4 + xx)
+          addResidual(plane, cs, cx0 + (b & 1) * 4, cy0 + (b >> 1) * 4, p4, res)
+          b += 1
+        }
+      }
+      one(cbP, ch.dcCbScan, ch.acCb, ch.predCb)
+      one(crP, ch.dcCrScan, ch.acCr, ch.predCr)
+    }
+
+    private def unzigzag16(scan: Array[Int]): Array[Int] = {
+      val out = new Array[Int](16)
+      var i = 0
+      while (i < 16) { out(Transform.Zigzag(i)) = scan(i); i += 1 }
+      out
+    }
+
+    private def unzigzagAc(scan: Array[Int]): Array[Int] = {
+      val out = new Array[Int](16)
+      var i = 1
+      while (i < 16) { out(Transform.Zigzag(i)) = scan(i - 1); i += 1 }
+      out
+    }
+  }
+}

@@ -1,0 +1,383 @@
+package graft.multimodal.h264
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** H.264 baseline-intra codec pins.
+  *
+  * Layers, from spec-derived (no shared code with the decoder) upward:
+  *  1. structural table validation — every CAVLC table is a complete
+  *     prefix-free code, spot values pinned to the standard's printed
+  *     codewords;
+  *  2. transform identities — the inverse 4×4 against a direct matrix
+  *     evaluation of the normative equations, Hadamard involution,
+  *     quant/dequant error bounds;
+  *  3. bit-level round-trips — Exp-Golomb, CAVLC blocks across all nC
+  *     regimes (encoder and decoder share the tables, so layer 1 is
+  *     what keeps this from being tautological);
+  *  4. full encode→decode: decoder output must equal the encoder's own
+  *     reconstruction BIT-EXACTLY (the conformance contract), PSNR vs
+  *     the source bounded, I_PCM lossless, cropping, deblocking on/off,
+  *     Annex-B and AVCC framings;
+  *  5. fail-fast: CABAC, High-profile SPS, P slices, FMO are refused by
+  *     name.
+  */
+class H264Spec extends AnyFunSuite {
+
+  // ------------------------------------------------------------ layer 1
+
+  test("every CAVLC table is prefix-free and complete") {
+    def checkPrefixFree(name: String, codes: Seq[(Int, Int)]): Unit = {
+      // (len, bits): no codeword may be a prefix of another
+      for (a <- codes; b <- codes if a != b) {
+        val (al, ab) = a; val (bl, bb) = b
+        if (al <= bl)
+          assert(ab != (bb >> (bl - al)), s"$name: ${a} is a prefix of ${b}")
+      }
+      assert(codes.distinct.size == codes.size, s"$name: duplicate codeword")
+    }
+    for ((name, t) <- CavlcTables.coeffTokenTables) {
+      val codes = for {
+        t1 <- 0 until 4; tc <- 0 until 17
+        c = t(t1)(tc) if c != null
+      } yield (c.len, c.bits)
+      val maxTc = if (name == "chromaDC") 4 else 16
+      val expected = (0 to maxTc).map(tc => math.min(tc, 3) + 1).sum
+      assert(codes.size == expected, s"$name entry count")
+      checkPrefixFree(s"coeff_token $name", codes)
+      assert(codes.forall(_._1 <= 16), s"$name length cap")
+    }
+    CavlcTables.totalZeros4x4.zipWithIndex.foreach { case (row, i) =>
+      assert(row.length == 16 - i, s"total_zeros row ${i + 1} arity")
+      checkPrefixFree(s"total_zeros tc=${i + 1}", row.map(c => (c.len, c.bits)).toSeq)
+    }
+    CavlcTables.totalZerosChromaDc.zipWithIndex.foreach { case (row, i) =>
+      assert(row.length == 4 - i)
+      checkPrefixFree(s"cdc total_zeros tc=${i + 1}", row.map(c => (c.len, c.bits)).toSeq)
+    }
+    CavlcTables.runBefore.zipWithIndex.foreach { case (row, i) =>
+      checkPrefixFree(s"run_before zl=${i + 1}", row.map(c => (c.len, c.bits)).toSeq)
+    }
+  }
+
+  test("coeff_token spot values match the standard's printed codewords") {
+    // Table 9-5, 0 ≤ nC < 2 column
+    def c0(t1: Int, tc: Int) = CavlcTables.coeffToken0(t1)(tc)
+    assert((c0(0, 0).len, c0(0, 0).bits) == (1, 1)) // '1'
+    assert((c0(1, 1).len, c0(1, 1).bits) == (2, 1)) // '01'
+    assert((c0(2, 2).len, c0(2, 2).bits) == (3, 1)) // '001'
+    assert((c0(3, 3).len, c0(3, 3).bits) == (5, 3)) // '00011'
+    assert((c0(0, 16).len, c0(0, 16).bits) == (16, 4))
+    // 2 ≤ nC < 4: '11' for (0,0), '10' for (1,1)
+    def c2(t1: Int, tc: Int) = CavlcTables.coeffToken2(t1)(tc)
+    assert((c2(0, 0).len, c2(0, 0).bits) == (2, 3))
+    assert((c2(1, 1).len, c2(1, 1).bits) == (2, 2))
+    // 4 ≤ nC < 8: fixed 4-bit-ish start '1111' for (0,0)
+    def c4(t1: Int, tc: Int) = CavlcTables.coeffToken4(t1)(tc)
+    assert((c4(0, 0).len, c4(0, 0).bits) == (4, 15))
+    // chroma DC: (1,1) is the single bit '1'
+    def cc(t1: Int, tc: Int) = CavlcTables.coeffTokenChromaDc(t1)(tc)
+    assert((cc(1, 1).len, cc(1, 1).bits) == (1, 1))
+    assert((cc(3, 4).len, cc(3, 4).bits) == (7, 0)) // '0000000'
+    // total_zeros tc=1: tz=0 → '1', tz=15 → '000000001'
+    val tz1 = CavlcTables.totalZeros4x4(0)
+    assert((tz1(0).len, tz1(0).bits) == (1, 1))
+    assert((tz1(15).len, tz1(15).bits) == (9, 1))
+    // run_before zl>6: run 6 → '001', run 14 → '00000000001'
+    val rb7 = CavlcTables.runBefore(6)
+    assert((rb7(6).len, rb7(6).bits) == (3, 1))
+    assert((rb7(14).len, rb7(14).bits) == (11, 1))
+  }
+
+  // ------------------------------------------------------------ layer 2
+
+  /** Direct (unoptimized) evaluation of the normative inverse-transform
+    * equations (8-338..8-346), written independently of the butterfly in
+    * Transform.inverse4x4.
+    */
+  private def inverseDirect(d: Array[Int]): Array[Int] = {
+    // >>1 in the standard is a FLOOR shift — floorDiv, not truncating /
+    def h(v: Int) = Math.floorDiv(v, 2)
+    val e = new Array[Int](16)
+    for (i <- 0 until 4) {
+      val r = Array(d(i * 4), d(i * 4 + 1), d(i * 4 + 2), d(i * 4 + 3))
+      e(i * 4 + 0) = r(0) + r(2) + r(1) + h(r(3))
+      e(i * 4 + 1) = r(0) - r(2) + h(r(1)) - r(3)
+      e(i * 4 + 2) = r(0) - r(2) - h(r(1)) + r(3)
+      e(i * 4 + 3) = r(0) + r(2) - r(1) - h(r(3))
+    }
+    val out = new Array[Int](16)
+    for (j <- 0 until 4) {
+      val cA = Array(e(j), e(4 + j), e(8 + j), e(12 + j))
+      val f0 = cA(0) + cA(2) + cA(1) + h(cA(3))
+      val f1 = cA(0) - cA(2) + h(cA(1)) - cA(3)
+      val f2 = cA(0) - cA(2) - h(cA(1)) + cA(3)
+      val f3 = cA(0) + cA(2) - cA(1) - h(cA(3))
+      out(j) = (f0 + 32) >> 6
+      out(4 + j) = (f1 + 32) >> 6
+      out(8 + j) = (f2 + 32) >> 6
+      out(12 + j) = (f3 + 32) >> 6
+    }
+    out
+  }
+
+  test("inverse 4x4 butterfly equals direct normative equations") {
+    val rnd = new scala.util.Random(7)
+    (0 until 200).foreach { _ =>
+      val d = Array.fill(16)(rnd.nextInt(2048) - 1024)
+      assert(Transform.inverse4x4(d).toSeq == inverseDirect(d).toSeq)
+    }
+  }
+
+  test("hadamard is self-inverse up to the 1/16 scale") {
+    val rnd = new scala.util.Random(11)
+    (0 until 100).foreach { _ =>
+      val d = Array.fill(16)(rnd.nextInt(512) - 256)
+      val back = Transform.hadamard4x4(Transform.hadamard4x4(d))
+      assert(back.toSeq == d.map(_ * 16).toSeq)
+    }
+  }
+
+  test("quant→dequant→inverse reconstructs residual within QP step bound") {
+    val rnd = new scala.util.Random(13)
+    for (qp <- Seq(0, 10, 20, 28, 36, 44, 51)) {
+      var worst = 0
+      (0 until 100).foreach { _ =>
+        val res = Array.fill(16)(rnd.nextInt(511) - 255)
+        val w = Transform.forward4x4(res)
+        val q = Transform.quant4x4(w, qp, skipDc = false)
+        val r2 = Transform.inverse4x4(Transform.dequant4x4(q, qp, skipDc = false))
+        worst = math.max(worst, res.zip(r2).map { case (a, b) => math.abs(a - b) }.max)
+      }
+      // quantization step doubles every 6 QP; bound is loose but must scale
+      val bound = math.max(2, (1 << (qp / 6)) * 2)
+      assert(worst <= bound, s"qp=$qp worst=$worst bound=$bound")
+    }
+  }
+
+  test("chroma QP mapping pins Table 8-15 anchors") {
+    assert(Transform.chromaQp(0, 0) == 0)
+    assert(Transform.chromaQp(29, 0) == 29)
+    assert(Transform.chromaQp(30, 0) == 29)
+    assert(Transform.chromaQp(40, 0) == 36)
+    assert(Transform.chromaQp(51, 0) == 39)
+  }
+
+  // ------------------------------------------------------------ layer 3
+
+  test("exp-golomb round-trip, ue and se") {
+    val bw = new BitWriter
+    val ues = Seq(0, 1, 2, 3, 7, 8, 254, 255, 1023, 65535)
+    val ses = Seq(0, 1, -1, 2, -2, 26, -26, 127, -128)
+    ues.foreach(bw.ue)
+    ses.foreach(bw.se)
+    bw.rbspTrailing()
+    val br = new BitReader(bw.toBytes)
+    ues.foreach(v => assert(br.ue() == v))
+    ses.foreach(v => assert(br.se() == v))
+  }
+
+  test("emulation-prevention escape round-trips and strips 00 00 03") {
+    val payloads = Seq(
+      Array[Byte](0, 0, 0, 0, 1), Array[Byte](0, 0, 1, 0, 0, 2),
+      Array[Byte](0, 0, 3, 0, 0, 0), Array[Byte](1, 2, 3, 4))
+    payloads.foreach { p =>
+      val esc = Nal.escape(p)
+      // escaped stream must contain no raw 00 00 0x (x ≤ 2) sequence
+      // (00 00 03 IS legal — it is the escape itself)
+      (0 until esc.length - 2).foreach { i =>
+        assert(!(esc(i) == 0 && esc(i + 1) == 0 && (esc(i + 2) & 0xFF) <= 2))
+      }
+      assert(Nal.unescape(esc, 0, esc.length).toSeq == p.toSeq)
+    }
+  }
+
+  test("CAVLC block round-trip across nC regimes and densities") {
+    val rnd = new scala.util.Random(17)
+    for {
+      nC <- Seq(-1, 0, 1, 2, 3, 4, 7, 8, 16)
+      maxCoeff <- if (nC == -1) Seq(4) else Seq(15, 16)
+      density <- Seq(0.0, 0.1, 0.3, 0.7, 1.0)
+      trial <- 0 until 30
+    } {
+      val coeffs = Array.tabulate(maxCoeff) { _ =>
+        if (rnd.nextDouble() < density) {
+          val mag = rnd.nextInt(3) match {
+            case 0 => 1 + rnd.nextInt(2)
+            case 1 => 1 + rnd.nextInt(30)
+            case _ => 1 + rnd.nextInt(4000)
+          }
+          if (rnd.nextBoolean()) mag else -mag
+        } else 0
+      }
+      val bw = new BitWriter
+      val tc = Cavlc.encodeBlock(bw, coeffs, nC)
+      bw.rbspTrailing()
+      val blk = Cavlc.decodeBlock(new BitReader(bw.toBytes), nC, maxCoeff)
+      assert(blk.coeffs.toSeq == coeffs.toSeq,
+        s"nC=$nC density=$density trial=$trial: ${coeffs.toSeq} != ${blk.coeffs.toSeq}")
+      assert(blk.totalCoeff == tc)
+      assert(tc == coeffs.count(_ != 0))
+    }
+  }
+
+  test("CAVLC wide-level escape range round-trips") {
+    // |levels| up to 2^15: exercises level_prefix >= 15 escapes
+    val bw = new BitWriter
+    val coeffs = Array(30000, -20000, 500, -1, 1, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0)
+    Cavlc.encodeBlock(bw, coeffs, 0)
+    bw.rbspTrailing()
+    val blk = Cavlc.decodeBlock(new BitReader(bw.toBytes), 0, 16)
+    assert(blk.coeffs.toSeq == coeffs.toSeq)
+  }
+
+  // ------------------------------------------------------------ layer 4
+
+  private def synthFrame(w: Int, h: Int, seed: Int, smooth: Boolean): Array[Byte] = {
+    val rnd = new scala.util.Random(seed)
+    Array.tabulate(w * h) { i =>
+      val x = i % w; val y = i / w
+      if (smooth) ((x * 3 + y * 5 + seed * 7) % 256).toByte
+      else rnd.nextInt(256).toByte
+    }
+  }
+
+  private def psnr(a: Array[Byte], b: Array[Int]): Double = {
+    val mse = a.indices.map { i =>
+      val d = (a(i) & 0xFF) - b(i); d.toDouble * d
+    }.sum / a.length
+    if (mse == 0) 99.0 else 10 * math.log10(255.0 * 255.0 / mse)
+  }
+
+  test("encode→decode: decoder equals encoder reconstruction bit-exactly") {
+    for {
+      (w, h) <- Seq((16, 16), (32, 16), (48, 32), (30, 22), (18, 10))
+      qp <- Seq(20, 28, 36)
+      smooth <- Seq(true, false)
+    } {
+      val frames = (0 until 3).map(f => synthFrame(w, h, f * 31 + qp, smooth))
+      val enc = H264Encoder.encodeGray(frames, w, h,
+        H264Encoder.Config(qp = qp, deblock = false))
+      val sps = H264Decoder.parseSps(Nal.unescape(enc.sps, 1, enc.sps.length))
+      val pps = H264Decoder.parsePps(Nal.unescape(enc.pps, 1, enc.pps.length))
+      assert(sps.width == w && sps.height == h)
+      enc.samples.zip(enc.recon).zipWithIndex.foreach { case ((sample, recon), fi) =>
+        val dec = H264Decoder.decodeAvccSample(sample, 4, sps, pps)
+        assert(dec.width == w && dec.height == h)
+        assert(dec.y.toSeq == recon.y.toSeq, s"${w}x$h qp=$qp f=$fi luma recon mismatch")
+        assert(dec.cb.toSeq == recon.cb.toSeq, "cb")
+        assert(dec.cr.toSeq == recon.cr.toSeq, "cr")
+        // decoded luma must actually resemble the source
+        val p = psnr(frames(fi), dec.y)
+        // quantization error grows ~6 dB per 6 QP; anchors are loose
+        val bound = (if (smooth) 44.0 else 30.0) - 0.6 * qp
+        assert(p > bound, s"${w}x$h qp=$qp smooth=$smooth PSNR=$p")
+      }
+    }
+  }
+
+  test("deblocking path: recon equality holds and smooths block edges") {
+    val w = 48; val h = 32
+    val frames = Seq(synthFrame(w, h, 5, smooth = false))
+    val on = H264Encoder.encodeGray(frames, w, h, H264Encoder.Config(qp = 40, deblock = true))
+    val off = H264Encoder.encodeGray(frames, w, h, H264Encoder.Config(qp = 40, deblock = false))
+    val sps = H264Decoder.parseSps(Nal.unescape(on.sps, 1, on.sps.length))
+    val pps = H264Decoder.parsePps(Nal.unescape(on.pps, 1, on.pps.length))
+    val dOn = H264Decoder.decodeAvccSample(on.samples.head, 4, sps, pps)
+    val dOff = H264Decoder.decodeAvccSample(off.samples.head, 4, sps, pps)
+    assert(dOn.y.toSeq == on.recon.head.y.toSeq, "deblocked recon equality")
+    assert(dOff.y.toSeq == off.recon.head.y.toSeq)
+    assert(dOn.y.toSeq != dOff.y.toSeq, "deblocking must change high-QP output")
+    // total variation across 16-aligned column edges must not increase
+    def edgeTv(p: Array[Int]): Long =
+      (0 until h).flatMap(y => Seq(16, 32).map(x =>
+        math.abs(p(y * w + x) - p(y * w + x - 1)).toLong)).sum
+    assert(edgeTv(dOn.y) <= edgeTv(dOff.y), "deblock reduces MB-edge variation")
+  }
+
+  test("I_PCM is lossless end-to-end") {
+    val w = 32; val h = 16
+    val frames = (0 until 2).map(f => synthFrame(w, h, f + 77, smooth = false))
+    val enc = H264Encoder.encodeGray(frames, w, h,
+      H264Encoder.Config(qp = 28, pcmEvery = 1, deblock = false))
+    val sps = H264Decoder.parseSps(Nal.unescape(enc.sps, 1, enc.sps.length))
+    val pps = H264Decoder.parsePps(Nal.unescape(enc.pps, 1, enc.pps.length))
+    enc.samples.zipWithIndex.foreach { case (sample, fi) =>
+      val dec = H264Decoder.decodeAvccSample(sample, 4, sps, pps)
+      assert(dec.y.toSeq == frames(fi).map(_ & 0xFF).toSeq, "PCM luma exact")
+      assert(dec.cb.forall(_ == 128) && dec.cr.forall(_ == 128))
+    }
+  }
+
+  test("mixed PCM / coded MBs interleave correctly (PCM nC context = 16)") {
+    val w = 48; val h = 48
+    val frames = Seq(synthFrame(w, h, 3, smooth = false))
+    val enc = H264Encoder.encodeGray(frames, w, h,
+      H264Encoder.Config(qp = 24, pcmEvery = 3, deblock = true))
+    val sps = H264Decoder.parseSps(Nal.unescape(enc.sps, 1, enc.sps.length))
+    val pps = H264Decoder.parsePps(Nal.unescape(enc.pps, 1, enc.pps.length))
+    val dec = H264Decoder.decodeAvccSample(enc.samples.head, 4, sps, pps)
+    assert(dec.y.toSeq == enc.recon.head.y.toSeq)
+  }
+
+  test("Annex-B framing decodes the same frames") {
+    val w = 32; val h = 32
+    val frames = (0 until 2).map(f => synthFrame(w, h, f, smooth = true))
+    val enc = H264Encoder.encodeGray(frames, w, h, H264Encoder.Config(qp = 26))
+    val decoded = H264Decoder.decodeAnnexB(H264Encoder.annexB(enc))
+    assert(decoded.size == 2)
+    decoded.zip(enc.recon).foreach { case (d, r) =>
+      assert(d.y.toSeq == r.y.toSeq)
+    }
+  }
+
+  // ------------------------------------------------------------ layer 5
+
+  test("fail-fast: CABAC, High profile, P slice, FMO named errors") {
+    // High-profile SPS
+    val high = {
+      val bw = new BitWriter
+      bw.putBits(100, 8); bw.putBits(0, 8); bw.putBits(40, 8); bw.ue(0)
+      bw.rbspTrailing(); bw.toBytes
+    }
+    val e1 = intercept[IllegalArgumentException](H264Decoder.parseSps(high))
+    assert(e1.getMessage.contains("profile_idc 100"))
+
+    // CABAC PPS
+    val cabac = {
+      val bw = new BitWriter
+      bw.ue(0); bw.ue(0); bw.put(1) // entropy_coding_mode = CABAC
+      bw.put(0); bw.ue(0); bw.ue(0); bw.ue(0); bw.put(0); bw.putBits(0, 2)
+      bw.se(0); bw.se(0); bw.se(0); bw.put(0); bw.put(0); bw.put(0)
+      bw.rbspTrailing(); bw.toBytes
+    }
+    val e2 = intercept[IllegalArgumentException](H264Decoder.parsePps(cabac))
+    assert(e2.getMessage.contains("CABAC"))
+
+    // FMO PPS
+    val fmo = {
+      val bw = new BitWriter
+      bw.ue(0); bw.ue(0); bw.put(0); bw.put(0); bw.ue(1) // 2 slice groups
+      bw.rbspTrailing(); bw.toBytes
+    }
+    val e3 = intercept[IllegalArgumentException](H264Decoder.parsePps(fmo))
+    assert(e3.getMessage.contains("FMO"))
+
+    // P slice
+    val enc = H264Encoder.encodeGray(Seq(synthFrame(16, 16, 1, smooth = true)), 16, 16)
+    val sps = H264Decoder.parseSps(Nal.unescape(enc.sps, 1, enc.sps.length))
+    val pps = H264Decoder.parsePps(Nal.unescape(enc.pps, 1, enc.pps.length))
+    val pSlice = {
+      val bw = new BitWriter
+      bw.ue(0); bw.ue(0) // first_mb, slice_type 0 = P
+      bw.ue(0); bw.rbspTrailing()
+      val nal = Nal.unit(3, 1, bw.toBytes)
+      val out = new Array[Byte](4 + nal.length)
+      out(0) = 0; out(1) = 0; out(2) = 0; out(3) = nal.length.toByte
+      System.arraycopy(nal, 0, out, 4, nal.length)
+      out
+    }
+    val e4 = intercept[IllegalArgumentException](
+      H264Decoder.decodeAvccSample(pSlice, 4, sps, pps))
+    assert(e4.getMessage.contains("slice_type"))
+  }
+}

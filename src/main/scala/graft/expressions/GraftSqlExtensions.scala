@@ -136,6 +136,12 @@ class GraftSqlExtensions extends (SparkSessionExtensions => Unit) {
     // can push (see TsRangePushdown)
     ext.injectOptimizerRule(_ => graft.plans.TsRangePushdown)
 
+    // same mechanism one level up the storage hierarchy: epoch-range
+    // filters over a REGISTERED day-partitioned store gain an implied
+    // partition-column bound that prunes whole directories (see
+    // DerivedPartitionPushdown)
+    ext.injectOptimizerRule(_ => graft.plans.DerivedPartitionPushdown)
+
     // whole-operator tier: the merge-based as-of join physical plan
     ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
   }

@@ -145,6 +145,67 @@ object LayoutQueries {
       GROUP BY 1 ORDER BY ship_month""")
   )
 
+  // ---------------------------------------------------------------- b3
+  private val timePartTables =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** One-time-per-JVM DAY-partitioned copy of events (hive-style
+    * `event_day=yyyy-MM-dd/` directories — how a 100 TB event store is
+    * actually laid out). The partition column derives from the
+    * normalized ns-epoch ts (`utc_day = ts div ns_per_day` — events ts
+    * is non-negative, so truncating div IS the floor); the derivation
+    * contract is registered with [[graft.plans.DerivedPartitions]] so
+    * the optimizer may translate ts bounds into directory bounds.
+    */
+  private[layout] def ensureTimePartitioned(s: SparkSession, dir: String): String =
+    timePartTables.computeIfAbsent(dir, _ => {
+      val base = java.nio.file.Files.createTempDirectory("graft-b3").toString
+      val path = s"$base/events"
+      Tables.load(s, dir, "events")
+        .withColumn("event_day",
+          date_add(to_date(lit("1970-01-01")),
+            expr("cast(ts div 86400000000000 as int)")))
+        .write.mode("overwrite").partitionBy("event_day").parquet(path)
+      graft.plans.DerivedPartitions.register(path)
+      path
+    })
+
+  /** STATIC partition-directory pruning from an epoch-range predicate:
+    * the user filters on raw `ts` (the only column a time-series API
+    * exposes), the store is day-partitioned, and the
+    * [[graft.plans.DerivedPartitionPushdown]] rule injects the implied
+    * `event_day` bounds — so the scan's `PartitionFilters` prune to the
+    * 3 matching day directories out of 30 (spec-pinned, with the
+    * partitions-read count asserted) before a single footer is opened.
+    * This is the complement of q62's TsRangePushdown (row-group pruning
+    * WITHIN files) and b2's DPP (runtime key-driven pruning): together
+    * they cover the three tiers a 100 TB time-organized table prunes
+    * at — directory, footer, runtime. The bounds here are deliberately
+    * NOT day-aligned: flooring must stay conservative. Oracle: pruning
+    * must not change the answer — plain range SQL over the original
+    * table.
+    */
+  val b3TimePartitionPruning: QueryDef = QueryDef(
+    "b3_time_partition_pruning",
+    (s, dir) => {
+      val lo = 1_704_866_400_000_000_000L // 2024-01-10T06:00:00Z (ns)
+      val hi = 1_705_082_400_000_000_000L // 2024-01-12T18:00:00Z (ns)
+      s.read.parquet(ensureTimePartitioned(s, dir))
+        .filter(col("ts") >= lo && col("ts") < hi)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          countDistinct(col("user_id")).as("users"),
+          sum(Exact.money(col("value"))).cast(DoubleType).as("total_value"))
+        .orderBy("event_type")
+    },
+    Some(s"""
+      SELECT event_type, COUNT(*) AS n, COUNT(DISTINCT user_id) AS users,
+             CAST(SUM(${Exact.sqlMoney("value")}) AS DOUBLE) AS total_value
+      FROM events
+      WHERE epoch_ns(ts) >= 1704866400000000000 AND epoch_ns(ts) < 1705082400000000000
+      GROUP BY 1 ORDER BY event_type""")
+  )
+
   // ---------------------------------------------------------------- c6
   /** Small-file COMPACTION planner: given a manifest of (file, size),
     * assign files to target-size rewrite bins — sequential first-fit in
@@ -281,6 +342,6 @@ object LayoutQueries {
   )
 
   val all: Seq[QueryDef] =
-    Seq(b1BucketedJoin, b2PartitionPruning, c6CompactionPlan,
-      c7DataSkipping, z1Zorder)
+    Seq(b1BucketedJoin, b2PartitionPruning, b3TimePartitionPruning,
+      c6CompactionPlan, c7DataSkipping, z1Zorder)
 }

@@ -98,8 +98,46 @@ object Codec {
   }
   final class AviVideo(content: Array[Byte], frames: Array[(Int, Int)])
     extends Video(content, frames)
-  final class Mp4Video(content: Array[Byte], frames: Array[(Int, Int)])
-    extends Video(content, frames)
+
+  /** H.264 decode config from the avc1 sample entry's avcC box. */
+  final case class AvcConfig(sps: graft.multimodal.h264.H264Decoder.Sps,
+      pps: graft.multimodal.h264.H264Decoder.Pps, lengthSize: Int)
+
+  /** MP4 track: MJPEG samples decode as independent JPEGs; 'avc1'
+    * samples through the pure-JVM H.264 baseline-intra decoder
+    * ([[graft.multimodal.h264.H264Decoder]]) — output is 3-channel
+    * interleaved YCbCr with nearest-upsampled 4:2:0 chroma (the codec's
+    * native color space; matrixing to RGB is a display choice left to
+    * the caller).
+    */
+  final class Mp4Video(content: Array[Byte], frames: Array[(Int, Int)],
+      avc: Option[AvcConfig])
+    extends Video(content, frames) {
+    override def decodeFrame(i: Int): (Int, Int, Int, Array[Byte]) = avc match {
+      case None => super.decodeFrame(i)
+      case Some(cfg) =>
+        val (off, len) = frames(i)
+        val f = graft.multimodal.h264.H264Decoder.decodeAvccSample(
+          java.util.Arrays.copyOfRange(content, off, off + len),
+          cfg.lengthSize, cfg.sps, cfg.pps)
+        val out = new Array[Byte](f.width * f.height * 3)
+        val cw = f.chromaWidth
+        var y = 0
+        while (y < f.height) {
+          var x = 0
+          while (x < f.width) {
+            val ci = (y / 2) * cw + (x / 2)
+            val o = (y * f.width + x) * 3
+            out(o) = f.y(y * f.width + x).toByte
+            out(o + 1) = f.cb(ci).toByte
+            out(o + 2) = f.cr(ci).toByte
+            x += 1
+          }
+          y += 1
+        }
+        (f.width, f.height, 3, out)
+    }
+  }
 
   /** Container dispatch on the file magic: RIFF/AVI or ISO-BMFF (ftyp). */
   def parseVideo(content: Array[Byte]): Video = {
@@ -181,8 +219,33 @@ object Codec {
     val (stsdS, _) = child(stblS, stblE, "stsd")
     require(be32(stsdS + 4) >= 1, "empty stsd")
     val entryFmt = fourcc(stsdS + 12)
-    require(entryFmt == "jpeg",
-      s"sample entry $entryFmt not supported (motion-JPEG only)")
+    require(entryFmt == "jpeg" || entryFmt == "avc1",
+      s"sample entry $entryFmt not supported (motion-JPEG and H.264/avc1 only)")
+    val avc: Option[AvcConfig] =
+      if (entryFmt != "avc1") None
+      else {
+        // avcC lives in the entry's extension area after the 86-byte
+        // VisualSampleEntry base (ISO/IEC 14496-15)
+        val entrySize = be32(stsdS + 8)
+        val (avcCS, avcCE) = child(stsdS + 8 + 86, stsdS + 8 + entrySize, "avcC")
+        require(content(avcCS) == 1, "avcC configurationVersion != 1")
+        val lengthSize = (content(avcCS + 4) & 3) + 1
+        val numSps = content(avcCS + 5) & 0x1F
+        require(numSps >= 1, "avcC carries no SPS")
+        val spsLen = ((content(avcCS + 6) & 0xFF) << 8) | (content(avcCS + 7) & 0xFF)
+        val spsNal = avcCS + 8
+        require(spsNal + spsLen <= avcCE, "avcC SPS overruns the box")
+        val sps = graft.multimodal.h264.H264Decoder.parseSps(
+          graft.multimodal.h264.Nal.unescape(content, spsNal + 1, spsNal + spsLen))
+        val ppsCount = spsNal + spsLen
+        require((content(ppsCount) & 0xFF) >= 1, "avcC carries no PPS")
+        val ppsLen = ((content(ppsCount + 1) & 0xFF) << 8) | (content(ppsCount + 2) & 0xFF)
+        val ppsNal = ppsCount + 3
+        require(ppsNal + ppsLen <= avcCE, "avcC PPS overruns the box")
+        val pps = graft.multimodal.h264.H264Decoder.parsePps(
+          graft.multimodal.h264.Nal.unescape(content, ppsNal + 1, ppsNal + ppsLen))
+        Some(AvcConfig(sps, pps, lengthSize))
+      }
 
     val (stscS, _) = child(stblS, stblE, "stsc")
     require(be32(stscS + 4) == 1, "multi-chunk stsc not supported")
@@ -198,7 +261,7 @@ object Codec {
     var off = be32(stcoS + 8)
     val frames = Array.newBuilder[(Int, Int)]
     sizes.foreach { len => frames += ((off, len)); off += len }
-    new Mp4Video(content, frames.result())
+    new Mp4Video(content, frames.result(), avc)
   }
 
   /** Decode a mono 16-bit PCM WAV: walk the RIFF chunks (fmt may be

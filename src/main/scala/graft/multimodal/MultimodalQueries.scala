@@ -565,7 +565,96 @@ object MultimodalQueries {
       m5FrameSums(s, dir).orderBy("doc_id", "frame_idx")))
   )
 
+  /** The H.264 ingest path as a first-class, value-verified operator:
+    * every document becomes a real 'avc1' MP4 — SPS/PPS in avcC, AVCC
+    * samples, the layout ffmpeg/imageio-style writers produce for the
+    * reference's temporal.py clips — decoded by the pure-JVM
+    * baseline-intra decoder ([[graft.multimodal.h264.H264Decoder]]).
+    * Two bitstreams per doc: an I_PCM stream (lossless by construction,
+    * so DuckDB replays the decoded luma sums EXACTLY from the synthesis
+    * formula — container walk, avcC parse, NAL/slice/MB decode and the
+    * YCbCr plumbing all value-verified end to end) and a CAVLC/intra
+    * stream at qp 30 whose decoded error must sit inside the quantizer
+    * envelope (a genuine lossy decode per row, boolean-pinned; the
+    * codec's numeric layer is spec-pinned by H264Spec/Mp4AvcSpec).
+    * Pure per-row fan-out in batched mapPartitions — no shuffle before
+    * the final sort, embarrassingly parallel over clips at any scale.
+    */
+  val m8H264Video: QueryDef = QueryDef(
+    "m8_h264_video",
+    (s, dir) => {
+      val session = s
+      import session.implicits._
+      import graft.multimodal.h264.H264Encoder
+      Tables.loadSpread(s, dir, "documents").select(col("doc_id")).as[Long]
+        .mapPartitions(_.map { id =>
+          val w = ((id % 3) * 2 + 4).toInt // 4, 6, 8 — 4:2:0 needs even dims
+          val h = ((id % 2) * 2 + 4).toInt // 4, 6
+          val n = (id % 4 + 2).toInt // 2..5 frames
+          def frame(f: Int): Array[Byte] =
+            Array.tabulate(w * h)(i => ((id * 7 + f * 31 + i * 13) % 256).toByte)
+          val frames = Seq.tabulate(n)(frame)
+
+          // lossless path: I_PCM macroblocks in a real avc1 MP4
+          val pcm = graft.sinks.Artifacts.avcMp4(H264Encoder.encodeGray(
+            frames, w, h, H264Encoder.Config(qp = 28, pcmEvery = 1)))
+          val video = Codec.parseVideo(pcm)
+          var total = 0L
+          var maxFrame = Long.MinValue
+          var chromaFlat = true
+          (0 until video.frameCount).foreach { f =>
+            val (dw, dh, _, px) = video.decodeFrame(f)
+            var sum = 0L
+            var i = 0
+            while (i < dw * dh) {
+              sum += px(i * 3) & 0xFF
+              if ((px(i * 3 + 1) & 0xFF) != 128 ||
+                (px(i * 3 + 2) & 0xFF) != 128) chromaFlat = false
+              i += 1
+            }
+            total += sum
+            if (sum > maxFrame) maxFrame = sum
+          }
+
+          // lossy path: CAVLC/intra at qp 30, decoded error bounded by
+          // the quantizer envelope (4·2^(qp/6) = 128)
+          val lossy = graft.sinks.Artifacts.avcMp4(H264Encoder.encodeGray(
+            frames, w, h, H264Encoder.Config(qp = 30)))
+          val lv = Codec.parseVideo(lossy)
+          var maxErr = 0
+          (0 until lv.frameCount).foreach { f =>
+            val (dw, dh, _, px) = lv.decodeFrame(f)
+            val src = frame(f)
+            var i = 0
+            while (i < dw * dh) {
+              maxErr = math.max(maxErr,
+                math.abs((px(i * 3) & 0xFF) - (src(i) & 0xFF)))
+              i += 1
+            }
+          }
+          (id, video.frameCount.toLong, total, maxFrame, chromaFlat, maxErr <= 128)
+        })
+        .toDF("doc_id", "n_frames", "luma_total", "max_frame_sum",
+          "chroma_flat", "lossy_in_envelope")
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH d AS (SELECT doc_id, CAST((doc_id % 3) * 2 + 4 AS BIGINT) AS w,
+                        CAST((doc_id % 2) * 2 + 4 AS BIGINT) AS h,
+                        CAST(doc_id % 4 + 2 AS BIGINT) AS n
+                 FROM documents),
+      fr AS (SELECT doc_id, w, h, UNNEST(GENERATE_SERIES(0, n - 1)) AS f FROM d),
+      px0 AS (SELECT doc_id, f, UNNEST(GENERATE_SERIES(0, w * h - 1)) AS i FROM fr),
+      px AS (SELECT doc_id, f, (doc_id * 7 + f * 31 + i * 13) % 256 AS v FROM px0),
+      fs AS (SELECT doc_id, f, CAST(SUM(v) AS BIGINT) AS s FROM px GROUP BY doc_id, f)
+      SELECT doc_id, COUNT(*) AS n_frames,
+             CAST(SUM(s) AS BIGINT) AS luma_total,
+             CAST(MAX(s) AS BIGINT) AS max_frame_sum,
+             TRUE AS chroma_flat, TRUE AS lossy_in_envelope
+      FROM fs GROUP BY doc_id ORDER BY doc_id""")
+  )
+
   val all: Seq[QueryDef] =
     Seq(m1Pipeline, m2InferenceConv, m3AudioFeatures, m4ImagePhash,
-      m5SceneCuts, m6AudioVad, m7Keyframes)
+      m5SceneCuts, m6AudioVad, m7Keyframes, m8H264Video)
 }

@@ -265,7 +265,8 @@ object H264Decoder {
 
     private def decodeMb(br: BitReader, mbX: Int, mbY: Int): Unit = {
       val mbType = br.ue()
-      if (mbType == 25) { decodePcm(br, mbX, mbY); mbQp(mbY * wMb + mbX) = qp }
+      // §8.7: I_PCM MBs deblock with QPY = 0 (alpha/beta 0 → edges kept)
+      if (mbType == 25) { decodePcm(br, mbX, mbY); mbQp(mbY * wMb + mbX) = 0 }
       else if (mbType == 0) { decodeI4x4(br, mbX, mbY); mbQp(mbY * wMb + mbX) = qp }
       else if (mbType <= 24) { decodeI16x16(br, mbType - 1, mbX, mbY); mbQp(mbY * wMb + mbX) = qp }
       else throw new IllegalArgumentException(

@@ -188,8 +188,10 @@ object H264Encoder {
       while (mb < n) {
         val mbX = mb % wMb
         val mbY = mb / wMb
-        if (cfg.pcmEvery > 0 && mb % cfg.pcmEvery == 0)
+        if (cfg.pcmEvery > 0 && mb % cfg.pcmEvery == 0) {
           encodePcm(bw, mbX, mbY, srcY, srcCb, srcCr)
+          mbQp(mb) = 0 // §8.7: I_PCM deblocks with QPY = 0
+        }
         else if ((mbX + mbY) % 2 == 0)
           encodeI16(bw, mbX, mbY, srcY, srcCb, srcCr)
         else

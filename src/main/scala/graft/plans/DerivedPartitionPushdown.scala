@@ -1,0 +1,137 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+import org.apache.spark.sql.types.{DateType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Contract registry for DAY-partitioned stores whose partition column is
+  * DERIVED from an epoch column: `dayCol = utc_day(tsCol)` with `tsCol`
+  * ns-since-epoch. The writer that lays the table out
+  * ([[graft.layout.LayoutQueries]] b3) registers the path; the optimizer
+  * rule below may then translate epoch-range predicates into partition-
+  * directory bounds. In a production deployment this is a table property
+  * (Delta/Iceberg generated-column metadata); the registry is the
+  * in-memory-catalog equivalent — the rule NEVER fires on a path whose
+  * derivation it cannot vouch for, because a same-named column pair with
+  * a different derivation would make the rewrite wrong.
+  */
+object DerivedPartitions {
+  private val reg =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, String)]()
+
+  def register(path: String, tsCol: String = "ts",
+      dayCol: String = "event_day"): Unit =
+    reg.put(new org.apache.hadoop.fs.Path(path).toUri.getPath, (tsCol, dayCol))
+
+  def lookup(rootPaths: Seq[org.apache.hadoop.fs.Path]): Option[(String, String)] =
+    rootPaths.iterator
+      .flatMap(p => Option(reg.get(p.toUri.getPath)))
+      .nextOption()
+}
+
+/** PARTITION-DIRECTORY pruning for epoch-range filters over a
+  * day-partitioned store (the [[TsRangePushdown]] mechanism, one level
+  * up the storage hierarchy): `ts >= L` on a registered relation implies
+  * `event_day >= utc_day(L)` — a bare partition-attribute comparison
+  * that Catalyst turns into `PartitionFilters`, so a time-sliced query
+  * over a 100 TB events store lists and reads only the matching day
+  * directories instead of every footer in the table.
+  *
+  * Bounds are conservative by construction (day flooring admits a
+  * superset; the exact ts predicate always remains) and sharpened on
+  * exclusive edges: `ts < U ⟹ day ≤ utc_day(U−1)`, so a midnight-aligned
+  * upper bound excludes the whole next day. Idempotent — a semantically
+  * present bound is not re-added.
+  */
+object DerivedPartitionPushdown extends Rule[LogicalPlan] {
+
+  private val NsPerDay = 86_400_000_000_000L
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
+    case f @ Filter(cond, child) =>
+      contract(child) match {
+        case Some((ts, day)) =>
+          val conjuncts = split(cond)
+          val implied = conjuncts.flatMap(impliedDayBound(_, ts, day))
+            .filterNot(b => conjuncts.exists(_.semanticEquals(b)))
+          if (implied.isEmpty) f
+          else Filter((conjuncts ++ implied).reduce(And), child)
+        case None => f
+      }
+  }
+
+  /** The (epoch attribute, partition attribute) pair when `plan` scans a
+    * registered derived-day store and both columns are live.
+    */
+  private def contract(plan: LogicalPlan): Option[(Attribute, Attribute)] =
+    plan.collectFirst {
+      case lr @ LogicalRelation(rel: HadoopFsRelation, _, _, _, _) =>
+        DerivedPartitions.lookup(rel.location.rootPaths).flatMap {
+          case (tsCol, dayCol) =>
+            for {
+              ts <- lr.output.find(a => a.name == tsCol && a.dataType == LongType)
+              day <- lr.output.find(a => a.name == dayCol &&
+                (a.dataType == DateType || a.dataType == StringType))
+            } yield (ts, day)
+        }
+    }.flatten
+
+  /** Partition-column literal for a days-since-epoch value, matching the
+    * inferred partition type (DateType normally; StringType when
+    * partition type inference is off — ISO yyyy-MM-dd compares
+    * chronologically either way).
+    */
+  private def dayLit(days: Long, day: Attribute): Literal = day.dataType match {
+    case DateType => Literal(days.toInt, DateType)
+    case _ =>
+      Literal(UTF8String.fromString(
+        java.time.LocalDate.ofEpochDay(days).toString), StringType)
+  }
+
+  private def impliedDayBound(e: Expression, ts: Attribute,
+      day: Attribute): Option[Expression] = {
+    def dayOf(ns: Long): Long = Math.floorDiv(ns, NsPerDay)
+    e match {
+      case GreaterThanOrEqual(a: Attribute, Literal(l: Long, LongType))
+          if a.semanticEquals(ts) =>
+        Some(GreaterThanOrEqual(day, dayLit(dayOf(l), day)))
+      case GreaterThan(a: Attribute, Literal(l: Long, LongType))
+          if a.semanticEquals(ts) => // ts > L ≡ ts ≥ L+1
+        Some(GreaterThanOrEqual(day, dayLit(dayOf(l + 1), day)))
+      case LessThanOrEqual(a: Attribute, Literal(l: Long, LongType))
+          if a.semanticEquals(ts) =>
+        Some(LessThanOrEqual(day, dayLit(dayOf(l), day)))
+      case LessThan(a: Attribute, Literal(l: Long, LongType))
+          if a.semanticEquals(ts) => // ts < U ≡ ts ≤ U−1
+        Some(LessThanOrEqual(day, dayLit(dayOf(l - 1), day)))
+      case EqualTo(a: Attribute, Literal(l: Long, LongType))
+          if a.semanticEquals(ts) =>
+        Some(EqualTo(day, dayLit(dayOf(l), day)))
+      // literal-first spellings
+      case GreaterThanOrEqual(Literal(l: Long, LongType), a: Attribute)
+          if a.semanticEquals(ts) =>
+        Some(LessThanOrEqual(day, dayLit(dayOf(l), day)))
+      case GreaterThan(Literal(l: Long, LongType), a: Attribute)
+          if a.semanticEquals(ts) =>
+        Some(LessThanOrEqual(day, dayLit(dayOf(l - 1), day)))
+      case LessThanOrEqual(Literal(l: Long, LongType), a: Attribute)
+          if a.semanticEquals(ts) =>
+        Some(GreaterThanOrEqual(day, dayLit(dayOf(l), day)))
+      case LessThan(Literal(l: Long, LongType), a: Attribute)
+          if a.semanticEquals(ts) =>
+        Some(GreaterThanOrEqual(day, dayLit(dayOf(l + 1), day)))
+      case EqualTo(Literal(l: Long, LongType), a: Attribute)
+          if a.semanticEquals(ts) =>
+        Some(EqualTo(day, dayLit(dayOf(l), day)))
+      case _ => None
+    }
+  }
+
+  private def split(e: Expression): Seq[Expression] = e match {
+    case And(l, r) => split(l) ++ split(r)
+    case other => Seq(other)
+  }
+}

@@ -17,23 +17,16 @@ import org.apache.spark.sql.functions._
   * an ISO-BMFF MP4 — written field-for-field; playable files standing in
   * for the reference's imageio MP4 (tools/temporal.py:26-35).
   *
-  * ==Video-codec stance (deliberate)==
-  * The CODEC is MJPEG (every frame an independent JPEG) in both
-  * containers. The reference's imageio output is typically
-  * H.264-in-MP4; no H.264 encoder or decoder exists in the JVM or this
-  * build's dependency set, and reimplementing one (CABAC/CAVLC entropy
-  * coding, intra/inter prediction, the deblocking filter) is a codec
-  * project, not a data-engine feature. MJPEG-in-MP4 keeps the container
-  * layer — mux, timing, per-frame addressing, the `mapGroups` assembly
-  * and decode plumbing — fully real and testable; a real H.264 path
-  * would slot in as (a) a JNI/FFI binding to a native encoder (ffmpeg/
-  * x264) behind the same frames-in/bytes-out function, or (b) a
-  * pure-JVM decoder dependency (JCodec-style) for the read side, with
-  * zero changes to the Spark plumbing. Consequence: MP4s produced here
-  * decode everywhere MJPEG is supported, and H.264 files from other
-  * producers are decoded only for their container metadata, not their
-  * frame content ([[graft.multimodal.Multimodal]] fails fast by codec
-  * name there).
+  * ==Video-codec stance==
+  * Two real codecs, both pure-JVM: MJPEG (every frame an independent
+  * JPEG, via the JDK codec) in AVI and MP4, and H.264 BASELINE-INTRA
+  * ([[graft.multimodal.h264]]: CAVLC, I_4x4/I_16x16/I_PCM, 4:2:0 8-bit,
+  * deblocking, frame cropping) in MP4 under the 'avc1' sample entry +
+  * avcC — the layout ffmpeg/imageio produce for the reference's
+  * temporal.py MP4s ([[avcMp4]] writes it, `Multimodal.parseMp4` reads
+  * it). Outside-the-subset H.264 (CABAC, P/B slices, High-profile SPS)
+  * and foreign codecs fail fast by name rather than misreading —
+  * the Hdf5/Szip documented-subset discipline.
   *
   * Scale shape: images/videos are assembled per experiment with
   * `groupByKey.mapGroups` — a single detector image or acquisition video
@@ -184,7 +177,24 @@ object Artifacts {
     * pointing at the mdat payload. Unlike RIFF, ISO-BMFF is BIG-endian.
     */
   def mjpegMp4(frames: Seq[Array[Byte]], width: Int, height: Int,
+      fps: Int = 100): Array[Byte] =
+    isoBmffMp4(frames, width, height, fps, "jpeg", Array.emptyByteArray)
+
+  /** H.264-in-MP4: AVCC samples (length-prefixed NALs) under an 'avc1'
+    * sample entry whose avcC box carries the SPS/PPS — the layout
+    * ffmpeg/imageio produce for the reference's temporal.py MP4s. Pair
+    * with [[graft.multimodal.h264.H264Encoder]] for the samples.
+    */
+  def avcMp4(enc: graft.multimodal.h264.H264Encoder.Encoded,
       fps: Int = 100): Array[Byte] = {
+    val avcC = graft.multimodal.h264.H264Encoder.avcC(enc.sps, enc.pps)
+    val ext = new BeOut()
+    ext.u32(8 + avcC.length); ext.fourcc("avcC"); ext.bytes(avcC)
+    isoBmffMp4(enc.samples, enc.width, enc.height, fps, "avc1", ext.toArray)
+  }
+
+  private def isoBmffMp4(frames: Seq[Array[Byte]], width: Int, height: Int,
+      fps: Int, sampleFourcc: String, entryExtension: Array[Byte]): Array[Byte] = {
     val n = frames.size
 
     def box(typ: String)(body: BeOut => Unit): Array[Byte] = {
@@ -206,8 +216,8 @@ object Artifacts {
     val firstSampleOffset = ftyp.length + 8 // into mdat's payload
 
     val stsd = fullBox("stsd", 0, 0) { b =>
-      b.u32(1) // one sample entry: VisualSampleEntry('jpeg'), 86 bytes
-      b.u32(86); b.fourcc("jpeg")
+      b.u32(1) // one VisualSampleEntry: 86 bytes + codec-config extension
+      b.u32(86 + entryExtension.length); b.fourcc(sampleFourcc)
       (0 until 6).foreach(_ => b.u8(0)); b.u16(1) // reserved, data_ref_index
       b.u16(0); b.u16(0); (0 until 3).foreach(_ => b.u32(0)) // pre_def/reserved
       b.u16(width); b.u16(height)
@@ -215,6 +225,7 @@ object Artifacts {
       b.u32(0); b.u16(1)                   // reserved, frame_count
       (0 until 32).foreach(_ => b.u8(0))   // compressorname
       b.u16(0x18); b.u16(0xFFFF)           // depth, pre_defined = -1
+      b.bytes(entryExtension)              // avcC for 'avc1', empty for 'jpeg'
     }
     val stbl = box("stbl") { b =>
       b.bytes(stsd)

@@ -34,6 +34,44 @@ class LayoutQueriesSpec extends SparkSpec {
     assert(months.nonEmpty && months.forall(m => m >= "1995-03" && m <= "1995-04"))
   }
 
+  test("b3: epoch-range filter prunes partition DIRECTORIES via the derived day bound") {
+    val df = LayoutQueries.b3TimePartitionPruning.fn(spark, sf)
+    val got = df.collect().map(r =>
+      (r.getAs[String]("event_type"), r.getAs[Long]("n"))).toMap
+    val planStr = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    // the injected bound reaches the scan as a partition filter
+    val pf = planStr.linesIterator.find(_.trim.startsWith("PartitionFilters")).get
+    assert(pf.contains("event_day"), pf)
+    assert(pf.contains(">=") && pf.contains("<="), pf)
+    // and it actually prunes: the store holds ~30 day directories, the
+    // 2024-01-10T06:00Z..01-12T18:00Z slice touches exactly 3
+    def allScans(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.FileSourceScanExec] =
+      p.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => Seq(f)
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          allScans(a.executedPlan)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          allScans(q.plan)
+      }.flatten
+    val scans = allScans(df.queryExecution.executedPlan)
+    assert(scans.nonEmpty, planStr.take(1200))
+    val read = scans.head.selectedPartitions.partitionCount
+    val total = new java.io.File(
+      LayoutQueries.ensureTimePartitioned(spark, sf))
+      .listFiles().count(_.getName.startsWith("event_day="))
+    assert(total >= 10, s"store has $total day partitions")
+    assert(read == 3, s"read $read of $total partitions")
+    // pruning is semantically invisible: same rows as the unpartitioned scan
+    val expect = graft.core.Tables.load(spark, sf, "events")
+      .filter(org.apache.spark.sql.functions.col("ts")
+        .between(1_704_866_400_000_000_000L, 1_705_082_399_999_999_999L))
+      .groupBy("event_type").count()
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(got == expect)
+  }
+
   test("c6: compaction bins are contiguous, disjoint doc ranges per source") {
     val rows = LayoutQueries.c6CompactionPlan.fn(spark, sf).collect()
     rows.groupBy(_.getAs[String]("source")).foreach { case (_, bins) =>

@@ -1,0 +1,102 @@
+package graft.multimodal
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.multimodal.h264.{H264Encoder, Nal, H264Decoder}
+import graft.sinks.Artifacts
+
+/** The H.264-in-MP4 ingest path end to end: encoder samples → 'avc1'
+  * sample entry + avcC → container parse (magic dispatch) → per-frame
+  * decode through [[Codec.Mp4Video]]. Pins the YCbCr channel layout, the
+  * bit-exact luma (decoder == encoder recon through the container), the
+  * PCM-lossless path, MJPEG non-regression inside the refactored muxer,
+  * and fail-fast for a foreign codec fourcc.
+  */
+class Mp4AvcSpec extends AnyFunSuite {
+
+  private def gray(w: Int, h: Int, seed: Int): Array[Byte] =
+    Array.tabulate(w * h)(i => ((i * 13 + seed * 7) % 256).toByte)
+
+  test("avc1 MP4 round-trip: container parse + per-frame luma equals recon") {
+    val w = 32; val h = 16
+    val frames = (0 until 4).map(f => gray(w, h, f))
+    val enc = H264Encoder.encodeGray(frames, w, h, H264Encoder.Config(qp = 24))
+    val mp4 = Artifacts.avcMp4(enc)
+    val video = Codec.parseVideo(mp4)
+    assert(video.isInstanceOf[Codec.Mp4Video])
+    assert(video.frameCount == 4)
+    (0 until 4).foreach { f =>
+      val (dw, dh, c, px) = video.decodeFrame(f)
+      assert((dw, dh, c) == (w, h, 3), "geometry + YCbCr channel count")
+      val recon = enc.recon(f)
+      (0 until w * h).foreach { i =>
+        assert((px(i * 3) & 0xFF) == recon.y(i), s"luma frame $f px $i")
+      }
+      // flat-128 coded chroma must decode flat through upsampling
+      assert((0 until w * h).forall(i => (px(i * 3 + 1) & 0xFF) == 128))
+      assert((0 until w * h).forall(i => (px(i * 3 + 2) & 0xFF) == 128))
+    }
+  }
+
+  test("avc1 MP4 with I_PCM is bit-lossless through the container") {
+    val w = 18; val h = 10 // cropped, non-MB-aligned
+    val frames = (0 until 3).map(f => gray(w, h, f + 9))
+    val enc = H264Encoder.encodeGray(frames, w, h,
+      H264Encoder.Config(qp = 28, pcmEvery = 1))
+    val video = Codec.parseVideo(Artifacts.avcMp4(enc))
+    (0 until 3).foreach { f =>
+      val (dw, dh, c, px) = video.decodeFrame(f)
+      assert((dw, dh, c) == (w, h, 3))
+      (0 until w * h).foreach { i =>
+        assert((px(i * 3) & 0xFF) == (frames(f)(i) & 0xFF), s"frame $f px $i")
+      }
+    }
+  }
+
+  test("MJPEG MP4 still parses and decodes (muxer refactor non-regression)") {
+    val w = 6; val h = 4
+    val jpegs = (0 until 3).map(f => Artifacts.grayJpeg(w, h, gray(w, h, f)))
+    val video = Codec.parseVideo(Artifacts.mjpegMp4(jpegs, w, h))
+    assert(video.frameCount == 3)
+    val (dw, dh, c, _) = video.decodeFrame(1)
+    assert((dw, dh, c) == (w, h, 1))
+  }
+
+  test("foreign codec fourcc fails fast by name") {
+    val w = 32; val h = 16
+    val enc = H264Encoder.encodeGray(Seq(gray(w, h, 1)), w, h)
+    val mp4 = Artifacts.avcMp4(enc)
+    // flip the sample-entry fourcc to hev1 (HEVC)
+    val idx = indexOfSlice(mp4, "avc1".getBytes("US-ASCII"))
+    assert(idx > 0)
+    val broken = mp4.clone()
+    System.arraycopy("hev1".getBytes("US-ASCII"), 0, broken, idx, 4)
+    val e = intercept[IllegalArgumentException](Codec.parseVideo(broken))
+    assert(e.getMessage.contains("hev1"))
+  }
+
+  test("lossy decode stays within the quantizer envelope") {
+    val w = 48; val h = 32
+    for (qp <- Seq(20, 30, 40)) {
+      val src = gray(w, h, qp)
+      val enc = H264Encoder.encodeGray(Seq(src), w, h, H264Encoder.Config(qp = qp))
+      val (_, _, _, px) = Codec.parseVideo(Artifacts.avcMp4(enc)).decodeFrame(0)
+      val maxErr = (0 until w * h).map(i => math.abs((px(i * 3) & 0xFF) - (src(i) & 0xFF))).max
+      // step 0.625·2^(qp/6); envelope leaves headroom for deblock + DC
+      val bound = math.max(4, (1 << (qp / 6)) * 4)
+      assert(maxErr <= bound, s"qp=$qp maxErr=$maxErr bound=$bound")
+    }
+  }
+
+  test("avcC SPS/PPS survive the extension-box walk (parse equality)") {
+    val enc = H264Encoder.encodeGray(Seq(gray(16, 16, 3)), 16, 16)
+    val video = Codec.parseVideo(Artifacts.avcMp4(enc)).asInstanceOf[Codec.Mp4Video]
+    val direct = H264Decoder.parseSps(Nal.unescape(enc.sps, 1, enc.sps.length))
+    val (dw, dh, _, _) = video.decodeFrame(0)
+    assert((dw, dh) == (direct.width, direct.height))
+  }
+
+  private def indexOfSlice(hay: Array[Byte], needle: Array[Byte]): Int =
+    hay.indices.find(i => i + needle.length <= hay.length &&
+      needle.indices.forall(j => hay(i + j) == needle(j))).getOrElse(-1)
+}

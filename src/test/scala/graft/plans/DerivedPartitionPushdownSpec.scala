@@ -1,0 +1,103 @@
+package graft.plans
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Rule-level pins for [[DerivedPartitionPushdown]]: bound arithmetic
+  * (floors, exclusive-edge sharpening), literal-first spellings,
+  * idempotence, and the two no-fire guards (unregistered path, wrong
+  * column types) — the registry is what makes the rewrite sound, so a
+  * misfire on an unregistered store would be a correctness bug, not a
+  * missed optimization.
+  */
+class DerivedPartitionPushdownSpec extends SparkSpec {
+
+  private val NsPerDay = 86_400_000_000_000L
+
+  /** A tiny registered day-partitioned store over synthetic epochs. */
+  private lazy val registeredPath: String = {
+    val dir = java.nio.file.Files.createTempDirectory("dpp-spec").toString
+    val path = s"$dir/t"
+    val session = spark
+    import session.implicits._
+    // 10 days, 4 rows each, at 00:00 / 06:00 / 12:00 / 18:00
+    (0 until 40).map { i =>
+      val ts = (i / 4).toLong * NsPerDay + (i % 4).toLong * (NsPerDay / 4)
+      (i.toLong, ts)
+    }.toDF("id", "ts")
+      .withColumn("event_day",
+        date_add(to_date(lit("1970-01-01")),
+          expr(s"cast(ts div $NsPerDay as int)")))
+      .write.partitionBy("event_day").parquet(path)
+    DerivedPartitions.register(path)
+    path
+  }
+
+  private def partitionFilterLine(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+      .linesIterator.find(_.trim.startsWith("PartitionFilters")).get
+
+  test("inclusive bounds floor to the containing day") {
+    val df = spark.read.parquet(registeredPath)
+      .filter(col("ts") >= 2 * NsPerDay + 1 && col("ts") <= 5 * NsPerDay + 1)
+    val pf = partitionFilterLine(df)
+    assert(pf.contains("1970-01-03") && pf.contains("1970-01-06"), pf)
+    // day 2: 06/12/18h (3 rows), days 3-4: 4 each, day 5: 00:00 only
+    assert(df.count() == 12)
+  }
+
+  test("exclusive edges sharpen: ts < midnight excludes the whole next day") {
+    val df = spark.read.parquet(registeredPath)
+      .filter(col("ts") >= 2 * NsPerDay && col("ts") < 5 * NsPerDay)
+    val pf = partitionFilterLine(df)
+    // upper day must be day 4 (1970-01-05), NOT day 5
+    assert(pf.contains("1970-01-05"), pf)
+    assert(!pf.contains("1970-01-06"), pf)
+    assert(df.count() == 12)
+  }
+
+  test("literal-first spellings rewrite identically") {
+    val a = spark.read.parquet(registeredPath)
+      .filter(lit(3 * NsPerDay) <= col("ts") && lit(5 * NsPerDay) > col("ts"))
+    val pf = partitionFilterLine(a)
+    assert(pf.contains("1970-01-04") && pf.contains("1970-01-05"), pf)
+    assert(a.count() == 8)
+  }
+
+  test("equality maps to a single day partition") {
+    val df = spark.read.parquet(registeredPath)
+      .filter(col("ts") === (4 * NsPerDay + NsPerDay / 2))
+    val pf = partitionFilterLine(df)
+    assert(pf.contains("= 1970-01-05"), pf)
+    assert(!pf.contains(">=") && !pf.contains("<="), pf)
+    assert(df.count() == 1)
+  }
+
+  test("idempotent: optimizing twice adds no duplicate bounds") {
+    val df = spark.read.parquet(registeredPath)
+      .filter(col("ts") >= 2 * NsPerDay && col("ts") < 5 * NsPerDay)
+    val optimized = df.queryExecution.optimizedPlan
+    val again = DerivedPartitionPushdown(optimized)
+    assert(again.fastEquals(optimized),
+      s"rule re-fired on an optimized plan:\n$again")
+  }
+
+  test("no-fire: unregistered path with identical column names") {
+    val dir = java.nio.file.Files.createTempDirectory("dpp-noreg").toString
+    val path = s"$dir/t"
+    val session = spark
+    import session.implicits._
+    // event_day here is NOT derived from ts — a rewrite would be WRONG
+    (0 until 10).map(i => (i.toLong * NsPerDay, s"2030-05-${10 + i}"))
+      .toDF("ts", "event_day")
+      .write.partitionBy("event_day").parquet(path)
+    val df = spark.read.parquet(path).filter(col("ts") >= 3 * NsPerDay)
+    val pf = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+      .linesIterator.find(_.trim.startsWith("PartitionFilters"))
+    assert(pf.forall(l => !l.contains("event_day") || l.contains("[]")),
+      pf.getOrElse(""))
+    assert(df.count() == 7)
+  }
+}

@@ -73,12 +73,12 @@ object GrowthSpan {
       case "embeddings" =>
         // deterministic per-(id, copy, dim) jitter ~ ±5e-2
         copies
-          .withColumn("doc_id", col("doc_id") + col("copy_k") * lit(1_000_000_000L))
+          .withColumn("vec_id", col("vec_id") + col("copy_k") * lit(1_000_000_000L))
           .withColumn("embedding",
             when(col("copy_k") === 0, col("embedding")).otherwise(
               zip_with(col("embedding"),
                 transform(sequence(lit(0), size(col("embedding")) - 1),
-                  i => pmod(xxhash64(col("doc_id"), col("copy_k"), i), lit(1000L))),
+                  i => pmod(xxhash64(col("vec_id"), col("copy_k"), i), lit(1000L))),
                 (v, h) => v + (h - lit(500L)).cast("float") / lit(10000.0f))))
           .drop("copy_k")
       case "lineitem" =>

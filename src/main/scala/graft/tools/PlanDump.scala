@@ -23,6 +23,16 @@ object PlanDump {
     "b2_partition_pruning" -> ("Dynamic partition pruning: the fact " +
       "scan's PartitionFilters carry a `dynamicpruningexpression` fed " +
       "by the broadcast dim — month directories prune at runtime."),
+    "b3_time_partition_pruning" -> ("STATIC partition-directory pruning " +
+      "from an epoch predicate: DerivedPartitionPushdown translates the " +
+      "ts range into event_day bounds on the registered day-partitioned " +
+      "store — PartitionFilters lists 3 of ~30 day directories before " +
+      "any footer is opened (the directory tier above q62's row-group " +
+      "pruning and b2's runtime DPP)."),
+    "m8_h264_video" -> ("H.264 ingest as a relational operator: per-row " +
+      "avc1-MP4 encode + pure-JVM baseline-intra decode inside batched " +
+      "mapPartitions — no exchange until the final per-doc collapse; " +
+      "embarrassingly parallel over clips at any scale."),
     "q31_percentiles" -> ("Exact per-group percentiles via " +
       "orderStatistics: the lineitem scan feeds a partial-aggregate " +
       "counts pass and a target-cell-filtered pass — no full-table " +

@@ -330,6 +330,42 @@ class H264Spec extends AnyFunSuite {
     }
   }
 
+  test("SEI and AUD NALs inside an AVCC sample are skipped, not misread") {
+    val w = 16; val h = 16
+    val frames = Seq(synthFrame(w, h, 4, smooth = true))
+    val enc = H264Encoder.encodeGray(frames, w, h, H264Encoder.Config(qp = 26))
+    val sps = H264Decoder.parseSps(Nal.unescape(enc.sps, 1, enc.sps.length))
+    val pps = H264Decoder.parsePps(Nal.unescape(enc.pps, 1, enc.pps.length))
+    // prepend an AUD (type 9) and an SEI (type 6) to the sample, the way
+    // real muxers interleave access-unit metadata
+    val aud = Nal.unit(0, 9, Array[Byte](0x10.toByte, 0x80.toByte))
+    val sei = Nal.unit(0, 6, Array[Byte](5, 4, 1, 2, 3, 4, 0x80.toByte))
+    val out = new java.io.ByteArrayOutputStream()
+    def put(nal: Array[Byte]): Unit = {
+      out.write(Array[Byte](0, 0, (nal.length >> 8).toByte, nal.length.toByte))
+      out.write(nal)
+    }
+    put(aud); put(sei)
+    out.write(enc.samples.head) // already length-prefixed
+    val dec = H264Decoder.decodeAvccSample(out.toByteArray, 4, sps, pps)
+    assert(dec.y.toSeq == enc.recon.head.y.toSeq)
+  }
+
+  test("Annex-B with 3-byte start codes decodes identically") {
+    val w = 16; val h = 16
+    val enc = H264Encoder.encodeGray(
+      Seq(synthFrame(w, h, 8, smooth = false)), w, h, H264Encoder.Config(qp = 24))
+    val out = new java.io.ByteArrayOutputStream()
+    def put(nal: Array[Byte]): Unit = {
+      out.write(Array[Byte](0, 0, 1)); out.write(nal)
+    }
+    put(enc.sps); put(enc.pps)
+    put(enc.samples.head.drop(4))
+    val frames = H264Decoder.decodeAnnexB(out.toByteArray)
+    assert(frames.size == 1)
+    assert(frames.head.y.toSeq == enc.recon.head.y.toSeq)
+  }
+
   // ------------------------------------------------------------ layer 5
 
   test("fail-fast: CABAC, High profile, P slice, FMO named errors") {

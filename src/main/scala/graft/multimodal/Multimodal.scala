@@ -104,22 +104,39 @@ object Codec {
       pps: graft.multimodal.h264.H264Decoder.Pps, lengthSize: Int)
 
   /** MP4 track: MJPEG samples decode as independent JPEGs; 'avc1'
-    * samples through the pure-JVM H.264 baseline-intra decoder
+    * samples through the pure-JVM H.264 baseline decoder
     * ([[graft.multimodal.h264.H264Decoder]]) — output is 3-channel
     * interleaved YCbCr with nearest-upsampled 4:2:0 chroma (the codec's
     * native color space; matrixing to RGB is a display choice left to
     * the caller).
+    *
+    * H.264 is an INTER codec: frame access decodes forward from the
+    * stream start through a stateful session (IPPP streams reference
+    * earlier frames), so sequential access is O(1) amortized and a
+    * backward seek restarts the session — exactly the keyframe-decode
+    * cost model [[Multimodal.sampleFrames]] documents.
     */
   final class Mp4Video(content: Array[Byte], frames: Array[(Int, Int)],
       avc: Option[AvcConfig])
     extends Video(content, frames) {
+    private var session: graft.multimodal.h264.H264Decoder.Session = null
+    private var nextIdx = 0
+
     override def decodeFrame(i: Int): (Int, Int, Int, Array[Byte]) = avc match {
       case None => super.decodeFrame(i)
       case Some(cfg) =>
-        val (off, len) = frames(i)
-        val f = graft.multimodal.h264.H264Decoder.decodeAvccSample(
-          java.util.Arrays.copyOfRange(content, off, off + len),
-          cfg.lengthSize, cfg.sps, cfg.pps)
+        if (session == null || i < nextIdx) {
+          session = new graft.multimodal.h264.H264Decoder.Session(cfg.sps, cfg.pps)
+          nextIdx = 0
+        }
+        var f: graft.multimodal.h264.H264Decoder.Frame = null
+        while (nextIdx <= i) {
+          val (off, len) = frames(nextIdx)
+          f = session.decodeSample(
+            java.util.Arrays.copyOfRange(content, off, off + len), cfg.lengthSize)
+          nextIdx += 1
+        }
+        require(f != null, s"frame $i already decoded past — reseek")
         val out = new Array[Byte](f.width * f.height * 3)
         val cw = f.chromaWidth
         var y = 0

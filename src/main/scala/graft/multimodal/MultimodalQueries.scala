@@ -616,10 +616,12 @@ object MultimodalQueries {
             if (sum > maxFrame) maxFrame = sum
           }
 
-          // lossy path: CAVLC/intra at qp 30, decoded error bounded by
-          // the quantizer envelope (4·2^(qp/6) = 128)
+          // lossy path: an IPPP stream at qp 30 — P_Skip / motion
+          // compensation / inter CAVLC run through the real session
+          // decode, error bounded by the quantizer envelope
+          // (4·2^(qp/6) = 128)
           val lossy = graft.sinks.Artifacts.avcMp4(H264Encoder.encodeGray(
-            frames, w, h, H264Encoder.Config(qp = 30)))
+            frames, w, h, H264Encoder.Config(qp = 30, pFrames = true)))
           val lv = Codec.parseVideo(lossy)
           var maxErr = 0
           (0 until lv.frameCount).foreach { f =>

@@ -1,12 +1,12 @@
 package graft.multimodal.h264
 
-/** In-loop deblocking filter (ITU-T H.264 §8.7) for the all-intra
-  * subset: every MB-boundary edge has bS = 4 and every internal 4×4 edge
-  * bS = 3, so the strength derivation collapses and only the §8.7.2.3/4
-  * sample filters and the α/β/tC0 threshold machinery remain. MBs are
-  * processed in raster order, vertical edges left→right then horizontal
-  * top→bottom, filtering in place (later edges see earlier edges'
-  * filtered samples — normative ordering).
+/** In-loop deblocking filter (ITU-T H.264 §8.7). Boundary strength per
+  * 4×4 block pair comes from the caller ([[BlockState.boundaryStrength]]
+  * — intra MB edges 4/3, coded-residual edges 2, MV/ref discontinuities
+  * 1, else 0), so the same machinery serves all-intra frames and P
+  * frames. MBs raster order, vertical edges left→right then horizontal
+  * top→bottom, filtering in place (normative ordering: later edges see
+  * earlier edges' filtered samples).
   */
 object Deblock {
 
@@ -32,13 +32,13 @@ object Deblock {
     if (v < lo) lo else if (v > hi) hi else v
   @inline private def clip1(v: Int): Int = Transform.clip255(v)
 
-  /** Filter a full reconstructed frame in place. `mbQp` holds each MB's
-    * final luma QP; `alphaOff`/`betaOff` are the slice header offsets
-    * (already doubled).
+  /** Filter a full reconstructed frame in place. `bS(pbx,pby,qbx,qby,
+    * mbEdge)` yields the strength for one 4×4 luma block pair.
     */
   def filterFrame(y: Array[Int], cb: Array[Int], cr: Array[Int],
       wMb: Int, hMb: Int, mbQp: Array[Int], chromaQpOffset: Int,
-      alphaOff: Int, betaOff: Int): Unit = {
+      alphaOff: Int, betaOff: Int,
+      bS: (Int, Int, Int, Int, Boolean) => Int): Unit = {
     val ls = wMb * 16
     val cs = wMb * 8
     var mbY = 0
@@ -46,42 +46,52 @@ object Deblock {
       var mbX = 0
       while (mbX < wMb) {
         val qpCur = mbQp(mbY * wMb + mbX)
-        def qpAvg(otherMb: Int): Int = (mbQp(otherMb) + qpCur + 1) >> 1
+        def qpAvgL(otherMb: Int): Int = (mbQp(otherMb) + qpCur + 1) >> 1
         def cQp(q: Int): Int = Transform.chromaQp(q, chromaQpOffset)
 
-        // ---- vertical edges (filter across columns), left to right
-        // MB edge (x=0): bS=4, qp averaged with left MB
+        // ---- vertical edges, left to right
         if (mbX > 0) {
-          val qa = qpAvg(mbY * wMb + mbX - 1)
-          lumaEdge(y, ls, mbX * 16, mbY * 16, vertical = true, bS = 4, qa, alphaOff, betaOff)
+          val qa = qpAvgL(mbY * wMb + mbX - 1)
+          lumaEdge(y, ls, mbX * 16, mbY * 16, vertical = true, mbEdge = true,
+            qa, alphaOff, betaOff, bS)
           val qc = (cQp(mbQp(mbY * wMb + mbX - 1)) + cQp(qpCur) + 1) >> 1
-          chromaEdge(cb, cs, mbX * 8, mbY * 8, vertical = true, bS = 4, qc, alphaOff, betaOff)
-          chromaEdge(cr, cs, mbX * 8, mbY * 8, vertical = true, bS = 4, qc, alphaOff, betaOff)
+          chromaEdge(cb, cs, mbX * 8, mbY * 8, vertical = true, mbEdge = true,
+            qc, alphaOff, betaOff, bS)
+          chromaEdge(cr, cs, mbX * 8, mbY * 8, vertical = true, mbEdge = true,
+            qc, alphaOff, betaOff, bS)
         }
-        // internal vertical edges: bS=3, qp of this MB
         var k = 4
         while (k < 16) {
-          lumaEdge(y, ls, mbX * 16 + k, mbY * 16, vertical = true, bS = 3, qpCur, alphaOff, betaOff)
+          lumaEdge(y, ls, mbX * 16 + k, mbY * 16, vertical = true,
+            mbEdge = false, qpCur, alphaOff, betaOff, bS)
           k += 4
         }
-        chromaEdge(cb, cs, mbX * 8 + 4, mbY * 8, vertical = true, bS = 3, cQp(qpCur), alphaOff, betaOff)
-        chromaEdge(cr, cs, mbX * 8 + 4, mbY * 8, vertical = true, bS = 3, cQp(qpCur), alphaOff, betaOff)
+        chromaEdge(cb, cs, mbX * 8 + 4, mbY * 8, vertical = true,
+          mbEdge = false, cQp(qpCur), alphaOff, betaOff, bS)
+        chromaEdge(cr, cs, mbX * 8 + 4, mbY * 8, vertical = true,
+          mbEdge = false, cQp(qpCur), alphaOff, betaOff, bS)
 
         // ---- horizontal edges, top to bottom
         if (mbY > 0) {
-          val qa = qpAvg((mbY - 1) * wMb + mbX)
-          lumaEdge(y, ls, mbX * 16, mbY * 16, vertical = false, bS = 4, qa, alphaOff, betaOff)
+          val qa = qpAvgL((mbY - 1) * wMb + mbX)
+          lumaEdge(y, ls, mbX * 16, mbY * 16, vertical = false, mbEdge = true,
+            qa, alphaOff, betaOff, bS)
           val qc = (cQp(mbQp((mbY - 1) * wMb + mbX)) + cQp(qpCur) + 1) >> 1
-          chromaEdge(cb, cs, mbX * 8, mbY * 8, vertical = false, bS = 4, qc, alphaOff, betaOff)
-          chromaEdge(cr, cs, mbX * 8, mbY * 8, vertical = false, bS = 4, qc, alphaOff, betaOff)
+          chromaEdge(cb, cs, mbX * 8, mbY * 8, vertical = false, mbEdge = true,
+            qc, alphaOff, betaOff, bS)
+          chromaEdge(cr, cs, mbX * 8, mbY * 8, vertical = false, mbEdge = true,
+            qc, alphaOff, betaOff, bS)
         }
         k = 4
         while (k < 16) {
-          lumaEdge(y, ls, mbX * 16, mbY * 16 + k, vertical = false, bS = 3, qpCur, alphaOff, betaOff)
+          lumaEdge(y, ls, mbX * 16, mbY * 16 + k, vertical = false,
+            mbEdge = false, qpCur, alphaOff, betaOff, bS)
           k += 4
         }
-        chromaEdge(cb, cs, mbX * 8, mbY * 8 + 4, vertical = false, bS = 3, cQp(qpCur), alphaOff, betaOff)
-        chromaEdge(cr, cs, mbX * 8, mbY * 8 + 4, vertical = false, bS = 3, cQp(qpCur), alphaOff, betaOff)
+        chromaEdge(cb, cs, mbX * 8, mbY * 8 + 4, vertical = false,
+          mbEdge = false, cQp(qpCur), alphaOff, betaOff, bS)
+        chromaEdge(cr, cs, mbX * 8, mbY * 8 + 4, vertical = false,
+          mbEdge = false, cQp(qpCur), alphaOff, betaOff, bS)
 
         mbX += 1
       }
@@ -89,28 +99,48 @@ object Deblock {
     }
   }
 
-  /** One luma edge: 16 lines of p3..p0 | q0..q3 across the edge at
-    * (x0,y0). For a vertical edge the lines run down the edge; samples
-    * step horizontally.
+  /** Convenience all-intra strength function (fixture/back-compat): MB
+    * edges 4, internal edges 3.
+    */
+  def intraBs: (Int, Int, Int, Int, Boolean) => Int =
+    (_, _, _, _, mbEdge) => if (mbEdge) 4 else 3
+
+  /** One luma edge of 16 lines at (x0,y0). The 4×4 block pair (and so
+    * bS) changes every 4 lines.
     */
   private def lumaEdge(plane: Array[Int], stride: Int, x0: Int, y0: Int,
-      vertical: Boolean, bS: Int, qp: Int, aOff: Int, bOff: Int): Unit = {
+      vertical: Boolean, mbEdge: Boolean, qp: Int, aOff: Int, bOff: Int,
+      bS: (Int, Int, Int, Int, Boolean) => Int): Unit = {
     val indexA = clip3(0, 51, qp + aOff)
     val alpha = Alpha(indexA)
     val beta = Beta(clip3(0, 51, qp + bOff))
     if (alpha == 0 || beta == 0) return
-    val step = if (vertical) 1 else stride // across the edge
-    val line = if (vertical) stride else 1 // along the edge
+    val step = if (vertical) 1 else stride
+    val line = if (vertical) stride else 1
     var i = 0
     while (i < 16) {
-      val q0p = (y0 * stride + x0) + i * line
-      filterLineLuma(plane, q0p, step, bS, alpha, beta, indexA)
-      i += 1
+      val (pbx, pby, qbx, qby) =
+        if (vertical) (x0 / 4 - 1, (y0 + i) / 4, x0 / 4, (y0 + i) / 4)
+        else ((x0 + i) / 4, y0 / 4 - 1, (x0 + i) / 4, y0 / 4)
+      val s = bS(pbx, pby, qbx, qby, mbEdge)
+      if (s > 0) {
+        var l = 0
+        while (l < 4) {
+          filterLineLuma(plane, (y0 * stride + x0) + (i + l) * line, step, s,
+            alpha, beta, indexA)
+          l += 1
+        }
+      }
+      i += 4
     }
   }
 
+  /** One chroma edge of 8 lines; the underlying LUMA block pair changes
+    * every 2 chroma lines.
+    */
   private def chromaEdge(plane: Array[Int], stride: Int, x0: Int, y0: Int,
-      vertical: Boolean, bS: Int, qp: Int, aOff: Int, bOff: Int): Unit = {
+      vertical: Boolean, mbEdge: Boolean, qp: Int, aOff: Int, bOff: Int,
+      bS: (Int, Int, Int, Int, Boolean) => Int): Unit = {
     val indexA = clip3(0, 51, qp + aOff)
     val alpha = Alpha(indexA)
     val beta = Beta(clip3(0, 51, qp + bOff))
@@ -119,9 +149,19 @@ object Deblock {
     val line = if (vertical) stride else 1
     var i = 0
     while (i < 8) {
-      val q0p = (y0 * stride + x0) + i * line
-      filterLineChroma(plane, q0p, step, bS, alpha, beta, indexA)
-      i += 1
+      val (pbx, pby, qbx, qby) =
+        if (vertical) (x0 / 2 - 1, (y0 + i) / 2, x0 / 2, (y0 + i) / 2)
+        else ((x0 + i) / 2, y0 / 2 - 1, (x0 + i) / 2, y0 / 2)
+      val s = bS(pbx, pby, qbx, qby, mbEdge)
+      if (s > 0) {
+        var l = 0
+        while (l < 2) {
+          filterLineChroma(plane, (y0 * stride + x0) + (i + l) * line, step, s,
+            alpha, beta, indexA)
+          l += 1
+        }
+      }
+      i += 2
     }
   }
 

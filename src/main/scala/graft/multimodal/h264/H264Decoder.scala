@@ -1,26 +1,32 @@
 package graft.multimodal.h264
 
-/** Pure-JVM H.264 decoder for the BASELINE-INTRA subset (ITU-T H.264,
-  * public spec; no code derives from any existing decoder):
+/** Pure-JVM H.264 decoder for the BASELINE subset (ITU-T H.264, public
+  * spec; no code derives from any existing decoder):
   *
-  *  - profile_idc 66 (Baseline) / 77-compatible streams that stay inside
-  *    the subset; CAVLC entropy coding only (`entropy_coding_mode_flag`=0)
-  *  - I/IDR slices, frame_mbs_only, 4:2:0, 8-bit; single slice per frame,
-  *    no FMO/ASO; MB types I_4x4, I_16x16 (all 24 variants), I_PCM
-  *  - frame cropping honored; deblocking per §8.7 for intra frames
+  *  - profile_idc 66 (Baseline); CAVLC entropy coding only
+  *    (`entropy_coding_mode_flag`=0); 4:2:0, 8-bit, frame_mbs_only
+  *  - I/IDR slices: I_4x4, I_16x16 (all 24 variants), I_PCM
+  *  - P slices: P_Skip (with §8.4.1.1 MV inference), P_L0_16x16,
+  *    P_L0_L0_16x8 / 8x16 (directional MV prediction), intra MBs inside
+  *    P slices, multiple reference frames (te(v) ref_idx, sliding-window
+  *    DPB), quarter-pel luma / eighth-pel chroma motion compensation
+  *  - single slice per frame, no FMO/ASO; frame cropping honored;
+  *    deblocking per §8.7 with full inter boundary-strength derivation
   *
-  * Everything outside the subset FAILS FAST with a named error
-  * (CABAC, P/B slices, other profiles' SPS extensions, multi-slice-group)
-  * rather than misreading — the same stance as the HDF5/szip readers
-  * (`graft.sources.Hdf5`). The reference writes MP4 video via imageio
-  * (/root/reference/picoprobe/tools/temporal.py:26-35), whose real-world
-  * codec is H.264; this decoder is what lets the engine ingest such clips.
+  * Everything outside the subset FAILS FAST with a named error (CABAC,
+  * B slices, P_8x8 sub-partitions, ref-list modification, MMCO, other
+  * profiles' SPS extensions) rather than misreading — the stance of the
+  * HDF5/szip readers (`graft.sources.Hdf5`). The reference writes MP4
+  * video via imageio (/root/reference/picoprobe/tools/temporal.py:26-35),
+  * whose real-world codec is H.264; this decoder is what lets the engine
+  * ingest such clips.
   */
 object H264Decoder {
 
   final case class Sps(
       profileIdc: Int, levelIdc: Int, spsId: Int,
       log2MaxFrameNum: Int, pocType: Int, log2MaxPocLsb: Int,
+      maxNumRefFrames: Int,
       widthMbs: Int, heightMbs: Int,
       cropLeft: Int, cropRight: Int, cropTop: Int, cropBottom: Int) {
     // 4:2:0 frame_mbs_only crop units: 2 horizontally, 2 vertically (§7.4.2.1.1)
@@ -40,14 +46,23 @@ object H264Decoder {
     def chromaHeight: Int = height / 2
   }
 
-  // mapped-Exp-Golomb coded_block_pattern, intra, 4:2:0 (Table 9-4)
+  /** A reference picture: PADDED (MB-aligned), post-deblock planes. */
+  final case class RefFrame(y: Array[Int], cb: Array[Int], cr: Array[Int])
+
+  // mapped-Exp-Golomb coded_block_pattern, 4:2:0 (Table 9-4)
   private[h264] val CbpIntra: Array[Int] = Array(
     47, 31, 15, 0, 23, 27, 29, 30, 7, 11, 13, 14, 39, 43, 45, 46,
     16, 3, 5, 10, 12, 19, 21, 26, 28, 35, 37, 42, 44, 1, 2, 4,
     8, 17, 18, 20, 24, 6, 9, 22, 25, 32, 33, 34, 36, 40, 38, 41)
-  private[h264] val CbpIntraInv: Array[Int] = {
+  private[h264] val CbpIntraInv: Array[Int] = invert(CbpIntra)
+  private[h264] val CbpInter: Array[Int] = Array(
+    0, 16, 1, 2, 4, 8, 32, 3, 5, 10, 12, 15, 47, 7, 11, 13,
+    14, 6, 9, 31, 35, 37, 42, 44, 33, 34, 36, 40, 39, 43, 45, 46,
+    17, 18, 20, 24, 19, 21, 26, 28, 23, 27, 29, 30, 22, 25, 38, 41)
+  private[h264] val CbpInterInv: Array[Int] = invert(CbpInter)
+  private def invert(t: Array[Int]): Array[Int] = {
     val inv = new Array[Int](48)
-    CbpIntra.zipWithIndex.foreach { case (cbp, code) => inv(cbp) = code }
+    t.zipWithIndex.foreach { case (cbp, code) => inv(cbp) = code }
     inv
   }
 
@@ -62,16 +77,16 @@ object H264Decoder {
     val level = br.u(8)
     val spsId = br.ue()
     require(!Set(100, 110, 122, 244, 44, 83, 86, 118, 128).contains(profile),
-      s"profile_idc $profile (High-family SPS extensions) not supported — baseline-intra subset only")
+      s"profile_idc $profile (High-family SPS extensions) not supported — baseline subset only")
     require(profile == 66 || profile == 77,
-      s"profile_idc $profile not supported (baseline-intra subset)")
+      s"profile_idc $profile not supported (baseline subset)")
     val log2MaxFrameNum = br.ue() + 4
     val pocType = br.ue()
     var log2MaxPocLsb = 0
     if (pocType == 0) log2MaxPocLsb = br.ue() + 4
     else if (pocType == 1)
       throw new IllegalArgumentException("pic_order_cnt_type 1 not supported")
-    br.ue() // max_num_ref_frames
+    val maxRef = br.ue()
     br.u1() // gaps_in_frame_num_value_allowed_flag
     val widthMbs = br.ue() + 1
     val heightMapUnits = br.ue() + 1
@@ -82,7 +97,7 @@ object H264Decoder {
     if (br.u1() == 1) { cl = br.ue(); crr = br.ue(); ct = br.ue(); cb = br.ue() }
     // vui_parameters_present_flag and beyond are irrelevant to decoding
     Sps(profile, level, spsId, log2MaxFrameNum, pocType, log2MaxPocLsb,
-      widthMbs, heightMapUnits, cl, crr, ct, cb)
+      math.max(1, maxRef), widthMbs, heightMapUnits, cl, crr, ct, cb)
   }
 
   def parsePps(rbsp: Array[Byte]): Pps = {
@@ -101,41 +116,61 @@ object H264Decoder {
     br.se() // pic_init_qs
     val chromaQpOffset = br.se()
     val deblockCtrl = br.u1() == 1
-    br.u1() // constrained_intra_pred_flag (all-intra: no effect)
+    br.u1() // constrained_intra_pred_flag (intra pred from inter neighbors allowed)
     br.u1() // redundant_pic_cnt_present_flag
     Pps(ppsId, spsId, picInitQp, chromaQpOffset, deblockCtrl)
   }
 
-  /** Decode one coded frame from AVCC length-prefixed NAL units (the MP4
-    * sample format), using parameter sets from the avcC box.
+  /** Stateful decode session: holds the sliding-window DPB so IPPP
+    * streams decode; an IDR resets it. One session per video track.
     */
-  def decodeAvccSample(sample: Array[Byte], lengthSize: Int,
-      sps: Sps, pps: Pps): Frame = {
-    var frame: Frame = null
-    var pos = 0
-    while (pos + lengthSize <= sample.length) {
-      var len = 0
-      var i = 0
-      while (i < lengthSize) { len = (len << 8) | (sample(pos + i) & 0xFF); i += 1 }
-      pos += lengthSize
-      require(len > 0 && pos + len <= sample.length, "bad NAL length in sample")
-      val nalType = sample(pos) & 0x1F
-      if (nalType == 1 || nalType == 5) {
-        require(frame == null, "multiple slices per sample not supported")
-        val rbsp = Nal.unescape(sample, pos + 1, pos + len)
-        frame = decodeSlice(rbsp, nalType == 5, sps, pps)
-      } // SPS/PPS/SEI NALs inside samples are ignored (avcC carries them)
-      pos += len
+  final class Session(sps: Sps, pps: Pps) {
+    private val dpb = scala.collection.mutable.ArrayBuffer.empty[RefFrame]
+
+    def reset(): Unit = dpb.clear()
+
+    /** Decode one AVCC sample (length-prefixed NALs) to its frame. */
+    def decodeSample(sample: Array[Byte], lengthSize: Int): Frame = {
+      var frame: Frame = null
+      var pos = 0
+      while (pos + lengthSize <= sample.length) {
+        var len = 0
+        var i = 0
+        while (i < lengthSize) { len = (len << 8) | (sample(pos + i) & 0xFF); i += 1 }
+        pos += lengthSize
+        require(len > 0 && pos + len <= sample.length, "bad NAL length in sample")
+        val nalType = sample(pos) & 0x1F
+        if (nalType == 1 || nalType == 5) {
+          require(frame == null, "multiple slices per sample not supported")
+          frame = decodeSliceNal(Nal.unescape(sample, pos + 1, pos + len), nalType == 5)
+        } // SPS/PPS/SEI/AUD NALs inside samples are skipped (avcC carries params)
+        pos += len
+      }
+      require(frame != null, "sample contains no coded slice")
+      frame
     }
-    require(frame != null, "sample contains no coded slice")
-    frame
+
+    def decodeSliceNal(rbsp: Array[Byte], idr: Boolean): Frame = {
+      if (idr) dpb.clear()
+      val (frame, ref) = decodeSlice(rbsp, idr, sps, pps, dpb.toIndexedSeq)
+      dpb.insert(0, ref)
+      while (dpb.size > sps.maxNumRefFrames) dpb.remove(dpb.size - 1) // sliding window
+      frame
+    }
   }
 
+  /** One-shot convenience for IDR samples (intra fixtures, first frame). */
+  def decodeAvccSample(sample: Array[Byte], lengthSize: Int,
+      sps: Sps, pps: Pps): Frame =
+    new Session(sps, pps).decodeSample(sample, lengthSize)
+
   /** Decode an Annex-B stream (start-code framed). Returns all frames;
-    * in-band SPS/PPS are honored.
+    * in-band SPS/PPS are honored; IPPP structure decodes via the session
+    * DPB.
     */
   def decodeAnnexB(data: Array[Byte]): Seq[Frame] = {
     val nals = splitAnnexB(data)
+    var session: Session = null
     var sps: Sps = null
     var pps: Pps = null
     val frames = Seq.newBuilder[Frame]
@@ -143,11 +178,12 @@ object H264Decoder {
       val nalType = data(from) & 0x1F
       val rbsp = Nal.unescape(data, from + 1, to)
       nalType match {
-        case 7 => sps = parseSps(rbsp)
-        case 8 => pps = parsePps(rbsp)
+        case 7 => sps = parseSps(rbsp); session = null
+        case 8 => pps = parsePps(rbsp); session = null
         case 1 | 5 =>
           require(sps != null && pps != null, "slice before SPS/PPS")
-          frames += decodeSlice(rbsp, nalType == 5, sps, pps)
+          if (session == null) session = new Session(sps, pps)
+          frames += session.decodeSliceNal(rbsp, nalType == 5)
         case _ => // SEI / AUD / filler — skip
       }
     }
@@ -170,7 +206,6 @@ object H264Decoder {
     s.zip(s.drop(1).map(n => prevNalEnd(d, n)) :+ d.length)
   }
   private def prevNalEnd(d: Array[Byte], nextStart: Int): Int = {
-    // back off the start code (3 or 4 bytes) preceding nextStart
     var e = nextStart - 3
     if (e > 0 && d(e - 1) == 0) e -= 1
     e
@@ -179,20 +214,36 @@ object H264Decoder {
   // ------------------------------------------------------------ slice
 
   private def decodeSlice(rbsp: Array[Byte], idr: Boolean,
-      sps: Sps, pps: Pps): Frame = {
+      sps: Sps, pps: Pps, refs: IndexedSeq[RefFrame]): (Frame, RefFrame) = {
     val br = new BitReader(rbsp)
     val firstMb = br.ue()
     require(firstMb == 0, "multi-slice frames not supported (first_mb_in_slice != 0)")
     val sliceType = br.ue()
-    require(sliceType == 2 || sliceType == 7,
-      s"slice_type $sliceType not supported — intra (I) slices only")
+    val isP = sliceType == 0 || sliceType == 5
+    val isI = sliceType == 2 || sliceType == 7
+    require(isP || isI,
+      s"slice_type $sliceType not supported — I and P slices only (no B)")
+    require(!isP || refs.nonEmpty, "P slice with an empty reference list")
     val ppsId = br.ue()
     require(ppsId == pps.ppsId, s"slice references pps $ppsId")
-    br.u(sps.log2MaxFrameNum) // frame_num
+    br.u(sps.log2MaxFrameNum) // frame_num (no gaps supported; value unused)
     if (idr) br.ue() // idr_pic_id
     if (sps.pocType == 0) br.u(sps.log2MaxPocLsb) // pic_order_cnt_lsb
-    if (idr) { br.u1(); br.u1() } // dec_ref_pic_marking: no_output / long_term
+    var numRefActive = math.min(refs.size, 1)
+    if (isP) {
+      if (br.u1() == 1) numRefActive = br.ue() + 1 // num_ref_idx override
+      require(numRefActive <= refs.size,
+        s"num_ref_idx_l0_active $numRefActive exceeds DPB ${refs.size}")
+      val modFlag = br.u1() // ref_pic_list_modification_flag_l0
+      require(modFlag == 0, "ref_pic_list_modification not supported")
+    }
+    if (idr) { br.u1(); br.u1() } // no_output_of_prior_pics, long_term_reference
+    else { // dec_ref_pic_marking for a reference picture
+      val adaptive = br.u1()
+      require(adaptive == 0, "adaptive ref pic marking (MMCO) not supported")
+    }
     val sliceQp = pps.picInitQp + br.se()
+    require(sliceQp >= 0 && sliceQp <= 51, s"slice QP $sliceQp")
     var disableDeblock = 0
     var alphaOff = 0
     var betaOff = 0
@@ -201,50 +252,63 @@ object H264Decoder {
       require(disableDeblock <= 2, s"disable_deblocking_filter_idc $disableDeblock")
       if (disableDeblock != 1) { alphaOff = 2 * br.se(); betaOff = 2 * br.se() }
     }
-    val dec = new SliceDecoder(sps, pps, sliceQp)
-    dec.decodeMbs(br)
+    val dec = new FrameDecoder(sps, pps, sliceQp, refs, numRefActive)
+    dec.decodeMbs(br, isP)
     if (disableDeblock != 1)
       Deblock.filterFrame(dec.y, dec.cb, dec.cr, sps.widthMbs, sps.heightMbs,
-        dec.mbQp, pps.chromaQpOffset, alphaOff, betaOff)
-    dec.crop()
+        dec.mbQp, pps.chromaQpOffset, alphaOff, betaOff,
+        dec.bstate.boundaryStrength(dec.tcYPub))
+    (dec.crop(), RefFrame(dec.y, dec.cb, dec.cr))
   }
 
-  /** Per-slice (= per-frame here) decoding state and MB loop. */
-  private final class SliceDecoder(sps: Sps, pps: Pps, sliceQp: Int) {
+  /** Per-frame decoding state and MB loop. */
+  private final class FrameDecoder(sps: Sps, pps: Pps, sliceQp: Int,
+      refs: IndexedSeq[RefFrame], numRefActive: Int) {
     val wMb = sps.widthMbs
     val hMb = sps.heightMbs
     val ls = wMb * 16 // luma stride
     val cs = wMb * 8 // chroma stride
-    val y = new Array[Int](ls * hMb * 16)
-    val cb = new Array[Int](cs * hMb * 8)
-    val cr = new Array[Int](cs * hMb * 8)
+    val hPix = hMb * 16
+    val hcPix = hMb * 8
+    val y = new Array[Int](ls * hPix)
+    val cb = new Array[Int](cs * hcPix)
+    val cr = new Array[Int](cs * hcPix)
     // per-4x4-block CAVLC totalCoeff, luma (4wMb × 4hMb) and chroma (2wMb × 2hMb)
     private val tcY = new Array[Int](wMb * 4 * hMb * 4)
     private val tcCb = new Array[Int](wMb * 2 * hMb * 2)
     private val tcCr = new Array[Int](wMb * 2 * hMb * 2)
+    def tcYPub: Array[Int] = tcY
     // per-4x4-block intra prediction mode (−1 = not an I_4x4 block)
     private val i4Mode = Array.fill(wMb * 4 * hMb * 4)(-1)
     /** Final luma QP of each MB (deblocking needs it). */
     val mbQp = new Array[Int](wMb * hMb)
+    /** Motion state (deblock bS + MV prediction). */
+    val bstate = new BlockState(wMb, hMb)
 
     private var qp = sliceQp
 
-    def decodeMbs(br: BitReader): Unit = {
-      var mb = 0
+    def decodeMbs(br: BitReader, isP: Boolean): Unit = {
       val n = wMb * hMb
+      var mb = 0
       while (mb < n) {
-        decodeMb(br, mb % wMb, mb / wMb)
-        mb += 1
+        if (isP) {
+          var run = br.ue()
+          require(mb + run <= n, s"mb_skip_run $run overruns the picture")
+          while (run > 0) { decodeSkip(mb % wMb, mb / wMb); mb += 1; run -= 1 }
+          if (mb < n) { decodeMb(br, mb % wMb, mb / wMb, isP = true); mb += 1 }
+        } else {
+          decodeMb(br, mb % wMb, mb / wMb, isP = false)
+          mb += 1
+        }
       }
     }
 
     // --------------------------------------------------------- neighbors
 
-    /** nC for a luma 4x4 block at global block coords (§9.2.1). */
     private def lumaNC(gbx: Int, gby: Int): Int = {
       val availA = gbx > 0
       val availB = gby > 0
-      if (availA && availB) (tcY((gby) * wMb * 4 + gbx - 1) +
+      if (availA && availB) (tcY(gby * wMb * 4 + gbx - 1) +
         tcY((gby - 1) * wMb * 4 + gbx) + 1) >> 1
       else if (availA) tcY(gby * wMb * 4 + gbx - 1)
       else if (availB) tcY((gby - 1) * wMb * 4 + gbx)
@@ -263,15 +327,132 @@ object H264Decoder {
 
     // ------------------------------------------------------------- MB
 
-    private def decodeMb(br: BitReader, mbX: Int, mbY: Int): Unit = {
+    private def decodeMb(br: BitReader, mbX: Int, mbY: Int, isP: Boolean): Unit = {
       val mbType = br.ue()
-      // §8.7: I_PCM MBs deblock with QPY = 0 (alpha/beta 0 → edges kept)
-      if (mbType == 25) { decodePcm(br, mbX, mbY); mbQp(mbY * wMb + mbX) = 0 }
-      else if (mbType == 0) { decodeI4x4(br, mbX, mbY); mbQp(mbY * wMb + mbX) = qp }
-      else if (mbType <= 24) { decodeI16x16(br, mbType - 1, mbX, mbY); mbQp(mbY * wMb + mbX) = qp }
-      else throw new IllegalArgumentException(
-        s"mb_type $mbType in I slice (inter-coded input?) not supported")
+      if (isP && mbType < 5) {
+        decodeInterMb(br, mbType, mbX, mbY)
+        mbQp(mbY * wMb + mbX) = qp
+      } else {
+        val t = if (isP) mbType - 5 else mbType
+        bstate.setIntraMb(mbX, mbY)
+        if (t == 25) { decodePcm(br, mbX, mbY); mbQp(mbY * wMb + mbX) = 0 }
+        else if (t == 0) { decodeI4x4(br, mbX, mbY); mbQp(mbY * wMb + mbX) = qp }
+        else if (t >= 1 && t <= 24) {
+          decodeI16x16(br, t - 1, mbX, mbY); mbQp(mbY * wMb + mbX) = qp
+        } else throw new IllegalArgumentException(
+          s"mb_type $mbType not supported in this slice type")
+      }
     }
+
+    // ------------------------------------------------------------ inter
+
+    /** P partition geometry: (x, y, w, h in luma samples, MvPred shape). */
+    private def partitions(mbType: Int): Seq[(Int, Int, Int, Int, Char)] =
+      mbType match {
+        case 0 => Seq((0, 0, 16, 16, ' '))
+        case 1 => Seq((0, 0, 16, 8, 'T'), (0, 8, 16, 8, 'B'))
+        case 2 => Seq((0, 0, 8, 16, 'L'), (8, 0, 8, 16, 'R'))
+        case t => throw new IllegalArgumentException(
+          s"P mb_type $t (P_8x8 sub-partitions) not supported")
+      }
+
+    private def teRef(br: BitReader): Int =
+      if (numRefActive <= 1) 0
+      else if (numRefActive == 2) 1 - br.u1() // te(v) with range 1: flipped bit
+      else br.ue()
+
+    private def decodeInterMb(br: BitReader, mbType: Int, mbX: Int, mbY: Int): Unit = {
+      val parts = partitions(mbType)
+      // ref_idx for every partition first (§7.3.5.1), then every mvd;
+      // block state updates as each mvd lands — later partitions of this
+      // MB predict from earlier ones
+      val refIdxs = parts.map(_ => teRef(br))
+      val mvs = parts.zip(refIdxs).map { case ((px, py, pw, ph, shape), ref) =>
+        require(ref < refs.size, s"ref_idx $ref outside DPB")
+        val bx = mbX * 4 + px / 4
+        val by = mbY * 4 + py / 4
+        val (predX, predY) = MvPred.predict(bstate.neigh, bx, by, pw / 4, ref, shape)
+        val mvx = predX + br.se()
+        val mvy = predY + br.se()
+        bstate.setBlocks(bx, by, pw / 4, ph / 4, ref, mvx, mvy)
+        (mvx, mvy)
+      }
+
+      // motion-compensated prediction into the planes
+      parts.zip(refIdxs).zip(mvs).foreach { case (((px, py, pw, ph, _), ref), (mvx, mvy)) =>
+        writeInterPred(mbX * 16 + px, mbY * 16 + py, pw, ph, ref, mvx, mvy)
+      }
+
+      // residual
+      val cbpCode = br.ue()
+      require(cbpCode < 48, s"coded_block_pattern code $cbpCode")
+      val cbp = CbpInter(cbpCode)
+      val cbpLuma = cbp & 15
+      val cbpChroma = cbp >> 4
+      if (cbp != 0) bumpQp(br.se())
+      decodeLumaResidual4x4(br, mbX, mbY, cbpLuma)
+      val chroma = parseChromaResidual(br, mbX, mbY, cbpChroma)
+      addChromaResidual(mbX, mbY, chroma)
+    }
+
+    private def decodeSkip(mbX: Int, mbY: Int): Unit = {
+      val (mvx, mvy) = MvPred.skipMv(bstate.neigh, mbX * 4, mbY * 4)
+      bstate.setBlocks(mbX * 4, mbY * 4, 4, 4, 0, mvx, mvy)
+      writeInterPred(mbX * 16, mbY * 16, 16, 16, 0, mvx, mvy)
+      // no residual, no qp change; CAVLC contexts read 0 (arrays 0-init)
+      mbQp(mbY * wMb + mbX) = qp
+    }
+
+    /** Motion compensation for one partition at luma (x0, y0). */
+    private def writeInterPred(x0: Int, y0: Int, pw: Int, ph: Int,
+        ref: Int, mvx: Int, mvy: Int): Unit = {
+      val rf = refs(ref)
+      val lum = Interp.lumaBlock(rf.y, ls, hPix, 4 * x0 + mvx, 4 * y0 + mvy, pw, ph)
+      var j = 0
+      while (j < ph) {
+        var i = 0
+        while (i < pw) { y((y0 + j) * ls + x0 + i) = lum(j * pw + i); i += 1 }
+        j += 1
+      }
+      val cw = pw / 2; val chh = ph / 2
+      val cx0 = x0 / 2; val cy0 = y0 / 2
+      val pc = Interp.chromaBlock(rf.cb, cs, hcPix, 4 * x0 + mvx, 4 * y0 + mvy, cw, chh)
+      val pr = Interp.chromaBlock(rf.cr, cs, hcPix, 4 * x0 + mvx, 4 * y0 + mvy, cw, chh)
+      j = 0
+      while (j < chh) {
+        var i = 0
+        while (i < cw) {
+          cb((cy0 + j) * cs + cx0 + i) = pc(j * cw + i)
+          cr((cy0 + j) * cs + cx0 + i) = pr(j * cw + i)
+          i += 1
+        }
+        j += 1
+      }
+    }
+
+    /** Luma residual for non-I16 MBs: 16 blocks of 16 coeffs gated by the
+      * cbp 8x8 groups, added onto the already-written prediction.
+      */
+    private def decodeLumaResidual4x4(br: BitReader, mbX: Int, mbY: Int,
+        cbpLuma: Int): Unit = {
+      var i = 0
+      while (i < 16) {
+        val gbx = mbX * 4 + blkX(i)
+        val gby = mbY * 4 + blkY(i)
+        if ((cbpLuma & (1 << (i >> 2))) != 0) {
+          val blk = Cavlc.decodeBlock(br, lumaNC(gbx, gby), 16)
+          tcY(gby * wMb * 4 + gbx) = blk.totalCoeff
+          val res = Transform.inverse4x4(
+            Transform.dequant4x4(unzigzag(blk.coeffs, 0), qp, skipDc = false))
+          addResidual4x4(y, ls, mbX * 16 + blkX(i) * 4, mbY * 16 + blkY(i) * 4, res)
+        } else {
+          tcY(gby * wMb * 4 + gbx) = 0
+        }
+        i += 1
+      }
+    }
+
+    // ------------------------------------------------------------ intra
 
     private def decodePcm(br: BitReader, mbX: Int, mbY: Int): Unit = {
       br.alignToByte()
@@ -281,7 +462,6 @@ object H264Decoder {
       val cx0 = mbX * 8; val cy0 = mbY * 8
       for (yy <- 0 until 8; xx <- 0 until 8) cb((cy0 + yy) * cs + cx0 + xx) = br.u(8)
       for (yy <- 0 until 8; xx <- 0 until 8) cr((cy0 + yy) * cs + cx0 + xx) = br.u(8)
-      // PCM counts as fully-coded for CAVLC context (§9.2.1: nA/nB = 16)
       for (by <- 0 until 4; bx <- 0 until 4)
         tcY((mbY * 4 + by) * wMb * 4 + mbX * 4 + bx) = 16
       for (by <- 0 until 2; bx <- 0 until 2) {
@@ -290,10 +470,6 @@ object H264Decoder {
       }
     }
 
-    /** Gather luma 4x4 neighbors for a block at sample coords (sx, sy).
-      * Returns (u8, l4, corner, availU, availL) with the §8.3.1.2
-      * above-right substitution applied.
-      */
     private def lumaNeighbors(sx: Int, sy: Int, mbX: Int, mbY: Int,
         blkIdxInMb: Int): (Array[Int], Array[Int], Int, Boolean, Boolean) = {
       val availU = sy > 0
@@ -304,17 +480,12 @@ object H264Decoder {
       if (availU) {
         var i = 0
         while (i < 4) { u(i) = y((sy - 1) * ls + sx + i); i += 1 }
-        // above-right: available iff in-picture and already decoded
         val urAvail = sx + 4 < ls && {
           val nMbX = (sx + 4) / 16; val nMbY = (sy - 1) / 16
           if (nMbY < mbY) true
-          else { // same MB row: must be a previous MB, or earlier block in this MB
-            if (nMbX != mbX) nMbX < mbX
-            else {
-              val bx = (sx + 4) / 4 - mbX * 4; val by = (sy - 1) / 4 - mbY * 4
-              mortonLt(bx, by, blkX(blkIdxInMb), blkY(blkIdxInMb))
-            }
-          }
+          else if (nMbX != mbX) nMbX < mbX
+          else mortonLt((sx + 4) / 4 - mbX * 4, (sy - 1) / 4 - mbY * 4,
+            blkX(blkIdxInMb), blkY(blkIdxInMb))
         }
         if (urAvail) {
           var i = 4
@@ -334,7 +505,6 @@ object H264Decoder {
       (u, l, c, availU, availL)
     }
 
-    /** Morton/decode-order comparison for 4x4 blocks within one MB. */
     private def mortonLt(bx: Int, by: Int, curBx: Int, curBy: Int): Boolean = {
       def code(x: Int, yy: Int) =
         ((yy >> 1) << 3) | ((x >> 1) << 2) | ((yy & 1) << 1) | (x & 1)
@@ -342,15 +512,13 @@ object H264Decoder {
     }
 
     private def decodeI4x4(br: BitReader, mbX: Int, mbY: Int): Unit = {
-      // prediction modes for all 16 blocks (bitstream order)
       val modes = new Array[Int](16)
       var i = 0
       while (i < 16) {
         val gbx = mbX * 4 + blkX(i)
         val gby = mbY * 4 + blkY(i)
         // §8.3.1.1: DC if either neighbor block is unavailable; otherwise
-        // Min of the neighbor modes, where a non-I_4x4 neighbor MB reads
-        // as DC (stored −1 → 2)
+        // Min of the neighbor modes (non-I_4x4 neighbor MB reads as DC)
         val pred =
           if (gbx == 0 || gby == 0) 2
           else {
@@ -406,7 +574,7 @@ object H264Decoder {
         }
         i += 1
       }
-      reconChroma(mbX, mbY, chromaMode, chroma)
+      reconChromaIntra(mbX, mbY, chromaMode, chroma)
     }
 
     private def decodeI16x16(br: BitReader, typeIdx: Int, mbX: Int, mbY: Int): Unit = {
@@ -417,12 +585,9 @@ object H264Decoder {
       require(chromaMode <= 3, s"intra_chroma_pred_mode $chromaMode")
       bumpQp(br.se())
 
-      // luma DC block: nC as for block 0
       val dcBlk = Cavlc.decodeBlock(br, lumaNC(mbX * 4, mbY * 4), 16)
-      val dcRaster = unzigzag(dcBlk.coeffs, 0)
-      val dcScaled = Transform.dequantLumaDc(dcRaster, qp)
+      val dcScaled = Transform.dequantLumaDc(unzigzag(dcBlk.coeffs, 0), qp)
 
-      // AC blocks
       val blocks = new Array[Array[Int]](16)
       var i = 0
       while (i < 16) {
@@ -439,7 +604,6 @@ object H264Decoder {
       }
       val chroma = parseChromaResidual(br, mbX, mbY, cbpChroma)
 
-      // predict the whole 16x16, then add per-block residual
       val sx0 = mbX * 16; val sy0 = mbY * 16
       val (u, l, c, aU, aL) = gatherEdge(y, ls, sx0, sy0, 16)
       Predict.luma16x16(predMode, y, ls, sx0, sy0, u, l, c, aU, aL)
@@ -452,10 +616,11 @@ object H264Decoder {
         addResidual4x4(y, ls, sx0 + blkX(i) * 4, sy0 + blkY(i) * 4, res)
         i += 1
       }
-      reconChroma(mbX, mbY, chromaMode, chroma)
+      reconChromaIntra(mbX, mbY, chromaMode, chroma)
     }
 
-    /** Chroma residual: (dcCb, dcCr, acCb(4), acCr(4)) or nulls. */
+    // ----------------------------------------------------------- chroma
+
     private def parseChromaResidual(br: BitReader, mbX: Int, mbY: Int,
         cbpChroma: Int): (Array[Int], Array[Int], Array[Array[Int]], Array[Array[Int]]) = {
       var dcCb: Array[Int] = null
@@ -484,13 +649,25 @@ object H264Decoder {
       (dcCb, dcCr, acCb, acCr)
     }
 
-    private def reconChroma(mbX: Int, mbY: Int, chromaMode: Int,
+    /** Intra chroma: predict the 8×8 then add residual. */
+    private def reconChromaIntra(mbX: Int, mbY: Int, chromaMode: Int,
+        res: (Array[Int], Array[Int], Array[Array[Int]], Array[Array[Int]])): Unit = {
+      val cx0 = mbX * 8; val cy0 = mbY * 8
+      for (plane <- Seq(cb, cr)) {
+        val (u, l, c, aU, aL) = gatherEdge(plane, cs, cx0, cy0, 8)
+        Predict.chroma8x8(chromaMode, plane, cs, cx0, cy0, u, l, c, aU, aL)
+      }
+      addChromaResidual(mbX, mbY, res)
+    }
+
+    /** Add dequantized chroma residual onto whatever prediction the
+      * planes already hold (intra prediction or motion compensation).
+      */
+    private def addChromaResidual(mbX: Int, mbY: Int,
         res: (Array[Int], Array[Int], Array[Array[Int]], Array[Array[Int]])): Unit = {
       val qpC = Transform.chromaQp(qp, pps.chromaQpOffset)
       val cx0 = mbX * 8; val cy0 = mbY * 8
       for ((plane, dc, ac) <- Seq((cb, res._1, res._3), (cr, res._2, res._4))) {
-        val (u, l, c, aU, aL) = gatherEdge(plane, cs, cx0, cy0, 8)
-        Predict.chroma8x8(chromaMode, plane, cs, cx0, cy0, u, l, c, aU, aL)
         val dcScaled =
           if (dc != null) Transform.dequantChromaDc(dc, qpC) else new Array[Int](4)
         var b = 0
@@ -505,9 +682,6 @@ object H264Decoder {
       }
     }
 
-    /** Gather the top row (n), left column (n) and corner of an n×n
-      * region's neighbors from `plane`.
-      */
     private def gatherEdge(plane: Array[Int], stride: Int, x0: Int, y0: Int,
         n: Int): (Array[Int], Array[Int], Int, Boolean, Boolean) = {
       val availU = y0 > 0
@@ -540,7 +714,6 @@ object H264Decoder {
       qp = (qp + delta + 52) % 52
     }
 
-    /** Scan-order → raster via zig-zag, full 16 coefficients. */
     private def unzigzag(scan: Array[Int], from: Int): Array[Int] = {
       val out = new Array[Int](16)
       var i = from
@@ -548,7 +721,6 @@ object H264Decoder {
       out
     }
 
-    /** AC-only block (15 scan coeffs at zig-zag positions 1..15). */
     private def unzigzagAc(scan: Array[Int]): Array[Int] = {
       val out = new Array[Int](16)
       var i = 1

@@ -1,30 +1,36 @@
 package graft.multimodal.h264
 
-/** From-scratch H.264 baseline-intra ENCODER — the fixture-writer half of
-  * the codec pair (the Hdf5TestWriter/SzipTestEncoder precedent: built
-  * from the public spec, it exists so the decoder can be exercised over
-  * real bitstreams in an environment with no third-party encoder).
+/** From-scratch H.264 baseline ENCODER — the fixture-writer half of the
+  * codec pair (the Hdf5TestWriter/SzipTestEncoder precedent: built from
+  * the public spec so the decoder can be exercised over real bitstreams
+  * in an environment with no third-party encoder).
   *
-  * Emits IDR-only streams inside the supported subset: CAVLC, single
-  * slice, I_4x4 + I_16x16 (SAD mode decision, alternating per MB so every
-  * fixture exercises both) or I_PCM (`pcmEvery`), flat QP, optional
-  * deblocking. The encoder maintains the decoder-identical reconstruction
-  * (prediction from reconstructed neighbors, §8.5 inverse path), so
-  * `H264Decoder` output must match [[Encoded.recon]] BIT-EXACTLY — that
-  * equality is the round-trip contract H264Spec pins.
+  * Emits streams inside the supported subset: CAVLC, single slice,
+  * IDR-only (I_4x4 + I_16x16 SAD mode decision, optional I_PCM) or IPPP
+  * (`pFrames`: P_Skip, P_L0_16x16 / 16x8 / 8x16 partitions with a
+  * two-stage quarter-pel search around the shared MV predictor, up to
+  * two reference frames, periodic intra-in-P MBs), flat QP, optional
+  * deblocking. The encoder maintains the decoder-identical
+  * reconstruction (prediction from reconstructed/deblocked references,
+  * §8.4/§8.5 normative paths, shared [[MvPred]]), so `H264Decoder`
+  * output must match [[Encoded.recon]] BIT-EXACTLY — the round-trip
+  * contract H264Spec pins.
   */
 object H264Encoder {
 
-  /** `pcmEvery` = 0 disables I_PCM; n > 0 codes every n-th MB as PCM
-    * (1 = every MB, the lossless path the m8 oracle relies on).
+  /** `pcmEvery` = 0 disables I_PCM; n > 0 codes every n-th MB of INTRA
+    * frames as PCM (1 = every MB, the lossless path the m8 oracle relies
+    * on). `pFrames` switches GOP structure from all-IDR to IPPP.
     */
   final case class Config(
-      qp: Int = 28, pcmEvery: Int = 0, deblock: Boolean = true)
+      qp: Int = 28, pcmEvery: Int = 0, deblock: Boolean = true,
+      pFrames: Boolean = false)
 
   final case class Encoded(
       width: Int, height: Int,
       sps: Array[Byte], pps: Array[Byte],
       samples: Seq[Array[Byte]], // AVCC samples, 4-byte BE NAL lengths
+      sampleIsIdr: Seq[Boolean],
       recon: Seq[H264Decoder.Frame]) // what a conformant decoder must output
 
   /** Encode luma-only (grayscale) frames; chroma coded flat 128. */
@@ -48,26 +54,37 @@ object H264Encoder {
     val pps = writePps(cfg.qp)
     val spsP = H264Decoder.parseSps(Nal.unescape(sps, 1, sps.length))
     val ppsP = H264Decoder.parsePps(Nal.unescape(pps, 1, pps.length))
-    val out = frames.map { case (y, cb, cr) =>
+
+    val dpb = scala.collection.mutable.ArrayBuffer.empty[H264Decoder.RefFrame]
+    val samples = Seq.newBuilder[Array[Byte]]
+    val idrs = Seq.newBuilder[Boolean]
+    val recons = Seq.newBuilder[H264Decoder.Frame]
+    frames.zipWithIndex.foreach { case ((y, cbP, crP), idx) =>
       require(y.length == width * height, "luma plane size")
-      val enc = new FrameEncoder(wMb, hMb, cfg, spsP, ppsP)
+      val idr = idx == 0 || !cfg.pFrames
+      if (idr) dpb.clear()
+      val enc = new FrameEncoder(wMb, hMb, cfg, spsP, ppsP,
+        dpb.toIndexedSeq, idr, frameNum = dpb.size)
       val nal = enc.encodeFrame(pad(y, width, height, wMb * 16, hMb * 16),
-        pad(cb, width / 2, height / 2, wMb * 8, hMb * 8),
-        pad(cr, width / 2, height / 2, wMb * 8, hMb * 8))
+        pad(cbP, width / 2, height / 2, wMb * 8, hMb * 8),
+        pad(crP, width / 2, height / 2, wMb * 8, hMb * 8))
+      val (frame, ref) = enc.finishFrame()
+      dpb.insert(0, ref)
+      while (dpb.size > spsP.maxNumRefFrames) dpb.remove(dpb.size - 1)
       val sample = new java.io.ByteArrayOutputStream()
       sample.write(Array[Byte](
         ((nal.length >> 24) & 0xFF).toByte, ((nal.length >> 16) & 0xFF).toByte,
         ((nal.length >> 8) & 0xFF).toByte, (nal.length & 0xFF).toByte))
       sample.write(nal)
-      (sample.toByteArray, enc.reconFrame())
+      samples += sample.toByteArray
+      idrs += idr
+      recons += frame
     }
-    Encoded(width, height, sps, pps, out.map(_._1), out.map(_._2))
+    Encoded(width, height, sps, pps, samples.result(), idrs.result(),
+      recons.result())
   }
 
-  /** Replicate-pad a plane to MB-aligned dimensions (standard encoder
-    * practice; the aligned region beyond the crop window is never
-    * output).
-    */
+  /** Replicate-pad a plane to MB-aligned dimensions. */
   private def pad(p: Array[Int], w: Int, h: Int, wPad: Int, hPad: Int): Array[Int] = {
     val out = new Array[Int](wPad * hPad)
     var y = 0
@@ -96,7 +113,7 @@ object H264Encoder {
     b.toByteArray
   }
 
-  /** Annex-B dump of the whole stream (SPS, PPS, then each IDR). */
+  /** Annex-B dump of the whole stream (SPS, PPS, then each frame). */
   def annexB(e: Encoded): Array[Byte] = {
     val out = new java.io.ByteArrayOutputStream()
     def start(): Unit = out.write(Array[Byte](0, 0, 0, 1))
@@ -111,12 +128,12 @@ object H264Encoder {
   private def writeSps(wMb: Int, hMb: Int, width: Int, height: Int): Array[Byte] = {
     val bw = new BitWriter
     bw.putBits(66, 8) // profile_idc: Baseline
-    bw.putBits(0xC0, 8) // constraint_set0+1 (conforms to Baseline+Main)
+    bw.putBits(0xC0, 8) // constraint_set0+1
     bw.putBits(30, 8) // level 3.0
     bw.ue(0) // sps_id
-    bw.ue(0) // log2_max_frame_num_minus4
-    bw.ue(2) // pic_order_cnt_type: POC from frame order (IDR-only stream)
-    bw.ue(1) // max_num_ref_frames
+    bw.ue(4) // log2_max_frame_num_minus4 → 8-bit frame_num
+    bw.ue(2) // pic_order_cnt_type: POC from frame order
+    bw.ue(2) // max_num_ref_frames
     bw.put(0) // gaps_in_frame_num_value_allowed
     bw.ue(wMb - 1)
     bw.ue(hMb - 1)
@@ -154,58 +171,86 @@ object H264Encoder {
   // ------------------------------------------------------------------
 
   private final class FrameEncoder(wMb: Int, hMb: Int, cfg: Config,
-      sps: H264Decoder.Sps, pps: H264Decoder.Pps) {
+      sps: H264Decoder.Sps, pps: H264Decoder.Pps,
+      refs: IndexedSeq[H264Decoder.RefFrame], idr: Boolean, frameNum: Int) {
     private val ls = wMb * 16
     private val cs = wMb * 8
-    private val y = new Array[Int](ls * hMb * 16) // reconstruction
-    private val cbP = new Array[Int](cs * hMb * 8)
-    private val crP = new Array[Int](cs * hMb * 8)
+    private val hPix = hMb * 16
+    private val hcPix = hMb * 8
+    private val y = new Array[Int](ls * hPix) // reconstruction
+    private val cbP = new Array[Int](cs * hcPix)
+    private val crP = new Array[Int](cs * hcPix)
     private val tcY = new Array[Int](wMb * 4 * hMb * 4)
     private val tcCb = new Array[Int](wMb * 2 * hMb * 2)
     private val tcCr = new Array[Int](wMb * 2 * hMb * 2)
     private val i4Mode = Array.fill(wMb * 4 * hMb * 4)(-1)
     private val mbQp = Array.fill(wMb * hMb)(cfg.qp)
+    private val bstate = new BlockState(wMb, hMb)
     private val qp = cfg.qp
     private val qpC = Transform.chromaQp(qp, 0)
+    private val isP = !idr
+    private val numRefActive = if (isP) math.min(2, refs.size) else 0
 
     import H264Decoder.{blkX, blkY}
 
     def encodeFrame(srcY: Array[Int], srcCb: Array[Int], srcCr: Array[Int]): Array[Byte] = {
       val bw = new BitWriter
-      // slice header (IDR, type 7)
+      // slice header
       bw.ue(0) // first_mb_in_slice
-      bw.ue(7) // slice_type I (all slices of picture)
+      bw.ue(if (isP) 5 else 7) // slice_type (all slices of picture)
       bw.ue(0) // pps_id
-      bw.putBits(0, sps.log2MaxFrameNum) // frame_num
-      bw.ue(0) // idr_pic_id
-      bw.put(0); bw.put(0) // dec_ref_pic_marking
+      bw.putBits(frameNum & ((1 << sps.log2MaxFrameNum) - 1), sps.log2MaxFrameNum)
+      if (!isP) bw.ue(0) // idr_pic_id
+      if (isP) {
+        if (numRefActive != 1) { bw.put(1); bw.ue(numRefActive - 1) }
+        else bw.put(0)
+        bw.put(0) // ref_pic_list_modification_flag_l0
+      }
+      if (!isP) { bw.put(0); bw.put(0) } // dec_ref_pic_marking (IDR)
+      else bw.put(0) // adaptive_ref_pic_marking_mode_flag: sliding window
       bw.se(qp - pps.picInitQp) // slice_qp_delta
       bw.ue(if (cfg.deblock) 0 else 1) // disable_deblocking_filter_idc
       if (cfg.deblock) { bw.se(0); bw.se(0) }
 
+      var skipRun = 0
       var mb = 0
       val n = wMb * hMb
       while (mb < n) {
         val mbX = mb % wMb
         val mbY = mb / wMb
-        if (cfg.pcmEvery > 0 && mb % cfg.pcmEvery == 0) {
-          encodePcm(bw, mbX, mbY, srcY, srcCb, srcCr)
-          mbQp(mb) = 0 // §8.7: I_PCM deblocks with QPY = 0
+        if (isP && trySkip(mbX, mbY, srcY, srcCb, srcCr)) {
+          skipRun += 1
+        } else {
+          if (isP) { bw.ue(skipRun); skipRun = 0 }
+          if (isP && mb % 7 == 3) {
+            bstate.setIntraMb(mbX, mbY)
+            encodeI16(bw, mbX, mbY, srcY, srcCb, srcCr, mbTypeOffset = 5)
+          } else if (isP) {
+            encodeInterMb(bw, mbX, mbY, srcY, srcCb, srcCr)
+          } else if (cfg.pcmEvery > 0 && mb % cfg.pcmEvery == 0) {
+            bstate.setIntraMb(mbX, mbY)
+            encodePcm(bw, mbX, mbY, srcY, srcCb, srcCr)
+            mbQp(mb) = 0 // §8.7: I_PCM deblocks with QPY = 0
+          } else if ((mbX + mbY) % 2 == 0) {
+            bstate.setIntraMb(mbX, mbY)
+            encodeI16(bw, mbX, mbY, srcY, srcCb, srcCr, mbTypeOffset = 0)
+          } else {
+            bstate.setIntraMb(mbX, mbY)
+            encodeI4(bw, mbX, mbY, srcY, srcCb, srcCr)
+          }
         }
-        else if ((mbX + mbY) % 2 == 0)
-          encodeI16(bw, mbX, mbY, srcY, srcCb, srcCr)
-        else
-          encodeI4(bw, mbX, mbY, srcY, srcCb, srcCr)
         mb += 1
       }
+      if (isP && skipRun > 0) bw.ue(skipRun)
       bw.rbspTrailing()
-      Nal.unit(3, 5, bw.toBytes)
+      Nal.unit(3, if (idr) 5 else 1, bw.toBytes)
     }
 
-    def reconFrame(): H264Decoder.Frame = {
+    /** Deblock, then return (cropped output frame, padded reference). */
+    def finishFrame(): (H264Decoder.Frame, H264Decoder.RefFrame) = {
       if (cfg.deblock)
-        Deblock.filterFrame(y, cbP, crP, wMb, hMb, mbQp, 0, 0, 0)
-      // crop (§ as decoder)
+        Deblock.filterFrame(y, cbP, crP, wMb, hMb, mbQp, 0, 0, 0,
+          bstate.boundaryStrength(tcY))
       val w = sps.width; val h = sps.height
       val oy = new Array[Int](w * h)
       var yy = 0
@@ -218,7 +263,208 @@ object H264Encoder {
         System.arraycopy(crP, yy * cs, ocr, yy * cw, cw)
         yy += 1
       }
-      H264Decoder.Frame(w, h, oy, ocb, ocr)
+      (H264Decoder.Frame(w, h, oy, ocb, ocr),
+        H264Decoder.RefFrame(y, cbP, crP))
+    }
+
+    // ------------------------------------------------------------ inter
+
+    /** Quantize the full-MB residual against a given prediction; returns
+      * (luma scans ×16, cbpLuma, chroma code) without writing bits.
+      */
+    private def quantizeMb(predY: Array[Int], predCb: Array[Int], predCr: Array[Int],
+        mbX: Int, mbY: Int, srcY: Array[Int], srcCb: Array[Int], srcCr: Array[Int])
+        : (Array[Array[Int]], Int, ChromaCode) = {
+      val x0 = mbX * 16; val y0 = mbY * 16
+      val scans = new Array[Array[Int]](16)
+      var cbpLuma = 0
+      var i = 0
+      while (i < 16) {
+        val r = new Array[Int](16)
+        for (yy <- 0 until 4; xx <- 0 until 4) {
+          val px = blkX(i) * 4 + xx; val py = blkY(i) * 4 + yy
+          r(yy * 4 + xx) = srcY((y0 + py) * ls + x0 + px) - predY(py * 16 + px)
+        }
+        val q = Transform.quant4x4(Transform.forward4x4(r), qp, skipDc = false)
+        scans(i) = zigzag(q, 0)
+        if (scans(i).exists(_ != 0)) cbpLuma |= 1 << (i >> 2)
+        i += 1
+      }
+      // cbp groups are all-or-nothing per 8x8: zero out blocks in cleared
+      // groups is a no-op (they are already zero)
+      val ch = quantizeChroma(predCb, predCr, mbX, mbY, srcCb, srcCr)
+      (scans, cbpLuma, ch)
+    }
+
+    private def mbPredFromMc(mbX: Int, mbY: Int,
+        parts: Seq[(Int, Int, Int, Int)], refIdxs: Seq[Int],
+        mvs: Seq[(Int, Int)]): (Array[Int], Array[Int], Array[Int]) = {
+      val predY = new Array[Int](256)
+      val predCb = new Array[Int](64)
+      val predCr = new Array[Int](64)
+      parts.indices.foreach { pi =>
+        val (px, py, pw, ph) = parts(pi)
+        val rf = refs(refIdxs(pi))
+        val (mvx, mvy) = mvs(pi)
+        val x0 = mbX * 16 + px; val y0 = mbY * 16 + py
+        val lum = Interp.lumaBlock(rf.y, ls, hPix, 4 * x0 + mvx, 4 * y0 + mvy, pw, ph)
+        for (j <- 0 until ph; i <- 0 until pw)
+          predY((py + j) * 16 + px + i) = lum(j * pw + i)
+        val cw = pw / 2; val chh = ph / 2
+        val pc = Interp.chromaBlock(rf.cb, cs, hcPix, 4 * x0 + mvx, 4 * y0 + mvy, cw, chh)
+        val pr = Interp.chromaBlock(rf.cr, cs, hcPix, 4 * x0 + mvx, 4 * y0 + mvy, cw, chh)
+        for (j <- 0 until chh; i <- 0 until cw) {
+          predCb((py / 2 + j) * 8 + px / 2 + i) = pc(j * cw + i)
+          predCr((py / 2 + j) * 8 + px / 2 + i) = pr(j * cw + i)
+        }
+      }
+      (predY, predCb, predCr)
+    }
+
+    /** P_Skip attempt: succeeds iff the skip-MV prediction quantizes to a
+      * fully zero residual; reconstructs and updates state on success.
+      */
+    private def trySkip(mbX: Int, mbY: Int,
+        srcY: Array[Int], srcCb: Array[Int], srcCr: Array[Int]): Boolean = {
+      val (mvx, mvy) = MvPred.skipMv(bstate.neigh, mbX * 4, mbY * 4)
+      val parts = Seq((0, 0, 16, 16))
+      val (predY, predCb, predCr) =
+        mbPredFromMc(mbX, mbY, parts, Seq(0), Seq((mvx, mvy)))
+      val (scans, cbpLuma, ch) =
+        quantizeMb(predY, predCb, predCr, mbX, mbY, srcY, srcCb, srcCr)
+      if (cbpLuma != 0 || ch.cbpChroma != 0) return false
+      // zero residual: recon = prediction
+      writeMbPlanes(mbX, mbY, predY, predCb, predCr)
+      bstate.setBlocks(mbX * 4, mbY * 4, 4, 4, 0, mvx, mvy)
+      setMbTc(mbX, mbY, 0)
+      val _ = scans
+      mbQp(mbY * wMb + mbX) = qp
+      true
+    }
+
+    private def writeMbPlanes(mbX: Int, mbY: Int,
+        predY: Array[Int], predCb: Array[Int], predCr: Array[Int]): Unit = {
+      val x0 = mbX * 16; val y0 = mbY * 16
+      for (j <- 0 until 16; i <- 0 until 16)
+        y((y0 + j) * ls + x0 + i) = predY(j * 16 + i)
+      val cx0 = mbX * 8; val cy0 = mbY * 8
+      for (j <- 0 until 8; i <- 0 until 8) {
+        cbP((cy0 + j) * cs + cx0 + i) = predCb(j * 8 + i)
+        crP((cy0 + j) * cs + cx0 + i) = predCr(j * 8 + i)
+      }
+    }
+
+    private def setMbTc(mbX: Int, mbY: Int, v: Int): Unit = {
+      for (by <- 0 until 4; bx <- 0 until 4)
+        tcY((mbY * 4 + by) * wMb * 4 + mbX * 4 + bx) = v
+      for (by <- 0 until 2; bx <- 0 until 2) {
+        tcCb((mbY * 2 + by) * wMb * 2 + mbX * 2 + bx) = v
+        tcCr((mbY * 2 + by) * wMb * 2 + mbX * 2 + bx) = v
+      }
+    }
+
+    /** Two-stage search around the predictor; returns the best MV in
+      * quarter-pel units by luma SAD.
+      */
+    private def searchMv(mbX: Int, mbY: Int, px: Int, py: Int, pw: Int, ph: Int,
+        ref: Int, predX: Int, predY0: Int,
+        srcY: Array[Int]): (Int, Int) = {
+      val x0 = mbX * 16 + px; val y0 = mbY * 16 + py
+      val rf = refs(ref)
+      def sad(mvx: Int, mvy: Int): Int = {
+        val p = Interp.lumaBlock(rf.y, ls, hPix, 4 * x0 + mvx, 4 * y0 + mvy, pw, ph)
+        var s = 0
+        var j = 0
+        while (j < ph) {
+          var i = 0
+          while (i < pw) {
+            s += math.abs(p(j * pw + i) - srcY((y0 + j) * ls + x0 + i))
+            i += 1
+          }
+          j += 1
+        }
+        s
+      }
+      val coarse = Seq((0, 0), (4, 0), (-4, 0), (0, 4), (0, -4), (8, 0),
+        (-8, 0), (0, 8), (0, -8), (4, 4), (-4, -4), (4, -4), (-4, 4),
+        (16, 0), (-16, 0), (0, 16), (0, -16))
+      var best = (predX, predY0)
+      var bestS = sad(predX, predY0)
+      coarse.foreach { case (dx, dy) =>
+        val s = sad(predX + dx, predY0 + dy)
+        if (s < bestS) { bestS = s; best = (predX + dx, predY0 + dy) }
+      }
+      // quarter/half refinement around the coarse winner
+      val (cx, cy) = best
+      for (dx <- -2 to 2; dy <- -2 to 2 if dx != 0 || dy != 0) {
+        val s = sad(cx + dx, cy + dy)
+        if (s < bestS) { bestS = s; best = (cx + dx, cy + dy) }
+      }
+      best
+    }
+
+    private def encodeInterMb(bw: BitWriter, mbX: Int, mbY: Int,
+        srcY: Array[Int], srcCb: Array[Int], srcCr: Array[Int]): Unit = {
+      val (mbType, parts, shapes) = (mbX + mbY) % 3 match {
+        case 0 => (0, Seq((0, 0, 16, 16)), Seq(' '))
+        case 1 => (1, Seq((0, 0, 16, 8), (0, 8, 16, 8)), Seq('T', 'B'))
+        case _ => (2, Seq((0, 0, 8, 16), (8, 0, 8, 16)), Seq('L', 'R'))
+      }
+      val refIdxs = parts.indices.map { pi =>
+        if (numRefActive >= 2 && (mbX + mbY + pi) % 3 == 2) 1 else 0
+      }
+      // per partition in order: predict → search → commit state
+      val mvds = new Array[(Int, Int)](parts.size)
+      val mvs = new Array[(Int, Int)](parts.size)
+      parts.indices.foreach { pi =>
+        val (px, py, pw, ph) = parts(pi)
+        val bx = mbX * 4 + px / 4
+        val by = mbY * 4 + py / 4
+        val (prX, prY) = MvPred.predict(bstate.neigh, bx, by, pw / 4,
+          refIdxs(pi), shapes(pi))
+        val (mvx, mvy) = searchMv(mbX, mbY, px, py, pw, ph, refIdxs(pi), prX, prY, srcY)
+        mvs(pi) = (mvx, mvy)
+        mvds(pi) = (mvx - prX, mvy - prY)
+        bstate.setBlocks(bx, by, pw / 4, ph / 4, refIdxs(pi), mvx, mvy)
+      }
+      val (predY, predCb, predCr) = mbPredFromMc(mbX, mbY, parts, refIdxs, mvs)
+      val (scans, cbpLuma, ch) =
+        quantizeMb(predY, predCb, predCr, mbX, mbY, srcY, srcCb, srcCr)
+      val cbp = cbpLuma | (ch.cbpChroma << 4)
+
+      // bitstream: mb_type, ref_idx*, mvd*, cbp, qp_delta, residual
+      bw.ue(mbType)
+      refIdxs.foreach { r =>
+        if (numRefActive == 2) bw.put(1 - r)
+        else if (numRefActive > 2) bw.ue(r)
+      }
+      mvds.foreach { case (dx, dy) => bw.se(dx); bw.se(dy) }
+      bw.ue(H264Decoder.CbpInterInv(cbp))
+      if (cbp != 0) bw.se(0) // mb_qp_delta
+
+      // residual blocks + tc bookkeeping (parse order)
+      var i = 0
+      while (i < 16) {
+        val gbx = mbX * 4 + blkX(i); val gby = mbY * 4 + blkY(i)
+        if ((cbpLuma & (1 << (i >> 2))) != 0) {
+          val tc = Cavlc.encodeBlock(bw, scans(i), lumaNC(gbx, gby))
+          tcY(gby * wMb * 4 + gbx) = tc
+        } else tcY(gby * wMb * 4 + gbx) = 0
+        i += 1
+      }
+      writeChromaResidual(bw, mbX, mbY, ch)
+
+      // reconstruction: prediction + normative inverse residual
+      writeMbPlanes(mbX, mbY, predY, predCb, predCr)
+      i = 0
+      while (i < 16) {
+        val res = Transform.inverse4x4(
+          Transform.dequant4x4(unzigzag16(scans(i)), qp, skipDc = false))
+        addResidualAt(y, ls, mbX * 16 + blkX(i) * 4, mbY * 16 + blkY(i) * 4, res)
+        i += 1
+      }
+      reconChromaOnto(mbX, mbY, ch)
+      mbQp(mbY * wMb + mbX) = qp
     }
 
     // ----------------------------------------------------------- PCM
@@ -241,12 +487,7 @@ object H264Encoder {
         val v = srcCr((cy0 + yy) * cs + cx0 + xx)
         bw.putBits(v, 8); crP((cy0 + yy) * cs + cx0 + xx) = v
       }
-      for (by <- 0 until 4; bx <- 0 until 4)
-        tcY((mbY * 4 + by) * wMb * 4 + mbX * 4 + bx) = 16
-      for (by <- 0 until 2; bx <- 0 until 2) {
-        tcCb((mbY * 2 + by) * wMb * 2 + mbX * 2 + bx) = 16
-        tcCr((mbY * 2 + by) * wMb * 2 + mbX * 2 + bx) = 16
-      }
+      setMbTc(mbX, mbY, 16)
     }
 
     // ------------------------------------------------------- helpers
@@ -320,6 +561,20 @@ object H264Encoder {
       out
     }
 
+    private def addResidualAt(plane: Array[Int], stride: Int, x0: Int, y0: Int,
+        res: Array[Int]): Unit = {
+      var yy = 0
+      while (yy < 4) {
+        var xx = 0
+        while (xx < 4) {
+          val p = (y0 + yy) * stride + x0 + xx
+          plane(p) = Transform.clip255(plane(p) + res(yy * 4 + xx))
+          xx += 1
+        }
+        yy += 1
+      }
+    }
+
     private def addResidual(plane: Array[Int], stride: Int, x0: Int, y0: Int,
         pred: Array[Int], res: Array[Int]): Unit = {
       var yy = 0
@@ -334,7 +589,6 @@ object H264Encoder {
       }
     }
 
-    /** Residual of a 4x4 at (x0,y0): src − pred (pred in a 4x4 array). */
     private def residual4x4(src: Array[Int], stride: Int, x0: Int, y0: Int,
         pred: Array[Int]): Array[Int] = {
       val r = new Array[Int](16)
@@ -364,10 +618,10 @@ object H264Encoder {
     // -------------------------------------------------------- I_16x16
 
     private def encodeI16(bw: BitWriter, mbX: Int, mbY: Int,
-        srcY: Array[Int], srcCb: Array[Int], srcCr: Array[Int]): Unit = {
+        srcY: Array[Int], srcCb: Array[Int], srcCr: Array[Int],
+        mbTypeOffset: Int): Unit = {
       val x0 = mbX * 16; val y0 = mbY * 16
       val (u, l, c, aU, aL) = gatherEdge(y, ls, x0, y0, 16)
-      // mode decision: best SAD among available modes, DC always legal
       val candidates = Seq(2) ++
         (if (aU) Seq(0) else Nil) ++ (if (aL) Seq(1) else Nil) ++
         (if (aU && aL) Seq(3) else Nil)
@@ -383,8 +637,7 @@ object H264Encoder {
       }
       Predict.luma16x16(bestMode, pred, 16, 0, 0, u, l, c, aU, aL)
 
-      // transform: per-block forward, collect DCs, quantize
-      val acScan = new Array[Array[Int]](16) // scan-order AC coeffs (15)
+      val acScan = new Array[Array[Int]](16)
       val dcRaster = new Array[Int](16)
       val wBlocks = new Array[Array[Int]](16)
       val preds = new Array[Array[Int]](16)
@@ -398,8 +651,7 @@ object H264Encoder {
         dcRaster(blkY(i) * 4 + blkX(i)) = w(0)
         i += 1
       }
-      val dcLevels = Transform.quantLumaDc(dcRaster, qp)
-      val dcScan = zigzag(dcLevels, 0)
+      val dcScan = zigzag(Transform.quantLumaDc(dcRaster, qp), 0)
       i = 0
       var anyAc = false
       while (i < 16) {
@@ -410,17 +662,14 @@ object H264Encoder {
       }
       val cbpLuma = if (anyAc) 15 else 0
 
-      // chroma (DC prediction always)
-      val ch = encodeChromaPlanes(mbX, mbY, srcCb, srcCr)
+      val ch = encodeChromaIntra(mbX, mbY, srcCb, srcCr)
 
-      // mb_type: 1 + predMode + 4*cbpChroma + 12*(cbpLuma==15)
-      bw.ue(1 + bestMode + 4 * ch.cbpChroma + 12 * (if (cbpLuma == 15) 1 else 0))
+      bw.ue(mbTypeOffset + 1 + bestMode + 4 * ch.cbpChroma +
+        12 * (if (cbpLuma == 15) 1 else 0))
       bw.ue(0) // intra_chroma_pred_mode: DC
       bw.se(0) // mb_qp_delta
 
-      // luma DC block (nC as for block 0)
       Cavlc.encodeBlock(bw, dcScan, lumaNC(mbX * 4, mbY * 4))
-      // AC blocks
       i = 0
       while (i < 16) {
         val gbx = mbX * 4 + blkX(i); val gby = mbY * 4 + blkY(i)
@@ -432,7 +681,6 @@ object H264Encoder {
       }
       writeChromaResidual(bw, mbX, mbY, ch)
 
-      // reconstruction: DC through the normative inverse path
       val dcScaled = Transform.dequantLumaDc(unzigzag16(dcScan), qp)
       i = 0
       while (i < 16) {
@@ -443,7 +691,8 @@ object H264Encoder {
         addResidual(y, ls, bx, by, preds(i), Transform.inverse4x4(scaled))
         i += 1
       }
-      reconChroma(mbX, mbY, ch)
+      reconChromaOnto(mbX, mbY, ch, writePred = true)
+      mbQp(mbY * wMb + mbX) = qp
     }
 
     // --------------------------------------------------------- I_4x4
@@ -455,7 +704,6 @@ object H264Encoder {
       val rems = new Array[Int](16)
       val scans = new Array[Array[Int]](16)
 
-      // pass 1: choose modes, quantize, reconstruct (decode order)
       var i = 0
       while (i < 16) {
         val sx = mbX * 16 + blkX(i) * 4
@@ -480,7 +728,6 @@ object H264Encoder {
         val p4 = scratch.clone()
         modes(i) = bestMode
 
-        // predicted-mode coding (§8.3.1.1)
         val predMode =
           if (gbx == 0 || gby == 0) 2
           else {
@@ -496,15 +743,13 @@ object H264Encoder {
           Transform.forward4x4(residual4x4(srcY, ls, sx, sy, p4)), qp, skipDc = false)
         scans(i) = zigzag(q, 0)
         // reconstruct NOW — later blocks in this MB predict from these
-        // samples (decoder equivalence). Whether the cbp group bit ends
-        // up set does not change this: a cleared group has all-zero
-        // quantized blocks, so pred + inv(dequant(0)) = pred.
+        // samples. A cleared cbp group has all-zero quantized blocks, so
+        // pred + inv(dequant(0)) = pred keeps this exact either way.
         addResidual(y, ls, sx, sy, p4, Transform.inverse4x4(
           Transform.dequant4x4(unzigzag16(scans(i)), qp, skipDc = false)))
         i += 1
       }
 
-      // cbp per 8x8 group
       var cbpLuma = 0
       var g = 0
       while (g < 4) {
@@ -512,10 +757,10 @@ object H264Encoder {
           cbpLuma |= 1 << g
         g += 1
       }
-      val ch = encodeChromaPlanes(mbX, mbY, srcCb, srcCr)
+      val ch = encodeChromaIntra(mbX, mbY, srcCb, srcCr)
       val cbp = cbpLuma | (ch.cbpChroma << 4)
 
-      bw.ue(0) // mb_type I_4x4
+      bw.ue(0) // mb_type I_4x4 (I-slice only path)
       i = 0
       while (i < 16) {
         if (predFlags(i)) bw.put(1)
@@ -526,7 +771,6 @@ object H264Encoder {
       bw.ue(H264Decoder.CbpIntraInv(cbp))
       if (cbp != 0) bw.se(0) // mb_qp_delta
 
-      // residual blocks: nC must be evaluated in parse order
       i = 0
       while (i < 16) {
         val gbx = mbX * 4 + blkX(i); val gby = mbY * 4 + blkY(i)
@@ -537,7 +781,8 @@ object H264Encoder {
         i += 1
       }
       writeChromaResidual(bw, mbX, mbY, ch)
-      reconChroma(mbX, mbY, ch) // luma recon happened inside pass 1
+      reconChromaOnto(mbX, mbY, ch, writePred = true)
+      mbQp(mbY * wMb + mbX) = qp
     }
 
     // -------------------------------------------------------- chroma
@@ -548,13 +793,28 @@ object H264Encoder {
         acCb: Array[Array[Int]], acCr: Array[Array[Int]],
         predCb: Array[Int], predCr: Array[Int]) // 8x8 row-major preds
 
-    private def encodeChromaPlanes(mbX: Int, mbY: Int,
+    /** Intra chroma (DC prediction) quantization. */
+    private def encodeChromaIntra(mbX: Int, mbY: Int,
         srcCb: Array[Int], srcCr: Array[Int]): ChromaCode = {
       val cx0 = mbX * 8; val cy0 = mbY * 8
-      def one(plane: Array[Int], src: Array[Int]): (Array[Int], Array[Array[Int]], Array[Int]) = {
-        val (u, l, c, aU, aL) = gatherEdge(plane, cs, cx0, cy0, 8)
-        val pred8 = new Array[Int](64) // 8x8, stride 8
-        Predict.chroma8x8(0, pred8, 8, 0, 0, u, l, c, aU, aL) // DC
+      val (uB, lB, cB, aU, aL) = gatherEdge(cbP, cs, cx0, cy0, 8)
+      val (uR, lR, cR, _, _) = gatherEdge(crP, cs, cx0, cy0, 8)
+      val pCb = new Array[Int](64)
+      val pCr = new Array[Int](64)
+      Predict.chroma8x8(0, pCb, 8, 0, 0, uB, lB, cB, aU, aL)
+      Predict.chroma8x8(0, pCr, 8, 0, 0, uR, lR, cR, aU, aL)
+      quantizeChromaWithPred(pCb, pCr, mbX, mbY, srcCb, srcCr)
+    }
+
+    /** Chroma quantization against motion-compensated prediction. */
+    private def quantizeChroma(predCb: Array[Int], predCr: Array[Int],
+        mbX: Int, mbY: Int, srcCb: Array[Int], srcCr: Array[Int]): ChromaCode =
+      quantizeChromaWithPred(predCb, predCr, mbX, mbY, srcCb, srcCr)
+
+    private def quantizeChromaWithPred(pCb: Array[Int], pCr: Array[Int],
+        mbX: Int, mbY: Int, srcCb: Array[Int], srcCr: Array[Int]): ChromaCode = {
+      val cx0 = mbX * 8; val cy0 = mbY * 8
+      def one(src: Array[Int], pred8: Array[Int]): (Array[Int], Array[Array[Int]]) = {
         val dc = new Array[Int](4)
         val ac = new Array[Array[Int]](4)
         var b = 0
@@ -568,10 +828,10 @@ object H264Encoder {
           ac(b) = zigzag(Transform.quant4x4(w, qpC, skipDc = true), 1)
           b += 1
         }
-        (Transform.quantChromaDc(dc, qpC), ac, pred8)
+        (Transform.quantChromaDc(dc, qpC), ac)
       }
-      val (dcCb, acCb, pCb) = one(cbP, srcCb)
-      val (dcCr, acCr, pCr) = one(crP, srcCr)
+      val (dcCb, acCb) = one(srcCb, pCb)
+      val (dcCr, acCr) = one(srcCr, pCr)
       val anyAc = (acCb ++ acCr).exists(_.exists(_ != 0))
       val anyDc = dcCb.exists(_ != 0) || dcCr.exists(_ != 0)
       val cbpChroma = if (anyAc) 2 else if (anyDc) 1 else 0
@@ -597,10 +857,20 @@ object H264Encoder {
       }
     }
 
-    private def reconChroma(mbX: Int, mbY: Int, ch: ChromaCode): Unit = {
+    /** Reconstruct chroma: optionally write the prediction first (intra
+      * path; the inter path already wrote MC prediction via
+      * [[writeMbPlanes]]), then add the dequantized residual.
+      */
+    private def reconChromaOnto(mbX: Int, mbY: Int, ch: ChromaCode,
+        writePred: Boolean = false): Unit = {
       val cx0 = mbX * 8; val cy0 = mbY * 8
-      def one(plane: Array[Int], dcScan: Array[Int], ac: Array[Array[Int]],
-          pred8: Array[Int]): Unit = {
+      if (writePred) {
+        for (j <- 0 until 8; i <- 0 until 8) {
+          cbP((cy0 + j) * cs + cx0 + i) = ch.predCb(j * 8 + i)
+          crP((cy0 + j) * cs + cx0 + i) = ch.predCr(j * 8 + i)
+        }
+      }
+      def one(plane: Array[Int], dcScan: Array[Int], ac: Array[Array[Int]]): Unit = {
         val dcScaled =
           if (ch.cbpChroma > 0) Transform.dequantChromaDc(dcScan, qpC)
           else new Array[Int](4)
@@ -611,15 +881,21 @@ object H264Encoder {
           val scaled = Transform.dequant4x4(raster, qpC, skipDc = true)
           scaled(0) = dcScaled(b)
           val res = Transform.inverse4x4(scaled)
-          val p4 = new Array[Int](16)
-          for (yy <- 0 until 4; xx <- 0 until 4)
-            p4(yy * 4 + xx) = pred8(((b >> 1) * 4 + yy) * 8 + (b & 1) * 4 + xx)
-          addResidual(plane, cs, cx0 + (b & 1) * 4, cy0 + (b >> 1) * 4, p4, res)
+          var yy = 0
+          while (yy < 4) {
+            var xx = 0
+            while (xx < 4) {
+              val p = (cy0 + (b >> 1) * 4 + yy) * cs + cx0 + (b & 1) * 4 + xx
+              plane(p) = Transform.clip255(plane(p) + res(yy * 4 + xx))
+              xx += 1
+            }
+            yy += 1
+          }
           b += 1
         }
       }
-      one(cbP, ch.dcCbScan, ch.acCb, ch.predCb)
-      one(crP, ch.dcCrScan, ch.acCr, ch.predCr)
+      one(cbP, ch.dcCbScan, ch.acCb)
+      one(crP, ch.dcCrScan, ch.acCr)
     }
 
     private def unzigzag16(scan: Array[Int]): Array[Int] = {

@@ -75,6 +75,30 @@ class Mp4AvcSpec extends AnyFunSuite {
     assert(e.getMessage.contains("hev1"))
   }
 
+  test("IPPP MP4: sequential access decodes through the session, seeks restart") {
+    val w = 32; val h = 32
+    val frames = (0 until 6).map { f =>
+      Array.tabulate(w * h)(i => (((i % w) * 2 + (i / w) * 3 + f * 5) % 256).toByte)
+    }
+    val enc = H264Encoder.encodeGray(frames, w, h,
+      H264Encoder.Config(qp = 24, pFrames = true))
+    val video = Codec.parseVideo(Artifacts.avcMp4(enc)).asInstanceOf[Codec.Mp4Video]
+    assert(video.frameCount == 6)
+    // forward sequential (the sampler's access pattern)
+    Seq(0, 2, 4, 5).foreach { f =>
+      val (_, _, c, px) = video.decodeFrame(f)
+      assert(c == 3)
+      (0 until w * h).foreach { i =>
+        assert((px(i * 3) & 0xFF) == enc.recon(f).y(i), s"frame $f px $i")
+      }
+    }
+    // backward seek restarts from the stream head and still matches
+    val (_, _, _, px1) = video.decodeFrame(1)
+    (0 until w * h).foreach { i =>
+      assert((px1(i * 3) & 0xFF) == enc.recon(1).y(i), s"reseek px $i")
+    }
+  }
+
   test("lossy decode stays within the quantizer envelope") {
     val w = 48; val h = 32
     for (qp <- Seq(20, 30, 40)) {

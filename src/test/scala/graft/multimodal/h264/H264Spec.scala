@@ -398,22 +398,111 @@ class H264Spec extends AnyFunSuite {
     val e3 = intercept[IllegalArgumentException](H264Decoder.parsePps(fmo))
     assert(e3.getMessage.contains("FMO"))
 
-    // P slice
     val enc = H264Encoder.encodeGray(Seq(synthFrame(16, 16, 1, smooth = true)), 16, 16)
     val sps = H264Decoder.parseSps(Nal.unescape(enc.sps, 1, enc.sps.length))
     val pps = H264Decoder.parsePps(Nal.unescape(enc.pps, 1, enc.pps.length))
-    val pSlice = {
-      val bw = new BitWriter
-      bw.ue(0); bw.ue(0) // first_mb, slice_type 0 = P
-      bw.ue(0); bw.rbspTrailing()
-      val nal = Nal.unit(3, 1, bw.toBytes)
+    def avccOf(nal: Array[Byte]): Array[Byte] = {
       val out = new Array[Byte](4 + nal.length)
-      out(0) = 0; out(1) = 0; out(2) = 0; out(3) = nal.length.toByte
+      out(3) = nal.length.toByte
       System.arraycopy(nal, 0, out, 4, nal.length)
       out
     }
+    // B slice — outside baseline
+    val bSlice = {
+      val bw = new BitWriter
+      bw.ue(0); bw.ue(1) // first_mb, slice_type 1 = B
+      bw.ue(0); bw.rbspTrailing()
+      avccOf(Nal.unit(3, 1, bw.toBytes))
+    }
     val e4 = intercept[IllegalArgumentException](
-      H264Decoder.decodeAvccSample(pSlice, 4, sps, pps))
+      H264Decoder.decodeAvccSample(bSlice, 4, sps, pps))
     assert(e4.getMessage.contains("slice_type"))
+    // P slice without any reference picture (session has an empty DPB)
+    val pSlice = {
+      val bw = new BitWriter
+      bw.ue(0); bw.ue(0) // slice_type 0 = P
+      bw.ue(0); bw.rbspTrailing()
+      avccOf(Nal.unit(3, 1, bw.toBytes))
+    }
+    val e5 = intercept[IllegalArgumentException](
+      H264Decoder.decodeAvccSample(pSlice, 4, sps, pps))
+    assert(e5.getMessage.contains("reference"))
+  }
+
+  // ------------------------------------------------------------ inter
+
+  test("IPPP: decoder equals encoder reconstruction bit-exactly across frames") {
+    for {
+      (w, h) <- Seq((48, 32), (32, 16), (30, 22))
+      qp <- Seq(22, 30)
+    } {
+      // slowly-moving content: base gradient shifted per frame + noise
+      val rnd = new scala.util.Random(w * 100 + qp)
+      val noise = Array.fill(w * h)(rnd.nextInt(32))
+      val frames = (0 until 6).map { f =>
+        Array.tabulate(w * h) { i =>
+          val x = i % w; val y = i / w
+          (((x + f) * 3 + (y + f / 2) * 5 + noise(i)) % 256).toByte
+        }
+      }
+      val enc = H264Encoder.encodeGray(frames, w, h,
+        H264Encoder.Config(qp = qp, pFrames = true))
+      assert(enc.sampleIsIdr == Seq(true, false, false, false, false, false))
+      val sps = H264Decoder.parseSps(Nal.unescape(enc.sps, 1, enc.sps.length))
+      val pps = H264Decoder.parsePps(Nal.unescape(enc.pps, 1, enc.pps.length))
+      val session = new H264Decoder.Session(sps, pps)
+      enc.samples.zip(enc.recon).zipWithIndex.foreach { case ((sample, recon), fi) =>
+        val dec = session.decodeSample(sample, 4)
+        assert(dec.y.toSeq == recon.y.toSeq, s"${w}x$h qp=$qp frame $fi luma")
+        assert(dec.cb.toSeq == recon.cb.toSeq, s"frame $fi cb")
+        assert(dec.cr.toSeq == recon.cr.toSeq, s"frame $fi cr")
+        val p = psnr(frames(fi), dec.y)
+        assert(p > 40.0 - 0.6 * qp, s"${w}x$h qp=$qp frame $fi PSNR=$p")
+      }
+    }
+  }
+
+  test("IPPP compresses: P frames are smaller than intra coding of same content") {
+    val w = 48; val h = 48
+    // static background with a small moving square — heavy skip coverage
+    val frames = (0 until 5).map { f =>
+      Array.tabulate(w * h) { i =>
+        val x = i % w; val y = i / w
+        if (x >= 8 + 4 * f && x < 16 + 4 * f && y >= 20 && y < 28) 200.toByte
+        else ((x * 2 + y * 3) % 200).toByte
+      }
+    }
+    val ip = H264Encoder.encodeGray(frames, w, h,
+      H264Encoder.Config(qp = 26, pFrames = true))
+    val intra = H264Encoder.encodeGray(frames, w, h,
+      H264Encoder.Config(qp = 26, pFrames = false))
+    val pBytes = ip.samples.drop(1).map(_.length).sum
+    val iBytes = intra.samples.drop(1).map(_.length).sum
+    assert(pBytes * 3 < iBytes,
+      s"P frames $pBytes B vs intra $iBytes B — motion compensation must pay")
+    // and they still decode exactly
+    val sps = H264Decoder.parseSps(Nal.unescape(ip.sps, 1, ip.sps.length))
+    val pps = H264Decoder.parsePps(Nal.unescape(ip.pps, 1, ip.pps.length))
+    val session = new H264Decoder.Session(sps, pps)
+    ip.samples.zip(ip.recon).foreach { case (s, r) =>
+      assert(session.decodeSample(s, 4).y.toSeq == r.y.toSeq)
+    }
+  }
+
+  test("IPPP via Annex-B: session decode with multi-ref and deblocking") {
+    val w = 64; val h = 32
+    val frames = (0 until 5).map { f =>
+      Array.tabulate(w * h) { i =>
+        val x = i % w; val y = i / w
+        (((x * x + 3 * f * x) / 4 + y * 7 + f) % 256).toByte
+      }
+    }
+    val enc = H264Encoder.encodeGray(frames, w, h,
+      H264Encoder.Config(qp = 28, pFrames = true, deblock = true))
+    val decoded = H264Decoder.decodeAnnexB(H264Encoder.annexB(enc))
+    assert(decoded.size == 5)
+    decoded.zip(enc.recon).zipWithIndex.foreach { case ((d, r), fi) =>
+      assert(d.y.toSeq == r.y.toSeq, s"frame $fi")
+    }
   }
 }

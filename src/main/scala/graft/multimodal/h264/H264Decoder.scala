@@ -6,16 +6,18 @@ package graft.multimodal.h264
   *  - profile_idc 66 (Baseline); CAVLC entropy coding only
   *    (`entropy_coding_mode_flag`=0); 4:2:0, 8-bit, frame_mbs_only
   *  - I/IDR slices: I_4x4, I_16x16 (all 24 variants), I_PCM
-  *  - P slices: P_Skip (with §8.4.1.1 MV inference), P_L0_16x16,
-  *    P_L0_L0_16x8 / 8x16 (directional MV prediction), intra MBs inside
-  *    P slices, multiple reference frames (te(v) ref_idx, sliding-window
-  *    DPB), quarter-pel luma / eighth-pel chroma motion compensation
+  *  - P slices: P_Skip (with §8.4.1.1 MV inference), every partition
+  *    family — P_L0_16x16, 16x8 / 8x16 (directional MV prediction), and
+  *    P_8x8 with all four sub_mb_types (8x8/8x4/4x8/4x4) — intra MBs
+  *    inside P slices, multiple reference frames (te(v) ref_idx,
+  *    PPS-default or slice-override active counts, sliding-window DPB),
+  *    quarter-pel luma / eighth-pel chroma motion compensation
   *  - single slice per frame, no FMO/ASO; frame cropping honored;
   *    deblocking per §8.7 with full inter boundary-strength derivation
   *
   * Everything outside the subset FAILS FAST with a named error (CABAC,
-  * B slices, P_8x8 sub-partitions, ref-list modification, MMCO, other
-  * profiles' SPS extensions) rather than misreading — the stance of the
+  * B slices, ref-list modification, MMCO, other profiles' SPS
+  * extensions) rather than misreading — the stance of the
   * HDF5/szip readers (`graft.sources.Hdf5`). The reference writes MP4
   * video via imageio (/root/reference/picoprobe/tools/temporal.py:26-35),
   * whose real-world codec is H.264; this decoder is what lets the engine
@@ -36,7 +38,7 @@ object H264Decoder {
 
   final case class Pps(
       ppsId: Int, spsId: Int, picInitQp: Int, chromaQpOffset: Int,
-      deblockCtrl: Boolean)
+      deblockCtrl: Boolean, numRefDefault: Int)
 
   /** A decoded frame: cropped planes, samples 0..255. */
   final case class Frame(
@@ -109,7 +111,8 @@ object H264Decoder {
     br.u1() // bottom_field_pic_order_in_frame_present
     val sliceGroups = br.ue() + 1
     require(sliceGroups == 1, s"FMO ($sliceGroups slice groups) not supported")
-    br.ue(); br.ue() // num_ref_idx_l{0,1}_default_active_minus1
+    val numRefDefault = br.ue() + 1 // num_ref_idx_l0_default_active_minus1
+    br.ue() // num_ref_idx_l1_default_active_minus1
     br.u1() // weighted_pred_flag
     br.u(2) // weighted_bipred_idc
     val picInitQp = br.se() + 26
@@ -118,7 +121,7 @@ object H264Decoder {
     val deblockCtrl = br.u1() == 1
     br.u1() // constrained_intra_pred_flag (intra pred from inter neighbors allowed)
     br.u1() // redundant_pic_cnt_present_flag
-    Pps(ppsId, spsId, picInitQp, chromaQpOffset, deblockCtrl)
+    Pps(ppsId, spsId, picInitQp, chromaQpOffset, deblockCtrl, numRefDefault)
   }
 
   /** Stateful decode session: holds the sliding-window DPB so IPPP
@@ -229,11 +232,11 @@ object H264Decoder {
     br.u(sps.log2MaxFrameNum) // frame_num (no gaps supported; value unused)
     if (idr) br.ue() // idr_pic_id
     if (sps.pocType == 0) br.u(sps.log2MaxPocLsb) // pic_order_cnt_lsb
-    var numRefActive = math.min(refs.size, 1)
+    // the PARSED active count drives te(v) ref_idx parsing; actual DPB
+    // bounds are enforced where each ref_idx is used
+    var numRefActive = pps.numRefDefault
     if (isP) {
       if (br.u1() == 1) numRefActive = br.ue() + 1 // num_ref_idx override
-      require(numRefActive <= refs.size,
-        s"num_ref_idx_l0_active $numRefActive exceeds DPB ${refs.size}")
       val modFlag = br.u1() // ref_pic_list_modification_flag_l0
       require(modFlag == 0, "ref_pic_list_modification not supported")
     }
@@ -352,8 +355,17 @@ object H264Decoder {
         case 0 => Seq((0, 0, 16, 16, ' '))
         case 1 => Seq((0, 0, 16, 8, 'T'), (0, 8, 16, 8, 'B'))
         case 2 => Seq((0, 0, 8, 16, 'L'), (8, 0, 8, 16, 'R'))
-        case t => throw new IllegalArgumentException(
-          s"P mb_type $t (P_8x8 sub-partitions) not supported")
+        case t => throw new IllegalArgumentException(s"P mb_type $t")
+      }
+
+    /** Sub-partition geometry within one 8×8 (§7.4.5.2 sub_mb_type). */
+    private[h264] def subPartitions(subType: Int): Seq[(Int, Int, Int, Int)] =
+      subType match {
+        case 0 => Seq((0, 0, 8, 8))
+        case 1 => Seq((0, 0, 8, 4), (0, 4, 8, 4))
+        case 2 => Seq((0, 0, 4, 8), (4, 0, 4, 8))
+        case 3 => Seq((0, 0, 4, 4), (4, 0, 4, 4), (0, 4, 4, 4), (4, 4, 4, 4))
+        case t => throw new IllegalArgumentException(s"sub_mb_type $t")
       }
 
     private def teRef(br: BitReader): Int =
@@ -362,6 +374,7 @@ object H264Decoder {
       else br.ue()
 
     private def decodeInterMb(br: BitReader, mbType: Int, mbX: Int, mbY: Int): Unit = {
+      if (mbType == 3 || mbType == 4) { decodeP8x8(br, mbType, mbX, mbY); return }
       val parts = partitions(mbType)
       // ref_idx for every partition first (§7.3.5.1), then every mvd;
       // block state updates as each mvd lands — later partitions of this
@@ -392,6 +405,41 @@ object H264Decoder {
       if (cbp != 0) bumpQp(br.se())
       decodeLumaResidual4x4(br, mbX, mbY, cbpLuma)
       val chroma = parseChromaResidual(br, mbX, mbY, cbpChroma)
+      addChromaResidual(mbX, mbY, chroma)
+    }
+
+    /** P_8x8 / P_8x8ref0 (§7.3.5.2 sub_mb_pred): four sub_mb_types, then
+      * ref_idx per 8×8 (P_8x8 only), then mvd per sub-partition — all MV
+      * predictions through the standard median path (no directional
+      * cases below the MB-partition level).
+      */
+    private def decodeP8x8(br: BitReader, mbType: Int, mbX: Int, mbY: Int): Unit = {
+      val subTypes = (0 until 4).map(_ => br.ue())
+      subTypes.foreach(t => require(t <= 3, s"sub_mb_type $t"))
+      val refIdxs =
+        if (mbType == 4) Seq(0, 0, 0, 0) // P_8x8ref0
+        else (0 until 4).map(_ => teRef(br))
+      refIdxs.foreach(r => require(r < refs.size, s"ref_idx $r outside DPB"))
+      for (e8 <- 0 until 4) {
+        val ox = (e8 & 1) * 8
+        val oy = (e8 >> 1) * 8
+        subPartitions(subTypes(e8)).foreach { case (sx, sy, sw, sh) =>
+          val px = ox + sx; val py = oy + sy
+          val bx = mbX * 4 + px / 4
+          val by = mbY * 4 + py / 4
+          val (predX, predY) = MvPred.predict(bstate.neigh, bx, by, sw / 4, refIdxs(e8))
+          val mvx = predX + br.se()
+          val mvy = predY + br.se()
+          bstate.setBlocks(bx, by, sw / 4, sh / 4, refIdxs(e8), mvx, mvy)
+          writeInterPred(mbX * 16 + px, mbY * 16 + py, sw, sh, refIdxs(e8), mvx, mvy)
+        }
+      }
+      val cbpCode = br.ue()
+      require(cbpCode < 48, s"coded_block_pattern code $cbpCode")
+      val cbp = CbpInter(cbpCode)
+      if (cbp != 0) bumpQp(br.se())
+      decodeLumaResidual4x4(br, mbX, mbY, cbp & 15)
+      val chroma = parseChromaResidual(br, mbX, mbY, cbp >> 4)
       addChromaResidual(mbX, mbY, chroma)
     }
 

@@ -405,7 +405,8 @@ object H264Encoder {
 
     private def encodeInterMb(bw: BitWriter, mbX: Int, mbY: Int,
         srcY: Array[Int], srcCb: Array[Int], srcCr: Array[Int]): Unit = {
-      val (mbType, parts, shapes) = (mbX + mbY) % 3 match {
+      if ((mbX + mbY) % 4 == 3) { encodeP8x8(bw, mbX, mbY, srcY, srcCb, srcCr); return }
+      val (mbType, parts, shapes) = (mbX + mbY) % 4 match {
         case 0 => (0, Seq((0, 0, 16, 16)), Seq(' '))
         case 1 => (1, Seq((0, 0, 16, 8), (0, 8, 16, 8)), Seq('T', 'B'))
         case _ => (2, Seq((0, 0, 8, 16), (8, 0, 8, 16)), Seq('L', 'R'))
@@ -455,6 +456,81 @@ object H264Encoder {
       writeChromaResidual(bw, mbX, mbY, ch)
 
       // reconstruction: prediction + normative inverse residual
+      writeMbPlanes(mbX, mbY, predY, predCb, predCr)
+      i = 0
+      while (i < 16) {
+        val res = Transform.inverse4x4(
+          Transform.dequant4x4(unzigzag16(scans(i)), qp, skipDc = false))
+        addResidualAt(y, ls, mbX * 16 + blkX(i) * 4, mbY * 16 + blkY(i) * 4, res)
+        i += 1
+      }
+      reconChromaOnto(mbX, mbY, ch)
+      mbQp(mbY * wMb + mbX) = qp
+    }
+
+    /** P_8x8: sub_mb_types cycle per 8×8 so every fixture carries
+      * 8×8 / 8×4 / 4×8 / 4×4 motion; ref_idx per 8×8, search + mvd per
+      * sub-partition in parse order with immediate state commits.
+      */
+    private def encodeP8x8(bw: BitWriter, mbX: Int, mbY: Int,
+        srcY: Array[Int], srcCb: Array[Int], srcCr: Array[Int]): Unit = {
+      def subGeom(t: Int): Seq[(Int, Int, Int, Int)] = t match {
+        case 0 => Seq((0, 0, 8, 8))
+        case 1 => Seq((0, 0, 8, 4), (0, 4, 8, 4))
+        case 2 => Seq((0, 0, 4, 8), (4, 0, 4, 8))
+        case _ => Seq((0, 0, 4, 4), (4, 0, 4, 4), (0, 4, 4, 4), (4, 4, 4, 4))
+      }
+      val subTypes = (0 until 4).map(e8 => (mbX + e8) % 4)
+      val refIdxs = (0 until 4).map { e8 =>
+        if (numRefActive >= 2 && (mbX + mbY + e8) % 3 == 2) 1 else 0
+      }
+      // per-sub search in parse order, committing state as we go
+      val parts = scala.collection.mutable.ArrayBuffer.empty[(Int, Int, Int, Int)]
+      val partRefs = scala.collection.mutable.ArrayBuffer.empty[Int]
+      val partMvs = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
+      val mvds = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
+      for (e8 <- 0 until 4) {
+        val ox = (e8 & 1) * 8; val oy = (e8 >> 1) * 8
+        subGeom(subTypes(e8)).foreach { case (sx, sy, sw, sh) =>
+          val px = ox + sx; val py = oy + sy
+          val bx = mbX * 4 + px / 4
+          val by = mbY * 4 + py / 4
+          val (prX, prY) = MvPred.predict(bstate.neigh, bx, by, sw / 4, refIdxs(e8))
+          val (mvx, mvy) = searchMv(mbX, mbY, px, py, sw, sh, refIdxs(e8), prX, prY, srcY)
+          bstate.setBlocks(bx, by, sw / 4, sh / 4, refIdxs(e8), mvx, mvy)
+          parts += ((px, py, sw, sh))
+          partRefs += refIdxs(e8)
+          partMvs += ((mvx, mvy))
+          mvds += ((mvx - prX, mvy - prY))
+        }
+      }
+      val (predY, predCb, predCr) =
+        mbPredFromMc(mbX, mbY, parts.toSeq, partRefs.toSeq, partMvs.toSeq)
+      val (scans, cbpLuma, ch) =
+        quantizeMb(predY, predCb, predCr, mbX, mbY, srcY, srcCb, srcCr)
+      val cbp = cbpLuma | (ch.cbpChroma << 4)
+
+      bw.ue(3) // P_8x8
+      subTypes.foreach(bw.ue)
+      refIdxs.foreach { r =>
+        if (numRefActive == 2) bw.put(1 - r)
+        else if (numRefActive > 2) bw.ue(r)
+      }
+      mvds.foreach { case (dx, dy) => bw.se(dx); bw.se(dy) }
+      bw.ue(H264Decoder.CbpInterInv(cbp))
+      if (cbp != 0) bw.se(0)
+
+      var i = 0
+      while (i < 16) {
+        val gbx = mbX * 4 + blkX(i); val gby = mbY * 4 + blkY(i)
+        if ((cbpLuma & (1 << (i >> 2))) != 0) {
+          val tc = Cavlc.encodeBlock(bw, scans(i), lumaNC(gbx, gby))
+          tcY(gby * wMb * 4 + gbx) = tc
+        } else tcY(gby * wMb * 4 + gbx) = 0
+        i += 1
+      }
+      writeChromaResidual(bw, mbX, mbY, ch)
+
       writeMbPlanes(mbX, mbY, predY, predCb, predCr)
       i = 0
       while (i < 16) {

@@ -21,15 +21,16 @@ import org.apache.spark.sql.functions._
   * Two real codecs, both pure-JVM: MJPEG (every frame an independent
   * JPEG, via the JDK codec) in AVI and MP4, and H.264 BASELINE I+P
   * ([[graft.multimodal.h264]]: CAVLC, I_4x4/I_16x16/I_PCM intra, P
-  * slices with P_Skip + 16x16/16x8/8x16 motion partitions, quarter-pel
-  * motion compensation, multi-reference DPB, 4:2:0 8-bit, in-loop
-  * deblocking with inter boundary strengths, frame cropping) in MP4
-  * under the 'avc1' sample entry + avcC — the layout ffmpeg/imageio
-  * produce for the reference's temporal.py MP4s ([[avcMp4]] writes it,
-  * `Multimodal.parseMp4` reads it). Outside-the-subset H.264 (CABAC,
-  * B slices, P_8x8 sub-partitions, High-profile SPS) and foreign codecs
-  * fail fast by name rather than misreading — the Hdf5/Szip
-  * documented-subset discipline.
+  * slices with P_Skip + every partition family (16x16/16x8/8x16 and
+  * P_8x8 sub-partitions down to 4x4), quarter-pel motion compensation,
+  * multi-reference DPB, 4:2:0 8-bit, in-loop deblocking with inter
+  * boundary strengths, frame cropping) in MP4 under the 'avc1' sample
+  * entry + avcC — the layout ffmpeg/imageio produce for the reference's
+  * temporal.py MP4s ([[avcMp4]] writes it, `Multimodal.parseMp4` reads
+  * it). Outside-the-subset H.264 (CABAC, B slices, ref-list
+  * modification/MMCO, High-profile SPS) and foreign codecs fail fast by
+  * name rather than misreading — the Hdf5/Szip documented-subset
+  * discipline.
   *
   * Scale shape: images/videos are assembled per experiment with
   * `groupByKey.mapGroups` — a single detector image or acquisition video

@@ -10,13 +10,15 @@ package graft.multimodal.h264
   *    family — P_L0_16x16, 16x8 / 8x16 (directional MV prediction), and
   *    P_8x8 with all four sub_mb_types (8x8/8x4/4x8/4x4) — intra MBs
   *    inside P slices, multiple reference frames (te(v) ref_idx,
-  *    PPS-default or slice-override active counts, sliding-window DPB),
-  *    quarter-pel luma / eighth-pel chroma motion compensation
+  *    PPS-default or slice-override active counts, sliding-window DPB,
+  *    §8.2.4 reference list construction incl. short-term reordering
+  *    commands), quarter-pel luma / eighth-pel chroma motion
+  *    compensation
   *  - single slice per frame, no FMO/ASO; frame cropping honored;
   *    deblocking per §8.7 with full inter boundary-strength derivation
   *
   * Everything outside the subset FAILS FAST with a named error (CABAC,
-  * B slices, ref-list modification, MMCO, other profiles' SPS
+  * B slices, long-term references, MMCO, other profiles' SPS
   * extensions) rather than misreading — the stance of the
   * HDF5/szip readers (`graft.sources.Hdf5`). The reference writes MP4
   * video via imageio (/root/reference/picoprobe/tools/temporal.py:26-35),
@@ -124,11 +126,13 @@ object H264Decoder {
     Pps(ppsId, spsId, picInitQp, chromaQpOffset, deblockCtrl, numRefDefault)
   }
 
-  /** Stateful decode session: holds the sliding-window DPB so IPPP
-    * streams decode; an IDR resets it. One session per video track.
+  /** Stateful decode session: holds the sliding-window DPB (reference
+    * pictures + their frame_num for PicNum arithmetic) so IPPP streams
+    * decode; an IDR resets it. One session per video track.
     */
   final class Session(sps: Sps, pps: Pps) {
-    private val dpb = scala.collection.mutable.ArrayBuffer.empty[RefFrame]
+    private val dpb =
+      scala.collection.mutable.ArrayBuffer.empty[(RefFrame, Int)]
 
     def reset(): Unit = dpb.clear()
 
@@ -155,8 +159,8 @@ object H264Decoder {
 
     def decodeSliceNal(rbsp: Array[Byte], idr: Boolean): Frame = {
       if (idr) dpb.clear()
-      val (frame, ref) = decodeSlice(rbsp, idr, sps, pps, dpb.toIndexedSeq)
-      dpb.insert(0, ref)
+      val (frame, ref, frameNum) = decodeSlice(rbsp, idr, sps, pps, dpb.toIndexedSeq)
+      dpb.insert(0, (ref, frameNum))
       while (dpb.size > sps.maxNumRefFrames) dpb.remove(dpb.size - 1) // sliding window
       frame
     }
@@ -217,7 +221,8 @@ object H264Decoder {
   // ------------------------------------------------------------ slice
 
   private def decodeSlice(rbsp: Array[Byte], idr: Boolean,
-      sps: Sps, pps: Pps, refs: IndexedSeq[RefFrame]): (Frame, RefFrame) = {
+      sps: Sps, pps: Pps, dpb: IndexedSeq[(RefFrame, Int)])
+      : (Frame, RefFrame, Int) = {
     val br = new BitReader(rbsp)
     val firstMb = br.ue()
     require(firstMb == 0, "multi-slice frames not supported (first_mb_in_slice != 0)")
@@ -226,19 +231,20 @@ object H264Decoder {
     val isI = sliceType == 2 || sliceType == 7
     require(isP || isI,
       s"slice_type $sliceType not supported — I and P slices only (no B)")
-    require(!isP || refs.nonEmpty, "P slice with an empty reference list")
+    require(!isP || dpb.nonEmpty, "P slice with an empty reference list")
     val ppsId = br.ue()
     require(ppsId == pps.ppsId, s"slice references pps $ppsId")
-    br.u(sps.log2MaxFrameNum) // frame_num (no gaps supported; value unused)
+    val frameNum = br.u(sps.log2MaxFrameNum)
     if (idr) br.ue() // idr_pic_id
     if (sps.pocType == 0) br.u(sps.log2MaxPocLsb) // pic_order_cnt_lsb
     // the PARSED active count drives te(v) ref_idx parsing; actual DPB
     // bounds are enforced where each ref_idx is used
     var numRefActive = pps.numRefDefault
+    var refs: IndexedSeq[RefFrame] = IndexedSeq.empty
     if (isP) {
       if (br.u1() == 1) numRefActive = br.ue() + 1 // num_ref_idx override
-      val modFlag = br.u1() // ref_pic_list_modification_flag_l0
-      require(modFlag == 0, "ref_pic_list_modification not supported")
+      refs = buildRefList(br, dpb, frameNum, numRefActive,
+        1 << sps.log2MaxFrameNum)
     }
     if (idr) { br.u1(); br.u1() } // no_output_of_prior_pics, long_term_reference
     else { // dec_ref_pic_marking for a reference picture
@@ -261,7 +267,47 @@ object H264Decoder {
       Deblock.filterFrame(dec.y, dec.cb, dec.cr, sps.widthMbs, sps.heightMbs,
         dec.mbQp, pps.chromaQpOffset, alphaOff, betaOff,
         dec.bstate.boundaryStrength(dec.tcYPub))
-    (dec.crop(), RefFrame(dec.y, dec.cb, dec.cr))
+    (dec.crop(), RefFrame(dec.y, dec.cb, dec.cr), frameNum)
+  }
+
+  /** RefPicList0 construction (§8.2.4.2.1 initialization by descending
+    * PicNum with FrameNumWrap, then §8.2.4.3 modification): idc 0/1
+    * abs_diff_pic_num reordering; long-term (idc 2) fails fast. The list
+    * is built at working length numRefActive+1 and truncated, per the
+    * standard's insertion process.
+    */
+  private def buildRefList(br: BitReader, dpb: IndexedSeq[(RefFrame, Int)],
+      currFrameNum: Int, numRefActive: Int, maxFrameNum: Int): IndexedSeq[RefFrame] = {
+    def picNum(fn: Int): Int = if (fn > currFrameNum) fn - maxFrameNum else fn
+    // initial list: descending PicNum
+    var list = dpb.sortBy { case (_, fn) => -picNum(fn) }.toBuffer
+    if (br.u1() == 1) { // ref_pic_list_modification_flag_l0
+      var refIdx = 0
+      var picNumPred = currFrameNum
+      var idc = br.ue()
+      while (idc != 3) {
+        require(idc == 0 || idc == 1,
+          s"modification_of_pic_nums_idc $idc (long-term) not supported")
+        val absDiff = br.ue() + 1
+        var noWrap =
+          if (idc == 0) picNumPred - absDiff else picNumPred + absDiff
+        if (noWrap < 0) noWrap += maxFrameNum
+        else if (noWrap >= maxFrameNum) noWrap -= maxFrameNum
+        picNumPred = noWrap
+        val target = if (noWrap > currFrameNum) noWrap - maxFrameNum else noWrap
+        val pic = list.find { case (_, fn) => picNum(fn) == target }
+          .orElse(dpb.find { case (_, fn) => picNum(fn) == target })
+        require(pic.isDefined, s"reordered PicNum $target not in the DPB")
+        // §8.2.4.3.1 insertion: shift, place at refIdx, drop the later dup
+        list.insert(refIdx, pic.get)
+        refIdx += 1
+        val dupAt = list.indexWhere(
+          { case (_, fn) => picNum(fn) == target }, refIdx)
+        if (dupAt >= 0) list.remove(dupAt)
+        idc = br.ue()
+      }
+    }
+    list.take(math.max(numRefActive, 1)).map(_._1).toIndexedSeq
   }
 
   /** Per-frame decoding state and MB loop. */

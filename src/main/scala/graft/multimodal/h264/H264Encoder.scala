@@ -55,7 +55,8 @@ object H264Encoder {
     val spsP = H264Decoder.parseSps(Nal.unescape(sps, 1, sps.length))
     val ppsP = H264Decoder.parsePps(Nal.unescape(pps, 1, pps.length))
 
-    val dpb = scala.collection.mutable.ArrayBuffer.empty[H264Decoder.RefFrame]
+    val dpb =
+      scala.collection.mutable.ArrayBuffer.empty[(H264Decoder.RefFrame, Int)]
     val samples = Seq.newBuilder[Array[Byte]]
     val idrs = Seq.newBuilder[Boolean]
     val recons = Seq.newBuilder[H264Decoder.Frame]
@@ -63,13 +64,35 @@ object H264Encoder {
       require(y.length == width * height, "luma plane size")
       val idr = idx == 0 || !cfg.pFrames
       if (idr) dpb.clear()
+      // frame_num increments per reference frame (mod MaxFrameNum) and is
+      // 0 at every IDR — NOT the DPB size, which caps at the window and
+      // would duplicate PicNums
+      val frameNum = if (idr) 0 else idx & 0xFF
+      val numRefActive = math.min(2, dpb.size)
+      // every third P frame with two refs REORDERS the list (oldest
+      // first) via explicit modification commands — exercises the
+      // decoder's §8.2.4.3 path; the reordered list is what ref_idx
+      // indexes on both sides
+      val reorder = cfg.pFrames && numRefActive >= 2 && frameNum % 3 == 0
+      val ordered = if (reorder) dpb.take(numRefActive).reverse ++
+        dpb.drop(numRefActive) else dpb
+      val refMod: Seq[(Int, Int)] =
+        if (!reorder) Nil
+        else {
+          var pred = frameNum
+          ordered.take(numRefActive).map { case (_, fn) =>
+            val diff = fn - pred
+            pred = fn
+            if (diff < 0) (0, -diff - 1) else (1, diff - 1)
+          }.toSeq
+        }
       val enc = new FrameEncoder(wMb, hMb, cfg, spsP, ppsP,
-        dpb.toIndexedSeq, idr, frameNum = dpb.size)
+        ordered.map(_._1).toIndexedSeq, idr, frameNum, refMod)
       val nal = enc.encodeFrame(pad(y, width, height, wMb * 16, hMb * 16),
         pad(cbP, width / 2, height / 2, wMb * 8, hMb * 8),
         pad(crP, width / 2, height / 2, wMb * 8, hMb * 8))
       val (frame, ref) = enc.finishFrame()
-      dpb.insert(0, ref)
+      dpb.insert(0, (ref, frameNum))
       while (dpb.size > spsP.maxNumRefFrames) dpb.remove(dpb.size - 1)
       val sample = new java.io.ByteArrayOutputStream()
       sample.write(Array[Byte](
@@ -172,7 +195,8 @@ object H264Encoder {
 
   private final class FrameEncoder(wMb: Int, hMb: Int, cfg: Config,
       sps: H264Decoder.Sps, pps: H264Decoder.Pps,
-      refs: IndexedSeq[H264Decoder.RefFrame], idr: Boolean, frameNum: Int) {
+      refs: IndexedSeq[H264Decoder.RefFrame], idr: Boolean, frameNum: Int,
+      refMod: Seq[(Int, Int)] = Nil) {
     private val ls = wMb * 16
     private val cs = wMb * 8
     private val hPix = hMb * 16
@@ -204,7 +228,12 @@ object H264Encoder {
       if (isP) {
         if (numRefActive != 1) { bw.put(1); bw.ue(numRefActive - 1) }
         else bw.put(0)
-        bw.put(0) // ref_pic_list_modification_flag_l0
+        if (refMod.isEmpty) bw.put(0) // ref_pic_list_modification_flag_l0
+        else {
+          bw.put(1)
+          refMod.foreach { case (idc, absDiffM1) => bw.ue(idc); bw.ue(absDiffM1) }
+          bw.ue(3) // end of modification commands
+        }
       }
       if (!isP) { bw.put(0); bw.put(0) } // dec_ref_pic_marking (IDR)
       else bw.put(0) // adaptive_ref_pic_marking_mode_flag: sliding window

@@ -27,8 +27,8 @@ import org.apache.spark.sql.functions._
   * boundary strengths, frame cropping) in MP4 under the 'avc1' sample
   * entry + avcC — the layout ffmpeg/imageio produce for the reference's
   * temporal.py MP4s ([[avcMp4]] writes it, `Multimodal.parseMp4` reads
-  * it). Outside-the-subset H.264 (CABAC, B slices, ref-list
-  * modification/MMCO, High-profile SPS) and foreign codecs fail fast by
+  * it). Outside-the-subset H.264 (CABAC, B slices, long-term
+  * refs/MMCO, High-profile SPS) and foreign codecs fail fast by
   * name rather than misreading — the Hdf5/Szip documented-subset
   * discipline.
   *

@@ -489,6 +489,35 @@ class H264Spec extends AnyFunSuite {
     }
   }
 
+  test("ref list modification: the reordering commands are emitted and honored") {
+    val w = 32; val h = 32
+    val frames = (0 until 5).map { f =>
+      Array.tabulate(w * h)(i => (((i % w) * 7 + (i / w) * 11 + f * 13) % 256).toByte)
+    }
+    val enc = H264Encoder.encodeGray(frames, w, h,
+      H264Encoder.Config(qp = 26, pFrames = true))
+    // sample with frame_num 3 (the 4th) must carry the modification flag
+    val sample = enc.samples(3)
+    val nal = sample.drop(4)
+    assert((nal(0) & 0x1F) == 1, "non-IDR slice")
+    val br = new BitReader(Nal.unescape(nal, 1, nal.length))
+    assert(br.ue() == 0) // first_mb_in_slice
+    assert(br.ue() == 5) // slice_type P
+    assert(br.ue() == 0) // pps_id
+    assert(br.u(8) == 3) // frame_num
+    assert(br.u1() == 1) // num_ref_idx override
+    assert(br.ue() + 1 == 2) // two active refs
+    assert(br.u1() == 1, "ref_pic_list_modification_flag_l0 must be set")
+    // and the whole stream still decodes bit-exactly (a decoder ignoring
+    // or mis-applying the reorder would diverge from this frame on)
+    val sps = H264Decoder.parseSps(Nal.unescape(enc.sps, 1, enc.sps.length))
+    val pps = H264Decoder.parsePps(Nal.unescape(enc.pps, 1, enc.pps.length))
+    val session = new H264Decoder.Session(sps, pps)
+    enc.samples.zip(enc.recon).zipWithIndex.foreach { case ((s, r), fi) =>
+      assert(session.decodeSample(s, 4).y.toSeq == r.y.toSeq, s"frame $fi")
+    }
+  }
+
   test("IPPP via Annex-B: session decode with multi-ref and deblocking") {
     val w = 64; val h = 32
     val frames = (0 until 5).map { f =>

@@ -40,7 +40,7 @@ object H264Decoder {
 
   final case class Pps(
       ppsId: Int, spsId: Int, picInitQp: Int, chromaQpOffset: Int,
-      deblockCtrl: Boolean, numRefDefault: Int)
+      deblockCtrl: Boolean, numRefDefault: Int, constrainedIntra: Boolean)
 
   /** A decoded frame: cropped planes, samples 0..255. */
   final case class Frame(
@@ -121,9 +121,10 @@ object H264Decoder {
     br.se() // pic_init_qs
     val chromaQpOffset = br.se()
     val deblockCtrl = br.u1() == 1
-    br.u1() // constrained_intra_pred_flag (intra pred from inter neighbors allowed)
+    val constrainedIntra = br.u1() == 1
     br.u1() // redundant_pic_cnt_present_flag
-    Pps(ppsId, spsId, picInitQp, chromaQpOffset, deblockCtrl, numRefDefault)
+    Pps(ppsId, spsId, picInitQp, chromaQpOffset, deblockCtrl, numRefDefault,
+      constrainedIntra)
   }
 
   /** Stateful decode session: holds the sliding-window DPB (reference
@@ -232,6 +233,10 @@ object H264Decoder {
     require(isP || isI,
       s"slice_type $sliceType not supported — I and P slices only (no B)")
     require(!isP || dpb.nonEmpty, "P slice with an empty reference list")
+    // constrained intra masks inter neighbors out of intra-in-P
+    // prediction — decoding it without the masking would silently drift
+    require(!isP || !pps.constrainedIntra,
+      "constrained_intra_pred_flag not supported for P slices")
     val ppsId = br.ue()
     require(ppsId == pps.ppsId, s"slice references pps $ppsId")
     val frameNum = br.u(sps.log2MaxFrameNum)

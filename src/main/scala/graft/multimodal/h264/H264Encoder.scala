@@ -7,10 +7,11 @@ package graft.multimodal.h264
   *
   * Emits streams inside the supported subset: CAVLC, single slice,
   * IDR-only (I_4x4 + I_16x16 SAD mode decision, optional I_PCM) or IPPP
-  * (`pFrames`: P_Skip, P_L0_16x16 / 16x8 / 8x16 partitions with a
-  * two-stage quarter-pel search around the shared MV predictor, up to
-  * two reference frames, periodic intra-in-P MBs), flat QP, optional
-  * deblocking. The encoder maintains the decoder-identical
+  * (`pFrames`: P_Skip, every partition family — P_L0 16x16 / 16x8 /
+  * 8x16 and P_8x8 with sub_mb_types cycling down to 4x4 — two-stage
+  * quarter-pel search around the shared MV predictor, up to two
+  * reference frames with periodic explicit list reordering, periodic
+  * intra-in-P MBs), flat QP, optional deblocking. The encoder maintains the decoder-identical
   * reconstruction (prediction from reconstructed/deblocked references,
   * §8.4/§8.5 normative paths, shared [[MvPred]]), so `H264Decoder`
   * output must match [[Encoded.recon]] BIT-EXACTLY — the round-trip

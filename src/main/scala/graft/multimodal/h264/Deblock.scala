@@ -32,12 +32,29 @@ object Deblock {
     if (v < lo) lo else if (v > hi) hi else v
   @inline private def clip1(v: Int): Int = Transform.clip255(v)
 
-  /** Filter a full reconstructed frame in place. `bS(pbx,pby,qbx,qby,
-    * mbEdge)` yields the strength for one 4×4 luma block pair.
+  /** Filter a full reconstructed frame in place with uniform (single-
+    * slice) parameters. `bS(pbx,pby,qbx,qby,mbEdge)` yields the strength
+    * for one 4×4 luma block pair.
     */
   def filterFrame(y: Array[Int], cb: Array[Int], cr: Array[Int],
       wMb: Int, hMb: Int, mbQp: Array[Int], chromaQpOffset: Int,
       alphaOff: Int, betaOff: Int,
+      bS: (Int, Int, Int, Int, Boolean) => Int): Unit = {
+    val n = wMb * hMb
+    filterFramePerMb(y, cb, cr, wMb, hMb, mbQp, chromaQpOffset,
+      Array.fill(n)(alphaOff), Array.fill(n)(betaOff),
+      new Array[Int](n), new Array[Int](n), bS)
+  }
+
+  /** §8.7 with PER-MACROBLOCK slice parameters (multi-slice pictures):
+    * each MB filters its edges with ITS slice's offsets; a slice with
+    * disable idc 1 filters nothing; idc 2 skips only the MB edges that
+    * coincide with a slice boundary (`mbSlice` differs across the edge).
+    */
+  def filterFramePerMb(y: Array[Int], cb: Array[Int], cr: Array[Int],
+      wMb: Int, hMb: Int, mbQp: Array[Int], chromaQpOffset: Int,
+      mbAlphaOff: Array[Int], mbBetaOff: Array[Int],
+      mbDisable: Array[Int], mbSlice: Array[Int],
       bS: (Int, Int, Int, Int, Boolean) => Int): Unit = {
     val ls = wMb * 16
     val cs = wMb * 8
@@ -45,53 +62,63 @@ object Deblock {
     while (mbY < hMb) {
       var mbX = 0
       while (mbX < wMb) {
-        val qpCur = mbQp(mbY * wMb + mbX)
+        val m = mbY * wMb + mbX
+        val qpCur = mbQp(m)
+        val aOff = mbAlphaOff(m)
+        val bOff = mbBetaOff(m)
+        // idc 1: this MB's slice filters nothing; idc 2: skip only the
+        // MB edges shared with a DIFFERENT slice
+        val enabled = mbDisable(m) != 1
+        def crossSliceOk(otherMb: Int): Boolean =
+          mbDisable(m) != 2 || mbSlice(otherMb) == mbSlice(m)
         def qpAvgL(otherMb: Int): Int = (mbQp(otherMb) + qpCur + 1) >> 1
         def cQp(q: Int): Int = Transform.chromaQp(q, chromaQpOffset)
 
-        // ---- vertical edges, left to right
-        if (mbX > 0) {
-          val qa = qpAvgL(mbY * wMb + mbX - 1)
-          lumaEdge(y, ls, mbX * 16, mbY * 16, vertical = true, mbEdge = true,
-            qa, alphaOff, betaOff, bS)
-          val qc = (cQp(mbQp(mbY * wMb + mbX - 1)) + cQp(qpCur) + 1) >> 1
-          chromaEdge(cb, cs, mbX * 8, mbY * 8, vertical = true, mbEdge = true,
-            qc, alphaOff, betaOff, bS)
-          chromaEdge(cr, cs, mbX * 8, mbY * 8, vertical = true, mbEdge = true,
-            qc, alphaOff, betaOff, bS)
-        }
-        var k = 4
-        while (k < 16) {
-          lumaEdge(y, ls, mbX * 16 + k, mbY * 16, vertical = true,
-            mbEdge = false, qpCur, alphaOff, betaOff, bS)
-          k += 4
-        }
-        chromaEdge(cb, cs, mbX * 8 + 4, mbY * 8, vertical = true,
-          mbEdge = false, cQp(qpCur), alphaOff, betaOff, bS)
-        chromaEdge(cr, cs, mbX * 8 + 4, mbY * 8, vertical = true,
-          mbEdge = false, cQp(qpCur), alphaOff, betaOff, bS)
+        if (enabled) {
+          // ---- vertical edges, left to right
+          if (mbX > 0 && crossSliceOk(m - 1)) {
+            val qa = qpAvgL(m - 1)
+            lumaEdge(y, ls, mbX * 16, mbY * 16, vertical = true, mbEdge = true,
+              qa, aOff, bOff, bS)
+            val qc = (cQp(mbQp(m - 1)) + cQp(qpCur) + 1) >> 1
+            chromaEdge(cb, cs, mbX * 8, mbY * 8, vertical = true, mbEdge = true,
+              qc, aOff, bOff, bS)
+            chromaEdge(cr, cs, mbX * 8, mbY * 8, vertical = true, mbEdge = true,
+              qc, aOff, bOff, bS)
+          }
+          var k = 4
+          while (k < 16) {
+            lumaEdge(y, ls, mbX * 16 + k, mbY * 16, vertical = true,
+              mbEdge = false, qpCur, aOff, bOff, bS)
+            k += 4
+          }
+          chromaEdge(cb, cs, mbX * 8 + 4, mbY * 8, vertical = true,
+            mbEdge = false, cQp(qpCur), aOff, bOff, bS)
+          chromaEdge(cr, cs, mbX * 8 + 4, mbY * 8, vertical = true,
+            mbEdge = false, cQp(qpCur), aOff, bOff, bS)
 
-        // ---- horizontal edges, top to bottom
-        if (mbY > 0) {
-          val qa = qpAvgL((mbY - 1) * wMb + mbX)
-          lumaEdge(y, ls, mbX * 16, mbY * 16, vertical = false, mbEdge = true,
-            qa, alphaOff, betaOff, bS)
-          val qc = (cQp(mbQp((mbY - 1) * wMb + mbX)) + cQp(qpCur) + 1) >> 1
-          chromaEdge(cb, cs, mbX * 8, mbY * 8, vertical = false, mbEdge = true,
-            qc, alphaOff, betaOff, bS)
-          chromaEdge(cr, cs, mbX * 8, mbY * 8, vertical = false, mbEdge = true,
-            qc, alphaOff, betaOff, bS)
+          // ---- horizontal edges, top to bottom
+          if (mbY > 0 && crossSliceOk(m - wMb)) {
+            val qa = qpAvgL(m - wMb)
+            lumaEdge(y, ls, mbX * 16, mbY * 16, vertical = false, mbEdge = true,
+              qa, aOff, bOff, bS)
+            val qc = (cQp(mbQp(m - wMb)) + cQp(qpCur) + 1) >> 1
+            chromaEdge(cb, cs, mbX * 8, mbY * 8, vertical = false, mbEdge = true,
+              qc, aOff, bOff, bS)
+            chromaEdge(cr, cs, mbX * 8, mbY * 8, vertical = false, mbEdge = true,
+              qc, aOff, bOff, bS)
+          }
+          k = 4
+          while (k < 16) {
+            lumaEdge(y, ls, mbX * 16, mbY * 16 + k, vertical = false,
+              mbEdge = false, qpCur, aOff, bOff, bS)
+            k += 4
+          }
+          chromaEdge(cb, cs, mbX * 8, mbY * 8 + 4, vertical = false,
+            mbEdge = false, cQp(qpCur), aOff, bOff, bS)
+          chromaEdge(cr, cs, mbX * 8, mbY * 8 + 4, vertical = false,
+            mbEdge = false, cQp(qpCur), aOff, bOff, bS)
         }
-        k = 4
-        while (k < 16) {
-          lumaEdge(y, ls, mbX * 16, mbY * 16 + k, vertical = false,
-            mbEdge = false, qpCur, alphaOff, betaOff, bS)
-          k += 4
-        }
-        chromaEdge(cb, cs, mbX * 8, mbY * 8 + 4, vertical = false,
-          mbEdge = false, cQp(qpCur), alphaOff, betaOff, bS)
-        chromaEdge(cr, cs, mbX * 8, mbY * 8 + 4, vertical = false,
-          mbEdge = false, cQp(qpCur), alphaOff, betaOff, bS)
 
         mbX += 1
       }

@@ -14,8 +14,16 @@ package graft.multimodal.h264
   *    §8.2.4 reference list construction incl. short-term reordering
   *    commands), quarter-pel luma / eighth-pel chroma motion
   *    compensation
-  *  - single slice per frame, no FMO/ASO; frame cropping honored;
-  *    deblocking per §8.7 with full inter boundary-strength derivation
+  *  - MULTIPLE SLICES per picture (the framing real hardware encoders
+  *    emit — often one slice per MB row): §6.4.8 neighbor availability
+  *    is slice-masked for intra prediction, CAVLC contexts and MV
+  *    prediction; each slice carries its own QP, reference list and
+  *    deblocking parameters; §8.7 slice-boundary filter control
+  *    (disable_deblocking_filter_idc = 2) honored. Slices must cover
+  *    the picture in raster order (no FMO/ASO).
+  *  - frame cropping honored; deblocking per §8.7 with full inter
+  *    boundary-strength derivation (reference comparison by picture
+  *    identity, so per-slice list reorderings stay exact)
   *
   * Everything outside the subset FAILS FAST with a named error (CABAC,
   * B slices, long-term references, MMCO, other profiles' SPS
@@ -52,6 +60,11 @@ object H264Decoder {
 
   /** A reference picture: PADDED (MB-aligned), post-deblock planes. */
   final case class RefFrame(y: Array[Int], cb: Array[Int], cr: Array[Int])
+
+  /** A DPB entry: planes + frame_num (PicNum arithmetic) + a
+    * session-global picture id (deblock reference-identity compares).
+    */
+  final case class DpbPic(ref: RefFrame, frameNum: Int, picId: Int)
 
   // mapped-Exp-Golomb coded_block_pattern, 4:2:0 (Table 9-4)
   private[h264] val CbpIntra: Array[Int] = Array(
@@ -132,14 +145,17 @@ object H264Decoder {
     * decode; an IDR resets it. One session per video track.
     */
   final class Session(sps: Sps, pps: Pps) {
-    private val dpb =
-      scala.collection.mutable.ArrayBuffer.empty[(RefFrame, Int)]
+    private val dpb = scala.collection.mutable.ArrayBuffer.empty[DpbPic]
+    private var nextPicId = 0
 
     def reset(): Unit = dpb.clear()
 
-    /** Decode one AVCC sample (length-prefixed NALs) to its frame. */
+    /** Decode one AVCC sample (length-prefixed NALs) to its frame. The
+      * sample is one access unit; every coded-slice NAL inside it is a
+      * slice of the SAME picture (multi-slice encoders emit several).
+      */
     def decodeSample(sample: Array[Byte], lengthSize: Int): Frame = {
-      var frame: Frame = null
+      val slices = Seq.newBuilder[(Array[Byte], Boolean)]
       var pos = 0
       while (pos + lengthSize <= sample.length) {
         var len = 0
@@ -148,23 +164,33 @@ object H264Decoder {
         pos += lengthSize
         require(len > 0 && pos + len <= sample.length, "bad NAL length in sample")
         val nalType = sample(pos) & 0x1F
-        if (nalType == 1 || nalType == 5) {
-          require(frame == null, "multiple slices per sample not supported")
-          frame = decodeSliceNal(Nal.unescape(sample, pos + 1, pos + len), nalType == 5)
-        } // SPS/PPS/SEI/AUD NALs inside samples are skipped (avcC carries params)
+        if (nalType == 1 || nalType == 5)
+          slices += ((Nal.unescape(sample, pos + 1, pos + len), nalType == 5))
+        // SPS/PPS/SEI/AUD NALs inside samples are skipped (avcC carries params)
         pos += len
       }
-      require(frame != null, "sample contains no coded slice")
-      frame
+      val ss = slices.result()
+      require(ss.nonEmpty, "sample contains no coded slice")
+      decodePictureNals(ss)
     }
 
-    def decodeSliceNal(rbsp: Array[Byte], idr: Boolean): Frame = {
+    /** Decode one picture from its slice NALs (already unescaped). */
+    def decodePictureNals(slices: Seq[(Array[Byte], Boolean)]): Frame = {
+      val idr = slices.head._2
+      require(slices.forall(_._2 == idr), "mixed IDR/non-IDR slices in one picture")
       if (idr) dpb.clear()
-      val (frame, ref, frameNum) = decodeSlice(rbsp, idr, sps, pps, dpb.toIndexedSeq)
-      dpb.insert(0, (ref, frameNum))
+      val picId = nextPicId
+      nextPicId += 1
+      val (frame, ref, frameNum) =
+        decodePicture(slices.map(_._1), idr, sps, pps, dpb.toIndexedSeq, picId)
+      dpb.insert(0, DpbPic(ref, frameNum, picId))
       while (dpb.size > sps.maxNumRefFrames) dpb.remove(dpb.size - 1) // sliding window
       frame
     }
+
+    /** Single-NAL convenience (one slice per picture). */
+    def decodeSliceNal(rbsp: Array[Byte], idr: Boolean): Frame =
+      decodePictureNals(Seq((rbsp, idr)))
   }
 
   /** One-shot convenience for IDR samples (intra fixtures, first frame). */
@@ -174,7 +200,9 @@ object H264Decoder {
 
   /** Decode an Annex-B stream (start-code framed). Returns all frames;
     * in-band SPS/PPS are honored; IPPP structure decodes via the session
-    * DPB.
+    * DPB. Slice NALs group into pictures at each first_mb_in_slice == 0
+    * boundary (§7.4.1.2.4 simplified for this subset: slices arrive in
+    * raster order, so a picture starts exactly at first_mb 0).
     */
   def decodeAnnexB(data: Array[Byte]): Seq[Frame] = {
     val nals = splitAnnexB(data)
@@ -182,19 +210,27 @@ object H264Decoder {
     var sps: Sps = null
     var pps: Pps = null
     val frames = Seq.newBuilder[Frame]
+    val pending = scala.collection.mutable.ArrayBuffer.empty[(Array[Byte], Boolean)]
+    def flush(): Unit = if (pending.nonEmpty) {
+      frames += session.decodePictureNals(pending.toSeq)
+      pending.clear()
+    }
     nals.foreach { case (from, to) =>
       val nalType = data(from) & 0x1F
       val rbsp = Nal.unescape(data, from + 1, to)
       nalType match {
-        case 7 => sps = parseSps(rbsp); session = null
-        case 8 => pps = parsePps(rbsp); session = null
+        case 7 => flush(); sps = parseSps(rbsp); session = null
+        case 8 => flush(); pps = parsePps(rbsp); session = null
         case 1 | 5 =>
           require(sps != null && pps != null, "slice before SPS/PPS")
           if (session == null) session = new Session(sps, pps)
-          frames += session.decodeSliceNal(rbsp, nalType == 5)
+          val firstMb = new BitReader(rbsp).ue()
+          if (firstMb == 0) flush()
+          pending += ((rbsp, nalType == 5))
         case _ => // SEI / AUD / filler — skip
       }
     }
+    flush()
     frames.result()
   }
 
@@ -221,12 +257,16 @@ object H264Decoder {
 
   // ------------------------------------------------------------ slice
 
-  private def decodeSlice(rbsp: Array[Byte], idr: Boolean,
-      sps: Sps, pps: Pps, dpb: IndexedSeq[(RefFrame, Int)])
-      : (Frame, RefFrame, Int) = {
-    val br = new BitReader(rbsp)
+  /** Parsed slice header: everything MB decoding needs per slice. */
+  private final case class SliceHeader(
+      firstMb: Int, isP: Boolean, frameNum: Int,
+      refs: IndexedSeq[RefFrame], refPicIds: IndexedSeq[Int],
+      numRefActive: Int, sliceQp: Int,
+      disableDeblock: Int, alphaOff: Int, betaOff: Int)
+
+  private def parseSliceHeader(br: BitReader, idr: Boolean,
+      sps: Sps, pps: Pps, dpb: IndexedSeq[DpbPic]): SliceHeader = {
     val firstMb = br.ue()
-    require(firstMb == 0, "multi-slice frames not supported (first_mb_in_slice != 0)")
     val sliceType = br.ue()
     val isP = sliceType == 0 || sliceType == 5
     val isI = sliceType == 2 || sliceType == 7
@@ -245,7 +285,7 @@ object H264Decoder {
     // the PARSED active count drives te(v) ref_idx parsing; actual DPB
     // bounds are enforced where each ref_idx is used
     var numRefActive = pps.numRefDefault
-    var refs: IndexedSeq[RefFrame] = IndexedSeq.empty
+    var refs: IndexedSeq[DpbPic] = IndexedSeq.empty
     if (isP) {
       if (br.u1() == 1) numRefActive = br.ue() + 1 // num_ref_idx override
       refs = buildRefList(br, dpb, frameNum, numRefActive,
@@ -266,12 +306,34 @@ object H264Decoder {
       require(disableDeblock <= 2, s"disable_deblocking_filter_idc $disableDeblock")
       if (disableDeblock != 1) { alphaOff = 2 * br.se(); betaOff = 2 * br.se() }
     }
-    val dec = new FrameDecoder(sps, pps, sliceQp, refs, numRefActive)
-    dec.decodeMbs(br, isP)
-    if (disableDeblock != 1)
-      Deblock.filterFrame(dec.y, dec.cb, dec.cr, sps.widthMbs, sps.heightMbs,
-        dec.mbQp, pps.chromaQpOffset, alphaOff, betaOff,
-        dec.bstate.boundaryStrength(dec.tcYPub))
+    SliceHeader(firstMb, isP, frameNum, refs.map(_.ref), refs.map(_.picId),
+      numRefActive, sliceQp, disableDeblock, alphaOff, betaOff)
+  }
+
+  private def decodePicture(sliceRbsps: Seq[Array[Byte]], idr: Boolean,
+      sps: Sps, pps: Pps, dpb: IndexedSeq[DpbPic], picId: Int)
+      : (Frame, RefFrame, Int) = {
+    val n = sps.widthMbs * sps.heightMbs
+    var dec: FrameDecoder = null
+    var frameNum = -1
+    var nextMb = 0
+    sliceRbsps.zipWithIndex.foreach { case (rbsp, sliceIdx) =>
+      val br = new BitReader(rbsp)
+      val hdr = parseSliceHeader(br, idr, sps, pps, dpb)
+      if (sliceIdx == 0) {
+        require(hdr.firstMb == 0, "picture does not start at macroblock 0")
+        frameNum = hdr.frameNum
+        dec = new FrameDecoder(sps, pps)
+      } else {
+        require(hdr.frameNum == frameNum,
+          s"slice frame_num ${hdr.frameNum} != picture frame_num $frameNum")
+        require(hdr.firstMb == nextMb,
+          s"slice starts at MB ${hdr.firstMb}, expected $nextMb (ASO not supported)")
+      }
+      nextMb = dec.decodeSliceMbs(br, hdr, sliceIdx)
+    }
+    require(nextMb == n, s"picture covered $nextMb of $n macroblocks")
+    dec.deblockFrame()
     (dec.crop(), RefFrame(dec.y, dec.cb, dec.cr), frameNum)
   }
 
@@ -281,11 +343,11 @@ object H264Decoder {
     * is built at working length numRefActive+1 and truncated, per the
     * standard's insertion process.
     */
-  private def buildRefList(br: BitReader, dpb: IndexedSeq[(RefFrame, Int)],
-      currFrameNum: Int, numRefActive: Int, maxFrameNum: Int): IndexedSeq[RefFrame] = {
+  private def buildRefList(br: BitReader, dpb: IndexedSeq[DpbPic],
+      currFrameNum: Int, numRefActive: Int, maxFrameNum: Int): IndexedSeq[DpbPic] = {
     def picNum(fn: Int): Int = if (fn > currFrameNum) fn - maxFrameNum else fn
     // initial list: descending PicNum
-    var list = dpb.sortBy { case (_, fn) => -picNum(fn) }.toBuffer
+    var list = dpb.sortBy(p => -picNum(p.frameNum)).toBuffer
     if (br.u1() == 1) { // ref_pic_list_modification_flag_l0
       var refIdx = 0
       var picNumPred = currFrameNum
@@ -300,24 +362,22 @@ object H264Decoder {
         else if (noWrap >= maxFrameNum) noWrap -= maxFrameNum
         picNumPred = noWrap
         val target = if (noWrap > currFrameNum) noWrap - maxFrameNum else noWrap
-        val pic = list.find { case (_, fn) => picNum(fn) == target }
-          .orElse(dpb.find { case (_, fn) => picNum(fn) == target })
+        val pic = list.find(p => picNum(p.frameNum) == target)
+          .orElse(dpb.find(p => picNum(p.frameNum) == target))
         require(pic.isDefined, s"reordered PicNum $target not in the DPB")
         // §8.2.4.3.1 insertion: shift, place at refIdx, drop the later dup
         list.insert(refIdx, pic.get)
         refIdx += 1
-        val dupAt = list.indexWhere(
-          { case (_, fn) => picNum(fn) == target }, refIdx)
+        val dupAt = list.indexWhere(p => picNum(p.frameNum) == target, refIdx)
         if (dupAt >= 0) list.remove(dupAt)
         idc = br.ue()
       }
     }
-    list.take(math.max(numRefActive, 1)).map(_._1).toIndexedSeq
+    list.take(math.max(numRefActive, 1)).toIndexedSeq
   }
 
-  /** Per-frame decoding state and MB loop. */
-  private final class FrameDecoder(sps: Sps, pps: Pps, sliceQp: Int,
-      refs: IndexedSeq[RefFrame], numRefActive: Int) {
+  /** Per-picture decoding state and the per-slice MB loop. */
+  private final class FrameDecoder(sps: Sps, pps: Pps) {
     val wMb = sps.widthMbs
     val hMb = sps.heightMbs
     val ls = wMb * 16 // luma stride
@@ -331,37 +391,78 @@ object H264Decoder {
     private val tcY = new Array[Int](wMb * 4 * hMb * 4)
     private val tcCb = new Array[Int](wMb * 2 * hMb * 2)
     private val tcCr = new Array[Int](wMb * 2 * hMb * 2)
-    def tcYPub: Array[Int] = tcY
     // per-4x4-block intra prediction mode (−1 = not an I_4x4 block)
     private val i4Mode = Array.fill(wMb * 4 * hMb * 4)(-1)
     /** Final luma QP of each MB (deblocking needs it). */
     val mbQp = new Array[Int](wMb * hMb)
-    /** Motion state (deblock bS + MV prediction). */
+    /** Per-MB deblock parameters (each MB filters with ITS slice's). */
+    private val mbDisable = Array.fill(wMb * hMb)(0)
+    private val mbAlphaOff = new Array[Int](wMb * hMb)
+    private val mbBetaOff = new Array[Int](wMb * hMb)
+    /** Motion state (deblock bS + MV prediction + slice availability). */
     val bstate = new BlockState(wMb, hMb)
 
-    private var qp = sliceQp
+    // ---- per-slice state (reset by decodeSliceMbs)
+    private var qp = 0
+    private var refs: IndexedSeq[RefFrame] = IndexedSeq.empty
+    private var refPicIds: IndexedSeq[Int] = IndexedSeq.empty
+    private var numRefActive = 0
 
-    def decodeMbs(br: BitReader, isP: Boolean): Unit = {
+    /** Decode one slice's macroblocks; returns the next MB address. */
+    def decodeSliceMbs(br: BitReader, hdr: SliceHeader, sliceIdx: Int): Int = {
+      bstate.curSlice = sliceIdx
+      qp = hdr.sliceQp
+      refs = hdr.refs
+      refPicIds = hdr.refPicIds
+      numRefActive = hdr.numRefActive
       val n = wMb * hMb
-      var mb = 0
-      while (mb < n) {
-        if (isP) {
+      var mb = hdr.firstMb
+      var moreData = true
+      while (moreData) {
+        if (hdr.isP) {
           var run = br.ue()
           require(mb + run <= n, s"mb_skip_run $run overruns the picture")
-          while (run > 0) { decodeSkip(mb % wMb, mb / wMb); mb += 1; run -= 1 }
-          if (mb < n) { decodeMb(br, mb % wMb, mb / wMb, isP = true); mb += 1 }
-        } else {
-          decodeMb(br, mb % wMb, mb / wMb, isP = false)
+          while (run > 0) {
+            sliceParamsFor(mb, hdr)
+            decodeSkip(mb % wMb, mb / wMb); mb += 1; run -= 1
+          }
+          moreData = br.moreRbspData()
+        }
+        if (moreData) {
+          require(mb < n, "slice data overruns the picture")
+          sliceParamsFor(mb, hdr)
+          decodeMb(br, mb % wMb, mb / wMb, hdr.isP)
           mb += 1
+          moreData = br.moreRbspData()
         }
       }
+      mb
     }
+
+    private def sliceParamsFor(mb: Int, hdr: SliceHeader): Unit = {
+      mbDisable(mb) = hdr.disableDeblock
+      mbAlphaOff(mb) = hdr.alphaOff
+      mbBetaOff(mb) = hdr.betaOff
+    }
+
+    /** §8.7 over the finished picture with per-MB slice parameters. */
+    def deblockFrame(): Unit =
+      Deblock.filterFramePerMb(y, cb, cr, wMb, hMb, mbQp, pps.chromaQpOffset,
+        mbAlphaOff, mbBetaOff, mbDisable, bstate.mbSliceOf,
+        bstate.boundaryStrength(tcY))
 
     // --------------------------------------------------------- neighbors
 
+    /** Availability of the MB containing 4×4 LUMA block (gbx, gby). */
+    private def lumaBlkAvail(gbx: Int, gby: Int): Boolean =
+      gbx >= 0 && gby >= 0 && bstate.mbAvail(gbx / 4, gby / 4)
+
+    private def chromaBlkAvail(gbx: Int, gby: Int): Boolean =
+      gbx >= 0 && gby >= 0 && bstate.mbAvail(gbx / 2, gby / 2)
+
     private def lumaNC(gbx: Int, gby: Int): Int = {
-      val availA = gbx > 0
-      val availB = gby > 0
+      val availA = lumaBlkAvail(gbx - 1, gby)
+      val availB = lumaBlkAvail(gbx, gby - 1)
       if (availA && availB) (tcY(gby * wMb * 4 + gbx - 1) +
         tcY((gby - 1) * wMb * 4 + gbx) + 1) >> 1
       else if (availA) tcY(gby * wMb * 4 + gbx - 1)
@@ -370,8 +471,8 @@ object H264Decoder {
     }
 
     private def chromaNC(tc: Array[Int], gbx: Int, gby: Int): Int = {
-      val availA = gbx > 0
-      val availB = gby > 0
+      val availA = chromaBlkAvail(gbx - 1, gby)
+      val availB = chromaBlkAvail(gbx, gby - 1)
       if (availA && availB) (tc(gby * wMb * 2 + gbx - 1) +
         tc((gby - 1) * wMb * 2 + gbx) + 1) >> 1
       else if (availA) tc(gby * wMb * 2 + gbx - 1)
@@ -382,6 +483,7 @@ object H264Decoder {
     // ------------------------------------------------------------- MB
 
     private def decodeMb(br: BitReader, mbX: Int, mbY: Int, isP: Boolean): Unit = {
+      bstate.beginMb(mbX, mbY)
       val mbType = br.ue()
       if (isP && mbType < 5) {
         decodeInterMb(br, mbType, mbX, mbY)
@@ -438,7 +540,7 @@ object H264Decoder {
         val (predX, predY) = MvPred.predict(bstate.neigh, bx, by, pw / 4, ref, shape)
         val mvx = predX + br.se()
         val mvy = predY + br.se()
-        bstate.setBlocks(bx, by, pw / 4, ph / 4, ref, mvx, mvy)
+        bstate.setBlocks(bx, by, pw / 4, ph / 4, ref, refPicIds(ref), mvx, mvy)
         (mvx, mvy)
       }
 
@@ -481,7 +583,8 @@ object H264Decoder {
           val (predX, predY) = MvPred.predict(bstate.neigh, bx, by, sw / 4, refIdxs(e8))
           val mvx = predX + br.se()
           val mvy = predY + br.se()
-          bstate.setBlocks(bx, by, sw / 4, sh / 4, refIdxs(e8), mvx, mvy)
+          bstate.setBlocks(bx, by, sw / 4, sh / 4, refIdxs(e8),
+            refPicIds(refIdxs(e8)), mvx, mvy)
           writeInterPred(mbX * 16 + px, mbY * 16 + py, sw, sh, refIdxs(e8), mvx, mvy)
         }
       }
@@ -495,8 +598,9 @@ object H264Decoder {
     }
 
     private def decodeSkip(mbX: Int, mbY: Int): Unit = {
+      bstate.beginMb(mbX, mbY)
       val (mvx, mvy) = MvPred.skipMv(bstate.neigh, mbX * 4, mbY * 4)
-      bstate.setBlocks(mbX * 4, mbY * 4, 4, 4, 0, mvx, mvy)
+      bstate.setBlocks(mbX * 4, mbY * 4, 4, 4, 0, refPicIds(0), mvx, mvy)
       writeInterPred(mbX * 16, mbY * 16, 16, 16, 0, mvx, mvy)
       // no residual, no qp change; CAVLC contexts read 0 (arrays 0-init)
       mbQp(mbY * wMb + mbX) = qp
@@ -571,15 +675,15 @@ object H264Decoder {
 
     private def lumaNeighbors(sx: Int, sy: Int, mbX: Int, mbY: Int,
         blkIdxInMb: Int): (Array[Int], Array[Int], Int, Boolean, Boolean) = {
-      val availU = sy > 0
-      val availL = sx > 0
+      val availU = sy > 0 && bstate.mbAvail(sx / 16, (sy - 1) / 16)
+      val availL = sx > 0 && bstate.mbAvail((sx - 1) / 16, sy / 16)
       val u = new Array[Int](8)
       val l = new Array[Int](4)
       var c = 128
       if (availU) {
         var i = 0
         while (i < 4) { u(i) = y((sy - 1) * ls + sx + i); i += 1 }
-        val urAvail = sx + 4 < ls && {
+        val urAvail = sx + 4 < ls && bstate.mbAvail((sx + 4) / 16, (sy - 1) / 16) && {
           val nMbX = (sx + 4) / 16; val nMbY = (sy - 1) / 16
           if (nMbY < mbY) true
           else if (nMbX != mbX) nMbX < mbX
@@ -598,7 +702,9 @@ object H264Decoder {
         var i = 0
         while (i < 4) { l(i) = y((sy + i) * ls + sx - 1); i += 1 }
       }
-      if (availU && availL) c = y((sy - 1) * ls + sx - 1)
+      val cAvail = availU && availL &&
+        bstate.mbAvail((sx - 1) / 16, (sy - 1) / 16)
+      if (cAvail) c = y((sy - 1) * ls + sx - 1)
       else if (availU) c = u(0)
       else if (availL) c = l(0)
       (u, l, c, availU, availL)
@@ -619,7 +725,7 @@ object H264Decoder {
         // §8.3.1.1: DC if either neighbor block is unavailable; otherwise
         // Min of the neighbor modes (non-I_4x4 neighbor MB reads as DC)
         val pred =
-          if (gbx == 0 || gby == 0) 2
+          if (!lumaBlkAvail(gbx - 1, gby) || !lumaBlkAvail(gbx, gby - 1)) 2
           else {
             val mA = i4Mode(gby * wMb * 4 + gbx - 1)
             val mB = i4Mode((gby - 1) * wMb * 4 + gbx)
@@ -704,7 +810,7 @@ object H264Decoder {
       val chroma = parseChromaResidual(br, mbX, mbY, cbpChroma)
 
       val sx0 = mbX * 16; val sy0 = mbY * 16
-      val (u, l, c, aU, aL) = gatherEdge(y, ls, sx0, sy0, 16)
+      val (u, l, c, aU, aL) = gatherEdge(y, ls, sx0, sy0, 16, mbX, mbY)
       Predict.luma16x16(predMode, y, ls, sx0, sy0, u, l, c, aU, aL)
       i = 0
       while (i < 16) {
@@ -753,7 +859,7 @@ object H264Decoder {
         res: (Array[Int], Array[Int], Array[Array[Int]], Array[Array[Int]])): Unit = {
       val cx0 = mbX * 8; val cy0 = mbY * 8
       for (plane <- Seq(cb, cr)) {
-        val (u, l, c, aU, aL) = gatherEdge(plane, cs, cx0, cy0, 8)
+        val (u, l, c, aU, aL) = gatherEdge(plane, cs, cx0, cy0, 8, mbX, mbY)
         Predict.chroma8x8(chromaMode, plane, cs, cx0, cy0, u, l, c, aU, aL)
       }
       addChromaResidual(mbX, mbY, res)
@@ -781,16 +887,22 @@ object H264Decoder {
       }
     }
 
+    /** Edge samples for 16×16 / chroma 8×8 intra prediction at the MB
+      * (mbX, mbY); availability is slice-masked per §6.4.8.
+      */
     private def gatherEdge(plane: Array[Int], stride: Int, x0: Int, y0: Int,
-        n: Int): (Array[Int], Array[Int], Int, Boolean, Boolean) = {
-      val availU = y0 > 0
-      val availL = x0 > 0
+        n: Int, mbX: Int, mbY: Int): (Array[Int], Array[Int], Int, Boolean, Boolean) = {
+      val availU = y0 > 0 && bstate.mbAvail(mbX, mbY - 1)
+      val availL = x0 > 0 && bstate.mbAvail(mbX - 1, mbY)
       val u = new Array[Int](n)
       val l = new Array[Int](n)
       var c = 128
       if (availU) { var i = 0; while (i < n) { u(i) = plane((y0 - 1) * stride + x0 + i); i += 1 } }
       if (availL) { var i = 0; while (i < n) { l(i) = plane((y0 + i) * stride + x0 - 1); i += 1 } }
-      if (availU && availL) c = plane((y0 - 1) * stride + x0 - 1)
+      val cAvail = availU && availL && bstate.mbAvail(mbX - 1, mbY - 1)
+      if (cAvail) c = plane((y0 - 1) * stride + x0 - 1)
+      else if (availU) c = u(0)
+      else if (availL) c = l(0)
       (u, l, c, availU, availL)
     }
 

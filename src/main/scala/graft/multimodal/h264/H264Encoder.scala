@@ -22,10 +22,16 @@ object H264Encoder {
   /** `pcmEvery` = 0 disables I_PCM; n > 0 codes every n-th MB of INTRA
     * frames as PCM (1 = every MB, the lossless path the m8 oracle relies
     * on). `pFrames` switches GOP structure from all-IDR to IPPP.
+    * `sliceRows` > 0 splits every picture into one slice per group of
+    * that many MB rows (the multi-slice framing hardware encoders emit);
+    * 0 = single slice. `noSliceEdgeDeblock` writes
+    * disable_deblocking_filter_idc = 2 (filter on, but slice-boundary
+    * MB edges excluded) when multi-slice.
     */
   final case class Config(
       qp: Int = 28, pcmEvery: Int = 0, deblock: Boolean = true,
-      pFrames: Boolean = false)
+      pFrames: Boolean = false, sliceRows: Int = 0,
+      noSliceEdgeDeblock: Boolean = false)
 
   final case class Encoded(
       width: Int, height: Int,
@@ -56,8 +62,8 @@ object H264Encoder {
     val spsP = H264Decoder.parseSps(Nal.unescape(sps, 1, sps.length))
     val ppsP = H264Decoder.parsePps(Nal.unescape(pps, 1, pps.length))
 
-    val dpb =
-      scala.collection.mutable.ArrayBuffer.empty[(H264Decoder.RefFrame, Int)]
+    val dpb = scala.collection.mutable.ArrayBuffer.empty[H264Decoder.DpbPic]
+    var nextPicId = 0
     val samples = Seq.newBuilder[Array[Byte]]
     val idrs = Seq.newBuilder[Boolean]
     val recons = Seq.newBuilder[H264Decoder.Frame]
@@ -81,25 +87,29 @@ object H264Encoder {
         if (!reorder) Nil
         else {
           var pred = frameNum
-          ordered.take(numRefActive).map { case (_, fn) =>
-            val diff = fn - pred
-            pred = fn
+          ordered.take(numRefActive).map { p =>
+            val diff = p.frameNum - pred
+            pred = p.frameNum
             if (diff < 0) (0, -diff - 1) else (1, diff - 1)
           }.toSeq
         }
       val enc = new FrameEncoder(wMb, hMb, cfg, spsP, ppsP,
-        ordered.map(_._1).toIndexedSeq, idr, frameNum, refMod)
-      val nal = enc.encodeFrame(pad(y, width, height, wMb * 16, hMb * 16),
+        ordered.map(_.ref).toIndexedSeq, ordered.map(_.picId).toIndexedSeq,
+        idr, frameNum, refMod)
+      val nals = enc.encodeFrame(pad(y, width, height, wMb * 16, hMb * 16),
         pad(cbP, width / 2, height / 2, wMb * 8, hMb * 8),
         pad(crP, width / 2, height / 2, wMb * 8, hMb * 8))
       val (frame, ref) = enc.finishFrame()
-      dpb.insert(0, (ref, frameNum))
+      dpb.insert(0, H264Decoder.DpbPic(ref, frameNum, nextPicId))
+      nextPicId += 1
       while (dpb.size > spsP.maxNumRefFrames) dpb.remove(dpb.size - 1)
       val sample = new java.io.ByteArrayOutputStream()
-      sample.write(Array[Byte](
-        ((nal.length >> 24) & 0xFF).toByte, ((nal.length >> 16) & 0xFF).toByte,
-        ((nal.length >> 8) & 0xFF).toByte, (nal.length & 0xFF).toByte))
-      sample.write(nal)
+      nals.foreach { nal =>
+        sample.write(Array[Byte](
+          ((nal.length >> 24) & 0xFF).toByte, ((nal.length >> 16) & 0xFF).toByte,
+          ((nal.length >> 8) & 0xFF).toByte, (nal.length & 0xFF).toByte))
+        sample.write(nal)
+      }
       samples += sample.toByteArray
       idrs += idr
       recons += frame
@@ -137,14 +147,22 @@ object H264Encoder {
     b.toByteArray
   }
 
-  /** Annex-B dump of the whole stream (SPS, PPS, then each frame). */
+  /** Annex-B dump of the whole stream (SPS, PPS, then each frame's NALs
+    * — a multi-slice picture contributes one NAL per slice).
+    */
   def annexB(e: Encoded): Array[Byte] = {
     val out = new java.io.ByteArrayOutputStream()
     def start(): Unit = out.write(Array[Byte](0, 0, 0, 1))
     start(); out.write(e.sps)
     start(); out.write(e.pps)
     e.samples.foreach { s =>
-      start(); out.write(s, 4, s.length - 4) // drop the AVCC length prefix
+      var pos = 0
+      while (pos + 4 <= s.length) { // each AVCC length-prefixed NAL
+        val len = ((s(pos) & 0xFF) << 24) | ((s(pos + 1) & 0xFF) << 16) |
+          ((s(pos + 2) & 0xFF) << 8) | (s(pos + 3) & 0xFF)
+        start(); out.write(s, pos + 4, len)
+        pos += 4 + len
+      }
     }
     out.toByteArray
   }
@@ -196,7 +214,8 @@ object H264Encoder {
 
   private final class FrameEncoder(wMb: Int, hMb: Int, cfg: Config,
       sps: H264Decoder.Sps, pps: H264Decoder.Pps,
-      refs: IndexedSeq[H264Decoder.RefFrame], idr: Boolean, frameNum: Int,
+      refs: IndexedSeq[H264Decoder.RefFrame], refPicIds: IndexedSeq[Int],
+      idr: Boolean, frameNum: Int,
       refMod: Seq[(Int, Int)] = Nil) {
     private val ls = wMb * 16
     private val cs = wMb * 8
@@ -218,10 +237,33 @@ object H264Encoder {
 
     import H264Decoder.{blkX, blkY}
 
-    def encodeFrame(srcY: Array[Int], srcCb: Array[Int], srcCr: Array[Int]): Array[Byte] = {
+    /** Encoded disable_deblocking_filter_idc (shared by every slice). */
+    private val deblockIdc =
+      if (!cfg.deblock) 1
+      else if (cfg.noSliceEdgeDeblock && cfg.sliceRows > 0 &&
+        cfg.sliceRows < hMb) 2
+      else 0
+
+    /** Encode the picture as one NAL per slice (`cfg.sliceRows` MB rows
+      * each; 0 = single slice covering the picture).
+      */
+    def encodeFrame(srcY: Array[Int], srcCb: Array[Int],
+        srcCr: Array[Int]): Seq[Array[Byte]] = {
+      val n = wMb * hMb
+      val rowsPerSlice = if (cfg.sliceRows <= 0) hMb else cfg.sliceRows
+      (0 until hMb by rowsPerSlice).zipWithIndex.map { case (row0, sliceIdx) =>
+        val mbStart = row0 * wMb
+        val mbEnd = math.min(n, (row0 + rowsPerSlice) * wMb)
+        bstate.curSlice = sliceIdx
+        encodeSlice(srcY, srcCb, srcCr, mbStart, mbEnd)
+      }
+    }
+
+    private def encodeSlice(srcY: Array[Int], srcCb: Array[Int],
+        srcCr: Array[Int], mbStart: Int, mbEnd: Int): Array[Byte] = {
       val bw = new BitWriter
       // slice header
-      bw.ue(0) // first_mb_in_slice
+      bw.ue(mbStart) // first_mb_in_slice
       bw.ue(if (isP) 5 else 7) // slice_type (all slices of picture)
       bw.ue(0) // pps_id
       bw.putBits(frameNum & ((1 << sps.log2MaxFrameNum) - 1), sps.log2MaxFrameNum)
@@ -239,13 +281,12 @@ object H264Encoder {
       if (!isP) { bw.put(0); bw.put(0) } // dec_ref_pic_marking (IDR)
       else bw.put(0) // adaptive_ref_pic_marking_mode_flag: sliding window
       bw.se(qp - pps.picInitQp) // slice_qp_delta
-      bw.ue(if (cfg.deblock) 0 else 1) // disable_deblocking_filter_idc
-      if (cfg.deblock) { bw.se(0); bw.se(0) }
+      bw.ue(deblockIdc) // disable_deblocking_filter_idc
+      if (deblockIdc != 1) { bw.se(0); bw.se(0) }
 
       var skipRun = 0
-      var mb = 0
-      val n = wMb * hMb
-      while (mb < n) {
+      var mb = mbStart
+      while (mb < mbEnd) {
         val mbX = mb % wMb
         val mbY = mb / wMb
         if (isP && trySkip(mbX, mbY, srcY, srcCb, srcCr)) {
@@ -279,7 +320,9 @@ object H264Encoder {
     /** Deblock, then return (cropped output frame, padded reference). */
     def finishFrame(): (H264Decoder.Frame, H264Decoder.RefFrame) = {
       if (cfg.deblock)
-        Deblock.filterFrame(y, cbP, crP, wMb, hMb, mbQp, 0, 0, 0,
+        Deblock.filterFramePerMb(y, cbP, crP, wMb, hMb, mbQp, 0,
+          new Array[Int](wMb * hMb), new Array[Int](wMb * hMb),
+          Array.fill(wMb * hMb)(deblockIdc), bstate.mbSliceOf,
           bstate.boundaryStrength(tcY))
       val w = sps.width; val h = sps.height
       val oy = new Array[Int](w * h)
@@ -364,8 +407,9 @@ object H264Encoder {
         quantizeMb(predY, predCb, predCr, mbX, mbY, srcY, srcCb, srcCr)
       if (cbpLuma != 0 || ch.cbpChroma != 0) return false
       // zero residual: recon = prediction
+      bstate.beginMb(mbX, mbY)
       writeMbPlanes(mbX, mbY, predY, predCb, predCr)
-      bstate.setBlocks(mbX * 4, mbY * 4, 4, 4, 0, mvx, mvy)
+      bstate.setBlocks(mbX * 4, mbY * 4, 4, 4, 0, refPicIds(0), mvx, mvy)
       setMbTc(mbX, mbY, 0)
       val _ = scans
       mbQp(mbY * wMb + mbX) = qp
@@ -435,6 +479,7 @@ object H264Encoder {
 
     private def encodeInterMb(bw: BitWriter, mbX: Int, mbY: Int,
         srcY: Array[Int], srcCb: Array[Int], srcCr: Array[Int]): Unit = {
+      bstate.beginMb(mbX, mbY)
       if ((mbX + mbY) % 4 == 3) { encodeP8x8(bw, mbX, mbY, srcY, srcCb, srcCr); return }
       val (mbType, parts, shapes) = (mbX + mbY) % 4 match {
         case 0 => (0, Seq((0, 0, 16, 16)), Seq(' '))
@@ -456,7 +501,8 @@ object H264Encoder {
         val (mvx, mvy) = searchMv(mbX, mbY, px, py, pw, ph, refIdxs(pi), prX, prY, srcY)
         mvs(pi) = (mvx, mvy)
         mvds(pi) = (mvx - prX, mvy - prY)
-        bstate.setBlocks(bx, by, pw / 4, ph / 4, refIdxs(pi), mvx, mvy)
+        bstate.setBlocks(bx, by, pw / 4, ph / 4, refIdxs(pi),
+          refPicIds(refIdxs(pi)), mvx, mvy)
       }
       val (predY, predCb, predCr) = mbPredFromMc(mbX, mbY, parts, refIdxs, mvs)
       val (scans, cbpLuma, ch) =
@@ -527,7 +573,8 @@ object H264Encoder {
           val by = mbY * 4 + py / 4
           val (prX, prY) = MvPred.predict(bstate.neigh, bx, by, sw / 4, refIdxs(e8))
           val (mvx, mvy) = searchMv(mbX, mbY, px, py, sw, sh, refIdxs(e8), prX, prY, srcY)
-          bstate.setBlocks(bx, by, sw / 4, sh / 4, refIdxs(e8), mvx, mvy)
+          bstate.setBlocks(bx, by, sw / 4, sh / 4, refIdxs(e8),
+            refPicIds(refIdxs(e8)), mvx, mvy)
           parts += ((px, py, sw, sh))
           partRefs += refIdxs(e8)
           partMvs += ((mvx, mvy))
@@ -599,15 +646,18 @@ object H264Encoder {
     // ------------------------------------------------------- helpers
 
     private def gatherEdge(plane: Array[Int], stride: Int, x0: Int, y0: Int,
-        n: Int): (Array[Int], Array[Int], Int, Boolean, Boolean) = {
-      val availU = y0 > 0
-      val availL = x0 > 0
+        n: Int, mbX: Int, mbY: Int): (Array[Int], Array[Int], Int, Boolean, Boolean) = {
+      val availU = y0 > 0 && bstate.mbAvail(mbX, mbY - 1)
+      val availL = x0 > 0 && bstate.mbAvail(mbX - 1, mbY)
       val u = new Array[Int](n)
       val l = new Array[Int](n)
       var c = 128
       if (availU) { var i = 0; while (i < n) { u(i) = plane((y0 - 1) * stride + x0 + i); i += 1 } }
       if (availL) { var i = 0; while (i < n) { l(i) = plane((y0 + i) * stride + x0 - 1); i += 1 } }
-      if (availU && availL) c = plane((y0 - 1) * stride + x0 - 1)
+      val cAvail = availU && availL && bstate.mbAvail(mbX - 1, mbY - 1)
+      if (cAvail) c = plane((y0 - 1) * stride + x0 - 1)
+      else if (availU) c = u(0)
+      else if (availL) c = l(0)
       (u, l, c, availU, availL)
     }
 
@@ -619,15 +669,15 @@ object H264Encoder {
 
     private def lumaNeighbors(sx: Int, sy: Int, mbX: Int, mbY: Int,
         blkIdx: Int): (Array[Int], Array[Int], Int, Boolean, Boolean) = {
-      val availU = sy > 0
-      val availL = sx > 0
+      val availU = sy > 0 && bstate.mbAvail(sx / 16, (sy - 1) / 16)
+      val availL = sx > 0 && bstate.mbAvail((sx - 1) / 16, sy / 16)
       val u = new Array[Int](8)
       val l = new Array[Int](4)
       var c = 128
       if (availU) {
         var i = 0
         while (i < 4) { u(i) = y((sy - 1) * ls + sx + i); i += 1 }
-        val urAvail = sx + 4 < ls && {
+        val urAvail = sx + 4 < ls && bstate.mbAvail((sx + 4) / 16, (sy - 1) / 16) && {
           val nMbX = (sx + 4) / 16; val nMbY = (sy - 1) / 16
           if (nMbY < mbY) true
           else if (nMbX != mbX) nMbX < mbX
@@ -638,14 +688,16 @@ object H264Encoder {
         else { var i = 4; while (i < 8) { u(i) = u(3); i += 1 } }
       }
       if (availL) { var i = 0; while (i < 4) { l(i) = y((sy + i) * ls + sx - 1); i += 1 } }
-      if (availU && availL) c = y((sy - 1) * ls + sx - 1)
+      val cAvail = availU && availL && bstate.mbAvail((sx - 1) / 16, (sy - 1) / 16)
+      if (cAvail) c = y((sy - 1) * ls + sx - 1)
       else if (availU) c = u(0)
       else if (availL) c = l(0)
       (u, l, c, availU, availL)
     }
 
     private def lumaNC(gbx: Int, gby: Int): Int = {
-      val a = gbx > 0; val b = gby > 0
+      val a = gbx > 0 && bstate.mbAvail((gbx - 1) / 4, gby / 4)
+      val b = gby > 0 && bstate.mbAvail(gbx / 4, (gby - 1) / 4)
       if (a && b) (tcY(gby * wMb * 4 + gbx - 1) + tcY((gby - 1) * wMb * 4 + gbx) + 1) >> 1
       else if (a) tcY(gby * wMb * 4 + gbx - 1)
       else if (b) tcY((gby - 1) * wMb * 4 + gbx)
@@ -653,7 +705,8 @@ object H264Encoder {
     }
 
     private def chromaNC(tc: Array[Int], gbx: Int, gby: Int): Int = {
-      val a = gbx > 0; val b = gby > 0
+      val a = gbx > 0 && bstate.mbAvail((gbx - 1) / 2, gby / 2)
+      val b = gby > 0 && bstate.mbAvail(gbx / 2, (gby - 1) / 2)
       if (a && b) (tc(gby * wMb * 2 + gbx - 1) + tc((gby - 1) * wMb * 2 + gbx) + 1) >> 1
       else if (a) tc(gby * wMb * 2 + gbx - 1)
       else if (b) tc((gby - 1) * wMb * 2 + gbx)
@@ -727,7 +780,7 @@ object H264Encoder {
         srcY: Array[Int], srcCb: Array[Int], srcCr: Array[Int],
         mbTypeOffset: Int): Unit = {
       val x0 = mbX * 16; val y0 = mbY * 16
-      val (u, l, c, aU, aL) = gatherEdge(y, ls, x0, y0, 16)
+      val (u, l, c, aU, aL) = gatherEdge(y, ls, x0, y0, 16, mbX, mbY)
       val candidates = Seq(2) ++
         (if (aU) Seq(0) else Nil) ++ (if (aL) Seq(1) else Nil) ++
         (if (aU && aL) Seq(3) else Nil)
@@ -835,7 +888,8 @@ object H264Encoder {
         modes(i) = bestMode
 
         val predMode =
-          if (gbx == 0 || gby == 0) 2
+          if (!(gbx > 0 && bstate.mbAvail((gbx - 1) / 4, gby / 4)) ||
+            !(gby > 0 && bstate.mbAvail(gbx / 4, (gby - 1) / 4))) 2
           else {
             val mA = i4Mode(gby * wMb * 4 + gbx - 1)
             val mB = i4Mode((gby - 1) * wMb * 4 + gbx)
@@ -903,8 +957,8 @@ object H264Encoder {
     private def encodeChromaIntra(mbX: Int, mbY: Int,
         srcCb: Array[Int], srcCr: Array[Int]): ChromaCode = {
       val cx0 = mbX * 8; val cy0 = mbY * 8
-      val (uB, lB, cB, aU, aL) = gatherEdge(cbP, cs, cx0, cy0, 8)
-      val (uR, lR, cR, _, _) = gatherEdge(crP, cs, cx0, cy0, 8)
+      val (uB, lB, cB, aU, aL) = gatherEdge(cbP, cs, cx0, cy0, 8, mbX, mbY)
+      val (uR, lR, cR, _, _) = gatherEdge(crP, cs, cx0, cy0, 8, mbX, mbY)
       val pCb = new Array[Int](64)
       val pCr = new Array[Int](64)
       Predict.chroma8x8(0, pCb, 8, 0, 0, uB, lB, cB, aU, aL)

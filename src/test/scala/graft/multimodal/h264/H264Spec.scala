@@ -518,6 +518,129 @@ class H264Spec extends AnyFunSuite {
     }
   }
 
+  // ------------------------------------------------------- multi-slice
+
+  test("multi-slice intra picture: one NAL per MB row, bit-exact decode") {
+    val w = 48; val h = 48
+    val frames = Seq(synthFrame(w, h, 21, smooth = false))
+    val multi = H264Encoder.encodeGray(frames, w, h,
+      H264Encoder.Config(qp = 26, sliceRows = 1))
+    val single = H264Encoder.encodeGray(frames, w, h,
+      H264Encoder.Config(qp = 26))
+    val sps = H264Decoder.parseSps(Nal.unescape(multi.sps, 1, multi.sps.length))
+    val pps = H264Decoder.parsePps(Nal.unescape(multi.pps, 1, multi.pps.length))
+    // the sample must carry 3 slice NALs with first_mb 0, 3, 6 — one per row
+    val s = multi.samples.head
+    var pos = 0
+    val firstMbs = Seq.newBuilder[Int]
+    while (pos + 4 <= s.length) {
+      val len = ((s(pos) & 0xFF) << 24) | ((s(pos + 1) & 0xFF) << 16) |
+        ((s(pos + 2) & 0xFF) << 8) | (s(pos + 3) & 0xFF)
+      assert((s(pos + 4) & 0x1F) == 5, "IDR slice NAL")
+      firstMbs += new BitReader(Nal.unescape(s, pos + 5, pos + 4 + len)).ue()
+      pos += 4 + len
+    }
+    assert(firstMbs.result() == Seq(0, 3, 6))
+    val dec = H264Decoder.decodeAvccSample(s, 4, sps, pps)
+    assert(dec.y.toSeq == multi.recon.head.y.toSeq, "multi-slice luma")
+    assert(dec.cb.toSeq == multi.recon.head.cb.toSeq)
+    // slice boundaries cut intra prediction: the multi-slice recon must
+    // genuinely differ from the single-slice one (same source, same QP)
+    assert(multi.recon.head.y.toSeq != single.recon.head.y.toSeq,
+      "slice-masked prediction must change the reconstruction")
+    // and both resemble the source
+    assert(psnr(frames.head, dec.y) > 30.0 - 0.6 * 26)
+  }
+
+  test("multi-slice IPPP: slice-masked MV prediction and per-slice skip runs") {
+    val w = 64; val h = 48
+    val rnd = new scala.util.Random(99)
+    val noise = Array.fill(w * h)(rnd.nextInt(24))
+    val frames = (0 until 5).map { f =>
+      Array.tabulate(w * h) { i =>
+        val x = i % w; val y = i / w
+        (((x + 2 * f) * 3 + y * 5 + noise(i)) % 256).toByte
+      }
+    }
+    for (rows <- Seq(1, 2)) {
+      val enc = H264Encoder.encodeGray(frames, w, h,
+        H264Encoder.Config(qp = 28, pFrames = true, sliceRows = rows))
+      val sps = H264Decoder.parseSps(Nal.unescape(enc.sps, 1, enc.sps.length))
+      val pps = H264Decoder.parsePps(Nal.unescape(enc.pps, 1, enc.pps.length))
+      val session = new H264Decoder.Session(sps, pps)
+      enc.samples.zip(enc.recon).zipWithIndex.foreach { case ((sample, recon), fi) =>
+        val dec = session.decodeSample(sample, 4)
+        assert(dec.y.toSeq == recon.y.toSeq, s"rows=$rows frame $fi luma")
+        assert(dec.cb.toSeq == recon.cb.toSeq, s"rows=$rows frame $fi cb")
+        assert(dec.cr.toSeq == recon.cr.toSeq, s"rows=$rows frame $fi cr")
+      }
+    }
+  }
+
+  test("disable_deblocking_filter_idc 2: slice-boundary edges unfiltered") {
+    val w = 48; val h = 48
+    // gentle gradient + mild noise: the filter's alpha/beta thresholds
+    // pass at the quantized MB edges (pure noise rejects nearly all)
+    val rnd = new scala.util.Random(31)
+    val frames = Seq(Array.tabulate(w * h) { i =>
+      val x = i % w; val y = i / w
+      ((x * 2 + y * 2 + rnd.nextInt(16)) % 256).toByte
+    })
+    val idc2 = H264Encoder.encodeGray(frames, w, h,
+      H264Encoder.Config(qp = 32, sliceRows = 1, noSliceEdgeDeblock = true))
+    val idc0 = H264Encoder.encodeGray(frames, w, h,
+      H264Encoder.Config(qp = 32, sliceRows = 1))
+    val sps = H264Decoder.parseSps(Nal.unescape(idc2.sps, 1, idc2.sps.length))
+    val pps = H264Decoder.parsePps(Nal.unescape(idc2.pps, 1, idc2.pps.length))
+    val d2 = H264Decoder.decodeAvccSample(idc2.samples.head, 4, sps, pps)
+    val d0 = H264Decoder.decodeAvccSample(idc0.samples.head, 4, sps, pps)
+    assert(d2.y.toSeq == idc2.recon.head.y.toSeq, "idc2 recon equality")
+    assert(d0.y.toSeq == idc0.recon.head.y.toSeq, "idc0 recon equality")
+    // identical coding up to the filter: only slice-boundary rows differ
+    assert(d2.y.toSeq != d0.y.toSeq, "boundary filtering must matter")
+    // rows away from the 16-aligned slice boundaries are identical (the
+    // luma strong filter reaches ±3 samples; in-place cascade through
+    // the next internal edge bounds the spill under row 16+5)
+    for (y <- (0 to 11) ++ (23 to 26) ++ (40 to 47); x <- 0 until w)
+      assert(d2.y(y * w + x) == d0.y(y * w + x), s"interior row $y x=$x")
+  }
+
+  test("multi-slice Annex-B: pictures group at first_mb 0 boundaries") {
+    val w = 32; val h = 48
+    val frames = (0 until 3).map(f => synthFrame(w, h, f + 61, smooth = true))
+    val enc = H264Encoder.encodeGray(frames, w, h,
+      H264Encoder.Config(qp = 26, pFrames = true, sliceRows = 1))
+    val decoded = H264Decoder.decodeAnnexB(H264Encoder.annexB(enc))
+    assert(decoded.size == 3)
+    decoded.zip(enc.recon).zipWithIndex.foreach { case ((d, r), fi) =>
+      assert(d.y.toSeq == r.y.toSeq, s"frame $fi")
+    }
+  }
+
+  test("fail-fast: out-of-order slices (ASO) are refused by name") {
+    val w = 32; val h = 32
+    val enc = H264Encoder.encodeGray(
+      Seq(synthFrame(w, h, 7, smooth = true)), w, h,
+      H264Encoder.Config(qp = 26, sliceRows = 1))
+    val sps = H264Decoder.parseSps(Nal.unescape(enc.sps, 1, enc.sps.length))
+    val pps = H264Decoder.parsePps(Nal.unescape(enc.pps, 1, enc.pps.length))
+    // split the sample into NALs and swap slices 1 and 2
+    val s = enc.samples.head
+    val nals = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+    var pos = 0
+    while (pos + 4 <= s.length) {
+      val len = ((s(pos) & 0xFF) << 24) | ((s(pos + 1) & 0xFF) << 16) |
+        ((s(pos + 2) & 0xFF) << 8) | (s(pos + 3) & 0xFF)
+      nals += java.util.Arrays.copyOfRange(s, pos, pos + 4 + len)
+      pos += 4 + len
+    }
+    assert(nals.size == 2, "32x32 with 1-row slices = 2 slices")
+    val swapped = (Seq(nals(1), nals(0)).flatten).toArray
+    val e = intercept[IllegalArgumentException](
+      H264Decoder.decodeAvccSample(swapped, 4, sps, pps))
+    assert(e.getMessage.contains("macroblock 0") || e.getMessage.contains("ASO"))
+  }
+
   test("IPPP via Annex-B: session decode with multi-ref and deblocking") {
     val w = 64; val h = 32
     val frames = (0 until 5).map { f =>

@@ -104,39 +104,65 @@ object Codec {
       pps: graft.multimodal.h264.H264Decoder.Pps, lengthSize: Int)
 
   /** MP4 track: MJPEG samples decode as independent JPEGs; 'avc1'
-    * samples through the pure-JVM H.264 baseline decoder
+    * samples through the pure-JVM H.264 decoder
     * ([[graft.multimodal.h264.H264Decoder]]) — output is 3-channel
     * interleaved YCbCr with nearest-upsampled 4:2:0 chroma (the codec's
     * native color space; matrixing to RGB is a display choice left to
     * the caller).
     *
     * H.264 is an INTER codec: frame access decodes forward from the
-    * stream start through a stateful session (IPPP streams reference
-    * earlier frames), so sequential access is O(1) amortized and a
-    * backward seek restarts the session — exactly the keyframe-decode
-    * cost model [[Multimodal.sampleFrames]] documents.
+    * stream start through a stateful session, so sequential access is
+    * O(1) amortized and a far-backward seek restarts the session —
+    * exactly the keyframe-decode cost model [[Multimodal.sampleFrames]]
+    * documents. Frame index `i` is the DISPLAY index: when the track
+    * carries ctts composition offsets (B-frame reordering), samples
+    * decode in coded order and a small reorder window of decoded frames
+    * (bounded by the stream's reorder depth) serves display order.
     */
   final class Mp4Video(content: Array[Byte], frames: Array[(Int, Int)],
-      avc: Option[AvcConfig])
+      avc: Option[AvcConfig], ctsOffsets: Array[Int] = Array.emptyIntArray)
     extends Video(content, frames) {
     private var session: graft.multimodal.h264.H264Decoder.Session = null
     private var nextIdx = 0
+    // decode-order sample index per display index: rank of cts = dts + offset
+    private val displayToSample: Array[Int] =
+      if (ctsOffsets.isEmpty) Array.tabulate(frames.length)(identity)
+      else {
+        require(ctsOffsets.length == frames.length, "ctts arity")
+        frames.indices.sortBy(n => (n + ctsOffsets(n), n)).toArray
+      }
+    // reorder window: scanning display order, the max count of samples
+    // decoded at-or-after a sample before its display turn arrives
+    private val reorderWindow: Int = {
+      var maxSeen = -1
+      var w = 1
+      displayToSample.foreach { s =>
+        maxSeen = math.max(maxSeen, s)
+        w = math.max(w, maxSeen - s + 1)
+      }
+      w
+    }
+    private val cache =
+      scala.collection.mutable.LinkedHashMap.empty[Int, graft.multimodal.h264.H264Decoder.Frame]
 
     override def decodeFrame(i: Int): (Int, Int, Int, Array[Byte]) = avc match {
       case None => super.decodeFrame(i)
       case Some(cfg) =>
-        if (session == null || i < nextIdx) {
+        val sampleIdx = displayToSample(i)
+        if (session == null || (sampleIdx < nextIdx && !cache.contains(sampleIdx))) {
           session = new graft.multimodal.h264.H264Decoder.Session(cfg.sps, cfg.pps)
           nextIdx = 0
+          cache.clear()
         }
-        var f: graft.multimodal.h264.H264Decoder.Frame = null
-        while (nextIdx <= i) {
+        while (nextIdx <= sampleIdx) {
           val (off, len) = frames(nextIdx)
-          f = session.decodeSample(
+          val f = session.decodeSample(
             java.util.Arrays.copyOfRange(content, off, off + len), cfg.lengthSize)
+          cache(nextIdx) = f
+          while (cache.size > math.max(reorderWindow, 2)) cache.remove(cache.head._1)
           nextIdx += 1
         }
-        require(f != null, s"frame $i already decoded past — reseek")
+        val f = cache(sampleIdx)
         val out = new Array[Byte](f.width * f.height * 3)
         val cw = f.chromaWidth
         var y = 0
@@ -214,16 +240,19 @@ object Codec {
     def fourcc(p: Int): String = new String(content, p, 4, "US-ASCII")
 
     /** Find child box `typ` inside [from, to); returns (bodyStart, bodyEnd). */
-    def child(from: Int, to: Int, typ: String): (Int, Int) = {
+    def childOpt(from: Int, to: Int, typ: String): Option[(Int, Int)] = {
       var p = from
       while (p + 8 <= to) {
         val size = be32(p)
         require(size >= 8, s"bad box size $size at $p")
-        if (fourcc(p + 4) == typ) return (p + 8, p + size)
+        if (fourcc(p + 4) == typ) return Some((p + 8, p + size))
         p += size
       }
-      throw new IllegalArgumentException(s"box $typ not found in [$from,$to)")
+      None
     }
+    def child(from: Int, to: Int, typ: String): (Int, Int) =
+      childOpt(from, to, typ).getOrElse(
+        throw new IllegalArgumentException(s"box $typ not found in [$from,$to)"))
 
     require(content.length >= 12 && fourcc(4) == "ftyp",
       "content is not an ISO-BMFF container")
@@ -278,7 +307,29 @@ object Codec {
     var off = be32(stcoS + 8)
     val frames = Array.newBuilder[(Int, Int)]
     sizes.foreach { len => frames += ((off, len)); off += len }
-    new Mp4Video(content, frames.result(), avc)
+
+    // optional ctts: composition offsets (v0, run-length) — B-frame
+    // streams carry these so display order can be recovered
+    val ctsOffsets: Array[Int] = childOpt(stblS, stblE, "ctts") match {
+      case None => Array.emptyIntArray
+      case Some((cttsS, _)) =>
+        require((content(cttsS) & 0xFF) == 0, "ctts version 1 not supported")
+        val entries = be32(cttsS + 4)
+        val out = Array.newBuilder[Int]
+        var e = 0
+        while (e < entries) {
+          val count = be32(cttsS + 8 + 8 * e)
+          val offset = be32(cttsS + 8 + 8 * e + 4)
+          require(offset >= 0, "negative ctts offset in a v0 box")
+          var k = 0
+          while (k < count) { out += offset; k += 1 }
+          e += 1
+        }
+        val res = out.result()
+        require(res.length == n, s"ctts covers ${res.length} of $n samples")
+        res
+    }
+    new Mp4Video(content, frames.result(), avc, ctsOffsets)
   }
 
   /** Decode a mono 16-bit PCM WAV: walk the RIFF chunks (fmt may be

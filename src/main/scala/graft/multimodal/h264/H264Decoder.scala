@@ -1,9 +1,9 @@
 package graft.multimodal.h264
 
-/** Pure-JVM H.264 decoder for the BASELINE subset (ITU-T H.264, public
-  * spec; no code derives from any existing decoder):
+/** Pure-JVM H.264 decoder for the progressive CAVLC subset (ITU-T
+  * H.264, public spec; no code derives from any existing decoder):
   *
-  *  - profile_idc 66 (Baseline); CAVLC entropy coding only
+  *  - profile_idc 66/77 (Baseline/Main); CAVLC entropy coding only
   *    (`entropy_coding_mode_flag`=0); 4:2:0, 8-bit, frame_mbs_only
   *  - I/IDR slices: I_4x4, I_16x16 (all 24 variants), I_PCM
   *  - P slices: P_Skip (with §8.4.1.1 MV inference), every partition
@@ -14,23 +14,37 @@ package graft.multimodal.h264
   *    §8.2.4 reference list construction incl. short-term reordering
   *    commands), quarter-pel luma / eighth-pel chroma motion
   *    compensation
+  *  - B slices (SPATIAL direct mode — the x264/ffmpeg default): every
+  *    Table 7-14 mb_type — B_Skip/B_Direct_16x16, one- and two-partition
+  *    L0/L1/Bi in 16x16/16x8/8x16, and B_8x8 with all Table 7-17
+  *    sub_mb_types incl. B_Direct_8x8 — two reference lists initialized
+  *    by POC (§8.2.4.2.3, with the L0==L1 head swap) and modified per
+  *    list, §8.4.2.1 bi-prediction averaging, per-4×4 colZeroFlag with
+  *    direct_8x8_inference, non-reference pictures (nal_ref_idc 0) kept
+  *    out of the DPB, §8.2.1.1 POC type 0 with lsb wrap
   *  - MULTIPLE SLICES per picture (the framing real hardware encoders
   *    emit — often one slice per MB row): §6.4.8 neighbor availability
   *    is slice-masked for intra prediction, CAVLC contexts and MV
-  *    prediction; each slice carries its own QP, reference list and
+  *    prediction; each slice carries its own QP, reference lists and
   *    deblocking parameters; §8.7 slice-boundary filter control
   *    (disable_deblocking_filter_idc = 2) honored. Slices must cover
   *    the picture in raster order (no FMO/ASO).
   *  - frame cropping honored; deblocking per §8.7 with full inter
-  *    boundary-strength derivation (reference comparison by picture
-  *    identity, so per-slice list reorderings stay exact)
+  *    boundary-strength derivation across both lists (reference
+  *    comparison by picture identity, so per-slice list reorderings
+  *    and same-picture bi-prediction derive exactly)
   *
   * Everything outside the subset FAILS FAST with a named error (CABAC,
-  * B slices, long-term references, MMCO, other profiles' SPS
-  * extensions) rather than misreading — the stance of the
-  * HDF5/szip readers (`graft.sources.Hdf5`). The reference writes MP4
-  * video via imageio (/root/reference/picoprobe/tools/temporal.py:26-35),
-  * whose real-world codec is H.264; this decoder is what lets the engine
+  * temporal direct, long-term references, MMCO, weighted prediction,
+  * interlace, High-profile SPS extensions) rather than misreading — the
+  * stance of the HDF5/szip
+  * readers (`graft.sources.Hdf5`). CABAC stays out deliberately: its
+  * ~1000 context-initialization constants are empirical spec tables
+  * that cannot be re-derived, and an unverifiable transcription would
+  * risk silently wrong samples — the one failure mode this codebase
+  * refuses. The reference writes MP4 video via imageio
+  * (/root/reference/picoprobe/tools/temporal.py:26-35), whose
+  * real-world codec is H.264; this decoder is what lets the engine
   * ingest such clips.
   */
 object H264Decoder {
@@ -40,7 +54,8 @@ object H264Decoder {
       log2MaxFrameNum: Int, pocType: Int, log2MaxPocLsb: Int,
       maxNumRefFrames: Int,
       widthMbs: Int, heightMbs: Int,
-      cropLeft: Int, cropRight: Int, cropTop: Int, cropBottom: Int) {
+      cropLeft: Int, cropRight: Int, cropTop: Int, cropBottom: Int,
+      direct8x8Inference: Boolean = true) {
     // 4:2:0 frame_mbs_only crop units: 2 horizontally, 2 vertically (§7.4.2.1.1)
     def width: Int = widthMbs * 16 - 2 * (cropLeft + cropRight)
     def height: Int = heightMbs * 16 - 2 * (cropTop + cropBottom)
@@ -61,10 +76,21 @@ object H264Decoder {
   /** A reference picture: PADDED (MB-aligned), post-deblock planes. */
   final case class RefFrame(y: Array[Int], cb: Array[Int], cr: Array[Int])
 
-  /** A DPB entry: planes + frame_num (PicNum arithmetic) + a
-    * session-global picture id (deblock reference-identity compares).
+  /** Per-4×4-block motion of a decoded reference picture, kept for
+    * B-slice direct-mode derivation (the co-located picture's refIdx/MV
+    * feed colZeroFlag, §8.4.1.2.2).
     */
-  final case class DpbPic(ref: RefFrame, frameNum: Int, picId: Int)
+  final case class PicMotion(
+      ref0: Array[Int], ref1: Array[Int],
+      mv0x: Array[Int], mv0y: Array[Int],
+      mv1x: Array[Int], mv1y: Array[Int])
+
+  /** A DPB entry: planes + frame_num (PicNum arithmetic) + a
+    * session-global picture id (deblock reference-identity compares) +
+    * POC (B-slice list ordering) + motion field (direct modes).
+    */
+  final case class DpbPic(ref: RefFrame, frameNum: Int, picId: Int,
+      poc: Int, motion: PicMotion)
 
   // mapped-Exp-Golomb coded_block_pattern, 4:2:0 (Table 9-4)
   private[h264] val CbpIntra: Array[Int] = Array(
@@ -109,12 +135,12 @@ object H264Decoder {
     val heightMapUnits = br.ue() + 1
     val frameMbsOnly = br.u1()
     require(frameMbsOnly == 1, "interlaced (frame_mbs_only_flag=0) not supported")
-    br.u1() // direct_8x8_inference_flag
+    val direct8x8 = br.u1() == 1 // direct_8x8_inference_flag
     var (cl, crr, ct, cb) = (0, 0, 0, 0)
     if (br.u1() == 1) { cl = br.ue(); crr = br.ue(); ct = br.ue(); cb = br.ue() }
     // vui_parameters_present_flag and beyond are irrelevant to decoding
     Sps(profile, level, spsId, log2MaxFrameNum, pocType, log2MaxPocLsb,
-      math.max(1, maxRef), widthMbs, heightMapUnits, cl, crr, ct, cb)
+      math.max(1, maxRef), widthMbs, heightMapUnits, cl, crr, ct, cb, direct8x8)
   }
 
   def parsePps(rbsp: Array[Byte]): Pps = {
@@ -128,8 +154,11 @@ object H264Decoder {
     require(sliceGroups == 1, s"FMO ($sliceGroups slice groups) not supported")
     val numRefDefault = br.ue() + 1 // num_ref_idx_l0_default_active_minus1
     br.ue() // num_ref_idx_l1_default_active_minus1
-    br.u1() // weighted_pred_flag
-    br.u(2) // weighted_bipred_idc
+    // decoding a weighted stream unweighted would silently drift
+    require(br.u1() == 0, "weighted prediction (weighted_pred_flag=1) not supported")
+    val bipredIdc = br.u(2)
+    require(bipredIdc == 0,
+      s"weighted bi-prediction (weighted_bipred_idc=$bipredIdc) not supported")
     val picInitQp = br.se() + 26
     br.se() // pic_init_qs
     val chromaQpOffset = br.se()
@@ -140,22 +169,30 @@ object H264Decoder {
       constrainedIntra)
   }
 
+  /** One slice NAL of a picture: unescaped RBSP + NAL header facts. */
+  final case class SliceNal(rbsp: Array[Byte], idr: Boolean, refIdc: Int)
+
   /** Stateful decode session: holds the sliding-window DPB (reference
-    * pictures + their frame_num for PicNum arithmetic) so IPPP streams
-    * decode; an IDR resets it. One session per video track.
+    * pictures + frame_num/POC/motion) so IPPP and IBP streams decode;
+    * an IDR resets it. Frames return in DECODE order (the container's
+    * composition times order display — `Codec.Mp4Video` applies ctts).
+    * One session per video track.
     */
   final class Session(sps: Sps, pps: Pps) {
     private val dpb = scala.collection.mutable.ArrayBuffer.empty[DpbPic]
     private var nextPicId = 0
+    // §8.2.1.1 state: lsb/msb of the previous REFERENCE picture
+    private var prevPocLsb = 0
+    private var prevPocMsb = 0
 
-    def reset(): Unit = dpb.clear()
+    def reset(): Unit = { dpb.clear(); prevPocLsb = 0; prevPocMsb = 0 }
 
     /** Decode one AVCC sample (length-prefixed NALs) to its frame. The
       * sample is one access unit; every coded-slice NAL inside it is a
       * slice of the SAME picture (multi-slice encoders emit several).
       */
     def decodeSample(sample: Array[Byte], lengthSize: Int): Frame = {
-      val slices = Seq.newBuilder[(Array[Byte], Boolean)]
+      val slices = Seq.newBuilder[SliceNal]
       var pos = 0
       while (pos + lengthSize <= sample.length) {
         var len = 0
@@ -165,7 +202,8 @@ object H264Decoder {
         require(len > 0 && pos + len <= sample.length, "bad NAL length in sample")
         val nalType = sample(pos) & 0x1F
         if (nalType == 1 || nalType == 5)
-          slices += ((Nal.unescape(sample, pos + 1, pos + len), nalType == 5))
+          slices += SliceNal(Nal.unescape(sample, pos + 1, pos + len),
+            nalType == 5, (sample(pos) >> 5) & 3)
         // SPS/PPS/SEI/AUD NALs inside samples are skipped (avcC carries params)
         pos += len
       }
@@ -174,23 +212,51 @@ object H264Decoder {
       decodePictureNals(ss)
     }
 
+    /** §8.2.1 picture order count for the current picture. */
+    private def computePoc(firstSlice: SliceNal): Int = {
+      val br = new BitReader(firstSlice.rbsp)
+      br.ue() // first_mb_in_slice
+      br.ue() // slice_type
+      br.ue() // pps_id
+      val frameNum = br.u(sps.log2MaxFrameNum)
+      if (firstSlice.idr) br.ue() // idr_pic_id
+      sps.pocType match {
+        case 0 =>
+          val lsb = br.u(sps.log2MaxPocLsb)
+          val maxLsb = 1 << sps.log2MaxPocLsb
+          val (pLsb, pMsb) = if (firstSlice.idr) (0, 0) else (prevPocLsb, prevPocMsb)
+          val msb =
+            if (lsb < pLsb && pLsb - lsb >= maxLsb / 2) pMsb + maxLsb
+            else if (lsb > pLsb && lsb - pLsb > maxLsb / 2) pMsb - maxLsb
+            else pMsb
+          if (firstSlice.refIdc > 0) { prevPocLsb = lsb; prevPocMsb = msb }
+          msb + lsb
+        case _ => // type 2: POC follows decode order
+          if (firstSlice.refIdc > 0) 2 * frameNum else 2 * frameNum - 1
+      }
+    }
+
     /** Decode one picture from its slice NALs (already unescaped). */
-    def decodePictureNals(slices: Seq[(Array[Byte], Boolean)]): Frame = {
-      val idr = slices.head._2
-      require(slices.forall(_._2 == idr), "mixed IDR/non-IDR slices in one picture")
+    def decodePictureNals(slices: Seq[SliceNal]): Frame = {
+      val idr = slices.head.idr
+      require(slices.forall(_.idr == idr), "mixed IDR/non-IDR slices in one picture")
       if (idr) dpb.clear()
+      val isRef = slices.head.refIdc > 0
+      val poc = computePoc(slices.head)
       val picId = nextPicId
       nextPicId += 1
-      val (frame, ref, frameNum) =
-        decodePicture(slices.map(_._1), idr, sps, pps, dpb.toIndexedSeq, picId)
-      dpb.insert(0, DpbPic(ref, frameNum, picId))
-      while (dpb.size > sps.maxNumRefFrames) dpb.remove(dpb.size - 1) // sliding window
+      val (frame, ref, frameNum, motion) =
+        decodePicture(slices, sps, pps, dpb.toIndexedSeq, poc)
+      if (isRef) {
+        dpb.insert(0, DpbPic(ref, frameNum, picId, poc, motion))
+        while (dpb.size > sps.maxNumRefFrames) dpb.remove(dpb.size - 1) // sliding window
+      }
       frame
     }
 
-    /** Single-NAL convenience (one slice per picture). */
+    /** Single-NAL convenience (one slice per picture, reference). */
     def decodeSliceNal(rbsp: Array[Byte], idr: Boolean): Frame =
-      decodePictureNals(Seq((rbsp, idr)))
+      decodePictureNals(Seq(SliceNal(rbsp, idr, 3)))
   }
 
   /** One-shot convenience for IDR samples (intra fixtures, first frame). */
@@ -210,7 +276,7 @@ object H264Decoder {
     var sps: Sps = null
     var pps: Pps = null
     val frames = Seq.newBuilder[Frame]
-    val pending = scala.collection.mutable.ArrayBuffer.empty[(Array[Byte], Boolean)]
+    val pending = scala.collection.mutable.ArrayBuffer.empty[SliceNal]
     def flush(): Unit = if (pending.nonEmpty) {
       frames += session.decodePictureNals(pending.toSeq)
       pending.clear()
@@ -226,7 +292,7 @@ object H264Decoder {
           if (session == null) session = new Session(sps, pps)
           val firstMb = new BitReader(rbsp).ue()
           if (firstMb == 0) flush()
-          pending += ((rbsp, nalType == 5))
+          pending += SliceNal(rbsp, nalType == 5, (data(from) >> 5) & 3)
         case _ => // SEI / AUD / filler — skip
       }
     }
@@ -257,44 +323,70 @@ object H264Decoder {
 
   // ------------------------------------------------------------ slice
 
-  /** Parsed slice header: everything MB decoding needs per slice. */
+  /** Parsed slice header: everything MB decoding needs per slice.
+    * `refs0`/`refs1` are the constructed reference lists (L1 empty
+    * outside B slices).
+    */
   private final case class SliceHeader(
-      firstMb: Int, isP: Boolean, frameNum: Int,
-      refs: IndexedSeq[RefFrame], refPicIds: IndexedSeq[Int],
-      numRefActive: Int, sliceQp: Int,
+      firstMb: Int, isP: Boolean, isB: Boolean, frameNum: Int,
+      refs0: IndexedSeq[DpbPic], refs1: IndexedSeq[DpbPic],
+      numRefActive0: Int, numRefActive1: Int, sliceQp: Int,
       disableDeblock: Int, alphaOff: Int, betaOff: Int)
 
-  private def parseSliceHeader(br: BitReader, idr: Boolean,
-      sps: Sps, pps: Pps, dpb: IndexedSeq[DpbPic]): SliceHeader = {
+  private def parseSliceHeader(br: BitReader, nal: SliceNal,
+      sps: Sps, pps: Pps, dpb: IndexedSeq[DpbPic], poc: Int): SliceHeader = {
+    val idr = nal.idr
     val firstMb = br.ue()
     val sliceType = br.ue()
     val isP = sliceType == 0 || sliceType == 5
+    val isB = sliceType == 1 || sliceType == 6
     val isI = sliceType == 2 || sliceType == 7
-    require(isP || isI,
-      s"slice_type $sliceType not supported — I and P slices only (no B)")
-    require(!isP || dpb.nonEmpty, "P slice with an empty reference list")
-    // constrained intra masks inter neighbors out of intra-in-P
+    require(isP || isI || isB, s"slice_type $sliceType not supported (SP/SI)")
+    require(!(isP || isB) || dpb.nonEmpty,
+      s"${if (isB) "B" else "P"} slice with an empty reference list")
+    require(!isB || sps.pocType == 0,
+      "B slices require pic_order_cnt_type 0 (decode order != output order)")
+    // constrained intra masks inter neighbors out of intra-in-P/B
     // prediction — decoding it without the masking would silently drift
-    require(!isP || !pps.constrainedIntra,
-      "constrained_intra_pred_flag not supported for P slices")
+    require(isI || !pps.constrainedIntra,
+      "constrained_intra_pred_flag not supported for P/B slices")
     val ppsId = br.ue()
     require(ppsId == pps.ppsId, s"slice references pps $ppsId")
     val frameNum = br.u(sps.log2MaxFrameNum)
     if (idr) br.ue() // idr_pic_id
-    if (sps.pocType == 0) br.u(sps.log2MaxPocLsb) // pic_order_cnt_lsb
-    // the PARSED active count drives te(v) ref_idx parsing; actual DPB
-    // bounds are enforced where each ref_idx is used
-    var numRefActive = pps.numRefDefault
-    var refs: IndexedSeq[DpbPic] = IndexedSeq.empty
-    if (isP) {
-      if (br.u1() == 1) numRefActive = br.ue() + 1 // num_ref_idx override
-      refs = buildRefList(br, dpb, frameNum, numRefActive,
-        1 << sps.log2MaxFrameNum)
+    if (sps.pocType == 0) br.u(sps.log2MaxPocLsb) // pic_order_cnt_lsb (Session read it)
+    if (isB) {
+      val directSpatial = br.u1()
+      require(directSpatial == 1,
+        "temporal direct mode (direct_spatial_mv_pred_flag=0) not supported — spatial only")
     }
-    if (idr) { br.u1(); br.u1() } // no_output_of_prior_pics, long_term_reference
-    else { // dec_ref_pic_marking for a reference picture
-      val adaptive = br.u1()
-      require(adaptive == 0, "adaptive ref pic marking (MMCO) not supported")
+    // the PARSED active counts drive te(v) ref_idx parsing; actual DPB
+    // bounds are enforced where each ref_idx is used
+    var numRefActive0 = pps.numRefDefault
+    var numRefActive1 = 1
+    var refs0: IndexedSeq[DpbPic] = IndexedSeq.empty
+    var refs1: IndexedSeq[DpbPic] = IndexedSeq.empty
+    if (isP || isB) {
+      if (br.u1() == 1) { // num_ref_idx_active_override_flag
+        numRefActive0 = br.ue() + 1
+        if (isB) numRefActive1 = br.ue() + 1
+      }
+      val maxFn = 1 << sps.log2MaxFrameNum
+      if (isP) {
+        refs0 = applyModification(br, initListP(dpb, frameNum, maxFn),
+          dpb, frameNum, numRefActive0, maxFn)
+      } else {
+        val (i0, i1) = initListsB(dpb, poc)
+        refs0 = applyModification(br, i0, dpb, frameNum, numRefActive0, maxFn)
+        refs1 = applyModification(br, i1, dpb, frameNum, numRefActive1, maxFn)
+      }
+    }
+    if (nal.refIdc > 0) {
+      if (idr) { br.u1(); br.u1() } // no_output_of_prior_pics, long_term_reference
+      else { // dec_ref_pic_marking for a reference picture
+        val adaptive = br.u1()
+        require(adaptive == 0, "adaptive ref pic marking (MMCO) not supported")
+      }
     }
     val sliceQp = pps.picInitQp + br.se()
     require(sliceQp >= 0 && sliceQp <= 51, s"slice QP $sliceQp")
@@ -306,20 +398,20 @@ object H264Decoder {
       require(disableDeblock <= 2, s"disable_deblocking_filter_idc $disableDeblock")
       if (disableDeblock != 1) { alphaOff = 2 * br.se(); betaOff = 2 * br.se() }
     }
-    SliceHeader(firstMb, isP, frameNum, refs.map(_.ref), refs.map(_.picId),
-      numRefActive, sliceQp, disableDeblock, alphaOff, betaOff)
+    SliceHeader(firstMb, isP, isB, frameNum, refs0, refs1,
+      numRefActive0, numRefActive1, sliceQp, disableDeblock, alphaOff, betaOff)
   }
 
-  private def decodePicture(sliceRbsps: Seq[Array[Byte]], idr: Boolean,
-      sps: Sps, pps: Pps, dpb: IndexedSeq[DpbPic], picId: Int)
-      : (Frame, RefFrame, Int) = {
+  private def decodePicture(slices: Seq[SliceNal],
+      sps: Sps, pps: Pps, dpb: IndexedSeq[DpbPic], poc: Int)
+      : (Frame, RefFrame, Int, PicMotion) = {
     val n = sps.widthMbs * sps.heightMbs
     var dec: FrameDecoder = null
     var frameNum = -1
     var nextMb = 0
-    sliceRbsps.zipWithIndex.foreach { case (rbsp, sliceIdx) =>
-      val br = new BitReader(rbsp)
-      val hdr = parseSliceHeader(br, idr, sps, pps, dpb)
+    slices.zipWithIndex.foreach { case (nal, sliceIdx) =>
+      val br = new BitReader(nal.rbsp)
+      val hdr = parseSliceHeader(br, nal, sps, pps, dpb, poc)
       if (sliceIdx == 0) {
         require(hdr.firstMb == 0, "picture does not start at macroblock 0")
         frameNum = hdr.frameNum
@@ -334,21 +426,41 @@ object H264Decoder {
     }
     require(nextMb == n, s"picture covered $nextMb of $n macroblocks")
     dec.deblockFrame()
-    (dec.crop(), RefFrame(dec.y, dec.cb, dec.cr), frameNum)
+    (dec.crop(), RefFrame(dec.y, dec.cb, dec.cr), frameNum, dec.motion())
   }
 
-  /** RefPicList0 construction (§8.2.4.2.1 initialization by descending
-    * PicNum with FrameNumWrap, then §8.2.4.3 modification): idc 0/1
-    * abs_diff_pic_num reordering; long-term (idc 2) fails fast. The list
-    * is built at working length numRefActive+1 and truncated, per the
-    * standard's insertion process.
-    */
-  private def buildRefList(br: BitReader, dpb: IndexedSeq[DpbPic],
-      currFrameNum: Int, numRefActive: Int, maxFrameNum: Int): IndexedSeq[DpbPic] = {
+  /** §8.2.4.2.1 P initialization: descending PicNum with FrameNumWrap. */
+  private def initListP(dpb: IndexedSeq[DpbPic], currFrameNum: Int,
+      maxFrameNum: Int): IndexedSeq[DpbPic] = {
     def picNum(fn: Int): Int = if (fn > currFrameNum) fn - maxFrameNum else fn
-    // initial list: descending PicNum
-    var list = dpb.sortBy(p => -picNum(p.frameNum)).toBuffer
-    if (br.u1() == 1) { // ref_pic_list_modification_flag_l0
+    dpb.sortBy(p => -picNum(p.frameNum))
+  }
+
+  /** §8.2.4.2.3 B initialization by POC: L0 = past (descending POC) then
+    * future (ascending); L1 = future then past; if the first two entries
+    * of L1 would mirror L0 exactly, they swap.
+    */
+  private def initListsB(dpb: IndexedSeq[DpbPic], currPoc: Int)
+      : (IndexedSeq[DpbPic], IndexedSeq[DpbPic]) = {
+    val past = dpb.filter(_.poc < currPoc).sortBy(p => -p.poc)
+    val future = dpb.filter(_.poc >= currPoc).sortBy(_.poc)
+    val l0 = past ++ future
+    var l1 = future ++ past
+    if (l1.size > 1 && l1 == l0) l1 = IndexedSeq(l1(1), l1(0)) ++ l1.drop(2)
+    (l0, l1)
+  }
+
+  /** §8.2.4.3 modification: idc 0/1 abs_diff_pic_num reordering applied
+    * to an initial list; long-term (idc 2) fails fast. The list is built
+    * at working length numRefActive+1 and truncated, per the standard's
+    * insertion process.
+    */
+  private def applyModification(br: BitReader, initial: IndexedSeq[DpbPic],
+      dpb: IndexedSeq[DpbPic], currFrameNum: Int, numRefActive: Int,
+      maxFrameNum: Int): IndexedSeq[DpbPic] = {
+    def picNum(fn: Int): Int = if (fn > currFrameNum) fn - maxFrameNum else fn
+    var list = initial.toBuffer
+    if (br.u1() == 1) { // ref_pic_list_modification_flag_lX
       var refIdx = 0
       var picNumPred = currFrameNum
       var idc = br.ue()
@@ -404,34 +516,46 @@ object H264Decoder {
 
     // ---- per-slice state (reset by decodeSliceMbs)
     private var qp = 0
-    private var refs: IndexedSeq[RefFrame] = IndexedSeq.empty
-    private var refPicIds: IndexedSeq[Int] = IndexedSeq.empty
-    private var numRefActive = 0
+    private var refs0: IndexedSeq[DpbPic] = IndexedSeq.empty
+    private var refs1: IndexedSeq[DpbPic] = IndexedSeq.empty
+    private var numRefActive0 = 0
+    private var numRefActive1 = 0
+
+    /** The finished picture's motion field (stored with reference
+      * pictures for later direct-mode derivation).
+      */
+    def motion(): PicMotion = PicMotion(
+      bstate.refIdx(0).clone(), bstate.refIdx(1).clone(),
+      bstate.mvX(0).clone(), bstate.mvY(0).clone(),
+      bstate.mvX(1).clone(), bstate.mvY(1).clone())
 
     /** Decode one slice's macroblocks; returns the next MB address. */
     def decodeSliceMbs(br: BitReader, hdr: SliceHeader, sliceIdx: Int): Int = {
       bstate.curSlice = sliceIdx
       qp = hdr.sliceQp
-      refs = hdr.refs
-      refPicIds = hdr.refPicIds
-      numRefActive = hdr.numRefActive
+      refs0 = hdr.refs0
+      refs1 = hdr.refs1
+      numRefActive0 = hdr.numRefActive0
+      numRefActive1 = hdr.numRefActive1
       val n = wMb * hMb
       var mb = hdr.firstMb
       var moreData = true
       while (moreData) {
-        if (hdr.isP) {
+        if (hdr.isP || hdr.isB) {
           var run = br.ue()
           require(mb + run <= n, s"mb_skip_run $run overruns the picture")
           while (run > 0) {
             sliceParamsFor(mb, hdr)
-            decodeSkip(mb % wMb, mb / wMb); mb += 1; run -= 1
+            if (hdr.isB) decodeBSkip(mb % wMb, mb / wMb)
+            else decodeSkip(mb % wMb, mb / wMb)
+            mb += 1; run -= 1
           }
           moreData = br.moreRbspData()
         }
         if (moreData) {
           require(mb < n, "slice data overruns the picture")
           sliceParamsFor(mb, hdr)
-          decodeMb(br, mb % wMb, mb / wMb, hdr.isP)
+          decodeMb(br, mb % wMb, mb / wMb, hdr.isP, hdr.isB)
           mb += 1
           moreData = br.moreRbspData()
         }
@@ -482,14 +606,18 @@ object H264Decoder {
 
     // ------------------------------------------------------------- MB
 
-    private def decodeMb(br: BitReader, mbX: Int, mbY: Int, isP: Boolean): Unit = {
+    private def decodeMb(br: BitReader, mbX: Int, mbY: Int,
+        isP: Boolean, isB: Boolean): Unit = {
       bstate.beginMb(mbX, mbY)
       val mbType = br.ue()
       if (isP && mbType < 5) {
         decodeInterMb(br, mbType, mbX, mbY)
         mbQp(mbY * wMb + mbX) = qp
+      } else if (isB && mbType < 23) {
+        decodeBMb(br, mbType, mbX, mbY)
+        mbQp(mbY * wMb + mbX) = qp
       } else {
-        val t = if (isP) mbType - 5 else mbType
+        val t = if (isP) mbType - 5 else if (isB) mbType - 23 else mbType
         bstate.setIntraMb(mbX, mbY)
         if (t == 25) { decodePcm(br, mbX, mbY); mbQp(mbY * wMb + mbX) = 0 }
         else if (t == 0) { decodeI4x4(br, mbX, mbY); mbQp(mbY * wMb + mbX) = qp }
@@ -521,9 +649,9 @@ object H264Decoder {
         case t => throw new IllegalArgumentException(s"sub_mb_type $t")
       }
 
-    private def teRef(br: BitReader): Int =
-      if (numRefActive <= 1) 0
-      else if (numRefActive == 2) 1 - br.u1() // te(v) with range 1: flipped bit
+    private def teRef(br: BitReader, active: Int): Int =
+      if (active <= 1) 0
+      else if (active == 2) 1 - br.u1() // te(v) with range 1: flipped bit
       else br.ue()
 
     private def decodeInterMb(br: BitReader, mbType: Int, mbX: Int, mbY: Int): Unit = {
@@ -532,15 +660,15 @@ object H264Decoder {
       // ref_idx for every partition first (§7.3.5.1), then every mvd;
       // block state updates as each mvd lands — later partitions of this
       // MB predict from earlier ones
-      val refIdxs = parts.map(_ => teRef(br))
+      val refIdxs = parts.map(_ => teRef(br, numRefActive0))
       val mvs = parts.zip(refIdxs).map { case ((px, py, pw, ph, shape), ref) =>
-        require(ref < refs.size, s"ref_idx $ref outside DPB")
+        require(ref < refs0.size, s"ref_idx $ref outside DPB")
         val bx = mbX * 4 + px / 4
         val by = mbY * 4 + py / 4
         val (predX, predY) = MvPred.predict(bstate.neigh, bx, by, pw / 4, ref, shape)
         val mvx = predX + br.se()
         val mvy = predY + br.se()
-        bstate.setBlocks(bx, by, pw / 4, ph / 4, ref, refPicIds(ref), mvx, mvy)
+        bstate.setBlocks(bx, by, pw / 4, ph / 4, ref, refs0(ref).picId, mvx, mvy)
         (mvx, mvy)
       }
 
@@ -571,8 +699,8 @@ object H264Decoder {
       subTypes.foreach(t => require(t <= 3, s"sub_mb_type $t"))
       val refIdxs =
         if (mbType == 4) Seq(0, 0, 0, 0) // P_8x8ref0
-        else (0 until 4).map(_ => teRef(br))
-      refIdxs.foreach(r => require(r < refs.size, s"ref_idx $r outside DPB"))
+        else (0 until 4).map(_ => teRef(br, numRefActive0))
+      refIdxs.foreach(r => require(r < refs0.size, s"ref_idx $r outside DPB"))
       for (e8 <- 0 until 4) {
         val ox = (e8 & 1) * 8
         val oy = (e8 >> 1) * 8
@@ -584,7 +712,7 @@ object H264Decoder {
           val mvx = predX + br.se()
           val mvy = predY + br.se()
           bstate.setBlocks(bx, by, sw / 4, sh / 4, refIdxs(e8),
-            refPicIds(refIdxs(e8)), mvx, mvy)
+            refs0(refIdxs(e8)).picId, mvx, mvy)
           writeInterPred(mbX * 16 + px, mbY * 16 + py, sw, sh, refIdxs(e8), mvx, mvy)
         }
       }
@@ -600,37 +728,253 @@ object H264Decoder {
     private def decodeSkip(mbX: Int, mbY: Int): Unit = {
       bstate.beginMb(mbX, mbY)
       val (mvx, mvy) = MvPred.skipMv(bstate.neigh, mbX * 4, mbY * 4)
-      bstate.setBlocks(mbX * 4, mbY * 4, 4, 4, 0, refPicIds(0), mvx, mvy)
+      bstate.setBlocks(mbX * 4, mbY * 4, 4, 4, 0, refs0(0).picId, mvx, mvy)
       writeInterPred(mbX * 16, mbY * 16, 16, 16, 0, mvx, mvy)
       // no residual, no qp change; CAVLC contexts read 0 (arrays 0-init)
       mbQp(mbY * wMb + mbX) = qp
     }
 
-    /** Motion compensation for one partition at luma (x0, y0). */
+    /** L0 motion compensation for one partition at luma (x0, y0). */
     private def writeInterPred(x0: Int, y0: Int, pw: Int, ph: Int,
-        ref: Int, mvx: Int, mvy: Int): Unit = {
-      val rf = refs(ref)
-      val lum = Interp.lumaBlock(rf.y, ls, hPix, 4 * x0 + mvx, 4 * y0 + mvy, pw, ph)
+        ref: Int, mvx: Int, mvy: Int): Unit =
+      writeInterPredMulti(x0, y0, pw, ph, Seq((0, ref, mvx, mvy)))
+
+    /** Motion compensation with one or two list predictions; two average
+      * per §8.4.2.1 (default — no weighted prediction). Each pred is
+      * (list, refIdx, mvx, mvy).
+      */
+    private def writeInterPredMulti(x0: Int, y0: Int, pw: Int, ph: Int,
+        preds: Seq[(Int, Int, Int, Int)]): Unit = {
+      val cw = pw / 2; val chh = ph / 2
+      val cx0 = x0 / 2; val cy0 = y0 / 2
+      val parts = preds.map { case (list, ref, mvx, mvy) =>
+        val rf = (if (list == 0) refs0 else refs1)(ref).ref
+        (Interp.lumaBlock(rf.y, ls, hPix, 4 * x0 + mvx, 4 * y0 + mvy, pw, ph),
+          Interp.chromaBlock(rf.cb, cs, hcPix, 4 * x0 + mvx, 4 * y0 + mvy, cw, chh),
+          Interp.chromaBlock(rf.cr, cs, hcPix, 4 * x0 + mvx, 4 * y0 + mvy, cw, chh))
+      }
+      @inline def mix(a: Array[Int], b: Array[Int], i: Int): Int =
+        if (b == null) a(i) else (a(i) + b(i) + 1) >> 1
+      val (l0, c0, r0) = parts.head
+      val (l1, c1, r1) =
+        if (parts.size == 2) parts(1) else (null, null, null)
       var j = 0
       while (j < ph) {
         var i = 0
-        while (i < pw) { y((y0 + j) * ls + x0 + i) = lum(j * pw + i); i += 1 }
+        while (i < pw) {
+          y((y0 + j) * ls + x0 + i) = mix(l0, l1, j * pw + i); i += 1
+        }
         j += 1
       }
-      val cw = pw / 2; val chh = ph / 2
-      val cx0 = x0 / 2; val cy0 = y0 / 2
-      val pc = Interp.chromaBlock(rf.cb, cs, hcPix, 4 * x0 + mvx, 4 * y0 + mvy, cw, chh)
-      val pr = Interp.chromaBlock(rf.cr, cs, hcPix, 4 * x0 + mvx, 4 * y0 + mvy, cw, chh)
       j = 0
       while (j < chh) {
         var i = 0
         while (i < cw) {
-          cb((cy0 + j) * cs + cx0 + i) = pc(j * cw + i)
-          cr((cy0 + j) * cs + cx0 + i) = pr(j * cw + i)
+          cb((cy0 + j) * cs + cx0 + i) = mix(c0, c1, j * cw + i)
+          cr((cy0 + j) * cs + cx0 + i) = mix(r0, r1, j * cw + i)
           i += 1
         }
         j += 1
       }
+    }
+
+    // --------------------------------------------------------- B slices
+
+    /** Spatial direct motion for this MB (§8.4.1.2.2): the co-located
+      * picture is RefPicList1[0] (short-term here by construction).
+      */
+    private def directMotion(mbX: Int, mbY: Int): BDirect.DirectMotion = {
+      val colM = refs1.head.motion
+      val w4 = wMb * 4
+      val col: Int => (Int, Int, Int) = blk => {
+        val i = (mbY * 4 + (blk >> 2)) * w4 + mbX * 4 + (blk & 3)
+        if (colM.ref0(i) >= 0) (colM.ref0(i), colM.mv0x(i), colM.mv0y(i))
+        else if (colM.ref1(i) >= 0) (colM.ref1(i), colM.mv1x(i), colM.mv1y(i))
+        else (-1, 0, 0)
+      }
+      BDirect.spatial(bstate.neigh(0), bstate.neigh(1), mbX * 4, mbY * 4,
+        col, sps.direct8x8Inference)
+    }
+
+    /** Commit + motion-compensate direct motion over the 8×8 quadrants
+      * selected by `quadMask` (bit e8). Per-4×4 MC — colZeroFlag varies
+      * block by block.
+      */
+    private def applyDirect(mbX: Int, mbY: Int, dm: BDirect.DirectMotion,
+        quadMask: Int): Unit = {
+      require(dm.ref0 < math.max(refs0.size, 1) && dm.ref1 < math.max(refs1.size, 1),
+        "direct reference outside the lists")
+      var blk = 0
+      while (blk < 16) {
+        val bx = blk & 3; val by = blk >> 2
+        val e8 = (by >> 1) * 2 + (bx >> 1)
+        if ((quadMask & (1 << e8)) != 0) {
+          val gbx = mbX * 4 + bx
+          val gby = mbY * 4 + by
+          if (dm.ref0 >= 0)
+            bstate.setBlocks(0, gbx, gby, 1, 1, dm.ref0, refs0(dm.ref0).picId,
+              dm.mv0x(blk), dm.mv0y(blk))
+          else bstate.setBlocks(0, gbx, gby, 1, 1, -1, -1, 0, 0)
+          if (dm.ref1 >= 0)
+            bstate.setBlocks(1, gbx, gby, 1, 1, dm.ref1, refs1(dm.ref1).picId,
+              dm.mv1x(blk), dm.mv1y(blk))
+          else bstate.setBlocks(1, gbx, gby, 1, 1, -1, -1, 0, 0)
+          val preds = Seq.newBuilder[(Int, Int, Int, Int)]
+          if (dm.ref0 >= 0) preds += ((0, dm.ref0, dm.mv0x(blk), dm.mv0y(blk)))
+          if (dm.ref1 >= 0) preds += ((1, dm.ref1, dm.mv1x(blk), dm.mv1y(blk)))
+          writeInterPredMulti(mbX * 16 + bx * 4, mbY * 16 + by * 4, 4, 4,
+            preds.result())
+        }
+        blk += 1
+      }
+    }
+
+    private def decodeBSkip(mbX: Int, mbY: Int): Unit = {
+      bstate.beginMb(mbX, mbY)
+      applyDirect(mbX, mbY, directMotion(mbX, mbY), 0xF)
+      // no residual, no qp change; CAVLC contexts read 0
+      mbQp(mbY * wMb + mbX) = qp
+    }
+
+    /** B partition list usage per Table 7-14, mb_type 1..21: bit 0 = L0,
+      * bit 1 = L1 per partition.
+      */
+    private def bUsage(mbType: Int): (Seq[(Int, Int, Int, Int, Char)], Seq[Int]) =
+      mbType match {
+        case 1 => (partitions(0), Seq(1)) // B_L0_16x16
+        case 2 => (partitions(0), Seq(2)) // B_L1_16x16
+        case 3 => (partitions(0), Seq(3)) // B_Bi_16x16
+        case t if t >= 4 && t <= 21 =>
+          val geom = partitions(1 + ((t - 4) & 1)) // even: 16x8, odd: 8x16
+          val pair = Seq((1, 1), (2, 2), (1, 2), (2, 1), (1, 3), (2, 3),
+            (3, 1), (3, 2), (3, 3))((t - 4) >> 1)
+          (geom, Seq(pair._1, pair._2))
+        case t => throw new IllegalArgumentException(s"B mb_type $t")
+      }
+
+    private def decodeBMb(br: BitReader, mbType: Int, mbX: Int, mbY: Int): Unit = {
+      if (mbType == 22) { decodeB8x8(br, mbX, mbY); return }
+      if (mbType == 0) { // B_Direct_16x16: direct motion + coded residual
+        applyDirect(mbX, mbY, directMotion(mbX, mbY), 0xF)
+        decodeInterResidual(br, mbX, mbY)
+        return
+      }
+      val (parts, usage) = bUsage(mbType)
+      // §7.3.5.1 parse order: all ref_idx_l0, all ref_idx_l1, all
+      // mvd_l0, all mvd_l1 — derivation then runs per partition per
+      // list against the committed state of EARLIER partitions
+      val ref0 = usage.map(u => if ((u & 1) != 0) teRef(br, numRefActive0) else -1)
+      val ref1 = usage.map(u => if ((u & 2) != 0) teRef(br, numRefActive1) else -1)
+      val mvd0 = usage.map(u => if ((u & 1) != 0) (br.se(), br.se()) else (0, 0))
+      val mvd1 = usage.map(u => if ((u & 2) != 0) (br.se(), br.se()) else (0, 0))
+      parts.indices.foreach { pi =>
+        val (px, py, pw, ph, shape) = parts(pi)
+        val bx = mbX * 4 + px / 4
+        val by = mbY * 4 + py / 4
+        val preds = Seq.newBuilder[(Int, Int, Int, Int)]
+        for (list <- 0 to 1) {
+          val r = if (list == 0) ref0(pi) else ref1(pi)
+          if (r >= 0) {
+            require(r < (if (list == 0) refs0 else refs1).size,
+              s"ref_idx_l$list $r outside DPB")
+            val (prX, prY) =
+              MvPred.predict(bstate.neigh(list), bx, by, pw / 4, r, shape)
+            val (dx, dy) = if (list == 0) mvd0(pi) else mvd1(pi)
+            val mvx = prX + dx
+            val mvy = prY + dy
+            val pic = (if (list == 0) refs0 else refs1)(r).picId
+            bstate.setBlocks(list, bx, by, pw / 4, ph / 4, r, pic, mvx, mvy)
+            preds += ((list, r, mvx, mvy))
+          } else {
+            bstate.setBlocks(list, bx, by, pw / 4, ph / 4, -1, -1, 0, 0)
+          }
+        }
+        writeInterPredMulti(mbX * 16 + px, mbY * 16 + py, pw, ph, preds.result())
+      }
+      decodeInterResidual(br, mbX, mbY)
+    }
+
+    /** B sub-partition geometry + usage per Table 7-17 (0 = direct). */
+    private def bSubGeom(t: Int): (Seq[(Int, Int, Int, Int)], Int) = t match {
+      case 1 => (Seq((0, 0, 8, 8)), 1)
+      case 2 => (Seq((0, 0, 8, 8)), 2)
+      case 3 => (Seq((0, 0, 8, 8)), 3)
+      case 4 => (Seq((0, 0, 8, 4), (0, 4, 8, 4)), 1)
+      case 5 => (Seq((0, 0, 4, 8), (4, 0, 4, 8)), 1)
+      case 6 => (Seq((0, 0, 8, 4), (0, 4, 8, 4)), 2)
+      case 7 => (Seq((0, 0, 4, 8), (4, 0, 4, 8)), 2)
+      case 8 => (Seq((0, 0, 8, 4), (0, 4, 8, 4)), 3)
+      case 9 => (Seq((0, 0, 4, 8), (4, 0, 4, 8)), 3)
+      case 10 => (Seq((0, 0, 4, 4), (4, 0, 4, 4), (0, 4, 4, 4), (4, 4, 4, 4)), 1)
+      case 11 => (Seq((0, 0, 4, 4), (4, 0, 4, 4), (0, 4, 4, 4), (4, 4, 4, 4)), 2)
+      case 12 => (Seq((0, 0, 4, 4), (4, 0, 4, 4), (0, 4, 4, 4), (4, 4, 4, 4)), 3)
+      case t => throw new IllegalArgumentException(s"B sub_mb_type $t")
+    }
+
+    private def decodeB8x8(br: BitReader, mbX: Int, mbY: Int): Unit = {
+      val subTypes = (0 until 4).map(_ => br.ue())
+      subTypes.foreach(t => require(t <= 12, s"B sub_mb_type $t"))
+      def usageOf(t: Int): Int = if (t == 0) 0 else bSubGeom(t)._2
+      // parse order: ref_idx_l0 per non-direct 8x8 using L0, then l1,
+      // then mvd_l0 per sub-partition, then mvd_l1
+      val ref0 = subTypes.map(t =>
+        if ((usageOf(t) & 1) != 0) teRef(br, numRefActive0) else -1)
+      val ref1 = subTypes.map(t =>
+        if ((usageOf(t) & 2) != 0) teRef(br, numRefActive1) else -1)
+      val mvd0 = subTypes.map(t =>
+        if ((usageOf(t) & 1) != 0) bSubGeom(t)._1.map(_ => (br.se(), br.se()))
+        else Seq.empty)
+      val mvd1 = subTypes.map(t =>
+        if ((usageOf(t) & 2) != 0) bSubGeom(t)._1.map(_ => (br.se(), br.se()))
+        else Seq.empty)
+      // direct derivation is MB-level (neighbors of the MB, outside it) —
+      // compute once, valid for every direct quadrant
+      lazy val dm = directMotion(mbX, mbY)
+      for (e8 <- 0 until 4) {
+        val ox = (e8 & 1) * 8
+        val oy = (e8 >> 1) * 8
+        if (subTypes(e8) == 0) {
+          applyDirect(mbX, mbY, dm, 1 << e8)
+        } else {
+          val (geom, usage) = bSubGeom(subTypes(e8))
+          geom.zipWithIndex.foreach { case ((sx, sy, sw, sh), si) =>
+            val px = ox + sx; val py = oy + sy
+            val bx = mbX * 4 + px / 4
+            val by = mbY * 4 + py / 4
+            val preds = Seq.newBuilder[(Int, Int, Int, Int)]
+            for (list <- 0 to 1) {
+              val r = if (list == 0) ref0(e8) else ref1(e8)
+              if ((usage & (1 << list)) != 0) {
+                require(r < (if (list == 0) refs0 else refs1).size,
+                  s"ref_idx_l$list $r outside DPB")
+                val (prX, prY) =
+                  MvPred.predict(bstate.neigh(list), bx, by, sw / 4, r)
+                val (dx, dy) = (if (list == 0) mvd0(e8) else mvd1(e8))(si)
+                val mvx = prX + dx
+                val mvy = prY + dy
+                val pic = (if (list == 0) refs0 else refs1)(r).picId
+                bstate.setBlocks(list, bx, by, sw / 4, sh / 4, r, pic, mvx, mvy)
+                preds += ((list, r, mvx, mvy))
+              } else {
+                bstate.setBlocks(list, bx, by, sw / 4, sh / 4, -1, -1, 0, 0)
+              }
+            }
+            writeInterPredMulti(mbX * 16 + px, mbY * 16 + py, sw, sh, preds.result())
+          }
+        }
+      }
+      decodeInterResidual(br, mbX, mbY)
+    }
+
+    /** Inter-MB residual tail: cbp, qp delta, luma 4×4 blocks, chroma. */
+    private def decodeInterResidual(br: BitReader, mbX: Int, mbY: Int): Unit = {
+      val cbpCode = br.ue()
+      require(cbpCode < 48, s"coded_block_pattern code $cbpCode")
+      val cbp = CbpInter(cbpCode)
+      if (cbp != 0) bumpQp(br.se())
+      decodeLumaResidual4x4(br, mbX, mbY, cbp & 15)
+      val chroma = parseChromaResidual(br, mbX, mbY, cbp >> 4)
+      addChromaResidual(mbX, mbY, chroma)
     }
 
     /** Luma residual for non-I16 MBs: 16 blocks of 16 coeffs gated by the

@@ -5,40 +5,59 @@ package graft.multimodal.h264
   * the public spec so the decoder can be exercised over real bitstreams
   * in an environment with no third-party encoder).
   *
-  * Emits streams inside the supported subset: CAVLC, single slice,
-  * IDR-only (I_4x4 + I_16x16 SAD mode decision, optional I_PCM) or IPPP
-  * (`pFrames`: P_Skip, every partition family — P_L0 16x16 / 16x8 /
-  * 8x16 and P_8x8 with sub_mb_types cycling down to 4x4 — two-stage
-  * quarter-pel search around the shared MV predictor, up to two
-  * reference frames with periodic explicit list reordering, periodic
-  * intra-in-P MBs), flat QP, optional deblocking. The encoder maintains the decoder-identical
-  * reconstruction (prediction from reconstructed/deblocked references,
-  * §8.4/§8.5 normative paths, shared [[MvPred]]), so `H264Decoder`
-  * output must match [[Encoded.recon]] BIT-EXACTLY — the round-trip
-  * contract H264Spec pins.
+  * Emits streams inside the supported subset: CAVLC; single- or
+  * multi-slice pictures (`sliceRows`); IDR-only (I_4x4 + I_16x16 SAD
+  * mode decision, optional I_PCM), IPPP (`pFrames`: P_Skip, every
+  * partition family — P_L0 16x16 / 16x8 / 8x16 and P_8x8 with
+  * sub_mb_types cycling down to 4x4 — two-stage quarter-pel search
+  * around the shared MV predictor, up to two reference frames with
+  * periodic explicit list reordering, periodic intra-in-P MBs), or
+  * I P B P B (`bFrames`: non-reference spatial-direct B slices cycling
+  * B_Skip / B_Direct_16x16 / Bi / L0 / L1 16x16 / mixed-list 16x8 /
+  * B_8x8 with direct + Bi + 8x4 + 4x4 sub-partitions, POC type 0,
+  * Main-profile SPS); flat QP, optional deblocking. The encoder
+  * maintains the decoder-identical reconstruction (prediction from
+  * reconstructed/deblocked references, §8.4/§8.5 normative paths,
+  * shared [[MvPred]]/[[BDirect]]), so `H264Decoder` output must match
+  * [[Encoded.recon]] BIT-EXACTLY — the round-trip contract H264Spec
+  * pins.
   */
 object H264Encoder {
 
   /** `pcmEvery` = 0 disables I_PCM; n > 0 codes every n-th MB of INTRA
     * frames as PCM (1 = every MB, the lossless path the m8 oracle relies
     * on). `pFrames` switches GOP structure from all-IDR to IPPP.
-    * `sliceRows` > 0 splits every picture into one slice per group of
-    * that many MB rows (the multi-slice framing hardware encoders emit);
-    * 0 = single slice. `noSliceEdgeDeblock` writes
-    * disable_deblocking_filter_idc = 2 (filter on, but slice-boundary
-    * MB edges excluded) when multi-slice.
+    * `bFrames` (implies pFrames) codes I P B P B …: every odd display
+    * frame becomes a NON-REFERENCE B slice predicting past (L0) and
+    * future (L1) — decode order differs from display order, POC type 0
+    * orders output, the MP4 layer carries ctts offsets. `sliceRows` > 0
+    * splits every picture into one slice per group of that many MB rows
+    * (the multi-slice framing hardware encoders emit); 0 = single slice.
+    * `noSliceEdgeDeblock` writes disable_deblocking_filter_idc = 2
+    * (filter on, but slice-boundary MB edges excluded) when multi-slice.
     */
   final case class Config(
       qp: Int = 28, pcmEvery: Int = 0, deblock: Boolean = true,
-      pFrames: Boolean = false, sliceRows: Int = 0,
+      pFrames: Boolean = false, bFrames: Boolean = false, sliceRows: Int = 0,
       noSliceEdgeDeblock: Boolean = false)
 
+  /** `samples`/`recon` are in DECODE order; `display(i)` is sample i's
+    * display index (identity without B frames) and `ctsOffset(i)` the
+    * non-negative composition-time offset the MP4 ctts box carries.
+    */
   final case class Encoded(
       width: Int, height: Int,
       sps: Array[Byte], pps: Array[Byte],
       samples: Seq[Array[Byte]], // AVCC samples, 4-byte BE NAL lengths
       sampleIsIdr: Seq[Boolean],
-      recon: Seq[H264Decoder.Frame]) // what a conformant decoder must output
+      recon: Seq[H264Decoder.Frame], // what a conformant decoder must output
+      display: Seq[Int] = Seq.empty) {
+    def displayOrder: Seq[Int] =
+      if (display.nonEmpty) display else samples.indices
+    /** ctts offsets under a one-frame reorder delay (dts n, cts d+1). */
+    def ctsOffsets: Seq[Int] =
+      displayOrder.zipWithIndex.map { case (d, n) => d + 1 - n }
+  }
 
   /** Encode luma-only (grayscale) frames; chroma coded flat 128. */
   def encodeGray(frames: Seq[Array[Byte]], width: Int, height: Int,
@@ -49,7 +68,9 @@ object H264Encoder {
     }, width, height, cfg)
   }
 
-  /** Encode 4:2:0 YCbCr frames (planes as 0..255 ints). */
+  /** Encode 4:2:0 YCbCr frames (planes as 0..255 ints, DISPLAY order;
+    * samples come back in DECODE order — identical unless `bFrames`).
+    */
   def encodeYuv(frames: Seq[(Array[Int], Array[Int], Array[Int])],
       width: Int, height: Int, cfg: Config = Config()): Encoded = {
     require(width > 0 && height > 0 && width % 2 == 0 && height % 2 == 0,
@@ -57,52 +78,87 @@ object H264Encoder {
     require(cfg.qp >= 0 && cfg.qp <= 51, s"qp ${cfg.qp}")
     val wMb = (width + 15) / 16
     val hMb = (height + 15) / 16
-    val sps = writeSps(wMb, hMb, width, height)
+    val useB = cfg.bFrames && frames.size > 2
+    val sps = writeSps(wMb, hMb, width, height,
+      pocType = if (useB) 0 else 2, maxRef = if (useB) 3 else 2)
     val pps = writePps(cfg.qp)
     val spsP = H264Decoder.parseSps(Nal.unescape(sps, 1, sps.length))
     val ppsP = H264Decoder.parsePps(Nal.unescape(pps, 1, pps.length))
 
+    // coding order over display indices: all-IDR, IPPP, or I P B P B …
+    // (each B codes AFTER its future reference)
+    val n = frames.size
+    val order: Seq[(Int, Char)] =
+      if (!cfg.pFrames && !cfg.bFrames) frames.indices.map(i => (i, 'I'))
+      else if (!useB) frames.indices.map(i => (i, if (i == 0) 'I' else 'P'))
+      else {
+        val b = Seq.newBuilder[(Int, Char)]
+        b += ((0, 'I'))
+        var d = 2
+        while (d < n) { b += ((d, 'P')); b += ((d - 1, 'B')); d += 2 }
+        if (n % 2 == 0) b += ((n - 1, 'P'))
+        b.result()
+      }
+
     val dpb = scala.collection.mutable.ArrayBuffer.empty[H264Decoder.DpbPic]
     var nextPicId = 0
+    var prevRefFrameNum = 0
     val samples = Seq.newBuilder[Array[Byte]]
     val idrs = Seq.newBuilder[Boolean]
     val recons = Seq.newBuilder[H264Decoder.Frame]
-    frames.zipWithIndex.foreach { case ((y, cbP, crP), idx) =>
+    val displays = Seq.newBuilder[Int]
+    order.foreach { case (display, kind) =>
+      val (y, cbP, crP) = frames(display)
       require(y.length == width * height, "luma plane size")
-      val idr = idx == 0 || !cfg.pFrames
+      val idr = kind == 'I'
+      val isB = kind == 'B'
       if (idr) dpb.clear()
-      // frame_num increments per reference frame (mod MaxFrameNum) and is
-      // 0 at every IDR — NOT the DPB size, which caps at the window and
-      // would duplicate PicNums
-      val frameNum = if (idr) 0 else idx & 0xFF
-      val numRefActive = math.min(2, dpb.size)
-      // every third P frame with two refs REORDERS the list (oldest
-      // first) via explicit modification commands — exercises the
-      // decoder's §8.2.4.3 path; the reordered list is what ref_idx
-      // indexes on both sides
-      val reorder = cfg.pFrames && numRefActive >= 2 && frameNum % 3 == 0
-      val ordered = if (reorder) dpb.take(numRefActive).reverse ++
-        dpb.drop(numRefActive) else dpb
-      val refMod: Seq[(Int, Int)] =
-        if (!reorder) Nil
-        else {
+      // frame_num: 0 at IDR; PrevRefFrameNum+1 afterwards (a non-ref B
+      // shares the value the NEXT reference will carry)
+      val maxFn = 1 << spsP.log2MaxFrameNum
+      val frameNum = if (idr) 0 else (prevRefFrameNum + 1) % maxFn
+      if (!isB) prevRefFrameNum = frameNum
+      val poc = 2 * display
+      // reference lists: P by descending recency (== descending PicNum);
+      // B splits the DPB by POC — past desc → L0, future asc → L1
+      var refs0 = dpb.toIndexedSeq
+      var refs1 = IndexedSeq.empty[H264Decoder.DpbPic]
+      var refMod: Seq[(Int, Int)] = Nil
+      if (kind == 'P') {
+        val numRefActive = math.min(2, dpb.size)
+        // every third P frame with two refs REORDERS the list (oldest
+        // first) via explicit modification commands — exercises the
+        // decoder's §8.2.4.3 path; the reordered list is what ref_idx
+        // indexes on both sides
+        val reorder = numRefActive >= 2 && frameNum % 3 == 0
+        if (reorder) {
+          refs0 = (dpb.take(numRefActive).reverse ++ dpb.drop(numRefActive)).toIndexedSeq
           var pred = frameNum
-          ordered.take(numRefActive).map { p =>
+          refMod = refs0.take(numRefActive).map { p =>
             val diff = p.frameNum - pred
             pred = p.frameNum
             if (diff < 0) (0, -diff - 1) else (1, diff - 1)
-          }.toSeq
+          }
         }
+        refs0 = refs0.take(math.max(numRefActive, 1))
+      } else if (isB) {
+        refs0 = dpb.filter(_.poc < poc).sortBy(p => -p.poc).toIndexedSeq
+        refs1 = dpb.filter(_.poc > poc).sortBy(_.poc).toIndexedSeq.take(1)
+        require(refs0.nonEmpty && refs1.nonEmpty, "B frame without both refs")
+        refs0 = refs0.take(2)
+      }
       val enc = new FrameEncoder(wMb, hMb, cfg, spsP, ppsP,
-        ordered.map(_.ref).toIndexedSeq, ordered.map(_.picId).toIndexedSeq,
-        idr, frameNum, refMod)
+        refs0, refs1, kind, frameNum, poc, refMod)
       val nals = enc.encodeFrame(pad(y, width, height, wMb * 16, hMb * 16),
         pad(cbP, width / 2, height / 2, wMb * 8, hMb * 8),
         pad(crP, width / 2, height / 2, wMb * 8, hMb * 8))
       val (frame, ref) = enc.finishFrame()
-      dpb.insert(0, H264Decoder.DpbPic(ref, frameNum, nextPicId))
+      if (!isB) { // non-reference pictures never enter the DPB
+        dpb.insert(0,
+          H264Decoder.DpbPic(ref, frameNum, nextPicId, poc, enc.motionOf()))
+        while (dpb.size > spsP.maxNumRefFrames) dpb.remove(dpb.size - 1)
+      }
       nextPicId += 1
-      while (dpb.size > spsP.maxNumRefFrames) dpb.remove(dpb.size - 1)
       val sample = new java.io.ByteArrayOutputStream()
       nals.foreach { nal =>
         sample.write(Array[Byte](
@@ -113,9 +169,10 @@ object H264Encoder {
       samples += sample.toByteArray
       idrs += idr
       recons += frame
+      displays += display
     }
     Encoded(width, height, sps, pps, samples.result(), idrs.result(),
-      recons.result())
+      recons.result(), displays.result())
   }
 
   /** Replicate-pad a plane to MB-aligned dimensions. */
@@ -167,15 +224,18 @@ object H264Encoder {
     out.toByteArray
   }
 
-  private def writeSps(wMb: Int, hMb: Int, width: Int, height: Int): Array[Byte] = {
+  private def writeSps(wMb: Int, hMb: Int, width: Int, height: Int,
+      pocType: Int = 2, maxRef: Int = 2): Array[Byte] = {
     val bw = new BitWriter
-    bw.putBits(66, 8) // profile_idc: Baseline
-    bw.putBits(0xC0, 8) // constraint_set0+1
+    // profile: Baseline for the P/I subset; B slices need Main (77)
+    bw.putBits(if (pocType == 0) 77 else 66, 8)
+    bw.putBits(if (pocType == 0) 0x40 else 0xC0, 8) // constraint_set flags
     bw.putBits(30, 8) // level 3.0
     bw.ue(0) // sps_id
     bw.ue(4) // log2_max_frame_num_minus4 → 8-bit frame_num
-    bw.ue(2) // pic_order_cnt_type: POC from frame order
-    bw.ue(2) // max_num_ref_frames
+    bw.ue(pocType) // pic_order_cnt_type
+    if (pocType == 0) bw.ue(4) // log2_max_pic_order_cnt_lsb_minus4 → 8-bit lsb
+    bw.ue(maxRef) // max_num_ref_frames
     bw.put(0) // gaps_in_frame_num_value_allowed
     bw.ue(wMb - 1)
     bw.ue(hMb - 1)
@@ -214,8 +274,9 @@ object H264Encoder {
 
   private final class FrameEncoder(wMb: Int, hMb: Int, cfg: Config,
       sps: H264Decoder.Sps, pps: H264Decoder.Pps,
-      refs: IndexedSeq[H264Decoder.RefFrame], refPicIds: IndexedSeq[Int],
-      idr: Boolean, frameNum: Int,
+      refs0: IndexedSeq[H264Decoder.DpbPic],
+      refs1: IndexedSeq[H264Decoder.DpbPic],
+      kind: Char, frameNum: Int, poc: Int,
       refMod: Seq[(Int, Int)] = Nil) {
     private val ls = wMb * 16
     private val cs = wMb * 8
@@ -232,8 +293,22 @@ object H264Encoder {
     private val bstate = new BlockState(wMb, hMb)
     private val qp = cfg.qp
     private val qpC = Transform.chromaQp(qp, 0)
-    private val isP = !idr
-    private val numRefActive = if (isP) math.min(2, refs.size) else 0
+    private val idr = kind == 'I'
+    private val isP = kind == 'P'
+    private val isB = kind == 'B'
+    private val numRefActive0 = refs0.size
+    private val numRefActive1 = refs1.size
+
+    private def refOf(list: Int, idx: Int): H264Decoder.RefFrame =
+      (if (list == 0) refs0 else refs1)(idx).ref
+    private def picIdOf(list: Int, idx: Int): Int =
+      (if (list == 0) refs0 else refs1)(idx).picId
+
+    /** The finished picture's motion field (DPB storage for direct). */
+    def motionOf(): H264Decoder.PicMotion = H264Decoder.PicMotion(
+      bstate.refIdx(0).clone(), bstate.refIdx(1).clone(),
+      bstate.mvX(0).clone(), bstate.mvY(0).clone(),
+      bstate.mvX(1).clone(), bstate.mvY(1).clone())
 
     import H264Decoder.{blkX, blkY}
 
@@ -262,24 +337,32 @@ object H264Encoder {
     private def encodeSlice(srcY: Array[Int], srcCb: Array[Int],
         srcCr: Array[Int], mbStart: Int, mbEnd: Int): Array[Byte] = {
       val bw = new BitWriter
+      val inter = isP || isB
       // slice header
       bw.ue(mbStart) // first_mb_in_slice
-      bw.ue(if (isP) 5 else 7) // slice_type (all slices of picture)
+      bw.ue(if (isP) 5 else if (isB) 6 else 7) // slice_type (all slices)
       bw.ue(0) // pps_id
       bw.putBits(frameNum & ((1 << sps.log2MaxFrameNum) - 1), sps.log2MaxFrameNum)
-      if (!isP) bw.ue(0) // idr_pic_id
-      if (isP) {
-        if (numRefActive != 1) { bw.put(1); bw.ue(numRefActive - 1) }
-        else bw.put(0)
+      if (idr) bw.ue(0) // idr_pic_id
+      if (sps.pocType == 0)
+        bw.putBits(poc & ((1 << sps.log2MaxPocLsb) - 1), sps.log2MaxPocLsb)
+      if (isB) bw.put(1) // direct_spatial_mv_pred_flag: spatial
+      if (inter) {
+        val overrides = numRefActive0 != 1 || (isB && numRefActive1 != 1)
+        if (overrides) {
+          bw.put(1); bw.ue(numRefActive0 - 1)
+          if (isB) bw.ue(numRefActive1 - 1)
+        } else bw.put(0)
         if (refMod.isEmpty) bw.put(0) // ref_pic_list_modification_flag_l0
         else {
           bw.put(1)
           refMod.foreach { case (idc, absDiffM1) => bw.ue(idc); bw.ue(absDiffM1) }
           bw.ue(3) // end of modification commands
         }
+        if (isB) bw.put(0) // ref_pic_list_modification_flag_l1
       }
-      if (!isP) { bw.put(0); bw.put(0) } // dec_ref_pic_marking (IDR)
-      else bw.put(0) // adaptive_ref_pic_marking_mode_flag: sliding window
+      if (idr) { bw.put(0); bw.put(0) } // dec_ref_pic_marking (IDR)
+      else if (!isB) bw.put(0) // sliding window (B frames are non-reference)
       bw.se(qp - pps.picInitQp) // slice_qp_delta
       bw.ue(deblockIdc) // disable_deblocking_filter_idc
       if (deblockIdc != 1) { bw.se(0); bw.se(0) }
@@ -289,13 +372,17 @@ object H264Encoder {
       while (mb < mbEnd) {
         val mbX = mb % wMb
         val mbY = mb / wMb
-        if (isP && trySkip(mbX, mbY, srcY, srcCb, srcCr)) {
+        if ((isP && trySkip(mbX, mbY, srcY, srcCb, srcCr)) ||
+          (isB && tryBSkip(mbX, mbY, srcY, srcCb, srcCr))) {
           skipRun += 1
         } else {
-          if (isP) { bw.ue(skipRun); skipRun = 0 }
-          if (isP && mb % 7 == 3) {
+          if (inter) { bw.ue(skipRun); skipRun = 0 }
+          if (inter && mb % 7 == 3) {
             bstate.setIntraMb(mbX, mbY)
-            encodeI16(bw, mbX, mbY, srcY, srcCb, srcCr, mbTypeOffset = 5)
+            encodeI16(bw, mbX, mbY, srcY, srcCb, srcCr,
+              mbTypeOffset = if (isB) 23 else 5)
+          } else if (isB) {
+            encodeBMb(bw, mbX, mbY, srcY, srcCb, srcCr)
           } else if (isP) {
             encodeInterMb(bw, mbX, mbY, srcY, srcCb, srcCr)
           } else if (cfg.pcmEvery > 0 && mb % cfg.pcmEvery == 0) {
@@ -312,9 +399,9 @@ object H264Encoder {
         }
         mb += 1
       }
-      if (isP && skipRun > 0) bw.ue(skipRun)
+      if (inter && skipRun > 0) bw.ue(skipRun)
       bw.rbspTrailing()
-      Nal.unit(3, if (idr) 5 else 1, bw.toBytes)
+      Nal.unit(if (isB) 0 else 3, if (idr) 5 else 1, bw.toBytes)
     }
 
     /** Deblock, then return (cropped output frame, padded reference). */
@@ -377,21 +464,38 @@ object H264Encoder {
       val predCr = new Array[Int](64)
       parts.indices.foreach { pi =>
         val (px, py, pw, ph) = parts(pi)
-        val rf = refs(refIdxs(pi))
         val (mvx, mvy) = mvs(pi)
-        val x0 = mbX * 16 + px; val y0 = mbY * 16 + py
-        val lum = Interp.lumaBlock(rf.y, ls, hPix, 4 * x0 + mvx, 4 * y0 + mvy, pw, ph)
-        for (j <- 0 until ph; i <- 0 until pw)
-          predY((py + j) * 16 + px + i) = lum(j * pw + i)
-        val cw = pw / 2; val chh = ph / 2
-        val pc = Interp.chromaBlock(rf.cb, cs, hcPix, 4 * x0 + mvx, 4 * y0 + mvy, cw, chh)
-        val pr = Interp.chromaBlock(rf.cr, cs, hcPix, 4 * x0 + mvx, 4 * y0 + mvy, cw, chh)
-        for (j <- 0 until chh; i <- 0 until cw) {
-          predCb((py / 2 + j) * 8 + px / 2 + i) = pc(j * cw + i)
-          predCr((py / 2 + j) * 8 + px / 2 + i) = pr(j * cw + i)
-        }
+        partPredInto(predY, predCb, predCr, mbX, mbY, px, py, pw, ph,
+          Seq((0, refIdxs(pi), mvx, mvy)))
       }
       (predY, predCb, predCr)
+    }
+
+    /** Write one partition's (possibly bi-) prediction into MB-local
+      * buffers; two list predictions average per §8.4.2.1.
+      */
+    private def partPredInto(predY: Array[Int], predCb: Array[Int],
+        predCr: Array[Int], mbX: Int, mbY: Int,
+        px: Int, py: Int, pw: Int, ph: Int,
+        preds: Seq[(Int, Int, Int, Int)]): Unit = {
+      val x0 = mbX * 16 + px; val y0 = mbY * 16 + py
+      val cw = pw / 2; val chh = ph / 2
+      val parts = preds.map { case (list, ref, mvx, mvy) =>
+        val rf = refOf(list, ref)
+        (Interp.lumaBlock(rf.y, ls, hPix, 4 * x0 + mvx, 4 * y0 + mvy, pw, ph),
+          Interp.chromaBlock(rf.cb, cs, hcPix, 4 * x0 + mvx, 4 * y0 + mvy, cw, chh),
+          Interp.chromaBlock(rf.cr, cs, hcPix, 4 * x0 + mvx, 4 * y0 + mvy, cw, chh))
+      }
+      @inline def mix(a: Array[Int], b: Array[Int], i: Int): Int =
+        if (b == null) a(i) else (a(i) + b(i) + 1) >> 1
+      val (l0, c0, r0) = parts.head
+      val (l1, c1, r1) = if (parts.size == 2) parts(1) else (null, null, null)
+      for (j <- 0 until ph; i <- 0 until pw)
+        predY((py + j) * 16 + px + i) = mix(l0, l1, j * pw + i)
+      for (j <- 0 until chh; i <- 0 until cw) {
+        predCb((py / 2 + j) * 8 + px / 2 + i) = mix(c0, c1, j * cw + i)
+        predCr((py / 2 + j) * 8 + px / 2 + i) = mix(r0, r1, j * cw + i)
+      }
     }
 
     /** P_Skip attempt: succeeds iff the skip-MV prediction quantizes to a
@@ -409,7 +513,7 @@ object H264Encoder {
       // zero residual: recon = prediction
       bstate.beginMb(mbX, mbY)
       writeMbPlanes(mbX, mbY, predY, predCb, predCr)
-      bstate.setBlocks(mbX * 4, mbY * 4, 4, 4, 0, refPicIds(0), mvx, mvy)
+      bstate.setBlocks(mbX * 4, mbY * 4, 4, 4, 0, picIdOf(0, 0), mvx, mvy)
       setMbTc(mbX, mbY, 0)
       val _ = scans
       mbQp(mbY * wMb + mbX) = qp
@@ -442,9 +546,9 @@ object H264Encoder {
       */
     private def searchMv(mbX: Int, mbY: Int, px: Int, py: Int, pw: Int, ph: Int,
         ref: Int, predX: Int, predY0: Int,
-        srcY: Array[Int]): (Int, Int) = {
+        srcY: Array[Int], list: Int = 0): (Int, Int) = {
       val x0 = mbX * 16 + px; val y0 = mbY * 16 + py
-      val rf = refs(ref)
+      val rf = refOf(list, ref)
       def sad(mvx: Int, mvy: Int): Int = {
         val p = Interp.lumaBlock(rf.y, ls, hPix, 4 * x0 + mvx, 4 * y0 + mvy, pw, ph)
         var s = 0
@@ -487,7 +591,7 @@ object H264Encoder {
         case _ => (2, Seq((0, 0, 8, 16), (8, 0, 8, 16)), Seq('L', 'R'))
       }
       val refIdxs = parts.indices.map { pi =>
-        if (numRefActive >= 2 && (mbX + mbY + pi) % 3 == 2) 1 else 0
+        if (numRefActive0 >= 2 && (mbX + mbY + pi) % 3 == 2) 1 else 0
       }
       // per partition in order: predict → search → commit state
       val mvds = new Array[(Int, Int)](parts.size)
@@ -502,7 +606,7 @@ object H264Encoder {
         mvs(pi) = (mvx, mvy)
         mvds(pi) = (mvx - prX, mvy - prY)
         bstate.setBlocks(bx, by, pw / 4, ph / 4, refIdxs(pi),
-          refPicIds(refIdxs(pi)), mvx, mvy)
+          picIdOf(0, refIdxs(pi)), mvx, mvy)
       }
       val (predY, predCb, predCr) = mbPredFromMc(mbX, mbY, parts, refIdxs, mvs)
       val (scans, cbpLuma, ch) =
@@ -512,8 +616,8 @@ object H264Encoder {
       // bitstream: mb_type, ref_idx*, mvd*, cbp, qp_delta, residual
       bw.ue(mbType)
       refIdxs.foreach { r =>
-        if (numRefActive == 2) bw.put(1 - r)
-        else if (numRefActive > 2) bw.ue(r)
+        if (numRefActive0 == 2) bw.put(1 - r)
+        else if (numRefActive0 > 2) bw.ue(r)
       }
       mvds.foreach { case (dx, dy) => bw.se(dx); bw.se(dy) }
       bw.ue(H264Decoder.CbpInterInv(cbp))
@@ -558,7 +662,7 @@ object H264Encoder {
       }
       val subTypes = (0 until 4).map(e8 => (mbX + e8) % 4)
       val refIdxs = (0 until 4).map { e8 =>
-        if (numRefActive >= 2 && (mbX + mbY + e8) % 3 == 2) 1 else 0
+        if (numRefActive0 >= 2 && (mbX + mbY + e8) % 3 == 2) 1 else 0
       }
       // per-sub search in parse order, committing state as we go
       val parts = scala.collection.mutable.ArrayBuffer.empty[(Int, Int, Int, Int)]
@@ -574,7 +678,7 @@ object H264Encoder {
           val (prX, prY) = MvPred.predict(bstate.neigh, bx, by, sw / 4, refIdxs(e8))
           val (mvx, mvy) = searchMv(mbX, mbY, px, py, sw, sh, refIdxs(e8), prX, prY, srcY)
           bstate.setBlocks(bx, by, sw / 4, sh / 4, refIdxs(e8),
-            refPicIds(refIdxs(e8)), mvx, mvy)
+            picIdOf(0, refIdxs(e8)), mvx, mvy)
           parts += ((px, py, sw, sh))
           partRefs += refIdxs(e8)
           partMvs += ((mvx, mvy))
@@ -590,8 +694,8 @@ object H264Encoder {
       bw.ue(3) // P_8x8
       subTypes.foreach(bw.ue)
       refIdxs.foreach { r =>
-        if (numRefActive == 2) bw.put(1 - r)
-        else if (numRefActive > 2) bw.ue(r)
+        if (numRefActive0 == 2) bw.put(1 - r)
+        else if (numRefActive0 > 2) bw.ue(r)
       }
       mvds.foreach { case (dx, dy) => bw.se(dx); bw.se(dy) }
       bw.ue(H264Decoder.CbpInterInv(cbp))
@@ -618,6 +722,286 @@ object H264Encoder {
       }
       reconChromaOnto(mbX, mbY, ch)
       mbQp(mbY * wMb + mbX) = qp
+    }
+
+    // ------------------------------------------------------------ B MBs
+
+    /** Spatial direct motion for this MB (shared [[BDirect]] derivation;
+      * co-located picture = RefPicList1[0]).
+      */
+    private def directMotion(mbX: Int, mbY: Int): BDirect.DirectMotion = {
+      val colM = refs1.head.motion
+      val w4 = wMb * 4
+      val col: Int => (Int, Int, Int) = blk => {
+        val i = (mbY * 4 + (blk >> 2)) * w4 + mbX * 4 + (blk & 3)
+        if (colM.ref0(i) >= 0) (colM.ref0(i), colM.mv0x(i), colM.mv0y(i))
+        else if (colM.ref1(i) >= 0) (colM.ref1(i), colM.mv1x(i), colM.mv1y(i))
+        else (-1, 0, 0)
+      }
+      BDirect.spatial(bstate.neigh(0), bstate.neigh(1), mbX * 4, mbY * 4,
+        col, sps.direct8x8Inference)
+    }
+
+    /** Build the (bi-)prediction of direct motion over selected 8×8
+      * quadrants into MB-local buffers — pure (no state commit).
+      */
+    private def directPred(predY: Array[Int], predCb: Array[Int],
+        predCr: Array[Int], mbX: Int, mbY: Int,
+        dm: BDirect.DirectMotion, quadMask: Int): Unit = {
+      var blk = 0
+      while (blk < 16) {
+        val bx = blk & 3; val by = blk >> 2
+        val e8 = (by >> 1) * 2 + (bx >> 1)
+        if ((quadMask & (1 << e8)) != 0) {
+          val preds = Seq.newBuilder[(Int, Int, Int, Int)]
+          if (dm.ref0 >= 0) preds += ((0, dm.ref0, dm.mv0x(blk), dm.mv0y(blk)))
+          if (dm.ref1 >= 0) preds += ((1, dm.ref1, dm.mv1x(blk), dm.mv1y(blk)))
+          partPredInto(predY, predCb, predCr, mbX, mbY, bx * 4, by * 4, 4, 4,
+            preds.result())
+        }
+        blk += 1
+      }
+    }
+
+    /** Commit direct motion to the block state (both lists). */
+    private def commitDirect(mbX: Int, mbY: Int, dm: BDirect.DirectMotion,
+        quadMask: Int): Unit = {
+      var blk = 0
+      while (blk < 16) {
+        val bx = blk & 3; val by = blk >> 2
+        val e8 = (by >> 1) * 2 + (bx >> 1)
+        if ((quadMask & (1 << e8)) != 0) {
+          val gbx = mbX * 4 + bx
+          val gby = mbY * 4 + by
+          if (dm.ref0 >= 0)
+            bstate.setBlocks(0, gbx, gby, 1, 1, dm.ref0, picIdOf(0, dm.ref0),
+              dm.mv0x(blk), dm.mv0y(blk))
+          else bstate.setBlocks(0, gbx, gby, 1, 1, -1, -1, 0, 0)
+          if (dm.ref1 >= 0)
+            bstate.setBlocks(1, gbx, gby, 1, 1, dm.ref1, picIdOf(1, dm.ref1),
+              dm.mv1x(blk), dm.mv1y(blk))
+          else bstate.setBlocks(1, gbx, gby, 1, 1, -1, -1, 0, 0)
+        }
+        blk += 1
+      }
+    }
+
+    /** B_Skip attempt: direct motion with a fully-zero quantized
+      * residual; commits state only on success.
+      */
+    private def tryBSkip(mbX: Int, mbY: Int,
+        srcY: Array[Int], srcCb: Array[Int], srcCr: Array[Int]): Boolean = {
+      val dm = directMotion(mbX, mbY)
+      val predY = new Array[Int](256)
+      val predCb = new Array[Int](64)
+      val predCr = new Array[Int](64)
+      directPred(predY, predCb, predCr, mbX, mbY, dm, 0xF)
+      val (_, cbpLuma, ch) =
+        quantizeMb(predY, predCb, predCr, mbX, mbY, srcY, srcCb, srcCr)
+      if (cbpLuma != 0 || ch.cbpChroma != 0) return false
+      bstate.beginMb(mbX, mbY)
+      commitDirect(mbX, mbY, dm, 0xF)
+      writeMbPlanes(mbX, mbY, predY, predCb, predCr)
+      setMbTc(mbX, mbY, 0)
+      mbQp(mbY * wMb + mbX) = qp
+      true
+    }
+
+    /** Inter residual tail shared by every non-skip B macroblock: write
+      * cbp/qp-delta/blocks and reconstruct onto the MC prediction.
+      */
+    private def writeBResidualAndRecon(bw: BitWriter, mbX: Int, mbY: Int,
+        predY: Array[Int], predCb: Array[Int], predCr: Array[Int],
+        scans: Array[Array[Int]], cbpLuma: Int, ch: ChromaCode): Unit = {
+      val cbp = cbpLuma | (ch.cbpChroma << 4)
+      bw.ue(H264Decoder.CbpInterInv(cbp))
+      if (cbp != 0) bw.se(0) // mb_qp_delta
+      var i = 0
+      while (i < 16) {
+        val gbx = mbX * 4 + blkX(i); val gby = mbY * 4 + blkY(i)
+        if ((cbpLuma & (1 << (i >> 2))) != 0) {
+          val tc = Cavlc.encodeBlock(bw, scans(i), lumaNC(gbx, gby))
+          tcY(gby * wMb * 4 + gbx) = tc
+        } else tcY(gby * wMb * 4 + gbx) = 0
+        i += 1
+      }
+      writeChromaResidual(bw, mbX, mbY, ch)
+      writeMbPlanes(mbX, mbY, predY, predCb, predCr)
+      i = 0
+      while (i < 16) {
+        val res = Transform.inverse4x4(
+          Transform.dequant4x4(unzigzag16(scans(i)), qp, skipDc = false))
+        addResidualAt(y, ls, mbX * 16 + blkX(i) * 4, mbY * 16 + blkY(i) * 4, res)
+        i += 1
+      }
+      reconChromaOnto(mbX, mbY, ch)
+      mbQp(mbY * wMb + mbX) = qp
+    }
+
+    /** One B macroblock, cycling through every family: direct-with-
+      * residual, Bi/L0/L1 16×16, a mixed-list 16×8, and B_8x8 with
+      * direct / Bi / 8×4 / 4×4 sub-partitions.
+      */
+    private def encodeBMb(bw: BitWriter, mbX: Int, mbY: Int,
+        srcY: Array[Int], srcCb: Array[Int], srcCr: Array[Int]): Unit = {
+      bstate.beginMb(mbX, mbY)
+      (mbX + mbY) % 6 match {
+        case 0 => encodeBDirect16(bw, mbX, mbY, srcY, srcCb, srcCr)
+        case 1 => encodeB16x16(bw, mbX, mbY, srcY, srcCb, srcCr, use = 3)
+        case 2 => encodeB16x16(bw, mbX, mbY, srcY, srcCb, srcCr, use = 1)
+        case 3 => encodeB16x16(bw, mbX, mbY, srcY, srcCb, srcCr, use = 2)
+        case 4 => encodeB16x8L0L1(bw, mbX, mbY, srcY, srcCb, srcCr)
+        case _ => encodeB8x8(bw, mbX, mbY, srcY, srcCb, srcCr)
+      }
+    }
+
+    private def encodeBDirect16(bw: BitWriter, mbX: Int, mbY: Int,
+        srcY: Array[Int], srcCb: Array[Int], srcCr: Array[Int]): Unit = {
+      val dm = directMotion(mbX, mbY)
+      commitDirect(mbX, mbY, dm, 0xF)
+      val predY = new Array[Int](256)
+      val predCb = new Array[Int](64)
+      val predCr = new Array[Int](64)
+      directPred(predY, predCb, predCr, mbX, mbY, dm, 0xF)
+      val (scans, cbpLuma, ch) =
+        quantizeMb(predY, predCb, predCr, mbX, mbY, srcY, srcCb, srcCr)
+      bw.ue(0) // B_Direct_16x16
+      writeBResidualAndRecon(bw, mbX, mbY, predY, predCb, predCr, scans, cbpLuma, ch)
+    }
+
+    /** 16×16 with `use` bit 0 = L0, bit 1 = L1 (mb_type 1/2/3). */
+    private def encodeB16x16(bw: BitWriter, mbX: Int, mbY: Int,
+        srcY: Array[Int], srcCb: Array[Int], srcCr: Array[Int], use: Int): Unit = {
+      val bx = mbX * 4; val by = mbY * 4
+      val preds = Seq.newBuilder[(Int, Int, Int, Int)]
+      val mvds = Seq.newBuilder[(Int, Int, Int)] // (list, dx, dy)
+      val refBits = Seq.newBuilder[(Int, Int)] // (list, ref)
+      for (list <- 0 to 1) {
+        if ((use & (1 << list)) != 0) {
+          val active = if (list == 0) numRefActive0 else numRefActive1
+          val r = if (list == 0 && active >= 2 && (mbX * 3 + mbY) % 4 == 1) 1 else 0
+          val (prX, prY) = MvPred.predict(bstate.neigh(list), bx, by, 4, r)
+          val (mvx, mvy) = searchMv(mbX, mbY, 0, 0, 16, 16, r, prX, prY, srcY, list)
+          bstate.setBlocks(list, bx, by, 4, 4, r, picIdOf(list, r), mvx, mvy)
+          refBits += ((list, r))
+          mvds += ((list, mvx - prX, mvy - prY))
+          preds += ((list, r, mvx, mvy))
+        } else {
+          bstate.setBlocks(list, bx, by, 4, 4, -1, -1, 0, 0)
+        }
+      }
+      val predY = new Array[Int](256)
+      val predCb = new Array[Int](64)
+      val predCr = new Array[Int](64)
+      partPredInto(predY, predCb, predCr, mbX, mbY, 0, 0, 16, 16, preds.result())
+      val (scans, cbpLuma, ch) =
+        quantizeMb(predY, predCb, predCr, mbX, mbY, srcY, srcCb, srcCr)
+      bw.ue(use match { case 1 => 1; case 2 => 2; case _ => 3 })
+      refBits.result().foreach { case (list, r) =>
+        val active = if (list == 0) numRefActive0 else numRefActive1
+        if (active == 2) bw.put(1 - r)
+        else if (active > 2) bw.ue(r)
+      }
+      mvds.result().foreach { case (_, dx, dy) => bw.se(dx); bw.se(dy) }
+      writeBResidualAndRecon(bw, mbX, mbY, predY, predCb, predCr, scans, cbpLuma, ch)
+    }
+
+    /** B_L0_L1_16x8 (mb_type 8): top partition L0, bottom L1. */
+    private def encodeB16x8L0L1(bw: BitWriter, mbX: Int, mbY: Int,
+        srcY: Array[Int], srcCb: Array[Int], srcCr: Array[Int]): Unit = {
+      val predY = new Array[Int](256)
+      val predCb = new Array[Int](64)
+      val predCr = new Array[Int](64)
+      // partition 0: L0, shape 'T'
+      val (pr0x, pr0y) = MvPred.predict(bstate.neigh(0), mbX * 4, mbY * 4, 4, 0, 'T')
+      val (m0x, m0y) = searchMv(mbX, mbY, 0, 0, 16, 8, 0, pr0x, pr0y, srcY, 0)
+      bstate.setBlocks(0, mbX * 4, mbY * 4, 4, 2, 0, picIdOf(0, 0), m0x, m0y)
+      bstate.setBlocks(1, mbX * 4, mbY * 4, 4, 2, -1, -1, 0, 0)
+      partPredInto(predY, predCb, predCr, mbX, mbY, 0, 0, 16, 8,
+        Seq((0, 0, m0x, m0y)))
+      // partition 1: L1, shape 'B'
+      val (pr1x, pr1y) = MvPred.predict(bstate.neigh(1), mbX * 4, mbY * 4 + 2, 4, 0, 'B')
+      val (m1x, m1y) = searchMv(mbX, mbY, 0, 8, 16, 8, 0, pr1x, pr1y, srcY, 1)
+      bstate.setBlocks(1, mbX * 4, mbY * 4 + 2, 4, 2, 0, picIdOf(1, 0), m1x, m1y)
+      bstate.setBlocks(0, mbX * 4, mbY * 4 + 2, 4, 2, -1, -1, 0, 0)
+      partPredInto(predY, predCb, predCr, mbX, mbY, 0, 8, 16, 8,
+        Seq((1, 0, m1x, m1y)))
+      val (scans, cbpLuma, ch) =
+        quantizeMb(predY, predCb, predCr, mbX, mbY, srcY, srcCb, srcCr)
+      bw.ue(8) // B_L0_L1_16x8
+      if (numRefActive0 == 2) bw.put(1) else if (numRefActive0 > 2) bw.ue(0)
+      if (numRefActive1 == 2) bw.put(1) else if (numRefActive1 > 2) bw.ue(0)
+      bw.se(m0x - pr0x); bw.se(m0y - pr0y)
+      bw.se(m1x - pr1x); bw.se(m1y - pr1y)
+      writeBResidualAndRecon(bw, mbX, mbY, predY, predCb, predCr, scans, cbpLuma, ch)
+    }
+
+    /** B_8x8 with sub_mb_types cycling direct / Bi 8×8 / L0 8×4 /
+      * L1 4×4 — exercises the B sub-partition parse order end to end.
+      */
+    private def encodeB8x8(bw: BitWriter, mbX: Int, mbY: Int,
+        srcY: Array[Int], srcCb: Array[Int], srcCr: Array[Int]): Unit = {
+      val subTypes = (0 until 4).map(e8 => Seq(0, 3, 4, 11)((mbX + e8) % 4))
+      def subGeom(t: Int): (Seq[(Int, Int, Int, Int)], Int) = t match {
+        case 3 => (Seq((0, 0, 8, 8)), 3)
+        case 4 => (Seq((0, 0, 8, 4), (0, 4, 8, 4)), 1)
+        case 11 => (Seq((0, 0, 4, 4), (4, 0, 4, 4), (0, 4, 4, 4), (4, 4, 4, 4)), 2)
+        case _ => (Seq.empty, 0) // direct
+      }
+      val predY = new Array[Int](256)
+      val predCb = new Array[Int](64)
+      val predCr = new Array[Int](64)
+      lazy val dm = directMotion(mbX, mbY)
+      val mvd0 = Array.fill(4)(Seq.empty[(Int, Int)])
+      val mvd1 = Array.fill(4)(Seq.empty[(Int, Int)])
+      for (e8 <- 0 until 4) {
+        val ox = (e8 & 1) * 8; val oy = (e8 >> 1) * 8
+        if (subTypes(e8) == 0) {
+          commitDirect(mbX, mbY, dm, 1 << e8)
+          directPred(predY, predCb, predCr, mbX, mbY, dm, 1 << e8)
+        } else {
+          val (geom, usage) = subGeom(subTypes(e8))
+          val d0 = Seq.newBuilder[(Int, Int)]
+          val d1 = Seq.newBuilder[(Int, Int)]
+          geom.foreach { case (sx, sy, sw, sh) =>
+            val px = ox + sx; val py = oy + sy
+            val bx = mbX * 4 + px / 4
+            val by = mbY * 4 + py / 4
+            val preds = Seq.newBuilder[(Int, Int, Int, Int)]
+            for (list <- 0 to 1) {
+              if ((usage & (1 << list)) != 0) {
+                val (prX, prY) = MvPred.predict(bstate.neigh(list), bx, by, sw / 4, 0)
+                val (mvx, mvy) = searchMv(mbX, mbY, px, py, sw, sh, 0, prX, prY, srcY, list)
+                bstate.setBlocks(list, bx, by, sw / 4, sh / 4, 0,
+                  picIdOf(list, 0), mvx, mvy)
+                preds += ((list, 0, mvx, mvy))
+                if (list == 0) d0 += ((mvx - prX, mvy - prY))
+                else d1 += ((mvx - prX, mvy - prY))
+              } else {
+                bstate.setBlocks(list, bx, by, sw / 4, sh / 4, -1, -1, 0, 0)
+              }
+            }
+            partPredInto(predY, predCb, predCr, mbX, mbY, px, py, sw, sh,
+              preds.result())
+          }
+          mvd0(e8) = d0.result()
+          mvd1(e8) = d1.result()
+        }
+      }
+      val (scans, cbpLuma, ch) =
+        quantizeMb(predY, predCb, predCr, mbX, mbY, srcY, srcCb, srcCr)
+      bw.ue(22) // B_8x8
+      subTypes.foreach(bw.ue)
+      // ref_idx_l0 per 8x8 using L0, then l1 (all our sub-refs are 0)
+      for (e8 <- 0 until 4; if (subGeom(subTypes(e8))._2 & 1) != 0) {
+        if (numRefActive0 == 2) bw.put(1) else if (numRefActive0 > 2) bw.ue(0)
+      }
+      for (e8 <- 0 until 4; if (subGeom(subTypes(e8))._2 & 2) != 0) {
+        if (numRefActive1 == 2) bw.put(1) else if (numRefActive1 > 2) bw.ue(0)
+      }
+      for (e8 <- 0 until 4) mvd0(e8).foreach { case (dx, dy) => bw.se(dx); bw.se(dy) }
+      for (e8 <- 0 until 4) mvd1(e8).foreach { case (dx, dy) => bw.se(dx); bw.se(dy) }
+      writeBResidualAndRecon(bw, mbX, mbY, predY, predCb, predCr, scans, cbpLuma, ch)
     }
 
     // ----------------------------------------------------------- PCM

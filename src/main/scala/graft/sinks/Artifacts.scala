@@ -187,18 +187,23 @@ object Artifacts {
   /** H.264-in-MP4: AVCC samples (length-prefixed NALs) under an 'avc1'
     * sample entry whose avcC box carries the SPS/PPS — the layout
     * ffmpeg/imageio produce for the reference's temporal.py MP4s. Pair
-    * with [[graft.multimodal.h264.H264Encoder]] for the samples.
+    * with [[graft.multimodal.h264.H264Encoder]] for the samples. When
+    * the stream reorders (B frames), a ctts box carries the
+    * composition-time offsets so readers recover display order.
     */
   def avcMp4(enc: graft.multimodal.h264.H264Encoder.Encoded,
       fps: Int = 100): Array[Byte] = {
     val avcC = graft.multimodal.h264.H264Encoder.avcC(enc.sps, enc.pps)
     val ext = new BeOut()
     ext.u32(8 + avcC.length); ext.fourcc("avcC"); ext.bytes(avcC)
-    isoBmffMp4(enc.samples, enc.width, enc.height, fps, "avc1", ext.toArray)
+    val reordered = enc.displayOrder != enc.samples.indices
+    isoBmffMp4(enc.samples, enc.width, enc.height, fps, "avc1", ext.toArray,
+      if (reordered) enc.ctsOffsets else Seq.empty)
   }
 
   private def isoBmffMp4(frames: Seq[Array[Byte]], width: Int, height: Int,
-      fps: Int, sampleFourcc: String, entryExtension: Array[Byte]): Array[Byte] = {
+      fps: Int, sampleFourcc: String, entryExtension: Array[Byte],
+      ctsOffsets: Seq[Int] = Seq.empty): Array[Byte] = {
     val n = frames.size
 
     def box(typ: String)(body: BeOut => Unit): Array[Byte] = {
@@ -234,6 +239,23 @@ object Artifacts {
     val stbl = box("stbl") { b =>
       b.bytes(stsd)
       b.bytes(fullBox("stts", 0, 0) { t => t.u32(1); t.u32(n); t.u32(1) })
+      if (ctsOffsets.nonEmpty) { // composition offsets (run-length coded)
+        require(ctsOffsets.size == n && ctsOffsets.forall(_ >= 0),
+          "ctts v0 requires one non-negative offset per sample")
+        val runs = Seq.newBuilder[(Int, Int)]
+        var i = 0
+        while (i < n) {
+          var j = i
+          while (j < n && ctsOffsets(j) == ctsOffsets(i)) j += 1
+          runs += ((j - i, ctsOffsets(i)))
+          i = j
+        }
+        val rs = runs.result()
+        b.bytes(fullBox("ctts", 0, 0) { t =>
+          t.u32(rs.size)
+          rs.foreach { case (count, off) => t.u32(count); t.u32(off) }
+        })
+      }
       b.bytes(fullBox("stsc", 0, 0) { t => t.u32(1); t.u32(1); t.u32(n); t.u32(1) })
       b.bytes(fullBox("stsz", 0, 0) { t =>
         t.u32(0); t.u32(n); frames.foreach(f => t.u32(f.length))

@@ -99,6 +99,51 @@ class Mp4AvcSpec extends AnyFunSuite {
     }
   }
 
+  test("B-frame MP4: ctts recovers display order through the reorder window") {
+    val w = 48; val h = 32
+    val rnd = new scala.util.Random(7)
+    val noise = Array.fill(w * h)(rnd.nextInt(24))
+    val frames = (0 until 7).map { f =>
+      Array.tabulate(w * h) { i =>
+        val x = i % w; val y = i / w
+        (((x + 2 * f) * 3 + (y + f) * 5 + noise(i)) % 256).toByte
+      }
+    }
+    val enc = H264Encoder.encodeGray(frames, w, h,
+      H264Encoder.Config(qp = 26, bFrames = true))
+    assert(enc.display == Seq(0, 2, 1, 4, 3, 6, 5), "decode order reorders")
+    val video = Codec.parseVideo(Artifacts.avcMp4(enc)).asInstanceOf[Codec.Mp4Video]
+    assert(video.frameCount == 7)
+    // recon is in DECODE order; displayIdx d lives at sample display.indexOf(d)
+    def reconOf(d: Int): H264Decoder.Frame = enc.recon(enc.display.indexOf(d))
+    // ascending display scan (the sampler's pattern): every frame exact,
+    // despite samples decoding out of display order
+    (0 until 7).foreach { d =>
+      val (dw, dh, c, px) = video.decodeFrame(d)
+      assert((dw, dh, c) == (w, h, 3))
+      (0 until w * h).foreach { i =>
+        assert((px(i * 3) & 0xFF) == reconOf(d).y(i), s"display $d px $i")
+      }
+    }
+    // strided sampling (everyN = 2) on a fresh parse
+    val v2 = Codec.parseVideo(Artifacts.avcMp4(enc)).asInstanceOf[Codec.Mp4Video]
+    Seq(0, 2, 4, 6).foreach { d =>
+      val (_, _, _, px) = v2.decodeFrame(d)
+      (0 until w * h).foreach { i =>
+        assert((px(i * 3) & 0xFF) == reconOf(d).y(i), s"strided $d px $i")
+      }
+    }
+    // backward seek restarts the session and still matches
+    val (_, _, _, px3) = v2.decodeFrame(3)
+    (0 until w * h).foreach { i =>
+      assert((px3(i * 3) & 0xFF) == reconOf(3).y(i), s"reseek px $i")
+    }
+    // the sampleFrames stage consumes the same video in display order
+    val muxed = Artifacts.avcMp4(enc)
+    val parsed = Codec.parseVideo(muxed)
+    assert(parsed.frameCount == 7)
+  }
+
   test("lossy decode stays within the quantizer envelope") {
     val w = 48; val h = 32
     for (qp <- Seq(20, 30, 40)) {

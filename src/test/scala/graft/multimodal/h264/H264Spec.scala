@@ -407,21 +407,35 @@ class H264Spec extends AnyFunSuite {
       System.arraycopy(nal, 0, out, 4, nal.length)
       out
     }
-    // B slice — outside baseline
+    // B slice without any reference pictures (empty DPB)
     val bSlice = {
       val bw = new BitWriter
       bw.ue(0); bw.ue(1) // first_mb, slice_type 1 = B
-      bw.ue(0); bw.rbspTrailing()
+      bw.ue(0) // pps_id
+      bw.putBits(0, 8) // frame_num (the POC pre-parse reads this far)
+      bw.rbspTrailing()
       avccOf(Nal.unit(3, 1, bw.toBytes))
     }
     val e4 = intercept[IllegalArgumentException](
       H264Decoder.decodeAvccSample(bSlice, 4, sps, pps))
-    assert(e4.getMessage.contains("slice_type"))
+    assert(e4.getMessage.contains("reference"))
+    // SP slice — outside the subset
+    val spSlice = {
+      val bw = new BitWriter
+      bw.ue(0); bw.ue(3) // slice_type 3 = SP
+      bw.ue(0); bw.putBits(0, 8) // pps_id, frame_num
+      bw.rbspTrailing()
+      avccOf(Nal.unit(3, 1, bw.toBytes))
+    }
+    val e6 = intercept[IllegalArgumentException](
+      H264Decoder.decodeAvccSample(spSlice, 4, sps, pps))
+    assert(e6.getMessage.contains("slice_type"))
     // P slice without any reference picture (session has an empty DPB)
     val pSlice = {
       val bw = new BitWriter
       bw.ue(0); bw.ue(0) // slice_type 0 = P
-      bw.ue(0); bw.rbspTrailing()
+      bw.ue(0); bw.putBits(0, 8) // pps_id, frame_num
+      bw.rbspTrailing()
       avccOf(Nal.unit(3, 1, bw.toBytes))
     }
     val e5 = intercept[IllegalArgumentException](
@@ -639,6 +653,120 @@ class H264Spec extends AnyFunSuite {
     val e = intercept[IllegalArgumentException](
       H264Decoder.decodeAvccSample(swapped, 4, sps, pps))
     assert(e.getMessage.contains("macroblock 0") || e.getMessage.contains("ASO"))
+  }
+
+  // --------------------------------------------------------- B slices
+
+  private def movingFrames(w: Int, h: Int, n: Int, seed: Int): Seq[Array[Byte]] = {
+    val rnd = new scala.util.Random(seed)
+    val noise = Array.fill(w * h)(rnd.nextInt(24))
+    (0 until n).map { f =>
+      Array.tabulate(w * h) { i =>
+        val x = i % w; val y = i / w
+        (((x + 2 * f) * 3 + (y + f) * 5 + noise(i)) % 256).toByte
+      }
+    }
+  }
+
+  test("IBPBP: B slices decode bit-exactly and predict from both directions") {
+    for ((w, h) <- Seq((48, 32), (64, 48)); qp <- Seq(24, 30)) {
+      val frames = movingFrames(w, h, 9, w + qp)
+      val enc = H264Encoder.encodeGray(frames, w, h,
+        H264Encoder.Config(qp = qp, bFrames = true))
+      // decode order interleaves: I, P(2), B(1), P(4), B(3), …
+      assert(enc.display == Seq(0, 2, 1, 4, 3, 6, 5, 8, 7))
+      assert(enc.sampleIsIdr == (true +: Seq.fill(8)(false)))
+      val sps = H264Decoder.parseSps(Nal.unescape(enc.sps, 1, enc.sps.length))
+      val pps = H264Decoder.parsePps(Nal.unescape(enc.pps, 1, enc.pps.length))
+      assert(sps.pocType == 0, "B streams carry POC type 0")
+      val session = new H264Decoder.Session(sps, pps)
+      enc.samples.zip(enc.recon).zipWithIndex.foreach { case ((s, r), fi) =>
+        // B NALs are non-reference (nal_ref_idc 0)
+        val refIdc = (s(4) >> 5) & 3
+        val isB = enc.display(fi) % 2 == 1
+        assert((refIdc == 0) == isB, s"sample $fi nal_ref_idc $refIdc")
+        val dec = session.decodeSample(s, 4)
+        assert(dec.y.toSeq == r.y.toSeq, s"${w}x$h qp=$qp sample $fi luma")
+        assert(dec.cb.toSeq == r.cb.toSeq, s"sample $fi cb")
+        assert(dec.cr.toSeq == r.cr.toSeq, s"sample $fi cr")
+        val p = psnr(frames(enc.display(fi)), dec.y)
+        assert(p > 40.0 - 0.6 * qp, s"sample $fi PSNR=$p")
+      }
+      // bidirectional prediction must pay: B samples smaller than P ones
+      val pBytes = enc.samples.zipWithIndex.collect {
+        case (s, i) if !enc.sampleIsIdr(i) && enc.display(i) % 2 == 0 => s.length
+      }
+      val bBytes = enc.samples.zipWithIndex.collect {
+        case (s, i) if enc.display(i) % 2 == 1 => s.length
+      }
+      assert(bBytes.sum * pBytes.size < pBytes.sum * bBytes.size,
+        s"mean B ${bBytes.sum / bBytes.size} !< mean P ${pBytes.sum / pBytes.size}")
+    }
+  }
+
+  test("B slices compose with multi-slice pictures and deblocking") {
+    val w = 64; val h = 48
+    val frames = movingFrames(w, h, 7, 3)
+    val enc = H264Encoder.encodeGray(frames, w, h,
+      H264Encoder.Config(qp = 28, bFrames = true, sliceRows = 1, deblock = true))
+    val sps = H264Decoder.parseSps(Nal.unescape(enc.sps, 1, enc.sps.length))
+    val pps = H264Decoder.parsePps(Nal.unescape(enc.pps, 1, enc.pps.length))
+    val session = new H264Decoder.Session(sps, pps)
+    enc.samples.zip(enc.recon).zipWithIndex.foreach { case ((s, r), fi) =>
+      val dec = session.decodeSample(s, 4)
+      assert(dec.y.toSeq == r.y.toSeq, s"sample $fi luma")
+      assert(dec.cb.toSeq == r.cb.toSeq && dec.cr.toSeq == r.cr.toSeq, s"sample $fi chroma")
+    }
+  }
+
+  test("B via Annex-B: pictures group and decode in coded order") {
+    val w = 32; val h = 32
+    val frames = movingFrames(w, h, 5, 11)
+    val enc = H264Encoder.encodeGray(frames, w, h,
+      H264Encoder.Config(qp = 26, bFrames = true))
+    val decoded = H264Decoder.decodeAnnexB(H264Encoder.annexB(enc))
+    assert(decoded.size == 5)
+    decoded.zip(enc.recon).zipWithIndex.foreach { case ((d, r), fi) =>
+      assert(d.y.toSeq == r.y.toSeq, s"picture $fi")
+    }
+  }
+
+  test("fail-fast: temporal direct mode is refused by name") {
+    val w = 32; val h = 32
+    val enc = H264Encoder.encodeGray(movingFrames(w, h, 3, 9), w, h,
+      H264Encoder.Config(qp = 26, bFrames = true))
+    val sps = H264Decoder.parseSps(Nal.unescape(enc.sps, 1, enc.sps.length))
+    val pps = H264Decoder.parsePps(Nal.unescape(enc.pps, 1, enc.pps.length))
+    val session = new H264Decoder.Session(sps, pps)
+    session.decodeSample(enc.samples(0), 4)
+    session.decodeSample(enc.samples(1), 4)
+    // flip direct_spatial_mv_pred_flag in the B slice header: it is the
+    // bit right after pic_order_cnt_lsb — rebuild the header
+    val bSample = enc.samples(2)
+    val nalLen = ((bSample(0) & 0xFF) << 24) | ((bSample(1) & 0xFF) << 16) |
+      ((bSample(2) & 0xFF) << 8) | (bSample(3) & 0xFF)
+    val rbsp = Nal.unescape(bSample, 5, 4 + nalLen)
+    val br = new BitReader(rbsp)
+    val bw = new BitWriter
+    bw.ue(br.ue()) // first_mb
+    bw.ue(br.ue()) // slice_type
+    bw.ue(br.ue()) // pps
+    bw.putBits(br.u(sps.log2MaxFrameNum), sps.log2MaxFrameNum)
+    bw.putBits(br.u(sps.log2MaxPocLsb), sps.log2MaxPocLsb)
+    assert(br.u1() == 1, "encoder writes spatial direct")
+    bw.put(0) // temporal direct
+    while (br.remainingBits > 8) bw.put(br.u1())
+    while (!bw.byteAligned) bw.put(0)
+    val mutated = Nal.escape(bw.toBytes)
+    val out = new java.io.ByteArrayOutputStream()
+    val hdr = 1 + mutated.length
+    out.write(Array[Byte]((hdr >> 24).toByte, (hdr >> 16).toByte,
+      (hdr >> 8).toByte, hdr.toByte))
+    out.write(bSample(4)) // NAL header byte
+    out.write(mutated)
+    val e = intercept[IllegalArgumentException](
+      session.decodeSample(out.toByteArray, 4))
+    assert(e.getMessage.contains("temporal direct"))
   }
 
   test("IPPP via Annex-B: session decode with multi-ref and deblocking") {

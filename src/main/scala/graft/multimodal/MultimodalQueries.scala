@@ -656,7 +656,82 @@ object MultimodalQueries {
       FROM fs GROUP BY doc_id ORDER BY doc_id""")
   )
 
+  /** B-frame (IBPBP) H.264 ingest as a first-class operator: every
+    * document becomes a real Main-profile CAVLC 'avc1' MP4 whose coded
+    * order differs from display order — non-reference spatial-direct B
+    * slices between P references, ctts composition offsets in the
+    * container (every fourth doc also multi-slice). The engine decodes
+    * through the ctts reorder window and the row pins three properties:
+    * the container decode equals the encoder's normative reconstruction
+    * BIT-EXACTLY in display order (`display_exact`); each decoded frame
+    * is closest to ITS OWN source frame, not a neighbor (`src_match` —
+    * the check that would fail if ctts ordering or the DPB were wrong
+    * by one); and the stream really reorders (`reordered`). Pure
+    * per-row fan-out in batched mapPartitions — embarrassingly parallel
+    * over clips at any scale.
+    */
+  val m9BFrameVideo: QueryDef = QueryDef(
+    "m9_bframe_video",
+    (s, dir) => {
+      val session = s
+      import session.implicits._
+      import graft.multimodal.h264.H264Encoder
+      Tables.loadSpread(s, dir, "documents").select(col("doc_id")).as[Long]
+        .mapPartitions(_.map { id =>
+          val w = 16
+          val h = ((id % 2) * 16 + 16).toInt // 16 or 32
+          val n = ((id % 3) * 2 + 5).toInt // 5, 7, 9 frames (odd → B pairs)
+          // moving gradient + a 37-level DC step per frame: adjacent
+          // frames differ far beyond the qp-26 quantizer envelope, so
+          // src_match discriminates off-by-one ordering
+          def frame(f: Int): Array[Byte] =
+            Array.tabulate(w * h) { i =>
+              val x = i % w; val y = i / w
+              (((x + 2 * f) * 5 + y * 7 + f * 37 + id * 11) % 256).toByte
+            }
+          val frames = Seq.tabulate(n)(frame)
+          val enc = H264Encoder.encodeGray(frames, w, h,
+            H264Encoder.Config(qp = 26, bFrames = true,
+              sliceRows = if (id % 4 == 0) 1 else 0))
+          val reordered = enc.displayOrder != enc.samples.indices
+          val video = Codec.parseVideo(graft.sinks.Artifacts.avcMp4(enc))
+          var displayExact = video.frameCount == n
+          var srcMatch = true
+          (0 until video.frameCount).foreach { d =>
+            val (dw, dh, _, px) = video.decodeFrame(d)
+            val recon = enc.recon(enc.display.indexOf(d))
+            var i = 0
+            while (i < dw * dh) {
+              if ((px(i * 3) & 0xFF) != recon.y(i)) displayExact = false
+              i += 1
+            }
+            // sum of absolute error vs each candidate source frame
+            def sad(f: Int): Long = {
+              val src = frame(f)
+              var sErr = 0L
+              var j = 0
+              while (j < dw * dh) {
+                sErr += math.abs((px(j * 3) & 0xFF) - (src(j) & 0xFF))
+                j += 1
+              }
+              sErr
+            }
+            val own = sad(d)
+            if (d > 0 && sad(d - 1) <= own) srcMatch = false
+            if (d < n - 1 && sad(d + 1) <= own) srcMatch = false
+          }
+          (id, n.toLong, reordered, displayExact, srcMatch)
+        })
+        .toDF("doc_id", "n_frames", "reordered", "display_exact", "src_match")
+        .orderBy("doc_id")
+    },
+    Some("""
+      SELECT doc_id, CAST((doc_id % 3) * 2 + 5 AS BIGINT) AS n_frames,
+             TRUE AS reordered, TRUE AS display_exact, TRUE AS src_match
+      FROM documents ORDER BY doc_id""")
+  )
+
   val all: Seq[QueryDef] =
     Seq(m1Pipeline, m2InferenceConv, m3AudioFeatures, m4ImagePhash,
-      m5SceneCuts, m6AudioVad, m7Keyframes, m8H264Video)
+      m5SceneCuts, m6AudioVad, m7Keyframes, m8H264Video, m9BFrameVideo)
 }

@@ -22,6 +22,10 @@ package graft.multimodal.h264
   *    list, §8.4.2.1 bi-prediction averaging, per-4×4 colZeroFlag with
   *    direct_8x8_inference, non-reference pictures (nal_ref_idc 0) kept
   *    out of the DPB, §8.2.1.1 POC type 0 with lsb wrap
+  *  - WEIGHTED prediction (§8.4.2.3): explicit per-reference
+  *    weight/offset tables for P (weighted_pred_flag) and B
+  *    (weighted_bipred_idc 1), and implicit-by-POC bi-prediction
+  *    weights (idc 2 — the x264 default for B frames)
   *  - MULTIPLE SLICES per picture (the framing real hardware encoders
   *    emit — often one slice per MB row): §6.4.8 neighbor availability
   *    is slice-masked for intra prediction, CAVLC contexts and MV
@@ -35,9 +39,8 @@ package graft.multimodal.h264
   *    and same-picture bi-prediction derive exactly)
   *
   * Everything outside the subset FAILS FAST with a named error (CABAC,
-  * temporal direct, long-term references, MMCO, weighted prediction,
-  * interlace, High-profile SPS extensions) rather than misreading — the
-  * stance of the HDF5/szip
+  * temporal direct, long-term references, MMCO, interlace, High-profile
+  * SPS extensions) rather than misreading — the stance of the HDF5/szip
   * readers (`graft.sources.Hdf5`). CABAC stays out deliberately: its
   * ~1000 context-initialization constants are empirical spec tables
   * that cannot be re-derived, and an unverifiable transcription would
@@ -63,7 +66,22 @@ object H264Decoder {
 
   final case class Pps(
       ppsId: Int, spsId: Int, picInitQp: Int, chromaQpOffset: Int,
-      deblockCtrl: Boolean, numRefDefault: Int, constrainedIntra: Boolean)
+      deblockCtrl: Boolean, numRefDefault: Int, constrainedIntra: Boolean,
+      weightedPred: Boolean = false, weightedBipredIdc: Int = 0)
+
+  /** One reference's explicit prediction weights (§7.4.3.2): per-plane
+    * multiplicative weight + additive offset under the slice's shared
+    * log2 denominators.
+    */
+  final case class RefWeight(
+      wY: Int, oY: Int, wCb: Int, oCb: Int, wCr: Int, oCr: Int)
+
+  /** Per-slice weighted-prediction state: None = unweighted (the
+    * default §8.4.2.1 averaging); Some = §8.4.2.3 weighted samples.
+    */
+  final case class WeightTable(
+      logWDy: Int, logWDc: Int,
+      l0: IndexedSeq[RefWeight], l1: IndexedSeq[RefWeight])
 
   /** A decoded frame: cropped planes, samples 0..255. */
   final case class Frame(
@@ -154,11 +172,9 @@ object H264Decoder {
     require(sliceGroups == 1, s"FMO ($sliceGroups slice groups) not supported")
     val numRefDefault = br.ue() + 1 // num_ref_idx_l0_default_active_minus1
     br.ue() // num_ref_idx_l1_default_active_minus1
-    // decoding a weighted stream unweighted would silently drift
-    require(br.u1() == 0, "weighted prediction (weighted_pred_flag=1) not supported")
-    val bipredIdc = br.u(2)
-    require(bipredIdc == 0,
-      s"weighted bi-prediction (weighted_bipred_idc=$bipredIdc) not supported")
+    val weightedPred = br.u1() == 1 // explicit P weighting (§8.4.2.3)
+    val bipredIdc = br.u(2) // 0 = average, 1 = explicit, 2 = implicit-by-POC
+    require(bipredIdc <= 2, s"weighted_bipred_idc $bipredIdc")
     val picInitQp = br.se() + 26
     br.se() // pic_init_qs
     val chromaQpOffset = br.se()
@@ -166,7 +182,7 @@ object H264Decoder {
     val constrainedIntra = br.u1() == 1
     br.u1() // redundant_pic_cnt_present_flag
     Pps(ppsId, spsId, picInitQp, chromaQpOffset, deblockCtrl, numRefDefault,
-      constrainedIntra)
+      constrainedIntra, weightedPred, bipredIdc)
   }
 
   /** One slice NAL of a picture: unescaped RBSP + NAL header facts. */
@@ -328,10 +344,11 @@ object H264Decoder {
     * outside B slices).
     */
   private final case class SliceHeader(
-      firstMb: Int, isP: Boolean, isB: Boolean, frameNum: Int,
+      firstMb: Int, isP: Boolean, isB: Boolean, frameNum: Int, poc: Int,
       refs0: IndexedSeq[DpbPic], refs1: IndexedSeq[DpbPic],
       numRefActive0: Int, numRefActive1: Int, sliceQp: Int,
-      disableDeblock: Int, alphaOff: Int, betaOff: Int)
+      disableDeblock: Int, alphaOff: Int, betaOff: Int,
+      explicitWeights: Option[WeightTable], implicitWeights: Boolean)
 
   private def parseSliceHeader(br: BitReader, nal: SliceNal,
       sps: Sps, pps: Pps, dpb: IndexedSeq[DpbPic], poc: Int): SliceHeader = {
@@ -381,6 +398,29 @@ object H264Decoder {
         refs1 = applyModification(br, i1, dpb, frameNum, numRefActive1, maxFn)
       }
     }
+    // §7.3.3.2 pred_weight_table: explicit weights for P (PPS
+    // weighted_pred_flag) and for B (weighted_bipred_idc 1)
+    val explicitWeights: Option[WeightTable] =
+      if ((isP && pps.weightedPred) || (isB && pps.weightedBipredIdc == 1)) {
+        val logWDy = br.ue()
+        require(logWDy <= 7, s"luma_log2_weight_denom $logWDy")
+        val logWDc = br.ue()
+        require(logWDc <= 7, s"chroma_log2_weight_denom $logWDc")
+        def refWeights(count: Int): IndexedSeq[RefWeight] =
+          (0 until count).map { _ =>
+            var (wY, oY) = (1 << logWDy, 0)
+            if (br.u1() == 1) { wY = br.se(); oY = br.se() }
+            var (wCb, oCb, wCr, oCr) = (1 << logWDc, 0, 1 << logWDc, 0)
+            if (br.u1() == 1) {
+              wCb = br.se(); oCb = br.se(); wCr = br.se(); oCr = br.se()
+            }
+            RefWeight(wY, oY, wCb, oCb, wCr, oCr)
+          }
+        val l0 = refWeights(numRefActive0)
+        val l1 = if (isB) refWeights(numRefActive1) else IndexedSeq.empty
+        Some(WeightTable(logWDy, logWDc, l0, l1))
+      } else None
+    val implicitWeights = isB && pps.weightedBipredIdc == 2
     if (nal.refIdc > 0) {
       if (idr) { br.u1(); br.u1() } // no_output_of_prior_pics, long_term_reference
       else { // dec_ref_pic_marking for a reference picture
@@ -398,8 +438,9 @@ object H264Decoder {
       require(disableDeblock <= 2, s"disable_deblocking_filter_idc $disableDeblock")
       if (disableDeblock != 1) { alphaOff = 2 * br.se(); betaOff = 2 * br.se() }
     }
-    SliceHeader(firstMb, isP, isB, frameNum, refs0, refs1,
-      numRefActive0, numRefActive1, sliceQp, disableDeblock, alphaOff, betaOff)
+    SliceHeader(firstMb, isP, isB, frameNum, poc, refs0, refs1,
+      numRefActive0, numRefActive1, sliceQp, disableDeblock, alphaOff, betaOff,
+      explicitWeights, implicitWeights)
   }
 
   private def decodePicture(slices: Seq[SliceNal],
@@ -520,6 +561,9 @@ object H264Decoder {
     private var refs1: IndexedSeq[DpbPic] = IndexedSeq.empty
     private var numRefActive0 = 0
     private var numRefActive1 = 0
+    private var explicitW: Option[WeightTable] = None
+    private var implicitW = false
+    private var slicePoc = 0
 
     /** The finished picture's motion field (stored with reference
       * pictures for later direct-mode derivation).
@@ -537,6 +581,9 @@ object H264Decoder {
       refs1 = hdr.refs1
       numRefActive0 = hdr.numRefActive0
       numRefActive1 = hdr.numRefActive1
+      explicitW = hdr.explicitWeights
+      implicitW = hdr.implicitWeights
+      slicePoc = hdr.poc
       val n = wMb * hMb
       var mb = hdr.firstMb
       var moreData = true
@@ -739,9 +786,10 @@ object H264Decoder {
         ref: Int, mvx: Int, mvy: Int): Unit =
       writeInterPredMulti(x0, y0, pw, ph, Seq((0, ref, mvx, mvy)))
 
-    /** Motion compensation with one or two list predictions; two average
-      * per §8.4.2.1 (default — no weighted prediction). Each pred is
-      * (list, refIdx, mvx, mvy).
+    /** Motion compensation with one or two list predictions, combined
+      * per the slice's weighting mode: §8.4.2.1 averaging (default),
+      * §8.4.2.3 explicit weights, or implicit-by-POC bi weights. Each
+      * pred is (list, refIdx, mvx, mvy).
       */
     private def writeInterPredMulti(x0: Int, y0: Int, pw: Int, ph: Int,
         preds: Seq[(Int, Int, Int, Int)]): Unit = {
@@ -753,16 +801,19 @@ object H264Decoder {
           Interp.chromaBlock(rf.cb, cs, hcPix, 4 * x0 + mvx, 4 * y0 + mvy, cw, chh),
           Interp.chromaBlock(rf.cr, cs, hcPix, 4 * x0 + mvx, 4 * y0 + mvy, cw, chh))
       }
-      @inline def mix(a: Array[Int], b: Array[Int], i: Int): Int =
-        if (b == null) a(i) else (a(i) + b(i) + 1) >> 1
+      val (mixY, mixCb, mixCr) = Weighting.mixers(
+        preds.map(p => (p._1, p._2)), explicitW, implicitW, slicePoc,
+        (list, ref) => (if (list == 0) refs0 else refs1)(ref).poc)
       val (l0, c0, r0) = parts.head
       val (l1, c1, r1) =
         if (parts.size == 2) parts(1) else (null, null, null)
+      @inline def px(b: Array[Int], i: Int): Int = if (b == null) 0 else b(i)
       var j = 0
       while (j < ph) {
         var i = 0
         while (i < pw) {
-          y((y0 + j) * ls + x0 + i) = mix(l0, l1, j * pw + i); i += 1
+          y((y0 + j) * ls + x0 + i) = mixY(l0(j * pw + i), px(l1, j * pw + i))
+          i += 1
         }
         j += 1
       }
@@ -770,8 +821,8 @@ object H264Decoder {
       while (j < chh) {
         var i = 0
         while (i < cw) {
-          cb((cy0 + j) * cs + cx0 + i) = mix(c0, c1, j * cw + i)
-          cr((cy0 + j) * cs + cx0 + i) = mix(r0, r1, j * cw + i)
+          cb((cy0 + j) * cs + cx0 + i) = mixCb(c0(j * cw + i), px(c1, j * cw + i))
+          cr((cy0 + j) * cs + cx0 + i) = mixCr(r0(j * cw + i), px(r1, j * cw + i))
           i += 1
         }
         j += 1

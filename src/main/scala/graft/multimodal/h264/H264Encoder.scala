@@ -39,7 +39,8 @@ object H264Encoder {
   final case class Config(
       qp: Int = 28, pcmEvery: Int = 0, deblock: Boolean = true,
       pFrames: Boolean = false, bFrames: Boolean = false, sliceRows: Int = 0,
-      noSliceEdgeDeblock: Boolean = false)
+      noSliceEdgeDeblock: Boolean = false,
+      weightedPred: Boolean = false, implicitWeightedB: Boolean = false)
 
   /** `samples`/`recon` are in DECODE order; `display(i)` is sample i's
     * display index (identity without B frames) and `ctsOffset(i)` the
@@ -81,7 +82,10 @@ object H264Encoder {
     val useB = cfg.bFrames && frames.size > 2
     val sps = writeSps(wMb, hMb, width, height,
       pocType = if (useB) 0 else 2, maxRef = if (useB) 3 else 2)
-    val pps = writePps(cfg.qp)
+    val bipredIdc =
+      if (useB && cfg.implicitWeightedB) 2
+      else if (useB && cfg.weightedPred) 1 else 0
+    val pps = writePps(cfg.qp, cfg.weightedPred, bipredIdc)
     val spsP = H264Decoder.parseSps(Nal.unescape(sps, 1, sps.length))
     val ppsP = H264Decoder.parsePps(Nal.unescape(pps, 1, pps.length))
 
@@ -251,15 +255,16 @@ object H264Encoder {
     Nal.unit(3, 7, bw.toBytes)
   }
 
-  private def writePps(qp: Int): Array[Byte] = {
+  private def writePps(qp: Int, weightedPred: Boolean = false,
+      bipredIdc: Int = 0): Array[Byte] = {
     val bw = new BitWriter
     bw.ue(0); bw.ue(0) // pps_id, sps_id
     bw.put(0) // entropy_coding_mode: CAVLC
     bw.put(0) // bottom_field_pic_order_in_frame_present
     bw.ue(0) // num_slice_groups_minus1
     bw.ue(0); bw.ue(0) // num_ref_idx defaults
-    bw.put(0) // weighted_pred
-    bw.putBits(0, 2) // weighted_bipred_idc
+    bw.put(if (weightedPred) 1 else 0) // weighted_pred
+    bw.putBits(bipredIdc, 2) // weighted_bipred_idc
     bw.se(qp - 26) // pic_init_qp_minus26
     bw.se(0) // pic_init_qs_minus26
     bw.se(0) // chroma_qp_index_offset
@@ -303,6 +308,23 @@ object H264Encoder {
       (if (list == 0) refs0 else refs1)(idx).ref
     private def picIdOf(list: Int, idx: Int): Int =
       (if (list == 0) refs0 else refs1)(idx).picId
+
+    /** Explicit weight table for weighted slices: non-trivial,
+      * frame-dependent values so round-trips exercise real weighting
+      * (ref 0 alternates weight/offset, later refs scale down).
+      */
+    private val explicitW: Option[H264Decoder.WeightTable] =
+      if ((isP && pps.weightedPred) || (isB && pps.weightedBipredIdc == 1)) {
+        def table(count: Int, listOff: Int): IndexedSeq[H264Decoder.RefWeight] =
+          (0 until count).map { i =>
+            if ((frameNum + i + listOff) % 2 == 1)
+              H264Decoder.RefWeight(80, -3, 56, 2, 72, -1)
+            else H264Decoder.RefWeight(64, 0, 64, 0, 64, 0)
+          }
+        Some(H264Decoder.WeightTable(6, 6, table(numRefActive0, 0),
+          if (isB) table(numRefActive1, 1) else IndexedSeq.empty))
+      } else None
+    private val implicitW = isB && pps.weightedBipredIdc == 2
 
     /** The finished picture's motion field (DPB storage for direct). */
     def motionOf(): H264Decoder.PicMotion = H264Decoder.PicMotion(
@@ -360,6 +382,15 @@ object H264Encoder {
           bw.ue(3) // end of modification commands
         }
         if (isB) bw.put(0) // ref_pic_list_modification_flag_l1
+        explicitW.foreach { wt => // pred_weight_table (§7.3.3.2)
+          bw.ue(wt.logWDy); bw.ue(wt.logWDc)
+          def put(l: IndexedSeq[H264Decoder.RefWeight]): Unit = l.foreach { rw =>
+            bw.put(1); bw.se(rw.wY); bw.se(rw.oY)
+            bw.put(1); bw.se(rw.wCb); bw.se(rw.oCb); bw.se(rw.wCr); bw.se(rw.oCr)
+          }
+          put(wt.l0)
+          if (isB) put(wt.l1)
+        }
       }
       if (idr) { bw.put(0); bw.put(0) } // dec_ref_pic_marking (IDR)
       else if (!isB) bw.put(0) // sliding window (B frames are non-reference)
@@ -486,15 +517,17 @@ object H264Encoder {
           Interp.chromaBlock(rf.cb, cs, hcPix, 4 * x0 + mvx, 4 * y0 + mvy, cw, chh),
           Interp.chromaBlock(rf.cr, cs, hcPix, 4 * x0 + mvx, 4 * y0 + mvy, cw, chh))
       }
-      @inline def mix(a: Array[Int], b: Array[Int], i: Int): Int =
-        if (b == null) a(i) else (a(i) + b(i) + 1) >> 1
+      val (mixY, mixCb, mixCr) = Weighting.mixers(
+        preds.map(p => (p._1, p._2)), explicitW, implicitW, poc,
+        (list, ref) => (if (list == 0) refs0 else refs1)(ref).poc)
       val (l0, c0, r0) = parts.head
       val (l1, c1, r1) = if (parts.size == 2) parts(1) else (null, null, null)
+      @inline def pxOf(b: Array[Int], i: Int): Int = if (b == null) 0 else b(i)
       for (j <- 0 until ph; i <- 0 until pw)
-        predY((py + j) * 16 + px + i) = mix(l0, l1, j * pw + i)
+        predY((py + j) * 16 + px + i) = mixY(l0(j * pw + i), pxOf(l1, j * pw + i))
       for (j <- 0 until chh; i <- 0 until cw) {
-        predCb((py / 2 + j) * 8 + px / 2 + i) = mix(c0, c1, j * cw + i)
-        predCr((py / 2 + j) * 8 + px / 2 + i) = mix(r0, r1, j * cw + i)
+        predCb((py / 2 + j) * 8 + px / 2 + i) = mixCb(c0(j * cw + i), pxOf(c1, j * cw + i))
+        predCr((py / 2 + j) * 8 + px / 2 + i) = mixCr(r0(j * cw + i), pxOf(r1, j * cw + i))
       }
     }
 

@@ -769,6 +769,74 @@ class H264Spec extends AnyFunSuite {
     assert(e.getMessage.contains("temporal direct"))
   }
 
+  // ------------------------------------------------- weighted prediction
+
+  test("weighting arithmetic pins the normative equations") {
+    // single-list: ((p·w + 2^(logWD−1)) >> logWD) + o, clipped
+    assert(Weighting.single(100, 64, 0, 6) == 100) // identity weight
+    assert(Weighting.single(100, 80, -3, 6) == 122) // (8000+32)>>6 − 3
+    assert(Weighting.single(200, 128, 50, 6) == 255) // clips high
+    assert(Weighting.single(10, -64, 0, 6) == 0) // clips low
+    assert(Weighting.single(7, 3, 1, 0) == 22) // logWD 0: p·w + o
+    // bi: ((p0·w0 + p1·w1 + 2^logWD) >> (logWD+1)) + ((o0+o1+1)>>1)
+    assert(Weighting.bi(100, 64, 0, 50, 64, 0, 6) == 75) // plain average
+    assert(Weighting.bi(100, 32, 0, 50, 32, 0, 5) == 75) // implicit default
+    // implicit weights: equidistant B → 32/32; quarter-way → 48/16
+    assert(Weighting.implicitWeights(2, 0, 4) == (32, 32))
+    assert(Weighting.implicitWeights(2, 0, 8) == (48, 16))
+    assert(Weighting.implicitWeights(0, 0, 0) == (32, 32)) // degenerate td
+  }
+
+  test("explicit/implicit weighted prediction round-trips bit-exactly") {
+    val w = 48; val h = 32
+    def fade(n: Int): Seq[Array[Byte]] = (0 until n).map { f =>
+      Array.tabulate(w * h) { i =>
+        val x = i % w; val y = i / w
+        math.min(255, ((x * 3 + y * 5) % 200) * (10 + f) / 12).toByte
+      }
+    }
+    // P slices with an explicit pred_weight_table (weighted_pred_flag=1)
+    val p = H264Encoder.encodeGray(fade(5), w, h,
+      H264Encoder.Config(qp = 26, pFrames = true, weightedPred = true))
+    val pps1 = H264Decoder.parsePps(Nal.unescape(p.pps, 1, p.pps.length))
+    assert(pps1.weightedPred, "PPS carries weighted_pred_flag")
+    val sps1 = H264Decoder.parseSps(Nal.unescape(p.sps, 1, p.sps.length))
+    val s1 = new H264Decoder.Session(sps1, pps1)
+    p.samples.zip(p.recon).zipWithIndex.foreach { case ((s, r), fi) =>
+      val d = s1.decodeSample(s, 4)
+      assert(d.y.toSeq == r.y.toSeq, s"P-WP sample $fi luma")
+      assert(d.cb.toSeq == r.cb.toSeq && d.cr.toSeq == r.cr.toSeq, s"$fi chroma")
+      assert(psnr(fade(5)(fi), d.y) > 40.0 - 0.6 * 26, s"P-WP sample $fi PSNR")
+    }
+    // B slices under implicit-by-POC weighting (idc 2 — the x264 default)
+    val bi = H264Encoder.encodeGray(fade(7), w, h,
+      H264Encoder.Config(qp = 26, bFrames = true, implicitWeightedB = true))
+    val pps2 = H264Decoder.parsePps(Nal.unescape(bi.pps, 1, bi.pps.length))
+    assert(pps2.weightedBipredIdc == 2)
+    val sps2 = H264Decoder.parseSps(Nal.unescape(bi.sps, 1, bi.sps.length))
+    val s2 = new H264Decoder.Session(sps2, pps2)
+    bi.samples.zip(bi.recon).zipWithIndex.foreach { case ((s, r), fi) =>
+      assert(s2.decodeSample(s, 4).y.toSeq == r.y.toSeq, s"B-implicit sample $fi")
+    }
+    // B slices under explicit weights on both lists (idc 1)
+    val be = H264Encoder.encodeGray(fade(7), w, h,
+      H264Encoder.Config(qp = 26, bFrames = true, weightedPred = true))
+    val pps3 = H264Decoder.parsePps(Nal.unescape(be.pps, 1, be.pps.length))
+    assert(pps3.weightedBipredIdc == 1 && pps3.weightedPred)
+    val sps3 = H264Decoder.parseSps(Nal.unescape(be.sps, 1, be.sps.length))
+    val s3 = new H264Decoder.Session(sps3, pps3)
+    be.samples.zip(be.recon).zipWithIndex.foreach { case ((s, r), fi) =>
+      val d = s3.decodeSample(s, 4)
+      assert(d.y.toSeq == r.y.toSeq, s"B-explicit sample $fi luma")
+      assert(d.cr.toSeq == r.cr.toSeq, s"B-explicit sample $fi cr")
+    }
+    // the weighted streams must actually differ from unweighted coding
+    val plain = H264Encoder.encodeGray(fade(5), w, h,
+      H264Encoder.Config(qp = 26, pFrames = true))
+    assert(p.samples(1).toSeq != plain.samples(1).toSeq,
+      "weighting must change the coded P stream")
+  }
+
   test("IPPP via Annex-B: session decode with multi-ref and deblocking") {
     val w = 64; val h = 32
     val frames = (0 until 5).map { f =>

@@ -28,7 +28,8 @@ object BDirect {
     * co-located motion instead of its own.
     */
   def spatial(n0: MvPred.Neigh, n1: MvPred.Neigh, bx0: Int, by0: Int,
-      col: Int => (Int, Int, Int), inference8x8: Boolean): DirectMotion = {
+      col: Int => (Int, Int, Int), inference8x8: Boolean,
+      colShortTerm: Boolean = true): DirectMotion = {
     def refOf(n: MvPred.Neigh): Int = {
       val a = n(bx0 - 1, by0)
       val b = n(bx0, by0 - 1)
@@ -57,7 +58,8 @@ object BDirect {
       val colBlk =
         if (inference8x8) (3 * (by >> 1)) * 4 + 3 * (bx >> 1) else blk
       val (colRef, colMx, colMy) = col(colBlk)
-      val colZero = !zeroPred && colRef == 0 &&
+      // a long-term co-located picture never yields colZeroFlag (§8.4.1.2.2)
+      val colZero = !zeroPred && colShortTerm && colRef == 0 &&
         colMx >= -1 && colMx <= 1 && colMy >= -1 && colMy <= 1
       if (ref0 >= 0) {
         if (colZero && ref0 == 0) { mv0x(blk) = 0; mv0y(blk) = 0 }

@@ -22,6 +22,12 @@ package graft.multimodal.h264
   *    list, §8.4.2.1 bi-prediction averaging, per-4×4 colZeroFlag with
   *    direct_8x8_inference, non-reference pictures (nal_ref_idc 0) kept
   *    out of the DPB, §8.2.1.1 POC type 0 with lsb wrap
+  *  - LONG-TERM references + adaptive marking: MMCO 1/2/3/4/6 (§8.2.5.4
+  *    — unmark short/long, short→long conversion with idx replacement,
+  *    MaxLongTermFrameIdx trimming, current→long), IDR
+  *    long_term_reference_flag, long-term tails in P/B list
+  *    initialization, idc-2 list modification, sliding window exempting
+  *    long-terms; MMCO 5 (frame_num/POC reset) fails fast
   *  - WEIGHTED prediction (§8.4.2.3): explicit per-reference
   *    weight/offset tables for P (weighted_pred_flag) and B
   *    (weighted_bipred_idc 1), and implicit-by-POC bi-prediction
@@ -39,7 +45,7 @@ package graft.multimodal.h264
   *    and same-picture bi-prediction derive exactly)
   *
   * Everything outside the subset FAILS FAST with a named error (CABAC,
-  * temporal direct, long-term references, MMCO, interlace, High-profile
+  * temporal direct, MMCO 5, SP/SI, FMO/ASO, interlace, High-profile
   * SPS extensions) rather than misreading — the stance of the HDF5/szip
   * readers (`graft.sources.Hdf5`). CABAC stays out deliberately: its
   * ~1000 context-initialization constants are empirical spec tables
@@ -105,10 +111,81 @@ object H264Decoder {
 
   /** A DPB entry: planes + frame_num (PicNum arithmetic) + a
     * session-global picture id (deblock reference-identity compares) +
-    * POC (B-slice list ordering) + motion field (direct modes).
+    * POC (B-slice list ordering) + motion field (direct modes) +
+    * long-term marking (`ltIdx` = LongTermFrameIdx when `longTerm`).
     */
   final case class DpbPic(ref: RefFrame, frameNum: Int, picId: Int,
-      poc: Int, motion: PicMotion)
+      poc: Int, motion: PicMotion,
+      longTerm: Boolean = false, ltIdx: Int = -1)
+
+  /** dec_ref_pic_marking content (§7.4.3.3): either sliding window
+    * (`adaptive` = false) or an ordered MMCO list. Op 5 (reset all +
+    * zero frame_num/POC) fails fast at parse.
+    */
+  sealed trait Mmco
+  final case class UnmarkShort(diffMinus1: Int) extends Mmco // op 1
+  final case class UnmarkLong(ltPicNum: Int) extends Mmco // op 2
+  final case class ShortToLong(diffMinus1: Int, ltIdx: Int) extends Mmco // op 3
+  final case class SetMaxLt(maxPlus1: Int) extends Mmco // op 4
+  final case class CurrToLong(ltIdx: Int) extends Mmco // op 6
+  final case class Marking(adaptive: Boolean, ops: Seq[Mmco] = Nil,
+      idrLongTerm: Boolean = false)
+
+  /** §8.2.5 reference-picture marking, shared verbatim by decoder and
+    * encoder (the two DPB models must evolve identically or ref_idx
+    * meaning diverges): applies the MMCO list (or the §8.2.5.3 sliding
+    * window) to `dpb`, then stores the current picture. Returns the new
+    * MaxLongTermFrameIdx.
+    */
+  def applyMarking(dpb: scala.collection.mutable.ArrayBuffer[DpbPic],
+      mk: Marking, curr: DpbPic, currFrameNum: Int, maxFrameNum: Int,
+      maxNumRef: Int, maxLtIdxIn: Int): Int = {
+    def picNum(fn: Int): Int = if (fn > currFrameNum) fn - maxFrameNum else fn
+    var maxLtIdx = maxLtIdxIn
+    var currLt = -1
+    if (mk.adaptive) {
+      mk.ops.foreach {
+        case UnmarkShort(dm1) =>
+          val target = currFrameNum - (dm1 + 1)
+          val at = dpb.indexWhere(p => !p.longTerm && picNum(p.frameNum) == target)
+          require(at >= 0, s"MMCO 1: short-term PicNum $target not in the DPB")
+          dpb.remove(at)
+        case UnmarkLong(n) =>
+          val at = dpb.indexWhere(p => p.longTerm && p.ltIdx == n)
+          require(at >= 0, s"MMCO 2: LongTermPicNum $n not in the DPB")
+          dpb.remove(at)
+        case ShortToLong(dm1, idx) =>
+          require(idx <= maxLtIdx, s"MMCO 3: LongTermFrameIdx $idx > max $maxLtIdx")
+          val dup = dpb.indexWhere(p => p.longTerm && p.ltIdx == idx)
+          if (dup >= 0) dpb.remove(dup)
+          val target = currFrameNum - (dm1 + 1)
+          val at = dpb.indexWhere(p => !p.longTerm && picNum(p.frameNum) == target)
+          require(at >= 0, s"MMCO 3: short-term PicNum $target not in the DPB")
+          dpb(at) = dpb(at).copy(longTerm = true, ltIdx = idx)
+        case SetMaxLt(maxPlus1) =>
+          maxLtIdx = maxPlus1 - 1
+          dpb.filterInPlace(p => !p.longTerm || p.ltIdx <= maxLtIdx)
+        case CurrToLong(idx) =>
+          require(idx <= maxLtIdx, s"MMCO 6: LongTermFrameIdx $idx > max $maxLtIdx")
+          val dup = dpb.indexWhere(p => p.longTerm && p.ltIdx == idx)
+          if (dup >= 0) dpb.remove(dup)
+          currLt = idx
+      }
+    } else if (dpb.size >= math.max(maxNumRef, 1)) {
+      // sliding window: unmark the oldest SHORT-TERM picture (smallest
+      // FrameNumWrap); long-term pictures are exempt
+      val shorts = dpb.zipWithIndex.filter(!_._1.longTerm)
+      require(shorts.nonEmpty,
+        "sliding window with a DPB full of long-term pictures")
+      val oldest = shorts.minBy { case (p, _) => picNum(p.frameNum) }._2
+      dpb.remove(oldest)
+    }
+    dpb.insert(0,
+      if (currLt >= 0) curr.copy(longTerm = true, ltIdx = currLt) else curr)
+    require(dpb.size <= math.max(maxNumRef, 1),
+      s"DPB holds ${dpb.size} pictures, max_num_ref_frames $maxNumRef")
+    maxLtIdx
+  }
 
   // mapped-Exp-Golomb coded_block_pattern, 4:2:0 (Table 9-4)
   private[h264] val CbpIntra: Array[Int] = Array(
@@ -200,8 +277,11 @@ object H264Decoder {
     // §8.2.1.1 state: lsb/msb of the previous REFERENCE picture
     private var prevPocLsb = 0
     private var prevPocMsb = 0
+    // §8.2.5 state: MaxLongTermFrameIdx (−1 = no long-term allowed)
+    private var maxLtIdx = -1
 
-    def reset(): Unit = { dpb.clear(); prevPocLsb = 0; prevPocMsb = 0 }
+    def reset(): Unit =
+      { dpb.clear(); prevPocLsb = 0; prevPocMsb = 0; maxLtIdx = -1 }
 
     /** Decode one AVCC sample (length-prefixed NALs) to its frame. The
       * sample is one access unit; every coded-slice NAL inside it is a
@@ -261,11 +341,18 @@ object H264Decoder {
       val poc = computePoc(slices.head)
       val picId = nextPicId
       nextPicId += 1
-      val (frame, ref, frameNum, motion) =
+      val (frame, ref, frameNum, motion, marking) =
         decodePicture(slices, sps, pps, dpb.toIndexedSeq, poc)
       if (isRef) {
-        dpb.insert(0, DpbPic(ref, frameNum, picId, poc, motion))
-        while (dpb.size > sps.maxNumRefFrames) dpb.remove(dpb.size - 1) // sliding window
+        val curr = DpbPic(ref, frameNum, picId, poc, motion)
+        if (idr) { // §8.2.5.1: IDR marking
+          maxLtIdx = if (marking.idrLongTerm) 0 else -1
+          dpb.insert(0,
+            if (marking.idrLongTerm) curr.copy(longTerm = true, ltIdx = 0) else curr)
+        } else {
+          maxLtIdx = applyMarking(dpb, marking, curr, frameNum,
+            1 << sps.log2MaxFrameNum, sps.maxNumRefFrames, maxLtIdx)
+        }
       }
       frame
     }
@@ -348,7 +435,8 @@ object H264Decoder {
       refs0: IndexedSeq[DpbPic], refs1: IndexedSeq[DpbPic],
       numRefActive0: Int, numRefActive1: Int, sliceQp: Int,
       disableDeblock: Int, alphaOff: Int, betaOff: Int,
-      explicitWeights: Option[WeightTable], implicitWeights: Boolean)
+      explicitWeights: Option[WeightTable], implicitWeights: Boolean,
+      marking: Marking)
 
   private def parseSliceHeader(br: BitReader, nal: SliceNal,
       sps: Sps, pps: Pps, dpb: IndexedSeq[DpbPic], poc: Int): SliceHeader = {
@@ -421,13 +509,32 @@ object H264Decoder {
         Some(WeightTable(logWDy, logWDc, l0, l1))
       } else None
     val implicitWeights = isB && pps.weightedBipredIdc == 2
-    if (nal.refIdc > 0) {
-      if (idr) { br.u1(); br.u1() } // no_output_of_prior_pics, long_term_reference
-      else { // dec_ref_pic_marking for a reference picture
-        val adaptive = br.u1()
-        require(adaptive == 0, "adaptive ref pic marking (MMCO) not supported")
+    // §7.3.3.3 dec_ref_pic_marking (reference pictures only)
+    val marking: Marking =
+      if (nal.refIdc == 0) Marking(adaptive = false)
+      else if (idr) {
+        br.u1() // no_output_of_prior_pics_flag
+        Marking(adaptive = false, idrLongTerm = br.u1() == 1)
+      } else if (br.u1() == 0) Marking(adaptive = false)
+      else {
+        val ops = Seq.newBuilder[Mmco]
+        var op = br.ue()
+        while (op != 0) {
+          op match {
+            case 1 => ops += UnmarkShort(br.ue())
+            case 2 => ops += UnmarkLong(br.ue())
+            case 3 => ops += ShortToLong(br.ue(), br.ue())
+            case 4 => ops += SetMaxLt(br.ue())
+            case 6 => ops += CurrToLong(br.ue())
+            case 5 => throw new IllegalArgumentException(
+              "MMCO 5 (reset all references + zero frame_num/POC) not supported")
+            case o => throw new IllegalArgumentException(
+              s"memory_management_control_operation $o")
+          }
+          op = br.ue()
+        }
+        Marking(adaptive = true, ops.result())
       }
-    }
     val sliceQp = pps.picInitQp + br.se()
     require(sliceQp >= 0 && sliceQp <= 51, s"slice QP $sliceQp")
     var disableDeblock = 0
@@ -440,22 +547,24 @@ object H264Decoder {
     }
     SliceHeader(firstMb, isP, isB, frameNum, poc, refs0, refs1,
       numRefActive0, numRefActive1, sliceQp, disableDeblock, alphaOff, betaOff,
-      explicitWeights, implicitWeights)
+      explicitWeights, implicitWeights, marking)
   }
 
   private def decodePicture(slices: Seq[SliceNal],
       sps: Sps, pps: Pps, dpb: IndexedSeq[DpbPic], poc: Int)
-      : (Frame, RefFrame, Int, PicMotion) = {
+      : (Frame, RefFrame, Int, PicMotion, Marking) = {
     val n = sps.widthMbs * sps.heightMbs
     var dec: FrameDecoder = null
     var frameNum = -1
     var nextMb = 0
+    var marking = Marking(adaptive = false)
     slices.zipWithIndex.foreach { case (nal, sliceIdx) =>
       val br = new BitReader(nal.rbsp)
       val hdr = parseSliceHeader(br, nal, sps, pps, dpb, poc)
       if (sliceIdx == 0) {
         require(hdr.firstMb == 0, "picture does not start at macroblock 0")
         frameNum = hdr.frameNum
+        marking = hdr.marking
         dec = new FrameDecoder(sps, pps)
       } else {
         require(hdr.frameNum == frameNum,
@@ -467,26 +576,32 @@ object H264Decoder {
     }
     require(nextMb == n, s"picture covered $nextMb of $n macroblocks")
     dec.deblockFrame()
-    (dec.crop(), RefFrame(dec.y, dec.cb, dec.cr), frameNum, dec.motion())
+    (dec.crop(), RefFrame(dec.y, dec.cb, dec.cr), frameNum, dec.motion(), marking)
   }
 
-  /** §8.2.4.2.1 P initialization: descending PicNum with FrameNumWrap. */
-  private def initListP(dpb: IndexedSeq[DpbPic], currFrameNum: Int,
+  /** §8.2.4.2.1 P initialization: short-term by descending PicNum (with
+    * FrameNumWrap), then long-term by ascending LongTermPicNum.
+    */
+  private[h264] def initListP(dpb: IndexedSeq[DpbPic], currFrameNum: Int,
       maxFrameNum: Int): IndexedSeq[DpbPic] = {
     def picNum(fn: Int): Int = if (fn > currFrameNum) fn - maxFrameNum else fn
-    dpb.sortBy(p => -picNum(p.frameNum))
+    dpb.filter(!_.longTerm).sortBy(p => -picNum(p.frameNum)) ++
+      dpb.filter(_.longTerm).sortBy(_.ltIdx)
   }
 
-  /** §8.2.4.2.3 B initialization by POC: L0 = past (descending POC) then
-    * future (ascending); L1 = future then past; if the first two entries
-    * of L1 would mirror L0 exactly, they swap.
+  /** §8.2.4.2.3 B initialization: short-term by POC — L0 = past
+    * (descending) then future (ascending), L1 mirrored — then long-term
+    * by ascending LongTermPicNum on both lists; if L1 would mirror L0
+    * exactly, its first two entries swap.
     */
   private def initListsB(dpb: IndexedSeq[DpbPic], currPoc: Int)
       : (IndexedSeq[DpbPic], IndexedSeq[DpbPic]) = {
-    val past = dpb.filter(_.poc < currPoc).sortBy(p => -p.poc)
-    val future = dpb.filter(_.poc >= currPoc).sortBy(_.poc)
-    val l0 = past ++ future
-    var l1 = future ++ past
+    val shorts = dpb.filter(!_.longTerm)
+    val longs = dpb.filter(_.longTerm).sortBy(_.ltIdx)
+    val past = shorts.filter(_.poc < currPoc).sortBy(p => -p.poc)
+    val future = shorts.filter(_.poc >= currPoc).sortBy(_.poc)
+    val l0 = past ++ future ++ longs
+    var l1 = future ++ past ++ longs
     if (l1.size > 1 && l1 == l0) l1 = IndexedSeq(l1(1), l1(0)) ++ l1.drop(2)
     (l0, l1)
   }
@@ -506,23 +621,34 @@ object H264Decoder {
       var picNumPred = currFrameNum
       var idc = br.ue()
       while (idc != 3) {
-        require(idc == 0 || idc == 1,
-          s"modification_of_pic_nums_idc $idc (long-term) not supported")
-        val absDiff = br.ue() + 1
-        var noWrap =
-          if (idc == 0) picNumPred - absDiff else picNumPred + absDiff
-        if (noWrap < 0) noWrap += maxFrameNum
-        else if (noWrap >= maxFrameNum) noWrap -= maxFrameNum
-        picNumPred = noWrap
-        val target = if (noWrap > currFrameNum) noWrap - maxFrameNum else noWrap
-        val pic = list.find(p => picNum(p.frameNum) == target)
-          .orElse(dpb.find(p => picNum(p.frameNum) == target))
-        require(pic.isDefined, s"reordered PicNum $target not in the DPB")
-        // §8.2.4.3.1 insertion: shift, place at refIdx, drop the later dup
-        list.insert(refIdx, pic.get)
-        refIdx += 1
-        val dupAt = list.indexWhere(p => picNum(p.frameNum) == target, refIdx)
-        if (dupAt >= 0) list.remove(dupAt)
+        require(idc <= 2, s"modification_of_pic_nums_idc $idc")
+        if (idc == 2) { // §8.2.4.3.2: long-term reposition
+          val n = br.ue() // long_term_pic_num
+          val pic = list.find(p => p.longTerm && p.ltIdx == n)
+            .orElse(dpb.find(p => p.longTerm && p.ltIdx == n))
+          require(pic.isDefined, s"reordered LongTermPicNum $n not in the DPB")
+          list.insert(refIdx, pic.get)
+          refIdx += 1
+          val dupAt = list.indexWhere(p => p.longTerm && p.ltIdx == n, refIdx)
+          if (dupAt >= 0) list.remove(dupAt)
+        } else {
+          val absDiff = br.ue() + 1
+          var noWrap =
+            if (idc == 0) picNumPred - absDiff else picNumPred + absDiff
+          if (noWrap < 0) noWrap += maxFrameNum
+          else if (noWrap >= maxFrameNum) noWrap -= maxFrameNum
+          picNumPred = noWrap
+          val target = if (noWrap > currFrameNum) noWrap - maxFrameNum else noWrap
+          val pic = list.find(p => !p.longTerm && picNum(p.frameNum) == target)
+            .orElse(dpb.find(p => !p.longTerm && picNum(p.frameNum) == target))
+          require(pic.isDefined, s"reordered PicNum $target not in the DPB")
+          // §8.2.4.3.1 insertion: shift, place at refIdx, drop the later dup
+          list.insert(refIdx, pic.get)
+          refIdx += 1
+          val dupAt = list.indexWhere(
+            p => !p.longTerm && picNum(p.frameNum) == target, refIdx)
+          if (dupAt >= 0) list.remove(dupAt)
+        }
         idc = br.ue()
       }
     }
@@ -803,7 +929,8 @@ object H264Decoder {
       }
       val (mixY, mixCb, mixCr) = Weighting.mixers(
         preds.map(p => (p._1, p._2)), explicitW, implicitW, slicePoc,
-        (list, ref) => (if (list == 0) refs0 else refs1)(ref).poc)
+        (list, ref) => (if (list == 0) refs0 else refs1)(ref).poc,
+        (list, ref) => (if (list == 0) refs0 else refs1)(ref).longTerm)
       val (l0, c0, r0) = parts.head
       val (l1, c1, r1) =
         if (parts.size == 2) parts(1) else (null, null, null)
@@ -844,7 +971,7 @@ object H264Decoder {
         else (-1, 0, 0)
       }
       BDirect.spatial(bstate.neigh(0), bstate.neigh(1), mbX * 4, mbY * 4,
-        col, sps.direct8x8Inference)
+        col, sps.direct8x8Inference, colShortTerm = !refs1.head.longTerm)
     }
 
     /** Commit + motion-compensate direct motion over the 8×8 quadrants

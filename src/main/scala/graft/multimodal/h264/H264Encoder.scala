@@ -40,7 +40,8 @@ object H264Encoder {
       qp: Int = 28, pcmEvery: Int = 0, deblock: Boolean = true,
       pFrames: Boolean = false, bFrames: Boolean = false, sliceRows: Int = 0,
       noSliceEdgeDeblock: Boolean = false,
-      weightedPred: Boolean = false, implicitWeightedB: Boolean = false)
+      weightedPred: Boolean = false, implicitWeightedB: Boolean = false,
+      longTermRefs: Boolean = false)
 
   /** `samples`/`recon` are in DECODE order; `display(i)` is sample i's
     * display index (identity without B frames) and `ctsOffset(i)` the
@@ -81,7 +82,8 @@ object H264Encoder {
     val hMb = (height + 15) / 16
     val useB = cfg.bFrames && frames.size > 2
     val sps = writeSps(wMb, hMb, width, height,
-      pocType = if (useB) 0 else 2, maxRef = if (useB) 3 else 2)
+      pocType = if (useB) 0 else 2,
+      maxRef = if (cfg.longTermRefs) 4 else if (useB) 3 else 2)
     val bipredIdc =
       if (useB && cfg.implicitWeightedB) 2
       else if (useB && cfg.weightedPred) 1 else 0
@@ -107,6 +109,7 @@ object H264Encoder {
     val dpb = scala.collection.mutable.ArrayBuffer.empty[H264Decoder.DpbPic]
     var nextPicId = 0
     var prevRefFrameNum = 0
+    var maxLtIdx = -1
     val samples = Seq.newBuilder[Array[Byte]]
     val idrs = Seq.newBuilder[Boolean]
     val recons = Seq.newBuilder[H264Decoder.Frame]
@@ -123,19 +126,49 @@ object H264Encoder {
       val frameNum = if (idr) 0 else (prevRefFrameNum + 1) % maxFn
       if (!isB) prevRefFrameNum = frameNum
       val poc = 2 * display
-      // reference lists: P by descending recency (== descending PicNum);
-      // B splits the DPB by POC — past desc → L0, future asc → L1
-      var refs0 = dpb.toIndexedSeq
+      // dec_ref_pic_marking: the long-term fixture marks the IDR as the
+      // long-term anchor, then exercises every supported MMCO — 4+3
+      // (widen the idx space, convert the oldest short), 1 (drop a
+      // short), 2 (drop the converted long) — at fixed frame numbers
+      val shortFns = dpb.filter(!_.longTerm).map(_.frameNum).sorted
+      def shortDiff(rank: Int): Int = frameNum - shortFns(rank) - 1
+      val marking: H264Decoder.Marking =
+        if (idr) H264Decoder.Marking(adaptive = false,
+          idrLongTerm = cfg.longTermRefs)
+        else if (kind == 'P' && cfg.longTermRefs) {
+          val ops = Seq.newBuilder[H264Decoder.Mmco]
+          if (frameNum == 4 && shortFns.size >= 2) {
+            // adaptive marking replaces the sliding window, so the op
+            // list itself must free a slot for the incoming picture
+            ops += H264Decoder.SetMaxLt(2) // allow LongTermFrameIdx 0..1
+            ops += H264Decoder.ShortToLong(shortDiff(0), 1)
+            ops += H264Decoder.UnmarkShort(shortDiff(1))
+          }
+          if (frameNum == 7 && shortFns.nonEmpty)
+            ops += H264Decoder.UnmarkShort(shortDiff(0))
+          if (frameNum == 9 && dpb.exists(p => p.longTerm && p.ltIdx == 1))
+            ops += H264Decoder.UnmarkLong(1)
+          val o = ops.result()
+          H264Decoder.Marking(adaptive = o.nonEmpty, o)
+        } else H264Decoder.Marking(adaptive = false)
+      // reference lists: P short-term by descending PicNum then
+      // long-term by ascending idx (§8.2.4.2.1); B splits short-terms
+      // by POC — past desc → L0, future asc → L1
+      var refs0 = H264Decoder.initListP(dpb.toIndexedSeq, frameNum, maxFn)
       var refs1 = IndexedSeq.empty[H264Decoder.DpbPic]
       var refMod: Seq[(Int, Int)] = Nil
       if (kind == 'P') {
         val numRefActive = math.min(2, dpb.size)
-        // every third P frame with two refs REORDERS the list (oldest
-        // first) via explicit modification commands — exercises the
-        // decoder's §8.2.4.3 path; the reordered list is what ref_idx
-        // indexes on both sides
-        val reorder = numRefActive >= 2 && frameNum % 3 == 0
-        if (reorder) {
+        if (cfg.longTermRefs && frameNum % 3 == 1 && dpb.exists(_.longTerm)) {
+          // pull the long-term anchor to ref_idx 0 via an idc-2 command
+          val lt = refs0.filter(_.longTerm).minBy(_.ltIdx)
+          refs0 = lt +: refs0.filterNot(_ eq lt)
+          refMod = Seq((2, lt.ltIdx))
+        } else if (!cfg.longTermRefs && numRefActive >= 2 && frameNum % 3 == 0) {
+          // every third P frame with two refs REORDERS the list (oldest
+          // first) via explicit modification commands — exercises the
+          // decoder's §8.2.4.3 path; the reordered list is what ref_idx
+          // indexes on both sides
           refs0 = (dpb.take(numRefActive).reverse ++ dpb.drop(numRefActive)).toIndexedSeq
           var pred = frameNum
           refMod = refs0.take(numRefActive).map { p =>
@@ -152,15 +185,23 @@ object H264Encoder {
         refs0 = refs0.take(2)
       }
       val enc = new FrameEncoder(wMb, hMb, cfg, spsP, ppsP,
-        refs0, refs1, kind, frameNum, poc, refMod)
+        refs0, refs1, kind, frameNum, poc, refMod, marking)
       val nals = enc.encodeFrame(pad(y, width, height, wMb * 16, hMb * 16),
         pad(cbP, width / 2, height / 2, wMb * 8, hMb * 8),
         pad(crP, width / 2, height / 2, wMb * 8, hMb * 8))
       val (frame, ref) = enc.finishFrame()
       if (!isB) { // non-reference pictures never enter the DPB
-        dpb.insert(0,
-          H264Decoder.DpbPic(ref, frameNum, nextPicId, poc, enc.motionOf()))
-        while (dpb.size > spsP.maxNumRefFrames) dpb.remove(dpb.size - 1)
+        val curr =
+          H264Decoder.DpbPic(ref, frameNum, nextPicId, poc, enc.motionOf())
+        if (idr) {
+          maxLtIdx = if (marking.idrLongTerm) 0 else -1
+          dpb.insert(0, if (marking.idrLongTerm)
+            curr.copy(longTerm = true, ltIdx = 0) else curr)
+        } else {
+          // the SAME §8.2.5 marking the decoder will apply
+          maxLtIdx = H264Decoder.applyMarking(dpb, marking, curr, frameNum,
+            maxFn, spsP.maxNumRefFrames, maxLtIdx)
+        }
       }
       nextPicId += 1
       val sample = new java.io.ByteArrayOutputStream()
@@ -282,7 +323,8 @@ object H264Encoder {
       refs0: IndexedSeq[H264Decoder.DpbPic],
       refs1: IndexedSeq[H264Decoder.DpbPic],
       kind: Char, frameNum: Int, poc: Int,
-      refMod: Seq[(Int, Int)] = Nil) {
+      refMod: Seq[(Int, Int)] = Nil,
+      marking: H264Decoder.Marking = H264Decoder.Marking(adaptive = false)) {
     private val ls = wMb * 16
     private val cs = wMb * 8
     private val hPix = hMb * 16
@@ -392,8 +434,22 @@ object H264Encoder {
           if (isB) put(wt.l1)
         }
       }
-      if (idr) { bw.put(0); bw.put(0) } // dec_ref_pic_marking (IDR)
-      else if (!isB) bw.put(0) // sliding window (B frames are non-reference)
+      if (idr) { // dec_ref_pic_marking (IDR): no_output + long_term flag
+        bw.put(0); bw.put(if (marking.idrLongTerm) 1 else 0)
+      } else if (!isB) { // B frames are non-reference: no marking syntax
+        if (!marking.adaptive) bw.put(0) // sliding window
+        else {
+          bw.put(1)
+          marking.ops.foreach {
+            case H264Decoder.UnmarkShort(d) => bw.ue(1); bw.ue(d)
+            case H264Decoder.UnmarkLong(n) => bw.ue(2); bw.ue(n)
+            case H264Decoder.ShortToLong(d, i) => bw.ue(3); bw.ue(d); bw.ue(i)
+            case H264Decoder.SetMaxLt(m) => bw.ue(4); bw.ue(m)
+            case H264Decoder.CurrToLong(i) => bw.ue(6); bw.ue(i)
+          }
+          bw.ue(0) // end of MMCO list
+        }
+      }
       bw.se(qp - pps.picInitQp) // slice_qp_delta
       bw.ue(deblockIdc) // disable_deblocking_filter_idc
       if (deblockIdc != 1) { bw.se(0); bw.se(0) }
@@ -519,7 +575,8 @@ object H264Encoder {
       }
       val (mixY, mixCb, mixCr) = Weighting.mixers(
         preds.map(p => (p._1, p._2)), explicitW, implicitW, poc,
-        (list, ref) => (if (list == 0) refs0 else refs1)(ref).poc)
+        (list, ref) => (if (list == 0) refs0 else refs1)(ref).poc,
+        (list, ref) => (if (list == 0) refs0 else refs1)(ref).longTerm)
       val (l0, c0, r0) = parts.head
       val (l1, c1, r1) = if (parts.size == 2) parts(1) else (null, null, null)
       @inline def pxOf(b: Array[Int], i: Int): Int = if (b == null) 0 else b(i)
@@ -772,7 +829,7 @@ object H264Encoder {
         else (-1, 0, 0)
       }
       BDirect.spatial(bstate.neigh(0), bstate.neigh(1), mbX * 4, mbY * 4,
-        col, sps.direct8x8Inference)
+        col, sps.direct8x8Inference, colShortTerm = !refs1.head.longTerm)
     }
 
     /** Build the (bi-)prediction of direct motion over selected 8×8

@@ -45,7 +45,8 @@ object Weighting {
     */
   def mixers(preds: Seq[(Int, Int)],
       explicitW: Option[H264Decoder.WeightTable], implicitW: Boolean,
-      currPoc: Int, pocOf: (Int, Int) => Int)
+      currPoc: Int, pocOf: (Int, Int) => Int,
+      isLongTerm: (Int, Int) => Boolean = (_, _) => false)
       : ((Int, Int) => Int, (Int, Int) => Int, (Int, Int) => Int) = {
     def weightOf(wt: H264Decoder.WeightTable, list: Int, ref: Int) =
       (if (list == 0) wt.l0 else wt.l1)(ref)
@@ -65,8 +66,13 @@ object Weighting {
           (a, b) => bi(a, w0.wCb, w0.oCb, b, w1.wCb, w1.oCb, wt.logWDc),
           (a, b) => bi(a, w0.wCr, w0.oCr, b, w1.wCr, w1.oCr, wt.logWDc))
       case (None, 2) if implicitW =>
-        val (w0, w1) = implicitWeights(currPoc,
-          pocOf(preds.head._1, preds.head._2), pocOf(preds(1)._1, preds(1)._2))
+        // §8.4.2.3.1: a long-term reference forces the 32/32 default
+        val anyLt = isLongTerm(preds.head._1, preds.head._2) ||
+          isLongTerm(preds(1)._1, preds(1)._2)
+        val (w0, w1) =
+          if (anyLt) (32, 32)
+          else implicitWeights(currPoc,
+            pocOf(preds.head._1, preds.head._2), pocOf(preds(1)._1, preds(1)._2))
         val f = (a: Int, b: Int) => bi(a, w0, 0, b, w1, 0, 5)
         (f, f, f)
       case (None, 2) =>

@@ -769,6 +769,109 @@ class H264Spec extends AnyFunSuite {
     assert(e.getMessage.contains("temporal direct"))
   }
 
+  // ------------------------------------- long-term references + MMCO
+
+  test("applyMarking pins the §8.2.5 DPB transitions") {
+    import H264Decoder._
+    def pic(fn: Int, lt: Boolean = false, idx: Int = -1): DpbPic =
+      DpbPic(RefFrame(Array(0), Array(0), Array(0)), fn, fn, 2 * fn,
+        PicMotion(Array(0), Array(0), Array(0), Array(0), Array(0), Array(0)),
+        lt, idx)
+    // sliding window evicts the oldest SHORT-term, never a long-term
+    val d1 = scala.collection.mutable.ArrayBuffer(
+      pic(3), pic(2), pic(0, lt = true, idx = 0))
+    applyMarking(d1, Marking(adaptive = false), pic(4), 4, 256, 3, 0)
+    assert(d1.map(_.frameNum) == Seq(4, 3, 0), "evicted fn=2, kept the long-term")
+    // MMCO 1 unmarks by PicNum; 3 converts with idx-dup replacement;
+    // 4 trims above the new max; 2 unmarks a long-term
+    val d2 = scala.collection.mutable.ArrayBuffer(
+      pic(3), pic(2), pic(1, lt = true, idx = 1))
+    applyMarking(d2, Marking(adaptive = true, Seq(
+      SetMaxLt(2), ShortToLong(1, 1), UnmarkShort(0))), pic(4), 4, 256, 3, 1)
+    // fn2 → long idx 1 (replacing the old idx-1 pic), fn3 unmarked
+    assert(d2.map(p => (p.frameNum, p.longTerm, p.ltIdx)) ==
+      Seq((4, false, -1), (2, true, 1)))
+    val d3 = scala.collection.mutable.ArrayBuffer(
+      pic(2), pic(1, lt = true, idx = 0))
+    applyMarking(d3, Marking(adaptive = true, Seq(UnmarkLong(0))),
+      pic(3), 3, 256, 3, 0)
+    assert(d3.map(_.frameNum) == Seq(3, 2))
+    // MMCO 4 with a shrunken max drops out-of-range long-terms
+    val d4 = scala.collection.mutable.ArrayBuffer(
+      pic(2, lt = true, idx = 1), pic(1, lt = true, idx = 0))
+    applyMarking(d4, Marking(adaptive = true, Seq(SetMaxLt(1))),
+      pic(3), 3, 256, 3, 1)
+    assert(d4.map(_.frameNum) == Seq(3, 1), "idx 1 > new max 0 dropped")
+    // MMCO 6 marks the CURRENT picture long-term
+    val d5 = scala.collection.mutable.ArrayBuffer(pic(2))
+    applyMarking(d5, Marking(adaptive = true, Seq(SetMaxLt(1), CurrToLong(0))),
+      pic(3), 3, 256, 3, -1)
+    assert(d5.head.longTerm && d5.head.ltIdx == 0)
+  }
+
+  test("long-term anchor stream: MMCO ops and idc-2 reordering round-trip") {
+    val w = 48; val h = 32
+    val frames = movingFrames(w, h, 12, 5)
+    val enc = H264Encoder.encodeGray(frames, w, h,
+      H264Encoder.Config(qp = 26, pFrames = true, longTermRefs = true))
+    val sps = H264Decoder.parseSps(Nal.unescape(enc.sps, 1, enc.sps.length))
+    val pps = H264Decoder.parsePps(Nal.unescape(enc.pps, 1, enc.pps.length))
+    // sample 4 (frame_num 4) must carry ADAPTIVE marking with ops 4,3,1
+    def sliceBits(fi: Int): BitReader = {
+      val s = enc.samples(fi)
+      val len = ((s(0) & 0xFF) << 24) | ((s(1) & 0xFF) << 16) |
+        ((s(2) & 0xFF) << 8) | (s(3) & 0xFF)
+      new BitReader(Nal.unescape(s, 5, 4 + len))
+    }
+    locally {
+      val br = sliceBits(4)
+      assert(br.ue() == 0 && br.ue() == 5 && br.ue() == 0) // hdr, P slice
+      assert(br.u(8) == 4) // frame_num
+      val ovr = br.u1(); if (ovr == 1) br.ue() // num_ref_idx override
+      val mod = br.u1() // ref_pic_list_modification_flag_l0
+      if (mod == 1) { var idc = br.ue(); while (idc != 3) { br.ue(); idc = br.ue() } }
+      assert(br.u1() == 1, "adaptive_ref_pic_marking_mode_flag set")
+      assert(br.ue() == 4, "MMCO 4 first") // SetMaxLt
+    }
+    // sample 7 (frame_num 7, 7%3==1) pulls the long-term with idc 2
+    locally {
+      val br = sliceBits(7)
+      assert(br.ue() == 0 && br.ue() == 5 && br.ue() == 0)
+      assert(br.u(8) == 7)
+      val ovr = br.u1(); if (ovr == 1) br.ue()
+      assert(br.u1() == 1, "ref_pic_list_modification_flag_l0 set")
+      assert(br.ue() == 2, "idc 2 long-term reposition")
+    }
+    // the whole stream decodes bit-exactly through every op
+    val session = new H264Decoder.Session(sps, pps)
+    enc.samples.zip(enc.recon).zipWithIndex.foreach { case ((s, r), fi) =>
+      val d = session.decodeSample(s, 4)
+      assert(d.y.toSeq == r.y.toSeq, s"sample $fi luma")
+      assert(d.cb.toSeq == r.cb.toSeq && d.cr.toSeq == r.cr.toSeq, s"$fi chroma")
+      assert(psnr(frames(fi), d.y) > 40.0 - 0.6 * 26, s"sample $fi PSNR")
+    }
+    // fail-fast retained: MMCO 5 refused by name
+    val bad = {
+      val bw = new BitWriter
+      bw.ue(0); bw.ue(5); bw.ue(0) // first_mb, P, pps
+      bw.putBits(1, 8) // frame_num
+      bw.put(0) // no num_ref_idx override
+      bw.put(0) // no list modification
+      bw.put(1) // adaptive marking
+      bw.ue(5) // MMCO 5
+      bw.rbspTrailing()
+      Nal.unit(3, 1, bw.toBytes)
+    }
+    val s2 = new H264Decoder.Session(sps, pps)
+    s2.decodeSample(enc.samples(0), 4)
+    val sample = new java.io.ByteArrayOutputStream()
+    sample.write(Array[Byte](0, 0, (bad.length >> 8).toByte, bad.length.toByte))
+    sample.write(bad)
+    val e = intercept[IllegalArgumentException](
+      s2.decodeSample(sample.toByteArray, 4))
+    assert(e.getMessage.contains("MMCO 5"))
+  }
+
   // ------------------------------------------------- weighted prediction
 
   test("weighting arithmetic pins the normative equations") {

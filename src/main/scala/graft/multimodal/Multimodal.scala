@@ -299,6 +299,10 @@ object Codec {
     val (stszS, _) = child(stblS, stblE, "stsz")
     val uniform = be32(stszS + 4)
     val n = be32(stszS + 8)
+    // a corrupt count would otherwise drive a giant allocation
+    require(n >= 0 && n <= content.length, s"stsz sample count $n")
+    require(uniform != 0 || stszS + 12 + 4L * n <= content.length,
+      "stsz table overruns the file")
     val sizes = Array.tabulate(n)(i =>
       if (uniform != 0) uniform else be32(stszS + 12 + 4 * i))
 
@@ -306,7 +310,11 @@ object Codec {
     require(be32(stcoS + 4) >= 1, "empty stco")
     var off = be32(stcoS + 8)
     val frames = Array.newBuilder[(Int, Int)]
-    sizes.foreach { len => frames += ((off, len)); off += len }
+    sizes.foreach { len =>
+      require(len > 0 && off >= 0 && off.toLong + len <= content.length,
+        s"sample extent [$off, $off+$len) outside the file")
+      frames += ((off, len)); off += len
+    }
 
     // optional ctts: composition offsets (v0, run-length) — B-frame
     // streams carry these so display order can be recovered
@@ -315,6 +323,8 @@ object Codec {
       case Some((cttsS, _)) =>
         require((content(cttsS) & 0xFF) == 0, "ctts version 1 not supported")
         val entries = be32(cttsS + 4)
+        require(entries >= 0 && cttsS + 8 + 8L * entries <= content.length,
+          s"ctts table overruns the file ($entries entries)")
         val out = Array.newBuilder[Int]
         var e = 0
         while (e < entries) {

@@ -102,11 +102,15 @@ object Cavlc {
       i += 1
     }
 
-    // total_zeros
+    // total_zeros (the shared 4x4 table can code up to 16−tc zeros, but
+    // an AC block only holds 15 — bound it or a corrupt stream indexes
+    // outside the coefficient array)
     val totalZeros =
       if (totalCoeff == maxNumCoeff) 0
       else if (nC == -1) readVlc(br, totalZerosCdcMaps(totalCoeff - 1), "total_zeros(cdc)")
       else readVlc(br, totalZeros4x4Maps(totalCoeff - 1), "total_zeros")
+    require(totalCoeff + totalZeros <= maxNumCoeff,
+      s"total_zeros $totalZeros overflows the block (corrupt stream)")
 
     // place levels by run_before
     var zerosLeft = totalZeros
@@ -118,6 +122,7 @@ object Cavlc {
         val run =
           if (zerosLeft == 0) 0
           else readVlc(br, runBeforeMaps(math.min(zerosLeft, 7) - 1), "run_before")
+        require(run <= zerosLeft, s"run_before $run > zerosLeft $zerosLeft (corrupt stream)")
         zerosLeft -= run
         pos -= 1 + run
       }

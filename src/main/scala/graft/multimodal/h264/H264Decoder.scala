@@ -21,7 +21,8 @@ package graft.multimodal.h264
   *    by POC (§8.2.4.2.3, with the L0==L1 head swap) and modified per
   *    list, §8.4.2.1 bi-prediction averaging, per-4×4 colZeroFlag with
   *    direct_8x8_inference, non-reference pictures (nal_ref_idc 0) kept
-  *    out of the DPB, §8.2.1.1 POC type 0 with lsb wrap
+  *    out of the DPB, POC types 0 (§8.2.1.1 lsb wrap) and 1 (§8.2.1.2
+  *    ref-frame cycle) with wrap-aware FrameNumOffset
   *  - LONG-TERM references + adaptive marking: MMCO 1/2/3/4/6 (§8.2.5.4
   *    — unmark short/long, short→long conversion with idx replacement,
   *    MaxLongTermFrameIdx trimming, current→long), IDR
@@ -64,7 +65,11 @@ object H264Decoder {
       maxNumRefFrames: Int,
       widthMbs: Int, heightMbs: Int,
       cropLeft: Int, cropRight: Int, cropTop: Int, cropBottom: Int,
-      direct8x8Inference: Boolean = true) {
+      direct8x8Inference: Boolean = true,
+      // pic_order_cnt_type 1 (§8.2.1.2 cycle arithmetic)
+      deltaAlwaysZero: Boolean = true, offsetNonRef: Int = 0,
+      offsetTopBottom: Int = 0,
+      cycleOffsets: IndexedSeq[Int] = IndexedSeq.empty) {
     // 4:2:0 frame_mbs_only crop units: 2 horizontally, 2 vertically (§7.4.2.1.1)
     def width: Int = widthMbs * 16 - 2 * (cropLeft + cropRight)
     def height: Int = heightMbs * 16 - 2 * (cropTop + cropBottom)
@@ -220,10 +225,21 @@ object H264Decoder {
       s"profile_idc $profile not supported (baseline subset)")
     val log2MaxFrameNum = br.ue() + 4
     val pocType = br.ue()
+    require(pocType <= 2, s"pic_order_cnt_type $pocType")
     var log2MaxPocLsb = 0
+    var deltaAlwaysZero = true
+    var offsetNonRef = 0
+    var offsetTopBottom = 0
+    var cycleOffsets: IndexedSeq[Int] = IndexedSeq.empty
     if (pocType == 0) log2MaxPocLsb = br.ue() + 4
-    else if (pocType == 1)
-      throw new IllegalArgumentException("pic_order_cnt_type 1 not supported")
+    else if (pocType == 1) {
+      deltaAlwaysZero = br.u1() == 1
+      offsetNonRef = br.se()
+      offsetTopBottom = br.se()
+      val cycleLen = br.ue()
+      require(cycleLen <= 255, s"pic_order_cnt_cycle length $cycleLen")
+      cycleOffsets = (0 until cycleLen).map(_ => br.se())
+    }
     val maxRef = br.ue()
     br.u1() // gaps_in_frame_num_value_allowed_flag
     val widthMbs = br.ue() + 1
@@ -235,7 +251,8 @@ object H264Decoder {
     if (br.u1() == 1) { cl = br.ue(); crr = br.ue(); ct = br.ue(); cb = br.ue() }
     // vui_parameters_present_flag and beyond are irrelevant to decoding
     Sps(profile, level, spsId, log2MaxFrameNum, pocType, log2MaxPocLsb,
-      math.max(1, maxRef), widthMbs, heightMapUnits, cl, crr, ct, cb, direct8x8)
+      math.max(1, maxRef), widthMbs, heightMapUnits, cl, crr, ct, cb, direct8x8,
+      deltaAlwaysZero, offsetNonRef, offsetTopBottom, cycleOffsets)
   }
 
   def parsePps(rbsp: Array[Byte]): Pps = {
@@ -279,9 +296,14 @@ object H264Decoder {
     private var prevPocMsb = 0
     // §8.2.5 state: MaxLongTermFrameIdx (−1 = no long-term allowed)
     private var maxLtIdx = -1
+    // §8.2.1.2/.3 state: FrameNumOffset tracking (POC types 1 and 2)
+    private var prevFrameNumOffset = 0
+    private var prevFrameNum = 0
 
-    def reset(): Unit =
-      { dpb.clear(); prevPocLsb = 0; prevPocMsb = 0; maxLtIdx = -1 }
+    def reset(): Unit = {
+      dpb.clear(); prevPocLsb = 0; prevPocMsb = 0; maxLtIdx = -1
+      prevFrameNumOffset = 0; prevFrameNum = 0
+    }
 
     /** Decode one AVCC sample (length-prefixed NALs) to its frame. The
       * sample is one access unit; every coded-slice NAL inside it is a
@@ -316,6 +338,13 @@ object H264Decoder {
       br.ue() // pps_id
       val frameNum = br.u(sps.log2MaxFrameNum)
       if (firstSlice.idr) br.ue() // idr_pic_id
+      // FrameNumOffset (§8.2.1.2/.3): steps by MaxFrameNum at each wrap
+      def frameNumOffset: Int = {
+        val maxFn = 1 << sps.log2MaxFrameNum
+        if (firstSlice.idr) 0
+        else if (frameNum < prevFrameNum) prevFrameNumOffset + maxFn
+        else prevFrameNumOffset
+      }
       sps.pocType match {
         case 0 =>
           val lsb = br.u(sps.log2MaxPocLsb)
@@ -327,8 +356,30 @@ object H264Decoder {
             else pMsb
           if (firstSlice.refIdc > 0) { prevPocLsb = lsb; prevPocMsb = msb }
           msb + lsb
-        case _ => // type 2: POC follows decode order
-          if (firstSlice.refIdc > 0) 2 * frameNum else 2 * frameNum - 1
+        case 1 => // §8.2.1.2: expected POC from the SPS ref-frame cycle
+          val delta0 =
+            if (sps.deltaAlwaysZero) 0 else br.se() // delta_pic_order_cnt[0]
+          val fno = frameNumOffset
+          val cycle = sps.cycleOffsets
+          var absFrameNum = if (cycle.nonEmpty) fno + frameNum else 0
+          if (firstSlice.refIdc == 0 && absFrameNum > 0) absFrameNum -= 1
+          var expected = 0
+          if (absFrameNum > 0) {
+            val cycleCnt = (absFrameNum - 1) / cycle.length
+            val inCycle = (absFrameNum - 1) % cycle.length
+            expected = cycleCnt * cycle.sum + cycle.take(inCycle + 1).sum
+          }
+          if (firstSlice.refIdc == 0) expected += sps.offsetNonRef
+          val top = expected + delta0
+          val bottom = top + sps.offsetTopBottom // frame: min of the fields
+          prevFrameNumOffset = fno
+          prevFrameNum = frameNum
+          math.min(top, bottom)
+        case _ => // type 2: POC follows decode order (wrap-aware)
+          val fno = frameNumOffset
+          prevFrameNumOffset = fno
+          prevFrameNum = frameNum
+          2 * (fno + frameNum) - (if (firstSlice.refIdc > 0) 0 else 1)
       }
     }
 
@@ -449,8 +500,8 @@ object H264Decoder {
     require(isP || isI || isB, s"slice_type $sliceType not supported (SP/SI)")
     require(!(isP || isB) || dpb.nonEmpty,
       s"${if (isB) "B" else "P"} slice with an empty reference list")
-    require(!isB || sps.pocType == 0,
-      "B slices require pic_order_cnt_type 0 (decode order != output order)")
+    require(!isB || sps.pocType != 2,
+      "B slices require pic_order_cnt_type 0 or 1 (type 2 forbids reordering)")
     // constrained intra masks inter neighbors out of intra-in-P/B
     // prediction — decoding it without the masking would silently drift
     require(isI || !pps.constrainedIntra,
@@ -460,6 +511,7 @@ object H264Decoder {
     val frameNum = br.u(sps.log2MaxFrameNum)
     if (idr) br.ue() // idr_pic_id
     if (sps.pocType == 0) br.u(sps.log2MaxPocLsb) // pic_order_cnt_lsb (Session read it)
+    else if (sps.pocType == 1 && !sps.deltaAlwaysZero) br.se() // delta_pic_order_cnt[0]
     if (isB) {
       val directSpatial = br.u1()
       require(directSpatial == 1,

@@ -41,7 +41,7 @@ object H264Encoder {
       pFrames: Boolean = false, bFrames: Boolean = false, sliceRows: Int = 0,
       noSliceEdgeDeblock: Boolean = false,
       weightedPred: Boolean = false, implicitWeightedB: Boolean = false,
-      longTermRefs: Boolean = false)
+      longTermRefs: Boolean = false, pocType1: Boolean = false)
 
   /** `samples`/`recon` are in DECODE order; `display(i)` is sample i's
     * display index (identity without B frames) and `ctsOffset(i)` the
@@ -81,8 +81,11 @@ object H264Encoder {
     val wMb = (width + 15) / 16
     val hMb = (height + 15) / 16
     val useB = cfg.bFrames && frames.size > 2
+    // POC type: B needs output-order POC — type 0 (lsb) by default, or
+    // the type-1 cycle (ref frames poc 4·fn, non-refs offset −2, which
+    // lands every picture on poc = 2·display, same as type 0's values)
     val sps = writeSps(wMb, hMb, width, height,
-      pocType = if (useB) 0 else 2,
+      pocType = if (useB) { if (cfg.pocType1) 1 else 0 } else 2,
       maxRef = if (cfg.longTermRefs) 4 else if (useB) 3 else 2)
     val bipredIdc =
       if (useB && cfg.implicitWeightedB) 2
@@ -280,6 +283,13 @@ object H264Encoder {
     bw.ue(4) // log2_max_frame_num_minus4 → 8-bit frame_num
     bw.ue(pocType) // pic_order_cnt_type
     if (pocType == 0) bw.ue(4) // log2_max_pic_order_cnt_lsb_minus4 → 8-bit lsb
+    else if (pocType == 1) {
+      bw.put(0) // delta_pic_order_always_zero_flag: slices carry delta[0]
+      bw.se(-2) // offset_for_non_ref_pic (B sits 2 before its future ref)
+      bw.se(0) // offset_for_top_to_bottom_field
+      bw.ue(1) // one-entry ref cycle
+      bw.se(4) // offset_for_ref_frame[0]: ref POC = 4·frame_num
+    }
     bw.ue(maxRef) // max_num_ref_frames
     bw.put(0) // gaps_in_frame_num_value_allowed
     bw.ue(wMb - 1)
@@ -410,6 +420,8 @@ object H264Encoder {
       if (idr) bw.ue(0) // idr_pic_id
       if (sps.pocType == 0)
         bw.putBits(poc & ((1 << sps.log2MaxPocLsb) - 1), sps.log2MaxPocLsb)
+      else if (sps.pocType == 1 && !sps.deltaAlwaysZero)
+        bw.se(0) // delta_pic_order_cnt[0]
       if (isB) bw.put(1) // direct_spatial_mv_pred_flag: spatial
       if (inter) {
         val overrides = numRefActive0 != 1 || (isB && numRefActive1 != 1)

@@ -769,6 +769,34 @@ class H264Spec extends AnyFunSuite {
     assert(e.getMessage.contains("temporal direct"))
   }
 
+  test("POC type 1: the ref-frame cycle orders B lists and implicit weights") {
+    val w = 48; val h = 32
+    val frames = movingFrames(w, h, 9, 13)
+    // implicit weighting makes the derived POC VALUES load-bearing (the
+    // weights are POC distances), not just their order — a wrong §8.2.1.2
+    // derivation would change pixels, not only list layouts
+    val t1 = H264Encoder.encodeGray(frames, w, h,
+      H264Encoder.Config(qp = 26, bFrames = true, implicitWeightedB = true,
+        pocType1 = true))
+    val sps = H264Decoder.parseSps(Nal.unescape(t1.sps, 1, t1.sps.length))
+    assert(sps.pocType == 1 && !sps.deltaAlwaysZero &&
+      sps.cycleOffsets == IndexedSeq(4) && sps.offsetNonRef == -2)
+    val pps = H264Decoder.parsePps(Nal.unescape(t1.pps, 1, t1.pps.length))
+    val session = new H264Decoder.Session(sps, pps)
+    t1.samples.zip(t1.recon).zipWithIndex.foreach { case ((s, r), fi) =>
+      val d = session.decodeSample(s, 4)
+      assert(d.y.toSeq == r.y.toSeq, s"type-1 sample $fi luma")
+      assert(d.cb.toSeq == r.cb.toSeq, s"type-1 sample $fi cb")
+    }
+    // and the type-1 stream must decode identically to the type-0 coding
+    // of the same content (the POC VALUES agree by construction: 2·display)
+    val t0 = H264Encoder.encodeGray(frames, w, h,
+      H264Encoder.Config(qp = 26, bFrames = true, implicitWeightedB = true))
+    t0.recon.zip(t1.recon).zipWithIndex.foreach { case ((a, b), fi) =>
+      assert(a.y.toSeq == b.y.toSeq, s"type-0/type-1 recon parity, sample $fi")
+    }
+  }
+
   // ------------------------------------- long-term references + MMCO
 
   test("applyMarking pins the §8.2.5 DPB transitions") {

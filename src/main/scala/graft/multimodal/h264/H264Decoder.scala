@@ -14,7 +14,8 @@ package graft.multimodal.h264
   *    §8.2.4 reference list construction incl. short-term reordering
   *    commands), quarter-pel luma / eighth-pel chroma motion
   *    compensation
-  *  - B slices (SPATIAL direct mode — the x264/ffmpeg default): every
+  *  - B slices (BOTH direct modes: spatial — the x264/ffmpeg default —
+  *    and temporal with §8.4.1.2.3 POC-scaled co-located motion): every
   *    Table 7-14 mb_type — B_Skip/B_Direct_16x16, one- and two-partition
   *    L0/L1/Bi in 16x16/16x8/8x16, and B_8x8 with all Table 7-17
   *    sub_mb_types incl. B_Direct_8x8 — two reference lists initialized
@@ -46,8 +47,8 @@ package graft.multimodal.h264
   *    and same-picture bi-prediction derive exactly)
   *
   * Everything outside the subset FAILS FAST with a named error (CABAC,
-  * temporal direct, MMCO 5, SP/SI, FMO/ASO, interlace, High-profile
-  * SPS extensions) rather than misreading — the stance of the HDF5/szip
+  * MMCO 5, SP/SI, FMO/ASO, interlace, High-profile SPS extensions)
+  * rather than misreading — the stance of the HDF5/szip
   * readers (`graft.sources.Hdf5`). CABAC stays out deliberately: its
   * ~1000 context-initialization constants are empirical spec tables
   * that cannot be re-derived, and an unverifiable transcription would
@@ -112,7 +113,8 @@ object H264Decoder {
   final case class PicMotion(
       ref0: Array[Int], ref1: Array[Int],
       mv0x: Array[Int], mv0y: Array[Int],
-      mv1x: Array[Int], mv1y: Array[Int])
+      mv1x: Array[Int], mv1y: Array[Int],
+      pic0: Array[Int], pic1: Array[Int]) // referenced PICTURE ids (−1 = none)
 
   /** A DPB entry: planes + frame_num (PicNum arithmetic) + a
     * session-global picture id (deblock reference-identity compares) +
@@ -487,7 +489,7 @@ object H264Decoder {
       numRefActive0: Int, numRefActive1: Int, sliceQp: Int,
       disableDeblock: Int, alphaOff: Int, betaOff: Int,
       explicitWeights: Option[WeightTable], implicitWeights: Boolean,
-      marking: Marking)
+      marking: Marking, directSpatial: Boolean)
 
   private def parseSliceHeader(br: BitReader, nal: SliceNal,
       sps: Sps, pps: Pps, dpb: IndexedSeq[DpbPic], poc: Int): SliceHeader = {
@@ -512,11 +514,7 @@ object H264Decoder {
     if (idr) br.ue() // idr_pic_id
     if (sps.pocType == 0) br.u(sps.log2MaxPocLsb) // pic_order_cnt_lsb (Session read it)
     else if (sps.pocType == 1 && !sps.deltaAlwaysZero) br.se() // delta_pic_order_cnt[0]
-    if (isB) {
-      val directSpatial = br.u1()
-      require(directSpatial == 1,
-        "temporal direct mode (direct_spatial_mv_pred_flag=0) not supported — spatial only")
-    }
+    val directSpatial = if (isB) br.u1() == 1 else true
     // the PARSED active counts drive te(v) ref_idx parsing; actual DPB
     // bounds are enforced where each ref_idx is used
     var numRefActive0 = pps.numRefDefault
@@ -599,7 +597,7 @@ object H264Decoder {
     }
     SliceHeader(firstMb, isP, isB, frameNum, poc, refs0, refs1,
       numRefActive0, numRefActive1, sliceQp, disableDeblock, alphaOff, betaOff,
-      explicitWeights, implicitWeights, marking)
+      explicitWeights, implicitWeights, marking, directSpatial)
   }
 
   private def decodePicture(slices: Seq[SliceNal],
@@ -742,6 +740,7 @@ object H264Decoder {
     private var explicitW: Option[WeightTable] = None
     private var implicitW = false
     private var slicePoc = 0
+    private var directSpatial = true
 
     /** The finished picture's motion field (stored with reference
       * pictures for later direct-mode derivation).
@@ -749,7 +748,8 @@ object H264Decoder {
     def motion(): PicMotion = PicMotion(
       bstate.refIdx(0).clone(), bstate.refIdx(1).clone(),
       bstate.mvX(0).clone(), bstate.mvY(0).clone(),
-      bstate.mvX(1).clone(), bstate.mvY(1).clone())
+      bstate.mvX(1).clone(), bstate.mvY(1).clone(),
+      bstate.refPic(0).clone(), bstate.refPic(1).clone())
 
     /** Decode one slice's macroblocks; returns the next MB address. */
     def decodeSliceMbs(br: BitReader, hdr: SliceHeader, sliceIdx: Int): Int = {
@@ -762,6 +762,7 @@ object H264Decoder {
       explicitW = hdr.explicitWeights
       implicitW = hdr.implicitWeights
       slicePoc = hdr.poc
+      directSpatial = hdr.directSpatial
       val n = wMb * hMb
       var mb = hdr.firstMb
       var moreData = true
@@ -1010,20 +1011,28 @@ object H264Decoder {
 
     // --------------------------------------------------------- B slices
 
-    /** Spatial direct motion for this MB (§8.4.1.2.2): the co-located
-      * picture is RefPicList1[0] (short-term here by construction).
+    /** Direct motion for this MB (§8.4.1.2, spatial or temporal per the
+      * slice header flag): the co-located picture is RefPicList1[0].
       */
     private def directMotion(mbX: Int, mbY: Int): BDirect.DirectMotion = {
       val colM = refs1.head.motion
       val w4 = wMb * 4
-      val col: Int => (Int, Int, Int) = blk => {
+      val col: Int => BDirect.ColBlock = blk => {
         val i = (mbY * 4 + (blk >> 2)) * w4 + mbX * 4 + (blk & 3)
-        if (colM.ref0(i) >= 0) (colM.ref0(i), colM.mv0x(i), colM.mv0y(i))
-        else if (colM.ref1(i) >= 0) (colM.ref1(i), colM.mv1x(i), colM.mv1y(i))
-        else (-1, 0, 0)
+        if (colM.pic0(i) >= 0)
+          BDirect.ColBlock(colM.pic0(i), colM.ref0(i), colM.mv0x(i), colM.mv0y(i))
+        else if (colM.pic1(i) >= 0)
+          BDirect.ColBlock(colM.pic1(i), colM.ref1(i), colM.mv1x(i), colM.mv1y(i))
+        else BDirect.ColBlock(-1, -1, 0, 0)
       }
-      BDirect.spatial(bstate.neigh(0), bstate.neigh(1), mbX * 4, mbY * 4,
-        col, sps.direct8x8Inference, colShortTerm = !refs1.head.longTerm)
+      if (directSpatial)
+        BDirect.spatial(bstate.neigh(0), bstate.neigh(1), mbX * 4, mbY * 4,
+          col, sps.direct8x8Inference, colShortTerm = !refs1.head.longTerm)
+      else
+        BDirect.temporal(col,
+          picId => refs0.indexWhere(_.picId == picId),
+          idx => refs0(idx).poc, idx => refs0(idx).longTerm,
+          refs1.head.poc, slicePoc, sps.direct8x8Inference)
     }
 
     /** Commit + motion-compensate direct motion over the 8×8 quadrants
@@ -1032,26 +1041,28 @@ object H264Decoder {
       */
     private def applyDirect(mbX: Int, mbY: Int, dm: BDirect.DirectMotion,
         quadMask: Int): Unit = {
-      require(dm.ref0 < math.max(refs0.size, 1) && dm.ref1 < math.max(refs1.size, 1),
-        "direct reference outside the lists")
       var blk = 0
       while (blk < 16) {
         val bx = blk & 3; val by = blk >> 2
         val e8 = (by >> 1) * 2 + (bx >> 1)
         if ((quadMask & (1 << e8)) != 0) {
+          val r0 = dm.ref0(blk)
+          val r1 = dm.ref1(blk)
+          require(r0 < math.max(refs0.size, 1) && r1 < math.max(refs1.size, 1),
+            "direct reference outside the lists")
           val gbx = mbX * 4 + bx
           val gby = mbY * 4 + by
-          if (dm.ref0 >= 0)
-            bstate.setBlocks(0, gbx, gby, 1, 1, dm.ref0, refs0(dm.ref0).picId,
+          if (r0 >= 0)
+            bstate.setBlocks(0, gbx, gby, 1, 1, r0, refs0(r0).picId,
               dm.mv0x(blk), dm.mv0y(blk))
           else bstate.setBlocks(0, gbx, gby, 1, 1, -1, -1, 0, 0)
-          if (dm.ref1 >= 0)
-            bstate.setBlocks(1, gbx, gby, 1, 1, dm.ref1, refs1(dm.ref1).picId,
+          if (r1 >= 0)
+            bstate.setBlocks(1, gbx, gby, 1, 1, r1, refs1(r1).picId,
               dm.mv1x(blk), dm.mv1y(blk))
           else bstate.setBlocks(1, gbx, gby, 1, 1, -1, -1, 0, 0)
           val preds = Seq.newBuilder[(Int, Int, Int, Int)]
-          if (dm.ref0 >= 0) preds += ((0, dm.ref0, dm.mv0x(blk), dm.mv0y(blk)))
-          if (dm.ref1 >= 0) preds += ((1, dm.ref1, dm.mv1x(blk), dm.mv1y(blk)))
+          if (r0 >= 0) preds += ((0, r0, dm.mv0x(blk), dm.mv0y(blk)))
+          if (r1 >= 0) preds += ((1, r1, dm.mv1x(blk), dm.mv1y(blk)))
           writeInterPredMulti(mbX * 16 + bx * 4, mbY * 16 + by * 4, 4, 4,
             preds.result())
         }

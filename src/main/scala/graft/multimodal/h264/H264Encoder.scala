@@ -41,7 +41,8 @@ object H264Encoder {
       pFrames: Boolean = false, bFrames: Boolean = false, sliceRows: Int = 0,
       noSliceEdgeDeblock: Boolean = false,
       weightedPred: Boolean = false, implicitWeightedB: Boolean = false,
-      longTermRefs: Boolean = false, pocType1: Boolean = false)
+      longTermRefs: Boolean = false, pocType1: Boolean = false,
+      temporalDirectB: Boolean = false)
 
   /** `samples`/`recon` are in DECODE order; `display(i)` is sample i's
     * display index (identity without B frames) and `ctsOffset(i)` the
@@ -382,7 +383,8 @@ object H264Encoder {
     def motionOf(): H264Decoder.PicMotion = H264Decoder.PicMotion(
       bstate.refIdx(0).clone(), bstate.refIdx(1).clone(),
       bstate.mvX(0).clone(), bstate.mvY(0).clone(),
-      bstate.mvX(1).clone(), bstate.mvY(1).clone())
+      bstate.mvX(1).clone(), bstate.mvY(1).clone(),
+      bstate.refPic(0).clone(), bstate.refPic(1).clone())
 
     import H264Decoder.{blkX, blkY}
 
@@ -422,7 +424,7 @@ object H264Encoder {
         bw.putBits(poc & ((1 << sps.log2MaxPocLsb) - 1), sps.log2MaxPocLsb)
       else if (sps.pocType == 1 && !sps.deltaAlwaysZero)
         bw.se(0) // delta_pic_order_cnt[0]
-      if (isB) bw.put(1) // direct_spatial_mv_pred_flag: spatial
+      if (isB) bw.put(if (cfg.temporalDirectB) 0 else 1) // direct_spatial_mv_pred_flag
       if (inter) {
         val overrides = numRefActive0 != 1 || (isB && numRefActive1 != 1)
         if (overrides) {
@@ -828,20 +830,28 @@ object H264Encoder {
 
     // ------------------------------------------------------------ B MBs
 
-    /** Spatial direct motion for this MB (shared [[BDirect]] derivation;
-      * co-located picture = RefPicList1[0]).
+    /** Direct motion for this MB (shared [[BDirect]] derivation, spatial
+      * or temporal per config; co-located picture = RefPicList1[0]).
       */
     private def directMotion(mbX: Int, mbY: Int): BDirect.DirectMotion = {
       val colM = refs1.head.motion
       val w4 = wMb * 4
-      val col: Int => (Int, Int, Int) = blk => {
+      val col: Int => BDirect.ColBlock = blk => {
         val i = (mbY * 4 + (blk >> 2)) * w4 + mbX * 4 + (blk & 3)
-        if (colM.ref0(i) >= 0) (colM.ref0(i), colM.mv0x(i), colM.mv0y(i))
-        else if (colM.ref1(i) >= 0) (colM.ref1(i), colM.mv1x(i), colM.mv1y(i))
-        else (-1, 0, 0)
+        if (colM.pic0(i) >= 0)
+          BDirect.ColBlock(colM.pic0(i), colM.ref0(i), colM.mv0x(i), colM.mv0y(i))
+        else if (colM.pic1(i) >= 0)
+          BDirect.ColBlock(colM.pic1(i), colM.ref1(i), colM.mv1x(i), colM.mv1y(i))
+        else BDirect.ColBlock(-1, -1, 0, 0)
       }
-      BDirect.spatial(bstate.neigh(0), bstate.neigh(1), mbX * 4, mbY * 4,
-        col, sps.direct8x8Inference, colShortTerm = !refs1.head.longTerm)
+      if (!cfg.temporalDirectB)
+        BDirect.spatial(bstate.neigh(0), bstate.neigh(1), mbX * 4, mbY * 4,
+          col, sps.direct8x8Inference, colShortTerm = !refs1.head.longTerm)
+      else
+        BDirect.temporal(col,
+          picId => refs0.indexWhere(_.picId == picId),
+          idx => refs0(idx).poc, idx => refs0(idx).longTerm,
+          refs1.head.poc, poc, sps.direct8x8Inference)
     }
 
     /** Build the (bi-)prediction of direct motion over selected 8×8
@@ -856,8 +866,10 @@ object H264Encoder {
         val e8 = (by >> 1) * 2 + (bx >> 1)
         if ((quadMask & (1 << e8)) != 0) {
           val preds = Seq.newBuilder[(Int, Int, Int, Int)]
-          if (dm.ref0 >= 0) preds += ((0, dm.ref0, dm.mv0x(blk), dm.mv0y(blk)))
-          if (dm.ref1 >= 0) preds += ((1, dm.ref1, dm.mv1x(blk), dm.mv1y(blk)))
+          if (dm.ref0(blk) >= 0)
+            preds += ((0, dm.ref0(blk), dm.mv0x(blk), dm.mv0y(blk)))
+          if (dm.ref1(blk) >= 0)
+            preds += ((1, dm.ref1(blk), dm.mv1x(blk), dm.mv1y(blk)))
           partPredInto(predY, predCb, predCr, mbX, mbY, bx * 4, by * 4, 4, 4,
             preds.result())
         }
@@ -875,13 +887,13 @@ object H264Encoder {
         if ((quadMask & (1 << e8)) != 0) {
           val gbx = mbX * 4 + bx
           val gby = mbY * 4 + by
-          if (dm.ref0 >= 0)
-            bstate.setBlocks(0, gbx, gby, 1, 1, dm.ref0, picIdOf(0, dm.ref0),
-              dm.mv0x(blk), dm.mv0y(blk))
+          if (dm.ref0(blk) >= 0)
+            bstate.setBlocks(0, gbx, gby, 1, 1, dm.ref0(blk),
+              picIdOf(0, dm.ref0(blk)), dm.mv0x(blk), dm.mv0y(blk))
           else bstate.setBlocks(0, gbx, gby, 1, 1, -1, -1, 0, 0)
-          if (dm.ref1 >= 0)
-            bstate.setBlocks(1, gbx, gby, 1, 1, dm.ref1, picIdOf(1, dm.ref1),
-              dm.mv1x(blk), dm.mv1y(blk))
+          if (dm.ref1(blk) >= 0)
+            bstate.setBlocks(1, gbx, gby, 1, 1, dm.ref1(blk),
+              picIdOf(1, dm.ref1(blk)), dm.mv1x(blk), dm.mv1y(blk))
           else bstate.setBlocks(1, gbx, gby, 1, 1, -1, -1, 0, 0)
         }
         blk += 1

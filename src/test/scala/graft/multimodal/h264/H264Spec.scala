@@ -731,42 +731,61 @@ class H264Spec extends AnyFunSuite {
     }
   }
 
-  test("fail-fast: temporal direct mode is refused by name") {
-    val w = 32; val h = 32
-    val enc = H264Encoder.encodeGray(movingFrames(w, h, 3, 9), w, h,
-      H264Encoder.Config(qp = 26, bFrames = true))
+  test("temporal direct mode: POC-scaled co-located motion round-trips") {
+    val w = 48; val h = 32
+    val frames = movingFrames(w, h, 9, 17)
+    val enc = H264Encoder.encodeGray(frames, w, h,
+      H264Encoder.Config(qp = 26, bFrames = true, temporalDirectB = true))
     val sps = H264Decoder.parseSps(Nal.unescape(enc.sps, 1, enc.sps.length))
     val pps = H264Decoder.parsePps(Nal.unescape(enc.pps, 1, enc.pps.length))
+    // the B slice header must carry direct_spatial_mv_pred_flag = 0
+    locally {
+      val s = enc.samples(2) // first B
+      val len = ((s(0) & 0xFF) << 24) | ((s(1) & 0xFF) << 16) |
+        ((s(2) & 0xFF) << 8) | (s(3) & 0xFF)
+      val br = new BitReader(Nal.unescape(s, 5, 4 + len))
+      assert(br.ue() == 0 && br.ue() == 6 && br.ue() == 0) // B slice
+      br.u(sps.log2MaxFrameNum)
+      br.u(sps.log2MaxPocLsb) // poc lsb
+      assert(br.u1() == 0, "temporal direct signalled")
+    }
     val session = new H264Decoder.Session(sps, pps)
-    session.decodeSample(enc.samples(0), 4)
-    session.decodeSample(enc.samples(1), 4)
-    // flip direct_spatial_mv_pred_flag in the B slice header: it is the
-    // bit right after pic_order_cnt_lsb — rebuild the header
-    val bSample = enc.samples(2)
-    val nalLen = ((bSample(0) & 0xFF) << 24) | ((bSample(1) & 0xFF) << 16) |
-      ((bSample(2) & 0xFF) << 8) | (bSample(3) & 0xFF)
-    val rbsp = Nal.unescape(bSample, 5, 4 + nalLen)
-    val br = new BitReader(rbsp)
-    val bw = new BitWriter
-    bw.ue(br.ue()) // first_mb
-    bw.ue(br.ue()) // slice_type
-    bw.ue(br.ue()) // pps
-    bw.putBits(br.u(sps.log2MaxFrameNum), sps.log2MaxFrameNum)
-    bw.putBits(br.u(sps.log2MaxPocLsb), sps.log2MaxPocLsb)
-    assert(br.u1() == 1, "encoder writes spatial direct")
-    bw.put(0) // temporal direct
-    while (br.remainingBits > 8) bw.put(br.u1())
-    while (!bw.byteAligned) bw.put(0)
-    val mutated = Nal.escape(bw.toBytes)
-    val out = new java.io.ByteArrayOutputStream()
-    val hdr = 1 + mutated.length
-    out.write(Array[Byte]((hdr >> 24).toByte, (hdr >> 16).toByte,
-      (hdr >> 8).toByte, hdr.toByte))
-    out.write(bSample(4)) // NAL header byte
-    out.write(mutated)
-    val e = intercept[IllegalArgumentException](
-      session.decodeSample(out.toByteArray, 4))
-    assert(e.getMessage.contains("temporal direct"))
+    enc.samples.zip(enc.recon).zipWithIndex.foreach { case ((s, r), fi) =>
+      val d = session.decodeSample(s, 4)
+      assert(d.y.toSeq == r.y.toSeq, s"temporal sample $fi luma")
+      assert(d.cb.toSeq == r.cb.toSeq, s"temporal sample $fi cb")
+      assert(psnr(frames(enc.display(fi)), d.y) > 40.0 - 0.6 * 26,
+        s"temporal sample $fi PSNR")
+    }
+    // temporal and spatial direct genuinely differ on this content
+    val sp = H264Encoder.encodeGray(frames, w, h,
+      H264Encoder.Config(qp = 26, bFrames = true))
+    assert(enc.recon(2).y.toSeq != sp.recon(2).y.toSeq ||
+      enc.samples(2).toSeq != sp.samples(2).toSeq,
+      "modes must not collapse to the same coding")
+  }
+
+  test("temporal direct MV scaling pins the §8.4.1.2.3 arithmetic") {
+    // col block at poc 8 referencing poc 0, current B at poc 2:
+    // td = 8, tb = 2, tx = (16384+4)/8 = 2048, dsf = (2·2048+32)>>6 = 64
+    // mvL0 = (64·mv + 128) >> 8, mvL1 = mvL0 − mv
+    val col = (_: Int) => BDirect.ColBlock(42, 0, 16, -8)
+    val dm = BDirect.temporal(col,
+      picId => if (picId == 42) 0 else -1, _ => 0, _ => false,
+      colPicPoc = 8, currPoc = 2, inference8x8 = true)
+    assert(dm.ref0.forall(_ == 0) && dm.ref1.forall(_ == 0))
+    assert(dm.mv0x(0) == 4 && dm.mv0y(0) == -2)
+    assert(dm.mv1x(0) == 4 - 16 && dm.mv1y(0) == -2 + 8)
+    // long-term L0 reference: mvCol copies unscaled, L1 gets zero
+    val dmLt = BDirect.temporal(col,
+      picId => if (picId == 42) 0 else -1, _ => 0, _ => true,
+      colPicPoc = 8, currPoc = 2, inference8x8 = true)
+    assert(dmLt.mv0x(0) == 16 && dmLt.mv1x(0) == 0)
+    // intra co-located block: refIdxL0 = 0 with zero motion
+    val dmIntra = BDirect.temporal(_ => BDirect.ColBlock(-1, -1, 0, 0),
+      _ => -1, _ => 4, _ => false,
+      colPicPoc = 8, currPoc = 2, inference8x8 = true)
+    assert(dmIntra.ref0(0) == 0 && dmIntra.mv0x(0) == 0 && dmIntra.mv1x(0) == 0)
   }
 
   test("POC type 1: the ref-frame cycle orders B lists and implicit weights") {
@@ -803,7 +822,7 @@ class H264Spec extends AnyFunSuite {
     import H264Decoder._
     def pic(fn: Int, lt: Boolean = false, idx: Int = -1): DpbPic =
       DpbPic(RefFrame(Array(0), Array(0), Array(0)), fn, fn, 2 * fn,
-        PicMotion(Array(0), Array(0), Array(0), Array(0), Array(0), Array(0)),
+        PicMotion(Array(0), Array(0), Array(0), Array(0), Array(0), Array(0), Array(0), Array(0)),
         lt, idx)
     // sliding window evicts the oldest SHORT-term, never a long-term
     val d1 = scala.collection.mutable.ArrayBuffer(

@@ -690,9 +690,15 @@ object MultimodalQueries {
               (((x + 2 * f) * 5 + y * 7 + f * 37 + id * 11) % 256).toByte
             }
           val frames = Seq.tabulate(n)(frame)
+          // rotate the B-stream flavors so every decode path is ingested
+          // at scale: spatial direct, temporal direct, implicit weighting
+          // over POC type 1 (the cycle-derived POC feeds the weights)
           val enc = H264Encoder.encodeGray(frames, w, h,
             H264Encoder.Config(qp = 26, bFrames = true,
-              sliceRows = if (id % 4 == 0) 1 else 0))
+              sliceRows = if (id % 4 == 0) 1 else 0,
+              temporalDirectB = id % 3 == 1,
+              implicitWeightedB = id % 3 == 2,
+              pocType1 = id % 3 == 2))
           val reordered = enc.displayOrder != enc.samples.indices
           val video = Codec.parseVideo(graft.sinks.Artifacts.avcMp4(enc))
           var displayExact = video.frameCount == n

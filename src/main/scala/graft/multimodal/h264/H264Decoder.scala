@@ -39,16 +39,18 @@ package graft.multimodal.h264
   *    is slice-masked for intra prediction, CAVLC contexts and MV
   *    prediction; each slice carries its own QP, reference lists and
   *    deblocking parameters; §8.7 slice-boundary filter control
-  *    (disable_deblocking_filter_idc = 2) honored. Slices must cover
-  *    the picture in raster order (no FMO/ASO).
+  *    (disable_deblocking_filter_idc = 2) honored; ARBITRARY slice
+  *    order accepted (slices are mutually independent under the
+  *    availability mask, so they decode sorted by first_mb). Slices
+  *    must cover the picture exactly once (no FMO slice groups).
   *  - frame cropping honored; deblocking per §8.7 with full inter
   *    boundary-strength derivation across both lists (reference
   *    comparison by picture identity, so per-slice list reorderings
   *    and same-picture bi-prediction derive exactly)
   *
   * Everything outside the subset FAILS FAST with a named error (CABAC,
-  * MMCO 5, SP/SI, FMO/ASO, interlace, High-profile SPS extensions)
-  * rather than misreading — the stance of the HDF5/szip
+  * MMCO 5, SP/SI, FMO slice groups, interlace, High-profile SPS
+  * extensions) rather than misreading — the stance of the HDF5/szip
   * readers (`graft.sources.Hdf5`). CABAC stays out deliberately: its
   * ~1000 context-initialization constants are empirical spec tables
   * that cannot be re-derived, and an unverifiable transcription would
@@ -446,9 +448,25 @@ object H264Decoder {
         case 1 | 5 =>
           require(sps != null && pps != null, "slice before SPS/PPS")
           if (session == null) session = new Session(sps, pps)
-          val firstMb = new BitReader(rbsp).ue()
-          if (firstMb == 0) flush()
-          pending += SliceNal(rbsp, nalType == 5, (data(from) >> 5) & 3)
+          // §7.4.1.2.4 (subset): a new picture starts when frame_num or
+          // IDR-ness changes, or a first_mb repeats (ASO within one
+          // picture keeps both constant and covers each MB once)
+          val br0 = new BitReader(rbsp)
+          val firstMb = br0.ue()
+          br0.ue(); br0.ue() // slice_type, pps_id
+          val fn = br0.u(sps.log2MaxFrameNum)
+          val idr = nalType == 5
+          val boundary = pending.nonEmpty && {
+            val br1 = new BitReader(pending.head.rbsp)
+            val headFirst = br1.ue()
+            br1.ue(); br1.ue()
+            val headFn = br1.u(sps.log2MaxFrameNum)
+            fn != headFn || idr != pending.head.idr ||
+              pending.exists(p => new BitReader(p.rbsp).ue() == firstMb) ||
+              headFirst == firstMb
+          }
+          if (boundary) flush()
+          pending += SliceNal(rbsp, idr, (data(from) >> 5) & 3)
         case _ => // SEI / AUD / filler — skip
       }
     }
@@ -608,7 +626,11 @@ object H264Decoder {
     var frameNum = -1
     var nextMb = 0
     var marking = Marking(adaptive = false)
-    slices.zipWithIndex.foreach { case (nal, sliceIdx) =>
+    // arbitrary slice order (ASO): slices are mutually independent
+    // (neighbor availability is slice-masked), so decode them sorted by
+    // first_mb regardless of arrival order
+    val ordered = slices.sortBy(nal => new BitReader(nal.rbsp).ue())
+    ordered.zipWithIndex.foreach { case (nal, sliceIdx) =>
       val br = new BitReader(nal.rbsp)
       val hdr = parseSliceHeader(br, nal, sps, pps, dpb, poc)
       if (sliceIdx == 0) {
@@ -620,7 +642,7 @@ object H264Decoder {
         require(hdr.frameNum == frameNum,
           s"slice frame_num ${hdr.frameNum} != picture frame_num $frameNum")
         require(hdr.firstMb == nextMb,
-          s"slice starts at MB ${hdr.firstMb}, expected $nextMb (ASO not supported)")
+          s"slices leave a gap at MB $nextMb (got ${hdr.firstMb})")
       }
       nextMb = dec.decodeSliceMbs(br, hdr, sliceIdx)
     }

@@ -631,14 +631,14 @@ class H264Spec extends AnyFunSuite {
     }
   }
 
-  test("fail-fast: out-of-order slices (ASO) are refused by name") {
-    val w = 32; val h = 32
+  test("ASO: out-of-order slices decode identically (slices are independent)") {
+    val w = 48; val h = 48
     val enc = H264Encoder.encodeGray(
-      Seq(synthFrame(w, h, 7, smooth = true)), w, h,
+      Seq(synthFrame(w, h, 7, smooth = false)), w, h,
       H264Encoder.Config(qp = 26, sliceRows = 1))
     val sps = H264Decoder.parseSps(Nal.unescape(enc.sps, 1, enc.sps.length))
     val pps = H264Decoder.parsePps(Nal.unescape(enc.pps, 1, enc.pps.length))
-    // split the sample into NALs and swap slices 1 and 2
+    // split the sample into NALs and rotate the slice order
     val s = enc.samples.head
     val nals = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
     var pos = 0
@@ -648,11 +648,18 @@ class H264Spec extends AnyFunSuite {
       nals += java.util.Arrays.copyOfRange(s, pos, pos + 4 + len)
       pos += 4 + len
     }
-    assert(nals.size == 2, "32x32 with 1-row slices = 2 slices")
-    val swapped = (Seq(nals(1), nals(0)).flatten).toArray
+    assert(nals.size == 3, "48x48 with 1-row slices = 3 slices")
+    for (order <- Seq(Seq(2, 0, 1), Seq(1, 2, 0), Seq(2, 1, 0))) {
+      val shuffled = order.flatMap(nals(_)).toArray
+      val d = H264Decoder.decodeAvccSample(shuffled, 4, sps, pps)
+      assert(d.y.toSeq == enc.recon.head.y.toSeq, s"order $order luma")
+      assert(d.cb.toSeq == enc.recon.head.cb.toSeq, s"order $order cb")
+    }
+    // a GAP (missing slice) still fails fast by name
+    val gap = Seq(nals(0), nals(2)).flatten.toArray
     val e = intercept[IllegalArgumentException](
-      H264Decoder.decodeAvccSample(swapped, 4, sps, pps))
-    assert(e.getMessage.contains("macroblock 0") || e.getMessage.contains("ASO"))
+      H264Decoder.decodeAvccSample(gap, 4, sps, pps))
+    assert(e.getMessage.contains("gap") || e.getMessage.contains("covered"))
   }
 
   // --------------------------------------------------------- B slices

@@ -24,12 +24,13 @@ package graft.multimodal.h264
   *    direct_8x8_inference, non-reference pictures (nal_ref_idc 0) kept
   *    out of the DPB, POC types 0 (§8.2.1.1 lsb wrap) and 1 (§8.2.1.2
   *    ref-frame cycle) with wrap-aware FrameNumOffset
-  *  - LONG-TERM references + adaptive marking: MMCO 1/2/3/4/6 (§8.2.5.4
-  *    — unmark short/long, short→long conversion with idx replacement,
-  *    MaxLongTermFrameIdx trimming, current→long), IDR
+  *  - LONG-TERM references + COMPLETE adaptive marking: every MMCO
+  *    (§8.2.5.4 — unmark short/long, short→long conversion with idx
+  *    replacement, MaxLongTermFrameIdx trimming, the op-5 soft-IDR
+  *    reset of all references + frame_num/POC, current→long), IDR
   *    long_term_reference_flag, long-term tails in P/B list
   *    initialization, idc-2 list modification, sliding window exempting
-  *    long-terms; MMCO 5 (frame_num/POC reset) fails fast
+  *    long-terms
   *  - WEIGHTED prediction (§8.4.2.3): explicit per-reference
   *    weight/offset tables for P (weighted_pred_flag) and B
   *    (weighted_bipred_idc 1), and implicit-by-POC bi-prediction
@@ -49,8 +50,8 @@ package graft.multimodal.h264
   *    and same-picture bi-prediction derive exactly)
   *
   * Everything outside the subset FAILS FAST with a named error (CABAC,
-  * MMCO 5, SP/SI, FMO slice groups, interlace, High-profile SPS
-  * extensions) rather than misreading — the stance of the HDF5/szip
+  * SP/SI, FMO slice groups, interlace, High-profile SPS extensions)
+  * rather than misreading — the stance of the HDF5/szip
   * readers (`graft.sources.Hdf5`). CABAC stays out deliberately: its
   * ~1000 context-initialization constants are empirical spec tables
   * that cannot be re-derived, and an unverifiable transcription would
@@ -136,6 +137,7 @@ object H264Decoder {
   final case class UnmarkLong(ltPicNum: Int) extends Mmco // op 2
   final case class ShortToLong(diffMinus1: Int, ltIdx: Int) extends Mmco // op 3
   final case class SetMaxLt(maxPlus1: Int) extends Mmco // op 4
+  case object ResetAll extends Mmco // op 5: unmark everything, zero frame_num/POC
   final case class CurrToLong(ltIdx: Int) extends Mmco // op 6
   final case class Marking(adaptive: Boolean, ops: Seq[Mmco] = Nil,
       idrLongTerm: Boolean = false)
@@ -152,8 +154,13 @@ object H264Decoder {
     def picNum(fn: Int): Int = if (fn > currFrameNum) fn - maxFrameNum else fn
     var maxLtIdx = maxLtIdxIn
     var currLt = -1
+    var reset = false
     if (mk.adaptive) {
       mk.ops.foreach {
+        case ResetAll => // §8.2.5.4.5: everything unmarked, indices reset
+          dpb.clear()
+          maxLtIdx = -1
+          reset = true
         case UnmarkShort(dm1) =>
           val target = currFrameNum - (dm1 + 1)
           val at = dpb.indexWhere(p => !p.longTerm && picNum(p.frameNum) == target)
@@ -189,8 +196,11 @@ object H264Decoder {
       val oldest = shorts.minBy { case (p, _) => picNum(p.frameNum) }._2
       dpb.remove(oldest)
     }
+    // after op 5 the current picture is considered to have frame_num 0
+    // and a zeroed picture order count (§8.2.1, §8.2.5.4.5)
+    val stored = if (reset) curr.copy(frameNum = 0, poc = 0) else curr
     dpb.insert(0,
-      if (currLt >= 0) curr.copy(longTerm = true, ltIdx = currLt) else curr)
+      if (currLt >= 0) stored.copy(longTerm = true, ltIdx = currLt) else stored)
     require(dpb.size <= math.max(maxNumRef, 1),
       s"DPB holds ${dpb.size} pictures, max_num_ref_frames $maxNumRef")
     maxLtIdx
@@ -407,6 +417,10 @@ object H264Decoder {
         } else {
           maxLtIdx = applyMarking(dpb, marking, curr, frameNum,
             1 << sps.log2MaxFrameNum, sps.maxNumRefFrames, maxLtIdx)
+          if (marking.ops.contains(ResetAll)) {
+            prevPocLsb = 0; prevPocMsb = 0
+            prevFrameNumOffset = 0; prevFrameNum = 0
+          }
         }
       }
       frame
@@ -593,9 +607,8 @@ object H264Decoder {
             case 2 => ops += UnmarkLong(br.ue())
             case 3 => ops += ShortToLong(br.ue(), br.ue())
             case 4 => ops += SetMaxLt(br.ue())
+            case 5 => ops += ResetAll
             case 6 => ops += CurrToLong(br.ue())
-            case 5 => throw new IllegalArgumentException(
-              "MMCO 5 (reset all references + zero frame_num/POC) not supported")
             case o => throw new IllegalArgumentException(
               s"memory_management_control_operation $o")
           }

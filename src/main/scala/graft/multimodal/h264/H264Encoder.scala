@@ -152,6 +152,7 @@ object H264Encoder {
             ops += H264Decoder.UnmarkShort(shortDiff(0))
           if (frameNum == 9 && dpb.exists(p => p.longTerm && p.ltIdx == 1))
             ops += H264Decoder.UnmarkLong(1)
+          if (frameNum == 11) ops += H264Decoder.ResetAll // soft IDR
           val o = ops.result()
           H264Decoder.Marking(adaptive = o.nonEmpty, o)
         } else H264Decoder.Marking(adaptive = false)
@@ -205,6 +206,7 @@ object H264Encoder {
           // the SAME §8.2.5 marking the decoder will apply
           maxLtIdx = H264Decoder.applyMarking(dpb, marking, curr, frameNum,
             maxFn, spsP.maxNumRefFrames, maxLtIdx)
+          if (marking.ops.contains(H264Decoder.ResetAll)) prevRefFrameNum = 0
         }
       }
       nextPicId += 1
@@ -459,6 +461,7 @@ object H264Encoder {
             case H264Decoder.UnmarkLong(n) => bw.ue(2); bw.ue(n)
             case H264Decoder.ShortToLong(d, i) => bw.ue(3); bw.ue(d); bw.ue(i)
             case H264Decoder.SetMaxLt(m) => bw.ue(4); bw.ue(m)
+            case H264Decoder.ResetAll => bw.ue(5)
             case H264Decoder.CurrToLong(i) => bw.ue(6); bw.ue(i)
           }
           bw.ue(0) // end of MMCO list

@@ -865,7 +865,7 @@ class H264Spec extends AnyFunSuite {
 
   test("long-term anchor stream: MMCO ops and idc-2 reordering round-trip") {
     val w = 48; val h = 32
-    val frames = movingFrames(w, h, 12, 5)
+    val frames = movingFrames(w, h, 15, 5)
     val enc = H264Encoder.encodeGray(frames, w, h,
       H264Encoder.Config(qp = 26, pFrames = true, longTermRefs = true))
     val sps = H264Decoder.parseSps(Nal.unescape(enc.sps, 1, enc.sps.length))
@@ -904,26 +904,27 @@ class H264Spec extends AnyFunSuite {
       assert(d.cb.toSeq == r.cb.toSeq && d.cr.toSeq == r.cr.toSeq, s"$fi chroma")
       assert(psnr(frames(fi), d.y) > 40.0 - 0.6 * 26, s"sample $fi PSNR")
     }
-    // fail-fast retained: MMCO 5 refused by name
-    val bad = {
-      val bw = new BitWriter
-      bw.ue(0); bw.ue(5); bw.ue(0) // first_mb, P, pps
-      bw.putBits(1, 8) // frame_num
-      bw.put(0) // no num_ref_idx override
-      bw.put(0) // no list modification
-      bw.put(1) // adaptive marking
-      bw.ue(5) // MMCO 5
-      bw.rbspTrailing()
-      Nal.unit(3, 1, bw.toBytes)
+    // sample 11 must carry MMCO 5 (the soft-IDR reset) and the stream
+    // CONTINUES past it: frame 12 predicts from the reset picture, whose
+    // frame_num both DPB models rewrote to 0 — already pinned bit-exact
+    // by the loop above; here pin the bit itself
+    locally {
+      val br = sliceBits(11)
+      assert(br.ue() == 0 && br.ue() == 5 && br.ue() == 0)
+      assert(br.u(8) == 11) // frame_num before the reset
+      val ovr = br.u1(); if (ovr == 1) br.ue()
+      val mod = br.u1()
+      if (mod == 1) { var idc = br.ue(); while (idc != 3) { br.ue(); idc = br.ue() } }
+      assert(br.u1() == 1, "adaptive marking")
+      assert(br.ue() == 5, "MMCO 5 emitted")
+      assert(br.ue() == 0, "end of MMCO list")
     }
-    val s2 = new H264Decoder.Session(sps, pps)
-    s2.decodeSample(enc.samples(0), 4)
-    val sample = new java.io.ByteArrayOutputStream()
-    sample.write(Array[Byte](0, 0, (bad.length >> 8).toByte, bad.length.toByte))
-    sample.write(bad)
-    val e = intercept[IllegalArgumentException](
-      s2.decodeSample(sample.toByteArray, 4))
-    assert(e.getMessage.contains("MMCO 5"))
+    // and the post-reset picture re-starts frame_num at 1
+    locally {
+      val br = sliceBits(12)
+      assert(br.ue() == 0 && br.ue() == 5 && br.ue() == 0)
+      assert(br.u(8) == 1, "frame_num restarts after MMCO 5")
+    }
   }
 
   // ------------------------------------------------- weighted prediction

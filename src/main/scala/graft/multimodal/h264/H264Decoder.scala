@@ -1015,13 +1015,42 @@ object H264Decoder {
           Interp.chromaBlock(rf.cb, cs, hcPix, 4 * x0 + mvx, 4 * y0 + mvy, cw, chh),
           Interp.chromaBlock(rf.cr, cs, hcPix, 4 * x0 + mvx, 4 * y0 + mvy, cw, chh))
       }
+      val (l0, c0, r0) = parts.head
+      val (l1, c1, r1) =
+        if (parts.size == 2) parts(1) else (null, null, null)
+      val unweighted = explicitW.isEmpty && (!implicitW || parts.size == 1)
+      if (unweighted) {
+        // fast path (no closures per pixel): copy or §8.4.2.1 average
+        var j = 0
+        while (j < ph) {
+          var i = 0
+          while (i < pw) {
+            val k = j * pw + i
+            y((y0 + j) * ls + x0 + i) =
+              if (l1 == null) l0(k) else (l0(k) + l1(k) + 1) >> 1
+            i += 1
+          }
+          j += 1
+        }
+        j = 0
+        while (j < chh) {
+          var i = 0
+          while (i < cw) {
+            val k = j * cw + i
+            cb((cy0 + j) * cs + cx0 + i) =
+              if (c1 == null) c0(k) else (c0(k) + c1(k) + 1) >> 1
+            cr((cy0 + j) * cs + cx0 + i) =
+              if (r1 == null) r0(k) else (r0(k) + r1(k) + 1) >> 1
+            i += 1
+          }
+          j += 1
+        }
+        return
+      }
       val (mixY, mixCb, mixCr) = Weighting.mixers(
         preds.map(p => (p._1, p._2)), explicitW, implicitW, slicePoc,
         (list, ref) => (if (list == 0) refs0 else refs1)(ref).poc,
         (list, ref) => (if (list == 0) refs0 else refs1)(ref).longTerm)
-      val (l0, c0, r0) = parts.head
-      val (l1, c1, r1) =
-        if (parts.size == 2) parts(1) else (null, null, null)
       @inline def px(b: Array[Int], i: Int): Int = if (b == null) 0 else b(i)
       var j = 0
       while (j < ph) {

@@ -590,12 +590,29 @@ object H264Encoder {
           Interp.chromaBlock(rf.cb, cs, hcPix, 4 * x0 + mvx, 4 * y0 + mvy, cw, chh),
           Interp.chromaBlock(rf.cr, cs, hcPix, 4 * x0 + mvx, 4 * y0 + mvy, cw, chh))
       }
+      val (l0, c0, r0) = parts.head
+      val (l1, c1, r1) = if (parts.size == 2) parts(1) else (null, null, null)
+      val unweighted = explicitW.isEmpty && (!implicitW || parts.size == 1)
+      if (unweighted) {
+        // fast path (no closures per pixel): copy or §8.4.2.1 average
+        for (j <- 0 until ph; i <- 0 until pw) {
+          val k = j * pw + i
+          predY((py + j) * 16 + px + i) =
+            if (l1 == null) l0(k) else (l0(k) + l1(k) + 1) >> 1
+        }
+        for (j <- 0 until chh; i <- 0 until cw) {
+          val k = j * cw + i
+          predCb((py / 2 + j) * 8 + px / 2 + i) =
+            if (c1 == null) c0(k) else (c0(k) + c1(k) + 1) >> 1
+          predCr((py / 2 + j) * 8 + px / 2 + i) =
+            if (r1 == null) r0(k) else (r0(k) + r1(k) + 1) >> 1
+        }
+        return
+      }
       val (mixY, mixCb, mixCr) = Weighting.mixers(
         preds.map(p => (p._1, p._2)), explicitW, implicitW, poc,
         (list, ref) => (if (list == 0) refs0 else refs1)(ref).poc,
         (list, ref) => (if (list == 0) refs0 else refs1)(ref).longTerm)
-      val (l0, c0, r0) = parts.head
-      val (l1, c1, r1) = if (parts.size == 2) parts(1) else (null, null, null)
       @inline def pxOf(b: Array[Int], i: Int): Int = if (b == null) 0 else b(i)
       for (j <- 0 until ph; i <- 0 until pw)
         predY((py + j) * 16 + px + i) = mixY(l0(j * pw + i), pxOf(l1, j * pw + i))

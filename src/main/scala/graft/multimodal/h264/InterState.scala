@@ -103,33 +103,37 @@ final class BlockState(wMb: Int, hMb: Int) {
       pbx: Int, pby: Int, qbx: Int, qby: Int, mbEdge: Boolean): Int = {
     val p = pby * w4 + pbx
     val q = qby * w4 + qbx
-    val pIntra = refPic(0)(p) < 0 && refPic(1)(p) < 0
-    val qIntra = refPic(0)(q) < 0 && refPic(1)(q) < 0
+    val pPic0 = refPic(0)(p); val pPic1 = refPic(1)(p)
+    val qPic0 = refPic(0)(q); val qPic1 = refPic(1)(q)
+    val pIntra = pPic0 < 0 && pPic1 < 0
+    val qIntra = qPic0 < 0 && qPic1 < 0
     if (pIntra || qIntra) { if (mbEdge) 4 else 3 }
     else if (tcY(p) > 0 || tcY(q) > 0) 2
     else {
-      // collect the (pic, mvx, mvy) predictions each block uses
-      def preds(i: Int): Seq[(Int, Int, Int)] =
-        (0 to 1).flatMap { l =>
-          if (refPic(l)(i) >= 0) Seq((refPic(l)(i), mvX(l)(i), mvY(l)(i))) else Nil
-        }
-      val pp = preds(p)
-      val qq = preds(q)
-      @inline def far(a: (Int, Int, Int), b: (Int, Int, Int)): Boolean =
-        math.abs(a._2 - b._2) >= 4 || math.abs(a._3 - b._3) >= 4
-      if (pp.size != qq.size) 1
-      else if (pp.map(_._1).sorted != qq.map(_._1).sorted) 1 // different ref pictures
-      else if (pp.size == 1) { if (far(pp.head, qq.head)) 1 else 0 }
-      else if (pp.head._1 != pp.last._1) {
+      // allocation-free over the per-list arrays — this runs per 4×4
+      // edge pair across every frame
+      @inline def far(lp: Int, lq: Int): Boolean =
+        math.abs(mvX(lp)(p) - mvX(lq)(q)) >= 4 ||
+          math.abs(mvY(lp)(p) - mvY(lq)(q)) >= 4
+      val pn = (if (pPic0 >= 0) 1 else 0) + (if (pPic1 >= 0) 1 else 0)
+      val qn = (if (qPic0 >= 0) 1 else 0) + (if (qPic1 >= 0) 1 else 0)
+      if (pn != qn) 1
+      else if (pn == 1) {
+        val lp = if (pPic0 >= 0) 0 else 1
+        val lq = if (qPic0 >= 0) 0 else 1
+        if (refPic(lp)(p) != refPic(lq)(q)) 1
+        else if (far(lp, lq)) 1 else 0
+      } else if (!((pPic0 == qPic0 && pPic1 == qPic1) ||
+        (pPic0 == qPic1 && pPic1 == qPic0))) 1 // different picture sets
+      else if (pPic0 != pPic1) {
         // two distinct pictures: compare the vectors matched by picture
-        val q0 = if (qq.head._1 == pp.head._1) qq.head else qq.last
-        val q1 = if (qq.head._1 == pp.head._1) qq.last else qq.head
-        if (far(pp.head, q0) || far(pp.last, q1)) 1 else 0
+        if (pPic0 == qPic0) { if (far(0, 0) || far(1, 1)) 1 else 0 }
+        else { if (far(0, 1) || far(1, 0)) 1 else 0 }
       } else {
         // both predict twice from the SAME picture: bS 0 iff one of the
         // two pairings keeps every component difference < 4
-        val a = !far(pp.head, qq.head) && !far(pp.last, qq.last)
-        val b = !far(pp.head, qq.last) && !far(pp.last, qq.head)
+        val a = !far(0, 0) && !far(1, 1)
+        val b = !far(0, 1) && !far(1, 0)
         if (a || b) 0 else 1
       }
     }

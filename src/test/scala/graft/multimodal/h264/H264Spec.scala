@@ -2,24 +2,28 @@ package graft.multimodal.h264
 
 import org.scalatest.funsuite.AnyFunSuite
 
-/** H.264 baseline-intra codec pins.
+/** H.264 codec pins across the full supported subset.
   *
   * Layers, from spec-derived (no shared code with the decoder) upward:
   *  1. structural table validation — every CAVLC table is a complete
   *     prefix-free code, spot values pinned to the standard's printed
   *     codewords;
-  *  2. transform identities — the inverse 4×4 against a direct matrix
-  *     evaluation of the normative equations, Hadamard involution,
-  *     quant/dequant error bounds;
+  *  2. transform/weighting identities — the inverse 4×4 against a
+  *     direct matrix evaluation of the normative equations, Hadamard
+  *     involution, quant/dequant error bounds, weighted-prediction and
+  *     temporal-direct arithmetic on hand-derived vectors;
   *  3. bit-level round-trips — Exp-Golomb, CAVLC blocks across all nC
   *     regimes (encoder and decoder share the tables, so layer 1 is
   *     what keeps this from being tautological);
   *  4. full encode→decode: decoder output must equal the encoder's own
-  *     reconstruction BIT-EXACTLY (the conformance contract), PSNR vs
-  *     the source bounded, I_PCM lossless, cropping, deblocking on/off,
+  *     reconstruction BIT-EXACTLY (the conformance contract) across
+  *     IDR-only / IPPP / IBPBP streams, multi-slice + ASO framings,
+  *     weighted prediction (explicit + implicit), long-term references
+  *     with every MMCO, POC types 0/1, both direct modes; PSNR vs the
+  *     source bounded, I_PCM lossless, cropping, deblocking on/off,
   *     Annex-B and AVCC framings;
-  *  5. fail-fast: CABAC, High-profile SPS, P slices, FMO are refused by
-  *     name.
+  *  5. fail-fast: CABAC, High-profile SPS, SP/SI, FMO slice groups are
+  *     refused by name.
   */
 class H264Spec extends AnyFunSuite {
 

@@ -120,7 +120,8 @@ object Codec {
     * (bounded by the stream's reorder depth) serves display order.
     */
   final class Mp4Video(content: Array[Byte], frames: Array[(Int, Int)],
-      avc: Option[AvcConfig], ctsOffsets: Array[Int] = Array.emptyIntArray)
+      avc: Option[AvcConfig], ctsOffsets: Array[Int] = Array.emptyIntArray,
+      syncSamples: Array[Int] = Array.emptyIntArray)
     extends Video(content, frames) {
     private var session: graft.multimodal.h264.H264Decoder.Session = null
     private var nextIdx = 0
@@ -145,14 +146,40 @@ object Codec {
     private val cache =
       scala.collection.mutable.LinkedHashMap.empty[Int, graft.multimodal.h264.H264Decoder.Frame]
 
+    /** Largest sync sample ≤ target (0 when no stss: only sample 0 is
+      * known independently decodable for an inter codec).
+      */
+    private def nearestSync(target: Int): Int = {
+      if (syncSamples.isEmpty) return 0
+      var lo = 0
+      var hi = syncSamples.length - 1
+      var best = 0
+      while (lo <= hi) {
+        val mid = (lo + hi) >>> 1
+        if (syncSamples(mid) <= target) { best = syncSamples(mid); lo = mid + 1 }
+        else hi = mid - 1
+      }
+      best
+    }
+
     override def decodeFrame(i: Int): (Int, Int, Int, Array[Byte]) = avc match {
       case None => super.decodeFrame(i)
       case Some(cfg) =>
         val sampleIdx = displayToSample(i)
         if (session == null || (sampleIdx < nextIdx && !cache.contains(sampleIdx))) {
+          // seek: restart at the nearest preceding keyframe, not the head
           session = new graft.multimodal.h264.H264Decoder.Session(cfg.sps, cfg.pps)
-          nextIdx = 0
+          nextIdx = nearestSync(sampleIdx)
           cache.clear()
+        } else if (sampleIdx >= nextIdx) {
+          // far forward: jump over whole GOPs when a later sync precedes
+          // the target (keyframe-aware fast-forward)
+          val sync = nearestSync(sampleIdx)
+          if (sync > nextIdx) {
+            session = new graft.multimodal.h264.H264Decoder.Session(cfg.sps, cfg.pps)
+            nextIdx = sync
+            cache.clear()
+          }
         }
         while (nextIdx <= sampleIdx) {
           val (off, len) = frames(nextIdx)
@@ -227,11 +254,13 @@ object Codec {
 
   /** Walk the ISO-BMFF box tree (ISO/IEC 14496-12 — BIG-endian, unlike
     * RIFF) down moov/trak/mdia/minf/stbl and index the samples from the
-    * sample tables: per-sample sizes from stsz, the payload start from
-    * stco, sequential offsets within the single chunk [[graft.sinks
-    * .Artifacts.mjpegMp4]] writes (multi-chunk stsc fails fast rather
-    * than misreading). The stsd entry must be the 'jpeg' visual sample
-    * entry — each sample is then an independently decodable JPEG.
+    * FULL sample-table machinery: per-sample sizes from stsz, the
+    * §8.7.4 sample-to-chunk map (stsc run-length rows — real muxers
+    * interleave samples across many chunks), 32-bit stco or 64-bit co64
+    * chunk offsets, optional ctts composition offsets, and the optional
+    * stss sync-sample table (seeks restart at the nearest preceding
+    * keyframe instead of the stream head). The stsd entry must be
+    * 'jpeg' (independent JPEG samples) or 'avc1' (H.264).
     */
   def parseMp4(content: Array[Byte]): Mp4Video = {
     def be32(p: Int): Int =
@@ -293,9 +322,6 @@ object Codec {
         Some(AvcConfig(sps, pps, lengthSize))
       }
 
-    val (stscS, _) = child(stblS, stblE, "stsc")
-    require(be32(stscS + 4) == 1, "multi-chunk stsc not supported")
-
     val (stszS, _) = child(stblS, stblE, "stsz")
     val uniform = be32(stszS + 4)
     val n = be32(stszS + 8)
@@ -306,15 +332,60 @@ object Codec {
     val sizes = Array.tabulate(n)(i =>
       if (uniform != 0) uniform else be32(stszS + 12 + 4 * i))
 
-    val (stcoS, _) = child(stblS, stblE, "stco")
-    require(be32(stcoS + 4) >= 1, "empty stco")
-    var off = be32(stcoS + 8)
-    val frames = Array.newBuilder[(Int, Int)]
-    sizes.foreach { len =>
-      require(len > 0 && off >= 0 && off.toLong + len <= content.length,
-        s"sample extent [$off, $off+$len) outside the file")
-      frames += ((off, len)); off += len
+    // chunk offsets: stco (32-bit) or co64 (64-bit)
+    def be64(p: Int): Long = (be32(p).toLong << 32) | (be32(p + 4) & 0xFFFFFFFFL)
+    val chunkOffsets: Array[Long] = childOpt(stblS, stblE, "stco") match {
+      case Some((stcoS, _)) =>
+        val cn = be32(stcoS + 4)
+        require(cn >= 1 && stcoS + 8 + 4L * cn <= content.length,
+          s"stco table ($cn chunks) overruns the file")
+        Array.tabulate(cn)(i => be32(stcoS + 8 + 4 * i).toLong & 0xFFFFFFFFL)
+      case None =>
+        val (co64S, _) = child(stblS, stblE, "co64")
+        val cn = be32(co64S + 4)
+        require(cn >= 1 && co64S + 8 + 8L * cn <= content.length,
+          s"co64 table ($cn chunks) overruns the file")
+        Array.tabulate(cn)(i => be64(co64S + 8 + 8 * i))
     }
+
+    // §8.7.4 sample-to-chunk: run-length rows (first_chunk,
+    // samples_per_chunk, _desc_idx); each run covers chunks up to the
+    // next row's first_chunk (or the stco count)
+    val (stscS, _) = child(stblS, stblE, "stsc")
+    val stscRows = be32(stscS + 4)
+    require(stscRows >= 1 && stscS + 8 + 12L * stscRows <= content.length,
+      s"stsc table ($stscRows rows) overruns the file")
+    val frames = Array.newBuilder[(Int, Int)]
+    var sample = 0
+    var row = 0
+    while (row < stscRows && sample < n) {
+      val firstChunk = be32(stscS + 8 + 12 * row) // 1-based
+      val perChunk = be32(stscS + 8 + 12 * row + 4)
+      require(firstChunk >= 1 && firstChunk <= chunkOffsets.length,
+        s"stsc first_chunk $firstChunk outside the $stscRows-chunk table")
+      require(perChunk >= 1 && perChunk <= n, s"stsc samples_per_chunk $perChunk")
+      val lastChunk =
+        if (row + 1 < stscRows) be32(stscS + 8 + 12 * (row + 1)) - 1
+        else chunkOffsets.length
+      require(lastChunk >= firstChunk, "stsc first_chunk rows not ascending")
+      var c = firstChunk
+      while (c <= lastChunk && sample < n) {
+        var off = chunkOffsets(c - 1)
+        var k = 0
+        while (k < perChunk && sample < n) {
+          val len = sizes(sample)
+          require(len > 0 && off >= 0 && off + len <= content.length,
+            s"sample extent [$off, $off+$len) outside the file")
+          frames += ((off.toInt, len))
+          off += len
+          sample += 1
+          k += 1
+        }
+        c += 1
+      }
+      row += 1
+    }
+    require(sample == n, s"sample-to-chunk map covers $sample of $n samples")
 
     // optional ctts: composition offsets (v0, run-length) — B-frame
     // streams carry these so display order can be recovered
@@ -339,7 +410,25 @@ object Codec {
         require(res.length == n, s"ctts covers ${res.length} of $n samples")
         res
     }
-    new Mp4Video(content, frames.result(), avc, ctsOffsets)
+
+    // optional stss: 1-based sync-sample (keyframe) indices — absent
+    // means every sample is a sync point
+    val syncSamples: Array[Int] = childOpt(stblS, stblE, "stss") match {
+      case None => Array.emptyIntArray
+      case Some((stssS, _)) =>
+        val cnt = be32(stssS + 4)
+        require(cnt >= 1 && stssS + 8 + 4L * cnt <= content.length,
+          s"stss table ($cnt entries) overruns the file")
+        val out = Array.tabulate(cnt) { i =>
+          val v = be32(stssS + 8 + 4 * i)
+          require(v >= 1 && v <= n, s"stss sample index $v")
+          v - 1 // 0-based
+        }
+        require(out.isEmpty || out.head == 0,
+          "first sample is not a sync sample — cannot decode from the head")
+        out
+    }
+    new Mp4Video(content, frames.result(), avc, ctsOffsets, syncSamples)
   }
 
   /** Decode a mono 16-bit PCM WAV: walk the RIFF chunks (fmt may be

@@ -42,7 +42,7 @@ object H264Encoder {
       noSliceEdgeDeblock: Boolean = false,
       weightedPred: Boolean = false, implicitWeightedB: Boolean = false,
       longTermRefs: Boolean = false, pocType1: Boolean = false,
-      temporalDirectB: Boolean = false)
+      temporalDirectB: Boolean = false, idrEvery: Int = 0)
 
   /** `samples`/`recon` are in DECODE order; `display(i)` is sample i's
     * display index (identity without B frames) and `ctsOffset(i)` the
@@ -100,7 +100,10 @@ object H264Encoder {
     val n = frames.size
     val order: Seq[(Int, Char)] =
       if (!cfg.pFrames && !cfg.bFrames) frames.indices.map(i => (i, 'I'))
-      else if (!useB) frames.indices.map(i => (i, if (i == 0) 'I' else 'P'))
+      else if (!useB) frames.indices.map { i =>
+        val idr = i == 0 || (cfg.idrEvery > 0 && i % cfg.idrEvery == 0)
+        (i, if (idr) 'I' else 'P')
+      }
       else {
         val b = Seq.newBuilder[(Int, Char)]
         b += ((0, 'I'))

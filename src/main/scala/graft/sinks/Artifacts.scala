@@ -192,18 +192,24 @@ object Artifacts {
     * composition-time offsets so readers recover display order.
     */
   def avcMp4(enc: graft.multimodal.h264.H264Encoder.Encoded,
-      fps: Int = 100): Array[Byte] = {
+      fps: Int = 100, chunkSize: Int = 0): Array[Byte] = {
     val avcC = graft.multimodal.h264.H264Encoder.avcC(enc.sps, enc.pps)
     val ext = new BeOut()
     ext.u32(8 + avcC.length); ext.fourcc("avcC"); ext.bytes(avcC)
     val reordered = enc.displayOrder != enc.samples.indices
+    // stss only when the stream mixes sync and non-sync samples (absent
+    // box = every sample is sync, the all-IDR case)
+    val syncs =
+      if (enc.sampleIsIdr.forall(identity)) Seq.empty[Int]
+      else enc.sampleIsIdr.zipWithIndex.collect { case (true, i) => i + 1 }
     isoBmffMp4(enc.samples, enc.width, enc.height, fps, "avc1", ext.toArray,
-      if (reordered) enc.ctsOffsets else Seq.empty)
+      if (reordered) enc.ctsOffsets else Seq.empty, syncs, chunkSize)
   }
 
   private def isoBmffMp4(frames: Seq[Array[Byte]], width: Int, height: Int,
       fps: Int, sampleFourcc: String, entryExtension: Array[Byte],
-      ctsOffsets: Seq[Int] = Seq.empty): Array[Byte] = {
+      ctsOffsets: Seq[Int] = Seq.empty, syncSamples: Seq[Int] = Seq.empty,
+      chunkSize: Int = 0): Array[Byte] = {
     val n = frames.size
 
     def box(typ: String)(body: BeOut => Unit): Array[Byte] = {
@@ -256,11 +262,42 @@ object Artifacts {
           rs.foreach { case (count, off) => t.u32(count); t.u32(off) }
         })
       }
-      b.bytes(fullBox("stsc", 0, 0) { t => t.u32(1); t.u32(1); t.u32(n); t.u32(1) })
+      // sample-to-chunk: single chunk by default; `chunkSize` > 0 splits
+      // into chunks of (chunkSize+1, chunkSize, chunkSize, …) samples —
+      // two stsc runs, the layout interleaving muxers emit
+      val chunkCounts: Seq[Int] =
+        if (chunkSize <= 0 || n <= chunkSize + 1) Seq(n)
+        else {
+          val rest = n - (chunkSize + 1)
+          Seq(chunkSize + 1) ++ Seq.fill(rest / chunkSize)(chunkSize) ++
+            (if (rest % chunkSize != 0) Seq(rest % chunkSize) else Nil)
+        }
+      b.bytes(fullBox("stsc", 0, 0) { t =>
+        // run-length rows over distinct samples_per_chunk values
+        val runs = Seq.newBuilder[(Int, Int)] // (first_chunk 1-based, per_chunk)
+        chunkCounts.zipWithIndex.foreach { case (cnt, i) =>
+          if (i == 0 || cnt != chunkCounts(i - 1)) runs += ((i + 1, cnt))
+        }
+        val rs = runs.result()
+        t.u32(rs.size)
+        rs.foreach { case (first, cnt) => t.u32(first); t.u32(cnt); t.u32(1) }
+      })
       b.bytes(fullBox("stsz", 0, 0) { t =>
         t.u32(0); t.u32(n); frames.foreach(f => t.u32(f.length))
       })
-      b.bytes(fullBox("stco", 0, 0) { t => t.u32(1); t.u32(firstSampleOffset) })
+      b.bytes(fullBox("stco", 0, 0) { t =>
+        t.u32(chunkCounts.size)
+        var off = firstSampleOffset
+        var s = 0
+        chunkCounts.foreach { cnt =>
+          t.u32(off)
+          (0 until cnt).foreach { _ => off += frames(s).length; s += 1 }
+        }
+      })
+      if (syncSamples.nonEmpty)
+        b.bytes(fullBox("stss", 0, 0) { t =>
+          t.u32(syncSamples.size); syncSamples.foreach(t.u32)
+        })
     }
     val minf = box("minf") { b =>
       b.bytes(fullBox("vmhd", 0, 1) { t => t.u16(0); (0 until 3).foreach(_ => t.u16(0)) })

@@ -144,6 +144,57 @@ class Mp4AvcSpec extends AnyFunSuite {
     assert(parsed.frameCount == 7)
   }
 
+  test("multi-chunk stsc/stco: interleaving-muxer layout parses and decodes") {
+    val w = 32; val h = 16
+    val frames = (0 until 9).map(f => gray(w, h, f + 5))
+    val enc = H264Encoder.encodeGray(frames, w, h,
+      H264Encoder.Config(qp = 24, pFrames = true))
+    // chunkSize 2 → chunks of (3,2,2,2) samples, TWO stsc runs
+    val mp4 = Artifacts.avcMp4(enc, chunkSize = 2)
+    val single = Artifacts.avcMp4(enc)
+    assert(mp4.toSeq != single.toSeq, "chunked layout must differ")
+    val video = Codec.parseVideo(mp4).asInstanceOf[Codec.Mp4Video]
+    assert(video.frameCount == 9)
+    (0 until 9).foreach { f =>
+      val (_, _, _, px) = video.decodeFrame(f)
+      (0 until w * h).foreach { i =>
+        assert((px(i * 3) & 0xFF) == enc.recon(f).y(i), s"chunked frame $f px $i")
+      }
+    }
+  }
+
+  test("stss sync table: seeks restart at the nearest keyframe, not the head") {
+    val w = 32; val h = 32
+    val frames = (0 until 12).map { f =>
+      Array.tabulate(w * h)(i => (((i % w) * 2 + (i / w) * 3 + f * 5) % 256).toByte)
+    }
+    // IDR every 4 display frames → syncs at samples 0, 4, 8
+    val enc = H264Encoder.encodeGray(frames, w, h,
+      H264Encoder.Config(qp = 24, pFrames = true, idrEvery = 4))
+    assert(enc.sampleIsIdr == Seq(true, false, false, false, true, false,
+      false, false, true, false, false, false))
+    val mp4 = Artifacts.avcMp4(enc)
+    // the muxer wrote an stss box listing exactly the IDRs
+    val video = Codec.parseVideo(mp4).asInstanceOf[Codec.Mp4Video]
+    // jump straight to frame 9: the keyframe-aware path decodes from
+    // sample 8, never touching GOPs 0 and 1 — then a backward seek into
+    // GOP 1 restarts from sample 4
+    for (f <- Seq(9, 11, 5, 6, 1, 10)) {
+      val (_, _, _, px) = video.decodeFrame(f)
+      (0 until w * h).foreach { i =>
+        assert((px(i * 3) & 0xFF) == enc.recon(f).y(i), s"seek frame $f px $i")
+      }
+    }
+    // all-IDR streams carry no stss (every sample is sync) and still work
+    val intra = H264Encoder.encodeGray(frames.take(3), w, h,
+      H264Encoder.Config(qp = 24))
+    val vi = Codec.parseVideo(Artifacts.avcMp4(intra)).asInstanceOf[Codec.Mp4Video]
+    val (_, _, _, p2) = vi.decodeFrame(2)
+    (0 until w * h).foreach { i =>
+      assert((p2(i * 3) & 0xFF) == intra.recon(2).y(i))
+    }
+  }
+
   test("lossy decode stays within the quantizer envelope") {
     val w = 48; val h = 32
     for (qp <- Seq(20, 30, 40)) {

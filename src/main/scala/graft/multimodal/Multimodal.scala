@@ -286,16 +286,39 @@ object Codec {
     require(content.length >= 12 && fourcc(4) == "ftyp",
       "content is not an ISO-BMFF container")
     val (moovS, moovE) = child(0, content.length, "moov")
-    val (trakS, trakE) = child(moovS, moovE, "trak")
-    val (mdiaS, mdiaE) = child(trakS, trakE, "mdia")
-    val (minfS, minfE) = child(mdiaS, mdiaE, "minf")
-    val (stblS, stblE) = child(minfS, minfE, "stbl")
+    // real files interleave several traks (audio, video, timed metadata)
+    // in any order: walk them all and take the first whose sample entry
+    // this codec layer supports
+    val traks = {
+      val b = Seq.newBuilder[(Int, Int)]
+      var p = moovS
+      while (p + 8 <= moovE) {
+        val size = be32(p)
+        require(size >= 8, s"bad box size $size at $p")
+        if (fourcc(p + 4) == "trak") b += ((p + 8, p + size))
+        p += size
+      }
+      b.result()
+    }
+    require(traks.nonEmpty, "moov carries no trak")
+    val stbls = traks.map { case (trakS, trakE) =>
+      val (mdiaS, mdiaE) = child(trakS, trakE, "mdia")
+      val (minfS, minfE) = child(mdiaS, mdiaE, "minf")
+      child(minfS, minfE, "stbl")
+    }
+    def entryOf(stbl: (Int, Int)): String = {
+      val (stsdS, _) = child(stbl._1, stbl._2, "stsd")
+      require(be32(stsdS + 4) >= 1, "empty stsd")
+      fourcc(stsdS + 12)
+    }
+    val (stblS, stblE) = stbls.find(b => {
+      val f = entryOf(b); f == "jpeg" || f == "avc1"
+    }).getOrElse(throw new IllegalArgumentException(
+      s"no supported video track (sample entries: " +
+        s"${stbls.map(entryOf).mkString(", ")} — motion-JPEG and H.264/avc1 only)"))
 
     val (stsdS, _) = child(stblS, stblE, "stsd")
-    require(be32(stsdS + 4) >= 1, "empty stsd")
     val entryFmt = fourcc(stsdS + 12)
-    require(entryFmt == "jpeg" || entryFmt == "avc1",
-      s"sample entry $entryFmt not supported (motion-JPEG and H.264/avc1 only)")
     val avc: Option[AvcConfig] =
       if (entryFmt != "avc1") None
       else {

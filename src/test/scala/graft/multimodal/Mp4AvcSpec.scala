@@ -195,6 +195,68 @@ class Mp4AvcSpec extends AnyFunSuite {
     }
   }
 
+  test("multi-track MP4: the walk skips a leading audio trak") {
+    val w = 32; val h = 16
+    val frames = (0 until 3).map(f => gray(w, h, f))
+    val enc = H264Encoder.encodeGray(frames, w, h, H264Encoder.Config(qp = 24))
+    val mp4 = Artifacts.avcMp4(enc)
+    // splice a minimal 'mp4a' audio trak BEFORE the video trak inside
+    // moov — the track order real muxers use varies
+    def be32(b: Array[Byte], p: Int): Int =
+      ((b(p) & 0xFF) << 24) | ((b(p + 1) & 0xFF) << 16) |
+        ((b(p + 2) & 0xFF) << 8) | (b(p + 3) & 0xFF)
+    def find(b: Array[Byte], from: Int, to: Int, typ: String): Int = {
+      var p = from
+      while (p + 8 <= to) {
+        if (new String(b, p + 4, 4, "US-ASCII") == typ) return p
+        p += be32(b, p)
+      }
+      -1
+    }
+    val moovAt = find(mp4, 0, mp4.length, "moov")
+    assert(moovAt >= 0)
+    val trakAt = find(mp4, moovAt + 8, moovAt + be32(mp4, moovAt), "trak")
+    assert(trakAt >= 0)
+    // minimal audio trak: trak > mdia > minf > stbl > stsd('mp4a')
+    def box(typ: String, body: Array[Byte]): Array[Byte] = {
+      val out = new Array[Byte](8 + body.length)
+      val sz = out.length
+      out(0) = (sz >> 24).toByte; out(1) = (sz >> 16).toByte
+      out(2) = (sz >> 8).toByte; out(3) = sz.toByte
+      System.arraycopy(typ.getBytes("US-ASCII"), 0, out, 4, 4)
+      System.arraycopy(body, 0, out, 8, body.length)
+      out
+    }
+    val stsd = box("stsd", Array[Byte](0, 0, 0, 0, 0, 0, 0, 1) ++
+      box("mp4a", new Array[Byte](28)))
+    val audioTrak = box("trak", box("mdia", box("minf", box("stbl", stsd))))
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(mp4, 0, trakAt)
+    out.write(audioTrak)
+    out.write(mp4, trakAt, mp4.length - trakAt)
+    val spliced = out.toByteArray
+    // fix moov's size to cover the inserted trak
+    val sz = be32(spliced, moovAt) + audioTrak.length
+    spliced(moovAt) = (sz >> 24).toByte; spliced(moovAt + 1) = (sz >> 16).toByte
+    spliced(moovAt + 2) = (sz >> 8).toByte; spliced(moovAt + 3) = sz.toByte
+    val video = Codec.parseVideo(spliced)
+    assert(video.frameCount == 3)
+    val (_, _, _, px) = video.decodeFrame(1)
+    (0 until w * h).foreach { i =>
+      assert((px(i * 3) & 0xFF) == enc.recon(1).y(i), s"px $i")
+    }
+    // a file with ONLY unsupported tracks names them in the refusal
+    val onlyAudio = {
+      val o = new java.io.ByteArrayOutputStream()
+      val ftypAt = find(mp4, 0, mp4.length, "ftyp")
+      o.write(mp4, ftypAt, be32(mp4, ftypAt))
+      o.write(box("moov", audioTrak))
+      o.toByteArray
+    }
+    val e = intercept[IllegalArgumentException](Codec.parseVideo(onlyAudio))
+    assert(e.getMessage.contains("mp4a"))
+  }
+
   test("lossy decode stays within the quantizer envelope") {
     val w = 48; val h = 32
     for (qp <- Seq(20, 30, 40)) {

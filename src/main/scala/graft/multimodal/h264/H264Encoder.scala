@@ -671,13 +671,16 @@ object H264Encoder {
     /** Two-stage search around the predictor; returns the best MV in
       * quarter-pel units by luma SAD.
       */
+    private val sadScratch = new Array[Int](256)
+
     private def searchMv(mbX: Int, mbY: Int, px: Int, py: Int, pw: Int, ph: Int,
         ref: Int, predX: Int, predY0: Int,
         srcY: Array[Int], list: Int = 0): (Int, Int) = {
       val x0 = mbX * 16 + px; val y0 = mbY * 16 + py
       val rf = refOf(list, ref)
       def sad(mvx: Int, mvy: Int): Int = {
-        val p = Interp.lumaBlock(rf.y, ls, hPix, 4 * x0 + mvx, 4 * y0 + mvy, pw, ph)
+        val p = Interp.lumaBlockInto(sadScratch, rf.y, ls, hPix,
+          4 * x0 + mvx, 4 * y0 + mvy, pw, ph)
         var s = 0
         var j = 0
         while (j < ph) {

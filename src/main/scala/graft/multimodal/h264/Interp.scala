@@ -15,12 +15,19 @@ object Interp {
     * quarter-pel units. Output row-major bw×bh.
     */
   def lumaBlock(ref: Array[Int], w: Int, h: Int,
+      qx: Int, qy: Int, bw: Int, bh: Int): Array[Int] =
+    lumaBlockInto(new Array[Int](bw * bh), ref, w, h, qx, qy, bw, bh)
+
+  /** Same, writing into a caller-provided buffer (motion search runs
+    * dozens of SAD probes per partition — reusing one scratch keeps the
+    * encoder's hottest loop allocation-free).
+    */
+  def lumaBlockInto(out: Array[Int], ref: Array[Int], w: Int, h: Int,
       qx: Int, qy: Int, bw: Int, bh: Int): Array[Int] = {
     val xInt = qx >> 2
     val yInt = qy >> 2
     val xF = qx & 3
     val yF = qy & 3
-    val out = new Array[Int](bw * bh)
 
     @inline def p(x: Int, y: Int): Int = {
       val cx = if (x < 0) 0 else if (x >= w) w - 1 else x

@@ -262,19 +262,32 @@ object Codec {
     * keyframe instead of the stream head). The stsd entry must be
     * 'jpeg' (independent JPEG samples) or 'avc1' (H.264).
     */
-  def parseMp4(content: Array[Byte]): Mp4Video = {
+  def parseMp4(content: Array[Byte]): Mp4Video =
+    try parseMp4Boxes(content)
+    catch {
+      // a corrupt size field can point any fixed-offset read past the
+      // buffer; the contract is refuse-by-name, never an index error
+      case e: ArrayIndexOutOfBoundsException => throw new IllegalArgumentException(
+        s"corrupt ISO-BMFF structure (read outside the file: ${e.getMessage})")
+    }
+
+  private def parseMp4Boxes(content: Array[Byte]): Mp4Video = {
     def be32(p: Int): Int =
       ((content(p) & 0xFF) << 24) | ((content(p + 1) & 0xFF) << 16) |
         ((content(p + 2) & 0xFF) << 8) | (content(p + 3) & 0xFF)
     def fourcc(p: Int): String = new String(content, p, 4, "US-ASCII")
 
-    /** Find child box `typ` inside [from, to); returns (bodyStart, bodyEnd). */
+    /** Find child box `typ` inside [from, to); returns (bodyStart, bodyEnd).
+      * Ranges clamp to the file — corrupt sizes must not walk past it.
+      */
     def childOpt(from: Int, to: Int, typ: String): Option[(Int, Int)] = {
       var p = from
-      while (p + 8 <= to) {
+      val hi = math.min(to, content.length)
+      while (p + 8 <= hi) {
         val size = be32(p)
         require(size >= 8, s"bad box size $size at $p")
-        if (fourcc(p + 4) == typ) return Some((p + 8, p + size))
+        if (fourcc(p + 4) == typ)
+          return Some((p + 8, math.min(p + size, content.length)))
         p += size
       }
       None
@@ -292,10 +305,12 @@ object Codec {
     val traks = {
       val b = Seq.newBuilder[(Int, Int)]
       var p = moovS
-      while (p + 8 <= moovE) {
+      val hi = math.min(moovE, content.length)
+      while (p + 8 <= hi) {
         val size = be32(p)
         require(size >= 8, s"bad box size $size at $p")
-        if (fourcc(p + 4) == "trak") b += ((p + 8, p + size))
+        if (fourcc(p + 4) == "trak")
+          b += ((p + 8, math.min(p + size, content.length)))
         p += size
       }
       b.result()

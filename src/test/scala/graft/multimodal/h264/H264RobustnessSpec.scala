@@ -40,7 +40,12 @@ class H264RobustnessSpec extends AnyFunSuite {
       "longterm" -> H264Encoder.encodeGray(frames(48, 32, 10, 7), 48, 32,
         H264Encoder.Config(qp = 26, pFrames = true, longTermRefs = true)),
       "multislice" -> H264Encoder.encodeGray(fs, 48, 32,
-        H264Encoder.Config(qp = 26, pFrames = true, sliceRows = 1)))
+        H264Encoder.Config(qp = 26, pFrames = true, sliceRows = 1)),
+      "temporal-poc1" -> H264Encoder.encodeGray(frames(48, 32, 7, 9), 48, 32,
+        H264Encoder.Config(qp = 26, bFrames = true, temporalDirectB = true,
+          pocType1 = true)),
+      "weighted-p" -> H264Encoder.encodeGray(fs, 48, 32,
+        H264Encoder.Config(qp = 26, pFrames = true, weightedPred = true)))
   }
 
   private def decodeAll(enc: H264Encoder.Encoded,
@@ -85,9 +90,10 @@ class H264RobustnessSpec extends AnyFunSuite {
   }
 
   test("corrupt MP4 container: header field damage never allocates wild") {
-    val enc = H264Encoder.encodeGray(frames(32, 32, 5, 9), 32, 32,
-      H264Encoder.Config(qp = 26, bFrames = true))
-    val mp4 = graft.sinks.Artifacts.avcMp4(enc)
+    val enc = H264Encoder.encodeGray(frames(32, 32, 6, 9), 32, 32,
+      H264Encoder.Config(qp = 26, pFrames = true, idrEvery = 3))
+    // chunked layout + stss: the full sample-table walk under damage
+    val mp4 = graft.sinks.Artifacts.avcMp4(enc, chunkSize = 2)
     // damage each byte of the moov region (it follows mdat) at stride 3
     val moovAt = {
       var p = 0

@@ -569,7 +569,7 @@ object MultimodalQueries {
     * every document becomes a real 'avc1' MP4 — SPS/PPS in avcC, AVCC
     * samples, the layout ffmpeg/imageio-style writers produce for the
     * reference's temporal.py clips — decoded by the pure-JVM
-    * baseline-intra decoder ([[graft.multimodal.h264.H264Decoder]]).
+    * H.264 decoder ([[graft.multimodal.h264.H264Decoder]]).
     * Two bitstreams per doc: an I_PCM stream (lossless by construction,
     * so DuckDB replays the decoded luma sums EXACTLY from the synthesis
     * formula — container walk, avcC parse, NAL/slice/MB decode and the

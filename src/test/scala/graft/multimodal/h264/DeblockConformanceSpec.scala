@@ -63,6 +63,54 @@ class DeblockConformanceSpec extends AnyFunSuite {
     }
   }
 
+  /** One chroma line (p1 p0 | q0 q1) through the direct equations. */
+  private def chromaLineDirect(s: IndexedSeq[Int], bS: Int, qp: Int): IndexedSeq[Int] = {
+    val Seq(p1, p0, q0, q1) = s.toSeq
+    val alpha = Alpha(qp); val beta = Beta(qp)
+    if (math.abs(p0 - q0) >= alpha || math.abs(p1 - p0) >= beta ||
+      math.abs(q1 - q0) >= beta) return s
+    if (bS == 4) IndexedSeq(p1, (2 * p1 + p0 + q1 + 2) >> 2,
+      (2 * q1 + q0 + p1 + 2) >> 2, q1)
+    else {
+      val tc = Tc0(bS - 1)(qp) + 1
+      val delta = clip3(-tc, tc, (((q0 - p0) << 2) + (p1 - q1) + 4) >> 3)
+      IndexedSeq(p1, clip1(p0 + delta), clip1(q0 - delta), q1)
+    }
+  }
+
+  test("chroma edge filtering equals the direct §8.7.2.4 equations") {
+    val rnd = new scala.util.Random(53)
+    val wMb = 2; val hMb = 1
+    for (bS <- 1 to 4; qp <- Seq(24, 32, 40); trial <- 0 until 8) {
+      val w = wMb * 16; val h = hMb * 16
+      val cw = w / 2; val ch = h / 2
+      val y = Array.fill(w * h)(128)
+      val cbp = Array.fill(cw * ch)(rnd.nextInt(256))
+      val crp = cbp.map(v => clip1(v + rnd.nextInt(9) - 4))
+      for (r <- 0 until ch if r % 2 == 1) { // smooth some lines
+        val base = rnd.nextInt(200) + 20
+        for (x <- 6 until 10) cbp(r * cw + x) = clip1(base + rnd.nextInt(5) - 2)
+      }
+      val beforeCb = cbp.clone()
+      val beforeCr = crp.clone()
+      // chroma QP table is identity at these QPs' range? No — use the
+      // real mapping: filterFrame derives chroma QP itself, so the
+      // direct evaluator must use the same mapped value
+      val qpc = Transform.chromaQp(qp, 0)
+      Deblock.filterFrame(y, cbp, crp, wMb, hMb, Array.fill(wMb * hMb)(qp), 0,
+        0, 0, (pbx, pby, qbx, qby, mbEdge) =>
+          if (mbEdge && pbx == 3 && qbx == 4) bS else 0)
+      for (r <- 0 until ch) {
+        val wantCb = chromaLineDirect((6 until 10).map(x => beforeCb(r * cw + x)), bS, qpc)
+        val gotCb = (6 until 10).map(x => cbp(r * cw + x))
+        assert(gotCb == wantCb, s"cb bS=$bS qp=$qp trial=$trial row $r")
+        val wantCr = chromaLineDirect((6 until 10).map(x => beforeCr(r * cw + x)), bS, qpc)
+        val gotCr = (6 until 10).map(x => crp(r * cw + x))
+        assert(gotCr == wantCr, s"cr bS=$bS qp=$qp trial=$trial row $r")
+      }
+    }
+  }
+
   test("luma edge filtering equals the direct §8.7.2.3/.4 equations") {
     val rnd = new scala.util.Random(47)
     val wMb = 2; val hMb = 1

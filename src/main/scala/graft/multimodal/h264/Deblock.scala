@@ -41,7 +41,7 @@ object Deblock {
       alphaOff: Int, betaOff: Int,
       bS: (Int, Int, Int, Int, Boolean) => Int): Unit = {
     val n = wMb * hMb
-    filterFramePerMb(y, cb, cr, wMb, hMb, mbQp, chromaQpOffset,
+    filterFramePerMb(y, cb, cr, wMb, hMb, mbQp, chromaQpOffset, chromaQpOffset,
       Array.fill(n)(alphaOff), Array.fill(n)(betaOff),
       new Array[Int](n), new Array[Int](n), bS)
   }
@@ -52,7 +52,7 @@ object Deblock {
     * coincide with a slice boundary (`mbSlice` differs across the edge).
     */
   def filterFramePerMb(y: Array[Int], cb: Array[Int], cr: Array[Int],
-      wMb: Int, hMb: Int, mbQp: Array[Int], chromaQpOffset: Int,
+      wMb: Int, hMb: Int, mbQp: Array[Int], cbQpOffset: Int, crQpOffset: Int,
       mbAlphaOff: Array[Int], mbBetaOff: Array[Int],
       mbDisable: Array[Int], mbSlice: Array[Int],
       bS: (Int, Int, Int, Int, Boolean) => Int): Unit = {
@@ -72,7 +72,8 @@ object Deblock {
         def crossSliceOk(otherMb: Int): Boolean =
           mbDisable(m) != 2 || mbSlice(otherMb) == mbSlice(m)
         def qpAvgL(otherMb: Int): Int = (mbQp(otherMb) + qpCur + 1) >> 1
-        def cQp(q: Int): Int = Transform.chromaQp(q, chromaQpOffset)
+        def cQpCb(q: Int): Int = Transform.chromaQp(q, cbQpOffset)
+        def cQpCr(q: Int): Int = Transform.chromaQp(q, crQpOffset)
 
         if (enabled) {
           // ---- vertical edges, left to right
@@ -80,11 +81,12 @@ object Deblock {
             val qa = qpAvgL(m - 1)
             lumaEdge(y, ls, mbX * 16, mbY * 16, vertical = true, mbEdge = true,
               qa, aOff, bOff, bS)
-            val qc = (cQp(mbQp(m - 1)) + cQp(qpCur) + 1) >> 1
+            val qcb = (cQpCb(mbQp(m - 1)) + cQpCb(qpCur) + 1) >> 1
+            val qcr = (cQpCr(mbQp(m - 1)) + cQpCr(qpCur) + 1) >> 1
             chromaEdge(cb, cs, mbX * 8, mbY * 8, vertical = true, mbEdge = true,
-              qc, aOff, bOff, bS)
+              qcb, aOff, bOff, bS)
             chromaEdge(cr, cs, mbX * 8, mbY * 8, vertical = true, mbEdge = true,
-              qc, aOff, bOff, bS)
+              qcr, aOff, bOff, bS)
           }
           var k = 4
           while (k < 16) {
@@ -93,20 +95,21 @@ object Deblock {
             k += 4
           }
           chromaEdge(cb, cs, mbX * 8 + 4, mbY * 8, vertical = true,
-            mbEdge = false, cQp(qpCur), aOff, bOff, bS)
+            mbEdge = false, cQpCb(qpCur), aOff, bOff, bS)
           chromaEdge(cr, cs, mbX * 8 + 4, mbY * 8, vertical = true,
-            mbEdge = false, cQp(qpCur), aOff, bOff, bS)
+            mbEdge = false, cQpCr(qpCur), aOff, bOff, bS)
 
           // ---- horizontal edges, top to bottom
           if (mbY > 0 && crossSliceOk(m - wMb)) {
             val qa = qpAvgL(m - wMb)
             lumaEdge(y, ls, mbX * 16, mbY * 16, vertical = false, mbEdge = true,
               qa, aOff, bOff, bS)
-            val qc = (cQp(mbQp(m - wMb)) + cQp(qpCur) + 1) >> 1
+            val qcb = (cQpCb(mbQp(m - wMb)) + cQpCb(qpCur) + 1) >> 1
+            val qcr = (cQpCr(mbQp(m - wMb)) + cQpCr(qpCur) + 1) >> 1
             chromaEdge(cb, cs, mbX * 8, mbY * 8, vertical = false, mbEdge = true,
-              qc, aOff, bOff, bS)
+              qcb, aOff, bOff, bS)
             chromaEdge(cr, cs, mbX * 8, mbY * 8, vertical = false, mbEdge = true,
-              qc, aOff, bOff, bS)
+              qcr, aOff, bOff, bS)
           }
           k = 4
           while (k < 16) {
@@ -115,9 +118,9 @@ object Deblock {
             k += 4
           }
           chromaEdge(cb, cs, mbX * 8, mbY * 8 + 4, vertical = false,
-            mbEdge = false, cQp(qpCur), aOff, bOff, bS)
+            mbEdge = false, cQpCb(qpCur), aOff, bOff, bS)
           chromaEdge(cr, cs, mbX * 8, mbY * 8 + 4, vertical = false,
-            mbEdge = false, cQp(qpCur), aOff, bOff, bS)
+            mbEdge = false, cQpCr(qpCur), aOff, bOff, bS)
         }
 
         mbX += 1

@@ -3,8 +3,13 @@ package graft.multimodal.h264
 /** Pure-JVM H.264 decoder for the progressive CAVLC subset (ITU-T
   * H.264, public spec; no code derives from any existing decoder):
   *
-  *  - profile_idc 66/77 (Baseline/Main); CAVLC entropy coding only
-  *    (`entropy_coding_mode_flag`=0); 4:2:0, 8-bit, frame_mbs_only
+  *  - profile_idc 66/77 (Baseline/Main) and the High family when its
+  *    SPS/PPS extensions stay inside the subset (4:2:0, 8-bit, no
+  *    scaling lists, no 8x8 transform — what x264 --no-cabac
+  *    --no-8x8dct signals); second_chroma_qp_index_offset fully
+  *    supported (per-plane Cr QP through residuals and deblocking);
+  *    CAVLC entropy coding only (`entropy_coding_mode_flag`=0);
+  *    4:2:0, 8-bit, frame_mbs_only
   *  - I/IDR slices: I_4x4, I_16x16 (all 24 variants), I_PCM
   *  - P slices: P_Skip (with §8.4.1.1 MV inference), every partition
   *    family — P_L0_16x16, 16x8 / 8x16 (directional MV prediction), and
@@ -50,8 +55,8 @@ package graft.multimodal.h264
   *    and same-picture bi-prediction derive exactly)
   *
   * Everything outside the subset FAILS FAST with a named error (CABAC,
-  * SP/SI, FMO slice groups, interlace, High-profile SPS extensions)
-  * rather than misreading — the stance of the HDF5/szip
+  * the 8x8 transform, custom scaling lists, >8-bit / non-4:2:0, SP/SI,
+  * FMO slice groups, interlace) rather than misreading — the stance of the HDF5/szip
   * readers (`graft.sources.Hdf5`). CABAC stays out deliberately: its
   * ~1000 context-initialization constants are empirical spec tables
   * that cannot be re-derived, and an unverifiable transcription would
@@ -82,7 +87,8 @@ object H264Decoder {
   final case class Pps(
       ppsId: Int, spsId: Int, picInitQp: Int, chromaQpOffset: Int,
       deblockCtrl: Boolean, numRefDefault: Int, constrainedIntra: Boolean,
-      weightedPred: Boolean = false, weightedBipredIdc: Int = 0)
+      weightedPred: Boolean = false, weightedBipredIdc: Int = 0,
+      crQpOffset: Int = 0) // Cr offset: = chromaQpOffset unless the PPS extension overrides
 
   /** One reference's explicit prediction weights (§7.4.3.2): per-plane
     * multiplicative weight + additive offset under the slice's shared
@@ -233,10 +239,23 @@ object H264Decoder {
     br.u(8) // constraint flags + reserved
     val level = br.u(8)
     val spsId = br.ue()
-    require(!Set(100, 110, 122, 244, 44, 83, 86, 118, 128).contains(profile),
-      s"profile_idc $profile (High-family SPS extensions) not supported — baseline subset only")
-    require(profile == 66 || profile == 77,
-      s"profile_idc $profile not supported (baseline subset)")
+    val highFamily = Set(100, 110, 122, 244, 44, 83, 86, 118, 128)
+    require(profile == 66 || profile == 77 || highFamily.contains(profile),
+      s"profile_idc $profile not supported")
+    if (highFamily.contains(profile)) {
+      // High-family SPS extension (§7.3.2.1.1): accepted when the coded
+      // stream stays inside the subset — x264's CAVLC output signals
+      // High even with 8x8dct disabled
+      val chromaFmt = br.ue()
+      require(chromaFmt == 1, s"chroma_format_idc $chromaFmt (4:2:0 only)")
+      val bdLuma = br.ue()
+      require(bdLuma == 0, s"bit_depth_luma ${bdLuma + 8} (8-bit only)")
+      val bdChroma = br.ue()
+      require(bdChroma == 0, s"bit_depth_chroma ${bdChroma + 8} (8-bit only)")
+      require(br.u1() == 0,
+        "qpprime_y_zero_transform_bypass (lossless bypass) not supported")
+      require(br.u1() == 0, "seq_scaling_matrix (custom scaling lists) not supported")
+    }
     val log2MaxFrameNum = br.ue() + 4
     val pocType = br.ue()
     require(pocType <= 2, s"pic_order_cnt_type $pocType")
@@ -289,8 +308,19 @@ object H264Decoder {
     val deblockCtrl = br.u1() == 1
     val constrainedIntra = br.u1() == 1
     br.u1() // redundant_pic_cnt_present_flag
+    // optional High-profile PPS extension (present iff more data precedes
+    // the stop bit): 8x8 transform and scaling lists stay out of the
+    // subset; the per-plane Cr offset is fully supported
+    var crQpOffset = chromaQpOffset
+    if (br.moreRbspData()) {
+      require(br.u1() == 0, "transform_8x8_mode not supported (4x4 subset)")
+      require(br.u1() == 0, "pic_scaling_matrix (custom scaling lists) not supported")
+      crQpOffset = br.se() // second_chroma_qp_index_offset (Cr)
+      require(crQpOffset >= -12 && crQpOffset <= 12,
+        s"second_chroma_qp_index_offset $crQpOffset")
+    }
     Pps(ppsId, spsId, picInitQp, chromaQpOffset, deblockCtrl, numRefDefault,
-      constrainedIntra, weightedPred, bipredIdc)
+      constrainedIntra, weightedPred, bipredIdc, crQpOffset)
   }
 
   /** One slice NAL of a picture: unescaped RBSP + NAL header facts. */
@@ -832,7 +862,8 @@ object H264Decoder {
 
     /** §8.7 over the finished picture with per-MB slice parameters. */
     def deblockFrame(): Unit =
-      Deblock.filterFramePerMb(y, cb, cr, wMb, hMb, mbQp, pps.chromaQpOffset,
+      Deblock.filterFramePerMb(y, cb, cr, wMb, hMb, mbQp,
+        pps.chromaQpOffset, pps.crQpOffset,
         mbAlphaOff, mbBetaOff, mbDisable, bstate.mbSliceOf,
         bstate.boundaryStrength(tcY))
 
@@ -1519,9 +1550,10 @@ object H264Decoder {
       */
     private def addChromaResidual(mbX: Int, mbY: Int,
         res: (Array[Int], Array[Int], Array[Array[Int]], Array[Array[Int]])): Unit = {
-      val qpC = Transform.chromaQp(qp, pps.chromaQpOffset)
       val cx0 = mbX * 8; val cy0 = mbY * 8
-      for ((plane, dc, ac) <- Seq((cb, res._1, res._3), (cr, res._2, res._4))) {
+      for ((plane, dc, ac, qpC) <- Seq(
+        (cb, res._1, res._3, Transform.chromaQp(qp, pps.chromaQpOffset)),
+        (cr, res._2, res._4, Transform.chromaQp(qp, pps.crQpOffset)))) {
         val dcScaled =
           if (dc != null) Transform.dequantChromaDc(dc, qpC) else new Array[Int](4)
         var b = 0

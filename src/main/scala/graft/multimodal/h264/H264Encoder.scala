@@ -42,7 +42,8 @@ object H264Encoder {
       noSliceEdgeDeblock: Boolean = false,
       weightedPred: Boolean = false, implicitWeightedB: Boolean = false,
       longTermRefs: Boolean = false, pocType1: Boolean = false,
-      temporalDirectB: Boolean = false, idrEvery: Int = 0)
+      temporalDirectB: Boolean = false, idrEvery: Int = 0,
+      crQpOffset: Int = 0) // nonzero → High-style PPS extension (per-plane Cr QP)
 
   /** `samples`/`recon` are in DECODE order; `display(i)` is sample i's
     * display index (identity without B frames) and `ctsOffset(i)` the
@@ -91,7 +92,7 @@ object H264Encoder {
     val bipredIdc =
       if (useB && cfg.implicitWeightedB) 2
       else if (useB && cfg.weightedPred) 1 else 0
-    val pps = writePps(cfg.qp, cfg.weightedPred, bipredIdc)
+    val pps = writePps(cfg.qp, cfg.weightedPred, bipredIdc, cfg.crQpOffset)
     val spsP = H264Decoder.parseSps(Nal.unescape(sps, 1, sps.length))
     val ppsP = H264Decoder.parsePps(Nal.unescape(pps, 1, pps.length))
 
@@ -313,7 +314,7 @@ object H264Encoder {
   }
 
   private def writePps(qp: Int, weightedPred: Boolean = false,
-      bipredIdc: Int = 0): Array[Byte] = {
+      bipredIdc: Int = 0, crQpOffset: Int = 0): Array[Byte] = {
     val bw = new BitWriter
     bw.ue(0); bw.ue(0) // pps_id, sps_id
     bw.put(0) // entropy_coding_mode: CAVLC
@@ -328,6 +329,11 @@ object H264Encoder {
     bw.put(1) // deblocking_filter_control_present
     bw.put(0) // constrained_intra_pred
     bw.put(0) // redundant_pic_cnt_present
+    if (crQpOffset != 0) { // High-style PPS extension for the Cr offset
+      bw.put(0) // transform_8x8_mode_flag
+      bw.put(0) // pic_scaling_matrix_present_flag
+      bw.se(crQpOffset) // second_chroma_qp_index_offset
+    }
     bw.rbspTrailing()
     Nal.unit(3, 8, bw.toBytes)
   }
@@ -355,7 +361,8 @@ object H264Encoder {
     private val mbQp = Array.fill(wMb * hMb)(cfg.qp)
     private val bstate = new BlockState(wMb, hMb)
     private val qp = cfg.qp
-    private val qpC = Transform.chromaQp(qp, 0)
+    private val qpC = Transform.chromaQp(qp, 0) // Cb (cb offset stays 0)
+    private val qpCr2 = Transform.chromaQp(qp, cfg.crQpOffset)
     private val idr = kind == 'I'
     private val isP = kind == 'P'
     private val isB = kind == 'B'
@@ -514,7 +521,7 @@ object H264Encoder {
     /** Deblock, then return (cropped output frame, padded reference). */
     def finishFrame(): (H264Decoder.Frame, H264Decoder.RefFrame) = {
       if (cfg.deblock)
-        Deblock.filterFramePerMb(y, cbP, crP, wMb, hMb, mbQp, 0,
+        Deblock.filterFramePerMb(y, cbP, crP, wMb, hMb, mbQp, 0, cfg.crQpOffset,
           new Array[Int](wMb * hMb), new Array[Int](wMb * hMb),
           Array.fill(wMb * hMb)(deblockIdc), bstate.mbSliceOf,
           bstate.boundaryStrength(tcY))
@@ -1498,7 +1505,8 @@ object H264Encoder {
     private def quantizeChromaWithPred(pCb: Array[Int], pCr: Array[Int],
         mbX: Int, mbY: Int, srcCb: Array[Int], srcCr: Array[Int]): ChromaCode = {
       val cx0 = mbX * 8; val cy0 = mbY * 8
-      def one(src: Array[Int], pred8: Array[Int]): (Array[Int], Array[Array[Int]]) = {
+      def one(src: Array[Int], pred8: Array[Int],
+          qpc: Int): (Array[Int], Array[Array[Int]]) = {
         val dc = new Array[Int](4)
         val ac = new Array[Array[Int]](4)
         var b = 0
@@ -1509,13 +1517,13 @@ object H264Encoder {
             p4(yy * 4 + xx) = pred8(((b >> 1) * 4 + yy) * 8 + (b & 1) * 4 + xx)
           val w = Transform.forward4x4(residual4x4(src, cs, bx, by, p4))
           dc(b) = w(0)
-          ac(b) = zigzag(Transform.quant4x4(w, qpC, skipDc = true), 1)
+          ac(b) = zigzag(Transform.quant4x4(w, qpc, skipDc = true), 1)
           b += 1
         }
-        (Transform.quantChromaDc(dc, qpC), ac)
+        (Transform.quantChromaDc(dc, qpc), ac)
       }
-      val (dcCb, acCb) = one(srcCb, pCb)
-      val (dcCr, acCr) = one(srcCr, pCr)
+      val (dcCb, acCb) = one(srcCb, pCb, qpC)
+      val (dcCr, acCr) = one(srcCr, pCr, qpCr2)
       val anyAc = (acCb ++ acCr).exists(_.exists(_ != 0))
       val anyDc = dcCb.exists(_ != 0) || dcCr.exists(_ != 0)
       val cbpChroma = if (anyAc) 2 else if (anyDc) 1 else 0
@@ -1554,15 +1562,16 @@ object H264Encoder {
           crP((cy0 + j) * cs + cx0 + i) = ch.predCr(j * 8 + i)
         }
       }
-      def one(plane: Array[Int], dcScan: Array[Int], ac: Array[Array[Int]]): Unit = {
+      def one(plane: Array[Int], dcScan: Array[Int], ac: Array[Array[Int]],
+          qpc: Int): Unit = {
         val dcScaled =
-          if (ch.cbpChroma > 0) Transform.dequantChromaDc(dcScan, qpC)
+          if (ch.cbpChroma > 0) Transform.dequantChromaDc(dcScan, qpc)
           else new Array[Int](4)
         var b = 0
         while (b < 4) {
           val raster =
             if (ch.cbpChroma == 2) unzigzagAc(ac(b)) else new Array[Int](16)
-          val scaled = Transform.dequant4x4(raster, qpC, skipDc = true)
+          val scaled = Transform.dequant4x4(raster, qpc, skipDc = true)
           scaled(0) = dcScaled(b)
           val res = Transform.inverse4x4(scaled)
           var yy = 0
@@ -1578,8 +1587,8 @@ object H264Encoder {
           b += 1
         }
       }
-      one(cbP, ch.dcCbScan, ch.acCb)
-      one(crP, ch.dcCrScan, ch.acCr)
+      one(cbP, ch.dcCbScan, ch.acCb, qpC)
+      one(crP, ch.dcCrScan, ch.acCr, qpCr2)
     }
 
     private def unzigzag16(scan: Array[Int]): Array[Int] = {

@@ -373,14 +373,14 @@ class H264Spec extends AnyFunSuite {
   // ------------------------------------------------------------ layer 5
 
   test("fail-fast: CABAC, High profile, P slice, FMO named errors") {
-    // High-profile SPS
-    val high = {
+    // an unknown profile (88 = Scalable High, outside the subset)
+    val foreign = {
       val bw = new BitWriter
-      bw.putBits(100, 8); bw.putBits(0, 8); bw.putBits(40, 8); bw.ue(0)
+      bw.putBits(88, 8); bw.putBits(0, 8); bw.putBits(40, 8); bw.ue(0)
       bw.rbspTrailing(); bw.toBytes
     }
-    val e1 = intercept[IllegalArgumentException](H264Decoder.parseSps(high))
-    assert(e1.getMessage.contains("profile_idc 100"))
+    val e1 = intercept[IllegalArgumentException](H264Decoder.parseSps(foreign))
+    assert(e1.getMessage.contains("profile_idc 88"))
 
     // CABAC PPS
     val cabac = {
@@ -825,6 +825,88 @@ class H264Spec extends AnyFunSuite {
     t0.recon.zip(t1.recon).zipWithIndex.foreach { case ((a, b), fi) =>
       assert(a.y.toSeq == b.y.toSeq, s"type-0/type-1 recon parity, sample $fi")
     }
+  }
+
+  test("High-profile parameter sets: constrained subset parses, rest refused by name") {
+    // hand-built High SPS: profile 100, 4:2:0, 8-bit, no scaling lists —
+    // what x264 --no-cabac --no-8x8dct signals
+    def highSps(chromaFmt: Int, bd: Int, scaling: Int): Array[Byte] = {
+      val bw = new BitWriter
+      bw.putBits(100, 8); bw.putBits(0, 8); bw.putBits(30, 8) // profile/flags/level
+      bw.ue(0) // sps_id
+      bw.ue(chromaFmt); bw.ue(bd); bw.ue(bd) // chroma fmt, bit depths −8
+      bw.put(0) // qpprime bypass
+      bw.put(scaling) // seq_scaling_matrix_present
+      bw.ue(4) // log2_max_frame_num −4
+      bw.ue(2) // poc type 2
+      bw.ue(2) // max refs
+      bw.put(0) // gaps
+      bw.ue(1); bw.ue(0) // 32x16 in MBs
+      bw.put(1); bw.put(1) // frame_mbs_only, direct_8x8
+      bw.put(0); bw.put(0) // no crop, no vui
+      bw.rbspTrailing(); bw.toBytes
+    }
+    val sps = H264Decoder.parseSps(highSps(1, 0, 0))
+    assert(sps.profileIdc == 100 && sps.width == 32 && sps.height == 16)
+    val e1 = intercept[IllegalArgumentException](
+      H264Decoder.parseSps(highSps(2, 0, 0)))
+    assert(e1.getMessage.contains("chroma_format_idc 2"))
+    val e2 = intercept[IllegalArgumentException](
+      H264Decoder.parseSps(highSps(1, 2, 0)))
+    assert(e2.getMessage.contains("bit_depth_luma 10"))
+    val e3 = intercept[IllegalArgumentException](
+      H264Decoder.parseSps(highSps(1, 0, 1)))
+    assert(e3.getMessage.contains("scaling"))
+    // a High-signalled stream whose body is inside the subset decodes:
+    // re-wrap a baseline encode under the High SPS (same geometry/POC)
+    val enc = H264Encoder.encodeGray(
+      (0 until 3).map(f => synthFrame(32, 16, f, smooth = true)), 32, 16,
+      H264Encoder.Config(qp = 26, pFrames = true))
+    val pps = H264Decoder.parsePps(Nal.unescape(enc.pps, 1, enc.pps.length))
+    val session = new H264Decoder.Session(sps, pps)
+    enc.samples.zip(enc.recon).zipWithIndex.foreach { case ((s, r), fi) =>
+      assert(session.decodeSample(s, 4).y.toSeq == r.y.toSeq, s"High sample $fi")
+    }
+    // PPS extension: transform_8x8_mode refused by name
+    val pps8x8 = {
+      val bw = new BitWriter
+      bw.ue(0); bw.ue(0); bw.put(0); bw.put(0); bw.ue(0); bw.ue(0); bw.ue(0)
+      bw.put(0); bw.putBits(0, 2); bw.se(0); bw.se(0); bw.se(0)
+      bw.put(0); bw.put(0); bw.put(0)
+      bw.put(1) // transform_8x8_mode_flag
+      bw.put(0); bw.se(0)
+      bw.rbspTrailing(); bw.toBytes
+    }
+    val e4 = intercept[IllegalArgumentException](H264Decoder.parsePps(pps8x8))
+    assert(e4.getMessage.contains("transform_8x8"))
+  }
+
+  test("second_chroma_qp_index_offset: per-plane Cr QP round-trips") {
+    val w = 32; val h = 32
+    val rnd = new scala.util.Random(61)
+    // real chroma content so Cb and Cr residuals differ
+    val frames = (0 until 4).map { f =>
+      (Array.tabulate(w * h) { i => ((i * 3 + f * 17) % 256) },
+        Array.tabulate(w * h / 4)(i => (i * 7 + f * 5 + rnd.nextInt(32)) % 256),
+        Array.tabulate(w * h / 4)(i => (i * 11 + f * 3 + rnd.nextInt(32)) % 256))
+    }
+    val enc = H264Encoder.encodeYuv(frames, w, h,
+      H264Encoder.Config(qp = 30, pFrames = true, crQpOffset = -4))
+    val pps = H264Decoder.parsePps(Nal.unescape(enc.pps, 1, enc.pps.length))
+    assert(pps.chromaQpOffset == 0 && pps.crQpOffset == -4,
+      "PPS extension carries the Cr offset")
+    val sps = H264Decoder.parseSps(Nal.unescape(enc.sps, 1, enc.sps.length))
+    val session = new H264Decoder.Session(sps, pps)
+    enc.samples.zip(enc.recon).zipWithIndex.foreach { case ((s, r), fi) =>
+      val d = session.decodeSample(s, 4)
+      assert(d.y.toSeq == r.y.toSeq, s"cr-offset sample $fi luma")
+      assert(d.cb.toSeq == r.cb.toSeq, s"cr-offset sample $fi cb")
+      assert(d.cr.toSeq == r.cr.toSeq, s"cr-offset sample $fi cr")
+    }
+    // the offset genuinely changes the Cr coding (finer quant at −4)
+    val flat = H264Encoder.encodeYuv(frames, w, h,
+      H264Encoder.Config(qp = 30, pFrames = true))
+    assert(enc.samples(1).toSeq != flat.samples(1).toSeq)
   }
 
   // ------------------------------------- long-term references + MMCO

@@ -97,13 +97,22 @@ object Dedup {
   /** EXACT Jaccard similarity join via prefix filtering (the SSJoin/PPJoin
     * family): two sets with `j >= t` must share at least one element among
     * the first `|s| - ceil(t*|s|) + 1` elements of each set in a canonical
-    * (sorted-hash) order — if their prefixes are disjoint, each set has
-    * more than `(1-t)/(1+t)`-worth of private elements and the Jaccard
-    * bound fails. Candidates therefore come from an equi-join on prefix
-    * hashes (plus an optional blocking column), never a within-block cross
-    * join: the shuffle carries (hash, id) pairs and the O(n²) page is gone
-    * — the property that keeps this runnable at 100 TB where a blocked
+    * order — if their prefixes are disjoint, each set has more than
+    * `(1-t)/(1+t)`-worth of private elements and the Jaccard bound fails.
+    * Candidates therefore come from an equi-join on prefix hashes (plus an
+    * optional blocking column), never a within-block cross join: the
+    * shuffle carries (hash, id) pairs and the O(n²) page is gone — the
+    * property that keeps this runnable at 100 TB where a blocked
     * self-join is not.
+    *
+    * The canonical order is ASCENDING GLOBAL DOCUMENT FREQUENCY (ties by
+    * hash) — the PPJoin ordering. Any consistent total order is correct
+    * (the bound is order-agnostic), but frequency order puts each set's
+    * RAREST shingles in its prefix, so hot shingles (boilerplate) never
+    * generate candidates and candidate volume stays ∝ true near-dup mass
+    * instead of growing with the hottest token's squared frequency. Costs
+    * one extra keys-only aggregation (the df table) and a keys-only join
+    * — both linear in total shingle count.
     *
     * Returns (doc_a, doc_b, jaccard) with doc_a < doc_b, jaccard >= t.
     */
@@ -114,12 +123,25 @@ object Dedup {
       .select((blockCols.map(col) :+ col(idCol).as("doc_id")) :+
         shingleHashes(col(textCol), n).as("sh"): _*)
       .filter(size(col("sh")) > 0)
-    // prefix length: |s| - ceil(t*|s|) + 1 over the sorted hash array
-    val prefixLen = (size(col("sh")) - ceil(lit(threshold) * size(col("sh"))) + 1)
+    // global document frequency per shingle hash (sh is deduplicated per
+    // doc, so count(*) IS the doc frequency) — an 8-byte-key aggregate
+    val df = sh.select(explode(col("sh")).as("h"))
+      .groupBy("h").agg(count(lit(1)).as("df"))
+    // re-assemble each doc's shingles in (df asc, h asc) order; the sort
+    // happens inside the per-doc array, so the only movement is the
+    // keys-only (h, doc_id) join against the df table
+    val ordered = sh
+      .select((blockCols.map(col) :+ col("doc_id")) :+ explode(col("sh")).as("h"): _*)
+      .join(df, Seq("h"))
+      .groupBy((blockCols :+ "doc_id").map(col): _*)
+      .agg(sort_array(collect_list(struct(col("df"), col("h")))).as("oh"))
+    // prefix length: |s| - ceil(t*|s|) + 1 over the frequency-ordered array
+    val prefixLen = (size(col("oh")) - ceil(lit(threshold) * size(col("oh"))) + 1)
       .cast("int")
-    val prefixes = sh.select(
+    val prefixes = ordered.select(
       (blockCols.map(col) :+ col("doc_id")) :+
-        explode(slice(col("sh"), lit(1), prefixLen)).as("h"): _*)
+        explode(transform(slice(col("oh"), lit(1), prefixLen), _.getField("h")))
+          .as("h"): _*)
     val joinKeys = blockCols :+ "h"
     val a = prefixes.select((joinKeys.map(col) :+ col("doc_id").as("doc_a")): _*)
     val b = prefixes.select((joinKeys.map(col) :+ col("doc_id").as("doc_b")): _*)

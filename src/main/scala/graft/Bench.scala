@@ -6,19 +6,25 @@ object Bench {
 
   private val Passes = 3
 
-  /** Queries whose plan consumes a JVM-memoized trained model (train-once /
-    * serve-many: the model trains on the first touch of a corpus dir and
-    * later passes reuse it). Legitimate serving design, but it means the
-    * median of the timed passes excludes training — so these entries are
-    * marked in the artifact and their FIRST timed pass (train + serve, the
-    * caches are keyed per corpus dir and the timed sf differs from the
-    * warmup sf) is reported alongside the median.
+  /** Queries whose plan consumes a JVM-memoized per-corpus-dir artifact —
+    * either a trained model (train-once / serve-many: the model trains on
+    * the first touch of a corpus dir and later passes reuse it) or an
+    * encode-once media fixture store (m8/m9: the synthesized MP4s a
+    * production pipeline would read from parquet; re-encoding per pass
+    * timed fixture synthesis, not the decode operator). Legitimate
+    * serving design, but it means the median of the timed passes excludes
+    * the one-time cost — so these entries are marked in the artifact and
+    * their FIRST timed pass (build + serve, the caches are keyed per
+    * corpus dir and the timed sf differs from the warmup sf) is reported
+    * alongside the median.
     */
   private val amortized: Map[String, String] = Map(
     "s3_ann_ivf"          -> "Ivf.trainCached",
     "s9_kmeans"           -> "Ivf.trainCached",
     "t23_learned_quality" -> "TextQueries.qmCache",
-    "t32_bpe_encode"      -> "TextQueries.mergeCache")
+    "t32_bpe_encode"      -> "TextQueries.mergeCache",
+    "m8_h264_video"       -> "MultimodalQueries.m8MediaCache",
+    "m9_bframe_video"     -> "MultimodalQueries.m9MediaCache")
 
   /** Accumulates per-stage shuffle/spill bytes between [[mark]]s — the
     * evidence behind the scale claims: a query whose time looks fine but

@@ -154,8 +154,12 @@ object LayoutQueries {
     * actually laid out). The partition column derives from the
     * normalized ns-epoch ts (`utc_day = ts div ns_per_day` — events ts
     * is non-negative, so truncating div IS the floor); the derivation
-    * contract is registered with [[graft.plans.DerivedPartitions]] so
-    * the optimizer may translate ts bounds into directory bounds.
+    * contract is PERSISTED next to the table as the
+    * [[graft.plans.DerivedPartitions]] `_graft_meta.json` sidecar —
+    * write-path metadata, so any session (not just the writing JVM)
+    * may translate ts bounds into directory bounds. Deliberately NOT
+    * also registered in-memory: every b3 run exercises the cold-registry
+    * path a fresh cluster session would take.
     */
   private[layout] def ensureTimePartitioned(s: SparkSession, dir: String): String =
     timePartTables.computeIfAbsent(dir, _ => {
@@ -166,7 +170,8 @@ object LayoutQueries {
           date_add(to_date(lit("1970-01-01")),
             expr("cast(ts div 86400000000000 as int)")))
         .write.mode("overwrite").partitionBy("event_day").parquet(path)
-      graft.plans.DerivedPartitions.register(path)
+      graft.plans.DerivedPartitions.persist(path,
+        s.sessionState.newHadoopConf())
       path
     })
 

@@ -9,27 +9,78 @@ import org.apache.spark.unsafe.types.UTF8String
 
 /** Contract registry for DAY-partitioned stores whose partition column is
   * DERIVED from an epoch column: `dayCol = utc_day(tsCol)` with `tsCol`
-  * ns-since-epoch. The writer that lays the table out
-  * ([[graft.layout.LayoutQueries]] b3) registers the path; the optimizer
-  * rule below may then translate epoch-range predicates into partition-
-  * directory bounds. In a production deployment this is a table property
-  * (Delta/Iceberg generated-column metadata); the registry is the
-  * in-memory-catalog equivalent — the rule NEVER fires on a path whose
+  * ns-since-epoch. The optimizer rule below may then translate
+  * epoch-range predicates into partition-directory bounds. In a
+  * production deployment this is a table property (Delta/Iceberg
+  * generated-column metadata); here the contract lives in TWO places
+  * with the same vouching rule — the rule NEVER fires on a path whose
   * derivation it cannot vouch for, because a same-named column pair with
-  * a different derivation would make the rewrite wrong.
+  * a different derivation would make the rewrite wrong:
+  *
+  *  - an in-memory registry ([[register]]) for tables laid out in this
+  *    JVM, and
+  *  - a `_graft_meta.json` sidecar the WRITER persists next to the table
+  *    root ([[persist]] — the [[graft.layout.LayoutQueries]] b3 writer
+  *    calls it), so a FRESH session prunes with the registry cold: the
+  *    contract travels with the data, like parquet's own `_metadata`
+  *    family. Sidecar reads are memoized per path (positive and
+  *    negative) — one filesystem probe per root per JVM, not one per
+  *    optimizer pass.
   */
 object DerivedPartitions {
+  val MetaFile = "_graft_meta.json"
+
   private val reg =
     new java.util.concurrent.ConcurrentHashMap[String, (String, String)]()
+  private val metaCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Option[(String, String)]]()
 
   def register(path: String, tsCol: String = "ts",
       dayCol: String = "event_day"): Unit =
     reg.put(new org.apache.hadoop.fs.Path(path).toUri.getPath, (tsCol, dayCol))
 
-  def lookup(rootPaths: Seq[org.apache.hadoop.fs.Path]): Option[(String, String)] =
-    rootPaths.iterator
-      .flatMap(p => Option(reg.get(p.toUri.getPath)))
-      .nextOption()
+  /** Write the derivation contract next to the table root. Works on any
+    * Hadoop filesystem (the store a 100 TB table actually lives on). */
+  def persist(path: String, conf: org.apache.hadoop.conf.Configuration,
+      tsCol: String = "ts", dayCol: String = "event_day"): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path, MetaFile)
+    val fs = p.getFileSystem(conf)
+    val out = fs.create(p, true)
+    try out.write(
+      s"""{"derived_partitions":{"ts_col":"$tsCol","day_col":"$dayCol"}}"""
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    // drop a stale negative probe from before the file existed
+    metaCache.remove(new org.apache.hadoop.fs.Path(path).toUri.getPath)
+    ()
+  }
+
+  def lookup(rootPaths: Seq[org.apache.hadoop.fs.Path],
+      conf: => org.apache.hadoop.conf.Configuration): Option[(String, String)] =
+    rootPaths.iterator.flatMap { p =>
+      val key = p.toUri.getPath
+      Option(reg.get(key))
+        .orElse(metaCache.computeIfAbsent(key, _ => readMeta(p, conf)))
+    }.nextOption()
+
+  private def readMeta(root: org.apache.hadoop.fs.Path,
+      conf: org.apache.hadoop.conf.Configuration): Option[(String, String)] =
+    try {
+      val p = new org.apache.hadoop.fs.Path(root, MetaFile)
+      val fs = p.getFileSystem(conf)
+      if (!fs.exists(p)) None
+      else {
+        val in = fs.open(p)
+        val bos = new java.io.ByteArrayOutputStream()
+        org.apache.hadoop.io.IOUtils.copyBytes(in, bos, 4096, true)
+        val txt = bos.toString("UTF-8")
+        if (!txt.contains("\"derived_partitions\"")) None
+        else for {
+          ts <- """"ts_col"\s*:\s*"([^"]+)"""".r.findFirstMatchIn(txt)
+          day <- """"day_col"\s*:\s*"([^"]+)"""".r.findFirstMatchIn(txt)
+        } yield (ts.group(1), day.group(1))
+      }
+    } catch { case _: java.io.IOException => None }
 }
 
 /** PARTITION-DIRECTORY pruning for epoch-range filters over a
@@ -69,7 +120,8 @@ object DerivedPartitionPushdown extends Rule[LogicalPlan] {
   private def contract(plan: LogicalPlan): Option[(Attribute, Attribute)] =
     plan.collectFirst {
       case lr @ LogicalRelation(rel: HadoopFsRelation, _, _, _, _) =>
-        DerivedPartitions.lookup(rel.location.rootPaths).flatMap {
+        DerivedPartitions.lookup(rel.location.rootPaths,
+          rel.sparkSession.sessionState.newHadoopConf()).flatMap {
           case (tsCol, dayCol) =>
             for {
               ts <- lr.output.find(a => a.name == tsCol && a.dataType == LongType)

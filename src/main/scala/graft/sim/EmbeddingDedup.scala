@@ -50,16 +50,45 @@ object EmbeddingDedup {
   /** The lazy plan plus a hook releasing its persisted working sets —
     * callers that only inspect the plan (tests) or manage materialization
     * themselves MUST invoke the hook once done.
+    *
+    * `bands`/`bits` are the FLOOR configuration; the effective code
+    * length scales with the corpus. A fixed `bits` means 2^bits buckets
+    * per band forever, so bucket occupancy grows ∝ n and random-collision
+    * candidate pairs grow ∝ n² — the curve that looks fine at test scale
+    * and dies at 100 TB (GrowthSpan measured 62× exchange per 10× rows
+    * before this). Holding expected occupancy ≤ ~4 instead
+    * (`bits ≥ log2(n/4)`) keeps collision candidates O(n); recall at the
+    * near-dup design point (cos ≥ 0.95, angular collision prob p₀) is
+    * held by growing bands so `bands · p₀^bits` keeps its floor-config
+    * value. Net cost: the banded shuffle is O(n · bands) with bands
+    * growing ~p₀^-Δbits ≈ 1.4× per data decade — the honest LSH scaling
+    * law: holding constant recall at a FIXED angular threshold while n
+    * grows is provably super-linear by a log-ish factor, and the only
+    * alternatives are losing recall (fixed bands) or quadratic candidate
+    * growth (fixed bits). At the small sfs the floors bind
+    * (effective = configured), so oracle runs are byte-identical.
     */
   def nearDupPairsPlan(embeddings: DataFrame, idCol: String, vecCol: String,
       dim: Int, threshold: Double, bands: Int = 4, bits: Int = 12)
       : (DataFrame, () => Unit) = {
+    // sized from the RAW input, before any persist is touched: counting
+    // the materialized working set would swap the verify joins' size
+    // ESTIMATES for exact cached stats and flip their broadcast sides
+    // into vector-carrying shuffles (measured 15× exchange). For a
+    // parquet corpus this count is footer metadata.
+    val n = embeddings.count()
+    val effBits = math.max(bits,
+      math.ceil(math.log(n / 2.0) / math.log(2.0)).toInt)
+    val p0 = 1.0 - math.acos(0.95) / math.Pi
+    val effBands = math.max(bands,
+      math.ceil(bands * math.pow(p0, bits - effBits)).toInt)
     val rnd = new scala.util.Random(42L)
-    val planes = Array.fill(bands * bits * dim)(rnd.nextGaussian())
+    val planes = Array.fill(effBands * effBits * dim)(rnd.nextGaussian())
     val base = embeddings.select(col(idCol).as("vec_id"), col(vecCol).as("v"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val banded = base.select(col("vec_id"),
-      posexplode(GraftExpressions.hyperplaneBuckets(col("v"), planes, bits, bands))
+      posexplode(
+        GraftExpressions.hyperplaneBuckets(col("v"), planes, effBits, effBands))
         .as(Seq("band", "bucket")))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val a = banded.select(col("band"), col("bucket"), col("vec_id").as("id_a"))

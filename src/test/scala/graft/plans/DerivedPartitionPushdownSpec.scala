@@ -83,6 +83,50 @@ class DerivedPartitionPushdownSpec extends SparkSpec {
       s"rule re-fired on an optimized plan:\n$again")
   }
 
+  test("sidecar metadata: a cold-registry session prunes from _graft_meta.json") {
+    val dir = java.nio.file.Files.createTempDirectory("dpp-meta").toString
+    val path = s"$dir/t"
+    val session = spark
+    import session.implicits._
+    (0 until 40).map { i =>
+      val ts = (i / 4).toLong * NsPerDay + (i % 4).toLong * (NsPerDay / 4)
+      (i.toLong, ts)
+    }.toDF("id", "ts")
+      .withColumn("event_day",
+        date_add(to_date(lit("1970-01-01")),
+          expr(s"cast(ts div $NsPerDay as int)")))
+      .write.partitionBy("event_day").parquet(path)
+    // writer-persisted contract ONLY — no register() call: this is the
+    // fresh-cluster path where the in-memory registry is cold
+    DerivedPartitions.persist(path, spark.sessionState.newHadoopConf())
+    val df = spark.read.parquet(path)
+      .filter(col("ts") >= 2 * NsPerDay && col("ts") < 5 * NsPerDay)
+    val pf = partitionFilterLine(df)
+    assert(pf.contains("1970-01-03") && pf.contains("1970-01-05"), pf)
+    assert(df.count() == 12)
+  }
+
+  test("sidecar without the contract key does not fire (and is negative-cached)") {
+    val dir = java.nio.file.Files.createTempDirectory("dpp-meta-bad").toString
+    val path = s"$dir/t"
+    val session = spark
+    import session.implicits._
+    (0 until 10).map(i => (i.toLong * NsPerDay, s"1970-01-${"%02d".format(i + 1)}"))
+      .toDF("ts", "event_day")
+      .write.partitionBy("event_day").parquet(path)
+    // a sidecar that is NOT a derivation contract (foreign tool's file)
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(path, DerivedPartitions.MetaFile),
+      """{"writer":"other-tool","version":3}""")
+    val df = spark.read.parquet(path).filter(col("ts") >= 3 * NsPerDay)
+    val pf = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+      .linesIterator.find(_.trim.startsWith("PartitionFilters"))
+    assert(pf.forall(l => !l.contains("event_day") || l.contains("[]")),
+      pf.getOrElse(""))
+    assert(df.count() == 7)
+  }
+
   test("no-fire: unregistered path with identical column names") {
     val dir = java.nio.file.Files.createTempDirectory("dpp-noreg").toString
     val path = s"$dir/t"

@@ -32,6 +32,17 @@ object Exact {
   /** Order-independent SUM over a double expression. */
   def dsum(c: Column): Column = sum(c.cast(Dec)).cast(DoubleType)
 
+  /** Two-phase exact sum, phase 1: partial sum that KEEPS the decimal
+    * accumulator, so a downstream re-aggregation ([[dsumMerge]]) is still
+    * associative — the pair lets a query pre-aggregate at a finest
+    * grouping and roll the (tiny) intermediate up to coarser groupings
+    * without ever summing doubles. */
+  def dsumPartial(c: Column): Column = sum(c.cast(Dec))
+
+  /** Two-phase exact sum, phase 2: merge [[dsumPartial]] results and
+    * surface the public double. */
+  def dsumMerge(c: Column): Column = sum(c).cast(DoubleType)
+
   /** Order-independent AVG (exact sum / count). */
   def davg(c: Column): Column = dsum(c) / count(lit(1))
 

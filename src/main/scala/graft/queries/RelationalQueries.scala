@@ -201,24 +201,35 @@ object RelationalQueries {
   /** Arbitrary GROUPING SETS — the general operator behind q18's ROLLUP
     * and q22's CUBE: the set list ((rf, ls), (ls), ()) is NOT a rollup
     * prefix chain (it drops rf while keeping ls), so neither shorthand
-    * can express it. Spark's native `groupingSets` still expands all
-    * sets map-side into ONE aggregate — each input row is replicated
-    * once per set with partial aggregation applied before the single
-    * shuffle, so at 100 TB the exchange carries |sets| × |groups| rows,
-    * not |sets| × |input|. Same NULL-sentinel + grouping_id discipline
-    * as q18 (Spark sorts NULLS FIRST, DuckDB NULLS LAST).
+    * can express it. TWO-PHASE plan: every aggregate here is algebraic
+    * (sums/counts re-aggregate), so the table is aggregated ONCE at the
+    * finest grouping — the union of all set columns — and only the
+    * |groups|-sized intermediate runs through the grouping-sets Expand.
+    * Spark's native single-phase groupingSets expands |sets| copies of
+    * every input row map-side (partial agg keeps the EXCHANGE at group
+    * rows, but the scan-side CPU is |sets| × |input|); the two-phase
+    * shape does 1× scan work at any scale and the Expand touches rows
+    * the size of the answer. The exact-decimal detour spans both phases
+    * (dsumPartial keeps the decimal accumulator; dsumMerge re-aggregates
+    * associatively), so results stay bit-identical to the one-phase
+    * plan. Same NULL-sentinel + grouping_id discipline as q18 (Spark
+    * sorts NULLS FIRST, DuckDB NULLS LAST).
     */
   val q48GroupingSets: QueryDef = QueryDef(
     "q48_grouping_sets",
     (s, dir) =>
       Tables.load(s, dir, "lineitem")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(Exact.dsumPartial(col("l_quantity")).as("pq"),
+          Exact.dsumPartial(col("l_extendedprice")).as("pp"),
+          count(lit(1)).as("pc"))
         .groupingSets(
           Seq(Seq(col("l_returnflag"), col("l_linestatus")),
             Seq(col("l_linestatus")), Seq.empty),
           col("l_returnflag"), col("l_linestatus"))
-        .agg(dsum(col("l_quantity")).as("sum_qty"),
-          dsum(col("l_extendedprice")).as("sum_price"),
-          count(lit(1)).as("n"),
+        .agg(Exact.dsumMerge(col("pq")).as("sum_qty"),
+          Exact.dsumMerge(col("pp")).as("sum_price"),
+          sum(col("pc")).as("n"),
           grouping_id().as("gid"))
         .select(coalesce(col("l_returnflag"), lit("<all>")).as("rf"),
           coalesce(col("l_linestatus"), lit("<all>")).as("ls2"),

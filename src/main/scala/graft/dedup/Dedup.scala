@@ -105,43 +105,56 @@ object Dedup {
     * property that keeps this runnable at 100 TB where a blocked
     * self-join is not.
     *
-    * The canonical order is ASCENDING GLOBAL DOCUMENT FREQUENCY (ties by
-    * hash) — the PPJoin ordering. Any consistent total order is correct
-    * (the bound is order-agnostic), but frequency order puts each set's
+    * The canonical order is ASCENDING DOCUMENT FREQUENCY (ties by hash) —
+    * the PPJoin ordering. Any consistent total order is correct (the
+    * bound is order-agnostic), but frequency order puts each set's
     * RAREST shingles in its prefix, so hot shingles (boilerplate) never
     * generate candidates and candidate volume stays ∝ true near-dup mass
-    * instead of growing with the hottest token's squared frequency. Costs
-    * one extra keys-only aggregation (the df table) and a keys-only join
-    * — both linear in total shingle count.
+    * instead of growing with the hottest token's squared frequency.
+    *
+    * Frequencies come from a Count-Min SKETCH, not an exact df table: the
+    * grid is a fixed-size partial aggregate (no exchange — grids merge by
+    * element-wise addition) probed per row at the scan, so the ordering
+    * costs one narrow pre-pass instead of an exact-df shuffle join + per-
+    * doc re-group (measured ~2x the whole query). CMS never undercounts,
+    * so truly hot tokens always rank hot; cold tokens may swap amongst
+    * each other within the noise floor, which costs only a bounded
+    * constant factor of extra candidates — the quadratic hot-token term
+    * is what dies, and (estimate, hash) stays a globally consistent total
+    * order so completeness is untouched. At 100 TB the grid is still the
+    * same few MB: precision concentrates on exactly the heavy mass that
+    * matters.
     *
     * Returns (doc_a, doc_b, jaccard) with doc_a < doc_b, jaccard >= t.
     */
   def jaccardJoin(docs: DataFrame, idCol: String, textCol: String,
-      threshold: Double, n: Int = 2, blockCol: Option[String] = None): DataFrame = {
+      threshold: Double, n: Int = 2, blockCol: Option[String] = None,
+      cmsWidth: Int = 1 << 16, cmsDepth: Int = 4): DataFrame = {
+    import graft.expressions.CountMin
     val blockCols = blockCol.toSeq
     val sh = docs
       .select((blockCols.map(col) :+ col(idCol).as("doc_id")) :+
         shingleHashes(col(textCol), n).as("sh"): _*)
       .filter(size(col("sh")) > 0)
-    // global document frequency per shingle hash (sh is deduplicated per
-    // doc, so count(*) IS the doc frequency) — an 8-byte-key aggregate
-    val df = sh.select(explode(col("sh")).as("h"))
-      .groupBy("h").agg(count(lit(1)).as("df"))
-    // re-assemble each doc's shingles in (df asc, h asc) order; the sort
-    // happens inside the per-doc array, so the only movement is the
-    // keys-only (h, doc_id) join against the df table
-    val ordered = sh
-      .select((blockCols.map(col) :+ col("doc_id")) :+ explode(col("sh")).as("h"): _*)
-      .join(df, Seq("h"))
-      .groupBy((blockCols :+ "doc_id").map(col): _*)
-      .agg(sort_array(collect_list(struct(col("df"), col("h")))).as("oh"))
+    // document-frequency sketch (sh is deduplicated per doc, so every
+    // exploded instance is one document) — fixed-size, driver-collected
+    // once, rides the task binary like q32's heavy-hitter prefilter
+    val grid = sh.select(explode(col("sh")).as("h"))
+      .agg(CountMin.cmsState(col("h"), cmsWidth, cmsDepth).as("sk"))
+      .head().getAs[Array[Byte]]("sk")
+    def est(h: Column) = CountMin.cmsEstimate(h, grid, cmsWidth, cmsDepth)
+    // reorder each doc's shingles by (estimated df asc, h asc) INSIDE the
+    // row — scan-side expressions, no shuffle
+    val ordered = sh.withColumn("oh",
+      transform(
+        sort_array(transform(col("sh"), h => struct(est(h).as("df"), h.as("h")))),
+        _.getField("h")))
     // prefix length: |s| - ceil(t*|s|) + 1 over the frequency-ordered array
     val prefixLen = (size(col("oh")) - ceil(lit(threshold) * size(col("oh"))) + 1)
       .cast("int")
     val prefixes = ordered.select(
       (blockCols.map(col) :+ col("doc_id")) :+
-        explode(transform(slice(col("oh"), lit(1), prefixLen), _.getField("h")))
-          .as("h"): _*)
+        explode(slice(col("oh"), lit(1), prefixLen)).as("h"): _*)
     val joinKeys = blockCols :+ "h"
     val a = prefixes.select((joinKeys.map(col) :+ col("doc_id").as("doc_a")): _*)
     val b = prefixes.select((joinKeys.map(col) :+ col("doc_id").as("doc_b")): _*)

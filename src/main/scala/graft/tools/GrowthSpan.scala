@@ -44,7 +44,10 @@ object GrowthSpan {
     // top wall-time queries of the last bench not already above
     "st2_stream_join", "q48_grouping_sets", "q57_mad_anomaly", "s10_pq_adc",
     "q27_range_join", "d5_embedding_neardup", "st5_stateful_sessions",
-    "m8_h264_video", "m9_bframe_video")
+    "m8_h264_video", "m9_bframe_video",
+    // candidate-generation shapes with a theoretical occupancy story
+    // worth metering even off the bench's top lists
+    "d3_simhash")
 
   private val Copies = 10
 
@@ -232,8 +235,11 @@ object GrowthSpan {
         s""""adjudicated":{${adjudicated.mkString(",")}},""" +
         s""""queries":{${entries.map(_._2).mkString(",")}}}"""
     println(json)
-    java.nio.file.Files.writeString(
-      java.nio.file.Paths.get(repoRoot, "GROWTH_SPAN.json"), json + "\n")
+    // dev-only subset runs (SPARK_GRAFT_SPAN_QUERIES) must not overwrite
+    // the committed full-sweep artifact — the Bench `only`-guard lesson
+    if (sys.env.get("SPARK_GRAFT_SPAN_QUERIES").isEmpty)
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(repoRoot, "GROWTH_SPAN.json"), json + "\n")
     spark.stop()
   }
 }

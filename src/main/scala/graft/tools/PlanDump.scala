@@ -51,9 +51,10 @@ object PlanDump {
       "shuffled wholesale."),
     // every remaining query > 1 s in the round-4 bench — the expensive
     // tail is exactly where a silent plan regression costs the most
-    "q48_grouping_sets" -> ("Grouping sets in ONE aggregate: map-side " +
-      "expansion (Expand) before a single keyed exchange carrying " +
-      "|sets|×|groups| — never one job per set."),
+    "q48_grouping_sets" -> ("TWO-PHASE grouping sets: the scan aggregates " +
+      "once at the finest grouping (1x input work), then Expand runs over " +
+      "the group-sized intermediate only — vs the single-phase shape " +
+      "whose Expand replicates every input row |sets| times map-side."),
     "t13_lm_familiarity" -> ("Bigram LM scoring: the model aggregates " +
       "bigram counts once (the keyed exchange carries (w1, w2, count) " +
       "token rows, never documents) and broadcasts; full text appears " +

@@ -114,9 +114,38 @@ object Tables {
     * byte — so it is gated on the scan's actual partition count (asking the
     * physical plan for its partitioning runs no job).
     */
+  private val spreadCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Load with scan parallelism ≥ the session's core count.
+    *
+    * A production table at any real scale is already many files/row
+    * groups and scans parallel for free; the harness fixtures are ONE
+    * file with ONE row group, which Spark cannot split (a row group
+    * belongs to a single split), so a naive read runs every downstream
+    * map stage single-threaded. Rather than paying a repartition
+    * EXCHANGE inside every consuming query (the pre-r8 shape: 63 call
+    * sites each re-shuffling the same table), the spread copy is laid
+    * out ONCE per (dir, table) per JVM — round-robin into
+    * `defaultParallelism` files, the b1/st1 fixture-relay precedent —
+    * and every query scans that multi-file copy with no exchange. This
+    * is strictly MORE production-shaped: plans now look like they would
+    * over a real multi-file table. Already-parallel inputs pass through
+    * untouched.
+    */
   def loadSpread(spark: SparkSession, dir: String, name: String): DataFrame = {
     val df = load(spark, dir, name)
     val target = spark.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+    if (df.rdd.getNumPartitions >= target) df
+    else {
+      val base = spreadCache.computeIfAbsent(s"$dir/$name", _ => {
+        val tmp = java.nio.file.Files
+          .createTempDirectory("graft-spread-store").toString
+        df.repartition(target).write.mode("overwrite")
+          .parquet(s"$tmp/$name.parquet")
+        tmp
+      })
+      load(spark, base, name)
+    }
   }
 }

@@ -130,12 +130,17 @@ class PlanSpec extends SparkSpec {
     assert(keyed.size <= 1, s"neighbor joins reshuffled the series:\n$plan")
   }
 
-  test("loadSpread shuffles narrow scans but never already-parallel ones") {
-    // narrow: the sf0.001 single-file table is below defaultParallelism,
-    // so the spread must add exactly one round-robin exchange
+  test("loadSpread parallelizes narrow scans with NO exchange; parallel ones pass through") {
+    // narrow: the sf0.001 single-file table is below defaultParallelism.
+    // The spread must deliver parallelism WITHOUT an exchange in the
+    // query plan — it scans the one-time multi-file spread store (the
+    // production-shaped layout) instead of repartitioning per query.
     val narrow = Tables.loadSpread(spark, sf, "documents")
-    assert(planOf(narrow).contains("Exchange"))
-    assert(narrow.rdd.getNumPartitions == spark.sparkContext.defaultParallelism)
+    assert(!planOf(narrow).contains("Exchange"),
+      s"spread paid a per-query exchange:\n${planOf(narrow)}")
+    assert(narrow.rdd.getNumPartitions >= spark.sparkContext.defaultParallelism)
+    // and the spread store preserves the rows exactly
+    assert(narrow.count() == Tables.load(spark, sf, "documents").count())
 
     // wide: re-lay the same table as many files; the scan then has at least
     // defaultParallelism splits and the spread must add NO exchange — at

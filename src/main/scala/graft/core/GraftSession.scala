@@ -39,6 +39,20 @@ object GraftSession {
       // fit every engine plan's generated classes (default 100 entries
       // thrashes across the full query surface)
       .config("spark.sql.codegen.cache.maxEntries", "2000")
+      // OFF pending an upstream fix: with the nested-column vectorized
+      // parquet reader on, a WindowGroupLimit above an array-bearing scan
+      // (the rank-topk shape every ANN query plans) can evaluate a
+      // buffered row AFTER the scan advanced to the next batch —
+      // GroupedLimitIterator prefetches a row in its constructor, the
+      // underlying columnar batch gets closed, and the row's ColumnarArray
+      // then reads vectors whose backing store is nulled
+      // ("this.floatData is null" NPEs, reproduced deterministically on
+      // the 10-file sf1ish embeddings slice; single-file reads mask it).
+      // Arrays read row-wise until then; the env toggle re-enables for
+      // A/B. The engine's own array-bearing scans are narrow (embedding
+      // vectors, media fixtures), so the cost here is ~0.
+      .config("spark.sql.parquet.enableNestedColumnVectorizedReader",
+        sys.env.getOrElse("SPARK_GRAFT_NESTED_VEC", "false"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

@@ -101,11 +101,38 @@ object HashOps {
     }
   }
 
+  /** Dictionary-safe bulk copies. `ColumnarArray.toFloatArray`/
+    * `toLongArray` bulk-arraycopy the column vector's PLAIN backing
+    * store, which is null when the parquet page is DICTIONARY-encoded
+    * (parquet-mr's default for repetitive columns) — an input-dependent
+    * NPE that plain test fixtures never trigger but any real table can
+    * (caught by GrowthSpan's sf1ish slice, whose Spark-written
+    * embeddings dictionary-encode). The INDEXED accessors resolve the
+    * dictionary per element, so every ArrayData input crossing into
+    * these kernels copies through them.
+    */
+  def floats(v: ArrayData): Array[Float] = {
+    val n = v.numElements()
+    val out = new Array[Float](n)
+    var i = 0
+    while (i < n) { out(i) = v.getFloat(i); i += 1 }
+    out
+  }
+
+  /** See [[floats]] — same dictionary-page hazard via `getLongs`. */
+  def longs(v: ArrayData): Array[Long] = {
+    val n = v.numElements()
+    val out = new Array[Long](n)
+    var i = 0
+    while (i < n) { out(i) = v.getLong(i); i += 1 }
+    out
+  }
+
   /** k-permutation MinHash signature over a shingle-hash set: one pass per
     * row, min over `XXH64.hashLong(shingle, i)` for each of the k salts.
     */
   def minhash(shingles: ArrayData, k: Int): ArrayData = {
-    val sh = shingles.toLongArray()
+    val sh = longs(shingles)
     val sig = new Array[Long](k)
     var i = 0
     while (i < k) {
@@ -126,7 +153,7 @@ object HashOps {
     * equal bands, each chained-hashed to one bucket key.
     */
   def bandHashes(sig: ArrayData, bands: Int): ArrayData = {
-    val s = sig.toLongArray()
+    val s = longs(sig)
     val rows = s.length / bands
     val out = new Array[Long](bands)
     var b = 0
@@ -145,8 +172,8 @@ object HashOps {
     * produced by [[shingleHashes]]): linear merge, no hash sets.
     */
   def jaccardSorted(a: ArrayData, b: ArrayData): Double = {
-    val x = a.toLongArray()
-    val y = b.toLongArray()
+    val x = longs(a)
+    val y = longs(b)
     var i = 0; var j = 0; var inter = 0
     while (i < x.length && j < y.length) {
       if (x(i) == y(j)) { inter += 1; i += 1; j += 1 }
@@ -200,8 +227,8 @@ object HashOps {
     * round to 1 + 1ulp under dot/(√na·√nb) and DuckDB pins that to 1.0.
     */
   def cosineF(a: ArrayData, b: ArrayData): Double = {
-    val x = a.toFloatArray()
-    val y = b.toFloatArray()
+    val x = floats(a)
+    val y = floats(b)
     var dot = 0.0; var na = 0.0; var nb = 0.0
     var i = 0
     while (i < x.length) {
@@ -221,7 +248,7 @@ object HashOps {
     * the lowest cell id.
     */
   def nearestCell(v: ArrayData, cents: Array[Double], k: Int): Int = {
-    val x = v.toFloatArray()
+    val x = floats(v)
     val dim = x.length
     var best = 0
     var bestDot = Double.NegativeInfinity
@@ -241,7 +268,7 @@ object HashOps {
     * list). Selection over k cells — k is small by construction.
     */
   def nearCells(v: ArrayData, cents: Array[Double], k: Int, nprobe: Int): ArrayData = {
-    val x = v.toFloatArray()
+    val x = floats(v)
     val dim = x.length
     val dots = new Array[Double](k)
     var c = 0
@@ -281,7 +308,7 @@ object HashOps {
     * the same LSH/cosine path as any learned embedding.
     */
   def embedShingles(text: UTF8String, n: Int, dim: Int): ArrayData = {
-    val sh = shingleHashes(text, n).toLongArray()
+    val sh = longs(shingleHashes(text, n))
     val v = new Array[Float](dim)
     var nnz = 0
     var i = 0
@@ -305,7 +332,7 @@ object HashOps {
     */
   def hyperplaneBuckets(v: ArrayData, planes: Array[Double], nBits: Int,
       bands: Int): ArrayData = {
-    val x = v.toFloatArray()
+    val x = floats(v)
     val dim = x.length
     val out = new Array[Long](bands)
     var b = 0
@@ -385,7 +412,7 @@ object HashOps {
     * random-hyperplane LSH signature in one pass.
     */
   def hyperplaneBucket(v: ArrayData, planes: Array[Double], nBits: Int): Long = {
-    val x = v.toFloatArray()
+    val x = floats(v)
     val dim = x.length
     var bucket = 0L
     var b = 0

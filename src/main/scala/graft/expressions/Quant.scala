@@ -35,10 +35,10 @@ object Quant {
     if (m == 0.0) 1.0 else m / 127.0
   }
 
-  def quantScale(v: ArrayData): Double = scaleOf(v.toFloatArray())
+  def quantScale(v: ArrayData): Double = scaleOf(HashOps.floats(v))
 
   def quantBytes(v: ArrayData): Array[Byte] = {
-    val x = v.toFloatArray()
+    val x = HashOps.floats(v)
     val s = scaleOf(x)
     val out = new Array[Byte](x.length)
     var i = 0

@@ -47,7 +47,14 @@ object GrowthSpan {
     "m8_h264_video", "m9_bframe_video",
     // candidate-generation shapes with a theoretical occupancy story
     // worth metering even off the bench's top lists
-    "d3_simhash")
+    "d3_simhash",
+    // a tier of distinct plan shapes (windows, CDC diff, exact ranks,
+    // range windows, broadcast star, streaming late-data/dedup/ANN,
+    // cluster canonicalization) so the wall-time table spans every
+    // operator family, not just the expensive tail
+    "st3_stream_dedup", "st4_late_data", "st6_streaming_ann",
+    "t30_vocab_growth", "d11_canonical_select", "q6_region_join",
+    "q7_window_running", "c3_cdc_diff", "q25_ranks", "q30_range_window")
 
   private val Copies = 10
 

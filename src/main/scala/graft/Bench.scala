@@ -46,6 +46,59 @@ object Bench {
       (shuffleW.getAndSet(0L), spilled.getAndSet(0L))
   }
 
+  /** Deterministic CPU calibration probe — the fix for cross-round bench
+    * comparability (the r8 lesson: unchanged-code control queries ran
+    * 1.5-2.8× their r7 times under co-tenant CPU steal that loadavg never
+    * saw, and proving it took an afternoon of manual control-query
+    * archaeology). A fixed xorshift64 workload is timed once on a single
+    * thread and once on `threads` concurrent threads; the seconds land in
+    * the artifact as `calib`, and `common_subset.normalized_total` scales
+    * the cross-round headline by this host's parallel calib vs the prior
+    * committed round artifact's — same code, same work, so the ratio is
+    * pure host speed (steal, frequency, co-tenancy).
+    */
+  private def calibWork(iters: Long, seed: Long): Long = {
+    var x = seed | 1L
+    var i = 0L
+    while (i < iters) { x ^= x << 13; x ^= x >>> 7; x ^= x << 17; i += 1 }
+    x
+  }
+  @volatile private var calibSink = 0L // defeats dead-code elimination
+  private val CalibIters = 400_000_000L // ~0.5 s/thread on an unloaded core
+
+  private def calibrate(threads: Int): (Double, Double) = {
+    calibSink ^= calibWork(CalibIters / 10, 7L) // JIT warmup, untimed
+    val t0 = System.nanoTime()
+    calibSink ^= calibWork(CalibIters, 11L)
+    val single = (System.nanoTime() - t0) / 1e9
+    val pool = (0 until threads).map { k =>
+      new Thread(() => { calibSink ^= calibWork(CalibIters, 13L + k) })
+    }
+    val t1 = System.nanoTime()
+    pool.foreach(_.start()); pool.foreach(_.join())
+    val parallel = (System.nanoTime() - t1) / 1e9
+    (single, parallel)
+  }
+
+  /** Parallel calib seconds of the newest committed BENCH_r*.json, if that
+    * round's artifact carried one (r9+). */
+  private def priorCalib(repoRoot: String): Option[(String, Double)] = {
+    val rx = "BENCH_r(\\d+)\\.json".r
+    Option(new java.io.File(repoRoot).listFiles).toSeq.flatten
+      .flatMap(fl => fl.getName match {
+        case rx(n) => Some((n.toInt, fl))
+        case _ => None
+      })
+      .sortBy(-_._1).headOption.flatMap { case (_, fl) =>
+        try {
+          val txt = java.nio.file.Files.readString(fl.toPath)
+          """"calib"\s*:\s*\{[^}]*"parallel_s"\s*:\s*([0-9.]+)""".r
+            .findFirstMatchIn(txt)
+            .map(m => fl.getName -> m.group(1).toDouble)
+        } catch { case _: Throwable => None }
+      }
+  }
+
   /** First three /proc/loadavg fields — recorded in the artifact so a
     * builder-vs-driver total discrepancy (contended host) self-explains. */
   private def loadavg(): String =
@@ -89,6 +142,8 @@ object Bench {
     val repoRoot = sys.env.getOrElse("GRAFT_REPO_ROOT",
       sys.props.getOrElse("user.dir", "."))
     val loadStart = loadavg()
+    // calibrate BEFORE the session exists — no Spark threads compete
+    val (calibSingle, calibParallel) = calibrate(cpus.toInt)
     val spark = graft.core.GraftSession.local(cpus.toInt, "graft-bench")
 
     // Stable order: Map iteration is hash-ordered, which would hand the
@@ -244,7 +299,17 @@ object Bench {
     val commonJson = prevRound match {
       case Some((src, keys)) =>
         val common = okMedians.view.filterKeys(keys).values
-        s"""{"vs":"$src","n":${okMedians.keySet.count(keys)},"total":${f(common.sum)}}"""
+        // normalized_total = common total rescaled to the PRIOR artifact's
+        // host speed via the parallel calib ratio — the single number that
+        // replaces manual control-query archaeology. null until the prior
+        // committed round artifact carries a calib of its own.
+        val norm = priorCalib(repoRoot) match {
+          case Some((calSrc, priorPar)) if calibParallel > 0 =>
+            s""","calib_vs":"$calSrc","normalized_total":${f(
+              common.sum * priorPar / calibParallel)}"""
+          case _ => ""","calib_vs":null,"normalized_total":null"""
+        }
+        s"""{"vs":"$src","n":${okMedians.keySet.count(keys)},"total":${f(common.sum)}$norm}"""
       case None => "null"
     }
 
@@ -255,7 +320,9 @@ object Bench {
     // repo file so every round's bench is self-contained regardless of how
     // much stdout the harness keeps.
     val loadEnd = loadavg()
-    val env = s""""passes":$Passes,"failed":$failed,"sf":"$sfDir","loadavg_start":"$loadStart","loadavg_end":"$loadEnd","data_ratio":${f(dataRatio)},"growth_flagged":$growthFlagged,"amortized":$amortizedJson,"per_query_median":${f(perQueryMedian)},"common_subset":$commonJson"""
+    val calibJson = s"""{"single_s":${f(calibSingle)},"parallel_s":${f(
+      calibParallel)},"threads":${cpus.toInt}}"""
+    val env = s""""passes":$Passes,"failed":$failed,"sf":"$sfDir","loadavg_start":"$loadStart","loadavg_end":"$loadEnd","calib":$calibJson,"data_ratio":${f(dataRatio)},"growth_flagged":$growthFlagged,"amortized":$amortizedJson,"per_query_median":${f(perQueryMedian)},"common_subset":$commonJson"""
     val compact = s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,$env}"""
     val full = s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"spread":$spread,"exchange":$shuffle,"growth":$growthJson,$env}"""
     println(compact)

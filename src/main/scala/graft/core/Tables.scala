@@ -117,6 +117,42 @@ object Tables {
   private val spreadCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  /** Spread-store temp dirs live for the JVM and are deleted on exit —
+    * without this, every (dir, table) pair leaves a full parquet copy
+    * in /tmp per JVM, accreting across bench + span runs. */
+  private val spreadDirs =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[java.nio.file.Path]()
+  locally {
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      spreadDirs.forEach { d =>
+        try {
+          import scala.jdk.CollectionConverters._
+          java.nio.file.Files.walk(d).iterator().asScala.toSeq
+            .sortBy(-_.getNameCount)
+            .foreach(p => java.nio.file.Files.deleteIfExists(p))
+        } catch { case scala.util.control.NonFatal(_) => }
+      }
+    }, "graft-spread-store-cleanup"))
+  }
+
+  /** Source-table fingerprint (total bytes + newest mtime over the
+    * table's files) folded into the spread-cache key, so a table
+    * rewritten in place within a long-lived JVM gets a fresh spread
+    * copy instead of being served stale. The listing runs only on the
+    * spread path, i.e. only for tables already known to be tiny. */
+  private def sourceFingerprint(spark: SparkSession, path: String): String =
+    try {
+      val p = new org.apache.hadoop.fs.Path(path)
+      val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+      val it = fs.listFiles(p, true)
+      var bytes = 0L; var mtime = 0L
+      while (it.hasNext) {
+        val s = it.next()
+        bytes += s.getLen; mtime = math.max(mtime, s.getModificationTime)
+      }
+      s"$bytes:$mtime"
+    } catch { case scala.util.control.NonFatal(_) => "unknown" }
+
   /** Load with scan parallelism ≥ the session's core count.
     *
     * A production table at any real scale is already many files/row
@@ -138,9 +174,13 @@ object Tables {
     val target = spark.sparkContext.defaultParallelism
     if (df.rdd.getNumPartitions >= target) df
     else {
-      val base = spreadCache.computeIfAbsent(s"$dir/$name", _ => {
-        val tmp = java.nio.file.Files
-          .createTempDirectory("graft-spread-store").toString
+      val key =
+        s"$dir/$name@${sourceFingerprint(spark, s"$dir/$name.parquet")}"
+      val base = spreadCache.computeIfAbsent(key, _ => {
+        val tmpPath = java.nio.file.Files
+          .createTempDirectory("graft-spread-store")
+        spreadDirs.add(tmpPath)
+        val tmp = tmpPath.toString
         df.repartition(target).write.mode("overwrite")
           .parquet(s"$tmp/$name.parquet")
         tmp

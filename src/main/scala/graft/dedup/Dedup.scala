@@ -125,6 +125,20 @@ object Dedup {
     * same few MB: precision concentrates on exactly the heavy mass that
     * matters.
     *
+    * COST DISCLOSURE: the grid pre-pass runs EAGERLY at plan-construction
+    * time (`.head()` on a fixed-size partial aggregate — bounded by
+    * construction) and is a fourth full computation of `sh` alongside the
+    * prefix explode and the two verify back-joins. `sh` is deliberately
+    * NOT persisted across them: the returned plan is lazy (callers and
+    * the PlanGuard sweep inspect it), so there is no point to unpersist
+    * at, and materializing a cache before the back-joins are planned
+    * swaps their size ESTIMATES for exact cached stats — the flip that
+    * cost d5 a measured 15× exchange (see
+    * [[graft.sim.EmbeddingDedup.nearDupPairsPlan]]). Re-deriving shingles
+    * is scan + codegen'd hashing, cheap relative to a stats-mis-planned
+    * join; at 100 TB the pre-pass is one extra map-only scan, no
+    * exchange.
+    *
     * Returns (doc_a, doc_b, jaccard) with doc_a < doc_b, jaccard >= t.
     */
   def jaccardJoin(docs: DataFrame, idCol: String, textCol: String,

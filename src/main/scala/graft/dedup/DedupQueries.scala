@@ -165,6 +165,16 @@ object DedupQueries {
         graft.expressions.GraftExpressions.embedShingles(col("text"), 3, EmbedDim).as("vec"))
       .filter(array_max(col("vec")) > 0f) // <3-word docs embed to the zero vector
 
+  /** d5's measured LSH sizing at a corpus dir — (n, effBits, effBands,
+    * unique candidate pairs), with exactly d5's floor config. GrowthSpan
+    * logs this per sf so the d5 exchange-growth adjudication decomposes
+    * into measured factors instead of asserted ones.
+    */
+  def d5Diagnostics(s: org.apache.spark.sql.SparkSession, dir: String)
+      : (Long, Int, Int, Long) =
+    graft.sim.EmbeddingDedup.lshDiagnostics(docVecs(s, dir), "doc_id", "vec",
+      dim = EmbedDim, bands = 32, bits = 12)
+
   val d5EmbeddingNearDup: QueryDef = QueryDef(
     "d5_embedding_neardup",
     (s, dir) =>

@@ -26,6 +26,20 @@ import org.apache.spark.unsafe.types.UTF8String
   *    family. Sidecar reads are memoized per path (positive and
   *    negative) — one filesystem probe per root per JVM, not one per
   *    optimizer pass.
+  *
+  * A sidecar is metadata ABOUT the data, and the two can drift: a table
+  * rewritten in place by a non-Spark tool (or a foreign tool's
+  * same-named file) would leave a contract the data no longer
+  * satisfies, and pruning on it would silently DROP rows. So the
+  * sidecar path SPOT-CHECKS the derivation before trusting it: read one
+  * day directory's parquet footer and require the ts column's min/max
+  * statistics to floor into that directory's day. Any inconsistency —
+  * no hive-style `dayCol=` directories, no parquet footer, missing
+  * stats, out-of-day bounds, or any exception — fails CLOSED (the
+  * filter stays; only the pruning is lost). The check is one footer
+  * read, memoized with the contract itself: still one probe per root
+  * per JVM. The in-memory [[register]] path is the caller explicitly
+  * vouching and is not re-checked.
   */
 object DerivedPartitions {
   val MetaFile = "_graft_meta.json"
@@ -75,12 +89,66 @@ object DerivedPartitions {
         org.apache.hadoop.io.IOUtils.copyBytes(in, bos, 4096, true)
         val txt = bos.toString("UTF-8")
         if (!txt.contains("\"derived_partitions\"")) None
-        else for {
+        else (for {
           ts <- """"ts_col"\s*:\s*"([^"]+)"""".r.findFirstMatchIn(txt)
           day <- """"day_col"\s*:\s*"([^"]+)"""".r.findFirstMatchIn(txt)
-        } yield (ts.group(1), day.group(1))
+        } yield (ts.group(1), day.group(1)))
+          .filter { case (ts, day) => spotCheck(root, fs, ts, day) }
       }
-    } catch { case _: java.io.IOException => None }
+    } catch {
+      // NonFatal, not just IOException: a RuntimeException from FS
+      // resolution (bad scheme, conf) must not fail PLANNING for every
+      // query touching the path — it costs the pruning, nothing else.
+      // computeIfAbsent caches the None, so the failure is probed once.
+      case scala.util.control.NonFatal(e) =>
+        System.err.println(
+          s"[graft] DerivedPartitions: sidecar probe failed for $root " +
+            s"(pruning disabled for this root): $e")
+        None
+    }
+
+  private val NsPerDay = 86_400_000_000_000L
+
+  /** Verify the persisted contract against the data it describes: pick
+    * one `dayCol=yyyy-MM-dd` directory, read one parquet footer, and
+    * require the ts column's min AND max statistics to floor into that
+    * directory's day. False (fail closed) on any shape mismatch.
+    */
+  private def spotCheck(root: org.apache.hadoop.fs.Path,
+      fs: org.apache.hadoop.fs.FileSystem, tsCol: String,
+      dayCol: String): Boolean = {
+    val prefix = dayCol + "="
+    val dayDir = fs.listStatus(root).iterator
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith(prefix))
+      .take(1).toSeq.headOption
+    dayDir.exists { d =>
+      val epochDay = java.time.LocalDate
+        .parse(d.getPath.getName.stripPrefix(prefix)).toEpochDay
+      val file = fs.listStatus(d.getPath).iterator.filter { s =>
+        val n = s.getPath.getName
+        s.isFile && n.endsWith(".parquet") && !n.startsWith("_") && !n.startsWith(".")
+      }.take(1).toSeq.headOption
+      file.exists { f =>
+        val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+          org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+            f.getPath, fs.getConf))
+        try {
+          import scala.jdk.CollectionConverters._
+          val stats = reader.getFooter.getBlocks.asScala.iterator
+            .flatMap(_.getColumns.asScala)
+            .filter(_.getPath.toDotString == tsCol)
+            .map(_.getStatistics).toSeq
+          stats.nonEmpty && stats.forall {
+            case s: org.apache.parquet.column.statistics.LongStatistics
+                if s.hasNonNullValue =>
+              Math.floorDiv(s.genericGetMin, NsPerDay) == epochDay &&
+                Math.floorDiv(s.genericGetMax, NsPerDay) == epochDay
+            case _ => false
+          }
+        } finally reader.close()
+      }
+    }
+  }
 }
 
 /** PARTITION-DIRECTORY pruning for epoch-range filters over a

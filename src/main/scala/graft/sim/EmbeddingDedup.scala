@@ -56,8 +56,8 @@ object EmbeddingDedup {
     * per band forever, so bucket occupancy grows ∝ n and random-collision
     * candidate pairs grow ∝ n² — the curve that looks fine at test scale
     * and dies at 100 TB (GrowthSpan measured 62× exchange per 10× rows
-    * before this). Holding expected occupancy ≤ ~4 instead
-    * (`bits ≥ log2(n/4)`) keeps collision candidates O(n); recall at the
+    * before this). Holding expected occupancy ≤ ~2 instead
+    * (`bits ≥ log2(n/2)`) keeps collision candidates O(n); recall at the
     * near-dup design point (cos ≥ 0.95, angular collision prob p₀) is
     * held by growing bands so `bands · p₀^bits` keeps its floor-config
     * value. Net cost: the banded shuffle is O(n · bands) with bands
@@ -68,6 +68,36 @@ object EmbeddingDedup {
     * growth (fixed bits). At the small sfs the floors bind
     * (effective = configured), so oracle runs are byte-identical.
     */
+  /** Effective (bits, bands) at corpus size `n` from the floor config —
+    * the adaptive-sizing law the scaladoc above derives. Public so the
+    * GrowthSpan d5 adjudication can decompose measured exchange ratios
+    * into n × bands × candidate factors instead of asserting them.
+    */
+  def effectiveParams(n: Long, bands: Int, bits: Int): (Int, Int) = {
+    val effBits = math.max(bits,
+      math.ceil(math.log(n / 2.0) / math.log(2.0)).toInt)
+    val p0 = 1.0 - math.acos(0.95) / math.Pi
+    val effBands = math.max(bands,
+      math.ceil(bands * math.pow(p0, bits - effBits)).toInt)
+    (effBits, effBands)
+  }
+
+  /** Measured LSH sizing diagnostics: (n, effBits, effBands, unique
+    * candidate pairs the banded self-join generates — counted by running
+    * the pair plan with the cosine threshold disabled, so every
+    * candidate survives). This is the adjudication meter for the growth
+    * span, not a serving path.
+    */
+  def lshDiagnostics(embeddings: DataFrame, idCol: String, vecCol: String,
+      dim: Int, bands: Int = 4, bits: Int = 12): (Long, Int, Int, Long) = {
+    val (plan, release) = nearDupPairsPlan(embeddings, idCol, vecCol, dim,
+      threshold = -2.0, bands = bands, bits = bits) // cos ≥ -2: keep all
+    val n = embeddings.count()
+    val (effBits, effBands) = effectiveParams(n, bands, bits)
+    try (n, effBits, effBands, plan.select("id_a", "id_b").count())
+    finally release()
+  }
+
   def nearDupPairsPlan(embeddings: DataFrame, idCol: String, vecCol: String,
       dim: Int, threshold: Double, bands: Int = 4, bits: Int = 12)
       : (DataFrame, () => Unit) = {
@@ -77,11 +107,7 @@ object EmbeddingDedup {
     // into vector-carrying shuffles (measured 15× exchange). For a
     // parquet corpus this count is footer metadata.
     val n = embeddings.count()
-    val effBits = math.max(bits,
-      math.ceil(math.log(n / 2.0) / math.log(2.0)).toInt)
-    val p0 = 1.0 - math.acos(0.95) / math.Pi
-    val effBands = math.max(bands,
-      math.ceil(bands * math.pow(p0, bits - effBits)).toInt)
+    val (effBits, effBands) = effectiveParams(n, bands, bits)
     val rnd = new scala.util.Random(42L)
     val planes = Array.fill(effBands * effBits * dim)(rnd.nextGaussian())
     val base = embeddings.select(col(idCol).as("vec_id"), col(vecCol).as("v"))

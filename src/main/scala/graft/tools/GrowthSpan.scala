@@ -54,7 +54,12 @@ object GrowthSpan {
     // operator family, not just the expensive tail
     "st3_stream_dedup", "st4_late_data", "st6_streaming_ann",
     "t30_vocab_growth", "d11_canonical_select", "q6_region_join",
-    "q7_window_running", "c3_cdc_diff", "q25_ranks", "q30_range_window")
+    "q7_window_running", "c3_cdc_diff", "q25_ranks", "q30_range_window",
+    // the iterative family (PageRank, pointer-doubling closure, BFS,
+    // cluster canonicalization over LSH components): cost grows with
+    // iterations × edges — the one plan shape whose decade behavior a
+    // single-sf bench cannot predict, so it gets measured here
+    "q33_pagerank", "q39_hierarchy", "q52_bfs_levels", "d8_dedup_clusters")
 
   private val Copies = 10
 
@@ -72,7 +77,11 @@ object GrowthSpan {
       "growth (fixed bits, measured 62x/decade before adaptive sizing). Decade-1 " +
       "excess is additionally the floor-config transition: at sf0.01 buckets are " +
       "~10x underfull, so collisions only begin to exist at sf0.1. Wall-time decades " +
-      "are sub-linear (time_flagged stays false)."))
+      "are sub-linear (time_flagged stays false). The entry's lsh field carries the " +
+      "measured (n, eff_bits, eff_bands, candidate pairs) per sf: the banded shuffle " +
+      "scales as n x bands and the verify joins as candidate pairs, so the decade " +
+      "ratio should decompose as a mix of (n2/n1)x(bands2/bands1) and " +
+      "(cands2/cands1) - check it against the mb column rather than trusting this text."))
 
   private final class Meter extends SparkListener {
     private val bytes = new java.util.concurrent.atomic.AtomicLong
@@ -192,6 +201,19 @@ object GrowthSpan {
       (name, runs)
     }
 
+    // d5 adjudication arithmetic: the measured (n, effBits, effBands,
+    // candidate pairs) per sf, so the exchange decades decompose into
+    // n × bands × candidate factors a reader can check against the
+    // adjudication text instead of trusting it.
+    val d5Diag: Option[String] =
+      if (!names.contains("d5_embedding_neardup")) None
+      else Some(dirs.map { case (tag, d) =>
+        val (n, bits, bands, cands) =
+          graft.dedup.DedupQueries.d5Diagnostics(spark, d)
+        spark.sharedState.cacheManager.clearCache()
+        s""""$tag":{"n":$n,"eff_bits":$bits,"eff_bands":$bands,"cand_pairs":$cands}"""
+      }.mkString("{", ",", "}"))
+
     def f(v: Double): String = "%.3f".format(v)
     val r1 = rowCounts("sf0.1").toDouble / rowCounts("sf0.01")
     val r2 = rowCounts("sf1ish").toDouble / rowCounts("sf0.1")
@@ -226,7 +248,10 @@ object GrowthSpan {
             tm("sf1ish"))}},""" +
           s""""time_decade1":${t1.map(f).getOrElse("null")},"time_decade2":${t2
             .map(f).getOrElse("null")},"time_flagged":$tFlag""" +
-          adj.map(a => s""","adjudication":"$a"""").getOrElse("")
+          adj.map(a => s""","adjudication":"$a"""").getOrElse("") +
+          (if (name == "d5_embedding_neardup")
+            d5Diag.map(d => s""","lsh":$d""").getOrElse("")
+          else "")
       (name, s""""$name":{$body}""", flag, tFlag, adj)
     }
     val flagged = entries.collect { case (n, _, true, _, _) => "\"" + n + "\"" }

@@ -127,6 +127,27 @@ class DerivedPartitionPushdownSpec extends SparkSpec {
     assert(df.count() == 7)
   }
 
+  test("sidecar that the data no longer satisfies does not fire (spot-check)") {
+    val dir = java.nio.file.Files.createTempDirectory("dpp-meta-drift").toString
+    val path = s"$dir/t"
+    val session = spark
+    import session.implicits._
+    // event_day is NOT derived from ts — the shape of a table rewritten
+    // in place by a non-Spark tool under a left-behind contract sidecar.
+    // Pruning on the stale contract would silently drop rows.
+    (0 until 10).map(i => (i.toLong * NsPerDay, s"2030-05-${10 + i}"))
+      .toDF("ts", "event_day")
+      .write.partitionBy("event_day").parquet(path)
+    DerivedPartitions.persist(path, spark.sessionState.newHadoopConf())
+    val df = spark.read.parquet(path).filter(col("ts") >= 3 * NsPerDay)
+    val pf = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+      .linesIterator.find(_.trim.startsWith("PartitionFilters"))
+    assert(pf.forall(l => !l.contains("event_day") || l.contains("[]")),
+      pf.getOrElse(""))
+    assert(df.count() == 7)
+  }
+
   test("no-fire: unregistered path with identical column names") {
     val dir = java.nio.file.Files.createTempDirectory("dpp-noreg").toString
     val path = s"$dir/t"

@@ -80,23 +80,25 @@ object Bench {
     (single, parallel)
   }
 
-  /** Parallel calib seconds of the newest committed BENCH_r*.json, if that
-    * round's artifact carried one (r9+). */
-  private def priorCalib(repoRoot: String): Option[(String, Double)] = {
-    val rx = "BENCH_r(\\d+)\\.json".r
-    Option(new java.io.File(repoRoot).listFiles).toSeq.flatten
-      .flatMap(fl => fl.getName match {
-        case rx(n) => Some((n.toInt, fl))
-        case _ => None
-      })
-      .sortBy(-_._1).headOption.flatMap { case (_, fl) =>
-        try {
-          val txt = java.nio.file.Files.readString(fl.toPath)
-          """"calib"\s*:\s*\{[^}]*"parallel_s"\s*:\s*([0-9.]+)""".r
-            .findFirstMatchIn(txt)
-            .map(m => fl.getName -> m.group(1).toDouble)
-        } catch { case _: Throwable => None }
-      }
+  /** Parallel calib seconds (and thread count) of the committed
+    * BENCH_r{round}.json — the SAME round whose CORRECTNESS artifact
+    * defines the common-subset query set, so `calib_vs` and `vs` always
+    * name the same round. (Picking the newest BENCH instead would, on an
+    * in-round re-run after the driver wrote the current round's artifact,
+    * silently normalize the run against itself.) Threads ride along
+    * because a parallel calib at a different thread count is a different
+    * workload — the caller must refuse to normalize across a mismatch. */
+  private def priorCalib(repoRoot: String,
+      round: Int): Option[(String, Double, Int)] = {
+    val fl = new java.io.File(repoRoot, s"BENCH_r${"%02d".format(round)}.json")
+    val fl2 = if (fl.exists()) fl else new java.io.File(repoRoot, s"BENCH_r$round.json")
+    if (!fl2.exists()) None
+    else try {
+      val txt = java.nio.file.Files.readString(fl2.toPath)
+      """"calib"\s*:\s*\{[^}]*"parallel_s"\s*:\s*([0-9.]+)[^}]*"threads"\s*:\s*(\d+)""".r
+        .findFirstMatchIn(txt)
+        .map(m => (fl2.getName, m.group(1).toDouble, m.group(2).toInt))
+    } catch { case _: Throwable => None }
   }
 
   /** First three /proc/loadavg fields — recorded in the artifact so a
@@ -188,12 +190,37 @@ object Bench {
     // warmup — the timed pass should start from a clean storage pool
     spark.sharedState.cacheManager.clearCache()
 
+    // Mid-run contention probes (the r9 lesson: a single pre-suite calib
+    // under-corrects when contention arrives DURING the run — loadavg
+    // went 5.8→9.9 after the probe and q1_agg spread 5.6–26.9 s): every
+    // CalibSliceEvery queries, a 1/8-length parallel calib slice is
+    // timed and recorded scaled to full-probe-equivalent seconds (the
+    // xorshift workload is linear in iters, so ×8 makes the series
+    // directly comparable with calib.parallel_s and with prior rounds'
+    // probes). ~9 slices × ~0.15 s across the 167-query suite — noise
+    // against the ~100 s total, decisive for attributing a slow run.
+    val CalibSliceEvery = 20
+    val calibSlices = scala.collection.mutable.ArrayBuffer[Double]()
+    def calibSlice(): Unit = {
+      val iters = CalibIters / 8
+      val pool = (0 until cpus.toInt).map { k =>
+        new Thread(() => { calibSink ^= calibWork(iters, 17L + k) })
+      }
+      val t0 = System.nanoTime()
+      pool.foreach(_.start()); pool.foreach(_.join())
+      calibSlices += (System.nanoTime() - t0) / 1e9 * 8
+      ()
+    }
+
     // Median of several timed passes per query: a single contended pass on
     // a noisy host can misstate an individual query by 3-10×; the median is
     // robust to one bad sample and min/max records the observed spread.
     // Shuffle/spill bytes come from the FIRST timed pass (deterministic
     // per query — the plan doesn't change between passes).
+    var sinceSlice = 0
     val results = ordered.map { case (name, fn) =>
+      if (sinceSlice >= CalibSliceEvery) { calibSlice(); sinceSlice = 0 }
+      sinceSlice += 1
       org.apache.spark.graft.ListenerBridge.flush(spark.sparkContext)
       meter.mark()
       var shufBytes = 0L
@@ -236,9 +263,20 @@ object Bench {
         "\"" + k + "\":{\"cache\":\"" + amortized(k) +
           "\",\"first_pass\":" + f(first) + "}"
     }.mkString("{", ",", "}")
+    calibSlice() // tail probe: cover contention arriving near the end
     val failed = results.collect { case (k, _, _, _, false, _, _, _) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = results.collect { case (_, med, _, _, true, _, _, _) => med }.sum
+    // sum-of-min rides alongside the median total: on a host contended in
+    // bursts the min per query is the closest observable to the uncontended
+    // time, so (total, total_min) bracket the true suite cost
+    val totalMin = results.collect { case (_, _, min, _, true, _, _, _) => min }.sum
+    // current host speed for normalization = median over ALL parallel
+    // probes (pre-suite + mid-run slices)
+    val calibParallelMed = {
+      val all = (calibParallel +: calibSlices.toSeq).sorted
+      all(all.size / 2)
+    }
 
     // Scale-growth audit: shuffle bytes at sfDir vs the warmup sf. A query
     // whose exchange grows FASTER than the data (ratio > 1.5 × data ratio)
@@ -279,37 +317,51 @@ object Bench {
       val v = okMedians.values.toSeq.sorted
       if (v.isEmpty) 0.0 else v(v.size / 2)
     }
-    val prevRound: Option[(String, Set[String])] = {
+    val prevRound: Option[(Int, String, Set[String])] = {
       val rx = "CORRECTNESS_r(\\d+)\\.json".r
       Option(new java.io.File(repoRoot).listFiles).toSeq.flatten
         .flatMap(fl => fl.getName match {
           case rx(n) => Some((n.toInt, fl))
           case _ => None
         })
-        .sortBy(-_._1).headOption.flatMap { case (_, fl) =>
+        .sortBy(-_._1).headOption.flatMap { case (round, fl) =>
           try {
             val txt = java.nio.file.Files.readString(fl.toPath)
             // top-level keys of {"<query>": {…}, …}
             val keys = "\"([A-Za-z0-9_]+)\"\\s*:\\s*\\{".r
               .findAllMatchIn(txt).map(_.group(1)).toSet
-            if (keys.nonEmpty) Some(fl.getName -> keys) else None
+            if (keys.nonEmpty) Some((round, fl.getName, keys)) else None
           } catch { case _: Throwable => None }
         }
     }
+    val okMins = results.collect {
+      case (k, _, min, _, true, _, _, _) => k -> min }.toMap
     val commonJson = prevRound match {
-      case Some((src, keys)) =>
+      case Some((round, src, keys)) =>
         val common = okMedians.view.filterKeys(keys).values
-        // normalized_total = common total rescaled to the PRIOR artifact's
+        val commonMin = okMins.view.filterKeys(keys).values
+        // normalized totals = common totals rescaled to the PRIOR round's
         // host speed via the parallel calib ratio — the single number that
-        // replaces manual control-query archaeology. null until the prior
-        // committed round artifact carries a calib of its own.
-        val norm = priorCalib(repoRoot) match {
-          case Some((calSrc, priorPar)) if calibParallel > 0 =>
+        // replaces manual control-query archaeology. The current host
+        // speed is the MEDIAN over all calib probes (pre-suite + the
+        // mid-run slices), so contention that arrives after the start is
+        // priced in, not just start-of-run state. null until the paired
+        // prior artifact carries a calib, and null (with the reason in
+        // calib_vs) when its thread count differs — a cross-thread-count
+        // calib ratio is not host speed.
+        val norm = priorCalib(repoRoot, round) match {
+          case Some((calSrc, priorPar, priorThreads))
+              if calibParallelMed > 0 && priorThreads == cpus.toInt =>
             s""","calib_vs":"$calSrc","normalized_total":${f(
-              common.sum * priorPar / calibParallel)}"""
-          case _ => ""","calib_vs":null,"normalized_total":null"""
+              common.sum * priorPar / calibParallelMed)},"normalized_total_min":${f(
+              commonMin.sum * priorPar / calibParallelMed)}"""
+          case Some((calSrc, _, priorThreads)) if priorThreads != cpus.toInt =>
+            s""","calib_vs":"$calSrc (threads $priorThreads != ${cpus.toInt}; not comparable)","normalized_total":null,"normalized_total_min":null"""
+          case _ =>
+            ""","calib_vs":null,"normalized_total":null,"normalized_total_min":null"""
         }
-        s"""{"vs":"$src","n":${okMedians.keySet.count(keys)},"total":${f(common.sum)}$norm}"""
+        s"""{"vs":"$src","n":${okMedians.keySet.count(keys)},"total":${f(
+          common.sum)},"total_min":${f(commonMin.sum)}$norm}"""
       case None => "null"
     }
 
@@ -321,10 +373,11 @@ object Bench {
     // much stdout the harness keeps.
     val loadEnd = loadavg()
     val calibJson = s"""{"single_s":${f(calibSingle)},"parallel_s":${f(
-      calibParallel)},"threads":${cpus.toInt}}"""
+      calibParallel)},"threads":${cpus.toInt},"parallel_med":${f(
+      calibParallelMed)},"series":${calibSlices.map(f).mkString("[", ",", "]")}}"""
     val env = s""""passes":$Passes,"failed":$failed,"sf":"$sfDir","loadavg_start":"$loadStart","loadavg_end":"$loadEnd","calib":$calibJson,"data_ratio":${f(dataRatio)},"growth_flagged":$growthFlagged,"amortized":$amortizedJson,"per_query_median":${f(perQueryMedian)},"common_subset":$commonJson"""
-    val compact = s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,$env}"""
-    val full = s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"spread":$spread,"exchange":$shuffle,"growth":$growthJson,$env}"""
+    val compact = s"""{"metric":"total","value":${f(total)},"unit":"sec","total_min":${f(totalMin)},"queries":$qs,$env}"""
+    val full = s"""{"metric":"total","value":${f(total)},"unit":"sec","total_min":${f(totalMin)},"queries":$qs,"spread":$spread,"exchange":$shuffle,"growth":$growthJson,$env}"""
     println(compact)
     try if (only.isEmpty) java.nio.file.Files.writeString(
       java.nio.file.Paths.get(repoRoot, "BENCH_local.json"), full + "\n")

@@ -135,22 +135,31 @@ object Tables {
     }, "graft-spread-store-cleanup"))
   }
 
-  /** Source-table fingerprint (total bytes + newest mtime over the
-    * table's files) folded into the spread-cache key, so a table
-    * rewritten in place within a long-lived JVM gets a fresh spread
-    * copy instead of being served stale. The listing runs only on the
-    * spread path, i.e. only for tables already known to be tiny. */
+  /** Source-table fingerprint folded into the spread-cache key, so a
+    * table rewritten in place within a long-lived JVM gets a fresh
+    * spread copy instead of being served stale. Total bytes + newest
+    * mtime alone are not enough on filesystems with 1 s mtime
+    * granularity (an in-place rewrite preserving the byte total within
+    * the same second would collide), so the file COUNT and a hash over
+    * every (name, length) pair are folded in too — a rewrite that keeps
+    * all of those identical byte-for-byte is indistinguishable from a
+    * no-op at listing level. The listing runs only on the spread path,
+    * i.e. only for tables already known to be tiny. */
   private def sourceFingerprint(spark: SparkSession, path: String): String =
     try {
       val p = new org.apache.hadoop.fs.Path(path)
       val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
       val it = fs.listFiles(p, true)
-      var bytes = 0L; var mtime = 0L
+      var bytes = 0L; var mtime = 0L; var count = 0L; var nameHash = 0L
       while (it.hasNext) {
         val s = it.next()
         bytes += s.getLen; mtime = math.max(mtime, s.getModificationTime)
+        count += 1
+        // order-independent fold (listing order is fs-dependent)
+        nameHash ^= scala.util.hashing.MurmurHash3
+          .stringHash(s"${s.getPath.getName}:${s.getLen}").toLong
       }
-      s"$bytes:$mtime"
+      s"$bytes:$mtime:$count:$nameHash"
     } catch { case scala.util.control.NonFatal(_) => "unknown" }
 
   /** Load with scan parallelism ≥ the session's core count.
@@ -174,8 +183,8 @@ object Tables {
     val target = spark.sparkContext.defaultParallelism
     if (df.rdd.getNumPartitions >= target) df
     else {
-      val key =
-        s"$dir/$name@${sourceFingerprint(spark, s"$dir/$name.parquet")}"
+      val stem = s"$dir/$name"
+      val key = s"$stem@${sourceFingerprint(spark, s"$dir/$name.parquet")}"
       val base = spreadCache.computeIfAbsent(key, _ => {
         val tmpPath = java.nio.file.Files
           .createTempDirectory("graft-spread-store")
@@ -185,7 +194,28 @@ object Tables {
           .parquet(s"$tmp/$name.parquet")
         tmp
       })
+      // a NEW fingerprint for the same (dir, table) supersedes any older
+      // spread copy — delete it eagerly rather than letting full parquet
+      // copies of every superseded rewrite accrete until JVM exit
+      val prevKey = latestKey.put(stem, key)
+      if (prevKey != null && prevKey != key) {
+        Option(spreadCache.remove(prevKey)).foreach { old =>
+          val oldPath = java.nio.file.Paths.get(old)
+          spreadDirs.remove(oldPath)
+          try {
+            import scala.jdk.CollectionConverters._
+            java.nio.file.Files.walk(oldPath).iterator().asScala.toSeq
+              .sortBy(-_.getNameCount)
+              .foreach(p => java.nio.file.Files.deleteIfExists(p))
+          } catch { case scala.util.control.NonFatal(_) => }
+        }
+      }
       load(spark, base, name)
     }
   }
+
+  /** Newest spread-cache key per (dir, table) — the lookup that lets a
+    * fresh fingerprint evict its predecessor's on-disk copy. */
+  private val latestKey =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
 }

@@ -85,11 +85,16 @@ object GrowthSpan {
 
   private final class Meter extends SparkListener {
     private val bytes = new java.util.concurrent.atomic.AtomicLong
+    private val records = new java.util.concurrent.atomic.AtomicLong
     override def onStageCompleted(sc: SparkListenerStageCompleted): Unit = {
       val m = sc.stageInfo.taskMetrics
-      if (m != null) { bytes.addAndGet(m.shuffleWriteMetrics.bytesWritten); () }
+      if (m != null) {
+        bytes.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+        records.addAndGet(m.shuffleWriteMetrics.recordsWritten)
+        ()
+      }
     }
-    def mark(): Long = bytes.getAndSet(0L)
+    def mark(): (Long, Long) = (bytes.getAndSet(0L), records.getAndSet(0L))
   }
 
   /** Replicate one source table `copies`× with copy-distinct keys. */
@@ -190,11 +195,11 @@ object GrowthSpan {
           }
         val ok = run()
         org.apache.spark.graft.ListenerBridge.flush(spark.sparkContext)
-        val b = meter.mark()
+        val (b, recs) = meter.mark()
         val t0 = System.nanoTime()
         val ok2 = ok && run()
         val sec = if (ok2) (System.nanoTime() - t0) / 1e9 else -1.0
-        tag -> ((if (ok) b else -1L, sec))
+        tag -> ((if (ok) b else -1L, if (ok) recs else -1L, sec))
       }.toMap
       // clear any memoized working sets between corpora
       spark.sharedState.cacheManager.clearCache()
@@ -205,13 +210,24 @@ object GrowthSpan {
     // candidate pairs) per sf, so the exchange decades decompose into
     // n × bands × candidate factors a reader can check against the
     // adjudication text instead of trusting it.
+    // Each per-dir probe is individually guarded: the unthresholded
+    // candidate count is strictly heavier than the measured d5 query, and
+    // a failure there (e.g. OOM at sf1ish) must cost only that one lsh
+    // cell — never the whole sweep's artifact (every measured run above
+    // is error-guarded the same way).
     val d5Diag: Option[String] =
       if (!names.contains("d5_embedding_neardup")) None
       else Some(dirs.map { case (tag, d) =>
-        val (n, bits, bands, cands) =
-          graft.dedup.DedupQueries.d5Diagnostics(spark, d)
-        spark.sharedState.cacheManager.clearCache()
-        s""""$tag":{"n":$n,"eff_bits":$bits,"eff_bands":$bands,"cand_pairs":$cands}"""
+        val cell =
+          try {
+            val (n, bits, bands, cands) =
+              graft.dedup.DedupQueries.d5Diagnostics(spark, d)
+            s"""{"n":$n,"eff_bits":$bits,"eff_bands":$bands,"cand_pairs":$cands}"""
+          } catch { case e: Throwable =>
+            System.err.println(s"[span] d5Diagnostics failed on $tag: ${e.getMessage}")
+            "null"
+          } finally spark.sharedState.cacheManager.clearCache()
+        s""""$tag":$cell"""
       }.mkString("{", ",", "}"))
 
     def f(v: Double): String = "%.3f".format(v)
@@ -221,12 +237,26 @@ object GrowthSpan {
     // below this base, a wall-time ratio reads fixed overhead (driver
     // planning, task launch), not data work — report null, never flag
     val MinSec = 0.25
+    // min shuffle RECORDS for a record-growth ratio to mean anything
+    // (mirrors MinBytes: a ratio over a handful of driver-side rows is
+    // noise, not growth)
+    val MinRecs = 1000L
     val entries = results.map { case (name, runs) =>
       val sh = runs.view.mapValues(_._1).toMap
-      val tm = runs.view.mapValues(_._2).toMap
+      val rc = runs.view.mapValues(_._2).toMap
+      val tm = runs.view.mapValues(_._3).toMap
       def ratio(a: String, b: String): Option[Double] = {
         val (x, y) = (sh(a), sh(b))
         if (x >= MinBytes && y >= 0) Some(y.toDouble / x) else None
+      }
+      // record-growth decades: bytes confound row growth with per-row
+      // compressibility (lz4 over jittered copies compresses worse than
+      // over the originals), so a byte flag with a LINEAR record decade
+      // is a compression artifact, not a plan problem — this column is
+      // what separates the two without a manual stage autopsy
+      def rRatio(a: String, b: String): Option[Double] = {
+        val (x, y) = (rc(a), rc(b))
+        if (x >= MinRecs && y >= 0) Some(y.toDouble / x) else None
       }
       def tRatio(a: String, b: String): Option[Double] = {
         val (x, y) = (tm(a), tm(b))
@@ -234,6 +264,8 @@ object GrowthSpan {
       }
       val g1 = ratio("sf0.01", "sf0.1")
       val g2 = ratio("sf0.1", "sf1ish")
+      val c1 = rRatio("sf0.01", "sf0.1")
+      val c2 = rRatio("sf0.1", "sf1ish")
       val t1 = tRatio("sf0.01", "sf0.1")
       val t2 = tRatio("sf0.1", "sf1ish")
       val flag = g1.exists(_ > 1.5 * r1) || g2.exists(_ > 1.5 * r2)
@@ -244,6 +276,10 @@ object GrowthSpan {
           sh("sf0.1") / 1048576.0)},"sf1ish":${f(sh("sf1ish") / 1048576.0)}},""" +
           s""""decade1":${g1.map(f).getOrElse("null")},"decade2":${g2.map(f)
             .getOrElse("null")},"flagged":$flag,""" +
+          s""""recs":{"sf0.01":${rc("sf0.01")},"sf0.1":${rc("sf0.1")},"sf1ish":${
+            rc("sf1ish")}},""" +
+          s""""rec_decade1":${c1.map(f).getOrElse("null")},"rec_decade2":${c2
+            .map(f).getOrElse("null")},""" +
           s""""sec":{"sf0.01":${f(tm("sf0.01"))},"sf0.1":${f(tm("sf0.1"))},"sf1ish":${f(
             tm("sf1ish"))}},""" +
           s""""time_decade1":${t1.map(f).getOrElse("null")},"time_decade2":${t2

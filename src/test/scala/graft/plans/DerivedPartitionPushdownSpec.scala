@@ -148,6 +148,78 @@ class DerivedPartitionPushdownSpec extends SparkSpec {
     assert(df.count() == 7)
   }
 
+  test("sidecar over an unpartitioned layout does not fire (no day dirs to check)") {
+    val dir = java.nio.file.Files.createTempDirectory("dpp-meta-flat").toString
+    val path = s"$dir/t"
+    val session = spark
+    import session.implicits._
+    // event_day is a DATA column (no hive-style dayCol= directories) and
+    // NOT derived from ts — a left-behind contract over a table whose
+    // layout was flattened by a rewrite. The spot-check finds no
+    // dayCol= directory and must fail closed; a misfire would inject an
+    // event_day bound that drops rows.
+    (0 until 10).map(i => (i.toLong * NsPerDay, s"2030-05-${10 + i}"))
+      .toDF("ts", "event_day")
+      .write.parquet(path)
+    DerivedPartitions.persist(path, spark.sessionState.newHadoopConf())
+    val df = spark.read.parquet(path).filter(col("ts") >= 3 * NsPerDay)
+    val filterConds = df.queryExecution.optimizedPlan.collect {
+      case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
+        f.condition.toString
+    }
+    assert(filterConds.forall(!_.contains("event_day")), filterConds)
+    assert(df.count() == 7)
+  }
+
+  test("sidecar over a stats-less parquet file does not fire (nothing to vouch)") {
+    val dir = java.nio.file.Files.createTempDirectory("dpp-meta-nostat").toString
+    val path = s"$dir/t"
+    val session = spark
+    import session.implicits._
+    // derivation actually HOLDS here, but the footer carries no column
+    // statistics to verify it with — the spot-check must stay fail-closed
+    // (absence of evidence is not a pass), costing only the pruning
+    (0 until 40).map { i =>
+      val ts = (i / 4).toLong * NsPerDay + (i % 4).toLong * (NsPerDay / 4)
+      (i.toLong, ts)
+    }.toDF("id", "ts")
+      .withColumn("event_day",
+        date_add(to_date(lit("1970-01-01")),
+          expr(s"cast(ts div $NsPerDay as int)")))
+      .write.option("parquet.column.statistics.enabled", "false")
+      .partitionBy("event_day").parquet(path)
+    // precondition: the writer really dropped the ts stats (else this
+    // test silently degrades into the happy path)
+    locally {
+      val fs = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(spark.sessionState.newHadoopConf())
+      val file = fs.listStatus(new org.apache.hadoop.fs.Path(path)).iterator
+        .filter(s => s.isDirectory && s.getPath.getName.startsWith("event_day="))
+        .flatMap(d => fs.listStatus(d.getPath).iterator)
+        .find(s => s.isFile && s.getPath.getName.endsWith(".parquet")).get
+      val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+          file.getPath, fs.getConf))
+      try {
+        import scala.jdk.CollectionConverters._
+        val tsStats = reader.getFooter.getBlocks.asScala
+          .flatMap(_.getColumns.asScala)
+          .filter(_.getPath.toDotString == "ts").map(_.getStatistics)
+        assert(tsStats.forall(s => s == null || s.isEmpty),
+          s"precondition failed: writer kept ts statistics ($tsStats)")
+      } finally reader.close()
+    }
+    DerivedPartitions.persist(path, spark.sessionState.newHadoopConf())
+    val df = spark.read.parquet(path)
+      .filter(col("ts") >= 2 * NsPerDay && col("ts") < 5 * NsPerDay)
+    val pf = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+      .linesIterator.find(_.trim.startsWith("PartitionFilters"))
+    assert(pf.forall(l => !l.contains(">=") && !l.contains("<=")),
+      pf.getOrElse(""))
+    assert(df.count() == 12)
+  }
+
   test("no-fire: unregistered path with identical column names") {
     val dir = java.nio.file.Files.createTempDirectory("dpp-noreg").toString
     val path = s"$dir/t"

@@ -94,7 +94,11 @@ object Bench {
     val fl2 = if (fl.exists()) fl else new java.io.File(repoRoot, s"BENCH_r$round.json")
     if (!fl2.exists()) None
     else try {
-      val txt = java.nio.file.Files.readString(fl2.toPath)
+      // the driver's round artifact embeds the bench stdout line inside a
+      // JSON "tail" STRING, so the calib object arrives with escaped
+      // quotes (\"calib\":…) — unescape before matching, which also
+      // leaves a plain BENCH_local-style artifact unchanged
+      val txt = java.nio.file.Files.readString(fl2.toPath).replace("\\\"", "\"")
       """"calib"\s*:\s*\{[^}]*"parallel_s"\s*:\s*([0-9.]+)[^}]*"threads"\s*:\s*(\d+)""".r
         .findFirstMatchIn(txt)
         .map(m => (fl2.getName, m.group(1).toDouble, m.group(2).toInt))

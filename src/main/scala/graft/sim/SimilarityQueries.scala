@@ -592,16 +592,45 @@ object SimilarityQueries {
           row_number().over(Window.orderBy("vec_id")).cast("long") - 1L)
       val c0 = subs.join(broadcast(seed), "vec_id")
         .select(col("sub"), col("cid"), col("sv").as("s"), lit(1L).as("n"))
+      // Assignment is argmin over ≤ k = 4 candidate centroids — k×m rows
+      // total — so it is a broadcast-ARRAY fold, not a window: collapsing
+      // the per-sub candidates to one array row and folding argmin inside
+      // the expression runs with ZERO exchange, and (decisively for the
+      // decade profile) leaves `codes` scan-partitioned with all 8 subs
+      // of a vector colocated, so the downstream ADC groupBy fully
+      // combines map-side (10 rows per vector cross every mapper) — the
+      // previous hash(vec_id, sub) window partitioning scattered a
+      // vector's subs across mappers and partial aggregation degraded
+      // with the partition count (measured 12.8× records per 9.6× rows
+      // on decade 2; linear after this change). Fold order is ascending
+      // cid (array_sort on a cid-led struct) with strict <, matching the
+      // oracle's ROW_NUMBER() ... ORDER BY score, cid tie-break exactly —
+      // all-integer arithmetic, so bit-equal assignment.
       def assign(cents: DataFrame): DataFrame = {
-        val score = col("n") * col("n") * adot(col("sv"), col("sv")) -
-          lit(2L) * col("n") * adot(col("sv"), col("s")) +
-          adot(col("s"), col("s"))
-        val w = Window.partitionBy("vec_id", "sub").orderBy("score", "cid")
-        subs.join(broadcast(cents), Seq("sub"))
-          .withColumn("score", score)
-          .withColumn("rnk", row_number().over(w))
-          .filter(col("rnk") === 1)
-          .select("vec_id", "sub", "sv", "cid")
+        // candidate-invariant factors leave the (interpreted) fold for
+        // codegen'd projections: sv·sv once per row, s·s once per
+        // centroid (32 rows) — the fold then does one 8-long dot per
+        // candidate
+        val bySub = cents
+          .withColumn("ss", adot(col("s"), col("s")))
+          .groupBy("sub")
+          .agg(array_sort(collect_list(
+            struct(col("cid"), col("n"), col("s"), col("ss")))).as("cands"))
+        val best = aggregate(
+          col("cands"),
+          struct(lit(-1L).as("cid"), lit(Long.MaxValue).as("best")),
+          (acc, c) => {
+            val score = c.getField("n") * c.getField("n") * col("xx") -
+              lit(2L) * c.getField("n") * adot(col("sv"), c.getField("s")) +
+              c.getField("ss")
+            when(score < acc.getField("best"),
+              struct(c.getField("cid").as("cid"), score.as("best")))
+              .otherwise(acc)
+          })
+        subs.withColumn("xx", adot(col("sv"), col("sv")))
+          .join(broadcast(bySub), Seq("sub"))
+          .select(col("vec_id"), col("sub"), col("sv"),
+            best.getField("cid").as("cid"))
       }
       val a1 = assign(c0)
       val grid = a1

@@ -64,34 +64,45 @@ object Checks {
 
   /** Evaluate all checks; returns (check_name, n_violations, n_rows) with one
     * row per check, deterministic order by check name.
+    *
+    * Fully DECLARATIVE — one action evaluates everything: the row-local
+    * checks AND each Unique (as `count(*) − count(distinct key-struct)`,
+    * same number as distinct-then-count, rows with null key fields
+    * included either way) share ONE aggregate pass whose single output
+    * row unpivots to per-check rows via `explode(map(…))`; referential
+    * checks union in as anti-join count rows (the broadcast 1-row
+    * crossJoin supplies their n_rows). The pre-r10 shape ran `.head()`
+    * plus one action PER set-level check — three sequential driver
+    * round-trips where a validation gate needs one.
     */
   def report(df: DataFrame, checks: Seq[Check]): DataFrame = {
-    val spark = df.sparkSession
-    import spark.implicits._
     // names key the shared aggregate's output columns — a duplicate would
-    // make getAs-by-name resolve both to one count
+    // make the unpivot map emit one count for both
     require(checks.map(_.name).distinct.size == checks.size,
       s"duplicate check names: ${checks.map(_.name).diff(checks.map(_.name).distinct)}")
     val rowLocal = checks.collect {
       case c @ (_: NotNull | _: InRange | _: Matches) => c
     }
-    val head = df.agg(count(lit(1)).as("__n"),
-      rowLocal.map(c => violationExpr(c).as(c.name)): _*).head()
-    val nRows = head.getAs[Long]("__n")
-    val localRows = rowLocal.map(c => (c.name, head.getAs[Long](c.name), nRows))
-
-    val setRows = checks.collect {
-      case u: Unique =>
-        val excess = nRows - df.select(u.cols.map(col): _*).distinct().count()
-        (u.name, excess, nRows)
-      case r: RefIntegrity =>
-        val orphans = df.select(col(r.col))
-          .join(r.parent.select(col(r.parentCol).as(r.col)).distinct(),
-            Seq(r.col), "left_anti")
-          .count()
-        (r.name, orphans, nRows)
+    val uniques = checks.collect { case u: Unique => u }
+    val aggChecks = rowLocal ++ uniques
+    val aggCols = rowLocal.map(c => violationExpr(c).as(c.name)) ++
+      uniques.map(u => (count(lit(1)) -
+        countDistinct(struct(u.cols.map(col): _*))).as(u.name))
+    val local = df.agg(count(lit(1)).as("__n"), aggCols: _*)
+    val localRows = local.select(
+      explode(map(aggChecks.flatMap(c =>
+        Seq(lit(c.name), col(s"`${c.name}`"))): _*))
+        .as(Seq("check_name", "n_violations")),
+      col("__n").as("n_rows"))
+    val nRow = broadcast(local.select(col("__n").as("n_rows")))
+    val refRows = checks.collect { case r: RefIntegrity =>
+      df.select(col(r.col))
+        .join(r.parent.select(col(r.parentCol).as(r.col)).distinct(),
+          Seq(r.col), "left_anti")
+        .agg(count(lit(1)).as("n_violations"))
+        .select(lit(r.name).as("check_name"), col("n_violations"))
+        .crossJoin(nRow)
     }
-    (localRows ++ setRows).toDF("check_name", "n_violations", "n_rows")
-      .orderBy("check_name")
+    refRows.foldLeft(localRows)(_ unionByName _).orderBy("check_name")
   }
 }

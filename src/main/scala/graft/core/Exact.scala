@@ -29,15 +29,76 @@ object Exact {
   val Scale = 4
   private val Dec = DecimalType(30, Scale)
 
+  /** Split-long accumulator base. A scale-4 value splits per row into
+    * `hi = u div 1e6` and `lo = u % 1e6` of its scaled-integer
+    * `u = value·10⁴`; both halves SUM as plain longs (codegen'd,
+    * map-side combined — no per-row BigDecimal in the aggregation
+    * buffer, measured ~2× faster than summing Decimal(30,4), whose
+    * 40-digit sum buffer leaves Spark's compact-long decimal path) and
+    * recombine exactly: `Σu = (Σhi)·1e6 + Σlo` because Java-truncating
+    * `div`/`%` satisfy `u = (u div b)·b + (u % b)` for every sign, and
+    * each half's sum is exact integer arithmetic far from Long range
+    * (per row |lo| < 1e6 and |hi| ≤ 9.2e8, so ~9e12 rows per GROUP
+    * before either half could overflow — 100 TB-safe; the recombination
+    * runs in Decimal(38) on one tiny row per group). */
+  private val SplitBase = 1000000L
+
+  /** Per-row scaled-integer value: round-half-up(c·10^scale) as a LONG,
+    * through the SAME `cast(DecimalType(30, scale))` as the wide path —
+    * the rounding is bit-identical by construction. Envelope: per-row
+    * |c| < Long.MaxValue/10^scale (9.2e14 at scale 4, 9.2e12 at scale
+    * 6); beyond that the long cast FAILS LOUDLY under the session's
+    * default ANSI semantics (CAST_OVERFLOW — never a silent wrong sum),
+    * so callers summing columns that can exceed it (sum-of-SQUARES
+    * shapes over ~1e9-magnitude spans do; no money/rate/quantity column
+    * does — they sit ≥ 6 orders below) must use [[dsumWide]]. */
+  private def scaledLong(c: Column, scale: Int): Column =
+    (c.cast(DecimalType(30, scale)) * lit(math.pow(10, scale).toLong))
+      .cast(org.apache.spark.sql.types.LongType)
+
+  private def intDiv(a: Column, b: Long): Column = {
+    import org.apache.spark.sql.catalyst.expressions.IntegralDivide
+    import org.apache.spark.sql.graft.ColumnBridge
+    ColumnBridge.column(IntegralDivide(
+      ColumnBridge.expression(a), ColumnBridge.expression(lit(b))))
+  }
+
+  /** The exact SUM of `c` at `scale`, reassembled from the split-long
+    * sums; value-identical (hence bit-identical after any cast) to
+    * `sum(c.cast(DecimalType(30, scale)))`. Null when the group has no
+    * non-null rows — both halves' sums are null together, and the
+    * recombination propagates it — matching plain SUM. */
+  private def splitSum(c: Column, scale: Int = Scale): Column = {
+    val u = scaledLong(c, scale)
+    (sum(intDiv(u, SplitBase)).cast(DecimalType(38, 0)) * lit(SplitBase) +
+      sum(u % SplitBase)).cast(DecimalType(38, scale)) /
+      lit(math.pow(10, scale).toLong)
+  }
+
   /** Order-independent SUM over a double expression. */
-  def dsum(c: Column): Column = sum(c.cast(Dec)).cast(DoubleType)
+  def dsum(c: Column): Column = splitSum(c).cast(DoubleType)
+
+  /** Order-independent SUM via a Decimal(30,4) accumulator — the wide
+    * path for values outside [[scaledLong]]'s ±9.2e14 per-row envelope.
+    * Same result as [[dsum]] inside the envelope, a few× slower. */
+  def dsumWide(c: Column): Column = sum(c.cast(Dec)).cast(DoubleType)
+
+  /** Order-independent SUM of an already-exact DECIMAL expression at an
+    * explicit scale (money products are scale 4; the ·(1+tax) charge
+    * shape is scale 6) — value-identical to `sum(c).cast(DoubleType)`
+    * when `c`'s values carry at most `scale` fractional digits, through
+    * the same split-long accumulator as [[dsum]]. */
+  def dsumScaled(c: Column, scale: Int): Column =
+    splitSum(c, scale).cast(DoubleType)
 
   /** Two-phase exact sum, phase 1: partial sum that KEEPS the decimal
     * accumulator, so a downstream re-aggregation ([[dsumMerge]]) is still
     * associative — the pair lets a query pre-aggregate at a finest
     * grouping and roll the (tiny) intermediate up to coarser groupings
-    * without ever summing doubles. */
-  def dsumPartial(c: Column): Column = sum(c.cast(Dec))
+    * without ever summing doubles. (Internally the split-long sums do
+    * the heavy per-row work; the decimal only materializes once per
+    * finest-group row.) */
+  def dsumPartial(c: Column): Column = splitSum(c).cast(Dec)
 
   /** Two-phase exact sum, phase 2: merge [[dsumPartial]] results and
     * surface the public double. */

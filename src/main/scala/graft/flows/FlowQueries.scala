@@ -73,7 +73,10 @@ object FlowQueries {
       val v  = col("span_ms")
       val n  = count(lit(1))
       val sm = dsum(v)
-      val sq = dsum(v * v)
+      // spans are ~1e9 ms, so their SQUARES (~1e18) sit outside dsum's
+      // split-long envelope (|x| < 9.2e14) — the sum of squares takes
+      // the wide Decimal(30,4) accumulator; the plain sum stays fast
+      val sq = Exact.dsumWide(v * v)
       spans.groupBy("cohort")
         .agg(n.as("n"), (sm / n).as("mean_ms"),
           expr("percentile(span_ms, 0.5)").as("p50_ms"),
@@ -243,7 +246,10 @@ object FlowQueries {
       val v = col("span_ms")
       val n = count(lit(1))
       val sm = dsum(v)
-      val sq = dsum(v * v)
+      // spans are ~1e9 ms, so their SQUARES (~1e18) sit outside dsum's
+      // split-long envelope (|x| < 9.2e14) — the sum of squares takes
+      // the wide Decimal(30,4) accumulator; the plain sum stays fast
+      val sq = Exact.dsumWide(v * v)
       val stats = spans.groupBy("cohort")
         .agg((sm / n).as("mean_ms"),
           sqrt((sq - sm * sm / n) / (n - lit(1))).as("std_ms"))

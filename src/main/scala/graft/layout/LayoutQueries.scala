@@ -74,9 +74,8 @@ object LayoutQueries {
       bucketedJoin(s, dir)
         .groupBy("o_orderpriority")
         .agg(count(lit(1)).as("n_lines"),
-          sum(Exact.money(col("l_extendedprice")) *
-            Exact.money(lit(1.0) - col("l_discount")))
-            .cast(DoubleType).as("revenue"))
+          Exact.dsumScaled(Exact.money(col("l_extendedprice")) *
+            Exact.money(lit(1.0) - col("l_discount")), 4).as("revenue"))
         .orderBy("o_orderpriority"),
     Some(s"""
       SELECT o_orderpriority, COUNT(*) AS n_lines,
@@ -127,9 +126,8 @@ object LayoutQueries {
       fact.join(dim, Seq("ship_month"))
         .groupBy("ship_month")
         .agg(count(lit(1)).as("n_lines"),
-          sum(Exact.money(col("l_extendedprice")) *
-            Exact.money(lit(1.0) - col("l_discount")))
-            .cast(DoubleType).as("revenue"))
+          Exact.dsumScaled(Exact.money(col("l_extendedprice")) *
+            Exact.money(lit(1.0) - col("l_discount")), 4).as("revenue"))
         .orderBy("ship_month")
     },
     Some(s"""
@@ -200,7 +198,7 @@ object LayoutQueries {
         .groupBy("event_type")
         .agg(count(lit(1)).as("n"),
           countDistinct(col("user_id")).as("users"),
-          sum(Exact.money(col("value"))).cast(DoubleType).as("total_value"))
+          Exact.dsumScaled(Exact.money(col("value")), 2).as("total_value"))
         .orderBy("event_type")
     },
     Some(s"""

@@ -57,8 +57,9 @@ object EventQueries {
     (s, dir) => {
       val ev = Tables.load(s, dir, "events")
       def n(t: String)   = count(when(col("event_type") === t, 1)).as(s"n_$t")
-      def amt(t: String) = sum(money(when(col("event_type") === t, col("value"))))
-        .cast(DoubleType).as(s"amt_$t")
+      def amt(t: String) = Exact
+        .dsumScaled(money(when(col("event_type") === t, col("value"))), 2)
+        .as(s"amt_$t")
       ev.groupBy("user_id")
         .agg(n("click"), n("view"), n("signup"), n("purchase"), n("error"),
           amt("purchase"), amt("click"))
@@ -118,7 +119,7 @@ object EventQueries {
         .withColumn("hr", expr(s"ts div ${NsPerHour}L"))
         .groupBy("hr")
         .agg(count(lit(1)).as("n"),
-          sum(money(col("value"))).cast(DoubleType).as("total_value"))
+          Exact.dsumScaled(money(col("value")), 2).as("total_value"))
         .orderBy("hr"),
     Some(s"""
       SELECT epoch_ns(ts) // ${NsPerHour} AS hr, COUNT(*) AS n,
@@ -849,7 +850,7 @@ object EventQueries {
             .otherwise(lit("direct")))
         .groupBy("channel")
         .agg(count(lit(1)).as("n"),
-          sum(money(col("value"))).cast(DoubleType).as("revenue"))
+          Exact.dsumScaled(money(col("value")), 2).as("revenue"))
         .orderBy("channel")
     },
     Some(s"""
@@ -1066,39 +1067,63 @@ object EventQueries {
     * on both engines; the only non-dyadic step is the final single /200
     * display division, one IEEE op on both sides.
     *
-    * Scale: both medians use [[graft.core.Ranks.valueBucketed]] (value-
-    * cell counts + broadcast offsets, two fully-parallel passes) — NOT a
-    * per-group percentile/window whose reducer collects the whole group;
-    * rank selection then touches 2 rows per group. Same discipline as
-    * q31/q47, applied twice in sequence.
+    * Scale: value is 2-decimal money in [0, 1000], so the half-cent
+    * grid c2 = value·200 has a DOMAIN-bounded support — ≤ 200,001
+    * distinct cells per event type at ANY corpus size. Both medians
+    * therefore come from ONE (type, c2) frequency aggregate (map-side
+    * combined; the only pass over the fact table): a running-count
+    * window over the tiny frequency table locates the two target order
+    * statistics per type (the value at rank r is the first cell whose
+    * cumulative count reaches r), the deviation distribution is the
+    * frequency table re-keyed by |c2 − med| (never the fact rows), and
+    * the anomaly count is a frequency-weighted sum. Every exchange
+    * after the scan moves ≤ |domain|·|types| rows — state bounded by
+    * the DOMAIN, not the data, which is what lets the per-type window
+    * hold at 100 TB where a per-row rank window would collapse one
+    * type onto one reducer. (Contrast q31/q47: l_extendedprice is
+    * data-bounded — hundreds of thousands of distinct values and
+    * growing with sf — so they keep the orderStatistics counts-pass
+    * discipline instead.)
     */
   val q57MadAnomaly: QueryDef = QueryDef(
     "q57_mad_anomaly",
     (s, dir) => {
-      // exact medians via orderStatistics (counts + target-cell ranking,
-      // never a full shuffle; at p=0.5 the interpolated midpoint equals
-      // the two-order-statistic average bit-for-bit on these dyadics)
-      def medianOf(df: org.apache.spark.sql.DataFrame, v: String,
-          out: String) =
-        graft.core.Ranks.orderStatistics(df, "event_type", v, buckets = 64,
-            vLo = 0.0, vHi = 100000.0, ps = Seq(0.5))
-          .select(col("g").as("event_type"), col("q").as(out))
+      import org.apache.spark.sql.DataFrame
       val ev = Tables.load(s, dir, "events")
         .select(col("event_type"),
           (money(col("value")) * 200).cast("long").as("c2"))
-      val med = medianOf(ev.withColumn("v", col("c2").cast("double")),
-        "v", "med2")
-      val dev = ev.join(broadcast(med), Seq("event_type"))
+      val freq = ev.groupBy("event_type", "c2").agg(count(lit(1)).as("cnt"))
+      // exact median of the distribution {v: weight cnt}: the mean of the
+      // order statistics at ranks (n+1)//2 and (n+2)//2 — bit-equal to
+      // the oracle's SUM/COUNT over the two ROW_NUMBER targets (integer-
+      // valued doubles; the midpoint of equal values is the value)
+      def medianFromFreq(f: DataFrame, v: String, out: String): DataFrame = {
+        val cum = f
+          .withColumn("cum", sum(col("cnt")).over(
+            Window.partitionBy("event_type").orderBy(v)))
+          .withColumn("n", sum(col("cnt")).over(
+            Window.partitionBy("event_type")))
+          .withColumn("lo_r", expr("(n + 1) div 2"))
+          .withColumn("hi_r", expr("(n + 2) div 2"))
+        def at(r: String) = max(when(
+          col("cum") - col("cnt") < col(r) && col(r) <= col("cum"),
+          col(v).cast("double")))
+        cum.groupBy("event_type")
+          .agg(((at("lo_r") + at("hi_r")) / 2.0).as(out))
+      }
+      val med = medianFromFreq(freq, "c2", "med2")
+      val devFreq = freq.join(broadcast(med), Seq("event_type"))
         .withColumn("dev2", abs(col("c2").cast("double") - col("med2")))
-      val mad = medianOf(dev.select(col("event_type"), col("dev2")),
-        "dev2", "mad2")
-      dev.join(broadcast(mad), Seq("event_type"))
+        .groupBy("event_type", "dev2")
+        .agg(sum(col("cnt")).as("cnt"), max(col("med2")).as("med2"))
+      val mad = medianFromFreq(devFreq, "dev2", "mad2")
+      devFreq.join(broadcast(mad), Seq("event_type"))
         .groupBy("event_type")
-        .agg(count(lit(1)).as("n"),
+        .agg(sum(col("cnt")).as("n"),
           (max(col("med2")) / 200.0).as("med"),
           (max(col("mad2")) / 200.0).as("mad"),
-          sum(when(col("dev2") > lit(3.0) * col("mad2"), 1L).otherwise(0L))
-            .as("n_anomalies"))
+          sum(when(col("dev2") > lit(3.0) * col("mad2"), col("cnt"))
+            .otherwise(0L)).as("n_anomalies"))
         .orderBy("event_type")
     },
     Some(s"""
@@ -1154,7 +1179,7 @@ object EventQueries {
           .filter(col("ts") >= lo && col("ts") < hi)
           .groupBy("event_type")
           .agg(count(lit(1)).as("n"),
-            sum(money(col("value"))).cast(DoubleType).as("total_value"),
+            Exact.dsumScaled(money(col("value")), 2).as("total_value"),
             countDistinct(col("user_id")).as("users"))
           .orderBy("event_type"),
       Some(s"""

@@ -36,7 +36,7 @@ object JoinQueries {
       cust.join(ord, col("c_custkey") === col("o_custkey"))
         .join(li, col("o_orderkey") === col("l_orderkey"))
         .groupBy(col("l_orderkey"), col("o_orderdate"))
-        .agg(sum(revenue).cast(DoubleType).as("revenue"))
+        .agg(Exact.dsumScaled(revenue, 4).as("revenue"))
         .orderBy(col("revenue").desc, col("l_orderkey"))
         .limit(10)
     },
@@ -108,7 +108,7 @@ object JoinQueries {
         .join(nat, col("s_nationkey") === col("n_nationkey"))
         .join(reg, col("n_regionkey") === col("r_regionkey"))
         .groupBy("n_name")
-        .agg(sum(revenue).cast(DoubleType).as("revenue"))
+        .agg(Exact.dsumScaled(revenue, 4).as("revenue"))
         .orderBy("n_name")
     },
     Some(s"""
@@ -142,7 +142,7 @@ object JoinQueries {
         discriminator = col("o_orderkey"), salts = 8)
         .groupBy("c_nationkey")
         .agg(count(lit(1)).as("n_orders"),
-          sum(money(col("o_totalprice"))).cast(DoubleType).as("total"))
+          Exact.dsumScaled(money(col("o_totalprice")), 2).as("total"))
         .orderBy("c_nationkey"),
     Some(s"""
       SELECT c_nationkey, COUNT(*) AS n_orders,
@@ -241,8 +241,8 @@ object JoinQueries {
       li.join(ord, col("l_orderkey") === col("o_orderkey"))
         .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
         .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
-        .agg(sum(money(col("l_extendedprice")) *
-          money(lit(1.0) - col("l_discount"))).cast(DoubleType).as("revenue"))
+        .agg(Exact.dsumScaled(money(col("l_extendedprice")) *
+          money(lit(1.0) - col("l_discount")), 4).as("revenue"))
         .orderBy(col("revenue").desc, col("o_orderkey"))
         .limit(10)
     },
@@ -316,7 +316,7 @@ object JoinQueries {
     (s, dir) => {
       val perPart = Tables.load(s, dir, "lineitem")
         .groupBy("l_partkey")
-        .agg(sum(Exact.money(col("l_extendedprice"))).as("val_dec"))
+        .agg(Exact.dsumPartial(col("l_extendedprice")).as("val_dec"))
       val total = perPart.agg(sum(col("val_dec")).as("tot_dec"),
         count(lit(1)).as("n_parts"))
       perPart.crossJoin(broadcast(total))

@@ -35,8 +35,8 @@ object RelationalQueries {
         .agg(
           dsum(col("l_quantity")).as("sum_qty"),
           dsum(col("l_extendedprice")).as("sum_base_price"),
-          sum(disc).cast(DoubleType).as("sum_disc_price"),
-          sum(charge).cast(DoubleType).as("sum_charge"),
+          Exact.dsumScaled(disc, 4).as("sum_disc_price"),
+          Exact.dsumScaled(charge, 6).as("sum_charge"),
           davg(col("l_quantity")).as("avg_qty"),
           davg(col("l_extendedprice")).as("avg_price"),
           davg(col("l_discount")).as("avg_disc"),
@@ -347,7 +347,7 @@ object RelationalQueries {
           money(col("o_totalprice")).as("p"))
         .groupBy("y", "m")
         .agg(count(lit(1)).as("n"), max(col("d")).as("max_day"),
-          sum(col("p")).cast(DoubleType).as("total"))
+          Exact.dsumScaled(col("p"), 2).as("total"))
         .orderBy("y", "m"),
     Some(s"""
       SELECT EXTRACT(YEAR FROM o_orderdate) AS y,

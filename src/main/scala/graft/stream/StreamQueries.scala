@@ -35,7 +35,10 @@ object StreamQueries {
     })
 
   /** st1: watermarked tumbling-window counts/sums per event type, fed by
-    * an 8-file replay, one file per micro-batch. Complete-mode memory
+    * a 4-file replay, two files per micro-batch (st2 rationale: a
+    * bounded replay's dominant cost is per-trigger machinery — plan,
+    * state commit, sink update — and two triggers already exercise the
+    * cross-trigger state merge the spec pins). Complete-mode memory
     * sink: the final table equals the batch aggregation over the same
     * rows EXACTLY — the value sum takes the decimal detour (order-free
     * across state merges), the window start is epoch-hour-aligned
@@ -50,14 +53,14 @@ object StreamQueries {
     (s, dir) => {
       val batch = Tables.load(s, dir, "events") // ts normalized to ns-long
       val src = s.readStream.schema(batch.schema)
-        .option("maxFilesPerTrigger", "1")
+        .option("maxFilesPerTrigger", "2")
         .parquet(splitEvents(s, dir))
       val agg = src
         .withColumn("event_time", timestamp_micros(expr("ts div 1000")))
         .withWatermark("event_time", "30 days")
         .groupBy(window(col("event_time"), "1 hour"), col("event_type"))
         .agg(count(lit(1)).as("n"),
-          sum(Exact.money(col("value"))).cast(DoubleType).as("total_value"))
+          Exact.dsumScaled(Exact.money(col("value")), 2).as("total_value"))
       val sink = "st1_sink_" +
         java.util.UUID.randomUUID.toString.replace("-", "")
       // ~3.6k window×type groups don't need 32 state-store partitions;
@@ -411,8 +414,12 @@ object StreamQueries {
     (s, dir) => {
       val corpus = Tables.load(s, dir, "embeddings")
       val indexed = StreamingAnn.indexCorpus(corpus)
+      // 2 files/trigger (st2 rationale): still a multi-batch serve —
+      // the 3-file layout drains in two triggers — at a third less
+      // per-trigger foreachBatch machinery; each query vector lands in
+      // exactly one batch either way, so results are batching-invariant
       val stream = s.readStream.schema(corpus.schema)
-        .option("maxFilesPerTrigger", "1")
+        .option("maxFilesPerTrigger", "2")
         .parquet(splitAnnQueries(s, dir))
       // fresh sink + checkpoint per run (st-series convention: every
       // call replays the stream; the bench measures serving, not a

@@ -26,8 +26,8 @@ class StreamQueriesSpec extends SparkSpec {
   }
 
   test("the replay is multi-batch (file-per-trigger over a split layout)") {
-    // the fixture layout drives maxFilesPerTrigger=1 towards one batch
-    // per file; at least two data files must exist for the claim to hold
+    // the fixture layout drives maxFilesPerTrigger=2 towards multi-batch
+    // replay; at least two data files must exist for the claim to hold
     StreamQueries.st1StreamWindows.fn(spark, sf).collect()
     val dirs = java.nio.file.Files.list(
       java.nio.file.Paths.get(System.getProperty("java.io.tmpdir")))

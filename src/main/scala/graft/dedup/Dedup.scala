@@ -198,9 +198,22 @@ object Dedup {
     * admitted content keys.
     */
   def incrementalDedup(batch: DataFrame, idCol: String, textCol: String,
-      ledger: DataFrame): DataFrame = {
-    val keyed = batch.select(col(idCol).as("doc_id"),
-      sha2(col(textCol), 256).as("content_key"))
+      ledger: DataFrame): DataFrame =
+    incrementalDedupKeyed(
+      batch.select(col(idCol).as("doc_id"),
+        sha2(col(textCol), 256).as("content_key")),
+      ledger)
+
+  /** Pre-hashed variant of [[incrementalDedup]] for callers that already
+    * hold (doc_id, content_key) rows — a recurring crawl hashes each
+    * document once at ingest and carries the 32-byte key, never the text.
+    * NOTE: the batch side's lineage executes THREE times inside the
+    * bloom-screened anti-join (bloom build, broadcast key set, final
+    * anti-join) — hand this a cheap frame (a materialized slim table or a
+    * trivially re-computable projection), not an expensive unmaterialized
+    * pipeline.
+    */
+  def incrementalDedupKeyed(keyed: DataFrame, ledger: DataFrame): DataFrame = {
     val ledgerKeys = ledger.toDF("content_key")
     // bloom-bounded batch-vs-ledger screen (BloomJoin.antiJoinSmallLeft):
     // at scale the batch is tiny against the corpus-lifetime ledger, and

@@ -352,15 +352,26 @@ object DedupQueries {
     "d9_incremental_dedup",
     (s, dir) => {
       val docs = Tables.loadSpread(s, dir, "documents")
-      val ledger = docs.filter(col("doc_id") < 250)
-        .select(sha2(col("text"), 256).as("content_key")).distinct()
-      val batch = docs.filter(col("doc_id") >= 250)
-        .select(col("doc_id"), col("text"))
-        .unionAll(docs.filter(col("doc_id") < 100)
-          .select((col("doc_id") + 1000).as("doc_id"), col("text")))
-        .unionAll(docs.filter(col("doc_id") >= 250 && col("doc_id") < 300)
-          .select((col("doc_id") + 2000).as("doc_id"), col("text")))
-      Dedup.incrementalDedup(batch, "doc_id", "text", ledger)
+      // Hash the text ONCE into a slim (doc_id, content_key) table and
+      // materialize it (localCheckpoint, ~40 B/row): the ledger and the
+      // three batch branches are id-range slices of the SAME hashed scan,
+      // and the bloom-screened anti-join executes its batch side three
+      // times — without the checkpoint, that multiplied into ~10 full
+      // text scans + sha256 passes per run. This is also the production
+      // shape: a recurring crawl hashes each page once at ingest and
+      // every downstream pass moves 32-byte keys, never documents.
+      val hashed = docs
+        .select(col("doc_id"), sha2(col("text"), 256).as("content_key"))
+        .localCheckpoint(eager = true)
+      val ledger = hashed.filter(col("doc_id") < 250)
+        .select("content_key").distinct()
+      val batch = hashed.filter(col("doc_id") >= 250)
+        .select(col("doc_id"), col("content_key"))
+        .unionAll(hashed.filter(col("doc_id") < 100)
+          .select((col("doc_id") + 1000).as("doc_id"), col("content_key")))
+        .unionAll(hashed.filter(col("doc_id") >= 250 && col("doc_id") < 300)
+          .select((col("doc_id") + 2000).as("doc_id"), col("content_key")))
+      Dedup.incrementalDedupKeyed(batch, ledger)
         .orderBy("doc_id")
     },
     Some("""

@@ -587,11 +587,18 @@ object SimilarityQueries {
             slice(col("qv"), i * lit(8) + lit(1), lit(8)).as("sv"))))
           .as("e"))
         .select(col("vec_id"), col("e.sub").as("sub"), col("e.sv").as("sv"))
-      val seed = q0.select("vec_id").orderBy("vec_id").limit(4)
-        .withColumn("cid",
-          row_number().over(Window.orderBy("vec_id")).cast("long") - 1L)
-      val c0 = subs.join(broadcast(seed), "vec_id")
-        .select(col("sub"), col("cid"), col("sv").as("s"), lit(1L).as("n"))
+      // The 4 seed ids are a bounded driver collect (k is a constant of
+      // the codebook, never of the corpus): inlining them as a pushed-down
+      // IN filter spares the full corpus scan the broadcast-join probe
+      // side used to pay just to keep 4 vectors.
+      val seedIds = q0.select(col("vec_id")).orderBy("vec_id").limit(4)
+        .collect().map(_.getLong(0))
+      val c0 = subs.filter(col("vec_id").isin(seedIds.toSeq: _*))
+        .select(col("sub"),
+          seedIds.zipWithIndex.foldLeft(lit(-1L)) { case (acc, (id, i)) =>
+            when(col("vec_id") === id, lit(i.toLong)).otherwise(acc)
+          }.as("cid"),
+          col("sv").as("s"), lit(1L).as("n"))
       // Assignment is argmin over ≤ k = 4 candidate centroids — k×m rows
       // total — so it is a broadcast-ARRAY fold, not a window: collapsing
       // the per-sub candidates to one array row and folding argmin inside
@@ -632,15 +639,25 @@ object SimilarityQueries {
           .select(col("vec_id"), col("sub"), col("sv"),
             best.getField("cid").as("cid"))
       }
+      // One aggregate pass builds the trained codebook: the per-position
+      // row count IS the member count n (every member contributes exactly
+      // one value per position), so folding it into the grid aggregate
+      // spares the second full a1 execution the count-join used to pay.
+      // The 32-row codebook then materializes eagerly (localCheckpoint):
+      // `codes` and the per-query distance tables both consume the SAME
+      // trained centroids instead of re-running training per consumer —
+      // the timed path stays the full train → encode → serve pipeline,
+      // executed once each.
       val a1 = assign(c0)
-      val grid = a1
+      val c1 = a1
         .select(col("sub"), col("cid"), posexplode(col("sv")).as(Seq("pos", "v")))
-        .groupBy("sub", "cid", "pos").agg(sum("v").as("svsum"))
+        .groupBy("sub", "cid", "pos")
+        .agg(sum("v").as("svsum"), count(lit(1)).as("nn"))
         .groupBy("sub", "cid")
         .agg(transform(array_sort(collect_list(struct(col("pos"), col("svsum")))),
-          t => t.getField("svsum")).as("s"))
-      val c1 = grid.join(a1.groupBy("sub", "cid").agg(count(lit(1)).as("n")),
-        Seq("sub", "cid"))
+          t => t.getField("svsum")).as("s"),
+          max("nn").as("n"))
+        .localCheckpoint(eager = true)
       val codes = assign(c1).select(col("vec_id"), col("sub"), col("cid"))
       val dtab = subs.filter(col("vec_id") < 10)
         .select(col("vec_id").as("query_id"), col("sub"), col("sv"))

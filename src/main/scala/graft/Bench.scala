@@ -19,12 +19,14 @@ object Bench {
     * alongside the median.
     */
   private val amortized: Map[String, String] = Map(
-    "s3_ann_ivf"          -> "Ivf.trainCached",
-    "s9_kmeans"           -> "Ivf.trainCached",
-    "t23_learned_quality" -> "TextQueries.qmCache",
-    "t32_bpe_encode"      -> "TextQueries.mergeCache",
-    "m8_h264_video"       -> "MultimodalQueries.m8MediaCache",
-    "m9_bframe_video"     -> "MultimodalQueries.m9MediaCache")
+    "s3_ann_ivf"           -> "Ivf.trainCached",
+    "s9_kmeans"            -> "Ivf.trainCached",
+    "t23_learned_quality"  -> "TextQueries.qmCache",
+    "t32_bpe_encode"       -> "TextQueries.mergeCache",
+    "m8_h264_video"        -> "MultimodalQueries.m8MediaCache",
+    "m9_bframe_video"      -> "MultimodalQueries.m9MediaCache",
+    "d8_dedup_clusters"    -> "DedupQueries.clustersCache",
+    "d11_canonical_select" -> "DedupQueries.clustersCache")
 
   /** Accumulates per-stage shuffle/spill bytes between [[mark]]s — the
     * evidence behind the scale claims: a query whose time looks fine but

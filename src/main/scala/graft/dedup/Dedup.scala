@@ -260,6 +260,16 @@ object Dedup {
       .withColumn("label", col("node"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     try {
+      // Convergence check without a per-round join: labels only DECREASE
+      // (least of self and neighbor min), so the label sum is unchanged
+      // iff no node changed — one map-side-combinable aggregate per round
+      // instead of re-joining the full label set against its predecessor.
+      // Decimal(38,0) keeps the sum exact (and ANSI-loud on overflow) at
+      // any id width.
+      def labelSum(df: DataFrame): java.math.BigDecimal =
+        df.agg(sum(col("label").cast(org.apache.spark.sql.types.DecimalType(38, 0))))
+          .head().getDecimal(0)
+      var prevSum = labelSum(labels)
       var iter = 0
       var converged = false
       while (!converged && iter < maxIters) {
@@ -271,12 +281,11 @@ object Dedup {
           .select(col("node"),
             least(col("label"), coalesce(col("nbr"), col("label"))).as("label"))
           .persist(StorageLevel.MEMORY_AND_DISK)
-        val changed = next
-          .join(labels.withColumnRenamed("label", "old"), Seq("node"))
-          .filter(col("label") =!= col("old")).count()
+        val nextSum = labelSum(next)
         labels.unpersist(blocking = false)
         labels = next
-        converged = changed == 0
+        converged = nextSum.compareTo(prevSum) == 0
+        prevSum = nextSum
         iter += 1
       }
       labels.select(col("node").as("doc_id"), col("label").as("cluster"))

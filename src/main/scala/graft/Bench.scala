@@ -25,7 +25,6 @@ object Bench {
     "t32_bpe_encode"       -> "TextQueries.mergeCache",
     "m8_h264_video"        -> "MultimodalQueries.m8MediaCache",
     "m9_bframe_video"      -> "MultimodalQueries.m9MediaCache",
-    "d8_dedup_clusters"    -> "DedupQueries.clustersCache",
     "d11_canonical_select" -> "DedupQueries.clustersCache")
 
   /** Accumulates per-stage shuffle/spill bytes between [[mark]]s — the

@@ -36,6 +36,43 @@ class DedupSpec extends SparkSpec {
     assert(again == got)
   }
 
+  test("dedupClusters: long chain drives many propagation rounds; negative ids") {
+    val session = spark
+    import session.implicits._
+    // chain -3 .. 4 (diameter 7 — seven rounds before the sum-based
+    // convergence check may fire; negative labels exercise the signed
+    // side of the exact label-sum termination)
+    val ids = (-3L to 4L).toSeq
+    val pairs = ids.zip(ids.tail).map { case (a, b) => (b, a) }
+      .toDF("doc_a", "doc_b")
+    val got = Dedup.dedupClusters(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == ids.map(_ -> -3L).toMap)
+  }
+
+  test("incrementalDedupKeyed: ledger rejection + within-batch first-wins") {
+    val session = spark
+    import session.implicits._
+    val batch = Seq(
+      (10L, "k_old"),  // in ledger -> rejected
+      (11L, "k_new"),  // fresh, first occurrence -> admitted
+      (12L, "k_new"),  // second occurrence within batch -> loses to 11
+      (13L, "k_also")) // fresh -> admitted
+      .toDF("doc_id", "content_key")
+    val ledger = Seq("k_old", "k_other").toDF("content_key")
+    val got = Dedup.incrementalDedupKeyed(batch, ledger)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(11L -> "k_new", 13L -> "k_also"))
+    // and the text-hashing front door reduces to the same contract
+    val textBatch = Seq((10L, "aaa"), (11L, "bbb"), (12L, "bbb"))
+      .toDF("id", "body")
+    val textLedger = Seq("aaa").toDF("k")
+      .select(sha2(col("k"), 256).as("content_key"))
+    val got2 = Dedup.incrementalDedup(textBatch, "id", "body", textLedger)
+      .collect().map(_.getLong(0)).toSet
+    assert(got2 == Set(11L))
+  }
+
   test("d3 band-pair blocking is complete vs brute force") {
     val lsh = DedupQueries.d3Simhash.fn(spark, sf)
       .collect().map(r => (r.getLong(0), r.getLong(1),

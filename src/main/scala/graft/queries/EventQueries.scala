@@ -985,11 +985,17 @@ object EventQueries {
         .filter(col("user_id") < 20)
         .withColumn("hr", expr(s"ts div ${NsPerHour}L"))
         .withColumn("cents", (money(col("value")) * 100).cast("long"))
-      val spine = ev.agg(min("hr").as("lo"), max("hr").as("hi"))
-        .select(explode(sequence(col("lo"), col("hi"))).as("hr"))
-      val grid = ev.select("user_id").distinct()
-        .crossJoin(broadcast(spine))
+      // known is bounded by users × hours (tiny against the event log);
+      // materializing it lets the spine bounds, the user list and the
+      // left join below all read ONE events scan instead of three —
+      // its hr/user extents equal ev's by construction (grouping drops
+      // no user and no hour)
       val known = ev.groupBy("user_id", "hr").agg(max(col("cents")).as("c"))
+        .localCheckpoint(eager = true)
+      val spine = known.agg(min("hr").as("lo"), max("hr").as("hi"))
+        .select(explode(sequence(col("lo"), col("hi"))).as("hr"))
+      val grid = known.select("user_id").distinct()
+        .crossJoin(broadcast(spine))
       val wPrev = Window.partitionBy("user_id").orderBy("hr")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       val wNext = Window.partitionBy("user_id").orderBy("hr")

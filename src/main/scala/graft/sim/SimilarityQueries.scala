@@ -609,31 +609,30 @@ object SimilarityQueries {
       // previous hash(vec_id, sub) window partitioning scattered a
       // vector's subs across mappers and partial aggregation degraded
       // with the partition count (measured 12.8× records per 9.6× rows
-      // on decade 2; linear after this change). Fold order is ascending
-      // cid (array_sort on a cid-led struct) with strict <, matching the
-      // oracle's ROW_NUMBER() ... ORDER BY score, cid tie-break exactly —
-      // all-integer arithmetic, so bit-equal assignment.
+      // on decade 2; linear after this change). Argmin is
+      // array_min over (score, cid) structs — struct ordering compares
+      // score first, then cid, which IS the oracle's ROW_NUMBER() ...
+      // ORDER BY score, cid tie-break (cids are distinct within a sub) —
+      // all-integer arithmetic, so bit-equal assignment, and an
+      // order-independent reduction with a far smaller expression tree
+      // than an explicit fold (the fold's analysis dominated driver time).
       def assign(cents: DataFrame): DataFrame = {
-        // candidate-invariant factors leave the (interpreted) fold for
-        // codegen'd projections: sv·sv once per row, s·s once per
-        // centroid (32 rows) — the fold then does one 8-long dot per
-        // candidate
+        // candidate-invariant factors leave the (interpreted) transform
+        // for codegen'd projections: sv·sv once per row, s·s once per
+        // centroid (32 rows) — the transform then does one 8-long dot
+        // per candidate
         val bySub = cents
           .withColumn("ss", adot(col("s"), col("s")))
           .groupBy("sub")
-          .agg(array_sort(collect_list(
-            struct(col("cid"), col("n"), col("s"), col("ss")))).as("cands"))
-        val best = aggregate(
+          .agg(collect_list(
+            struct(col("cid"), col("n"), col("s"), col("ss"))).as("cands"))
+        val best = array_min(transform(
           col("cands"),
-          struct(lit(-1L).as("cid"), lit(Long.MaxValue).as("best")),
-          (acc, c) => {
-            val score = c.getField("n") * c.getField("n") * col("xx") -
+          c => struct(
+            (c.getField("n") * c.getField("n") * col("xx") -
               lit(2L) * c.getField("n") * adot(col("sv"), c.getField("s")) +
-              c.getField("ss")
-            when(score < acc.getField("best"),
-              struct(c.getField("cid").as("cid"), score.as("best")))
-              .otherwise(acc)
-          })
+              c.getField("ss")).as("score"),
+            c.getField("cid").as("cid"))))
         subs.withColumn("xx", adot(col("sv"), col("sv")))
           .join(broadcast(bySub), Seq("sub"))
           .select(col("vec_id"), col("sub"), col("sv"),

@@ -81,6 +81,24 @@ class ExactSpec extends SparkSpec {
     assert(direct == phased)
   }
 
+  test("property: dsum == dsumWide bit for bit over seeded random doubles") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val session = spark
+    import session.implicits._
+    val rowGen = Gen.zip(Gen.chooseNum(0, 7), Gen.chooseNum(-1.0e6, 1.0e6))
+    for (seed <- 0L until 3L) {
+      val rows = (0 until 1500).flatMap(i =>
+        rowGen.apply(Gen.Parameters.default, Seed(seed * 10000 + i)))
+      val df = rows.toDF("g", "v")
+      val a = df.groupBy("g").agg(Exact.dsum(col("v")).as("s"))
+        .orderBy("g").collect().map(r => bits(r.getDouble(1))).toSeq
+      val b = df.groupBy("g").agg(Exact.dsumWide(col("v")).as("s"))
+        .orderBy("g").collect().map(r => bits(r.getDouble(1))).toSeq
+      assert(a == b, s"seed $seed")
+    }
+  }
+
   test("out-of-envelope magnitudes fail loud (never a silent wrong sum)") {
     val session = spark
     import session.implicits._

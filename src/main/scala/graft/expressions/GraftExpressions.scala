@@ -109,6 +109,18 @@ object GraftExpressions {
       copy(child = newChild)
   }
 
+  case class LongDotExpr(left: Expression, right: Expression)
+      extends BinaryExpression {
+    override def dataType: DataType = LongType
+    override def prettyName: String = "long_dot"
+    override protected def nullSafeEval(a: Any, b: Any): Any =
+      HashOps.longDot(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, (a, b) => s"graft.expressions.HashOps.longDot($a, $b)")
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): LongDotExpr =
+      copy(left = l, right = r)
+  }
+
   case class CosineSimFExpr(left: Expression, right: Expression)
       extends BinaryExpression {
     override def dataType: DataType = DoubleType
@@ -301,6 +313,10 @@ object GraftExpressions {
 
   /** Exact cosine similarity of two float vectors (double accumulation). */
   def cosineF(a: Column, b: Column): Column = col(CosineSimFExpr(expr(a), expr(b)))
+
+  /** Exact dot product of two long arrays (codegen'd; replaces the
+    * interpreted aggregate(zip_with(...)) fold on quantized vectors). */
+  def longDot(a: Column, b: Column): Column = col(LongDotExpr(expr(a), expr(b)))
 
   /** Random-hyperplane LSH bucket of a float vector. */
   def hyperplaneBucket(v: Column, planes: Array[Double], nBits: Int): Column =

@@ -226,6 +226,19 @@ object HashOps {
     * The final clamp to [-1, 1] mirrors DuckDB: identical vectors can
     * round to 1 + 1ulp under dot/(√na·√nb) and DuckDB pins that to 1.0.
     */
+  /** Exact long-array dot product (the quantized-vector kernel: inputs
+    * are small integers, so products and the sum stay far inside Long).
+    * Length mismatch truncates to the shorter side, matching the
+    * zip_with shape it replaces.
+    */
+  def longDot(a: ArrayData, b: ArrayData): Long = {
+    var acc = 0L
+    var i = 0
+    val n = math.min(a.numElements(), b.numElements())
+    while (i < n) { acc += a.getLong(i) * b.getLong(i); i += 1 }
+    acc
+  }
+
   def cosineF(a: ArrayData, b: ArrayData): Double = {
     val x = floats(a)
     val y = floats(b)

@@ -575,8 +575,12 @@ object SimilarityQueries {
     "s10_pq_adc",
     (s, dir) => {
       import org.apache.spark.sql.{Column, DataFrame}
+      // codegen'd long-array dot (GraftExpressions.LongDotExpr) — the
+      // interpreted aggregate(zip_with(...)) fold it replaces dominated
+      // both eval time and expression-tree analysis in this query's
+      // fold-per-candidate scoring
       def adot(a: Column, b: Column): Column =
-        aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, v) => acc + v)
+        graft.expressions.GraftExpressions.longDot(a, b)
       val q0 = Tables.load(s, dir, "embeddings")
         .select(col("vec_id"),
           transform(col("embedding"),

@@ -23,6 +23,18 @@ class PropertySpec extends AnyFunSuite {
   private def arr(xs: Seq[Long]) =
     UnsafeArrayData.fromPrimitiveArray(xs.toArray)
 
+  test("longDot: matches BigInt reference, symmetric, truncates to shorter") {
+    val vecGen = Gen.listOfN(8, Gen.chooseNum(-1000000L, 1000000L))
+    samples(Gen.zip(vecGen, vecGen), 200).foreach { case (a, b) =>
+      val got = HashOps.longDot(arr(a), arr(b))
+      val ref = a.zip(b).map { case (x, y) => BigInt(x) * BigInt(y) }.sum
+      assert(BigInt(got) == ref)
+      assert(got == HashOps.longDot(arr(b), arr(a)))
+      assert(HashOps.longDot(arr(a), arr(b.take(3))) ==
+        HashOps.longDot(arr(a.take(3)), arr(b)))
+    }
+  }
+
   test("jaccardSorted: range, symmetry, identity, disjoint") {
     val setGen = Gen.listOf(Gen.chooseNum(-1000L, 1000L)).map(_.distinct.sorted)
     samples(Gen.zip(setGen, setGen), 200).foreach { case (a, b) =>

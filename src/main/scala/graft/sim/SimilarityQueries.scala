@@ -469,17 +469,17 @@ object SimilarityQueries {
         .select(col("vec_id"),
           transform(col("embedding"),
             x => floor(x.cast("double") * lit(64.0)).cast("long")).as("qv"))
-      val qx = q.withColumn("xx",
-        aggregate(transform(col("qv"), v => v * v), lit(0L), (a, v) => a + v))
+      // codegen'd long dots (the s10 discipline) — the interpreted
+      // aggregate/zip_with folds evaluated per (vector × candidate) row
+      val ldot = graft.expressions.GraftExpressions.longDot _
+      val qx = q.withColumn("xx", ldot(col("qv"), col("qv")))
       val c0 = q.orderBy("vec_id").limit(8)
         .withColumn("cid",
           row_number().over(Window.orderBy("vec_id")).cast("long") - 1L)
         .select(col("cid"), col("qv").as("s"), lit(1L).as("n"))
       def assign(cents: DataFrame): DataFrame = {
-        val xs = aggregate(zip_with(col("qv"), col("s"), (a, b) => a * b),
-          lit(0L), (a, v) => a + v)
-        val ss = aggregate(transform(col("s"), v => v * v),
-          lit(0L), (a, v) => a + v)
+        val xs = ldot(col("qv"), col("s"))
+        val ss = ldot(col("s"), col("s"))
         val w = Window.partitionBy("vec_id").orderBy("score", "cid")
         qx.crossJoin(broadcast(cents))
           .withColumn("score",

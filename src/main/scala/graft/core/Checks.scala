@@ -85,15 +85,23 @@ object Checks {
     }
     val uniques = checks.collect { case u: Unique => u }
     val aggChecks = rowLocal ++ uniques
-    val aggCols = rowLocal.map(c => violationExpr(c).as(c.name)) ++
+    // coalesce: sum(when(…)) over an EMPTY input is NULL, and a gate that
+    // reports n_violations=NULL on an empty table reads as "unknown" where
+    // the semantics are "zero rows, zero violations"
+    val aggCols = rowLocal.map(c =>
+        coalesce(violationExpr(c), lit(0L)).as(c.name)) ++
       uniques.map(u => (count(lit(1)) -
         countDistinct(struct(u.cols.map(col): _*))).as(u.name))
     val local = df.agg(count(lit(1)).as("__n"), aggCols: _*)
-    val localRows = local.select(
-      explode(map(aggChecks.flatMap(c =>
-        Seq(lit(c.name), col(s"`${c.name}`"))): _*))
-        .as(Seq("check_name", "n_violations")),
-      col("__n").as("n_rows"))
+    // an aggChecks-empty map() would type as map<string,string> and poison
+    // the union's n_violations column — short-circuit to refRows-only
+    val localRows =
+      if (aggChecks.isEmpty) None
+      else Some(local.select(
+        explode(map(aggChecks.flatMap(c =>
+          Seq(lit(c.name), col(s"`${c.name}`"))): _*))
+          .as(Seq("check_name", "n_violations")),
+        col("__n").as("n_rows")))
     val nRow = broadcast(local.select(col("__n").as("n_rows")))
     val refRows = checks.collect { case r: RefIntegrity =>
       df.select(col(r.col))
@@ -103,6 +111,11 @@ object Checks {
         .select(lit(r.name).as("check_name"), col("n_violations"))
         .crossJoin(nRow)
     }
-    refRows.foldLeft(localRows)(_ unionByName _).orderBy("check_name")
+    val parts = localRows.toSeq ++ refRows
+    if (parts.isEmpty)
+      df.sparkSession.range(0).select(
+        lit("").as("check_name"), lit(0L).as("n_violations"),
+        lit(0L).as("n_rows"))
+    else parts.reduce(_ unionByName _).orderBy("check_name")
   }
 }

@@ -145,7 +145,7 @@ object Tables {
     * all of those identical byte-for-byte is indistinguishable from a
     * no-op at listing level. The listing runs only on the spread path,
     * i.e. only for tables already known to be tiny. */
-  private def sourceFingerprint(spark: SparkSession, path: String): String =
+  private[graft] def sourceFingerprint(spark: SparkSession, path: String): String =
     try {
       val p = new org.apache.hadoop.fs.Path(path)
       val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
@@ -195,20 +195,17 @@ object Tables {
         tmp
       })
       // a NEW fingerprint for the same (dir, table) supersedes any older
-      // spread copy — delete it eagerly rather than letting full parquet
-      // copies of every superseded rewrite accrete until JVM exit
+      // spread copy: drop only the CACHE entry, never the files — a
+      // previously returned DataFrame is a lazy plan that resolves its
+      // parquet paths at action time, so eager deletion would turn old
+      // handles into FileNotFound mid-query. The dir stays in spreadDirs
+      // and the JVM-exit hook reclaims it; accretion is bounded to one
+      // copy per in-place source rewrite (rare — the fingerprint exists
+      // for correctness, not a hot path).
       val prevKey = latestKey.put(stem, key)
       if (prevKey != null && prevKey != key) {
-        Option(spreadCache.remove(prevKey)).foreach { old =>
-          val oldPath = java.nio.file.Paths.get(old)
-          spreadDirs.remove(oldPath)
-          try {
-            import scala.jdk.CollectionConverters._
-            java.nio.file.Files.walk(oldPath).iterator().asScala.toSeq
-              .sortBy(-_.getNameCount)
-              .foreach(p => java.nio.file.Files.deleteIfExists(p))
-          } catch { case scala.util.control.NonFatal(_) => }
-        }
+        spreadCache.remove(prevKey)
+        ()
       }
       load(spark, base, name)
     }

@@ -301,9 +301,20 @@ object DedupQueries {
   private val pairsCache =
     new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.DataFrame]()
 
+  /** Cache key = corpus dir + source fingerprint (same contract as the
+    * Tables spread cache): an in-place rewrite of documents.parquet within
+    * a long-lived JVM gets a fresh computation instead of stale pairs.
+    * Superseded entries stay checkpointed until JVM exit — unpersisting
+    * them would invalidate previously returned handles mid-query, and
+    * in-place rewrites are rare enough that the bounded pin is the
+    * cheaper failure mode. */
+  private[graft] def corpusKey(s: org.apache.spark.sql.SparkSession,
+      dir: String): String =
+    s"$dir@${Tables.sourceFingerprint(s, s"$dir/documents.parquet")}"
+
   private def nearDupPairsCached(s: org.apache.spark.sql.SparkSession,
       dir: String): org.apache.spark.sql.DataFrame =
-    pairsCache.computeIfAbsent(dir, _ =>
+    pairsCache.computeIfAbsent(corpusKey(s, dir), _ =>
       Dedup.minhashNearDupPairs(
         Tables.loadSpread(s, dir, "documents"), "doc_id", "text", threshold = 0.8)
         .localCheckpoint(eager = true))
@@ -325,12 +336,12 @@ object DedupQueries {
     * [[Dedup.dedupClusters]] returns an eagerly checkpointed frame, so
     * the cached value is a materialized table, not live lineage.
     */
-  private val clustersCache =
+  private[graft] val clustersCache =
     new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.DataFrame]()
 
   private[graft] def dedupClustersCached(s: org.apache.spark.sql.SparkSession,
       dir: String): org.apache.spark.sql.DataFrame =
-    clustersCache.computeIfAbsent(dir, _ =>
+    clustersCache.computeIfAbsent(corpusKey(s, dir), _ =>
       Dedup.dedupClusters(nearDupPairsCached(s, dir)))
 
   val d8DedupClusters: QueryDef = QueryDef(

@@ -2,7 +2,7 @@ package graft.expressions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graft.ColumnBridge
 import org.apache.spark.sql.types._
@@ -110,7 +110,10 @@ object GraftExpressions {
   }
 
   case class LongDotExpr(left: Expression, right: Expression)
-      extends BinaryExpression {
+      extends BinaryExpression with ExpectsInputTypes {
+    // ArrayData.getLong on an int/double array silently reads garbage, so
+    // anything but array<bigint> must fail at ANALYSIS, not produce values
+    override def inputTypes: Seq[DataType] = Seq(LongArray, LongArray)
     override def dataType: DataType = LongType
     override def prettyName: String = "long_dot"
     override protected def nullSafeEval(a: Any, b: Any): Any =

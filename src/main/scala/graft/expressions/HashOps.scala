@@ -228,8 +228,11 @@ object HashOps {
     */
   /** Exact long-array dot product (the quantized-vector kernel: inputs
     * are small integers, so products and the sum stay far inside Long).
-    * Length mismatch truncates to the shorter side, matching the
-    * zip_with shape it replaces.
+    * Length mismatch truncates to the shorter side — NOTE this differs
+    * from the `aggregate(zip_with(...))` chain it replaced, which padded
+    * with nulls and returned NULL on mismatch; callers (s9/s10 ADC)
+    * construct both sides at the same fixed dim, so the case is unreachable
+    * there, and truncation keeps the kernel branch-free.
     */
   def longDot(a: ArrayData, b: ArrayData): Long = {
     var acc = 0L

@@ -14,13 +14,17 @@ object QueryProfile {
 
   private final class JobMeter extends SparkListener {
     val spans = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long)]()
-    private val starts = new java.util.concurrent.ConcurrentHashMap[Int, Long]()
+    // boxed Long: a primitive-valued CHM would unbox remove()'s null miss
+    // to 0L, and a job that ends without a recorded start (launched before
+    // the listener attached, or straddling a drain) would record a
+    // (0, endTime) span whose union swallows the whole epoch
+    private val starts = new java.util.concurrent.ConcurrentHashMap[Int, java.lang.Long]()
     override def onJobStart(js: SparkListenerJobStart): Unit = {
       starts.put(js.jobId, js.time); ()
     }
     override def onJobEnd(je: SparkListenerJobEnd): Unit = {
       val s = starts.remove(je.jobId)
-      if (s != null) { spans.add((s, je.time)); () }
+      if (s != null) { spans.add((s.longValue(), je.time)); () }
     }
     def drain(): Seq[(Long, Long)] = {
       val out = Seq.newBuilder[(Long, Long)]

@@ -156,13 +156,13 @@ object Dedup {
     val grid = sh.select(explode(col("sh")).as("h"))
       .agg(CountMin.cmsState(col("h"), cmsWidth, cmsDepth).as("sk"))
       .head().getAs[Array[Byte]]("sk")
-    def est(h: Column) = CountMin.cmsEstimate(h, grid, cmsWidth, cmsDepth)
     // reorder each doc's shingles by (estimated df asc, h asc) INSIDE the
-    // row — scan-side expressions, no shuffle
+    // row — ONE codegen'd kernel call per row (CmsOrderExpr), not the
+    // interpreted transform/sort_array/struct chain it replaced (same
+    // ordering by construction: lexicographic (df, h) ascending over the
+    // same grid estimates)
     val ordered = sh.withColumn("oh",
-      transform(
-        sort_array(transform(col("sh"), h => struct(est(h).as("df"), h.as("h")))),
-        _.getField("h")))
+      CountMin.cmsOrder(col("sh"), grid, cmsWidth, cmsDepth))
     // prefix length: |s| - ceil(t*|s|) + 1 over the frequency-ordered array
     val prefixLen = (size(col("oh")) - ceil(lit(threshold) * size(col("oh"))) + 1)
       .cast("int")

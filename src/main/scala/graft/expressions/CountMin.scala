@@ -109,6 +109,42 @@ case class CmsEstimateExpr(child: Expression, counts: Array[Long],
     copy(child = newChild)
 }
 
+/** The PPJoin frequency reorder as ONE codegen'd kernel: each row's hash
+  * array sorted by (CMS-estimated df asc, hash asc). Replaces the
+  * interpreted `transform(sort_array(transform(sh, h → struct(est(h), h))),
+  * _.h)` chain, which evaluated the lambda per ELEMENT with struct boxing
+  * and a generic struct comparator — the last per-row interpreted fold in
+  * the d4 hot path. Identical ordering semantics: sort_array on
+  * struct(df, h) is lexicographic (df, h) ascending, and estimates come
+  * from the same [[CountMin.estimate]] probe against the same grid.
+  */
+case class CmsOrderExpr(child: Expression, counts: Array[Long],
+    width: Int, depth: Int)
+    extends UnaryExpression {
+  require(counts.length == depth * width, "grid size mismatch")
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case org.apache.spark.sql.types.ArrayType(LongType, _) =>
+        TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"cms_order expects ARRAY<BIGINT>, got ${other.sql}")
+    }
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "cms_order"
+  override protected def nullSafeEval(input: Any): Any =
+    CountMin.orderByEstimate(
+      input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      counts, width, depth)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("cmsCounts", counts, "long[]")
+    defineCodeGen(ctx, ev,
+      c => s"graft.expressions.CountMin.orderByEstimate($c, $ref, $width, $depth)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): CmsOrderExpr =
+    copy(child = newChild)
+}
+
 object CountMin {
 
   /** Row d probes cell (h1 + d·h2) mod width — the Kirsch–Mitzenmacher
@@ -139,6 +175,81 @@ object CountMin {
       d += 1
     }
     min
+  }
+
+  /** [[CmsOrderExpr]]'s kernel: indices sorted by (estimate, hash)
+    * ascending via an in-place dual-key quicksort over two parallel
+    * primitive arrays — no boxing, no comparator allocation per row.
+    */
+  def orderByEstimate(sh: org.apache.spark.sql.catalyst.util.ArrayData,
+      counts: Array[Long], width: Int, depth: Int): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val n = sh.numElements()
+    val hs = new Array[Long](n)
+    val dfs = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      val h = sh.getLong(i)
+      hs(i) = h
+      dfs(i) = estimate(h, counts, width, depth)
+      i += 1
+    }
+    sortPairs(dfs, hs, 0, n - 1)
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+      .fromPrimitiveArray(hs)
+  }
+
+  /** In-place quicksort of (dfs, hs) pairs by (df, h) ascending; median-of-3
+    * pivot, tail-call on the larger side bounds the stack at O(log n). */
+  private def sortPairs(dfs: Array[Long], hs: Array[Long],
+      lo0: Int, hi0: Int): Unit = {
+    var lo = lo0
+    var hi = hi0
+    while (lo < hi) {
+      if (hi - lo < 16) { // insertion sort for small runs
+        var i = lo + 1
+        while (i <= hi) {
+          val d = dfs(i); val h = hs(i)
+          var j = i - 1
+          while (j >= lo && (dfs(j) > d || (dfs(j) == d && hs(j) > h))) {
+            dfs(j + 1) = dfs(j); hs(j + 1) = hs(j); j -= 1
+          }
+          dfs(j + 1) = d; hs(j + 1) = h
+          i += 1
+        }
+        return
+      }
+      // median-of-3 pivot moved to lo
+      val mid = (lo + hi) >>> 1
+      def less(a: Int, b: Int): Boolean =
+        dfs(a) < dfs(b) || (dfs(a) == dfs(b) && hs(a) < hs(b))
+      def swap(a: Int, b: Int): Unit = {
+        val td = dfs(a); dfs(a) = dfs(b); dfs(b) = td
+        val th = hs(a); hs(a) = hs(b); hs(b) = th
+      }
+      if (less(mid, lo)) swap(mid, lo)
+      if (less(hi, lo)) swap(hi, lo)
+      if (less(hi, mid)) swap(hi, mid)
+      val pd = dfs(mid); val ph = hs(mid)
+      var i = lo
+      var j = hi
+      while (i <= j) {
+        while (dfs(i) < pd || (dfs(i) == pd && hs(i) < ph)) i += 1
+        while (dfs(j) > pd || (dfs(j) == pd && hs(j) > ph)) j -= 1
+        if (i <= j) { swap(i, j); i += 1; j -= 1 }
+      }
+      // recurse on the smaller side, loop on the larger
+      if (j - lo < hi - i) { sortPairs(dfs, hs, lo, j); lo = i }
+      else { sortPairs(dfs, hs, i, hi); hi = j }
+    }
+  }
+
+  /** Probe a grid (serialized form) and return the row's hash array in
+    * (df asc, hash asc) order — the PPJoin canonical order, fused. */
+  def cmsOrder(key: Column, grid: Array[Byte], width: Int, depth: Int = 4): Column = {
+    val longs = new Array[Long](grid.length >>> 3)
+    java.nio.ByteBuffer.wrap(grid).asLongBuffer().get(longs)
+    ColumnBridge.column(
+      CmsOrderExpr(ColumnBridge.expression(key), longs, width, depth))
   }
 
   /** Aggregate a LongType key column into a serialized count grid. */

@@ -68,6 +68,54 @@ class CountMinSpec extends SparkSpec {
     assert(!plan.contains("CodegenFallback"), plan)
   }
 
+  test("cms_order equals the interpreted transform/sort_array chain it replaced") {
+    // documents-shaped input: per-row long arrays with skewed element
+    // frequencies, plus edge rows (empty, singleton, all-equal-df ties)
+    val rows = Seq(
+      Seq(5L, 1L, 9L, 1L, 7L),          // dup elements (pre-dedup shape)
+      Seq.empty[Long],
+      Seq(42L),
+      (1L to 200L).map(i => i % 7L),    // heavy ties → hash tiebreak
+      (1L to 500L).map(i => i * 2654435761L)) // big row exercises quicksort
+    val df = rows.toDF("sh")
+    val g = df.select(explode(col("sh")).as("h"))
+      .agg(CountMin.cmsState(col("h"), W, D).as("sk"))
+      .head().getAs[Array[Byte]]("sk")
+    def est(h: org.apache.spark.sql.Column) = CountMin.cmsEstimate(h, g, W, D)
+    val both = df.select(
+      CountMin.cmsOrder(col("sh"), g, W, D).as("fused"),
+      transform(
+        sort_array(transform(col("sh"), h => struct(est(h).as("df"), h.as("h")))),
+        _.getField("h")).as("interp"))
+      .collect()
+    both.foreach { r =>
+      assert(r.getSeq[Long](0) == r.getSeq[Long](1))
+    }
+  }
+
+  test("cms_order stays inside whole-stage codegen") {
+    val g = gridOf(Seq(1L, 2L, 3L), 1)
+    val plan = graft.core.Tables.load(spark, sf, "documents")
+      .select(CountMin.cmsOrder(
+        graft.expressions.GraftExpressions.shingleHashes(col("text"), 3),
+        g, W, D).as("oh"))
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    // the leading asterisk marks a whole-stage-codegen'd operator
+    assert(plan.linesIterator.exists(_.trim.startsWith("* Project")), plan)
+    assert(!plan.contains("CodegenFallback"), plan)
+  }
+
+  test("cms_order rejects non-long arrays at analysis time") {
+    val g = gridOf(Seq(1L), 1)
+    val err = intercept[org.apache.spark.sql.AnalysisException] {
+      Seq(Seq(1, 2)).toDF("sh")
+        .select(CountMin.cmsOrder(col("sh"), g, W, D)).collect()
+    }
+    assert(err.getMessage.toLowerCase.contains("cms_order") ||
+      err.getMessage.contains("ARRAY<BIGINT>"), err.getMessage)
+  }
+
   test("cms_state is reachable from pure SQL") {
     graft.core.Tables.load(spark, sf, "events").createOrReplaceTempView("cms_ev")
     val bytes = spark.sql(

@@ -99,7 +99,8 @@ object CatalogQueries {
 
   private def cdcVersions(s: org.apache.spark.sql.SparkSession,
       dir: String): (String, Long, Long) =
-    cdcCache.computeIfAbsent(dir, _ => {
+    cdcCache.computeIfAbsent(
+      Tables.corpusCacheKey(s, dir, "orders"), _ => {
       val tmp = java.nio.file.Files.createTempDirectory("graft-c3-cdc").toString
       val o = Tables.load(s, dir, "orders")
         .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
@@ -278,7 +279,8 @@ object CatalogQueries {
 
   private def bucketedHistory(s: org.apache.spark.sql.SparkSession,
       dir: String): String =
-    expiryCache.computeIfAbsent(dir, _ => {
+    expiryCache.computeIfAbsent(
+      Tables.corpusCacheKey(s, dir, "orders"), _ => {
       val tmp = java.nio.file.Files.createTempDirectory("graft-c8").toString
       val t = s"$tmp/table"
       val o = Tables.load(s, dir, "orders")

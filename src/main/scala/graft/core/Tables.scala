@@ -145,6 +145,20 @@ object Tables {
     * all of those identical byte-for-byte is indistinguishable from a
     * no-op at listing level. The listing runs only on the spread path,
     * i.e. only for tables already known to be tiny. */
+  /** Per-corpus-dir JVM cache key: dir + table + source fingerprint — the
+    * spread-cache contract, shared by every memoizing query family
+    * (trained models, encode-once media stores, replay fixtures, dedup
+    * pairs/clusters). An in-place rewrite of the source table within a
+    * long-lived JVM misses the cache instead of serving stale artifacts;
+    * superseded entries stay resident until JVM exit (deleting or
+    * unpersisting them would invalidate handles previously returned to
+    * still-running plans — the bounded pin is the cheaper failure mode
+    * for a rare event).
+    */
+  private[graft] def corpusCacheKey(spark: SparkSession, dir: String,
+      table: String): String =
+    s"$dir/$table@${sourceFingerprint(spark, s"$dir/$table.parquet")}"
+
   private[graft] def sourceFingerprint(spark: SparkSession, path: String): String =
     try {
       val p = new org.apache.hadoop.fs.Path(path)

@@ -310,7 +310,7 @@ object DedupQueries {
     * cheaper failure mode. */
   private[graft] def corpusKey(s: org.apache.spark.sql.SparkSession,
       dir: String): String =
-    s"$dir@${Tables.sourceFingerprint(s, s"$dir/documents.parquet")}"
+    Tables.corpusCacheKey(s, dir, "documents")
 
   private def nearDupPairsCached(s: org.apache.spark.sql.SparkSession,
       dir: String): org.apache.spark.sql.DataFrame =
@@ -448,7 +448,8 @@ object DedupQueries {
   }
 
   private def d10Model(s: org.apache.spark.sql.SparkSession, dir: String) =
-    graft.sim.Ivf.trainCached(d10Vecs(s, dir), dir + "#d10", "embedding",
+    graft.sim.Ivf.trainCached(d10Vecs(s, dir),
+      Tables.corpusCacheKey(s, dir, "embeddings") + "#d10", "embedding",
       D10Cells, 2)
 
   val d10SemanticDedup: QueryDef = QueryDef(

@@ -590,7 +590,8 @@ object MultimodalQueries {
 
   private def ensureM8Media(s: org.apache.spark.sql.SparkSession,
       dir: String): String =
-    m8MediaCache.computeIfAbsent(dir, _ => {
+    m8MediaCache.computeIfAbsent(
+      Tables.corpusCacheKey(s, dir, "documents"), _ => {
       val session = s
       import session.implicits._
       import graft.multimodal.h264.H264Encoder
@@ -731,7 +732,8 @@ object MultimodalQueries {
 
   private def ensureM9Media(s: org.apache.spark.sql.SparkSession,
       dir: String): String =
-    m9MediaCache.computeIfAbsent(dir, _ => {
+    m9MediaCache.computeIfAbsent(
+      Tables.corpusCacheKey(s, dir, "documents"), _ => {
       val session = s
       import session.implicits._
       import graft.multimodal.h264.H264Encoder

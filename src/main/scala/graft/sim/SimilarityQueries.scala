@@ -120,7 +120,8 @@ object SimilarityQueries {
     "s3_ann_ivf",
     (s, dir) => {
       val e = Tables.load(s, dir, "embeddings")
-      val model = Ivf.trainCached(e, dir, "embedding", k = 16, iters = 2)
+      val model = Ivf.trainCached(e, Tables.corpusCacheKey(s, dir, "embeddings"),
+          "embedding", k = 16, iters = 2)
       val queries = e.filter(col("vec_id") < 10)
         .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
       Ivf.search(e, queries, model, k = 16, nprobe = 3, topK = 10)
@@ -147,14 +148,16 @@ object SimilarityQueries {
     aux = Map(
       "cells" -> ((s, dir) => {
         val e = Tables.load(s, dir, "embeddings")
-        val model = Ivf.trainCached(e, dir, "embedding", k = 16, iters = 2)
+        val model = Ivf.trainCached(e, Tables.corpusCacheKey(s, dir, "embeddings"),
+          "embedding", k = 16, iters = 2)
         e.select(col("vec_id"),
           graft.expressions.GraftExpressions.ivfCell(col("embedding"), model, 16).as("cell"))
           .orderBy("vec_id")
       }),
       "probes" -> ((s, dir) => {
         val e = Tables.load(s, dir, "embeddings")
-        val model = Ivf.trainCached(e, dir, "embedding", k = 16, iters = 2)
+        val model = Ivf.trainCached(e, Tables.corpusCacheKey(s, dir, "embeddings"),
+          "embedding", k = 16, iters = 2)
         e.filter(col("vec_id") < 10)
           .select(col("vec_id").as("query_id"),
             explode(graft.expressions.GraftExpressions.ivfProbeCells(
@@ -391,7 +394,8 @@ object SimilarityQueries {
     "s8_filtered_ann",
     (s, dir) => {
       val e = Tables.load(s, dir, "embeddings")
-      val model = Ivf.trainCached(e, dir, "embedding", k = 16, iters = 2)
+      val model = Ivf.trainCached(e, Tables.corpusCacheKey(s, dir, "embeddings"),
+          "embedding", k = 16, iters = 2)
       val queries = e.filter(col("vec_id") < 10)
         .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
       Ivf.search(e.filter(col("vec_id") % 3 === 0), queries, model,
@@ -420,14 +424,16 @@ object SimilarityQueries {
     aux = Map(
       "cells" -> ((s, dir) => {
         val e = Tables.load(s, dir, "embeddings")
-        val model = Ivf.trainCached(e, dir, "embedding", k = 16, iters = 2)
+        val model = Ivf.trainCached(e, Tables.corpusCacheKey(s, dir, "embeddings"),
+          "embedding", k = 16, iters = 2)
         e.select(col("vec_id"),
           graft.expressions.GraftExpressions.ivfCell(col("embedding"), model, 16).as("cell"))
           .orderBy("vec_id")
       }),
       "probes" -> ((s, dir) => {
         val e = Tables.load(s, dir, "embeddings")
-        val model = Ivf.trainCached(e, dir, "embedding", k = 16, iters = 2)
+        val model = Ivf.trainCached(e, Tables.corpusCacheKey(s, dir, "embeddings"),
+          "embedding", k = 16, iters = 2)
         e.filter(col("vec_id") < 10)
           .select(col("vec_id").as("query_id"),
             explode(graft.expressions.GraftExpressions.ivfProbeCells(

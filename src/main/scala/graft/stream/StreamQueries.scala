@@ -25,7 +25,8 @@ object StreamQueries {
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   private def splitEvents(s: SparkSession, dir: String): String =
-    splitCache.computeIfAbsent(dir, _ => {
+    splitCache.computeIfAbsent(
+      Tables.corpusCacheKey(s, dir, "events"), _ => {
       val tmp = java.nio.file.Files
         .createTempDirectory("graft-st1-replay").toString
       Tables.load(s, dir, "events")
@@ -203,7 +204,8 @@ object StreamQueries {
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   private def orderedReplay(s: SparkSession, dir: String): String =
-    orderedCache.computeIfAbsent(dir, _ => {
+    orderedCache.computeIfAbsent(
+      Tables.corpusCacheKey(s, dir, "events"), _ => {
       import java.nio.file._
       val tmp = Files.createTempDirectory("graft-st4-replay").toString
       val streamDir = s"$tmp/stream"
@@ -386,7 +388,8 @@ object StreamQueries {
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   private def splitAnnQueries(s: SparkSession, dir: String): String =
-    annQueryCache.computeIfAbsent(dir, _ => {
+    annQueryCache.computeIfAbsent(
+      Tables.corpusCacheKey(s, dir, "embeddings"), _ => {
       val tmp = java.nio.file.Files
         .createTempDirectory("graft-st6-replay").toString
       Tables.load(s, dir, "embeddings")

@@ -1144,7 +1144,7 @@ object TextQueries {
   }
 
   private def qmWeights(s: org.apache.spark.sql.SparkSession, dir: String) =
-    qmCache.computeIfAbsent(dir,
+    qmCache.computeIfAbsent(Tables.corpusCacheKey(s, dir, "documents"),
       _ => QualityModel.train(qmLabeled(s, dir), QmDim))
 
   val t23LearnedQuality: QueryDef = QueryDef(
@@ -1700,7 +1700,8 @@ object TextQueries {
     val session = s
     import session.implicits._
     val docs = Tables.loadSpread(s, dir, "documents").select("doc_id", "text")
-    val merges = mergeCache.computeIfAbsent(dir,
+    val merges = mergeCache.computeIfAbsent(
+      Tables.corpusCacheKey(s, dir, "documents"),
       _ => BpeTrainer.train(docs, "text", numMerges = 48))
     val bc = s.sparkContext.broadcast(merges)
     docs.as[(Long, String)].mapPartitions { it =>

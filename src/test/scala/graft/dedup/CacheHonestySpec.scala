@@ -59,9 +59,19 @@ class CacheHonestySpec extends SparkSpec {
     // consumer lists maintained by hand — grep the cache name when adding
     // a query that reads one of these memoized artifacts
     val cacheConsumers = Map(
-      "Ivf.trainCached" -> Seq("s3_ann_ivf", "s8_filtered_ann", "s9_kmeans"),
+      // s9_kmeans is deliberately absent: its r10 rewrite runs inline
+      // Lloyd iterations and no longer reads Ivf's model cache
+      "Ivf.trainCached" -> Seq("s3_ann_ivf", "s8_filtered_ann"),
       "DedupQueries.pairsCache" -> Seq("d8_dedup_clusters", "d11_canonical_select"),
-      "DedupQueries.clustersCache" -> Seq("d11_canonical_select"))
+      "DedupQueries.clustersCache" -> Seq("d11_canonical_select"),
+      "StreamQueries.splitCache" ->
+        Seq("st1_stream_windows", "st2_stream_join", "st3_stream_dedup"),
+      "StreamQueries.orderedCache" ->
+        Seq("st4_late_data", "st5_stateful_sessions"),
+      "StreamQueries.annQueryCache" -> Seq("st6_streaming_ann"),
+      "CatalogQueries.cdcCache" -> Seq("c3_cdc_diff"),
+      "CatalogQueries.expiryCache" ->
+        Seq("c8_expiry_plan", "c9_incremental_scan"))
     val registered = graft.SparkEntry.queries.keySet
     cacheConsumers.foreach { case (cache, consumers) =>
       consumers.foreach(c => assert(registered.contains(c), s"$c not registered"))

@@ -214,6 +214,26 @@ class PropertySpec extends AnyFunSuite {
       }
   }
 
+  test("cms_order sort equals the reference (df, h) sort on random arrays") {
+    import graft.expressions.CountMin
+    // skewed grids: many collisions at small width force heavy df ties,
+    // the branch the in-place quicksort must tiebreak by hash
+    val width = 64
+    val depth = 2
+    val keyGen = Gen.listOf(Gen.chooseNum(Long.MinValue, Long.MaxValue))
+      .map(_.distinct)
+    samples(keyGen, 300).foreach { keys =>
+      val counts = new Array[Long](width * depth)
+      keys.foreach(k => CountMin.add(k, counts, width, depth))
+      val got = HashOps.longs(
+        CountMin.orderByEstimate(arr(keys), counts, width, depth)).toSeq
+      val ref = keys
+        .map(k => (CountMin.estimate(k, counts, width, depth), k))
+        .sorted.map(_._2)
+      assert(got == ref, s"n=${keys.size}")
+    }
+  }
+
   test("CMS never undercounts and merge equals single-pass on random bags") {
     val bagGen = Gen.listOf(Gen.chooseNum(-50L, 50L))
     samples(bagGen, 30).foreach { bag =>

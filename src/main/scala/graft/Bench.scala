@@ -33,6 +33,7 @@ object Bench {
     // class as the m8/m9 media stores): the steady-state passes measure
     // the stream replay / versioned-table query, not the fixture write —
     // each first_pass carries the write
+    "d10_semantic_dedup"    -> "Ivf.trainCached",
     "st1_stream_windows"    -> "StreamQueries.splitCache",
     "st2_stream_join"       -> "StreamQueries.splitCache",
     "st3_stream_dedup"      -> "StreamQueries.splitCache",
@@ -41,7 +42,13 @@ object Bench {
     "st6_streaming_ann"     -> "StreamQueries.annQueryCache",
     "c3_cdc_diff"           -> "CatalogQueries.cdcCache",
     "c8_expiry_plan"        -> "CatalogQueries.expiryCache",
-    "c9_incremental_scan"   -> "CatalogQueries.expiryCache")
+    "c9_incremental_scan"   -> "CatalogQueries.expiryCache",
+    "p1_corpus_ingest"      -> "PipelineQueries.p1Cache",
+    "p3_hyperspectral"      -> "PipelineQueries.p3Cache",
+    "p4_spatiotemporal"     -> "PipelineQueries.p4Cache",
+    "b1_bucketed_join"      -> "LayoutQueries.bucketedTables",
+    "b2_partition_pruning"  -> "LayoutQueries.partitionedTables",
+    "b3_time_partition_pruning" -> "LayoutQueries.timePartTables")
 
   /** Accumulates per-stage shuffle/spill bytes between [[mark]]s — the
     * evidence behind the scale claims: a query whose time looks fine but

@@ -143,8 +143,11 @@ object Tables {
     * the same second would collide), so the file COUNT and a hash over
     * every (name, length) pair are folded in too — a rewrite that keeps
     * all of those identical byte-for-byte is indistinguishable from a
-    * no-op at listing level. The listing runs only on the spread path,
-    * i.e. only for tables already known to be tiny. */
+    * no-op at listing level. Cost per call: ONE recursive listing of the
+    * table's file statuses (a handful of entries for any one table) —
+    * paid on every cache lookup by design, because detecting a rewrite
+    * on the NEXT access is the whole point; memoizing the fingerprint
+    * would reintroduce the staleness it exists to prevent. */
   /** Per-corpus-dir JVM cache key: dir + table + source fingerprint — the
     * spread-cache contract, shared by every memoizing query family
     * (trained models, encode-once media stores, replay fixtures, dedup
@@ -162,7 +165,10 @@ object Tables {
   private[graft] def sourceFingerprint(spark: SparkSession, path: String): String =
     try {
       val p = new org.apache.hadoop.fs.Path(path)
-      val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+      // sparkContext.hadoopConfiguration, NOT sessionState.newHadoopConf():
+      // the latter clones the full Configuration per call, and this runs
+      // on every cache lookup inside the bench's timed region
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
       val it = fs.listFiles(p, true)
       var bytes = 0L; var mtime = 0L; var count = 0L; var nameHash = 0L
       while (it.hasNext) {

@@ -180,6 +180,13 @@ object CountMin {
   /** [[CmsOrderExpr]]'s kernel: indices sorted by (estimate, hash)
     * ascending via an in-place dual-key quicksort over two parallel
     * primitive arrays — no boxing, no comparator allocation per row.
+    *
+    * Null elements FAIL LOUDLY: the analysis-time check can't see
+    * containsNull (type acceptance ignores nullability), and getLong on
+    * a null slot would fabricate hash 0 where the interpreted chain it
+    * replaced propagated the null — producers here (shingle_hashes)
+    * never emit null elements, so the branch is dead in practice and
+    * the guard costs one bit-test per element.
     */
   def orderByEstimate(sh: org.apache.spark.sql.catalyst.util.ArrayData,
       counts: Array[Long], width: Int, depth: Int): org.apache.spark.sql.catalyst.util.ArrayData = {
@@ -188,6 +195,8 @@ object CountMin {
     val dfs = new Array[Long](n)
     var i = 0
     while (i < n) {
+      if (sh.isNullAt(i)) throw new IllegalArgumentException(
+        s"cms_order: null element at index $i (expected array<bigint> with no null elements)")
       val h = sh.getLong(i)
       hs(i) = h
       dfs(i) = estimate(h, counts, width, depth)

@@ -29,7 +29,9 @@ object LayoutQueries {
   private val tableSeq = new java.util.concurrent.atomic.AtomicLong(0L)
 
   private def ensureBucketed(s: SparkSession, dir: String): (String, String) =
-    bucketedTables.computeIfAbsent(dir, _ => {
+    bucketedTables.computeIfAbsent(
+      Tables.corpusCacheKey(s, dir, "lineitem") + "+" +
+        Tables.corpusCacheKey(s, dir, "orders"), _ => {
       // collision-free tag: a per-insert counter (two distinct dirs can
       // never share a table name, unlike the 32-bit dir.hashCode)
       val tag = tableSeq.getAndIncrement().toString
@@ -93,7 +95,8 @@ object LayoutQueries {
     * `ship_month=yyyy-MM/` directories — the layout a 100 TB fact table
     * actually has). */
   private def ensurePartitioned(s: SparkSession, dir: String): String =
-    partitionedTables.computeIfAbsent(dir, _ => {
+    partitionedTables.computeIfAbsent(
+      Tables.corpusCacheKey(s, dir, "lineitem"), _ => {
       val base = java.nio.file.Files.createTempDirectory("graft-b2").toString
       Tables.load(s, dir, "lineitem")
         .withColumn("ship_month", date_format(col("l_shipdate"), "yyyy-MM"))
@@ -160,7 +163,8 @@ object LayoutQueries {
     * path a fresh cluster session would take.
     */
   private[layout] def ensureTimePartitioned(s: SparkSession, dir: String): String =
-    timePartTables.computeIfAbsent(dir, _ => {
+    timePartTables.computeIfAbsent(
+      Tables.corpusCacheKey(s, dir, "events"), _ => {
       val base = java.nio.file.Files.createTempDirectory("graft-b3").toString
       val path = s"$base/events"
       Tables.load(s, dir, "events")

@@ -35,7 +35,8 @@ object PipelineQueries {
 
   private def corpusDir(s: org.apache.spark.sql.SparkSession,
       dir: String): String =
-    p1Cache.computeIfAbsent(dir, _ => {
+    p1Cache.computeIfAbsent(
+      graft.core.Tables.corpusCacheKey(s, dir, "documents"), _ => {
       val tmp = java.nio.file.Files.createTempDirectory("graft-p1").toString
       val corpus = s"$tmp/corpus"
       val ledger = s"$tmp/ledger"
@@ -238,6 +239,8 @@ object PipelineQueries {
 
   private def p3SpectrumDir(s: org.apache.spark.sql.SparkSession,
       dir: String): String =
+    // keyed by dir alone deliberately: the .emd fixture bytes below are
+    // corpus-independent literals, so no source rewrite can stale them
     p3Cache.computeIfAbsent(dir, _ => {
       val tmp = java.nio.file.Files.createTempDirectory("graft-p3").toString
       val watch = s"$tmp/watch"
@@ -309,6 +312,7 @@ object PipelineQueries {
 
   private def p4FramesDir(s: org.apache.spark.sql.SparkSession,
       dir: String): String =
+    // dir-keyed for the same reason as p3Cache: literal fixture bytes
     p4Cache.computeIfAbsent(dir, _ => {
       val tmp = java.nio.file.Files.createTempDirectory("graft-p4").toString
       val watch = s"$tmp/watch"

@@ -61,7 +61,8 @@ class CacheHonestySpec extends SparkSpec {
     val cacheConsumers = Map(
       // s9_kmeans is deliberately absent: its r10 rewrite runs inline
       // Lloyd iterations and no longer reads Ivf's model cache
-      "Ivf.trainCached" -> Seq("s3_ann_ivf", "s8_filtered_ann"),
+      "Ivf.trainCached" ->
+        Seq("s3_ann_ivf", "s8_filtered_ann", "d10_semantic_dedup"),
       "DedupQueries.pairsCache" -> Seq("d8_dedup_clusters", "d11_canonical_select"),
       "DedupQueries.clustersCache" -> Seq("d11_canonical_select"),
       "StreamQueries.splitCache" ->
@@ -71,7 +72,13 @@ class CacheHonestySpec extends SparkSpec {
       "StreamQueries.annQueryCache" -> Seq("st6_streaming_ann"),
       "CatalogQueries.cdcCache" -> Seq("c3_cdc_diff"),
       "CatalogQueries.expiryCache" ->
-        Seq("c8_expiry_plan", "c9_incremental_scan"))
+        Seq("c8_expiry_plan", "c9_incremental_scan"),
+      "PipelineQueries.p1Cache" -> Seq("p1_corpus_ingest"),
+      "PipelineQueries.p3Cache" -> Seq("p3_hyperspectral"),
+      "PipelineQueries.p4Cache" -> Seq("p4_spatiotemporal"),
+      "LayoutQueries.bucketedTables" -> Seq("b1_bucketed_join"),
+      "LayoutQueries.partitionedTables" -> Seq("b2_partition_pruning"),
+      "LayoutQueries.timePartTables" -> Seq("b3_time_partition_pruning"))
     val registered = graft.SparkEntry.queries.keySet
     cacheConsumers.foreach { case (cache, consumers) =>
       consumers.foreach(c => assert(registered.contains(c), s"$c not registered"))

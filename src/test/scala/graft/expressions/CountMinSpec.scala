@@ -106,6 +106,18 @@ class CountMinSpec extends SparkSpec {
     assert(!plan.contains("CodegenFallback"), plan)
   }
 
+  test("cms_order fails loudly on a null array element (never fabricates hash 0)") {
+    val g = gridOf(Seq(1L), 1)
+    val df = Seq(Tuple1(Seq[java.lang.Long](1L, null, 3L))).toDF("sh")
+    val err = intercept[Exception] {
+      df.select(CountMin.cmsOrder(col("sh"), g, W, D)).collect()
+    }
+    def rootMessages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e =>
+        Option(e.getMessage).toSeq ++ rootMessages(e.getCause))
+    assert(rootMessages(err).exists(_.contains("null element")), err.toString)
+  }
+
   test("cms_order rejects non-long arrays at analysis time") {
     val g = gridOf(Seq(1L), 1)
     val err = intercept[org.apache.spark.sql.AnalysisException] {

@@ -232,7 +232,11 @@ object HashOps {
     * from the `aggregate(zip_with(...))` chain it replaced, which padded
     * with nulls and returned NULL on mismatch; callers (s9/s10 ADC)
     * construct both sides at the same fixed dim, so the case is unreachable
-    * there, and truncation keeps the kernel branch-free.
+    * there, and truncation keeps the kernel branch-free. Null ELEMENTS are
+    * likewise out of contract (getLong would read them as 0): analysis
+    * can't see containsNull, and this kernel runs per candidate in the
+    * measured ADC hot loop, so unlike cms_order it carries no per-element
+    * guard — both callers quantize non-null float arrays they just built.
     */
   def longDot(a: ArrayData, b: ArrayData): Long = {
     var acc = 0L

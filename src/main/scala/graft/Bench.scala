@@ -130,9 +130,21 @@ object Bench {
     val rx = "BENCH_r0*(\\d+)\\.json".r
     val candidates = Option(new java.io.File(repoRoot).listFiles).toSeq.flatten
       .flatMap(fl => fl.getName match {
-        case rx(k) if k.toInt <= round => Some((k.toInt, fl))
+        // toIntOption: a stray over-Int-range digit run must not throw
+        // AFTER the full timed suite already ran (nothing would be written)
+        case rx(k) => k.toIntOption.filter(_ <= round).map(n => (n, fl))
         case _ => None
-      }).sortBy(-_._1)
+      })
+      // secondary sort on name: BENCH_r9 / BENCH_r09 can coexist (older
+      // rounds probed both spellings) and listFiles order is fs-dependent —
+      // the tie must break deterministically, not by listing order
+      .sortBy { case (k, fl) => (-k, fl.getName) }
+    // Per candidate (newest first): Some(Some(calib)) = use it;
+    // Some(None) = REFUSE normalization entirely (the file mentions a
+    // calib but won't parse, i.e. a corrupt/truncated artifact, or is
+    // unreadable — silently falling back to an older round's host is the
+    // 'surprising baseline' this function's contract rejects); None =
+    // skip to the next round down (a pre-r7 artifact with no calib).
     candidates.view.flatMap { case (_, fl) =>
       try {
         // the driver's round artifact embeds the bench stdout line inside a
@@ -140,11 +152,15 @@ object Bench {
         // quotes (\"calib\":…) — unescape before matching, which also
         // leaves a plain BENCH_local-style artifact unchanged
         val txt = java.nio.file.Files.readString(fl.toPath).replace("\\\"", "\"")
-        """"calib"\s*:\s*\{[^}]*"parallel_s"\s*:\s*([0-9.]+)[^}]*"threads"\s*:\s*(\d+)""".r
-          .findFirstMatchIn(txt)
-          .map(m => (fl.getName, m.group(1).toDouble, m.group(2).toInt))
-      } catch { case _: Throwable => None }
-    }.headOption
+        val parsed =
+          """"calib"\s*:\s*\{[^}]*"parallel_s"\s*:\s*([0-9.]+)[^}]*"threads"\s*:\s*(\d+)""".r
+            .findFirstMatchIn(txt)
+            .map(m => (fl.getName, m.group(1).toDouble, m.group(2).toInt))
+        if (parsed.isDefined) Some(parsed)
+        else if (txt.contains("\"calib\"")) Some(None)
+        else None
+      } catch { case scala.util.control.NonFatal(_) => Some(None) }
+    }.headOption.flatten
   }
 
   /** First three /proc/loadavg fields — recorded in the artifact so a

@@ -314,7 +314,11 @@ object DedupQueries {
 
   private def nearDupPairsCached(s: org.apache.spark.sql.SparkSession,
       dir: String): org.apache.spark.sql.DataFrame =
-    pairsCache.computeIfAbsent(corpusKey(s, dir), _ =>
+    nearDupPairsKeyed(s, dir, corpusKey(s, dir))
+
+  private def nearDupPairsKeyed(s: org.apache.spark.sql.SparkSession,
+      dir: String, key: String): org.apache.spark.sql.DataFrame =
+    pairsCache.computeIfAbsent(key, _ =>
       Dedup.minhashNearDupPairs(
         Tables.loadSpread(s, dir, "documents"), "doc_id", "text", threshold = 0.8)
         .localCheckpoint(eager = true))
@@ -340,9 +344,15 @@ object DedupQueries {
     new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.DataFrame]()
 
   private[graft] def dedupClustersCached(s: org.apache.spark.sql.SparkSession,
-      dir: String): org.apache.spark.sql.DataFrame =
-    clustersCache.computeIfAbsent(corpusKey(s, dir), _ =>
-      Dedup.dedupClusters(nearDupPairsCached(s, dir)))
+      dir: String): org.apache.spark.sql.DataFrame = {
+    // fingerprint ONCE per invocation and thread the key down — the
+    // pairs lookup inside the miss path reuses it instead of re-listing
+    // the same documents.parquet (the key identifies the same snapshot
+    // by construction: both caches derive from that one table)
+    val key = corpusKey(s, dir)
+    clustersCache.computeIfAbsent(key, _ =>
+      Dedup.dedupClusters(nearDupPairsKeyed(s, dir, key)))
+  }
 
   val d8DedupClusters: QueryDef = QueryDef(
     "d8_dedup_clusters",

@@ -88,4 +88,32 @@ class BenchCalibSpec extends AnyFunSuite {
       assert(Bench.priorCalib(repo, 11).isEmpty)
     }
   }
+
+  test("a corrupt newest artifact REFUSES normalization instead of falling back") {
+    // the file mentions a calib but truncation cut the object — silently
+    // normalizing against the older r09 would be a surprising baseline
+    withRepo(Map(
+      "BENCH_r10.json" -> """{"metric":"total","calib":{"single_s":0.5,"paral""",
+      "BENCH_r09.json" -> benchJson(0.99, 32))) { repo =>
+      assert(Bench.priorCalib(repo, 11).isEmpty)
+    }
+  }
+
+  test("zero-padding twins tie-break deterministically (name order, not fs order)") {
+    withRepo(Map(
+      "BENCH_r9.json" -> benchJson(1.5, 32),
+      "BENCH_r09.json" -> benchJson(0.9, 32))) { repo =>
+      assert(Bench.priorCalib(repo, 10)
+        .contains(("BENCH_r09.json", 0.9, 32)))
+    }
+  }
+
+  test("an over-Int-range digit run in a stray filename is ignored, not fatal") {
+    withRepo(Map(
+      "BENCH_r99999999999.json" -> benchJson(9.9, 32),
+      "BENCH_r10.json" -> benchJson(1.25, 32))) { repo =>
+      assert(Bench.priorCalib(repo, 11)
+        .contains(("BENCH_r10.json", 1.25, 32)))
+    }
+  }
 }

@@ -58,6 +58,9 @@ class CacheHonestySpec extends SparkSpec {
   test("each shared cache's first-in-bench-order consumer is disclosed in Bench.amortized") {
     // consumer lists maintained by hand — grep the cache name when adding
     // a query that reads one of these memoized artifacts
+    // (covers EVERY distinct cache named in Bench.amortized; the
+    // completeness assertion at the bottom fails if the map grows a cache
+    // this registry doesn't know)
     val cacheConsumers = Map(
       // s9_kmeans is deliberately absent: its r10 rewrite runs inline
       // Lloyd iterations and no longer reads Ivf's model cache
@@ -65,6 +68,10 @@ class CacheHonestySpec extends SparkSpec {
         Seq("s3_ann_ivf", "s8_filtered_ann", "d10_semantic_dedup"),
       "DedupQueries.pairsCache" -> Seq("d8_dedup_clusters", "d11_canonical_select"),
       "DedupQueries.clustersCache" -> Seq("d11_canonical_select"),
+      "TextQueries.qmCache" -> Seq("t23_learned_quality"),
+      "TextQueries.mergeCache" -> Seq("t32_bpe_encode"),
+      "MultimodalQueries.m8MediaCache" -> Seq("m8_h264_video"),
+      "MultimodalQueries.m9MediaCache" -> Seq("m9_bframe_video"),
       "StreamQueries.splitCache" ->
         Seq("st1_stream_windows", "st2_stream_join", "st3_stream_dedup"),
       "StreamQueries.orderedCache" ->
@@ -90,6 +97,17 @@ class CacheHonestySpec extends SparkSpec {
       // and every later consumer of a prebuilt artifact is disclosed too
       consumers.foreach(c => assert(graft.Bench.amortized.contains(c),
         s"$c consumes $cache but is not disclosed in Bench.amortized"))
+    }
+    // completeness both ways: every cache the bench disclosure map names
+    // must have a registry row here, and every disclosed query must appear
+    // in its cache's consumer list — a new disclosure can't bypass the
+    // ordering/ownership audit above
+    val disclosedCaches = graft.Bench.amortized.values.toSet
+    assert(disclosedCaches.subsetOf(cacheConsumers.keySet),
+      s"caches disclosed but missing from the registry: ${disclosedCaches -- cacheConsumers.keySet}")
+    graft.Bench.amortized.foreach { case (q, cache) =>
+      assert(cacheConsumers.get(cache).exists(_.contains(q)),
+        s"$q disclosed under $cache but absent from its registry consumer list")
     }
   }
 }

@@ -105,7 +105,10 @@ object Exact {
   def dsumMerge(c: Column): Column = sum(c).cast(DoubleType)
 
   /** Order-independent AVG (exact sum / count). */
-  def davg(c: Column): Column = dsum(c) / count(lit(1))
+  // divide by count(c), not count(*): dsum skips nulls, so an all-rows
+  // denominator would silently report sum/N instead of AVG's sum/N_nonnull
+  // on a null-bearing column (the SQL mirror below matches)
+  def davg(c: Column): Column = dsum(c) / count(c)
 
   /** Exact 2-decimal representation of a money/rate column. The testdata
     * money columns are 2-decimal-valued doubles (max deviation < 1e-9), so
@@ -117,6 +120,6 @@ object Exact {
   /** DuckDB-side equivalents for oracle SQL strings. */
   def sqlSum(e: String): String =
     s"CAST(SUM(CAST(($e) AS DECIMAL(30,$Scale))) AS DOUBLE)"
-  def sqlAvg(e: String): String = s"${sqlSum(e)} / COUNT(*)"
+  def sqlAvg(e: String): String = s"${sqlSum(e)} / COUNT(($e))"
   def sqlMoney(e: String): String = s"CAST(($e) AS DECIMAL(18,2))"
 }

@@ -60,7 +60,11 @@ object Ranks {
     */
   def orderStatistics(df: DataFrame, g: String, v: String, buckets: Int,
       vLo: Double, vHi: Double, ps: Seq[Double]): DataFrame = {
-    require(buckets > 0 && vHi > vLo && ps.nonEmpty)
+    // ps outside [0,1] would send locate() past the last cell and
+    // MatchError on the driver mid-collect — reject up front
+    require(buckets > 0 && vHi > vLo && ps.nonEmpty &&
+      ps.forall(p => p >= 0.0 && p <= 1.0),
+      s"buckets=$buckets, [$vLo,$vHi), ps=$ps")
     val spark = df.sparkSession
     import spark.implicits._
     val width = (vHi - vLo) / buckets
@@ -103,10 +107,15 @@ object Ranks {
         val (bh, wh) = locate(hi)
         Seq((grp, bl, wl, p, 0, pos), (grp, bh, wh, p, 1, pos))
       }
-    }.toDF("g", "__b", "within", "p", "role", "pos")
+    }.toDF("__tg", "__tb", "within", "p", "role", "pos")
 
-    // pass 3: rank ONLY inside target cells (one small window per target)
-    withB.join(broadcast(targets), Seq("g", "__b"))
+    // pass 3: rank ONLY inside target cells (one small window per target).
+    // Null-safe on the group key: a using-join on g would silently DROP
+    // every null-group row, where the window-rank semantics this replaces
+    // keep null as its own group.
+    withB.join(broadcast(targets),
+        col("g") <=> col("__tg") && col("__b") === col("__tb"))
+      .drop("__tg", "__tb")
       .withColumn("rnc", row_number().over(
         Window.partitionBy("g", "__b", "p", "role").orderBy("v")))
       .filter(col("rnc") === col("within"))
@@ -145,8 +154,12 @@ object Ranks {
       .withColumn("n", sum(col("__c")).over(Window.partitionBy(g)))
       .select(col(g), col("__b"), col("__off"), col("n"))
 
-    // pass 2: rank within each cell; every sort bounded by the cell size
-    withB.join(broadcast(offs), Seq(g, "__b"))
+    // pass 2: rank within each cell; every sort bounded by the cell size.
+    // Null-safe on g (same rationale as orderStatistics' pass-3 join).
+    val offsR = offs.withColumnRenamed(g, "__og").withColumnRenamed("__b", "__ob")
+    withB.join(broadcast(offsR),
+        col(g) <=> col("__og") && col("__b") === col("__ob"))
+      .drop("__og", "__ob")
       .withColumn("rn",
         col("__off") + row_number().over(
           Window.partitionBy(g, "__b").orderBy(v)))

@@ -49,9 +49,23 @@ object DerivedPartitions {
   private val metaCache =
     new java.util.concurrent.ConcurrentHashMap[String, Option[(String, String)]]()
 
+  /** Cache/registry key: the FULLY QUALIFIED path URI (scheme + authority
+    * + path). Keying on the bare path alone would let same-pathed tables
+    * on different filesystems or buckets (s3a://prod/tables/events vs
+    * s3a://staging/tables/events) share one contract entry — and pruning
+    * on a contract vouched for a DIFFERENT store silently drops rows.
+    */
+  private def cacheKey(p: org.apache.hadoop.fs.Path,
+      conf: org.apache.hadoop.conf.Configuration): String =
+    p.getFileSystem(conf).makeQualified(p).toUri.toString
+
   def register(path: String, tsCol: String = "ts",
-      dayCol: String = "event_day"): Unit =
-    reg.put(new org.apache.hadoop.fs.Path(path).toUri.getPath, (tsCol, dayCol))
+      dayCol: String = "event_day"): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    reg.put(cacheKey(p, new org.apache.hadoop.conf.Configuration()),
+      (tsCol, dayCol))
+    ()
+  }
 
   /** Write the derivation contract next to the table root. Works on any
     * Hadoop filesystem (the store a 100 TB table actually lives on). */
@@ -65,17 +79,28 @@ object DerivedPartitions {
         .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
     // drop a stale negative probe from before the file existed
-    metaCache.remove(new org.apache.hadoop.fs.Path(path).toUri.getPath)
+    metaCache.remove(cacheKey(new org.apache.hadoop.fs.Path(path), conf))
     ()
   }
 
+  /** The contract for a relation's root paths — defined only when EVERY
+    * root vouches and all roots agree on one (tsCol, dayCol). First-match
+    * semantics would let a single vouched root speak for sibling roots in
+    * a multi-path read (spark.read.parquet(pathA, pathB)) whose derivation
+    * nobody vouched for — pruning the whole relation on pathA's contract
+    * would silently drop pathB's rows. */
   def lookup(rootPaths: Seq[org.apache.hadoop.fs.Path],
-      conf: => org.apache.hadoop.conf.Configuration): Option[(String, String)] =
-    rootPaths.iterator.flatMap { p =>
-      val key = p.toUri.getPath
+      conf: => org.apache.hadoop.conf.Configuration): Option[(String, String)] = {
+    if (rootPaths.isEmpty) return None
+    val c = conf
+    val contracts = rootPaths.map { p =>
+      val key = cacheKey(p, c)
       Option(reg.get(key))
-        .orElse(metaCache.computeIfAbsent(key, _ => readMeta(p, conf)))
-    }.nextOption()
+        .orElse(metaCache.computeIfAbsent(key, _ => readMeta(p, c)))
+    }
+    contracts.head.filter(first =>
+      contracts.forall(_.contains(first)))
+  }
 
   private def readMeta(root: org.apache.hadoop.fs.Path,
       conf: org.apache.hadoop.conf.Configuration): Option[(String, String)] =
@@ -172,13 +197,25 @@ object DerivedPartitionPushdown extends Rule[LogicalPlan] {
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
     case f @ Filter(cond, child) =>
       contract(child) match {
-        case Some((ts, day)) =>
+        // day ∈ child.outputSet: the relation is found ANYWHERE beneath
+        // the Filter (collectFirst), so an intermediate Project/Window may
+        // have pruned the partition column — referencing it from the
+        // rewritten Filter would fail attribute binding at physical
+        // planning. No pruning is possible then; leave the Filter alone.
+        case Some((ts, day)) if child.outputSet.contains(day) =>
           val conjuncts = split(cond)
+          // dedup against existing conjuncts AND previously added bounds:
+          // two conjuncts can imply the same day bound (ts >= L and
+          // ts > L-1), and appending it twice evaluates the partition
+          // predicate twice per directory
           val implied = conjuncts.flatMap(impliedDayBound(_, ts, day))
-            .filterNot(b => conjuncts.exists(_.semanticEquals(b)))
+            .foldLeft(Seq.empty[Expression]) { (acc, b) =>
+              if ((conjuncts ++ acc).exists(_.semanticEquals(b))) acc
+              else acc :+ b
+            }
           if (implied.isEmpty) f
           else Filter((conjuncts ++ implied).reduce(And), child)
-        case None => f
+        case _ => f
       }
   }
 

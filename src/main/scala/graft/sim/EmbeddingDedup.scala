@@ -83,29 +83,44 @@ object EmbeddingDedup {
   }
 
   /** Measured LSH sizing diagnostics: (n, effBits, effBands, unique
-    * candidate pairs the banded self-join generates — counted by running
-    * the pair plan with the cosine threshold disabled, so every
-    * candidate survives). This is the adjudication meter for the growth
-    * span, not a serving path.
+    * candidate pairs the banded self-join generates). Candidates are
+    * counted on the candidate set itself, BEFORE the cosine verify —
+    * a disabled-threshold filter (`cos >= -2`) would still drop NaN
+    * cosines (zero-norm vectors), under-reporting growth exactly in the
+    * degenerate-vector regime — and the corpus count comes from the one
+    * the plan builder already ran, not a second pass. This is the
+    * adjudication meter for the growth span, not a serving path.
     */
   def lshDiagnostics(embeddings: DataFrame, idCol: String, vecCol: String,
       dim: Int, bands: Int = 4, bits: Int = 12): (Long, Int, Int, Long) = {
-    val (plan, release) = nearDupPairsPlan(embeddings, idCol, vecCol, dim,
-      threshold = -2.0, bands = bands, bits = bits) // cos ≥ -2: keep all
-    val n = embeddings.count()
-    val (effBits, effBands) = effectiveParams(n, bands, bits)
-    try (n, effBits, effBands, plan.select("id_a", "id_b").count())
-    finally release()
+    val b = build(embeddings, idCol, vecCol, dim,
+      threshold = -2.0, bands = bands, bits = bits)
+    try (b.n, b.effBits, b.effBands, b.cands.count())
+    finally b.release()
   }
 
   def nearDupPairsPlan(embeddings: DataFrame, idCol: String, vecCol: String,
       dim: Int, threshold: Double, bands: Int = 4, bits: Int = 12)
       : (DataFrame, () => Unit) = {
+    val b = build(embeddings, idCol, vecCol, dim, threshold, bands, bits)
+    (b.pairs, b.release)
+  }
+
+  private final case class Built(pairs: DataFrame, cands: DataFrame,
+      n: Long, effBits: Int, effBands: Int, release: () => Unit)
+
+  private def build(embeddings: DataFrame, idCol: String, vecCol: String,
+      dim: Int, threshold: Double, bands: Int, bits: Int): Built = {
     // sized from the RAW input, before any persist is touched: counting
     // the materialized working set would swap the verify joins' size
     // ESTIMATES for exact cached stats and flip their broadcast sides
-    // into vector-carrying shuffles (measured 15× exchange). For a
-    // parquet corpus this count is footer metadata.
+    // into vector-carrying shuffles (measured 15× exchange). For a plain
+    // parquet corpus this count is footer metadata; when the caller hands
+    // an expression pipeline (d5: scan + embedShingles + filter), the
+    // count EXECUTES that pipeline once — the honest price of adaptive
+    // sizing, paid once per invocation and linear across decades (a
+    // cheaper proxy row count would move effBits/effBands at decade
+    // boundaries and with them the measured candidate narrative).
     val n = embeddings.count()
     val (effBits, effBands) = effectiveParams(n, bands, bits)
     val rnd = new scala.util.Random(42L)
@@ -128,6 +143,7 @@ object EmbeddingDedup {
       .withColumn("cos", VectorFunctions.cosineFast(col("va"), col("vb")))
       .filter(col("cos") >= threshold)
       .select("id_a", "id_b", "cos")
-    (pairs, () => { base.unpersist(blocking = false); banded.unpersist(blocking = false); () })
+    Built(pairs, cands, n, effBits, effBands,
+      () => { base.unpersist(blocking = false); banded.unpersist(blocking = false); () })
   }
 }

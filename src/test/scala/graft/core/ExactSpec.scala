@@ -117,4 +117,18 @@ class ExactSpec extends SparkSpec {
     val wide = df.agg(Exact.dsumWide(col("v"))).head.getDouble(0)
     assert(wide == 3.0e18)
   }
+
+  test("davg on a null-bearing column equals AVG (sum over non-null count)") {
+    val session = spark
+    import session.implicits._
+    val df = Seq(("g", Some(2.0)), ("g", None), ("g", Some(4.0)),
+      ("h", Option.empty[Double]))
+      .toDF("g", "v")
+    val got = df.groupBy("g").agg(Exact.davg(col("v")).as("a"), avg("v").as("ref"))
+      .collect().map(r => r.getString(0) ->
+        (Option(r.get(1)).map(_.toString), Option(r.get(2)).map(_.toString))).toMap
+    // group g: AVG = 3.0 (not 2.0 = sum/count(*)); group h: all-null -> NULL
+    assert(got("g")._1 == got("g")._2 && got("g")._1.contains("3.0"), got.toString)
+    assert(got("h")._1.isEmpty && got("h")._2.isEmpty, got.toString)
+  }
 }

@@ -112,4 +112,35 @@ class RanksSpec extends SparkSpec {
       .queryExecution.sparkPlan.toString
     assert(planStr.contains("BroadcastHashJoin"), planStr)
   }
+
+  test("a NULL group is kept as its own group (window-rank semantics)") {
+    import spark.implicits._
+    // a plain using-join on g would drop the null-group rows entirely;
+    // row_number().over(partitionBy(g)) keeps null as one group
+    val df = Seq(("a", 3.0), ("a", 1.0), (null, 2.0), (null, 5.0), (null, 1.0))
+      .toDF("g", "v")
+    val got = Ranks.valueBucketed(df, "g", "v", 4, 0.0, 10.0)
+      .select("g", "v", "rn", "n").collect()
+    assert(got.length == 5, got.toSeq.toString)
+    val nullGroup = got.filter(_.isNullAt(0)).map(r => (r.getDouble(1), r.getLong(2)))
+    assert(nullGroup.sortBy(_._1).map(_._2).toSeq == Seq(1L, 2L, 3L))
+    assert(got.filter(_.isNullAt(0)).forall(_.getLong(3) == 3L))
+
+    val q = Ranks.orderStatistics(df, "g", "v", 4, 0.0, 10.0, Seq(0.5))
+      .collect()
+    assert(q.length == 2) // one row for "a", one for the null group
+    val nullQ = q.filter(_.isNullAt(0))
+    assert(nullQ.length == 1 && nullQ.head.getDouble(2) == 2.0)
+  }
+
+  test("orderStatistics rejects percentiles outside [0, 1] up front") {
+    import spark.implicits._
+    val df = Seq(("a", 1.0)).toDF("g", "v")
+    intercept[IllegalArgumentException] {
+      Ranks.orderStatistics(df, "g", "v", 4, 0.0, 10.0, Seq(1.01))
+    }
+    intercept[IllegalArgumentException] {
+      Ranks.orderStatistics(df, "g", "v", 4, 0.0, 10.0, Seq(-0.01))
+    }
+  }
 }

@@ -237,4 +237,54 @@ class DerivedPartitionPushdownSpec extends SparkSpec {
       pf.getOrElse(""))
     assert(df.count() == 7)
   }
+
+  test("lookup refuses a multi-root relation unless EVERY root vouches") {
+    // the rule consumes lookup(rootPaths): first-match semantics would let
+    // one vouched root speak for an unvouched sibling in a multi-path
+    // read, and pruning the whole relation on its contract silently drops
+    // the sibling's rows (its event_day need not be utc_day(ts))
+    val conf = spark.sessionState.newHadoopConf()
+    def p(s: String) = new org.apache.hadoop.fs.Path(s)
+    val unvouched = java.nio.file.Files
+      .createTempDirectory("dpp-unvouched").toString
+    // vouched alone: contract resolves
+    assert(DerivedPartitions.lookup(Seq(p(registeredPath)), conf).isDefined)
+    // vouched + unvouched sibling: refused, regardless of order
+    assert(DerivedPartitions.lookup(
+      Seq(p(registeredPath), p(unvouched)), conf).isEmpty)
+    assert(DerivedPartitions.lookup(
+      Seq(p(unvouched), p(registeredPath)), conf).isEmpty)
+    // two vouched roots with the SAME contract: resolves
+    assert(DerivedPartitions.lookup(
+      Seq(p(registeredPath), p(registeredPath)), conf).isDefined)
+    // two vouched roots with DIFFERENT contracts: refused
+    val other = java.nio.file.Files
+      .createTempDirectory("dpp-othercontract").toString
+    DerivedPartitions.register(other, tsCol = "created_ns", dayCol = "day")
+    assert(DerivedPartitions.lookup(
+      Seq(p(registeredPath), p(other)), conf).isEmpty)
+  }
+
+  test("no-crash: filter above an operator that pruned the partition column") {
+    import org.apache.spark.sql.expressions.Window
+    // the ts filter cannot push below the window, so the Filter's child
+    // outputs only (ts, bucket, rn) — no event_day. The rule must leave
+    // the Filter alone instead of referencing a pruned attribute.
+    val df = spark.read.parquet(registeredPath)
+      .select(col("ts"), (col("id") % 2).as("bucket"))
+      .withColumn("rn",
+        row_number().over(Window.partitionBy("bucket").orderBy("ts")))
+      .filter(col("ts") >= 3 * NsPerDay)
+    assert(df.count() == 28) // days 3-9, 4 rows each
+  }
+
+  test("two conjuncts implying the same day add ONE bound") {
+    // ts >= L and ts > L-1 both imply day >= dayOf(L)
+    val df = spark.read.parquet(registeredPath)
+      .filter(col("ts") >= 3 * NsPerDay && col("ts") > 3 * NsPerDay - 1)
+    val pf = partitionFilterLine(df)
+    val hits = "1970-01-04".r.findAllIn(pf).size
+    assert(hits == 1, pf)
+    assert(df.count() == 28)
+  }
 }

@@ -91,7 +91,12 @@ object BucketedMerge {
     val v = currentVersion(dir).getOrElse(
       throw new IllegalStateException(s"no _CURRENT pointer in $dir"))
     val m = readManifest(dir, v)
-    spark.read.parquet(bucketPaths(dir, m, m.buckets.keys): _*)
+    val paths = bucketPaths(dir, m, m.buckets.keys)
+    // a zero-path spark.read.parquet() dies with an opaque schema-inference
+    // error; say what actually happened (created from an empty batch)
+    if (paths.isEmpty) throw new IllegalStateException(
+      s"bucketed table at $dir (version $v) maps no buckets — it holds no data")
+    spark.read.parquet(paths: _*)
   }
 
   /** Read only the named buckets of the current snapshot. */
@@ -148,19 +153,46 @@ object BucketedMerge {
       case Some(v) =>
         val m = readManifest(dir, v)
         val next = v + 1
-        val up = Merge.dedupeUpdates(updates, keys)
-        // touched-bucket set: ≤ nBuckets distinct values — driver-tiny
-        val touched = up.select(bucketExpr(keys, m.nBuckets).as("b"))
-          .distinct().collect().map(_.getInt(0)).toSet
-        val merged = readBuckets(spark, dir, m, touched) match {
-          case Some(existing) => Merge.mergeFrames(existing, up, keys)
-          case None => up
+        // key TYPES must match the stored table's: Murmur3 is
+        // type-dependent (hash(1: int) != hash(1L)), so a widened or
+        // narrowed key batch would compute a touched-bucket set
+        // inconsistent with where unionByName's coercion actually lands
+        // the rows — manifest pointers at nonexistent dirs, duplicate
+        // keys in never-read buckets
+        readBuckets(spark, dir, m, m.buckets.keySet).foreach { table =>
+          keys.foreach { k =>
+            val tt = table.schema(k).dataType
+            val ut = updates.schema(k).dataType
+            require(tt == ut,
+              s"merge key $k: updates type $ut != stored table type $tt " +
+                "(hash-bucketing is type-dependent; cast the batch first)")
+          }
         }
-        writeBuckets(merged, keys, m.nBuckets, dir, next)
-        // untouched buckets pointer-swap forward; their files never move
-        writeVersion(dir, next,
-          Manifest(m.nBuckets, m.buckets ++ touched.map(_ -> next)))
-        next
+        // persisted: the deduped set is evaluated by the touched collect,
+        // the anti-join and the bucket write — re-running a
+        // nondeterministic updates source between those actions would make
+        // the manifest's touched set disagree with the buckets actually
+        // written (pointers at missing dirs, rows behind stale pointers)
+        val up = Merge.dedupeUpdates(updates, keys)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          // touched-bucket set: ≤ nBuckets distinct values — driver-tiny
+          // (this collect also materializes the persist)
+          val touched = up.select(bucketExpr(keys, m.nBuckets).as("b"))
+            .distinct().collect().map(_.getInt(0)).toSet
+          val merged = readBuckets(spark, dir, m, touched) match {
+            case Some(existing) => Merge.mergeDeduped(existing, up, keys)
+            case None => up
+          }
+          writeBuckets(merged, keys, m.nBuckets, dir, next)
+          // untouched buckets pointer-swap forward; their files never move
+          writeVersion(dir, next,
+            Manifest(m.nBuckets, m.buckets ++ touched.map(_ -> next)))
+          next
+        } finally {
+          up.unpersist(blocking = false)
+          ()
+        }
     }
   }
 
@@ -196,11 +228,19 @@ object BucketedMerge {
     try {
       s.iterator().asScala.foreach { p =>
         val n = p.getFileName.toString
-        if (n.startsWith("v=") && !referenced.contains(n.drop(2).toLong))
-          deleteRecursively(p)
-        else if (n.startsWith("manifest-") &&
-            !keptVersions.contains(n.stripPrefix("manifest-").stripSuffix(".txt").toLong))
-          java.nio.file.Files.deleteIfExists(p)
+        // versions ABOVE cur are an in-flight merge's (data + manifest land
+        // BEFORE the _CURRENT swap) — deleting them here would corrupt the
+        // table the instant that merge swaps the pointer. Only versions
+        // <= cur are this tool's to reclaim.
+        if (n.startsWith("v=")) {
+          val ver = n.drop(2).toLong
+          if (ver <= cur && !referenced.contains(ver)) deleteRecursively(p)
+        } else if (n.startsWith("manifest-")) {
+          val ver = n.stripPrefix("manifest-").stripSuffix(".txt").toLong
+          if (ver <= cur && !keptVersions.contains(ver))
+            java.nio.file.Files.deleteIfExists(p)
+          ()
+        }
       }
     } finally s.close()
   }

@@ -49,12 +49,16 @@ object Merge {
     * [[dedupeUpdates]] — both the first-create path and the merge path
     * enforce the same one-row-per-key contract.
     */
-  def mergeFrames(target: DataFrame, updates: DataFrame, keys: Seq[String]): DataFrame = {
-    val up = dedupeUpdates(updates, keys)
+  def mergeFrames(target: DataFrame, updates: DataFrame, keys: Seq[String]): DataFrame =
+    mergeDeduped(target, dedupeUpdates(updates, keys), keys)
+
+  /** [[mergeFrames]] for callers that already hold a DEDUPED (and possibly
+    * persisted) update set — skips the second dedupe window the combined
+    * path used to pay per merge. */
+  def mergeDeduped(target: DataFrame, up: DataFrame, keys: Seq[String]): DataFrame =
     up.unionByName(
       target.join(up.select(keys.map(org.apache.spark.sql.functions.col): _*),
         keys, "left_anti"))
-  }
 
   /** Current version number, if the table exists. */
   def currentVersion(dir: String): Option[Long] = {

@@ -23,9 +23,24 @@ object Skew {
     * reducers. `discriminator` must vary within a key group (e.g. the
     * row's unique id) so rows of a hot key actually scatter.
     */
+  /** Join types that preserve the REPLICATED side are rejected: a
+    * right/full outer join would emit one null-extended row per salt
+    * copy for an `other` key absent from `skewed` (salts× duplication),
+    * and extra null-extended rows even for matched keys — salting is
+    * only result-invisible when unmatched replicated rows are dropped.
+    */
+  private val SafeJoinTypes =
+    Set("inner", "left", "leftouter", "left_outer", "cross",
+      "semi", "leftsemi", "left_semi", "anti", "leftanti", "left_anti")
+
   def saltedJoin(skewed: DataFrame, other: DataFrame, key: String,
       discriminator: Column, salts: Int, joinType: String = "inner"): DataFrame = {
     require(salts > 0, "salts must be positive")
+    require(SafeJoinTypes.contains(joinType.toLowerCase.replace(" ", "")),
+      s"saltedJoin cannot preserve the replicated side: joinType=$joinType " +
+        "would duplicate null-extended rows per salt copy (use the plain join)")
+    require(!skewed.columns.contains(SaltCol) && !other.columns.contains(SaltCol),
+      s"input already carries reserved column $SaltCol")
     val l = skewed.withColumn(SaltCol,
       pmod(xxhash64(discriminator), lit(salts.toLong)).cast("int"))
     val r = other.withColumn(SaltCol,

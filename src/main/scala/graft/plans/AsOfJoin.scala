@@ -83,6 +83,16 @@ case class AsOfJoinExec(
       SortOrder(leftTie, Ascending)),
     Seq(SortOrder(rightKey, Ascending), SortOrder(rightTime, Ascending)))
 
+  // the merge neither re-partitions nor re-orders: output stays clustered
+  // on the right key and (rightKey, rightTime)-sorted, so a downstream
+  // groupBy/join on the key reuses the exchange and sort instead of
+  // inserting fresh ones (the operator's exchange-amortization thesis
+  // applies above it, not just below)
+  override def outputPartitioning:
+      org.apache.spark.sql.catalyst.plans.physical.Partitioning =
+    right.outputPartitioning
+  override def outputOrdering: Seq[SortOrder] = right.outputOrdering
+
   override lazy val metrics = Map(
     "numOutputRows" -> org.apache.spark.sql.execution.metric.SQLMetrics
       .createMetric(sparkContext, "number of output rows"),
@@ -104,27 +114,43 @@ case class AsOfJoinExec(
       val joined = new JoinedRow
       val nullLeft = new GenericInternalRow(leftOut.size)
 
+      // NULL semantics: a null key or time can never satisfy the SQL
+      // comparisons the merge implements, and getLong on a null slot
+      // would read 0 — a fabricated key that both produces false matches
+      // and, because nulls sort FIRST, breaks the sorted-merge invariant
+      // for every later genuine key. Null-keyed/timed LEFT rows are
+      // skipped (they qualify for nothing); null-keyed/timed RIGHT rows
+      // emit unmatched without advancing the left cursor.
       var lRow: InternalRow = null
       var lKeyV = 0L; var lTimeV = 0L
-      def advanceLeft(): Unit =
-        if (lIt.hasNext) {
-          lRow = lIt.next()
-          val k = lProj(lRow)
-          lKeyV = k.getLong(0); lTimeV = k.getLong(1)
-        } else lRow = null
+      def advanceLeft(): Unit = {
+        lRow = null
+        while (lRow == null && lIt.hasNext) {
+          val next = lIt.next()
+          val k = lProj(next)
+          if (!k.isNullAt(0) && !k.isNullAt(1)) {
+            lRow = next
+            lKeyV = k.getLong(0); lTimeV = k.getLong(1)
+          }
+        }
+      }
 
       var candRow: InternalRow = null
       var candKey = 0L
       advanceLeft()
       rIt.map { rRow =>
         val k = rProj(rRow)
-        val rKeyV = k.getLong(0); val rTimeV = k.getLong(1)
-        while (lRow != null &&
-            (lKeyV < rKeyV || (lKeyV == rKeyV && lTimeV <= rTimeV))) {
-          if (lKeyV == rKeyV) { candRow = lRow.copy(); candKey = lKeyV }
-          advanceLeft()
+        val rNull = k.isNullAt(0) || k.isNullAt(1)
+        var matched = false
+        if (!rNull) {
+          val rKeyV = k.getLong(0); val rTimeV = k.getLong(1)
+          while (lRow != null &&
+              (lKeyV < rKeyV || (lKeyV == rKeyV && lTimeV <= rTimeV))) {
+            if (lKeyV == rKeyV) { candRow = lRow.copy(); candKey = lKeyV }
+            advanceLeft()
+          }
+          matched = candRow != null && candKey == rKeyV
         }
-        val matched = candRow != null && candKey == rKeyV
         if (matched) matchedRows += 1
         outRows += 1
         resultProj(joined(rRow, if (matched) candRow else nullLeft))
@@ -183,6 +209,11 @@ object AsOf {
   def lastBefore(left: DataFrame, right: DataFrame,
       leftKey: String, leftTime: String, leftTie: String,
       rightKey: String, rightTime: String): DataFrame = {
+    // the result drops every __asof_-prefixed column (the cast helpers),
+    // so a user column with that name would silently vanish
+    (left.columns ++ right.columns).find(_.startsWith("__asof_")).foreach(c =>
+      throw new IllegalArgumentException(
+        s"input carries reserved as-of helper column $c"))
     val (l1, lkN) = asLong(left, leftKey)
     val (l2, ltN) = asLong(l1, leftTime)
     val (l3, ltieN) = asLong(l2, leftTie)

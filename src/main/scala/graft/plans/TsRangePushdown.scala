@@ -31,7 +31,8 @@ import org.apache.spark.sql.types.{DataType, LongType, TimestampNTZType, Timesta
   * Idempotent: a bound already present (semantically) is not re-added,
   * so the fixed-point optimizer batch terminates.
   */
-object TsRangePushdown extends Rule[LogicalPlan] {
+object TsRangePushdown extends Rule[LogicalPlan]
+    with org.apache.spark.sql.catalyst.expressions.PredicateHelper {
 
   private def isUtc(tz: String): Boolean =
     tz == "UTC" || tz == "Etc/UTC" || tz == "+00:00" || tz == "Z"
@@ -102,11 +103,7 @@ object TsRangePushdown extends Rule[LogicalPlan] {
       if (implied.isEmpty) f
       else Filter((conjuncts ++ implied).reduce(And), child)
   }
-
-  private def splitConjunctivePredicates(e: Expression): Seq[Expression] =
-    e match {
-      case And(l, r) =>
-        splitConjunctivePredicates(l) ++ splitConjunctivePredicates(r)
-      case other => Seq(other)
-    }
+  // conjunct splitting comes from Catalyst's own PredicateHelper — same
+  // behavior as the hand-rolled recursion it replaces, aligned with how
+  // upstream optimizer rules split
 }

@@ -206,4 +206,49 @@ class MergeSpec extends SparkSpec {
       .as[(Long, String)].collect().toSet
     assert(diff2 == Set((1L, "update")), diff2)
   }
+
+  test("bucketed merge rejects an update batch whose key TYPE differs") {
+    val dir = Files.createTempDirectory("graft-btype").toString
+    BucketedMerge.mergeInto(spark, dir,
+      Seq((1L, "a")).toDF("id", "name"), Seq("id"), nBuckets = 4)
+    // Murmur3 is type-dependent: hash(1: int) != hash(1L), so an int-keyed
+    // batch would compute touched buckets inconsistent with where the
+    // union-coerced rows actually land
+    val intKeyed = Seq((2, "b")).toDF("id", "name")
+    intercept[IllegalArgumentException] {
+      BucketedMerge.mergeInto(spark, dir, intKeyed, Seq("id"))
+    }
+  }
+
+  test("bucketed vacuum never touches versions ABOVE the current pointer") {
+    val dir = Files.createTempDirectory("graft-bvac2").toString
+    BucketedMerge.mergeInto(spark, dir,
+      Seq((1L, "a")).toDF("id", "name"), Seq("id"), nBuckets = 4)
+    // simulate an in-flight merge that has laid down v=1 data + manifest
+    // but not yet swapped _CURRENT: vacuum must leave both alone
+    val m0 = BucketedMerge.readManifest(dir, 0L)
+    val vdir = java.nio.file.Paths.get(dir, "v=1", "bucket=0")
+    Files.createDirectories(vdir)
+    Files.write(vdir.resolve("part-0.parquet"), Array[Byte](1, 2, 3))
+    Files.write(java.nio.file.Paths.get(dir, "manifest-1.txt"),
+      s"nBuckets=${m0.nBuckets}\n0=1".getBytes("UTF-8"))
+    BucketedMerge.vacuum(dir, keep = 1)
+    assert(Files.exists(vdir.resolve("part-0.parquet")),
+      "vacuum deleted an in-flight merge's data")
+    assert(Files.exists(java.nio.file.Paths.get(dir, "manifest-1.txt")),
+      "vacuum deleted an in-flight merge's manifest")
+    // and the current version itself survives, still readable
+    assert(BucketedMerge.read(spark, dir).count() == 1L)
+  }
+
+  test("reading a bucketed table with no data fails with a clear message") {
+    val dir = Files.createTempDirectory("graft-bempty").toString
+    val empty = Seq.empty[(Long, String)].toDF("id", "name")
+    BucketedMerge.mergeInto(spark, dir, empty, Seq("id"), nBuckets = 4)
+    val e = intercept[IllegalStateException] {
+      BucketedMerge.read(spark, dir)
+    }
+    assert(e.getMessage.contains("no data"), e.getMessage)
+  }
 }
+

@@ -45,4 +45,28 @@ class SkewSpec extends SparkSpec {
       .collect().map(row => (row.getString(0), Option(row.getString(2)))).toSet
     assert(out == Set(("x", Some("X")), ("y", None)))
   }
+
+  test("saltedJoin rejects join types that preserve the replicated side") {
+    import spark.implicits._
+    val l = Seq(("x", 1L)).toDF("k", "row_id")
+    val r = Seq(("x", "X"), ("z", "Z")).toDF("k", "v")
+    // a right join would emit salts null-extended copies of the unmatched
+    // replicated key z — result-visible salting
+    intercept[IllegalArgumentException] {
+      Skew.saltedJoin(l, r, "k", col("row_id"), salts = 4, joinType = "right")
+    }
+    intercept[IllegalArgumentException] {
+      Skew.saltedJoin(l, r, "k", col("row_id"), salts = 4, joinType = "full_outer")
+    }
+  }
+
+  test("saltedJoin rejects inputs already carrying the reserved salt column") {
+    import spark.implicits._
+    val l = Seq(("x", 1L, 9)).toDF("k", "row_id", Skew.SaltCol)
+    val r = Seq(("x", "X")).toDF("k", "v")
+    intercept[IllegalArgumentException] {
+      Skew.saltedJoin(l, r, "k", col("row_id"), salts = 4)
+    }
+  }
 }
+

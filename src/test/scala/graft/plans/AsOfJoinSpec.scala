@@ -118,4 +118,47 @@ class AsOfJoinSpec extends SparkSpec {
     // its own id — rid==lid for rid=7 would be the exprId-aliasing bug
     assert(rows == Set((7L, 9L), (9L, 9L)))
   }
+
+  test("NULL keys and times never match and never derail the merge") {
+    // nulls sort FIRST: an unguarded getLong would read a null key as 0,
+    // falsely matching genuine key-0 rows and skipping past negative keys
+    val l = Seq[(Option[Long], Option[Long], Long)](
+      (None, Some(10L), 1L),     // null key: matches nothing
+      (Some(0L), None, 2L),      // null time: matches nothing
+      (Some(-5L), Some(10L), 3L),
+      (Some(0L), Some(10L), 4L))
+      .toDF("k", "t", "id")
+    val r = Seq[(Option[Long], Option[Long], Long)](
+      (None, Some(20L), 101L),   // null right key: unmatched
+      (Some(-5L), Some(20L), 102L), // must find id=3 despite null-first rows
+      (Some(0L), Some(20L), 103L),  // must find id=4, NOT the null-key row
+      (Some(7L), None, 104L))    // null right time: unmatched
+      .toDF("k", "t", "id")
+    val got = AsOf.lastBefore(l, r, "k", "t", "id", "k", "t")
+      .toDF("rk", "rt", "rid", "lk", "lt", "lid")
+      .select(col("rid"), col("lid")).collect()
+      .map(row => row.getLong(0) -> Option(row.get(1)).map(_.toString.toLong))
+      .toMap
+    assert(got == Map(101L -> None, 102L -> Some(3L), 103L -> Some(4L),
+      104L -> None), got.toString)
+  }
+
+  test("output keeps the right child's partitioning: no exchange above") {
+    // the merge is order/partition-preserving — a groupBy on the join key
+    // directly above must reuse the as-of join's exchange, not add one
+    val df = AsOf.lastBefore(clicks, purchases,
+      "cu", "ct", "click_id", "user_id", "ts")
+      .groupBy("user_id").agg(count(lit(1)).as("n"))
+    val plan = df.queryExecution.executedPlan.toString
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    // one exchange per as-of child (2 total); the groupBy adds none
+    assert(exchanges <= 2, plan)
+  }
+
+  test("inputs carrying a reserved __asof_ column are rejected") {
+    val l = Seq((1L, 2L, 3L, 4L)).toDF("k", "t", "id", "__asof_x")
+    intercept[IllegalArgumentException] {
+      AsOf.lastBefore(l, l.drop("__asof_x"), "k", "t", "id", "k", "t")
+    }
+  }
 }

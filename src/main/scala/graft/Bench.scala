@@ -104,9 +104,30 @@ object Bench {
     (single, parallel)
   }
 
-  /** Parallel calib seconds (and thread count) of the newest committed
-    * BENCH_r{k}.json with k ≤ `round` (the round of the newest
-    * CORRECTNESS artifact) that carries a parseable calib object.
+  /** A prior round's host-speed baseline: `parallelMed` is the median over
+    * every parallel probe the artifact recorded (pre-suite `parallel_s` +
+    * mid-run `series` slices — the same estimator the CURRENT side uses, so
+    * the normalization ratio compares like with like), `spread` is max/min
+    * over those probes (the contention signature: a quiet host reads ~1.0,
+    * r10's contended run read 1.79), `skippedNoisy` names any newer
+    * artifacts passed over because their spread exceeded
+    * [[NoisyCalibSpread]], and `noisy` marks a last-resort baseline that
+    * itself failed the gate (the caller must refuse to normalize and say
+    * why, rather than publish a number scaled by a contended probe). */
+  private[graft] final case class PriorCalib(src: String, parallelMed: Double,
+      threads: Int, spread: Double,
+      skippedNoisy: Seq[(String, Double)] = Nil, noisy: Boolean = false)
+
+  /** Calib-quality gate: a baseline whose probe series spans more than
+    * this max/min ratio was taken on a contended host — normalizing
+    * against it distorts the headline (the r11 driver artifact read 94 s
+    * normalized vs 76 s raw purely because r10's baseline calib drifted
+    * 0.95→1.70 mid-run). */
+  private[graft] val NoisyCalibSpread = 1.4
+
+  /** Host-speed baseline of the newest committed BENCH_r{k}.json with
+    * k ≤ `round` (the round of the newest CORRECTNESS artifact) that
+    * carries a parseable, QUIET calib object.
     *
     * Why "newest k ≤ round", not "k == round" (the r10 shape): in the
     * DRIVER's flow CORRECTNESS_rN is written BEFORE the bench runs and
@@ -124,9 +145,18 @@ object Bench {
     * Threads ride along because a parallel calib at a different thread
     * count is a different workload — the caller must refuse to normalize
     * across a mismatch (and must NOT silently fall back to an older
-    * matching round: a surprising baseline is worse than a null). */
+    * matching round: a surprising baseline is worse than a null).
+    *
+    * Noisy-baseline handling (the r11 lesson): a candidate whose calib
+    * spread exceeds [[NoisyCalibSpread]] is passed over in favor of the
+    * next-older QUIET calib — this fallback is not silent (the skip is
+    * named in the artifact's `calib_vs`), which distinguishes it from the
+    * corrupt-artifact case above where the baseline's value is unknowable
+    * rather than merely contended. If every parseable candidate is noisy,
+    * the newest one is returned with `noisy = true` so the caller can
+    * refuse normalization with the spread on record. */
   private[graft] def priorCalib(repoRoot: String,
-      round: Int): Option[(String, Double, Int)] = {
+      round: Int): Option[PriorCalib] = {
     val rx = "BENCH_r0*(\\d+)\\.json".r
     val candidates = Option(new java.io.File(repoRoot).listFiles).toSeq.flatten
       .flatMap(fl => fl.getName match {
@@ -139,28 +169,64 @@ object Bench {
       // rounds probed both spellings) and listFiles order is fs-dependent —
       // the tie must break deterministically, not by listing order
       .sortBy { case (k, fl) => (-k, fl.getName) }
-    // Per candidate (newest first): Some(Some(calib)) = use it;
-    // Some(None) = REFUSE normalization entirely (the file mentions a
-    // calib but won't parse, i.e. a corrupt/truncated artifact, or is
-    // unreadable — silently falling back to an older round's host is the
-    // 'surprising baseline' this function's contract rejects); None =
-    // skip to the next round down (a pre-r7 artifact with no calib).
-    candidates.view.flatMap { case (_, fl) =>
-      try {
+    val calibRx = """"calib"\s*:\s*\{([^}]*)\}""".r
+    val parRx = """"parallel_s"\s*:\s*([0-9.]+)""".r
+    val thrRx = """"threads"\s*:\s*(\d+)""".r
+    val seriesRx = """"series"\s*:\s*\[([^\]]*)\]""".r
+    // Per candidate (newest first): quiet calib = use it; noisy calib =
+    // remember and keep walking; corrupt (mentions a calib but it won't
+    // parse, or unreadable) = REFUSE normalization entirely — silently
+    // falling back past an artifact whose value is unknowable is the
+    // 'surprising baseline' this function's contract rejects; no calib
+    // at all = skip to the next round down (pre-r7 artifacts).
+    val skipped = scala.collection.mutable.ArrayBuffer[(String, Double)]()
+    var firstNoisy: Option[PriorCalib] = None
+    val it = candidates.iterator
+    while (it.hasNext) {
+      val (_, fl) = it.next()
+      // Option[Option[PriorCalib]]: Some(Some) = parsed, Some(None) =
+      // corrupt/refuse, None = calib-less/skip
+      val parsed: Option[Option[PriorCalib]] = try {
         // the driver's round artifact embeds the bench stdout line inside a
         // JSON "tail" STRING, so the calib object arrives with escaped
         // quotes (\"calib\":…) — unescape before matching, which also
         // leaves a plain BENCH_local-style artifact unchanged
         val txt = java.nio.file.Files.readString(fl.toPath).replace("\\\"", "\"")
-        val parsed =
-          """"calib"\s*:\s*\{[^}]*"parallel_s"\s*:\s*([0-9.]+)[^}]*"threads"\s*:\s*(\d+)""".r
-            .findFirstMatchIn(txt)
-            .map(m => (fl.getName, m.group(1).toDouble, m.group(2).toInt))
-        if (parsed.isDefined) Some(parsed)
-        else if (txt.contains("\"calib\"")) Some(None)
-        else None
+        calibRx.findFirstMatchIn(txt) match {
+          case Some(m) =>
+            val body = m.group(1)
+            (parRx.findFirstMatchIn(body), thrRx.findFirstMatchIn(body)) match {
+              case (Some(p), Some(t)) =>
+                val series = seriesRx.findFirstMatchIn(body).toSeq
+                  .flatMap(_.group(1).split(",").toSeq.map(_.trim)
+                    .filter(_.nonEmpty).flatMap(_.toDoubleOption))
+                val probes = (p.group(1).toDouble +: series).filter(_ > 0)
+                val med = probes.sorted.apply(probes.size / 2)
+                val spread =
+                  if (probes.size < 2) 1.0 else probes.max / probes.min
+                Some(Some(PriorCalib(fl.getName, med, t.group(1).toInt,
+                  spread, noisy = spread > NoisyCalibSpread)))
+              case _ => Some(None)
+            }
+          case None =>
+            if (txt.contains("\"calib\"")) Some(None) else None
+        }
       } catch { case scala.util.control.NonFatal(_) => Some(None) }
-    }.headOption.flatten
+      parsed match {
+        case Some(Some(pc)) if pc.noisy =>
+          if (firstNoisy.isEmpty) firstNoisy = Some(pc)
+          skipped += ((pc.src, pc.spread))
+        case Some(Some(pc)) =>
+          return Some(pc.copy(skippedNoisy = skipped.toSeq))
+        case Some(None) => return None
+        case None => ()
+      }
+    }
+    // every parseable candidate was noisy: surface the newest so the
+    // caller can refuse WITH the spread on record (its own entry is not
+    // a "skip" — it was not passed over in favor of anything)
+    firstNoisy.map(pc => pc.copy(
+      skippedNoisy = skipped.toSeq.filterNot(_._1 == pc.src)))
   }
 
   /** First three /proc/loadavg fields — recorded in the artifact so a
@@ -404,21 +470,35 @@ object Bench {
         val commonMin = okMins.view.filterKeys(keys).values
         // normalized totals = common totals rescaled to the PRIOR round's
         // host speed via the parallel calib ratio — the single number that
-        // replaces manual control-query archaeology. The current host
-        // speed is the MEDIAN over all calib probes (pre-suite + the
-        // mid-run slices), so contention that arrives after the start is
-        // priced in, not just start-of-run state. null until the paired
-        // prior artifact carries a calib, and null (with the reason in
-        // calib_vs) when its thread count differs — a cross-thread-count
-        // calib ratio is not host speed.
+        // replaces manual control-query archaeology. BOTH sides of the
+        // ratio are the MEDIAN over all that run's parallel probes
+        // (pre-suite + mid-run slices), so contention arriving after the
+        // start is priced in on either side. null until the paired prior
+        // artifact carries a calib; null with the reason in calib_vs when
+        // its thread count differs (a cross-thread-count calib ratio is
+        // not host speed) or when every prior calib is NOISY
+        // (spread > NoisyCalibSpread — scaling by a contended probe
+        // distorts the headline, the r11 lesson). A noisy-but-newer
+        // baseline being passed over for an older quiet one is named in
+        // calib_vs, and the chosen baseline's spread always rides in
+        // baseline_calib_spread so the gate is checkable after the fact.
         val norm = priorCalib(repoRoot, round) match {
-          case Some((calSrc, priorPar, priorThreads))
-              if calibParallelMed > 0 && priorThreads == cpus.toInt =>
-            s""","calib_vs":"$calSrc","normalized_total":${f(
-              common.sum * priorPar / calibParallelMed)},"normalized_total_min":${f(
-              commonMin.sum * priorPar / calibParallelMed)}"""
-          case Some((calSrc, _, priorThreads)) if priorThreads != cpus.toInt =>
-            s""","calib_vs":"$calSrc (threads $priorThreads != ${cpus.toInt}; not comparable)","normalized_total":null,"normalized_total_min":null"""
+          case Some(pc) if pc.noisy =>
+            s""","calib_vs":"${pc.src} (calib spread ${f(pc.spread)} > $NoisyCalibSpread; no quiet prior calib - normalization refused)","baseline_calib_spread":${f(
+              pc.spread)},"normalized_total":null,"normalized_total_min":null"""
+          case Some(pc) if pc.threads != cpus.toInt =>
+            s""","calib_vs":"${pc.src} (threads ${pc.threads} != ${cpus.toInt}; not comparable)","baseline_calib_spread":${f(
+              pc.spread)},"normalized_total":null,"normalized_total_min":null"""
+          case Some(pc) if calibParallelMed > 0 =>
+            val skippedNote =
+              if (pc.skippedNoisy.isEmpty) ""
+              else pc.skippedNoisy.map { case (s, sp) =>
+                s"$s calib spread ${f(sp)}"
+              }.mkString(" (skipped noisy: ", ", ", ")")
+            s""","calib_vs":"${pc.src}$skippedNote","baseline_calib_spread":${f(
+              pc.spread)},"normalized_total":${f(
+              common.sum * pc.parallelMed / calibParallelMed)},"normalized_total_min":${f(
+              commonMin.sum * pc.parallelMed / calibParallelMed)}"""
           case _ =>
             ""","calib_vs":null,"normalized_total":null,"normalized_total_min":null"""
         }

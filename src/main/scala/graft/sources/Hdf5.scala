@@ -79,11 +79,26 @@ object Hdf5 {
       private val chunkIndex: Int = 0,
       private val singleChunkMask: Int = 0) extends Node {
 
-    def elementCount: Long = dims.product
+    /** Element count with OVERFLOW-CHECKED multiplication: dims come from
+      * the file as raw u64s, so a hostile dataspace (e.g. 2^32 × 2^32)
+      * would wrap `dims.product` to 0 and silently read an empty dataset
+      * where the old `total <= Int.MaxValue` guard saw nothing wrong.
+      */
+    def elementCount: Long =
+      try dims.foldLeft(1L) { (a, d) =>
+        if (d < 0) fail(s"dataset $name: negative dimension $d")
+        Math.multiplyExact(a, d)
+      } catch { case _: ArithmeticException =>
+        fail(s"dataset $name: dimension product overflows (dims $dims)")
+      }
 
     /** Raw little-endian element bytes in row-major logical order. */
     def readBytes(): Array[Byte] = {
-      val total = elementCount * dtype.size
+      val total =
+        try Math.multiplyExact(elementCount, dtype.size.toLong)
+        catch { case _: ArithmeticException =>
+          fail(s"dataset $name: byte size overflows (dims $dims × ${dtype.size})")
+        }
       require(total <= Int.MaxValue, s"dataset $name too large for one array")
       layoutClass match {
         case 0 => // compact: raw data inline in the object header message
@@ -149,6 +164,7 @@ object Hdf5 {
           val len = bb.getInt(off)
           val addr = bb.getLong(off + 4)
           val idx = bb.getInt(off + 12)
+          if (len < 0) fail(s"dataset $name: vlen descriptor length $len")
           new String(gheapObject(file, addr, idx, len), 0, len,
             java.nio.charset.StandardCharsets.UTF_8)
         }
@@ -181,6 +197,8 @@ object Hdf5 {
         val count = bb.getInt(off)
         val addr = bb.getLong(off + 4)
         val idx = bb.getInt(off + 12)
+        if (count < 0 || count.toLong * base.size > Int.MaxValue)
+          fail(s"dataset $name: vlen sequence count $count")
         if (count == 0) new Array[Double](0)
         else decodeDoubles(
           gheapObject(file, addr, idx, count * base.size), base, name)
@@ -216,6 +234,13 @@ object Hdf5 {
     }
 
     private def slice(addr: Long, len: Int): Array[Byte] = {
+      // named bounds check BEFORE the toInt narrowing: a 64-bit extent
+      // address past 2 GiB would otherwise truncate into range and
+      // misread, and a u32 stored-size past Int.MaxValue arrives here as
+      // a negative len (allocation would crash namelessly)
+      if (len < 0 || addr < 0 || addr + len > file.limit())
+        fail(s"dataset $name: extent [$addr, +$len) outside the container " +
+          s"(${file.limit()} bytes)")
       val a = new Array[Byte](len)
       val dup = file.duplicate()
       dup.position(addr.toInt)
@@ -223,8 +248,12 @@ object Hdf5 {
       a
     }
 
-    private def walkChunkTree(addr: Long, out: Array[Byte]): Unit = {
+    private def walkChunkTree(addr: Long, out: Array[Byte],
+        path: Set[Long] = Set.empty): Unit = {
       if (addr == Undefined) return
+      // a corrupt child pointer aiming back at an ancestor node would
+      // recurse forever — the hang is worse than the crash it prevents
+      if (path(addr)) fail(s"chunk B-tree cycle at node $addr")
       val b = reader(file, addr)
       b.expect("TREE")
       val nodeType = b.u8()
@@ -242,7 +271,7 @@ object Hdf5 {
         val child = b.u64()
         if (level > 0) {
           val save = b.pos
-          walkChunkTree(child, out)
+          walkChunkTree(child, out, path + addr)
           b.pos = save
         } else {
           copyChunk(decodeChunk(slice(child, chunkBytes.toInt), mask),
@@ -282,9 +311,19 @@ object Hdf5 {
       */
     private def foreachChunkOrigin(f: (Int, Vector[Long]) => Unit): Unit = {
       val rank = dims.length
+      // chunk dims arrive as raw u32/encoded ints: zero would divide by
+      // zero below, negative (a > 2^31 value truncated) would walk the
+      // grid backwards, and an overflowing grid product would skip the
+      // loop and return all-zero data without a word
+      chunkDims.foreach(c =>
+        if (c <= 0) fail(s"dataset $name: chunk dimension $c"))
       val n = Vector.tabulate(rank)(d =>
         ((dims(d) + chunkDims(d) - 1) / chunkDims(d)).toInt)
-      val totalChunks = n.product
+      val totalChunks =
+        try n.foldLeft(1)((a, c) => Math.multiplyExact(a, c))
+        catch { case _: ArithmeticException =>
+          fail(s"dataset $name: chunk-grid size overflows (grid $n)")
+        }
       var k = 0
       while (k < totalChunks) {
         var rem = k
@@ -317,8 +356,12 @@ object Hdf5 {
       val pageBits = b.u8()
       val nEntries = b.u64()
       val dbAddr = b.u64()
-      if (nEntries > (1L << pageBits))
+      if (nEntries < 0 || nEntries > Int.MaxValue)
+        fail(s"fixed-array chunk index claims $nEntries entries")
+      if (nEntries > (1L << math.min(62, pageBits)))
         fail("paged fixed-array chunk index not supported")
+      if (clientId == 1 && entrySize < 8 + 1 + 4)
+        fail(s"filtered fixed-array entry size $entrySize too small")
       val db = reader(file, dbAddr)
       db.expect("FADB")
       if (db.u8() != 0) fail("FADB version")
@@ -396,7 +439,11 @@ object Hdf5 {
       val bos = new java.io.ByteArrayOutputStream()
       while (!inf.finished()) {
         val n = inf.inflate(buf)
-        if (n == 0 && inf.needsInput()) fail("truncated deflate chunk")
+        // needsDictionary: an FDICT zlib stream makes inflate() return 0
+        // forever without needing input — without the check this loop
+        // would hang, not fail
+        if (n == 0 && (inf.needsInput() || inf.needsDictionary()))
+          fail("truncated deflate chunk")
         bos.write(buf, 0, n)
       }
       inf.end()
@@ -463,6 +510,9 @@ object Hdf5 {
     val headerSize = h.u32()
     h.skip(4) // prefix pads to 8-byte alignment
     var blocks = List((h.pos, headerSize.toInt))
+    // a continuation pointing back at an already-queued block would loop
+    // forever appending itself — track visited block starts and fail
+    val seen = scala.collection.mutable.Set(h.pos)
     val out = Vector.newBuilder[Msg]
     var read = 0
     while (read < nMsgs && blocks.nonEmpty) {
@@ -478,6 +528,7 @@ object Hdf5 {
         if (typ == 0x0010) { // continuation: queue another block
           val off = b.u64()
           val clen = b.u64()
+          if (!seen.add(off)) fail(s"object-header continuation cycle at $off")
           blocks = blocks :+ ((off, clen.toInt))
         }
         out += Msg(typ, reader(file, bodyStart))
@@ -505,6 +556,7 @@ object Hdf5 {
     val tracked = (flags & 0x04) != 0 // creation order tracked per message
     val msgHdrLen = 4 + (if (tracked) 2 else 0)
     var blocks = List((h.pos, chunk0))
+    val seen = scala.collection.mutable.Set(h.pos) // continuation-cycle guard
     val out = Vector.newBuilder[Msg]
     while (blocks.nonEmpty) {
       val (start, len) = blocks.head
@@ -520,6 +572,7 @@ object Hdf5 {
         if (typ == 0x10) { // continuation: "OCHK" + messages + checksum
           val off = b.u64()
           val clen = b.u64()
+          if (!seen.add(off + 4)) fail(s"object-header continuation cycle at $off")
           blocks = blocks :+ ((off + 4, clen - 8))
         }
         out += Msg(typ, reader(file, bodyStart))
@@ -529,7 +582,14 @@ object Hdf5 {
     out.result()
   }
 
-  private def readGroup(file: ByteBuffer, name: String, headerAddr: Long): Group = {
+  /** `path` carries the header addresses of the ancestors on the CURRENT
+    * branch (not everything visited): a hard link back to an ancestor is a
+    * cycle and must fail, while a legal diamond — two groups hard-linking
+    * the same child — just re-reads it.
+    */
+  private def readGroup(file: ByteBuffer, name: String, headerAddr: Long,
+      path: Set[Long] = Set.empty): Group = {
+    if (path(headerAddr)) fail(s"group cycle at object header $headerAddr")
     val msgs = messages(file, headerAddr)
     val entries: Vector[(String, Long)] = msgs.find(_.typ == 0x0011) match {
       case Some(symtab) => // old-style: B-tree + local heap
@@ -557,7 +617,7 @@ object Hdf5 {
       val childMsgs = messages(file, childHeader)
       // a layout message marks a dataset; anything else is a group
       if (childMsgs.exists(_.typ == 0x0008)) readDataset(file, childName, childMsgs)
-      else readGroup(file, childName, childHeader)
+      else readGroup(file, childName, childHeader, path + headerAddr)
     }
     Group(name, children)
   }
@@ -620,6 +680,8 @@ object Hdf5 {
     private def hugeReader(file: ByteBuffer, h: HugeObject): R =
       if (!h.filtered) new R(file, h.addr)
       else {
+        if (h.len < 0 || h.addr < 0 || h.addr + h.len > file.limit())
+          fail(s"huge object extent [${h.addr}, +${h.len}) outside the container")
         val raw = new Array[Byte](h.len.toInt)
         var j = 0
         while (j < raw.length) { raw(j) = file.get((h.addr + j).toInt); j += 1 }
@@ -727,6 +789,8 @@ object Hdf5 {
       }
       // standalone inflated buffer for one stored extent; FHDB-checked
       def inflateBlock(at: Long, stored: Long, logical: Long): HeapBlock = {
+        if (stored < 0 || at < 0 || at + stored > file.limit())
+          fail(s"filtered heap block extent [$at, +$stored) outside the container")
         val raw = new Array[Byte](stored.toInt)
         var j = 0
         while (j < raw.length) { raw(j) = file.get((at + j).toInt); j += 1 }
@@ -813,7 +877,8 @@ object Hdf5 {
     val buf = new Array[Byte](8192)
     while (!inf.finished()) {
       val n = inf.inflate(buf)
-      if (n == 0 && inf.needsInput()) fail("truncated deflate stream in heap block")
+      if (n == 0 && (inf.needsInput() || inf.needsDictionary()))
+        fail("truncated deflate stream in heap block")
       out.write(buf, 0, n)
     }
     inf.end()
@@ -956,8 +1021,10 @@ object Hdf5 {
   }
 
   private def walkGroupTree(file: ByteBuffer, addr: Long, heapData: Long,
-      out: scala.collection.mutable.Builder[(String, Long), Vector[(String, Long)]]): Unit = {
+      out: scala.collection.mutable.Builder[(String, Long), Vector[(String, Long)]],
+      path: Set[Long] = Set.empty): Unit = {
     if (addr == Undefined) return
+    if (path(addr)) fail(s"group B-tree cycle at node $addr")
     val b = reader(file, addr)
     val sig = b.peek4()
     if (sig == "TREE") {
@@ -972,7 +1039,7 @@ object Hdf5 {
         b.u64() // key (heap offset of first name in subtree) — unused
         val child = b.u64()
         val save = b.pos
-        if (level > 0) walkGroupTree(file, child, heapData, out)
+        if (level > 0) walkGroupTree(file, child, heapData, out, path + addr)
         else readSnod(file, child, heapData, out)
         b.pos = save
         e += 1
@@ -1014,6 +1081,8 @@ object Hdf5 {
         case 0x0001 => // dataspace
           val b = m.body
           val v = b.u8()
+          if (v != 1 && v != 2)
+            fail(s"dataspace message version $v (only 1/2 supported)")
           val rank = b.u8()
           val flags = b.u8()
           if (v == 1) b.skip(5) else b.skip(1) // v2: type byte only
@@ -1156,8 +1225,15 @@ object Hdf5 {
       b.skip(4)
       val objSize = b.u64()
       if (objIdx == 0) fail(s"global heap object $idx not found at $addr")
+      // a hostile objSize (huge u64) would wrap the aligned skip negative
+      // and cycle this cursor forever — everything must stay inside the
+      // collection the header declared
+      if (objSize < 0 || objSize > collSize)
+        fail(s"global heap object $objIdx size $objSize exceeds collection")
       if (objIdx == idx) {
         require(objSize >= len, s"heap object $idx shorter than descriptor length")
+        if (b.pos < 0 || b.pos + len > file.limit())
+          fail(s"global heap object $idx extent outside the container")
         val out = new Array[Byte](len)
         val dup = file.duplicate()
         dup.position(b.pos.toInt)
@@ -1170,25 +1246,46 @@ object Hdf5 {
   }
 
   private def cstring(file: ByteBuffer, addr: Long): String = {
+    if (addr < 0 || addr >= file.limit())
+      fail(s"heap string offset $addr outside the container")
     val sb = new StringBuilder
     var p = addr.toInt
-    while (file.get(p) != 0) { sb.append(file.get(p).toChar); p += 1 }
+    while (file.get(p) != 0) {
+      sb.append(file.get(p).toChar)
+      p += 1
+      if (p >= file.limit()) fail("unterminated heap string (truncated file)")
+    }
     sb.toString
   }
 
   // -- little cursor over the file buffer ----------------------------------
   private def reader(file: ByteBuffer, at: Long): R = new R(file, at)
 
+  /** Every read is bounds-checked against the buffer as a LONG range
+    * before the `toInt` narrowing: HDF5 addresses are 64-bit, so a
+    * corrupt/hostile address like 0x1_0000_0010 would otherwise truncate
+    * to an IN-RANGE position and silently misread real bytes — the exact
+    * failure the "fail fast, never misread" contract forbids. (A buffer
+    * limit is at most Int.MaxValue, so any pos that survives the check
+    * narrows losslessly.)
+    */
   private final class R(file: ByteBuffer, at: Long) {
     var pos: Long = at
-    def u8(): Int = { val v = file.get(pos.toInt) & 0xFF; pos += 1; v }
-    def u16(): Int = { val v = file.getShort(pos.toInt) & 0xFFFF; pos += 2; v }
-    def u32(): Long = { val v = file.getInt(pos.toInt) & 0xFFFFFFFFL; pos += 4; v }
-    def u64(): Long = { val v = file.getLong(pos.toInt); pos += 8; v }
+    private def check(n: Int): Unit =
+      if (pos < 0 || pos + n > file.limit())
+        fail(s"read of $n bytes at offset $pos outside the container " +
+          s"(${file.limit()} bytes) — truncated or corrupt file")
+    def u8(): Int = { check(1); val v = file.get(pos.toInt) & 0xFF; pos += 1; v }
+    def u16(): Int = { check(2); val v = file.getShort(pos.toInt) & 0xFFFF; pos += 2; v }
+    def u32(): Long = { check(4); val v = file.getInt(pos.toInt) & 0xFFFFFFFFL; pos += 4; v }
+    def u64(): Long = { check(8); val v = file.getLong(pos.toInt); pos += 8; v }
     def skip(n: Int): Unit = pos += n
-    def peek4(): String =
+    def peek4(): String = {
+      check(4)
       (0 until 4).map(i => (file.get((pos + i).toInt) & 0xFF).toChar).mkString
+    }
     def expect(sig: String): Unit = {
+      check(sig.length)
       val got = (0 until sig.length)
         .map(i => (file.get((pos + i).toInt) & 0xFF).toChar).mkString
       if (got != sig) fail(s"bad signature at $pos: expected ${sig.trim}, got $got")

@@ -74,12 +74,21 @@ object Szip {
   val NN = 32
   val Raw = 128
 
+  /** Bit overruns fail BY NAME: a truncated or corrupt stream must read
+    * as "szip: coded stream truncated", not a bare array index crash.
+    */
   private final class BitReader(in: Array[Byte]) {
     private var bitPos = 0
+    private val endBit = in.length << 3
+    private def checkBit(): Unit =
+      if (bitPos >= endBit)
+        throw new IllegalStateException(
+          s"szip: coded stream truncated at bit $bitPos of $endBit")
     def get(n: Int): Long = {
       var v = 0L
       var i = 0
       while (i < n) {
+        checkBit()
         val byte = in(bitPos >>> 3)
         v = (v << 1) | ((byte >> (7 - (bitPos & 7))) & 1)
         bitPos += 1
@@ -91,9 +100,11 @@ object Szip {
     /** Fundamental sequence: count of 0-bits before the terminating 1. */
     def fs(): Int = {
       var v = 0
+      checkBit()
       while (((in(bitPos >>> 3) >> (7 - (bitPos & 7))) & 1) == 0) {
         bitPos += 1
         v += 1
+        checkBit()
         if (v > (1 << 24))
           throw new IllegalStateException("szip: runaway FS codeword")
       }
@@ -108,6 +119,8 @@ object Szip {
   def decodeHdf5(stored: Array[Byte], cd: Vector[Int]): Array[Byte] = {
     require(cd.length >= 4, s"szip filter: ${cd.length} client values (need 4)")
     val (mask, n, j, pps) = (cd(0), cd(1), cd(2), cd(3))
+    require(stored.length >= 4,
+      s"szip: chunk payload of ${stored.length} bytes has no size prefix")
     val outBytes = ((stored(0) & 0xFF) | ((stored(1) & 0xFF) << 8) |
       ((stored(2) & 0xFF) << 16) | ((stored(3) & 0xFF) << 24))
     decode(java.util.Arrays.copyOfRange(stored, 4, stored.length),
@@ -125,6 +138,12 @@ object Szip {
         "byte-sized HDF5 datatype yields; 17..31 would need szlib's " +
         "3-byte pixel container)")
     require(j >= 2 && j <= 32 && j % 2 == 0, s"szip: pixels/block $j")
+    // pps ≤ 0 would pass every modular check below (0 % j == 0, 0/j ≤ 64)
+    // and then `base += pps` never advances — an infinite loop, not an
+    // error. A negative outBytes (size prefix with the top bit set) would
+    // crash allocation namelessly, and -total % pps == 0 also passes.
+    require(pps >= j, s"szip: pixels/scanline $pps smaller than block $j")
+    require(outBytes >= 0, s"szip: negative uncompressed size $outBytes")
     require(pps % j == 0, s"szip: scanline $pps not a multiple of block $j")
     require(pps / j <= 64,
       s"szip: scanline of ${pps / j} blocks spans multiple 64-block " +

@@ -31,10 +31,21 @@ import org.apache.spark.sql.functions._
   * growth ratios are compared against the row ratio. The time column is
   * what turns "linear at scale" from a plan-shape inference into a
   * measurement. Output: `GROWTH_SPAN.json` in the repo root.
+  *
+  * Amortization disclosure (the r11 verdict's evidence gap): because the
+  * timed pass runs AFTER the per-dir caches warm, a cache over a
+  * span-metered operator would silently turn its decade time measurement
+  * into a cache-read measurement. Two artifacts close that: every entry
+  * carries `cold_sec` — the pass-1 wall time per sf, which INCLUDES any
+  * cache build, so the cold decades stay measured alongside the
+  * steady-state ones — and the top-level `amortized` map (derived from
+  * [[graft.Bench.amortized]], the single source of cache-ownership truth,
+  * cross-checked by CacheHonestySpec) names which metered queries serve
+  * from a memoized artifact in their steady-state pass.
   */
 object GrowthSpan {
 
-  private val DefaultQueries = Seq(
+  private[graft] val DefaultQueries = Seq(
     // top shufflers of the last bench
     "b1_bucketed_join", "c8_expiry_plan", "t32_bpe_encode",
     "p1_corpus_ingest", "d4_ngram_jaccard", "t23_learned_quality",
@@ -62,6 +73,14 @@ object GrowthSpan {
     "q33_pagerank", "q39_hierarchy", "q52_bfs_levels", "d8_dedup_clusters")
 
   private val Copies = 10
+
+  /** The span's slice of the bench's cache-ownership disclosure: which of
+    * the metered queries consume a memoized per-dir artifact (and which
+    * cache), straight from [[graft.Bench.amortized]] so the two artifacts
+    * can never disagree about ownership. Package-visible for
+    * CacheHonestySpec's cross-check. */
+  private[graft] def amortizedDisclosure(names: Seq[String]): Map[String, String] =
+    names.flatMap(n => graft.Bench.amortized.get(n).map(n -> _)).toMap
 
   /** Written verdicts for flags that are UNDERSTOOD and accepted rather
     * than bugs awaiting a fix — a standing flag nobody answers trains
@@ -182,6 +201,11 @@ object GrowthSpan {
     // pass 2 is TIMED, so the time column measures the steady-state
     // query, matching what Bench's median-of-passes reports. The plan is
     // deterministic per (query, dir), so metering pass 1 loses nothing.
+    // Pass 1's wall time rides along as cold_sec: it is the only pass
+    // that pays a cache build, so a memoized operator's decade growth
+    // stays measured (cold) even though the steady-state column serves
+    // from the cache. cold_sec at sf0.01 also carries this JVM's one-time
+    // JIT/codegen cost — read its decades, not its absolute numbers.
     val results = names.filter(queries.contains).map { name =>
       val fn = queries(name)
       val runs = dirs.map { case (tag, d) =>
@@ -193,13 +217,15 @@ object GrowthSpan {
             System.err.println(s"[span] $name failed on $tag: ${e.getMessage}")
             false
           }
+        val tc0 = System.nanoTime()
         val ok = run()
+        val coldSec = if (ok) (System.nanoTime() - tc0) / 1e9 else -1.0
         org.apache.spark.graft.ListenerBridge.flush(spark.sparkContext)
         val (b, recs) = meter.mark()
         val t0 = System.nanoTime()
         val ok2 = ok && run()
         val sec = if (ok2) (System.nanoTime() - t0) / 1e9 else -1.0
-        tag -> ((if (ok) b else -1L, if (ok) recs else -1L, sec))
+        tag -> ((if (ok) b else -1L, if (ok) recs else -1L, sec, coldSec))
       }.toMap
       // clear any memoized working sets between corpora
       spark.sharedState.cacheManager.clearCache()
@@ -245,6 +271,7 @@ object GrowthSpan {
       val sh = runs.view.mapValues(_._1).toMap
       val rc = runs.view.mapValues(_._2).toMap
       val tm = runs.view.mapValues(_._3).toMap
+      val cold = runs.view.mapValues(_._4).toMap
       def ratio(a: String, b: String): Option[Double] = {
         val (x, y) = (sh(a), sh(b))
         if (x >= MinBytes && y >= 0) Some(y.toDouble / x) else None
@@ -282,6 +309,8 @@ object GrowthSpan {
             .map(f).getOrElse("null")},""" +
           s""""sec":{"sf0.01":${f(tm("sf0.01"))},"sf0.1":${f(tm("sf0.1"))},"sf1ish":${f(
             tm("sf1ish"))}},""" +
+          s""""cold_sec":{"sf0.01":${f(cold("sf0.01"))},"sf0.1":${f(
+            cold("sf0.1"))},"sf1ish":${f(cold("sf1ish"))}},""" +
           s""""time_decade1":${t1.map(f).getOrElse("null")},"time_decade2":${t2
             .map(f).getOrElse("null")},"time_flagged":$tFlag""" +
           adj.map(a => s""","adjudication":"$a"""").getOrElse("") +
@@ -301,6 +330,9 @@ object GrowthSpan {
         s""""flagged":${flagged.mkString("[", ",", "]")},""" +
         s""""time_flagged":${timeFlagged.mkString("[", ",", "]")},""" +
         s""""adjudicated":{${adjudicated.mkString(",")}},""" +
+        s""""amortized":{${amortizedDisclosure(names).toSeq.sorted.map {
+          case (q, c) => s""""$q":"$c""""
+        }.mkString(",")}},""" +
         s""""queries":{${entries.map(_._2).mkString(",")}}}"""
     println(json)
     // dev-only subset runs (SPARK_GRAFT_SPAN_QUERIES) must not overwrite

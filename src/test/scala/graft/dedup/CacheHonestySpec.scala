@@ -110,4 +110,42 @@ class CacheHonestySpec extends SparkSpec {
         s"$q disclosed under $cache but absent from its registry consumer list")
     }
   }
+
+  test("span-metered cache consumers are disclosed in GROWTH_SPAN's amortized map") {
+    // The span's timed pass runs AFTER the per-dir caches warm, so a
+    // cache over a span-metered operator silently no-ops its decade time
+    // measurement (the r11 verdict's evidence gap). The span artifact now
+    // carries an `amortized` map + per-sf cold_sec; this pins that the
+    // map (a) derives from Bench.amortized — one source of ownership
+    // truth, the two artifacts can never disagree — and (b) covers every
+    // default span query that consumes a shared cache per the registry
+    // in the test above (duplicated here deliberately: a new cache-owning
+    // span query must surface in BOTH audits or this fails).
+    val cacheConsumerQueries = Set(
+      "s3_ann_ivf", "s8_filtered_ann", "d10_semantic_dedup",
+      "d8_dedup_clusters", "d11_canonical_select",
+      "t23_learned_quality", "t32_bpe_encode",
+      "m8_h264_video", "m9_bframe_video",
+      "st1_stream_windows", "st2_stream_join", "st3_stream_dedup",
+      "st4_late_data", "st5_stateful_sessions", "st6_streaming_ann",
+      "c3_cdc_diff", "c8_expiry_plan", "c9_incremental_scan",
+      "p1_corpus_ingest", "p3_hyperspectral", "p4_spatiotemporal",
+      "b1_bucketed_join", "b2_partition_pruning",
+      "b3_time_partition_pruning")
+    val span = graft.tools.GrowthSpan.DefaultQueries
+    val disclosed = graft.tools.GrowthSpan.amortizedDisclosure(span)
+    // derivation: exactly Bench.amortized restricted to the span set
+    assert(disclosed ==
+      graft.Bench.amortized.view.filterKeys(span.toSet).toMap,
+      "GROWTH_SPAN's amortized map must derive from Bench.amortized")
+    // coverage: every span-metered cache consumer is in the span map
+    span.filter(cacheConsumerQueries).foreach { q =>
+      assert(disclosed.contains(q),
+        s"span-metered $q consumes a shared cache but GROWTH_SPAN's " +
+          "amortized map does not disclose it")
+    }
+    // and the registry above can't silently diverge from this local set
+    assert(cacheConsumerQueries == graft.Bench.amortized.keySet,
+      "cacheConsumerQueries fell out of sync with Bench.amortized")
+  }
 }

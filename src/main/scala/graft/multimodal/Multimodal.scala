@@ -237,12 +237,21 @@ object Codec {
     while (pos + 8 <= content.length) {
       val id = fourcc(pos)
       val size = le32(pos + 4)
+      // a hostile size with the top bit set walks the cursor BACKWARDS
+      // (pos += 8 + size) — an infinite loop, not a parse error; and a
+      // size past the file would overflow `8 + size` into the same loop
+      require(size >= 0 && size <= content.length,
+        s"RIFF chunk size $size at $pos outside the file")
       if (id == "LIST" && pos + 12 <= content.length && fourcc(pos + 8) == "movi") {
         var p = pos + 12
         val end = math.min(pos + 8 + size, content.length)
         while (p + 8 <= end) {
           val cid = fourcc(p)
           val csize = le32(p + 4)
+          // extents must be proven in-file here: copyOfRange at decode
+          // time silently ZERO-PADS past the end — fabricated frame bytes
+          require(csize >= 0 && p + 8 + csize.toLong <= content.length,
+            s"AVI chunk '$cid' extent [$p, +$csize) outside the file")
           if (cid == "00dc") frames += ((p + 8, csize))
           p += 8 + csize + (csize & 1)
         }
@@ -440,6 +449,9 @@ object Codec {
           val count = be32(cttsS + 8 + 8 * e)
           val offset = be32(cttsS + 8 + 8 * e + 4)
           require(offset >= 0, "negative ctts offset in a v0 box")
+          // a hostile run count (up to 2^31-1) would drive a multi-GiB
+          // builder allocation before the arity check below could refuse
+          require(count >= 0 && count <= n, s"ctts run of $count samples")
           var k = 0
           while (k < count) { out += offset; k += 1 }
           e += 1
@@ -489,7 +501,11 @@ object Codec {
     while (pos + 8 <= content.length) {
       val id = fourcc(pos)
       val size = le32(pos + 4)
+      // same negative-size infinite-loop / overrun guard as parseAvi
+      require(size >= 0 && pos + 8 + size.toLong <= content.length,
+        s"RIFF chunk '$id' size $size at $pos outside the file")
       if (id == "fmt ") {
+        require(size >= 16, s"fmt chunk of $size bytes too short for PCM")
         require(le16(pos + 8) == 1, "not PCM audio")
         require(le16(pos + 10) == 1, "not mono audio")
         require(le16(pos + 22) == 16, "not 16-bit audio")
@@ -539,7 +555,8 @@ object Multimodal {
     * row-major pixel layout; partition-local, codegen-free but allocation-
     * bounded by BatchSize upstream.
     */
-  def resize(images: Dataset[DecodedImage], outW: Int, outH: Int): Dataset[DecodedImage] =
+  def resize(images: Dataset[DecodedImage], outW: Int, outH: Int): Dataset[DecodedImage] = {
+    require(outW > 0 && outH > 0, s"resize target ${outW}x$outH")
     images.map { img =>
       val out = new Array[Byte](outW * outH * img.channels)
       var y = 0
@@ -560,6 +577,7 @@ object Multimodal {
       }
       DecodedImage(img.media_id, outW, outH, img.channels, out)
     }
+  }
 
   /** Sample every `everyN`-th frame of each video (1 file → ⌈T/n⌉ rows,
     * the flatMap/UDTF shape of SURVEY §2 H). The container is parsed ONCE
@@ -567,7 +585,10 @@ object Multimodal {
     * independent, so random access skips the dropped frames entirely
     * (an inter-frame codec would decode forward from the last keyframe).
     */
-  def sampleFrames(media: Dataset[Media], everyN: Int): Dataset[VideoFrame] =
+  def sampleFrames(media: Dataset[Media], everyN: Int): Dataset[VideoFrame] = {
+    // fail on the driver, by name: a 0 stride would throw a bare Range
+    // error inside a task, a negative one would silently emit nothing
+    require(everyN >= 1, s"frame sampling stride $everyN (must be >= 1)")
     media.mapPartitions { it =>
       it.grouped(BatchSize).flatMap { batch =>
         batch.iterator.flatMap { m =>
@@ -580,6 +601,7 @@ object Multimodal {
         }
       }
     }
+  }
 
   /** Feature extraction: fixed-dim Float vector per item via a rolling
     * hash over the content — the batched-inference stage shape (ONNX/YOLO

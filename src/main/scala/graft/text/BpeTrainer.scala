@@ -218,6 +218,8 @@ object BpeTrainer {
         it.map(t => t.split(" ").iterator.filter(_.nonEmpty)
           .map(w => enc(w).size.toLong).sum)
       }
-      .reduce(_ + _)
+      // agg-sum, not reduce: reduce throws on an EMPTY corpus, where the
+      // only honest token count is 0
+      .toDF("n").agg(coalesce(sum(col("n")), lit(0L))).head().getLong(0)
   }
 }

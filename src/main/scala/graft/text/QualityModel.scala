@@ -65,6 +65,10 @@ object QualityModel {
       lr: Double = 0.05): Array[Double] = {
     var w = new Array[Double](dim + 1)
     val n = labeled.count().toDouble
+    // no rows → no gradient: return the zero model rather than letting
+    // the null aggregate sums NPE out of Row.getDouble and the /0 poison
+    // every weight to NaN
+    if (n == 0) return w
     (1 to iters).foreach { _ =>
       val margin = score(col("feat"), w)
       val p = lit(1.0) / (lit(1.0) + exp(-margin))

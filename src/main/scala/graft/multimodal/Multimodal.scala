@@ -238,10 +238,11 @@ object Codec {
       val id = fourcc(pos)
       val size = le32(pos + 4)
       // a hostile size with the top bit set walks the cursor BACKWARDS
-      // (pos += 8 + size) — an infinite loop, not a parse error; and a
-      // size past the file would overflow `8 + size` into the same loop
-      require(size >= 0 && size <= content.length,
-        s"RIFF chunk size $size at $pos outside the file")
+      // (pos += 8 + size) — an infinite loop, not a parse error; the
+      // Long-form extent bound also stops `pos + 8 + size` overflowing
+      // Int into a negative index on GiB-scale files
+      require(size >= 0 && pos + 8 + size.toLong <= content.length,
+        s"RIFF chunk '$id' size $size at $pos outside the file")
       if (id == "LIST" && pos + 12 <= content.length && fourcc(pos + 8) == "movi") {
         var p = pos + 12
         val end = math.min(pos + 8 + size, content.length)
@@ -445,15 +446,19 @@ object Codec {
           s"ctts table overruns the file ($entries entries)")
         val out = Array.newBuilder[Int]
         var e = 0
+        var total = 0
         while (e < entries) {
           val count = be32(cttsS + 8 + 8 * e)
           val offset = be32(cttsS + 8 + 8 * e + 4)
           require(offset >= 0, "negative ctts offset in a v0 box")
-          // a hostile run count (up to 2^31-1) would drive a multi-GiB
-          // builder allocation before the arity check below could refuse
-          require(count >= 0 && count <= n, s"ctts run of $count samples")
+          // bound the CUMULATIVE run total, not each run alone: many
+          // small runs would otherwise drive a multi-GiB builder
+          // allocation before the arity check below could refuse
+          require(count >= 0 && count <= n - total,
+            s"ctts runs cover more than the $n samples")
           var k = 0
           while (k < count) { out += offset; k += 1 }
+          total += count
           e += 1
         }
         val res = out.result()
@@ -556,7 +561,10 @@ object Multimodal {
     * bounded by BatchSize upstream.
     */
   def resize(images: Dataset[DecodedImage], outW: Int, outH: Int): Dataset[DecodedImage] = {
-    require(outW > 0 && outH > 0, s"resize target ${outW}x$outH")
+    // the 4-channel worst case must fit one Int-indexed array, or the
+    // per-row allocation fails namelessly inside a task
+    require(outW > 0 && outH > 0 && outW.toLong * outH <= Int.MaxValue / 4,
+      s"resize target ${outW}x$outH")
     images.map { img =>
       val out = new Array[Byte](outW * outH * img.channels)
       var y = 0

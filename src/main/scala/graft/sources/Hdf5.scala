@@ -237,8 +237,9 @@ object Hdf5 {
       // named bounds check BEFORE the toInt narrowing: a 64-bit extent
       // address past 2 GiB would otherwise truncate into range and
       // misread, and a u32 stored-size past Int.MaxValue arrives here as
-      // a negative len (allocation would crash namelessly)
-      if (len < 0 || addr < 0 || addr + len > file.limit())
+      // a negative len (allocation would crash namelessly); subtraction
+      // form so a huge addr cannot overflow the sum past the check
+      if (len < 0 || addr < 0 || addr > file.limit() - len)
         fail(s"dataset $name: extent [$addr, +$len) outside the container " +
           s"(${file.limit()} bytes)")
       val a = new Array[Byte](len)
@@ -680,7 +681,11 @@ object Hdf5 {
     private def hugeReader(file: ByteBuffer, h: HugeObject): R =
       if (!h.filtered) new R(file, h.addr)
       else {
-        if (h.len < 0 || h.addr < 0 || h.addr + h.len > file.limit())
+        // subtraction form: a hostile u64 (addr, len) pair can overflow
+        // addr + len negative and slip past an addition-form check — the
+        // exact silent-misread this guard exists to stop
+        if (h.len < 0 || h.len > file.limit() ||
+            h.addr < 0 || h.addr > file.limit() - h.len)
           fail(s"huge object extent [${h.addr}, +${h.len}) outside the container")
         val raw = new Array[Byte](h.len.toInt)
         var j = 0
@@ -789,7 +794,8 @@ object Hdf5 {
       }
       // standalone inflated buffer for one stored extent; FHDB-checked
       def inflateBlock(at: Long, stored: Long, logical: Long): HeapBlock = {
-        if (stored < 0 || at < 0 || at + stored > file.limit())
+        if (stored < 0 || stored > file.limit() ||
+            at < 0 || at > file.limit() - stored)
           fail(s"filtered heap block extent [$at, +$stored) outside the container")
         val raw = new Array[Byte](stored.toInt)
         var j = 0
@@ -1218,6 +1224,12 @@ object Hdf5 {
     require(ver == 1, s"global heap version $ver")
     b.skip(3)
     val collSize = b.u64() // includes the 16-byte header
+    // collSize is itself a raw u64: unvalidated, it would both overflow
+    // `addr + collSize` and launder any objSize through the per-object
+    // bound below (a 2^32 objSize whose aligned skip narrows to 0 would
+    // then cycle the cursor forever)
+    if (collSize < 16 || collSize > file.limit() - addr)
+      fail(s"global heap collection size $collSize at $addr outside the container")
     val end = addr + collSize
     while (b.pos + 16 <= end) {
       val objIdx = b.u16()
@@ -1227,12 +1239,12 @@ object Hdf5 {
       if (objIdx == 0) fail(s"global heap object $idx not found at $addr")
       // a hostile objSize (huge u64) would wrap the aligned skip negative
       // and cycle this cursor forever — everything must stay inside the
-      // collection the header declared
-      if (objSize < 0 || objSize > collSize)
+      // (now-validated) collection the header declared
+      if (objSize < 0 || objSize > end - b.pos)
         fail(s"global heap object $objIdx size $objSize exceeds collection")
       if (objIdx == idx) {
         require(objSize >= len, s"heap object $idx shorter than descriptor length")
-        if (b.pos < 0 || b.pos + len > file.limit())
+        if (b.pos < 0 || b.pos > file.limit() - len)
           fail(s"global heap object $idx extent outside the container")
         val out = new Array[Byte](len)
         val dup = file.duplicate()
@@ -1272,7 +1284,9 @@ object Hdf5 {
   private final class R(file: ByteBuffer, at: Long) {
     var pos: Long = at
     private def check(n: Int): Unit =
-      if (pos < 0 || pos + n > file.limit())
+      // subtraction, not `pos + n > limit`: a hostile pos near Long.MaxValue
+      // would overflow the sum negative and slip past the addition form
+      if (pos < 0 || pos > file.limit() - n)
         fail(s"read of $n bytes at offset $pos outside the container " +
           s"(${file.limit()} bytes) — truncated or corrupt file")
     def u8(): Int = { check(1); val v = file.get(pos.toInt) & 0xFF; pos += 1; v }

@@ -78,8 +78,10 @@ object Szip {
     * as "szip: coded stream truncated", not a bare array index crash.
     */
   private final class BitReader(in: Array[Byte]) {
-    private var bitPos = 0
-    private val endBit = in.length << 3
+    // Long positions: `in.length << 3` overflows Int past 256 MiB, which
+    // would reject every VALID large stream as "truncated at bit 0"
+    private var bitPos = 0L
+    private val endBit = in.length.toLong << 3
     private def checkBit(): Unit =
       if (bitPos >= endBit)
         throw new IllegalStateException(
@@ -89,7 +91,7 @@ object Szip {
       var i = 0
       while (i < n) {
         checkBit()
-        val byte = in(bitPos >>> 3)
+        val byte = in((bitPos >>> 3).toInt)
         v = (v << 1) | ((byte >> (7 - (bitPos & 7))) & 1)
         bitPos += 1
         i += 1
@@ -101,7 +103,7 @@ object Szip {
     def fs(): Int = {
       var v = 0
       checkBit()
-      while (((in(bitPos >>> 3) >> (7 - (bitPos & 7))) & 1) == 0) {
+      while (((in((bitPos >>> 3).toInt) >> (7 - (bitPos & 7))) & 1) == 0) {
         bitPos += 1
         v += 1
         checkBit()

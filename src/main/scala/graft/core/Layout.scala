@@ -41,6 +41,13 @@ object Layout {
     val b = df.agg(
       min(col(colX).cast("double")), max(col(colX).cast("double")),
       min(col(colY).cast("double")), max(col(colY).cast("double"))).head()
+    // an empty (or all-null-key) input has no bounds: getDouble would NPE
+    // on the null aggregates — write the empty table as-is, which is what
+    // a layout rewrite of nothing means
+    if (b.isNullAt(0) || b.isNullAt(2)) {
+      df.write.mode("overwrite").parquet(path)
+      return
+    }
     val (minX, maxX, minY, maxY) =
       (b.getDouble(0), b.getDouble(1), b.getDouble(2), b.getDouble(3))
     val bits = (1L << 31) - 1

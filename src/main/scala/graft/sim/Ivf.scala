@@ -57,7 +57,12 @@ object Ivf {
     * any corpus size.
     */
   def train(embeddings: DataFrame, vecCol: String, k: Int, iters: Int): Array[Double] = {
-    val dim = embeddings.select(size(col(vecCol))).first().getInt(0)
+    // fail by name on an empty corpus: first() below would otherwise
+    // throw a bare 'next on empty iterator' — and a model over nothing
+    // has no honest value to return
+    val headRow = embeddings.select(size(col(vecCol))).head(1)
+    require(headRow.nonEmpty, "cannot train an IVF model on an empty corpus")
+    val dim = headRow(0).getInt(0)
     var cents: Array[Array[Double]] = embeddings
       .orderBy("vec_id").limit(k)
       .select(col(vecCol)).collect()

@@ -31,6 +31,15 @@ object Paginated {
     var done = false
     while (!done) {
       val page = fetch(cursor)
+      // a server echoing the cursor back with an empty page makes no
+      // progress — without this the loop spins forever (the hang is worse
+      // than the error; a marker REUSED with nonempty items still
+      // advances `collected` toward the limit, so only the empty echo is
+      // unambiguously stuck)
+      if (page.items.isEmpty && page.marker == cursor && cursor.nonEmpty)
+        throw new IllegalStateException(
+          s"pagination made no progress: marker ${cursor.get} returned " +
+            "an empty page pointing at itself")
       out ++= page.items
       collected += page.items.size
       cursor = page.marker

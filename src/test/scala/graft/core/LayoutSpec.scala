@@ -84,6 +84,16 @@ class LayoutSpec extends SparkSpec {
     assert(spark.read.parquet(out).count() == 128L * 128L)
   }
 
+  test("writeZOrdered: an empty input writes an empty table, not an NPE") {
+    // round-12 sweep: the null min/max aggregates NPE'd out of getDouble
+    val s = spark
+    import s.implicits._
+    val out = java.nio.file.Files.createTempDirectory("zorder-empty").toString
+    Layout.writeZOrdered(
+      Seq.empty[(Long, Long)].toDF("a", "b"), "a", "b", 4, s"$out/t.parquet")
+    assert(spark.read.parquet(s"$out/t.parquet").count() == 0)
+  }
+
   test("compact: many small files collapse to the computed target count") {
     val base = java.nio.file.Files.createTempDirectory("graft-compact")
     val small = base.resolve("small").toString

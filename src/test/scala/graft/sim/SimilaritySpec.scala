@@ -12,6 +12,14 @@ class SimilaritySpec extends SparkSpec {
   private lazy val session = spark
   import session.implicits._
 
+  test("Ivf.train on an empty corpus fails by name, not 'next on empty iterator'") {
+    val empty = Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
+    val ex = intercept[IllegalArgumentException] {
+      Ivf.train(empty, "embedding", 4, 1)
+    }
+    assert(ex.getMessage.contains("empty corpus"))
+  }
+
   test("cosineFast: known values") {
     val df = Seq(
       (Array(1.0f, 0.0f), Array(0.0f, 1.0f)),

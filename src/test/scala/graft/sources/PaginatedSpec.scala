@@ -43,6 +43,28 @@ class PaginatedSpec extends SparkSpec {
     assert(api.calls == Vector(None, Some("1"))) // page 3 never fetched
   }
 
+  test("fetchAll fails by name on a stuck cursor instead of spinning forever") {
+    // a server echoing the marker back with an empty page makes no
+    // progress — round-12 sweep: this looped until driver OOM
+    val ex = intercept[IllegalStateException] {
+      Paginated.fetchAll[String]() {
+        case None => Paginated.Page(Seq("a"), Some("stuck"))
+        case Some(m) => Paginated.Page(Seq.empty, Some(m))
+      }
+    }
+    assert(ex.getMessage.contains("no progress"))
+  }
+
+  test("an empty page with a FRESH marker still advances (sparse cursor APIs)") {
+    val got = Paginated.fetchAll[String]() {
+      case None => Paginated.Page(Seq("a"), Some("p1"))
+      case Some("p1") => Paginated.Page(Seq.empty, Some("p2")) // legal skip
+      case Some("p2") => Paginated.Page(Seq("b"), None)
+      case other => fail(s"unexpected cursor $other")
+    }
+    assert(got == Seq("a", "b"))
+  }
+
   test("flowRuns filters SUCCEEDED then truncates to limit") {
     val statuses = Seq("SUCCEEDED", "FAILED", "SUCCEEDED",
       "SUCCEEDED", "FAILED", "SUCCEEDED", "SUCCEEDED", "FAILED", "SUCCEEDED")

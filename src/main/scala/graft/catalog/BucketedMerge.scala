@@ -47,13 +47,15 @@ object BucketedMerge {
 
   def currentVersion(dir: String): Option[Long] = Merge.currentVersion(dir)
 
-  private def manifestPath(dir: String, v: Long) =
-    java.nio.file.Paths.get(dir, s"manifest-$v.txt")
+  // sidecar I/O resolves through the table path's own filesystem
+  // ([[SnapshotIo]]) — local java.nio probes read every cluster-FS table
+  // as "never written" and vacuum silently no-opped on them
+  private def manifestPath(dir: String, v: Long) = s"$dir/manifest-$v.txt"
 
   def readManifest(dir: String, v: Long): Manifest = {
-    val lines = new String(
-      java.nio.file.Files.readAllBytes(manifestPath(dir, v)), "UTF-8")
-      .linesIterator.filter(_.nonEmpty).toSeq
+    val text = SnapshotIo.readSmall(manifestPath(dir, v)).getOrElse(
+      throw new IllegalStateException(s"manifest for version $v missing in $dir"))
+    val lines = text.linesIterator.filter(_.nonEmpty).toSeq
     val n = lines.head.stripPrefix("nBuckets=").toInt
     val m = lines.tail.map { l =>
       val Array(b, ver) = l.split("=", 2); b.toInt -> ver.toLong
@@ -65,14 +67,9 @@ object BucketedMerge {
     val body = (s"nBuckets=${m.nBuckets}" +:
       m.buckets.toSeq.sortBy(_._1).map { case (b, ver) => s"$b=$ver" })
       .mkString("\n")
-    java.nio.file.Files.write(manifestPath(dir, v), body.getBytes("UTF-8"))
+    SnapshotIo.writeAtomic(manifestPath(dir, v), body)
     // manifest is complete on disk before the pointer moves
-    val cur = java.nio.file.Paths.get(dir, "_CURRENT")
-    val tmp = java.nio.file.Paths.get(dir, "_CURRENT.tmp")
-    java.nio.file.Files.write(tmp, v.toString.getBytes("UTF-8"))
-    java.nio.file.Files.move(tmp, cur,
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    SnapshotIo.writeAtomic(s"$dir/_CURRENT", v.toString)
   }
 
   private def bucketDir(dir: String, ver: Long, b: Int): String =
@@ -144,7 +141,7 @@ object BucketedMerge {
       keys: Seq[String], nBuckets: Int = 64): Long = {
     currentVersion(dir) match {
       case None =>
-        java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+        SnapshotIo.mkdirs(dir)
         val up = Merge.dedupeUpdates(updates, keys)
         writeBuckets(up, keys, nBuckets, dir, 0L)
         val written = listWrittenBuckets(dir, 0L)
@@ -196,60 +193,42 @@ object BucketedMerge {
     }
   }
 
-  private def listWrittenBuckets(dir: String, v: Long): Seq[Int] = {
-    val base = java.nio.file.Paths.get(s"$dir/v=$v")
-    val s = java.nio.file.Files.list(base)
-    try s.iterator().asScala
-      .map(_.getFileName.toString)
+  private def listWrittenBuckets(dir: String, v: Long): Seq[Int] =
+    SnapshotIo.list(s"$dir/v=$v")
       .filter(_.startsWith(s"$BucketCol="))
-      .map(_.stripPrefix(s"$BucketCol=").toInt).toSeq
-    finally s.close()
-  }
+      .map(_.stripPrefix(s"$BucketCol=").toInt)
 
-  private implicit class IterScala[A](it: java.util.Iterator[A]) {
-    def asScala: Iterator[A] = new Iterator[A] {
-      def hasNext: Boolean = it.hasNext
-      def next(): A = it.next()
-    }
-  }
+  private val ManifestName = """manifest-(\d+)\.txt""".r
 
   /** Drop version directories and manifests no kept manifest references.
     * Unlike [[Merge.vacuum]], a version directory may hold CURRENT data
-    * for buckets untouched since — only unreferenced ones delete.
+    * for buckets untouched since — only unreferenced ones delete. Entries
+    * that merely LOOK versioned (crash leftovers like `manifest-3.txt.tmp`)
+    * are skipped, never deleted and never a parse crash.
     */
   def vacuum(dir: String, keep: Int = 2): Unit = {
     val cur = currentVersion(dir).getOrElse(return)
     val keptVersions = ((cur - keep + 1) max 0L) to cur
     val referenced = keptVersions
-      .filter(v => java.nio.file.Files.exists(manifestPath(dir, v)))
+      .filter(v => SnapshotIo.exists(manifestPath(dir, v)))
       .flatMap(v => readManifest(dir, v).buckets.values).toSet
-    val base = java.nio.file.Paths.get(dir)
-    val s = java.nio.file.Files.list(base)
-    try {
-      s.iterator().asScala.foreach { p =>
-        val n = p.getFileName.toString
-        // versions ABOVE cur are an in-flight merge's (data + manifest land
-        // BEFORE the _CURRENT swap) — deleting them here would corrupt the
-        // table the instant that merge swaps the pointer. Only versions
-        // <= cur are this tool's to reclaim.
-        if (n.startsWith("v=")) {
-          val ver = n.drop(2).toLong
-          if (ver <= cur && !referenced.contains(ver)) deleteRecursively(p)
-        } else if (n.startsWith("manifest-")) {
-          val ver = n.stripPrefix("manifest-").stripSuffix(".txt").toLong
+    SnapshotIo.list(dir).foreach { n =>
+      // versions ABOVE cur are an in-flight merge's (data + manifest land
+      // BEFORE the _CURRENT swap) — deleting them here would corrupt the
+      // table the instant that merge swaps the pointer. Only versions
+      // <= cur are this tool's to reclaim.
+      n match {
+        case _ if n.startsWith("v=") =>
+          n.drop(2).toLongOption.foreach { ver =>
+            if (ver <= cur && !referenced.contains(ver))
+              SnapshotIo.delete(s"$dir/$n")
+          }
+        case ManifestName(verStr) =>
+          val ver = verStr.toLong
           if (ver <= cur && !keptVersions.contains(ver))
-            java.nio.file.Files.deleteIfExists(p)
-          ()
-        }
+            SnapshotIo.delete(s"$dir/$n")
+        case _ => ()
       }
-    } finally s.close()
-  }
-
-  private def deleteRecursively(p: java.nio.file.Path): Unit = {
-    if (java.nio.file.Files.isDirectory(p)) {
-      val s = java.nio.file.Files.list(p)
-      try s.iterator().asScala.foreach(deleteRecursively) finally s.close()
     }
-    java.nio.file.Files.deleteIfExists(p)
   }
 }

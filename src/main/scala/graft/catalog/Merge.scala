@@ -60,13 +60,12 @@ object Merge {
       target.join(up.select(keys.map(org.apache.spark.sql.functions.col): _*),
         keys, "left_anti"))
 
-  /** Current version number, if the table exists. */
-  def currentVersion(dir: String): Option[Long] = {
-    val p = java.nio.file.Paths.get(dir, "_CURRENT")
-    if (java.nio.file.Files.exists(p))
-      Some(new String(java.nio.file.Files.readAllBytes(p), "UTF-8").trim.toLong)
-    else None
-  }
+  /** Current version number, if the table exists. Resolved through the
+    * table path's own filesystem ([[SnapshotIo]]) — a local-File probe
+    * read every hdfs://s3a:// table as "never written".
+    */
+  def currentVersion(dir: String): Option[Long] =
+    SnapshotIo.readSmall(s"$dir/_CURRENT").map(_.trim.toLong)
 
   /** Read the current snapshot (empty-schema error if never written). */
   def read(spark: SparkSession, dir: String): DataFrame = {
@@ -79,12 +78,7 @@ object Merge {
   def writeSnapshot(df: DataFrame, dir: String): Long = {
     val next = currentVersion(dir).getOrElse(-1L) + 1
     df.write.mode("overwrite").parquet(s"$dir/v=$next")
-    val cur = java.nio.file.Paths.get(dir, "_CURRENT")
-    val tmp = java.nio.file.Paths.get(dir, "_CURRENT.tmp")
-    java.nio.file.Files.write(tmp, next.toString.getBytes("UTF-8"))
-    java.nio.file.Files.move(tmp, cur,
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    SnapshotIo.writeAtomic(s"$dir/_CURRENT", next.toString)
     next
   }
 
@@ -102,7 +96,7 @@ object Merge {
 
   /** TIME TRAVEL: read a specific retained snapshot version. */
   def readVersion(spark: SparkSession, dir: String, version: Long): DataFrame = {
-    require(java.nio.file.Files.exists(java.nio.file.Paths.get(dir, s"v=$version")),
+    require(SnapshotIo.exists(s"$dir/v=$version"),
       s"version $version not present (vacuumed or never written) in $dir")
     spark.read.parquet(s"$dir/v=$version")
   }
@@ -144,25 +138,16 @@ object Merge {
       .select(keys.map(col) :+ col("change"): _*)
   }
 
-  /** Drop all but the most recent `keep` snapshot directories. */
+  /** Drop all but the most recent `keep` snapshot directories. Entries
+    * that merely LOOK like versions (`v=` followed by anything
+    * non-numeric, e.g. crash leftovers) are skipped, never deleted.
+    */
   def vacuum(dir: String, keep: Int = 2): Unit = {
     val cur = currentVersion(dir).getOrElse(return)
-    val base = java.nio.file.Paths.get(dir)
-    val s = java.nio.file.Files.list(base)
-    try {
-      s.iterator().forEachRemaining { p =>
-        val n = p.getFileName.toString
-        if (n.startsWith("v=") && n.drop(2).toLong <= cur - keep)
-          deleteRecursively(p)
+    SnapshotIo.list(dir).foreach { n =>
+      if (n.startsWith("v=")) n.drop(2).toLongOption.foreach { ver =>
+        if (ver <= cur - keep) SnapshotIo.delete(s"$dir/$n")
       }
-    } finally s.close()
-  }
-
-  private def deleteRecursively(p: java.nio.file.Path): Unit = {
-    if (java.nio.file.Files.isDirectory(p)) {
-      val s = java.nio.file.Files.list(p)
-      try s.iterator().forEachRemaining(deleteRecursively) finally s.close()
     }
-    java.nio.file.Files.deleteIfExists(p)
   }
 }

@@ -70,6 +70,10 @@ object Dedup {
     */
   def minhashNearDupPairs(docs: DataFrame, idCol: String, textCol: String,
       threshold: Double = 0.8, n: Int = 3, k: Int = 64, bands: Int = 16): DataFrame = {
+    // both sizes are known here, so reject a non-dividing band count at plan
+    // build instead of per-task inside the band_hashes kernel
+    require(bands >= 1 && k % bands == 0,
+      s"minhashNearDupPairs: bands ($bands) must divide the signature size k ($k)")
     val sh = docs
       .select(col(idCol).as("doc_id"), shingleHashes(col(textCol), n).as("sh"))
       .filter(size(col("sh")) > 0)

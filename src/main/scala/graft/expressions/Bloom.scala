@@ -113,8 +113,18 @@ object Bloom {
       BloomStateExpr(ColumnBridge.expression(key), numBits, numHashes)
         .toAggregateExpression())
 
-  /** Probe a previously built bitset (serialized form). */
+  /** Probe a previously built bitset (serialized form). The probe derives
+    * numBits from the byte length, so a truncated persisted filter would
+    * probe DIFFERENT positions than the build did — false negatives, i.e.
+    * silently dropped rows from the "exact" prune-then-join pattern. Reject
+    * by name what the length can reveal (empty / non-multiple-of-8); an
+    * 8-byte-aligned truncation is not detectable from the payload alone.
+    */
   def bloomContains(key: Column, bits: Array[Byte], numHashes: Int = 5): Column = {
+    if (bits.length < 8 || (bits.length & 7) != 0)
+      throw new IllegalArgumentException(
+        s"bloom bitset must be a positive multiple of 8 bytes, got ${bits.length} " +
+          "(truncated or foreign filter — probing it would yield false negatives)")
     val longs = new Array[Long](bits.length >>> 3)
     java.nio.ByteBuffer.wrap(bits).asLongBuffer().get(longs)
     ColumnBridge.column(

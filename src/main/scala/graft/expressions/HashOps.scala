@@ -154,6 +154,13 @@ object HashOps {
     */
   def bandHashes(sig: ArrayData, bands: Int): ArrayData = {
     val s = longs(sig)
+    // Divisibility is load-bearing: a remainder silently drops the trailing
+    // signature entries from every band, and bands > length makes rows = 0 so
+    // EVERY row hashes to the constant seed in EVERY band — all documents
+    // become LSH candidates of each other (quadratic blowup at scale).
+    if (bands < 1 || s.length % bands != 0)
+      throw new IllegalArgumentException(
+        s"band_hashes: bands ($bands) must divide the minhash signature length (${s.length})")
     val rows = s.length / bands
     val out = new Array[Long](bands)
     var b = 0
@@ -305,11 +312,16 @@ object HashOps {
     val taken = new Array[Boolean](k)
     var r = 0
     while (r < n) {
+      // `best == -1 ||` keeps the selection total when dots are NaN (a NaN
+      // query element makes every dot NaN, and NaN never wins `>`): the
+      // fallback takes the lowest untaken cell id, consistent with
+      // [[nearestCell]]'s all-NaN result (cell 0), instead of indexing
+      // taken(-1).
       var best = -1
       var bestDot = Double.NegativeInfinity
       c = 0
       while (c < k) {
-        if (!taken(c) && dots(c) > bestDot) { bestDot = dots(c); best = c }
+        if (!taken(c) && (best == -1 || dots(c) > bestDot)) { bestDot = dots(c); best = c }
         c += 1
       }
       taken(best) = true

@@ -247,9 +247,22 @@ object Sketches {
     bb.array()
   }
 
+  /** Inverse of [[pack]]. The count header is validated against the byte
+    * length because sketches are PERSISTED values re-read by
+    * [[KmvMergeEstimateExpr]]/[[KmvIntersectExpr]] — a truncated or foreign
+    * binary must fail by name, not underflow the buffer (header > payload)
+    * or silently act as an EMPTY sketch (negative header), which would
+    * corrupt every rollup estimate it merges into.
+    */
   private[expressions] def unpack(bytes: Array[Byte]): java.util.TreeSet[java.lang.Long] = {
+    if (bytes.length < 4)
+      throw new IllegalArgumentException(
+        s"corrupt kmv sketch: ${bytes.length} bytes (need a 4-byte count header)")
     val bb = java.nio.ByteBuffer.wrap(bytes)
     val n = bb.getInt
+    if (n < 0 || bytes.length != 4 + 8L * n)
+      throw new IllegalArgumentException(
+        s"corrupt kmv sketch: header says $n hashes but payload is ${bytes.length - 4} bytes")
     val out = new java.util.TreeSet[java.lang.Long]()
     var i = 0
     while (i < n) { out.add(bb.getLong); i += 1 }

@@ -38,10 +38,22 @@ case class TopKAggExpr(value: Expression, id: Expression, k: Int,
 
   require(k >= 1, "top-k needs k >= 1")
 
-  // value DESC, id ASC; the LAST element is the weakest kept entry
-  private val ord: Ordering[(Double, Long)] =
-    Ordering.fromLessThan((a, b) =>
-      a._1 > b._1 || (a._1 == b._1 && a._2 < b._2))
+  // value DESC, id ASC; the LAST element is the weakest kept entry.
+  // Double ordering mirrors Spark SQL's (SQLOrderingUtil.compareDoubles):
+  // `==` first so -0.0 ties 0.0, then Double.compare so NaN ranks GREATEST —
+  // i.e. a NaN score is kept at rank 1, exactly where the row_number()
+  // window oracle puts it. This must be a TOTAL order: the previous
+  // fromLessThan comparator made NaN compare equal to EVERYTHING, violating
+  // the TreeSet contract and silently dropping rows whenever a NaN value
+  // (e.g. cosine of a zero-norm vector) entered the group.
+  private val ord: Ordering[(Double, Long)] = new Ordering[(Double, Long)] {
+    override def compare(a: (Double, Long), b: (Double, Long)): Int = {
+      val byValueDesc =
+        if (a._1 == b._1) 0 else java.lang.Double.compare(b._1, a._1)
+      if (byValueDesc != 0) byValueDesc
+      else java.lang.Long.compare(a._2, b._2)
+    }
+  }
 
   override def left: Expression = value
   override def right: Expression = id

@@ -97,10 +97,16 @@ object CorpusIngestPipeline {
     }
   }
 
+  /** Resolved through the path's own filesystem, not `java.io.File` — the
+    * local-File probe reports an HDFS/S3 ledger absent on a cluster,
+    * silently re-admitting every duplicate (same fix as
+    * [[graft.stream.StreamingDedup]]'s ledger).
+    */
   private def existingLedger(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val p = new java.io.File(dir)
-    if (p.exists() && p.list() != null && p.list().nonEmpty)
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p) && fs.listStatus(p).nonEmpty)
       spark.read.parquet(dir).select("content_key")
     else Seq.empty[String].toDF("content_key")
   }

@@ -48,9 +48,17 @@ object EmdDataSource {
     StructField("data", ArrayType(DoubleType, containsNull = false), nullable = false),
     StructField("metadata_json", StringType, nullable = false)))
 
-  /** `.emd` files under `path` (a file or directory), deterministic order. */
+  /** `.emd` files under `path` (a file or directory), deterministic order.
+    * A path that does not exist fails BY NAME: the previous walk returned
+    * an empty list for a typo'd (or non-local, e.g. hdfs://) path, and an
+    * empty scan reads as "zero signals" — silent wrong results instead of
+    * an error the user can act on.
+    */
   def listFiles(path: String): Seq[String] = {
     val root = new java.io.File(path)
+    if (!root.exists())
+      throw new IllegalArgumentException(
+        s"emd source: path does not exist on the local filesystem: $path")
     def walk(f: java.io.File): Seq[java.io.File] =
       if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.flatMap(walk)
       else if (f.getName.endsWith(".emd")) Seq(f)

@@ -69,10 +69,16 @@ object StreamingDedup {
      else writer).start()
   }
 
+  /** The ledger probe must resolve through the path's OWN filesystem — a
+    * `java.io.File` check against an HDFS/S3 ledger dir always reports
+    * absent on a cluster, silently re-admitting every duplicate the ledger
+    * exists to block.
+    */
   private def existingLedger(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val p = new java.io.File(dir)
-    if (p.exists() && p.list() != null && p.list().nonEmpty)
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p) && fs.listStatus(p).nonEmpty)
       spark.read.parquet(dir).select("content_key")
     else Seq.empty[String].toDF("content_key")
   }

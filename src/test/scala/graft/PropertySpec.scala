@@ -174,6 +174,29 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  // A NaN query element makes every centroid dot NaN; NaN never wins `>`,
+  // so the selection's `best` stayed -1 and indexed taken(-1). Pinned: the
+  // fallback fills lowest-id cells, consistent with nearestCell's cell 0.
+  test("nearCells on a NaN-bearing vector returns lowest-id cells, no crash") {
+    val cents = (0 until 4).flatMap(c =>
+      (0 until 8).map(i => math.sin(c * 8 + i + 1.0))).toArray
+    val nanVec = UnsafeArrayData.fromPrimitiveArray(
+      Array.tabulate(8)(i => if (i == 3) Float.NaN else 0.5f))
+    assert(HashOps.nearCells(nanVec, cents, 4, 2).toIntArray().toSeq == Seq(0, 1))
+    assert(HashOps.nearestCell(nanVec, cents, 4) == 0)
+  }
+
+  test("bandHashes rejects a band count that does not divide the signature") {
+    val sig = UnsafeArrayData.fromPrimitiveArray(Array.tabulate(64)(_.toLong))
+    assert(HashOps.bandHashes(sig, 16).numElements() == 16) // divisible: fine
+    // remainder would silently drop trailing entries from every band;
+    // bands > length would hash every band to the constant seed
+    val m13 = intercept[IllegalArgumentException](HashOps.bandHashes(sig, 13))
+    assert(m13.getMessage.contains("must divide"))
+    val m100 = intercept[IllegalArgumentException](HashOps.bandHashes(sig, 100))
+    assert(m100.getMessage.contains("must divide"))
+  }
+
   test("AVI mux → parse roundtrip over random frame counts and geometries") {
     val caseGen = Gen.zip(
       Gen.chooseNum(1, 25),  // frames

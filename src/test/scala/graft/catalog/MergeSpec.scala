@@ -250,5 +250,44 @@ class MergeSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("no data"), e.getMessage)
   }
+
+  // Pins the sidecar I/O resolving through the table path's OWN filesystem:
+  // a URI-form dir (file:/...) is invisible to java.nio probes, so the old
+  // pointer read reported "never written" — the second merge would have
+  // reset history to v=0 instead of merging, and vacuum no-opped. On a
+  // cluster (hdfs://, s3a://) that was every table path.
+  test("Merge: full lifecycle over a URI-form table path") {
+    val dir = "file:" + Files.createTempDirectory("graft-merge-uri")
+    assert(Merge.mergeInto(spark, dir,
+      Seq((1L, "a")).toDF("id", "name"), Seq("id")) == 0L)
+    assert(Merge.mergeInto(spark, dir,
+      Seq((1L, "a2"), (2L, "b")).toDF("id", "name"), Seq("id")) == 1L)
+    val rows = Merge.read(spark, dir).orderBy("id").collect()
+    assert(rows.map(r => (r.getLong(0), r.getString(1))).toSeq ==
+      Seq((1L, "a2"), (2L, "b")))
+    // time travel + CDC still resolve versions through the URI
+    assert(Merge.readVersion(spark, dir, 0L).count() == 1L)
+    val ch = Merge.changes(spark, dir, 0L, 1L, Seq("id")).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(ch == Map(1L -> "update", 2L -> "insert"))
+    // vacuum actually deletes through the URI (keep=1 drops v=0)
+    Merge.vacuum(dir, keep = 1)
+    assert(intercept[IllegalArgumentException](
+      Merge.readVersion(spark, dir, 0L)).getMessage.contains("not present"))
+    assert(Merge.read(spark, dir).count() == 2L)
+  }
+
+  test("BucketedMerge: merge + incremental scan over a URI-form table path") {
+    val dir = "file:" + Files.createTempDirectory("graft-bmerge-uri")
+    assert(BucketedMerge.mergeInto(spark, dir,
+      Seq((1L, "a"), (2L, "b")).toDF("id", "name"), Seq("id"), nBuckets = 4) == 0L)
+    assert(BucketedMerge.mergeInto(spark, dir,
+      Seq((2L, "b2")).toDF("id", "name"), Seq("id")) == 1L)
+    val rows = BucketedMerge.read(spark, dir).orderBy("id").collect()
+    assert(rows.map(r => (r.getLong(0), r.getString(1))).toSeq ==
+      Seq((1L, "a"), (2L, "b2")))
+    val (changed, df) = BucketedMerge.readChanged(spark, dir, 0L, 1L)
+    assert(changed.nonEmpty && df.get.count() >= 1L)
+  }
 }
 

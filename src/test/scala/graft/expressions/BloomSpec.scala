@@ -69,6 +69,18 @@ class BloomSpec extends SparkSpec {
     assert(plan.contains("BroadcastExchange"), plan)
   }
 
+  // The probe derives numBits from the payload length, so a truncated
+  // persisted filter would probe different positions than the build —
+  // FALSE NEGATIVES from the "no false negatives" prune. Reject what the
+  // length can reveal.
+  test("truncated or empty persisted bitsets are rejected by name") {
+    val bits = bitsOf(Seq(1L, 2L, 3L), 1)
+    def msgOf(b: Array[Byte]): String = intercept[IllegalArgumentException](
+      Bloom.bloomContains(xxhash64(col("k")), b)).getMessage
+    assert(msgOf(bits.dropRight(3)).contains("multiple of 8"))
+    assert(msgOf(Array.emptyByteArray).contains("multiple of 8"))
+  }
+
   test("the probe filter stays inside whole-stage codegen") {
     val bits = bitsOf(Seq(1L, 2L, 3L), 1)
     val plan = graft.core.Tables.load(spark, sf, "lineitem")

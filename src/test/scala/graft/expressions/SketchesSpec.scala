@@ -166,4 +166,23 @@ class SketchesSpec extends SparkSpec {
       assert(math.abs(est - exact) / exact < 0.6, s"group ${r.getString(0)}: $est vs $exact")
     }
   }
+
+  // Sketches are PERSISTED binaries re-read by kmv_merge_estimate /
+  // kmv_intersect — a truncated or foreign payload must fail by name, not
+  // buffer-underflow (header > payload) or silently merge as EMPTY
+  // (negative header), which would corrupt the rollup estimate.
+  test("corrupt serialized sketches are rejected by name") {
+    val good = Sketches.pack({
+      val t = new java.util.TreeSet[java.lang.Long](); t.add(7L); t.add(9L); t
+    })
+    assert(Sketches.unpack(good).size == 2) // roundtrip sanity
+
+    def msgOf(bytes: Array[Byte]): String =
+      intercept[IllegalArgumentException](Sketches.unpack(bytes)).getMessage
+    assert(msgOf(Array.emptyByteArray).contains("corrupt kmv sketch"))
+    assert(msgOf(good.dropRight(3)).contains("corrupt kmv sketch")) // truncated payload
+    val negative = good.clone()
+    negative(0) = -1 // big-endian header → negative count
+    assert(msgOf(negative).contains("corrupt kmv sketch"))
+  }
 }

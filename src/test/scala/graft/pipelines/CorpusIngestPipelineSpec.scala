@@ -72,4 +72,25 @@ class CorpusIngestPipelineSpec extends SparkSpec {
       .collect().map(_.toSeq)
     assert(after.toSeq == before.toSeq, "replay changed table state")
   }
+
+  // Pins the ledger probe resolving through the path's own filesystem: a
+  // URI-form ledger (file:/...) is invisible to java.io.File, so the old
+  // probe re-admitted every cross-batch duplicate — on hdfs://s3:// paths
+  // (a real cluster) that was every path.
+  test("processBatch honors a URI-form ledger path") {
+    val base = java.nio.file.Files.createTempDirectory("graft-ingest-uri")
+    val corpus = s"$base/corpus"
+    val ledger = "file:" + base.resolve("ledger")
+    val docs = Seq(("doc://a", "solid quality content with enough words to pass the gate"))
+      .toDF("path", "contentStr")
+      .select($"path", $"contentStr".cast("binary").as("content"))
+    CorpusIngestPipeline.processBatch(spark, docs, corpus, ledger,
+      batchId = 0L, minQuality = 0.0)
+    // same content re-crawled in a later batch: only the ledger knows
+    CorpusIngestPipeline.processBatch(spark,
+      docs.withColumn("path",
+        org.apache.spark.sql.functions.lit("doc://a-recrawl")), corpus, ledger,
+      batchId = 1L, minQuality = 0.0)
+    assert(spark.read.parquet(corpus).count() == 1, "URI ledger was ignored")
+  }
 }

@@ -85,4 +85,17 @@ class EmdDataSourceSpec extends SparkSpec {
     assert(all.limit(2).count() == 2)
     assert(all.orderBy("experiment_id", "signal_idx").limit(5).count() == 3)
   }
+
+  // A nonexistent load path must fail by name, not plan an empty scan: the
+  // old walk returned zero files for a typo'd (or non-local hdfs://) path
+  // and the query silently read as "no signals".
+  test("nonexistent path fails by name instead of an empty scan") {
+    val e = intercept[Exception] {
+      spark.read.format("emd").load("/no/such/emd/dir").count()
+    }
+    def causes(t: Throwable): Seq[Throwable] =
+      if (t == null) Seq.empty else t +: causes(t.getCause)
+    assert(causes(e).exists(c =>
+      Option(c.getMessage).exists(_.contains("does not exist"))), e.toString)
+  }
 }

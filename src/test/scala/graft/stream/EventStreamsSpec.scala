@@ -154,4 +154,39 @@ class EventStreamsSpec extends SparkSpec {
     assert(s.user_id == 1 && s.n_events == 2 &&
       s.start_us == 0 && s.end_us == 10L * 1000000 && s.total_value == 3.0)
   }
+
+  // Pins the min/max session envelope: a cross-batch LATE event used to
+  // overwrite last_us backwards, so the next on-time event measured its gap
+  // from the late timestamp and closed a session with end_us < start_us.
+  test("sessionize: a late cross-batch event cannot regress the session end") {
+    val session = spark
+    import session.implicits._
+    implicit val sq = spark.sqlContext
+
+    val in = MemoryStream[Event]
+    val q = sessionize(in.toDS(), gapUs = 60L * 1000000) // 60 s gap
+      .writeStream.format("memory").queryName("sessions_late")
+      .outputMode(OutputMode.Append()).start()
+
+    in.addData(Event(1, 100L * 1000000, 1, "click", 1.0))
+    q.processAllAvailable()
+    // late event 90 s EARLIER than the open session's end
+    in.addData(Event(2, 10L * 1000000, 1, "view", 2.0))
+    q.processAllAvailable()
+    // 40 s after the session's true end: within gap, must merge (the old
+    // code measured 120 s from the late event and closed [100s, 10s])
+    in.addData(Event(3, 140L * 1000000, 1, "click", 3.0))
+    q.processAllAvailable()
+    // far future event closes the (single) merged session
+    in.addData(Event(4, 10000L * 1000000, 1, "click", 0.0))
+    q.processAllAvailable()
+    q.stop()
+
+    val closed = spark.table("sessions_late").as[Session].collect()
+    assert(closed.length == 1, closed.mkString(","))
+    val s = closed(0)
+    assert(s.start_us == 10L * 1000000 && s.end_us == 140L * 1000000 &&
+      s.n_events == 3 && s.total_value == 6.0, s.toString)
+    assert(s.end_us >= s.start_us)
+  }
 }

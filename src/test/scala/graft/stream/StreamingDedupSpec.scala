@@ -62,4 +62,30 @@ class StreamingDedupSpec extends SparkSpec {
     assert(spark.read.parquet(ledger).columns.toSet == Set("content_key", "batch_id"))
     assert(spark.read.parquet(ledger).count() == 3)
   }
+
+  // Pins the ledger probe resolving through the path's OWN filesystem: a
+  // URI-form ledger path (file:/...) is invisible to java.io.File — the old
+  // probe read such a ledger as absent and re-admitted every corpus
+  // duplicate. On a real cluster (hdfs://, s3://) that was EVERY path.
+  test("firstSeenSink honors a URI-form ledger path across restarts") {
+    val base = Files.createTempDirectory("graft-sdedup-uri")
+    val ledger = "file:" + base.resolve("ledger")
+    val out = base.resolve("out").toString
+    val ckpt = base.resolve("ckpt").toString
+
+    implicit val sq = spark.sqlContext
+    val in = MemoryStream[Doc]
+    def drain(): Unit = {
+      val q = StreamingDedup.firstSeenSink(in.toDF(), "text", ledger, out, ckpt)
+      try q.processAllAvailable() finally q.stop()
+    }
+
+    in.addData(Doc(1, t(0), "alpha"))
+    drain()
+    in.addData(Doc(2, t(1), "alpha")) // corpus-dup, only the ledger knows
+    drain()
+
+    val kept = spark.read.parquet(out)
+    assert(kept.count() == 1 && kept.collect()(0).getAs[Long]("doc_id") == 1L)
+  }
 }

@@ -41,17 +41,38 @@ import org.apache.spark.sql.functions._
   */
 object Artifacts {
 
-  /** Write (relativePath, bytes) rows under `dir`, atomically per file. */
+  /** Write (relativePath, bytes) rows under `dir`, atomically per file.
+    *
+    * Writes resolve through `dir`'s OWN filesystem (Hadoop), not
+    * `java.nio` — this runs ON EXECUTORS, where a local-File write would
+    * scatter each artifact onto whichever worker's local disk ran the
+    * task and report success (silently unreachable output on any real
+    * cluster; the executor-side `Configuration()` picks up the cluster's
+    * core-site, and local mode keeps the previous behavior). A relative
+    * path that escapes `dir` (`../…`) is rejected by name.
+    */
   def writeFiles(artifacts: Dataset[(String, Array[Byte])], dir: String): Unit = {
     artifacts.foreachPartition { it: Iterator[(String, Array[Byte])] =>
-      it.foreach { case (rel, bytes) =>
-        val target = java.nio.file.Paths.get(dir, rel)
-        java.nio.file.Files.createDirectories(target.getParent)
-        val tmp = target.resolveSibling(target.getFileName.toString + ".tmp")
-        java.nio.file.Files.write(tmp, bytes)
-        java.nio.file.Files.move(tmp, target,
-          java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      if (it.hasNext) {
+        import org.apache.hadoop.fs.{CreateFlag, FileContext, Options, Path}
+        val conf = new org.apache.hadoop.conf.Configuration()
+        val base = new Path(dir)
+        val fs = base.getFileSystem(conf)
+        val rootPath = fs.makeQualified(base).toUri.normalize().getPath
+        val fc =
+          if (base.toUri.getScheme == null) FileContext.getFileContext(conf)
+          else FileContext.getFileContext(base.toUri, conf)
+        it.foreach { case (rel, bytes) =>
+          val target = fs.makeQualified(new Path(base, rel))
+          require(target.toUri.normalize().getPath.startsWith(rootPath + "/"),
+            s"artifact path escapes the output directory: $rel")
+          val tmp = new Path(target.getParent, target.getName + ".tmp")
+          val out = fc.create(tmp,
+            java.util.EnumSet.of(CreateFlag.CREATE, CreateFlag.OVERWRITE),
+            Options.CreateOpts.createParent())
+          try out.write(bytes) finally out.close()
+          fc.rename(tmp, target, Options.Rename.OVERWRITE)
+        }
       }
     }
   }

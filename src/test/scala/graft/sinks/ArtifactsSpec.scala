@@ -119,4 +119,26 @@ class ArtifactsSpec extends SparkSpec {
     assert(java.nio.file.Files.exists(dir.resolve("c.avi")))
     assert(!java.nio.file.Files.exists(dir.resolve("c.avi.tmp")))
   }
+
+  // Pins the executor-side writer resolving through the dir's own
+  // filesystem: a URI-form output dir (file:/...) was invisible to the old
+  // java.nio writer — on a cluster (hdfs://) every artifact landed on some
+  // worker's local disk and "succeeded".
+  test("writeFiles honors a URI-form output dir") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-artifacts-uri")
+    val ds = Seq(("x/y.png", Array[Byte](7, 8))).toDS()
+    Artifacts.writeFiles(ds, "file:" + dir)
+    assert(java.nio.file.Files.readAllBytes(dir.resolve("x/y.png")).toSeq == Seq[Byte](7, 8))
+  }
+
+  test("writeFiles rejects a relative path escaping the output dir") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-artifacts-esc")
+    val ds = Seq(("../escape.bin", Array[Byte](1))).toDS()
+    val e = intercept[Exception] { Artifacts.writeFiles(ds, dir.toString) }
+    def causes(t: Throwable): Seq[Throwable] =
+      if (t == null) Seq.empty else t +: causes(t.getCause)
+    assert(causes(e).exists(c => Option(c.getMessage).exists(
+      _.contains("escapes the output directory"))), e.toString)
+    assert(!java.nio.file.Files.exists(dir.getParent.resolve("escape.bin")))
+  }
 }

@@ -104,6 +104,44 @@ object Bench {
     (single, parallel)
   }
 
+  /** Disk-side calibration probe — the complement of [[calibWork]] the
+    * round-12 re-runs showed is needed: two curated runs measured 8-15%
+    * slower than the committed artifact under QUIETER cpu calibs, with
+    * the worst-query sets disjoint between runs. A cpu-spin probe cannot
+    * see the storage side (page-cache state, device queue, co-tenant
+    * I/O), which was the moving part. One 64 MiB streamed, flushed write
+    * plus one streamed read-back of a temp file, seconds recorded as
+    * `calib.io_write_s` / `io_read_s`, so a future cross-round total
+    * delta can be ATTRIBUTED (cpu side vs storage side) from the
+    * artifact alone instead of control-query archaeology. Diagnostic
+    * only — nothing normalizes by it (the suite's I/O mix is not a
+    * 64 MiB stream); it answers "which side of the host moved".
+    */
+  private[graft] def calibIo(): (Double, Double) = {
+    val tmp = java.nio.file.Files.createTempFile("graft-calib-io", ".bin")
+    try {
+      val chunk = new Array[Byte](1 << 20)
+      new java.util.Random(42L).nextBytes(chunk)
+      val t0 = System.nanoTime()
+      val out = java.nio.file.Files.newOutputStream(tmp)
+      try {
+        var i = 0
+        while (i < 64) { out.write(chunk); i += 1 }
+        out.flush()
+      } finally out.close()
+      val write = (System.nanoTime() - t0) / 1e9
+      val t1 = System.nanoTime()
+      val in = java.nio.file.Files.newInputStream(tmp)
+      try {
+        val buf = new Array[Byte](1 << 20)
+        var n = in.read(buf)
+        while (n >= 0) { calibSink ^= n.toLong; n = in.read(buf) }
+      } finally in.close()
+      val read = (System.nanoTime() - t1) / 1e9
+      (write, read)
+    } finally { java.nio.file.Files.deleteIfExists(tmp); () }
+  }
+
   /** A prior round's host-speed baseline: `parallelMed` is the median over
     * every parallel probe the artifact recorded (pre-suite `parallel_s` +
     * mid-run `series` slices — the same estimator the CURRENT side uses, so
@@ -274,6 +312,7 @@ object Bench {
     val loadStart = loadavg()
     // calibrate BEFORE the session exists — no Spark threads compete
     val (calibSingle, calibParallel) = calibrate(cpus.toInt)
+    val (calibIoW, calibIoR) = calibIo()
     val spark = graft.core.GraftSession.local(cpus.toInt, "graft-bench")
 
     // Stable order: Map iteration is hash-ordered, which would hand the
@@ -516,7 +555,8 @@ object Bench {
     val loadEnd = loadavg()
     val calibJson = s"""{"single_s":${f(calibSingle)},"parallel_s":${f(
       calibParallel)},"threads":${cpus.toInt},"parallel_med":${f(
-      calibParallelMed)},"series":${calibSlices.map(f).mkString("[", ",", "]")}}"""
+      calibParallelMed)},"io_write_s":${f(calibIoW)},"io_read_s":${f(
+      calibIoR)},"series":${calibSlices.map(f).mkString("[", ",", "]")}}"""
     val env = s""""passes":$Passes,"failed":$failed,"sf":"$sfDir","loadavg_start":"$loadStart","loadavg_end":"$loadEnd","calib":$calibJson,"data_ratio":${f(dataRatio)},"growth_flagged":$growthFlagged,"amortized":$amortizedJson,"per_query_median":${f(perQueryMedian)},"common_subset":$commonJson"""
     val compact = s"""{"metric":"total","value":${f(total)},"unit":"sec","total_min":${f(totalMin)},"queries":$qs,$env}"""
     val full = s"""{"metric":"total","value":${f(total)},"unit":"sec","total_min":${f(totalMin)},"queries":$qs,"spread":$spread,"exchange":$shuffle,"growth":$growthJson,$env}"""

@@ -197,4 +197,27 @@ class BenchCalibSpec extends AnyFunSuite {
       assert(Bench.priorCalib(repo, 11).isEmpty)
     }
   }
+
+  // The round-12 addendum: the cpu-spin calib anti-correlated with suite
+  // totals twice in one day (quieter calib, slower suite) — the storage
+  // side moved, which calibWork cannot see. calibIo is the diagnostic
+  // probe; pin that it measures something and cleans up after itself.
+  test("calibIo returns positive times and leaves no temp file behind") {
+    val tmpDir = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"))
+    def probes() = {
+      val s = java.nio.file.Files.list(tmpDir)
+      try {
+        val it = s.iterator(); var n = 0
+        while (it.hasNext) {
+          if (it.next().getFileName.toString.startsWith("graft-calib-io")) n += 1
+        }
+        n
+      } finally s.close()
+    }
+    val before = probes()
+    val (w, r) = Bench.calibIo()
+    assert(w > 0.0 && r > 0.0 && w.isFinite && r.isFinite, s"($w, $r)")
+    assert(probes() == before, "calibIo left its temp file behind")
+  }
 }

@@ -18,6 +18,15 @@ object FlowAnalyzer {
 
   private val GiB = 1024.0 * 1024.0 * 1024.0
 
+  /** Exact-name column reference. Step names come FROM LOG DATA and are
+    * spliced into derived column names, so `col(s"${st}_end")` would
+    * PARSE a dotted step name as nested-field access and an apostrophe
+    * inside a stack() SQL string was a parser crash — quote as a SQL
+    * identifier (embedded backticks double, per the SQL rule).
+    */
+  private def qcol(name: String): Column =
+    col("`" + name.replace("`", "``") + "`")
+
   /** Read flow-run JSON (one record per line, FIXTURES F2 shape) with the
     * declared schema — no inference pass, so the read is a single scan and
     * missing optional fields surface as typed nulls, exactly like the
@@ -73,7 +82,7 @@ object FlowAnalyzer {
 
     val withRuntimes = steps.foldLeft(
       wide.withColumn("flow_runtime", col("end") - col("start"))) { (df, st) =>
-      df.withColumn(s"${st}_runtime", col(s"${st}_end") - col(s"${st}_start"))
+      df.withColumn(s"${st}_runtime", qcol(s"${st}_end") - qcol(s"${st}_start"))
     }
     withRuntimes
   }
@@ -117,9 +126,13 @@ object FlowAnalyzer {
   def describeRuntimes(wide: DataFrame): DataFrame = {
     val metricCols = "flow_runtime" +:
       wide.columns.filter(c => c.endsWith("_runtime") && c != "flow_runtime").toSeq
+    // unpivot via explode(array(struct…)), not a stack() SQL string: the
+    // metric names derive from data-borne step names, and an apostrophe
+    // (or any quote char) inside the built SQL was a parser crash
     val stacked = wide.select(
-      expr(s"stack(${metricCols.size}, " +
-        metricCols.map(c => s"'$c', `$c`").mkString(", ") + ") as (metric, v)"))
+      explode(array(metricCols.map(c =>
+        struct(lit(c).as("metric"), qcol(c).cast(DoubleType).as("v"))): _*)).as("kv"))
+      .select(col("kv.metric").as("metric"), col("kv.v").as("v"))
     stacked.groupBy("metric")
       .agg(count(col("v")).as("n"), avg(col("v")).as("mean"),
         expr("percentile(v, 0.5)").as("median"), stddev(col("v")).as("std"),
@@ -270,7 +283,7 @@ object FlowAnalyzer {
     val joined = pivot.join(usageColumns(runs, fxSteps), Seq("run_id"))
     val fxRuntimes = fxSteps.toSeq.sorted
       .filter(st => pivot.columns.contains(s"${st}_runtime"))
-      .map(st => col(s"${st}_runtime"))
+      .map(st => qcol(s"${st}_runtime"))
     joined.withColumn("total_funcx_time",
       fxRuntimes.reduceOption(_ + _).getOrElse(lit(0.0): Column))
   }

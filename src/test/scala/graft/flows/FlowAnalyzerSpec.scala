@@ -98,6 +98,26 @@ class FlowAnalyzerSpec extends SparkSpec {
     assert(flow.getAs[Double]("max") == 9.0)
   }
 
+  // Step names come from log DATA and become derived column names. A name
+  // with an apostrophe crashed the old stack() SQL string; a dotted name
+  // parsed as nested-field access in the runtime fold. Pin: the pivot →
+  // describe path works end to end on hostile step names.
+  test("data-borne step names with quotes and dots survive the pivot and describe") {
+    val hostile = Seq(
+      LogEntry("r1", 0, "ActionStarted", t(0), "Bob's step"),
+      LogEntry("r1", 1, "ActionCompleted", t(7), "Bob's step"),
+      LogEntry("r1", 2, "ActionStarted", t(7), "publish.v2"),
+      LogEntry("r1", 3, "ActionCompleted", t(10), "publish.v2")
+    ).toDF()
+    val wide = FlowAnalyzer.pivotActionLog(hostile)
+    val r1 = wide.collect()(0)
+    assert(r1.getAs[Double]("Bob's step_runtime") == 7.0)
+    assert(r1.getAs[Double]("publish.v2_runtime") == 3.0)
+    val d = FlowAnalyzer.describeRuntimes(wide).collect()
+    assert(d.find(_.getString(0) == "Bob's step_runtime").get.getAs[Double]("max") == 7.0)
+    assert(d.find(_.getString(0) == "publish.v2_runtime").get.getAs[Double]("max") == 3.0)
+  }
+
   // -- F4 fixture: transitions with a duplicate PK row (must dedup) and a
   //    foreign task group (must filter, with tg_ prefix strip).
   private lazy val transitions = Seq(

@@ -270,9 +270,15 @@ object Dedup {
       // instead of re-joining the full label set against its predecessor.
       // Decimal(38,0) keeps the sum exact (and ANSI-loud on overflow) at
       // any id width.
-      def labelSum(df: DataFrame): java.math.BigDecimal =
-        df.agg(sum(col("label").cast(org.apache.spark.sql.types.DecimalType(38, 0))))
+      def labelSum(df: DataFrame): java.math.BigDecimal = {
+        val v = df
+          .agg(sum(col("label").cast(org.apache.spark.sql.types.DecimalType(38, 0))))
           .head().getDecimal(0)
+        // SQL SUM over no rows is NULL; the sum of an empty label set is
+        // zero — without this, empty input NPE'd on the convergence
+        // compare instead of converging on the first round
+        if (v == null) java.math.BigDecimal.ZERO else v
+      }
       var prevSum = labelSum(labels)
       var iter = 0
       var converged = false

@@ -36,6 +36,15 @@ class DedupSpec extends SparkSpec {
     assert(again == got)
   }
 
+  test("dedupClusters: empty pair set converges to an empty result") {
+    val session = spark
+    import session.implicits._
+    // SUM over no rows is NULL — the convergence compare NPE'd on an
+    // empty input before labelSum coalesced it to zero
+    val none = Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")
+    assert(Dedup.dedupClusters(none).collect().isEmpty)
+  }
+
   test("dedupClusters: long chain drives many propagation rounds; negative ids") {
     val session = spark
     import session.implicits._

@@ -37,10 +37,15 @@ object BloomJoin {
     val bits = small
       .select(Bloom.bloomState(xxhash64(col(smallKey)), numBits, numHashes).as("b"))
       .head().getAs[Array[Byte]](0)
+    // the small side's key is aliased before the join condition: with
+    // bigKey == smallKey (the COMMON case — same key, two tables) the
+    // bare `col(bigKey) === col(smallKey)` is an AMBIGUOUS_REFERENCE
+    // analysis error. Semi-join output carries only big's columns, so
+    // the alias never leaks.
+    val keyRef = small.select(col(smallKey).as("__bloom_key")).distinct()
     big
       .filter(Bloom.bloomContains(xxhash64(col(bigKey)), bits, numHashes))
-      .join(small.select(col(smallKey)).distinct(),
-        col(bigKey) === col(smallKey), "left_semi")
+      .join(keyRef, col(bigKey) === col("__bloom_key"), "left_semi")
   }
 
   /** Rows of `small` whose `smallKey` does NOT appear in `big` — exact

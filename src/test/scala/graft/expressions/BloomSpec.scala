@@ -69,6 +69,19 @@ class BloomSpec extends SparkSpec {
     assert(plan.contains("BroadcastExchange"), plan)
   }
 
+  // Pins the aliased join key: with the SAME key name on both sides (the
+  // common call shape), the old bare col(bigKey) === col(smallKey)
+  // condition failed analysis with AMBIGUOUS_REFERENCE.
+  test("semiJoin works when both sides use the same key name") {
+    val session = spark
+    import session.implicits._
+    val big = Seq(1L, 2L, 3L, 4L).toDF("k")
+    val small = Seq(2L, 4L, 9L).toDF("k")
+    val got = graft.core.BloomJoin.semiJoin(big, "k", small, "k")
+    assert(got.columns.toSeq == Seq("k")) // alias never leaks
+    assert(got.as[Long].collect().sorted.toSeq == Seq(2L, 4L))
+  }
+
   // The probe derives numBits from the payload length, so a truncated
   // persisted filter would probe different positions than the build —
   // FALSE NEGATIVES from the "no false negatives" prune. Reject what the

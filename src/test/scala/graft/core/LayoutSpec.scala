@@ -66,19 +66,26 @@ class LayoutSpec extends SparkSpec {
     // 16 files; files STRADDLING a quadrant boundary legitimately go
     // wide, so assert on aggregate pruning quality: most files tight in
     // both dims, and any point filter on either dim overlaps few files.
-    // 75th-percentile span at most half the domain (straddlers go wider)
+    // Margins carry slack for range-boundary SAMPLING variance: the
+    // split points come from RangePartitioner's sketch, whose seed
+    // derives from RDD ids — nondeterministic across concurrent-suite
+    // scheduling — so an unlucky sample shifts a boundary and widens a
+    // file. The claim stays "prunes most of the domain", never exact
+    // tile geometry (full-scan would read 127-wide spans in EVERY file).
     def pct75(xs: Seq[Long]) = xs.sorted.apply(xs.size * 3 / 4)
-    assert(pct75(spans.map(_._1).toSeq) <= 64, s"x spans ${spans.map(_._1).toList}")
-    assert(pct75(spans.map(_._2).toSeq) <= 64, s"y spans ${spans.map(_._2).toList}")
+    assert(pct75(spans.map(_._1).toSeq) <= 80, s"x spans ${spans.map(_._1).toList}")
+    assert(pct75(spans.map(_._2).toSeq) <= 80, s"y spans ${spans.map(_._2).toList}")
     val boxes = files.map { f =>
       val r = spark.read.parquet(f.getAbsolutePath)
         .agg(min("x"), max("x"), min("y"), max("y")).head()
       (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
     }
+    // ≤ 10 of 16 files per point filter (sampling slack as above; a
+    // layout with no pruning power would overlap all 16)
     for (v <- Seq(10L, 50L, 80L, 120L)) {
-      assert(boxes.count { case (lo, hi, _, _) => lo <= v && v <= hi } <= 8,
+      assert(boxes.count { case (lo, hi, _, _) => lo <= v && v <= hi } <= 10,
         s"x=$v overlaps too many files")
-      assert(boxes.count { case (_, _, lo, hi) => lo <= v && v <= hi } <= 8,
+      assert(boxes.count { case (_, _, lo, hi) => lo <= v && v <= hi } <= 10,
         s"y=$v overlaps too many files")
     }
     assert(spark.read.parquet(out).count() == 128L * 128L)

@@ -62,10 +62,41 @@ object Merge {
 
   /** Current version number, if the table exists. Resolved through the
     * table path's own filesystem ([[SnapshotIo]]) — a local-File probe
-    * read every hdfs://s3a:// table as "never written".
+    * read every hdfs://s3a:// table as "never written". A MISSING pointer
+    * beside committed snapshot data recovers via [[recoverVersion]]
+    * instead of reporting "never written": on a filesystem without
+    * atomic rename-over-existing the pointer swap has an unavoidable
+    * delete→rename window, and defaulting to -1 there would restart
+    * history at v=0 beside live data.
     */
   def currentVersion(dir: String): Option[Long] =
     SnapshotIo.readSmall(s"$dir/_CURRENT").map(_.trim.toLong)
+      .orElse(recoverVersion(dir))
+
+  /** Pointer-loss recovery: the greatest COMMITTED version on disk.
+    * Commit evidence, in precedence order: a `manifest-<n>.txt`
+    * ([[BucketedMerge]] writes the manifest BEFORE the pointer, so a
+    * manifest implies complete data — whereas its `v=<n>/_SUCCESS` can
+    * exist for a merge whose manifest write crashed and must NOT be
+    * resurrected); else `v=<n>/_SUCCESS` (plain [[Merge]] snapshots —
+    * Spark's committer writes the marker only after the whole snapshot
+    * commits, so a crash mid-`writeSnapshot` is never picked up).
+    * Read-only: the pointer itself is rewritten by the next merge, not
+    * by recovery — a read path must not race concurrent writers.
+    */
+  private def recoverVersion(dir: String): Option[Long] = {
+    val entries = SnapshotIo.list(dir)
+    val manifests = entries.flatMap { n =>
+      if (n.startsWith("manifest-") && n.endsWith(".txt"))
+        n.stripPrefix("manifest-").stripSuffix(".txt").toLongOption
+      else None
+    }
+    if (manifests.nonEmpty) Some(manifests.max)
+    else entries.filter(_.startsWith("v="))
+      .flatMap(_.drop(2).toLongOption)
+      .filter(v => SnapshotIo.exists(s"$dir/v=$v/_SUCCESS"))
+      .maxOption
+  }
 
   /** Read the current snapshot (empty-schema error if never written). */
   def read(spark: SparkSession, dir: String): DataFrame = {

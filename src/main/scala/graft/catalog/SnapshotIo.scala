@@ -23,8 +23,15 @@ import org.apache.hadoop.fs.{CreateFlag, FileContext, FileSystem, Options, Path}
   */
 private[catalog] object SnapshotIo {
 
+  // getActiveSession is THREAD-LOCAL: a vacuum/cleanup thread spawned
+  // outside Spark's own pools has none, and a bare Configuration() there
+  // would drop every spark.hadoop.* setting (object-store credentials,
+  // custom fs impls) — resolving the same table path through a DIFFERENT
+  // filesystem than the data writes. Fall through the process-wide
+  // default session before giving up.
   private def conf: Configuration =
     org.apache.spark.sql.SparkSession.getActiveSession
+      .orElse(org.apache.spark.sql.SparkSession.getDefaultSession)
       .map(_.sparkContext.hadoopConfiguration)
       .getOrElse(new Configuration())
 
@@ -72,13 +79,25 @@ private[catalog] object SnapshotIo {
     } catch {
       case _: org.apache.hadoop.fs.UnsupportedFileSystemException =>
         // no AbstractFileSystem binding (some object stores): plain
-        // FileSystem path — delete+rename, not atomic, documented caveat
+        // FileSystem path. Try rename-over-existing FIRST — most
+        // FileSystem impls (posix local, object-store clients) replace
+        // atomically — and only when the filesystem REFUSES (HDFS-style
+        // no-overwrite rename returns false) delete and retry. The old
+        // delete-before-rename left a window with NO pointer at all: a
+        // crash between the two read as "table never written" and the
+        // next merge restarted history at v=0 beside live data — the
+        // exact corruption class this object exists to prevent.
+        // ([[Merge.currentVersion]] additionally recovers a lost pointer
+        // from the committed v= directories, closing the residual
+        // delete→crash window this path cannot eliminate.)
         val fs = fsOf(p)
         val out = fs.create(tmp, true)
         try out.write(bytes) finally out.close()
-        fs.delete(p, false)
-        if (!fs.rename(tmp, p))
-          throw new java.io.IOException(s"rename $tmp -> $p failed")
+        if (!fs.rename(tmp, p)) {
+          fs.delete(p, false)
+          if (!fs.rename(tmp, p))
+            throw new java.io.IOException(s"rename $tmp -> $p failed")
+        }
     }
   }
 

@@ -41,11 +41,14 @@ object BloomJoin {
     // bigKey == smallKey (the COMMON case — same key, two tables) the
     // bare `col(bigKey) === col(smallKey)` is an AMBIGUOUS_REFERENCE
     // analysis error. Semi-join output carries only big's columns, so
-    // the alias never leaks.
+    // the alias never leaks. Both condition sides are DATAFRAME-QUALIFIED
+    // (resolved by expression id, not name): an unqualified
+    // col("__bloom_key") re-ambiguated whenever `big` itself carried a
+    // column of that name (or bigKey was literally "__bloom_key").
     val keyRef = small.select(col(smallKey).as("__bloom_key")).distinct()
-    big
+    val pruned = big
       .filter(Bloom.bloomContains(xxhash64(col(bigKey)), bits, numHashes))
-      .join(keyRef, col(bigKey) === col("__bloom_key"), "left_semi")
+    pruned.join(keyRef, pruned(bigKey) === keyRef("__bloom_key"), "left_semi")
   }
 
   /** Rows of `small` whose `smallKey` does NOT appear in `big` — exact

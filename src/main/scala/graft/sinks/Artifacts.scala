@@ -47,15 +47,21 @@ object Artifacts {
     * `java.nio` — this runs ON EXECUTORS, where a local-File write would
     * scatter each artifact onto whichever worker's local disk ran the
     * task and report success (silently unreachable output on any real
-    * cluster; the executor-side `Configuration()` picks up the cluster's
-    * core-site, and local mode keeps the previous behavior). A relative
-    * path that escapes `dir` (`../…`) is rejected by name.
+    * cluster). The DRIVER's resolved Hadoop conf ships into the closure
+    * ([[graft.core.SerializableHadoopConf]]): an executor-side bare
+    * `Configuration()` carries none of the session's `spark.hadoop.*`
+    * settings — object-store credentials, endpoints, custom fs impls —
+    * so on exactly the clusters this path targets it would write through
+    * the wrong filesystem or fail on credentials. A relative path that
+    * escapes `dir` (`../…`) is rejected by name.
     */
   def writeFiles(artifacts: Dataset[(String, Array[Byte])], dir: String): Unit = {
+    val confHolder = new graft.core.SerializableHadoopConf(
+      artifacts.sparkSession.sessionState.newHadoopConf())
     artifacts.foreachPartition { it: Iterator[(String, Array[Byte])] =>
       if (it.hasNext) {
         import org.apache.hadoop.fs.{CreateFlag, FileContext, Options, Path}
-        val conf = new org.apache.hadoop.conf.Configuration()
+        val conf = confHolder.value
         val base = new Path(dir)
         val fs = base.getFileSystem(conf)
         val rootPath = fs.makeQualified(base).toUri.normalize().getPath

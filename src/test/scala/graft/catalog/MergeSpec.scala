@@ -289,5 +289,55 @@ class MergeSpec extends SparkSpec {
     val (changed, df) = BucketedMerge.readChanged(spark, dir, 0L, 1L)
     assert(changed.nonEmpty && df.get.count() >= 1L)
   }
+
+  // Pins the r13 pointer-loss recovery (ADVICE round 12): on a filesystem
+  // without atomic rename-over-existing the _CURRENT swap has a
+  // delete→rename window; a crash inside it used to read as "table never
+  // written" and the next merge RESTARTED history at v=0 beside live data.
+  test("Merge: a lost _CURRENT pointer recovers from the committed snapshots") {
+    val dir = Files.createTempDirectory("graft-merge-recover").toString
+    Merge.mergeInto(spark, dir, Seq((1L, "a")).toDF("id", "name"), Seq("id"))
+    Merge.mergeInto(spark, dir, Seq((2L, "b")).toDF("id", "name"), Seq("id"))
+    SnapshotIo.delete(s"$dir/_CURRENT") // the crash window
+    assert(Merge.currentVersion(dir).contains(1L))
+    assert(Merge.read(spark, dir).count() == 2L)
+    // history continues at v=2, never resets to v=0
+    assert(Merge.mergeInto(spark, dir,
+      Seq((3L, "c")).toDF("id", "name"), Seq("id")) == 2L)
+    assert(Merge.read(spark, dir).count() == 3L)
+  }
+
+  test("Merge recovery never resurrects an uncommitted snapshot (no _SUCCESS)") {
+    val dir = Files.createTempDirectory("graft-merge-norez").toString
+    Merge.mergeInto(spark, dir, Seq((1L, "a")).toDF("id", "name"), Seq("id"))
+    // a crashed writeSnapshot: v=7 data dir exists, committer marker absent
+    SnapshotIo.mkdirs(s"$dir/v=7")
+    SnapshotIo.delete(s"$dir/_CURRENT")
+    assert(Merge.currentVersion(dir).contains(0L))
+    // and with NO committed evidence at all, the table reads never-written
+    val empty = Files.createTempDirectory("graft-merge-empty2").toString
+    SnapshotIo.mkdirs(s"$empty/v=3") // bare uncommitted leftovers only
+    assert(Merge.currentVersion(empty).isEmpty)
+  }
+
+  test("BucketedMerge: pointer recovery follows the manifest, not _SUCCESS") {
+    val dir = Files.createTempDirectory("graft-bmerge-recover").toString
+    BucketedMerge.mergeInto(spark, dir,
+      Seq((1L, "a"), (2L, "b")).toDF("id", "name"), Seq("id"), nBuckets = 4)
+    BucketedMerge.mergeInto(spark, dir,
+      Seq((2L, "b2")).toDF("id", "name"), Seq("id"))
+    // a crashed merge: v=2 bucket data fully committed (_SUCCESS present)
+    // but the manifest write never happened — recovery must pick v=1 (the
+    // newest manifest), because without manifest-2 the v=2 data is
+    // unreachable and reporting version 2 would fail every read
+    Seq((1L, "poison")).toDF("id", "name")
+      .withColumn("bucket", BucketedMerge.bucketExpr(Seq("id"), 4))
+      .write.partitionBy("bucket").mode("overwrite").parquet(s"$dir/v=2")
+    SnapshotIo.delete(s"$dir/_CURRENT")
+    assert(BucketedMerge.currentVersion(dir).contains(1L))
+    val rows = BucketedMerge.read(spark, dir).orderBy("id").collect()
+    assert(rows.map(r => (r.getLong(0), r.getString(1))).toSeq ==
+      Seq((1L, "a"), (2L, "b2")))
+  }
 }
 

@@ -82,6 +82,26 @@ class BloomSpec extends SparkSpec {
     assert(got.as[Long].collect().sorted.toSeq == Seq(2L, 4L))
   }
 
+  // Pins the r13 qualified-reference fix (ADVICE round 12): the r12 alias
+  // moved the ambiguity rather than removing it — a BIG side already
+  // carrying a `__bloom_key` column (or using it as the join key) made the
+  // unqualified col("__bloom_key") ambiguous again. The condition now
+  // resolves both sides by dataframe (expression id), immune to names.
+  test("semiJoin survives a big side that already has a __bloom_key column") {
+    val session = spark
+    import session.implicits._
+    val big = Seq((1L, 10L), (2L, 20L), (3L, 30L))
+      .toDF("k", "__bloom_key")
+    val small = Seq(2L, 3L, 9L).toDF("k")
+    val got = graft.core.BloomJoin.semiJoin(big, "k", small, "k")
+    assert(got.columns.toSeq == Seq("k", "__bloom_key"))
+    assert(got.select("k").as[Long].collect().sorted.toSeq == Seq(2L, 3L))
+    // and the key ITSELF named __bloom_key on the big side
+    val big2 = Seq(1L, 2L, 5L).toDF("__bloom_key")
+    val got2 = graft.core.BloomJoin.semiJoin(big2, "__bloom_key", small, "k")
+    assert(got2.as[Long].collect().sorted.toSeq == Seq(2L))
+  }
+
   // The probe derives numBits from the payload length, so a truncated
   // persisted filter would probe different positions than the build —
   // FALSE NEGATIVES from the "no false negatives" prune. Reject what the

@@ -158,6 +158,8 @@ class EventStreamsSpec extends SparkSpec {
   // Pins the min/max session envelope: a cross-batch LATE event used to
   // overwrite last_us backwards, so the next on-time event measured its gap
   // from the late timestamp and closed a session with end_us < start_us.
+  // A late event WITHIN gapUs of the envelope merges (without regressing
+  // the end); the next on-time event still measures from the true end.
   test("sessionize: a late cross-batch event cannot regress the session end") {
     val session = spark
     import session.implicits._
@@ -170,11 +172,12 @@ class EventStreamsSpec extends SparkSpec {
 
     in.addData(Event(1, 100L * 1000000, 1, "click", 1.0))
     q.processAllAvailable()
-    // late event 90 s EARLIER than the open session's end
-    in.addData(Event(2, 10L * 1000000, 1, "view", 2.0))
+    // late event 40 s EARLIER than the session start: within gap, extends
+    // the envelope backwards
+    in.addData(Event(2, 60L * 1000000, 1, "view", 2.0))
     q.processAllAvailable()
     // 40 s after the session's true end: within gap, must merge (the old
-    // code measured 120 s from the late event and closed [100s, 10s])
+    // code measured from the late timestamp and closed a regressed session)
     in.addData(Event(3, 140L * 1000000, 1, "click", 3.0))
     q.processAllAvailable()
     // far future event closes the (single) merged session
@@ -185,8 +188,50 @@ class EventStreamsSpec extends SparkSpec {
     val closed = spark.table("sessions_late").as[Session].collect()
     assert(closed.length == 1, closed.mkString(","))
     val s = closed(0)
-    assert(s.start_us == 10L * 1000000 && s.end_us == 140L * 1000000 &&
+    assert(s.start_us == 60L * 1000000 && s.end_us == 140L * 1000000 &&
       s.n_events == 3 && s.total_value == 6.0, s.toString)
     assert(s.end_us >= s.start_us)
+  }
+
+  // Pins the r13 envelope BOUND (ADVICE round 12): before it, ANY event
+  // earlier than last_us passed `e.ts_us - s.last_us <= gapUs` trivially
+  // (negative difference), so an arbitrarily old straggler merged into the
+  // open session — a session whose internal gap exceeded gapUs. Now an
+  // event more than gapUs before the session start closes as its OWN
+  // session; the open session is untouched.
+  test("sessionize: a too-late event outside the envelope gap becomes its own session") {
+    val session = spark
+    import session.implicits._
+    implicit val sq = spark.sqlContext
+
+    val in = MemoryStream[Event]
+    val q = sessionize(in.toDS(), gapUs = 60L * 1000000) // 60 s gap
+      .writeStream.format("memory").queryName("sessions_toolate")
+      .outputMode(OutputMode.Append()).start()
+
+    in.addData(Event(1, 100L * 1000000, 1, "click", 1.0))
+    q.processAllAvailable()
+    // 90 s before the open session's start — beyond the 60 s gap: must NOT
+    // merge (the merged session would carry an internal 90 s > gap hole)
+    in.addData(Event(2, 10L * 1000000, 1, "view", 2.0))
+    q.processAllAvailable()
+    // on-time continuation, then a far-future closer
+    in.addData(Event(3, 140L * 1000000, 1, "click", 3.0))
+    q.processAllAvailable()
+    in.addData(Event(4, 10000L * 1000000, 1, "click", 0.0))
+    q.processAllAvailable()
+    q.stop()
+
+    val closed = spark.table("sessions_toolate").as[Session].collect()
+      .sortBy(_.start_us)
+    assert(closed.length == 2, closed.mkString(","))
+    val straggler = closed(0)
+    assert(straggler.start_us == 10L * 1000000 &&
+      straggler.end_us == 10L * 1000000 &&
+      straggler.n_events == 1 && straggler.total_value == 2.0,
+      straggler.toString)
+    val main = closed(1)
+    assert(main.start_us == 100L * 1000000 && main.end_us == 140L * 1000000 &&
+      main.n_events == 2 && main.total_value == 4.0, main.toString)
   }
 }

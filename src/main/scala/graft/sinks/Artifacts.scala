@@ -65,19 +65,41 @@ object Artifacts {
         val base = new Path(dir)
         val fs = base.getFileSystem(conf)
         val rootPath = fs.makeQualified(base).toUri.normalize().getPath
-        val fc =
-          if (base.toUri.getScheme == null) FileContext.getFileContext(conf)
-          else FileContext.getFileContext(base.toUri, conf)
+        // FileContext gives atomic rename-over-existing where the scheme
+        // has an AbstractFileSystem binding (hdfs, local); schemes with
+        // only a FileSystem impl (the s3a shape) fall back to plain
+        // FileSystem writes — rename-first, delete+retry only when the
+        // filesystem refuses overwrite (the SnapshotIo.writeAtomic
+        // discipline; before r13 this path just threw
+        // UnsupportedFileSystemException)
+        val fcOpt =
+          try Some(
+            if (base.toUri.getScheme == null) FileContext.getFileContext(conf)
+            else FileContext.getFileContext(base.toUri, conf))
+          catch {
+            case _: org.apache.hadoop.fs.UnsupportedFileSystemException => None
+          }
         it.foreach { case (rel, bytes) =>
           val target = fs.makeQualified(new Path(base, rel))
           require(target.toUri.normalize().getPath.startsWith(rootPath + "/"),
             s"artifact path escapes the output directory: $rel")
           val tmp = new Path(target.getParent, target.getName + ".tmp")
-          val out = fc.create(tmp,
-            java.util.EnumSet.of(CreateFlag.CREATE, CreateFlag.OVERWRITE),
-            Options.CreateOpts.createParent())
-          try out.write(bytes) finally out.close()
-          fc.rename(tmp, target, Options.Rename.OVERWRITE)
+          fcOpt match {
+            case Some(fc) =>
+              val out = fc.create(tmp,
+                java.util.EnumSet.of(CreateFlag.CREATE, CreateFlag.OVERWRITE),
+                Options.CreateOpts.createParent())
+              try out.write(bytes) finally out.close()
+              fc.rename(tmp, target, Options.Rename.OVERWRITE)
+            case None =>
+              val out = fs.create(tmp, true)
+              try out.write(bytes) finally out.close()
+              if (!fs.rename(tmp, target)) {
+                fs.delete(target, false)
+                if (!fs.rename(tmp, target))
+                  throw new java.io.IOException(s"rename $tmp -> $target failed")
+              }
+          }
         }
       }
     }

@@ -70,6 +70,83 @@ object Bench {
       (shuffleW.getAndSet(0L), spilled.getAndSet(0L))
   }
 
+  /** Accumulates StreamingQueryProgress phase durations between [[mark]]s —
+    * the r12 lesson: `st2_stream_join` stalled 12× over its floor in the
+    * driver bench (min 2.30 s, median 15.62 s, max 28.42 s) and singlehandedly
+    * set the suite headline, and NOTHING in the artifact named where the
+    * stall sat (trigger machinery? state-store maintenance? source I/O?).
+    * Adjudicating it took cross-run forensics. This meter sums
+    * `progress.durationMs` per phase (addBatch, walCommit, getBatch,
+    * queryPlanning, commitOffsets, latestOffset, triggerExecution) plus the
+    * state-operator times (commit/updates/removals) across each timed pass,
+    * so a stalled pass carries its own attribution into the artifact: a
+    * pass whose wall time dwarfs its summed triggerExecution stalled
+    * OUTSIDE the triggers (startup/stop/fixture I/O); one whose
+    * `state.commit` dominates names the state store; and so on.
+    */
+  private[graft] final class StreamMeter
+      extends org.apache.spark.sql.streaming.StreamingQueryListener {
+    import org.apache.spark.sql.streaming.StreamingQueryListener._
+    private val phases = new java.util.concurrent.ConcurrentHashMap[
+      String, java.util.concurrent.atomic.AtomicLong]()
+    private val triggers = new java.util.concurrent.atomic.AtomicLong
+    private def add(k: String, v: Long): Unit = {
+      phases.computeIfAbsent(k,
+        _ => new java.util.concurrent.atomic.AtomicLong).addAndGet(v)
+      ()
+    }
+    override def onQueryStarted(e: QueryStartedEvent): Unit = ()
+    override def onQueryIdle(e: QueryIdleEvent): Unit = ()
+    override def onQueryTerminated(e: QueryTerminatedEvent): Unit = ()
+    override def onQueryProgress(e: QueryProgressEvent): Unit = {
+      triggers.incrementAndGet()
+      e.progress.durationMs.forEach((k, v) => add(k, v))
+      e.progress.stateOperators.foreach { so =>
+        add("state.commit", so.commitTimeMs)
+        add("state.updates", so.allUpdatesTimeMs)
+        add("state.removals", so.allRemovalsTimeMs)
+      }
+    }
+    /** (triggers, phase → summed ms) since the last mark; resets. */
+    def mark(): (Long, Map[String, Long]) = {
+      val t = triggers.getAndSet(0L)
+      val m = scala.collection.mutable.Map[String, Long]()
+      phases.forEach { (k, v) =>
+        val x = v.getAndSet(0L)
+        if (x != 0L) m(k) = x
+      }
+      (t, m.toMap)
+    }
+  }
+
+  /** Stall-retry policy (r12 verdict task 1b): a query whose MEDIAN pass
+    * exceeds [[StallRatio]] × its own min (with an absolute floor so
+    * micro-noise never trips it) was stalled on 2+ of its passes — the
+    * min proves the query CAN run fast on this host right now, so the
+    * excess is environmental, not the plan. Up to [[MaxStallRetries]]
+    * extra passes run, each preceded by a calib slice (contention
+    * evidence rides the retry disclosure instead of GATING it — the r12
+    * re-runs showed the cpu probe can read quiet while the storage side
+    * is contended, so a calib gate would neuter exactly the stalls this
+    * exists for). HONESTY INVARIANT: retries only ADD samples — the
+    * stalled ones are never dropped, the median is over the full sample
+    * list, and every retried query's complete sample list + retry-time
+    * calib slices land in the artifact under `stall_retries` for the
+    * judge to re-derive any other estimator.
+    */
+  private[graft] val StallRatio = 4.0
+  private[graft] val StallFloorSec = 1.0
+  private[graft] val MaxStallRetries = 2
+
+  /** True when the sample list carries the stall signature [[StallRatio]]
+    * documents. Exposed for the spec. */
+  private[graft] def stallSuspect(samples: Seq[Double]): Boolean = {
+    if (samples.size < 2) return false
+    val sorted = samples.sorted
+    val med = sorted(sorted.size / 2)
+    med > StallRatio * sorted.head && med - sorted.head > StallFloorSec
+  }
+
   /** Deterministic CPU calibration probe — the fix for cross-round bench
     * comparability (the r8 lesson: unchanged-code control queries ran
     * 1.5-2.8× their r7 times under co-tenant CPU steal that loadavg never
@@ -383,29 +460,59 @@ object Bench {
     // a noisy host can misstate an individual query by 3-10×; the median is
     // robust to one bad sample and min/max records the observed spread.
     // Shuffle/spill bytes come from the FIRST timed pass (deterministic
-    // per query — the plan doesn't change between passes).
+    // per query — the plan doesn't change between passes). Streaming
+    // passes additionally carry per-pass StreamingQueryProgress phase
+    // sums ([[StreamMeter]]), and a query showing the stall signature
+    // ([[stallSuspect]]) earns bounded extra passes — all samples kept.
+    val streamMeter = new StreamMeter
+    spark.streams.addListener(streamMeter)
     var sinceSlice = 0
+    val loadByQuery = scala.collection.mutable.LinkedHashMap[String, String]()
+    // retried query -> (all samples incl. retries, calib slice per retry)
+    val retryDisclosure =
+      scala.collection.mutable.LinkedHashMap[String, (Seq[Double], Seq[Double])]()
+    // streaming query -> per-pass (wall s, triggers, phase -> ms)
+    val streamPhases = scala.collection.mutable
+      .LinkedHashMap[String, Seq[(Double, Long, Map[String, Long])]]()
     val results = ordered.map { case (name, fn) =>
       if (sinceSlice >= CalibSliceEvery) { calibSlice(); sinceSlice = 0 }
       sinceSlice += 1
+      loadByQuery(name) = loadavg()
       org.apache.spark.graft.ListenerBridge.flush(spark.sparkContext)
-      meter.mark()
+      meter.mark(); streamMeter.mark()
       var shufBytes = 0L
       var spillBytes = 0L
-      val samples = (1 to Passes).map { i =>
+      val passes = scala.collection.mutable
+        .ArrayBuffer[(Double, Boolean, Long, Map[String, Long])]()
+      def onePass(first: Boolean): Unit = {
         val t0 = System.nanoTime()
         val ok = runOne(fn, sfDir)
         val t = (System.nanoTime() - t0) / 1e9
-        if (i == 1) {
-          org.apache.spark.graft.ListenerBridge.flush(spark.sparkContext)
+        org.apache.spark.graft.ListenerBridge.flush(spark.sparkContext)
+        if (first) {
           val m = meter.mark()
           shufBytes = m._1; spillBytes = m._2
         }
-        (t, ok)
+        val (trig, ph) = streamMeter.mark()
+        passes += ((t, ok, trig, ph))
+        ()
       }
-      val ok = samples.forall(_._2)
-      val firstPass = samples.head._1
-      val times = samples.map(_._1).sorted
+      onePass(first = true)
+      (2 to Passes).foreach(_ => onePass(first = false))
+      val retryCalibs = scala.collection.mutable.ArrayBuffer[Double]()
+      while (passes.forall(_._2) && retryCalibs.size < MaxStallRetries &&
+          stallSuspect(passes.map(_._1).toSeq)) {
+        calibSlice() // contention evidence recorded AT retry time
+        retryCalibs += calibSlices.last
+        onePass(first = false)
+      }
+      if (retryCalibs.nonEmpty)
+        retryDisclosure(name) = (passes.map(_._1).toSeq, retryCalibs.toSeq)
+      if (passes.exists(_._3 > 0L))
+        streamPhases(name) = passes.map(p => (p._1, p._3, p._4)).toSeq
+      val ok = passes.forall(_._2)
+      val firstPass = passes.head._1
+      val times = passes.map(_._1).sorted
       (name, times(times.size / 2), times.head, times.last, ok, shufBytes,
         spillBytes, firstPass)
     }
@@ -430,6 +537,42 @@ object Bench {
         "\"" + k + "\":{\"cache\":\"" + amortized(k) +
           "\",\"first_pass\":" + f(first) + "}"
     }.mkString("{", ",", "}")
+    // Stall disclosures. `stall_retries` (compact + full): every retried
+    // query's COMPLETE sample list — stalled passes included — plus the
+    // calib slice timed at each retry, so a judge can recompute any
+    // estimator and see whether the host read contended at retry time.
+    // `stall_phases` (compact) / `streaming` (full): per-pass
+    // StreamingQueryProgress phase sums; the compact line carries them
+    // only for stall SUSPECTS (retried, or final spread still over the
+    // stall bar) to stay inside the driver's tail-capture window — under
+    // quiet conditions both compact fields are empty.
+    val retryJson = retryDisclosure.map { case (k, (samples, cal)) =>
+      "\"" + k + "\":{\"samples\":" + samples.map(f).mkString("[", ",", "]") +
+        ",\"calib_at_retry\":" + cal.map(f).mkString("[", ",", "]") +
+        ",\"load\":\"" + loadByQuery.getOrElse(k, "n/a") + "\"}"
+    }.mkString("{", ",", "}")
+    def phasesJson(ps: Seq[(Double, Long, Map[String, Long])]): String =
+      ps.map { case (s, trig, ph) =>
+        "{\"s\":" + f(s) + ",\"triggers\":" + trig + ",\"ms\":" +
+          ph.toSeq.sortBy(_._1).map { case (p, v) => "\"" + p + "\":" + v }
+            .mkString("{", ",", "}") + "}"
+      }.mkString("[", ",", "]")
+    val streamingJson = streamPhases.map { case (k, ps) =>
+      "\"" + k + "\":" + phasesJson(ps)
+    }.mkString("{", ",", "}")
+    val stallPhasesJson = streamPhases.collect {
+      case (k, ps) if retryDisclosure.contains(k) ||
+          stallSuspect(ps.map(_._1)) =>
+        "\"" + k + "\":" + phasesJson(ps)
+    }.mkString("{", ",", "}")
+    val loadJson = loadByQuery.map { case (k, l) =>
+      "\"" + k + "\":\"" + l + "\""
+    }.mkString("{", ",", "}")
+    // peak 1-minute loadavg observed across the per-query samples — the
+    // single contention number the compact line can afford
+    val loadPeak = (loadByQuery.values.toSeq :+ loadStart)
+      .flatMap(_.split("\\s+").headOption.flatMap(_.toDoubleOption))
+      .maxOption.getOrElse(0.0)
     calibSlice() // tail probe: cover contention arriving near the end
     val failed = results.collect { case (k, _, _, _, false, _, _, _) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
@@ -557,9 +700,9 @@ object Bench {
       calibParallel)},"threads":${cpus.toInt},"parallel_med":${f(
       calibParallelMed)},"io_write_s":${f(calibIoW)},"io_read_s":${f(
       calibIoR)},"series":${calibSlices.map(f).mkString("[", ",", "]")}}"""
-    val env = s""""passes":$Passes,"failed":$failed,"sf":"$sfDir","loadavg_start":"$loadStart","loadavg_end":"$loadEnd","calib":$calibJson,"data_ratio":${f(dataRatio)},"growth_flagged":$growthFlagged,"amortized":$amortizedJson,"per_query_median":${f(perQueryMedian)},"common_subset":$commonJson"""
-    val compact = s"""{"metric":"total","value":${f(total)},"unit":"sec","total_min":${f(totalMin)},"queries":$qs,$env}"""
-    val full = s"""{"metric":"total","value":${f(total)},"unit":"sec","total_min":${f(totalMin)},"queries":$qs,"spread":$spread,"exchange":$shuffle,"growth":$growthJson,$env}"""
+    val env = s""""passes":$Passes,"failed":$failed,"sf":"$sfDir","loadavg_start":"$loadStart","loadavg_end":"$loadEnd","load_peak":${f(loadPeak)},"calib":$calibJson,"data_ratio":${f(dataRatio)},"growth_flagged":$growthFlagged,"amortized":$amortizedJson,"stall_retries":$retryJson,"per_query_median":${f(perQueryMedian)},"common_subset":$commonJson"""
+    val compact = s"""{"metric":"total","value":${f(total)},"unit":"sec","total_min":${f(totalMin)},"queries":$qs,"stall_phases":$stallPhasesJson,$env}"""
+    val full = s"""{"metric":"total","value":${f(total)},"unit":"sec","total_min":${f(totalMin)},"queries":$qs,"spread":$spread,"exchange":$shuffle,"growth":$growthJson,"streaming":$streamingJson,"load":$loadJson,$env}"""
     println(compact)
     // BENCH_local.json is the CURATED builder artifact (committed, quoted
     // by the verdict); the r10 judge found the driver's contended in-round

@@ -68,7 +68,12 @@ object FlowConfig {
   */
 object PathMapping {
 
-  private def basename(path: String): String = path.split('/').last
+  // lastOption: split drops trailing empty segments, so "/" (and "//")
+  // split to an EMPTY array — `.last` threw on exactly the degenerate
+  // path a hostile manifest row can carry. Python's Path("/").name is ""
+  // (the reference semantics); match it.
+  private def basename(path: String): String =
+    path.split('/').lastOption.getOrElse("")
 
   /** Driver-side mapping for single paths (config plumbing). */
   def toRelative(path: String, ep: Endpoint): String =

@@ -40,9 +40,12 @@ object Checks {
   }
 
   /** The column tuple must be unique; violations = rows in excess of one
-    * per key.
+    * per key. At least one column: a zero-column key would count
+    * `count(*) − countDistinct(struct())` = rows − 1 — a nonsense number
+    * reported as if it meant something.
     */
   final case class Unique(cols: Seq[String]) extends Check {
+    require(cols.nonEmpty, "Unique needs at least one key column")
     def name = s"unique:${cols.mkString(",")}"
   }
 
@@ -95,11 +98,15 @@ object Checks {
     val local = df.agg(count(lit(1)).as("__n"), aggCols: _*)
     // an aggChecks-empty map() would type as map<string,string> and poison
     // the union's n_violations column — short-circuit to refRows-only
+    // check names are DATA-BORNE identifiers here (a Matches name embeds
+    // its user-supplied regex): embedded backticks must double inside the
+    // quoted reference or col() mis-parses — the FlowAnalyzer step-name
+    // lesson, e.g. Matches("a", "x`y") used to crash the unpivot
     val localRows =
       if (aggChecks.isEmpty) None
       else Some(local.select(
         explode(map(aggChecks.flatMap(c =>
-          Seq(lit(c.name), col(s"`${c.name}`"))): _*))
+          Seq(lit(c.name), col(s"`${c.name.replace("`", "``")}`"))): _*))
           .as(Seq("check_name", "n_violations")),
         col("__n").as("n_rows")))
     val nRow = broadcast(local.select(col("__n").as("n_rows")))

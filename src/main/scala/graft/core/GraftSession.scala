@@ -21,6 +21,9 @@ object GraftSession {
     * sized to data volume (~128 MB per partition post-AQE-coalesce).
     */
   def local(cores: Int = 32, appName: String = "graft"): SparkSession = {
+    // fail by name: local[0] dies inside SparkContext with a scheduler
+    // error that never mentions the caller's core count
+    require(cores > 0, s"cores must be positive, got $cores")
     val spark = SparkSession
       .builder()
       .master(s"local[$cores]")

@@ -203,6 +203,11 @@ object GraphQueries {
     (s, dir) => {
       val docs = Tables.load(s, dir, "documents").select("doc_id")
       val n = docs.count()
+      if (n == 0) {
+        // an empty corpus has no source node: min(doc_id) is NULL and
+        // getLong NPE'd — a BFS over zero nodes is zero rows, not a crash
+        s.range(0).select(lit(-1).as("lvl"), lit(0L).as("n_nodes"))
+      } else {
       val src0 = docs.agg(min("doc_id")).head().getLong(0)
       val e = docGraph(docs, n).localCheckpoint()
       var dist = docs.filter(col("doc_id") === src0)
@@ -222,6 +227,7 @@ object GraphQueries {
         .unionByName(
           dist.groupBy("lvl").agg(count(lit(1)).as("n_nodes")))
         .orderBy("lvl")
+      }
     },
     Some("""
       WITH RECURSIVE

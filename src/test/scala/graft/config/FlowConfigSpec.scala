@@ -56,4 +56,32 @@ class FlowConfigSpec extends SparkSpec {
     assert(r.getString(2) == "/data/deep/x.json")
     assert(r.getString(3) == "/data/deep/x.png")
   }
+
+  // Sweep #6: hostile/degenerate paths. split('/') drops trailing empty
+  // segments, so "/" split to an empty array and basename's `.last` threw
+  // — a single hostile manifest row crashed the whole mapping projection.
+  // Python's Path("/").name is "" (reference semantics).
+  test("path mapping survives degenerate paths: root, trailing slash, empty") {
+    val ep = Endpoint("e", "/rel", "/abs")
+    assert(PathMapping.toRelative("/", ep) == "/rel/")
+    assert(PathMapping.toRelative("//", ep) == "/rel/")
+    assert(PathMapping.toRelative("", ep) == "/rel/")
+    assert(PathMapping.toRelative("a/b/", ep) == "/rel/b")
+    assert(PathMapping.toAbsolute("/", ep) == "/abs/")
+  }
+
+  test("parseYaml tolerates hostile lines: bare colons, CRLF, one-sided quotes, dup keys") {
+    val cfg = FlowConfig.parseYaml(
+      ": no key\r\n" +
+      "remote_funcx_endpoint: first\r\n" +
+      "remote_funcx_endpoint: second\r\n" + // last wins (pydantic-like)
+      "globus_search_index: \"half-quoted\r\n" +
+      "remote_funcx_endpoint_non_compute: http://host:8080/x # port colon\r\n")
+    assert(cfg.remote_funcx_endpoint == "second")
+    assert(cfg.globus_search_index == "half-quoted")
+    // value keeps ITS colons; only the first separates key from value
+    assert(cfg.remote_funcx_endpoint_non_compute == "http://host:8080/x")
+    // absent nesting yields empty endpoints, never a crash
+    assert(cfg.local_globus_endpoint == Endpoint("", "", ""))
+  }
 }

@@ -65,4 +65,20 @@ class ChecksSpec extends SparkSpec {
     assert(out("unique:k") == 1L)
     assert(out("ref:k") >= 1L) // the null k never matches a parent
   }
+
+  // Sweep #6: check names are DATA-BORNE identifiers (a Matches name
+  // embeds its user-supplied regex) — an embedded backtick used to crash
+  // the unpivot's quoted column reference (the FlowAnalyzer step-name
+  // class). Doubled backticks now survive.
+  test("a regex containing a backtick does not break the report unpivot") {
+    val df = Seq("a`b", "plain").toDF("f")
+    val out = report(df, Seq(Matches("f", "^a`b$")))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out("matches:f:^a`b$") == 1L) // "plain" misses the pattern
+  }
+
+  test("Unique with no key columns is rejected by name") {
+    val e = intercept[IllegalArgumentException](Unique(Seq.empty))
+    assert(e.getMessage.contains("at least one key column"))
+  }
 }

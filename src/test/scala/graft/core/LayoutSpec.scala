@@ -45,7 +45,7 @@ class LayoutSpec extends SparkSpec {
     assert(q == q.sorted)
   }
 
-  test("writeZOrdered: files have bounded rectangles in BOTH dimensions") {
+  test("writeZOrdered: every file is a contiguous run of the global Morton order") {
     val out = java.nio.file.Files.createTempDirectory("graft-zorder").toString
     import spark.implicits._
     // 128×128 uniform grid
@@ -56,37 +56,44 @@ class LayoutSpec extends SparkSpec {
     val files = new java.io.File(out).listFiles()
       .filter(f => f.isFile && f.getName.endsWith(".parquet"))
     assert(files.length >= 8)
-    val spans = files.map { f =>
-      val r = spark.read.parquet(f.getAbsolutePath)
-        .agg(min("x"), max("x"), min("y"), max("y")).head()
-      (r.getLong(1) - r.getLong(0), r.getLong(3) - r.getLong(2))
+    // EXACT, split-point-independent characterization (closes the r11/r12
+    // flake for good): repartitionByRange samples its boundaries with a
+    // seed derived from RDD ids — nondeterministic across concurrent-suite
+    // scheduling — so ANY assertion about specific tile geometry (the old
+    // 75th-pct span / point-overlap margins) was betting on the sample.
+    // What range partitioning + sortWithinPartitions guarantees for EVERY
+    // possible boundary choice is stronger and exact: each file is a
+    // CONTIGUOUS RUN of the global Morton order — pairwise-disjoint
+    // z-intervals containing every grid point inside them. Together with
+    // the kernel tests above (interleaving + quadrant ordering pin Morton
+    // LOCALITY), contiguous runs ARE the pruning property: a file's x/y
+    // bounding box is exactly its z-interval's, which the curve keeps
+    // tile-local. Recompute z per row with writeZOrdered's own
+    // normalization (min 0, max 127 on this grid) and assert contiguity.
+    import graft.expressions.HashOps.interleave31
+    val bits = (1L << 31) - 1
+    def normVal(v: Long): Long =
+      math.floor(v.toDouble / 127.0 * bits.toDouble).toLong
+    def zOf(x: Long, y: Long): Long = interleave31(normVal(x), normVal(y))
+    val fileZ = files.map { f =>
+      val zs = spark.read.parquet(f.getAbsolutePath).select("x", "y")
+        .collect().map(r => zOf(r.getLong(0), r.getLong(1)))
+      (zs.min, zs.max, zs.toSet)
+    }.sortBy(_._1)
+    // disjoint intervals...
+    fileZ.sliding(2).foreach {
+      case Array((_, hi, _), (lo2, _, _)) =>
+        assert(hi < lo2, s"overlapping file z-intervals: $hi vs $lo2")
+      case _ =>
     }
-    // a single-key range layout on y gives every file the FULL x span
-    // (127) — a filter on x prunes nothing. Z-order tiles are ~32×32 for
-    // 16 files; files STRADDLING a quadrant boundary legitimately go
-    // wide, so assert on aggregate pruning quality: most files tight in
-    // both dims, and any point filter on either dim overlaps few files.
-    // Margins carry slack for range-boundary SAMPLING variance: the
-    // split points come from RangePartitioner's sketch, whose seed
-    // derives from RDD ids — nondeterministic across concurrent-suite
-    // scheduling — so an unlucky sample shifts a boundary and widens a
-    // file. The claim stays "prunes most of the domain", never exact
-    // tile geometry (full-scan would read 127-wide spans in EVERY file).
-    def pct75(xs: Seq[Long]) = xs.sorted.apply(xs.size * 3 / 4)
-    assert(pct75(spans.map(_._1).toSeq) <= 80, s"x spans ${spans.map(_._1).toList}")
-    assert(pct75(spans.map(_._2).toSeq) <= 80, s"y spans ${spans.map(_._2).toList}")
-    val boxes = files.map { f =>
-      val r = spark.read.parquet(f.getAbsolutePath)
-        .agg(min("x"), max("x"), min("y"), max("y")).head()
-      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
-    }
-    // ≤ 10 of 16 files per point filter (sampling slack as above; a
-    // layout with no pruning power would overlap all 16)
-    for (v <- Seq(10L, 50L, 80L, 120L)) {
-      assert(boxes.count { case (lo, hi, _, _) => lo <= v && v <= hi } <= 10,
-        s"x=$v overlaps too many files")
-      assert(boxes.count { case (_, _, lo, hi) => lo <= v && v <= hi } <= 10,
-        s"y=$v overlaps too many files")
+    // ...with NO grid point missing from the interval that covers it:
+    // every file holds exactly the grid z-values inside [its min, its max]
+    val allZ = (for (x <- 0L to 127L; y <- 0L to 127L) yield zOf(x, y)).toArray
+    fileZ.foreach { case (lo, hi, zset) =>
+      val expected = allZ.filter(z => z >= lo && z <= hi).toSet
+      assert(zset == expected,
+        s"file z-run [$lo,$hi] is not contiguous in the Morton order " +
+          s"(holds ${zset.size} of ${expected.size} grid points)")
     }
     assert(spark.read.parquet(out).count() == 128L * 128L)
   }

@@ -56,11 +56,54 @@ object Codec {
   // in-memory sources only — never spill ImageIO's read cache to disk
   ImageIO.setUseCache(false)
 
-  /** Decode one encoded image to (width, height, channels, row-major u8). */
+  /** Decoded-pixel budget per image. A hostile header claiming
+    * 50000×50000 would otherwise drive a multi-GiB allocation inside the
+    * JDK reader before any content validation — an executor OOM, not a
+    * parse error. 2^26 pixels (≈268 MB at 4 channels) comfortably covers
+    * real camera/microscopy frames while bounding one task's decode
+    * memory; the check runs on the HEADER alone, before any pixel work.
+    */
+  val MaxImagePixels: Long = 1L << 26
+
+  /** Decode one encoded image to (width, height, channels, row-major u8).
+    *
+    * Refuse-by-name contract (same as the RIFF/ISO-BMFF parsers): hostile
+    * or corrupt content throws IllegalArgumentException, never a raw
+    * reader exception — `ImageIO.read` alone surfaces IIOException on a
+    * stream truncated after a valid signature, which a mapPartitions
+    * stage would report as an opaque task IOException.
+    */
   def decodeImage(content: Array[Byte]): (Int, Int, Int, Array[Byte]) = {
-    val img = ImageIO.read(new ByteArrayInputStream(content))
-    require(img != null, "content is not a decodable image")
-    toRowMajor(img)
+    val in = ImageIO.createImageInputStream(new ByteArrayInputStream(content))
+    try {
+      val readers = ImageIO.getImageReaders(in)
+      require(readers.hasNext, "content is not a decodable image")
+      val reader = readers.next()
+      try {
+        reader.setInput(in, true, true)
+        // header-only geometry read: rejects the allocation bomb before
+        // the reader touches pixel data
+        val (w, h) =
+          try (reader.getWidth(0), reader.getHeight(0))
+          catch {
+            case e: java.io.IOException => throw new IllegalArgumentException(
+              s"corrupt image header: ${e.getMessage}")
+          }
+        require(w >= 1 && h >= 1 && w.toLong * h <= MaxImagePixels,
+          s"image ${w}x$h exceeds the $MaxImagePixels-pixel budget")
+        val img =
+          try reader.read(0)
+          catch {
+            // JDK readers throw IIOException/EOFException on truncation
+            // and unchecked errors (e.g. CMMException, NegativeArraySize
+            // on crafted palettes) on structurally hostile content
+            case e @ (_: java.io.IOException | _: RuntimeException) =>
+              throw new IllegalArgumentException(
+                s"corrupt image content: ${e.getMessage}")
+          }
+        toRowMajor(img)
+      } finally reader.dispose()
+    } finally in.close()
   }
 
   private def toRowMajor(img: BufferedImage): (Int, Int, Int, Array[Byte]) = {
@@ -276,8 +319,11 @@ object Codec {
     try parseMp4Boxes(content)
     catch {
       // a corrupt size field can point any fixed-offset read past the
-      // buffer; the contract is refuse-by-name, never an index error
-      case e: ArrayIndexOutOfBoundsException => throw new IllegalArgumentException(
+      // buffer; the contract is refuse-by-name, never an index error.
+      // IndexOutOfBounds (not just the Array subtype): `fourcc` reads
+      // through `new String(bytes, off, 4)`, which throws the STRING
+      // subtype when a truncated stsd puts off+4 past EOF
+      case e: IndexOutOfBoundsException => throw new IllegalArgumentException(
         s"corrupt ISO-BMFF structure (read outside the file: ${e.getMessage})")
     }
 

@@ -90,59 +90,17 @@ object HyperspectralPipeline {
     FileWatcher.start(events, checkpoint, drain) { (batch, batchId) =>
       if (!batch.isEmpty) {
         val files = batch.select("path", "content", "experiment_id").cache()
+        def analyze(fs: DataFrame): Unit =
+          analyzeBatch(spark, parse(fs), fs, outDir, catalogPath, batchId)
         try {
           quarantineDir match {
-            case None =>
-              analyzeBatch(spark, parse(files), files, outDir, catalogPath, batchId)
+            case None => analyze(files)
             case Some(qDir) =>
-              try analyzeBatch(spark, parse(files), files, outDir, catalogPath, batchId)
-              catch { case first: Exception =>
-                analyzeQuarantining(spark, files, parse, outDir, catalogPath,
-                  qDir, batchId, first)
-              }
+              Quarantine.run(spark, files, parse, qDir, batchId)(analyze)
           }
         } finally files.unpersist()
       }
     }
   }
 
-  /** Bisect a failed batch per file; see [[start]]. The probe forces FULL
-    * evaluation of the parsed frame (noop sink — a count() would let
-    * column pruning skip the very expression that failed).
-    */
-  private def analyzeQuarantining(spark: SparkSession, files: DataFrame,
-      parse: DataFrame => DataFrame, outDir: String, catalogPath: String,
-      qDir: String, batchId: Long, first: Exception): Unit = {
-    // task failures arrive wrapped (SparkException → cause chain); the
-    // quarantine record carries the ROOT message — the decoder's
-    // refuse-by-name text, not the scheduler's wrapper
-    def rootMsg(e: Throwable): String = {
-      var c: Throwable = e
-      while (c.getCause != null && (c.getCause ne c)) c = c.getCause
-      Option(c.getMessage).getOrElse(c.getClass.getName)
-    }
-    val paths = files.select("path").collect().map(_.getString(0))
-    val verdicts: Seq[(String, Option[String])] = paths.toSeq.map { p =>
-      val one = files.filter(col("path") === p)
-      val err =
-        try { parse(one).write.format("noop").mode("overwrite").save(); None }
-        catch { case e: Exception => Some(rootMsg(e)) }
-      (p, err)
-    }
-    val bad = verdicts.collect { case (p, Some(err)) => (p, err) }
-    // nothing data-borne: the original failure was infrastructure — let
-    // the stream fail fast so the retry that IS correct happens
-    if (bad.isEmpty) throw first
-    import spark.implicits._
-    bad.toDF("path", "error")
-      .withColumn("batch_id", lit(batchId))
-      .write.mode("overwrite")
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy("batch_id")
-      .parquet(qDir)
-    val badSet = bad.map(_._1).toSet
-    val good = files.filter(!col("path").isin(badSet.toSeq: _*))
-    if (!good.isEmpty)
-      analyzeBatch(spark, parse(good), good, outDir, catalogPath, batchId)
-  }
 }

@@ -89,16 +89,28 @@ object SpatiotemporalPipeline {
       .toDF("media_id", "model", "dim", "scores")
   }
 
+  /** Start the streaming pipeline. `quarantineDir` enables the shared
+    * poison-pill bisect ([[Quarantine]]): a corrupt upload costs one
+    * batch retry instead of crash-looping the stream.
+    */
   def start(spark: SparkSession, watchDir: String, outDir: String,
       catalogPath: String, checkpoint: String,
-      parse: DataFrame => DataFrame, drain: Boolean = false): StreamingQuery = {
+      parse: DataFrame => DataFrame, drain: Boolean = false,
+      quarantineDir: Option[String] = None): StreamingQuery = {
     val events = graft.stream.FileWatcher.fileEvents(spark, watchDir)
     graft.stream.FileWatcher.start(events, checkpoint, drain) { (batch, batchId) =>
       if (!batch.isEmpty) {
         val files = batch.select("path", "content", "experiment_id").cache()
-        try analyzeBatch(spark, parse(files), files, outDir, catalogPath,
-          defaultInfer, batchId)
-        finally files.unpersist()
+        def analyze(fs: DataFrame): Unit =
+          analyzeBatch(spark, parse(fs), fs, outDir, catalogPath,
+            defaultInfer, batchId)
+        try {
+          quarantineDir match {
+            case None => analyze(files)
+            case Some(qDir) =>
+              Quarantine.run(spark, files, parse, qDir, batchId)(analyze)
+          }
+        } finally files.unpersist()
       }
     }
   }

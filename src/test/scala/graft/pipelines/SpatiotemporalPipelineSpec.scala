@@ -79,4 +79,40 @@ class SpatiotemporalPipelineSpec extends SparkSpec {
     assert(frames.select("experiment_id").distinct().count() == 2)
     assert(frames.count() == 16) // 2 files x 2 frames x 2x2 pixels
   }
+
+  test("quarantine: a poison video survives as a quarantine row, not a dead stream") {
+    val watch = Files.createTempDirectory("graft-st-quarantine")
+    val base = Files.createTempDirectory("graft-st-quarantine-out")
+    val qDir = base.resolve("quarantine").toString
+    Files.write(watch.resolve("good.emd"), "video-good".getBytes)
+    Files.write(watch.resolve("bad.emd"), "POISON".getBytes)
+
+    def parseP(files: DataFrame): DataFrame = {
+      val session = spark
+      import session.implicits._
+      files.select(col("experiment_id"), col("path"), col("content"))
+        .as[(String, String, Array[Byte])]
+        .map { case (eid, path, bytes) =>
+          require(!new String(bytes, "US-ASCII").contains("POISON"),
+            s"corrupt video container in $path")
+          val b = bytes.map(x => (x & 0xFF).toDouble).sum
+          (eid, path, 0, "Video", 3, Seq(2, 2, 2),
+            (0 until 8).map(i => b + i * i), "{}")
+        }
+        .toDF("experiment_id", "path", "signal_idx", "title", "ndim", "shape",
+          "data", "metadata_json")
+        .withColumn("data", col("data").cast("array<double>"))
+    }
+
+    SpatiotemporalPipeline.start(spark, watch.toString,
+      base.resolve("out").toString, base.resolve("catalog").toString,
+      base.resolve("ckpt").toString, parseP, drain = true,
+      quarantineDir = Some(qDir)).awaitTermination()
+
+    val frames = spark.read.parquet(s"${base.resolve("out")}/frames_u8")
+    assert(frames.select("experiment_id").distinct().count() == 1)
+    val q = spark.read.parquet(qDir).collect()
+    assert(q.length == 1 && q.head.getAs[String]("path").endsWith("bad.emd"))
+    assert(q.head.getAs[String]("error").contains("corrupt video container"))
+  }
 }

@@ -118,4 +118,78 @@ class CrashFuzzSpec extends SparkSpec {
         read = dir => stateOf(BucketedMerge.read(spark, dir)))
     }
   }
+
+  // --- corpus ingest: crash + at-least-once replay = exactly-once ---
+
+  private val GoodA = "the quick brown fox jumps over the lazy dog and " +
+    "runs down to the river in the cold morning light of early spring"
+  private val GoodB = "a long walk in the woods clears the mind and the " +
+    "steady sound of rain on the leaves carries far into the evening"
+  private val Junk = "!!!??!?!...,,;;;!!!"
+
+  test("CorpusIngest: crash at every mutation + stream replay keeps the corpus exactly-once") {
+    withSmallShuffle {
+      import graft.pipelines.CorpusIngestPipeline.processBatch
+      def fileDf(rows: Seq[(String, String)]): DataFrame =
+        rows.toDF("path", "content").repartition(1)
+      val batch1 = Seq(("/land/a.txt", GoodA))
+      // replayed batch: a cross-batch duplicate (ledger dedup), a
+      // within-batch duplicate (first-wins by min path), and a
+      // quality-gated junk doc
+      val batch2 = Seq(
+        ("/land/a-copy.txt", GoodA),
+        ("/land/b2.txt", GoodB),
+        ("/land/b1.txt", GoodB),
+        ("/land/junk.txt", Junk))
+
+      def invariants(corpusDir: String, ledgerDir: String, k: Long): Unit = {
+        val corpus = spark.read.parquet(corpusDir)
+          .select("content_key", "path", "text", "batch_id").collect()
+        assert(corpus.length == 2, s"k=$k: corpus ${corpus.toSeq}")
+        val byText = corpus.map(r =>
+          r.getAs[String]("text") -> r).toMap
+        // partition-column inference reads batch_id back as int
+        def bid(r: org.apache.spark.sql.Row): Long =
+          r.getAs[Number]("batch_id").longValue
+        assert(bid(byText(GoodA)) == 0L, s"k=$k")
+        assert(bid(byText(GoodB)) == 1L, s"k=$k")
+        // within-batch first-wins: min path
+        assert(byText(GoodB).getAs[String]("path") == "/land/b1.txt", s"k=$k")
+        val ledger = spark.read.parquet(ledgerDir).select("content_key").collect()
+          .map(_.getString(0))
+        assert(ledger.length == 2 && ledger.distinct.length == 2, s"k=$k")
+        assert(ledger.sorted.sameElements(
+          corpus.map(_.getAs[String]("content_key")).sorted), s"k=$k")
+      }
+
+      // probe a clean cycle for the mutation count
+      val (pc, pl) = (crashDir("corpus-probe"), crashDir("ledger-probe"))
+      processBatch(spark, fileDf(batch1), pc, pl, 0L, 0.2)
+      CrashFileSystem.arm(Long.MaxValue)
+      processBatch(spark, fileDf(batch2), pc, pl, 1L, 0.2)
+      val n = CrashFileSystem.disarm()
+      assert(n > 0, "probe measured no mutations — injection not wired")
+      invariants(pc, pl, -1L)
+
+      var tested = 0
+      schedule(n).foreach { k =>
+        val (corpusDir, ledgerDir) = (crashDir("corpus"), crashDir("ledger"))
+        processBatch(spark, fileDf(batch1), corpusDir, ledgerDir, 0L, 0.2)
+        CrashFileSystem.arm(k)
+        val crashed =
+          try { processBatch(spark, fileDf(batch2), corpusDir, ledgerDir, 1L, 0.2); false }
+          catch { case _: Throwable => true }
+        CrashFileSystem.disarm()
+        assert(crashed, s"k=$k of $n: batch completed under the fuse")
+        // the stream's at-least-once retry: SAME batch id
+        processBatch(spark, fileDf(batch2), corpusDir, ledgerDir, 1L, 0.2)
+        invariants(corpusDir, ledgerDir, k)
+        // and a second replay (duplicate delivery after success) is a no-op
+        processBatch(spark, fileDf(batch2), corpusDir, ledgerDir, 1L, 0.2)
+        invariants(corpusDir, ledgerDir, k)
+        tested += 1
+      }
+      info(s"corpus ingest: $tested crash points over $n mutations, exactly-once held")
+    }
+  }
 }

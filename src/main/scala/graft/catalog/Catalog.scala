@@ -77,16 +77,25 @@ object Catalog {
     */
   def publish(spark: SparkSession, docs: DataFrame, catalogPath: String): Unit = {
     val fresh = docs.dropDuplicates("subject")
+    // committed-data probe, not bare existence: a catalog dir holding only
+    // a crashed first publish's _temporary leftovers (or pre-created
+    // empty) would otherwise fail schema inference on every retry —
+    // wedging publish permanently (graft.core.DataDir scaladoc)
     val toWrite =
-      if (exists(spark, catalogPath)) {
+      if (graft.core.DataDir.nonEmpty(spark, catalogPath)) {
         val existing = spark.read.parquet(catalogPath).select("subject")
         fresh.join(broadcast(existing), Seq("subject"), "left_anti")
       } else fresh
+    // crash-leftover hygiene: append jobs SHARE `_temporary` under the
+    // destination. A publish whose job commit crashed mid-merge leaves
+    // COMMITTED task dirs there; the next publish would re-append the
+    // missing subjects itself AND its own job commit would resurrect the
+    // stale task dirs — duplicate subjects (found by CrashFuzzSpec).
+    // Publish is single-writer (one stream's foreachBatch), so scratch
+    // here can only be crash leftovers: remove it before writing.
+    val scratch = new org.apache.hadoop.fs.Path(catalogPath, "_temporary")
+    val fs = scratch.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(scratch)) fs.delete(scratch, true)
     toWrite.write.mode("append").parquet(catalogPath)
-  }
-
-  private def exists(spark: SparkSession, path: String): Boolean = {
-    val p = new org.apache.hadoop.fs.Path(path)
-    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
   }
 }

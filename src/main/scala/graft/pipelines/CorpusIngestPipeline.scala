@@ -100,13 +100,14 @@ object CorpusIngestPipeline {
   /** Resolved through the path's own filesystem, not `java.io.File` — the
     * local-File probe reports an HDFS/S3 ledger absent on a cluster,
     * silently re-admitting every duplicate (same fix as
-    * [[graft.stream.StreamingDedup]]'s ledger).
+    * [[graft.stream.StreamingDedup]]'s ledger). Probes for COMMITTED data,
+    * not bare existence: a ledger dir holding only a crashed first
+    * batch's staging leftovers would otherwise fail schema inference on
+    * every replay — wedging ingest ([[graft.core.DataDir]]).
     */
   private def existingLedger(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val p = new org.apache.hadoop.fs.Path(dir)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(p) && fs.listStatus(p).nonEmpty)
+    if (graft.core.DataDir.nonEmpty(spark, dir))
       spark.read.parquet(dir).select("content_key")
     else Seq.empty[String].toDF("content_key")
   }

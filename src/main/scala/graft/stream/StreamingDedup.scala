@@ -72,13 +72,14 @@ object StreamingDedup {
   /** The ledger probe must resolve through the path's OWN filesystem — a
     * `java.io.File` check against an HDFS/S3 ledger dir always reports
     * absent on a cluster, silently re-admitting every duplicate the ledger
-    * exists to block.
+    * exists to block. It probes for COMMITTED data, not bare existence: a
+    * ledger dir holding only a crashed first batch's staging leftovers
+    * would otherwise fail schema inference on every replay — wedging the
+    * stream ([[graft.core.DataDir]]).
     */
   private def existingLedger(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val p = new org.apache.hadoop.fs.Path(dir)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(p) && fs.listStatus(p).nonEmpty)
+    if (graft.core.DataDir.nonEmpty(spark, dir))
       spark.read.parquet(dir).select("content_key")
     else Seq.empty[String].toDF("content_key")
   }

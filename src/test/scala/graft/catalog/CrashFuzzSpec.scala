@@ -119,6 +119,135 @@ class CrashFuzzSpec extends SparkSpec {
     }
   }
 
+  // --- vacuum: crash mid-delete never touches the live snapshot ---
+
+  private def vacuumFuzz(name: String,
+      merge: (String, Seq[(Long, String)]) => Unit,
+      read: String => Map[Long, String],
+      vacuum: String => Unit): Unit = {
+    val D2m = Map(D2: _*)
+    val D3m = Map(D3: _*)
+    val s2 = S0 ++ D2m ++ D3m
+    def seed3(dir: String): Unit = {
+      merge(dir, S0.toSeq); merge(dir, D2); merge(dir, D3)
+    }
+    val probe = crashDir(s"graft-vacfuzz-$name-probe")
+    seed3(probe)
+    CrashFileSystem.arm(Long.MaxValue)
+    vacuum(probe)
+    val n = CrashFileSystem.disarm()
+    assert(n > 0, "vacuum probe measured no mutations")
+    assert(read(probe) == s2)
+
+    schedule(n).foreach { k =>
+      val dir = crashDir(s"graft-vacfuzz-$name-k$k")
+      seed3(dir)
+      CrashFileSystem.arm(k)
+      val crashed = try { vacuum(dir); false } catch { case _: Throwable => true }
+      CrashFileSystem.disarm()
+      assert(crashed, s"k=$k of $n: vacuum completed under the fuse")
+      // live snapshot untouched by the partial vacuum
+      assert(read(dir) == s2, s"k=$k: vacuum crash corrupted the snapshot")
+      // re-vacuum completes; the table keeps working (one more merge)
+      vacuum(dir)
+      assert(read(dir) == s2, s"k=$k")
+      merge(dir, Seq(9L -> "d"))
+      assert(read(dir) == s2 + (9L -> "d"), s"k=$k")
+    }
+    info(s"$name vacuum: ${schedule(n).size} crash points over $n deletes held")
+  }
+
+  test("Merge.vacuum: crash mid-delete never corrupts the live snapshot") {
+    withSmallShuffle {
+      vacuumFuzz("merge",
+        merge = (dir, rows) => { Merge.mergeInto(spark, dir, toDf(rows), Seq("id")); () },
+        read = dir => stateOf(Merge.read(spark, dir)),
+        vacuum = dir => Merge.vacuum(dir, keep = 1))
+    }
+  }
+
+  test("BucketedMerge.vacuum: crash mid-delete never corrupts the live snapshot") {
+    withSmallShuffle {
+      vacuumFuzz("bucketed",
+        merge = (dir, rows) =>
+          { BucketedMerge.mergeInto(spark, dir, toDf(rows), Seq("id"), nBuckets = 2); () },
+        read = dir => stateOf(BucketedMerge.read(spark, dir)),
+        vacuum = dir => BucketedMerge.vacuum(dir, keep = 1))
+    }
+  }
+
+  // --- publish: crash + replay never duplicates a subject ---
+
+  test("Catalog.publish: crash at every mutation + replay keeps subjects unique") {
+    withSmallShuffle {
+      def docs(paths: String*): DataFrame =
+        paths.toSeq.toDF("path")
+          .withColumn("content", org.apache.spark.sql.functions.lit("bytes"))
+          .withColumn("metadata_json", org.apache.spark.sql.functions.lit("{}"))
+          .repartition(1)
+          .transform(Catalog.dataciteDoc(_))
+      val batch1 = docs("/d/a.emd", "/d/b.emd")
+      // overlap with batch1 + a new doc + an intra-batch duplicate
+      val batch2 = docs("/d/b.emd", "/d/c.emd", "/d/c.emd")
+      def subjects(path: String): Seq[String] =
+        spark.read.parquet(path).select("subject").collect()
+          .map(_.getString(0)).toSeq
+
+      val probe = crashDir("graft-pubfuzz-probe")
+      Catalog.publish(spark, batch1, probe)
+      CrashFileSystem.arm(Long.MaxValue)
+      Catalog.publish(spark, batch2, probe)
+      val n = CrashFileSystem.disarm()
+      assert(n > 0)
+      assert(subjects(probe).sorted == Seq("globus:///d/a.emd",
+        "globus:///d/b.emd", "globus:///d/c.emd"))
+
+      schedule(n).foreach { k =>
+        val cat = crashDir(s"graft-pubfuzz-k$k")
+        Catalog.publish(spark, batch1, cat)
+        CrashFileSystem.arm(k)
+        val crashed = try { Catalog.publish(spark, batch2, cat); false }
+          catch { case _: Throwable => true }
+        CrashFileSystem.disarm()
+        assert(crashed, s"k=$k of $n: publish completed under the fuse")
+        // at-least-once replay, then assert convergence with NO duplicates
+        Catalog.publish(spark, batch2, cat)
+        val subs = subjects(cat)
+        assert(subs.sorted == Seq("globus:///d/a.emd", "globus:///d/b.emd",
+          "globus:///d/c.emd"), s"k=$k: $subs")
+      }
+      info(s"publish: ${schedule(n).size} crash points over $n mutations held")
+    }
+  }
+
+  test("CorpusIngest: a crashed FIRST batch never wedges the ledger (staging-only dirs read as empty)") {
+    withSmallShuffle {
+      import graft.pipelines.CorpusIngestPipeline.processBatch
+      val batch1 = Seq(("/land/a.txt", GoodA)).toDF("path", "content").repartition(1)
+      // probe the first batch's mutation count
+      val (pc, pl) = (crashDir("corpus-first-probe"), crashDir("ledger-first-probe"))
+      CrashFileSystem.arm(Long.MaxValue)
+      processBatch(spark, batch1, pc, pl, 0L, 0.2)
+      val n = CrashFileSystem.disarm()
+      schedule(n).foreach { k =>
+        val (c, l) = (crashDir("corpus-first"), crashDir("ledger-first"))
+        CrashFileSystem.arm(k)
+        val crashed = try { processBatch(spark, batch1, c, l, 0L, 0.2); false }
+          catch { case _: Throwable => true }
+        CrashFileSystem.disarm()
+        assert(crashed, s"k=$k of $n")
+        // the stream's retry of batch 0 — before the committed-data probe
+        // fix, a staging-only ledger/corpus dir failed schema inference
+        // here on EVERY retry (permanent wedge)
+        processBatch(spark, batch1, c, l, 0L, 0.2)
+        val corpus = spark.read.parquet(c).select("text").collect().map(_.getString(0))
+        assert(corpus.toSeq == Seq(GoodA), s"k=$k: $corpus")
+        assert(spark.read.parquet(l).count() == 1, s"k=$k")
+      }
+      info(s"first-batch wedge: ${schedule(n).size} crash points over $n held")
+    }
+  }
+
   // --- corpus ingest: crash + at-least-once replay = exactly-once ---
 
   private val GoodA = "the quick brown fox jumps over the lazy dog and " +

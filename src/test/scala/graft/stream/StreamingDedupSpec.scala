@@ -88,4 +88,29 @@ class StreamingDedupSpec extends SparkSpec {
     val kept = spark.read.parquet(out)
     assert(kept.count() == 1 && kept.collect()(0).getAs[Long]("doc_id") == 1L)
   }
+
+  // Pins the committed-data ledger probe (graft.core.DataDir): a ledger
+  // dir holding ONLY a crashed first batch's staging leftovers must read
+  // as "no ledger yet", not fail schema inference on every replay — the
+  // permanent-wedge class the crash fuzz found on Catalog.publish.
+  test("firstSeenSink: a staging-only ledger dir reads as empty, not a wedge") {
+    val base = Files.createTempDirectory("graft-sdedup-wedge")
+    val ledger = base.resolve("ledger")
+    val out = base.resolve("out").toString
+    val ckpt = base.resolve("ckpt").toString
+    // what a crashed first write leaves behind: scratch dirs, no data
+    Files.createDirectories(ledger.resolve(".spark-staging-deadbeef"))
+    Files.createDirectories(ledger.resolve("_temporary").resolve("0"))
+
+    implicit val sq = spark.sqlContext
+    val in = MemoryStream[Doc]
+    in.addData(Doc(1, t(0), "alpha"), Doc(2, t(1), "alpha"))
+    val q = StreamingDedup.firstSeenSink(in.toDF(), "text", ledger.toString,
+      out, ckpt)
+    try q.processAllAvailable() finally q.stop()
+
+    val kept = spark.read.parquet(out)
+    assert(kept.count() == 1 && kept.collect()(0).getAs[Long]("doc_id") == 1L)
+    assert(spark.read.parquet(ledger.toString).count() == 1)
+  }
 }

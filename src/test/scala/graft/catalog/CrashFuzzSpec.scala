@@ -176,6 +176,48 @@ class CrashFuzzSpec extends SparkSpec {
     }
   }
 
+  // --- artifact sink: per-file atomicity under crash ---
+
+  test("Artifacts.writeFiles: a crash never exposes a partial artifact; replay converges") {
+    withSmallShuffle {
+      import graft.sinks.Artifacts
+      val a1 = ("one.bin", Array.tabulate(4096)(i => (i % 251).toByte))
+      val a2 = ("sub/two.bin", Array.tabulate(8192)(i => ((i * 7) % 253).toByte))
+      def ds = Seq(a1, a2).toDS().repartition(1)
+      def check(dir: String, k: Long, requireAll: Boolean): Unit = {
+        val local = dir.stripPrefix(CrashFileSystem.Scheme + ":")
+        Seq(a1, a2).foreach { case (rel, bytes) =>
+          val f = java.nio.file.Paths.get(local, rel)
+          if (java.nio.file.Files.exists(f)) {
+            // atomicity: a visible artifact is ALWAYS complete
+            assert(java.util.Arrays.equals(
+              java.nio.file.Files.readAllBytes(f), bytes),
+              s"k=$k: partial/corrupt artifact $rel")
+          } else assert(!requireAll, s"k=$k: missing artifact $rel after replay")
+        }
+      }
+      val probe = crashDir("graft-artfuzz-probe")
+      CrashFileSystem.arm(Long.MaxValue)
+      Artifacts.writeFiles(ds, probe)
+      val n = CrashFileSystem.disarm()
+      assert(n > 0)
+      check(probe, -1L, requireAll = true)
+
+      schedule(n).foreach { k =>
+        val dir = crashDir(s"graft-artfuzz-k$k")
+        CrashFileSystem.arm(k)
+        val crashed = try { Artifacts.writeFiles(ds, dir); false }
+          catch { case _: Throwable => true }
+        CrashFileSystem.disarm()
+        assert(crashed, s"k=$k of $n")
+        check(dir, k, requireAll = false) // whatever is visible is complete
+        Artifacts.writeFiles(ds, dir) // the pipeline's at-least-once replay
+        check(dir, k, requireAll = true)
+      }
+      info(s"artifacts: ${schedule(n).size} crash points over $n held")
+    }
+  }
+
   // --- publish: crash + replay never duplicates a subject ---
 
   test("Catalog.publish: crash at every mutation + replay keeps subjects unique") {

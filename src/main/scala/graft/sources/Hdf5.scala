@@ -133,6 +133,13 @@ object Hdf5 {
             case 3 => // v4 Fixed Array: linear chunk-grid index
               val entries = fixedArrayEntries(dataAddr)
               foreachChunkOrigin { (k, origin) =>
+                // the entry count comes from the index header, the grid
+                // size from dims/chunkDims — a corrupt header can make
+                // them disagree, and entries(k) past the end is a raw
+                // vector crash, not a named refusal
+                if (k >= entries.length)
+                  fail(s"dataset $name: fixed-array index has " +
+                    s"${entries.length} entries, chunk grid needs chunk $k")
                 val (addr, stored, mask) = entries(k)
                 if (addr != Undefined)
                   copyChunk(decodeChunk(slice(addr, stored.toInt), mask),
@@ -315,7 +322,12 @@ object Hdf5 {
       // chunk dims arrive as raw u32/encoded ints: zero would divide by
       // zero below, negative (a > 2^31 value truncated) would walk the
       // grid backwards, and an overflowing grid product would skip the
-      // loop and return all-zero data without a word
+      // loop and return all-zero data without a word; a rank disagreeing
+      // with the dataspace (corrupt layout message) would index past one
+      // of the two vectors mid-walk
+      if (chunkDims.length != rank)
+        fail(s"dataset $name: chunk rank ${chunkDims.length} != " +
+          s"dataspace rank $rank")
       chunkDims.foreach(c =>
         if (c <= 0) fail(s"dataset $name: chunk dimension $c"))
       val n = Vector.tabulate(rank)(d =>
@@ -388,6 +400,22 @@ object Hdf5 {
       val rank = dims.length
       val es = dtype.size
       val cd = chunkDims
+      // the v1-B-tree and single-chunk paths reach here without passing
+      // foreachChunkOrigin's grid checks, so the rank guard repeats
+      if (cd.length != rank)
+        fail(s"dataset $name: chunk rank ${cd.length} != dataspace rank $rank")
+      // an HDF5 chunk is always full-size (edge chunks zero-padded), so a
+      // decoded chunk shorter than the nominal extent means a corrupt
+      // stored size or filter output — scattering it would read past the
+      // source array (raw JVM error) or, worse, misplace live bytes
+      val needed =
+        try cd.foldLeft(es.toLong)((a, c) => Math.multiplyExact(a, c.toLong))
+        catch { case _: ArithmeticException =>
+          fail(s"dataset $name: chunk byte size overflows (chunk $cd × $es)")
+        }
+      if (raw.length < needed)
+        fail(s"dataset $name: chunk decoded to ${raw.length} bytes, " +
+          s"nominal extent is $needed")
       // row-major strides of the full dataset, in elements
       val strides = new Array[Long](rank)
       var s = 1L
@@ -439,7 +467,15 @@ object Hdf5 {
       val buf = new Array[Byte](64 * 1024)
       val bos = new java.io.ByteArrayOutputStream()
       while (!inf.finished()) {
-        val n = inf.inflate(buf)
+        // a corrupt zlib stream throws DataFormatException out of the
+        // native inflater — convert to the reader's named failure so a
+        // flipped bit in chunk data reads as "corrupt file", not as a
+        // raw JVM error escaping an executor task
+        val n =
+          try inf.inflate(buf)
+          catch { case e: java.util.zip.DataFormatException =>
+            fail(s"corrupt deflate chunk (${e.getMessage})")
+          }
         // needsDictionary: an FDICT zlib stream makes inflate() return 0
         // forever without needing input — without the check this loop
         // would hang, not fail
@@ -1185,6 +1221,11 @@ object Hdf5 {
     val clazz = cv & 0x0F
     val bits0 = b.u8(); b.skip(2)
     val size = b.u32().toInt
+    // a u32 size of 0, or one past 2 GiB arriving negative through the
+    // toInt, poisons every downstream length computation (negative
+    // allocation in readBytes, division by zero in readStrings) — no
+    // datatype in the supported subset is zero- or giga-byte-sized
+    if (size <= 0) fail(s"datatype size $size (dataset $name)")
     // bit 0 is byte order for numeric classes only (strings use it
     // for the padding type, vlens for their flavor)
     if (clazz <= 1 && (bits0 & 0x01) != 0)

@@ -404,6 +404,14 @@ object Hdf5 {
       // foreachChunkOrigin's grid checks, so the rank guard repeats
       if (cd.length != rank)
         fail(s"dataset $name: chunk rank ${cd.length} != dataspace rank $rank")
+      // the v1-B-tree path never passes foreachChunkOrigin's grid checks,
+      // so the dimension-sign guards repeat here: a NEGATIVE chunk dim
+      // makes `needed` negative below (64 < -33554424 is false — the
+      // length check silently passes) and then wraps the Int element
+      // product in the scatter loop; a negative node offset walks `dest`
+      // outside the output buffer while passing the `g >= dims` edge test
+      cd.foreach(c => if (c <= 0) fail(s"dataset $name: chunk dimension $c"))
+      at.foreach(o => if (o < 0) fail(s"dataset $name: chunk offset $o"))
       // an HDF5 chunk is always full-size (edge chunks zero-padded), so a
       // decoded chunk shorter than the nominal extent means a corrupt
       // stored size or filter output — scattering it would read past the

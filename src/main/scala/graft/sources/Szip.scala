@@ -84,7 +84,7 @@ object Szip {
     private val endBit = in.length.toLong << 3
     private def checkBit(): Unit =
       if (bitPos >= endBit)
-        throw new IllegalStateException(
+        throw new IllegalArgumentException(
           s"szip: coded stream truncated at bit $bitPos of $endBit")
     def get(n: Int): Long = {
       var v = 0L
@@ -108,7 +108,7 @@ object Szip {
         v += 1
         checkBit()
         if (v > (1 << 24))
-          throw new IllegalStateException("szip: runaway FS codeword")
+          throw new IllegalArgumentException("szip: runaway FS codeword")
       }
       bitPos += 1
       v
@@ -176,7 +176,7 @@ object Szip {
         if (id == 0) {
           val second = bits.get(1) == 1
           if (isRefBlock)
-            throw new IllegalStateException(
+            throw new IllegalArgumentException(
               if (second) "szip: second-extension over a reference block " +
                 "not supported"
               else "szip: zero-block run starting at a reference block " +

@@ -150,7 +150,7 @@ class Hdf5CorruptionSpec extends AnyFunSuite {
   }
 
   test("szip: a truncated coded stream fails by name, not a bare index crash") {
-    val ex = intercept[IllegalStateException] {
+    val ex = intercept[IllegalArgumentException] {
       Szip.decode(Array.emptyByteArray, Szip.Raw | Szip.EC, 8, 4, 4, 4)
     }
     assert(ex.getMessage.contains("truncated"))

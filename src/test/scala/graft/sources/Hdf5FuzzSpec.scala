@@ -41,9 +41,16 @@ class Hdf5FuzzSpec extends AnyFunSuite {
     val v4 = w.chunkedDatasetV4(Seq(6L, 4L), w.float32,
       Array.tabulate(6 * 4 * 4)(i => ((i * 11) % 127).toByte),
       chunkDims = Seq(3, 4), index = "fixedarray", deflateLevel = 4)
+    val szipRaw = java.nio.ByteBuffer.allocate(10 * 12 * 2)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    (0 until 120).foreach(i =>
+      szipRaw.putShort((800 + (math.sin(i / 3.0) * 300).toInt).toShort))
+    val szip = w.chunkedDataset(Seq(10L, 12L), w.uint16, szipRaw.array(),
+      chunkDims = Seq(4, 8), szip = Some(Seq(
+        Szip.Raw | Szip.AllowK13 | Szip.NN | Szip.LSB, 16, 8, 8)))
     w.finish(w.group(Seq(
       "flat" -> flat, "chunked" -> chunked, "strings" -> strings,
-      "compact" -> compact, "v4" -> v4)))
+      "compact" -> compact, "v4" -> v4, "szip" -> szip)))
   }
 
   /** Full decode: open and materialize every dataset by its type. */

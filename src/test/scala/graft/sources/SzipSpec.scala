@@ -176,7 +176,7 @@ class SzipSpec extends AnyFunSuite {
     // hand-build: scanline of 8, j=8, NN -> first block is the ref block;
     // ID 000 + 0 (zero-block) there is the unsupported combination
     val stream = Array[Byte](0x08, 0x00) // 000 0 1 ... : id=0, ext=0, fs=0
-    val e = intercept[IllegalStateException] {
+    val e = intercept[IllegalArgumentException] {
       Szip.decode(stream, NnMask, 8, 8, 8, 8)
     }
     assert(e.getMessage.contains("reference block"))

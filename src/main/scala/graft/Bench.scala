@@ -147,6 +147,52 @@ object Bench {
     med > StallRatio * sorted.head && med - sorted.head > StallFloorSec
   }
 
+  /** Sustained-stall hint: when EVERY pass is slow (contention spanning
+    * the query's whole pass window), the min proves nothing and
+    * [[stallSuspect]] stays silent — observed on a curated r13 attempt
+    * where m8_h264_video's three passes ran 11.4-39.4 s against a 0.41 s
+    * committed median under a load-21 co-tenant burst, and earned zero
+    * retries. The committed curated artifact in the repo root carries the
+    * last accepted quiet-run median per query, so a min [[StallRatio]]×
+    * over THAT prior earns the same bounded retries. The honesty
+    * invariant is unchanged — retries only ADD samples and the prior is
+    * disclosed per retried query (`prior_median`); a genuine plan
+    * regression costs at most [[MaxStallRetries]] extra passes and shows
+    * itself in the disclosure as retried samples that are all equally
+    * slow.
+    */
+  private[graft] def sustainedStallSuspect(samples: Seq[Double],
+      prior: Option[Double]): Boolean =
+    prior.exists(p => p > 0 && samples.nonEmpty && {
+      val mn = samples.min
+      mn > StallRatio * p && mn - p > StallFloorSec
+    })
+
+  /** Per-query medians of the committed curated artifact in the repo
+    * root — the [[sustainedStallSuspect]] prior. Absent file, absent
+    * queries map, malformed JSON, or an artifact measured at a DIFFERENT
+    * sf dir than this run (a 10× data scale legitimately puts every
+    * query 4×+ over the prior — retries there would be pure waste) all
+    * degrade to "no hint": the machinery then behaves exactly as before
+    * this hint existed.
+    */
+  private[graft] def priorMedians(repoRoot: String,
+      sfDir: String): Map[String, Double] =
+    try {
+      val p = java.nio.file.Paths.get(repoRoot, "BENCH_local.json")
+      if (!java.nio.file.Files.exists(p)) Map.empty
+      else {
+        val s = new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
+        val sf = "\"sf\":\"([^\"]+)\"".r.findFirstMatchIn(s).map(_.group(1))
+        val qi = s.indexOf("\"queries\":{")
+        val end = if (qi < 0) -1 else s.indexOf('}', qi)
+        if (qi < 0 || end < 0 || !sf.contains(sfDir)) Map.empty
+        else "\"([^\"]+)\":([0-9][0-9.]*)".r
+          .findAllMatchIn(s.substring(qi + 11, end))
+          .map(m => m.group(1) -> m.group(2).toDouble).toMap
+      }
+    } catch { case _: Throwable => Map.empty }
+
   /** Deterministic CPU calibration probe — the fix for cross-round bench
     * comparability (the r8 lesson: unchanged-code control queries ran
     * 1.5-2.8× their r7 times under co-tenant CPU steal that loadavg never
@@ -466,6 +512,7 @@ object Bench {
     // ([[stallSuspect]]) earns bounded extra passes — all samples kept.
     val streamMeter = new StreamMeter
     spark.streams.addListener(streamMeter)
+    val priors = priorMedians(repoRoot, sfDir)
     var sinceSlice = 0
     val loadByQuery = scala.collection.mutable.LinkedHashMap[String, String]()
     // retried query -> (all samples incl. retries, calib slice per retry)
@@ -501,7 +548,9 @@ object Bench {
       (2 to Passes).foreach(_ => onePass(first = false))
       val retryCalibs = scala.collection.mutable.ArrayBuffer[Double]()
       while (passes.forall(_._2) && retryCalibs.size < MaxStallRetries &&
-          stallSuspect(passes.map(_._1).toSeq)) {
+          (stallSuspect(passes.map(_._1).toSeq) ||
+            sustainedStallSuspect(passes.map(_._1).toSeq,
+              priors.get(name)))) {
         calibSlice() // contention evidence recorded AT retry time
         retryCalibs += calibSlices.last
         onePass(first = false)
@@ -549,6 +598,7 @@ object Bench {
     val retryJson = retryDisclosure.map { case (k, (samples, cal)) =>
       "\"" + k + "\":{\"samples\":" + samples.map(f).mkString("[", ",", "]") +
         ",\"calib_at_retry\":" + cal.map(f).mkString("[", ",", "]") +
+        priors.get(k).map(p => ",\"prior_median\":" + f(p)).getOrElse("") +
         ",\"load\":\"" + loadByQuery.getOrElse(k, "n/a") + "\"}"
     }.mkString("{", ",", "}")
     def phasesJson(ps: Seq[(Double, Long, Map[String, Long])]): String =

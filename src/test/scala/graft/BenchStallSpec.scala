@@ -31,6 +31,54 @@ class BenchStallSpec extends SparkSpec {
     assert(!Bench.stallSuspect(Seq(5.0)))
   }
 
+  test("sustainedStallSuspect fires when every pass is slow against the prior") {
+    // the r13 curated case: m8's three passes 11.4-39.4 s, prior 0.41 s —
+    // stallSuspect silent (min also stalled), prior hint fires
+    val m8 = Seq(11.3981, 23.3622, 39.3853)
+    assert(!Bench.stallSuspect(m8))
+    assert(Bench.sustainedStallSuspect(m8, Some(0.405)))
+    // no prior → no hint (the pre-hint behavior exactly)
+    assert(!Bench.sustainedStallSuspect(m8, None))
+    // a fast min means the plain signature owns the verdict
+    assert(!Bench.sustainedStallSuspect(Seq(0.42, 23.4, 39.4), Some(0.405)))
+    // micro-queries: ratio over the bar, absolute excess under the floor
+    assert(!Bench.sustainedStallSuspect(Seq(0.9), Some(0.2)))
+    // a genuine 2x regression is NOT a stall
+    assert(!Bench.sustainedStallSuspect(Seq(0.8, 0.82, 0.85), Some(0.4)))
+    // degenerate priors never fire
+    assert(!Bench.sustainedStallSuspect(m8, Some(0.0)))
+    assert(!Bench.sustainedStallSuspect(Seq.empty, Some(0.4)))
+  }
+
+  test("priorMedians parses the curated artifact and degrades to empty") {
+    val dir = java.nio.file.Files.createTempDirectory("bench-prior").toString
+    // absent file
+    assert(Bench.priorMedians(dir, "/root/testdata/sf0.1").isEmpty)
+    val p = java.nio.file.Paths.get(dir, "BENCH_local.json")
+    // the full-artifact shape: queries map first, other numeric maps after
+    java.nio.file.Files.writeString(p,
+      """{"metric":"total","value":86.5,"queries":{"q1_agg":0.6907,""" +
+        """"m8_h264_video":0.405,"st2_stream_join":2.383},""" +
+        """"sf":"/root/testdata/sf0.1",""" +
+        """"spread":{"q1_agg":{"min":0.6,"max":0.9}}}""")
+    val m = Bench.priorMedians(dir, "/root/testdata/sf0.1")
+    assert(m == Map("q1_agg" -> 0.6907, "m8_h264_video" -> 0.405,
+      "st2_stream_join" -> 2.383))
+    // an artifact measured at a DIFFERENT sf is no prior: a 10× data
+    // scale puts every query over the ratio legitimately
+    assert(Bench.priorMedians(dir, "/root/testdata/sf0.01").isEmpty)
+    // a failed query's null median is skipped, not parsed as a number
+    java.nio.file.Files.writeString(p,
+      """{"queries":{"q1_agg":0.5,"m8_h264_video":null},""" +
+        """"sf":"/root/testdata/sf0.1"}""")
+    assert(Bench.priorMedians(dir, "/root/testdata/sf0.1") == Map("q1_agg" -> 0.5))
+    // malformed JSON degrades to no hint, never throws
+    java.nio.file.Files.writeString(p, """{"queries":{"q1":""")
+    assert(Bench.priorMedians(dir, "/root/testdata/sf0.1").isEmpty)
+    java.nio.file.Files.writeString(p, "not json at all")
+    assert(Bench.priorMedians(dir, "/root/testdata/sf0.1").isEmpty)
+  }
+
   test("StreamMeter attributes trigger phases and state-store time per mark window") {
     val session = spark
     import session.implicits._

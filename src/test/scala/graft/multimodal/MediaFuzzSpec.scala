@@ -1,6 +1,5 @@
 package graft.multimodal
 
-import java.util.concurrent.{Executors, TimeUnit, TimeoutException}
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.multimodal.h264.H264Encoder
@@ -93,9 +92,10 @@ class MediaFuzzSpec extends AnyFunSuite {
   }
 
   test("every random media mutant terminates and fails only by name") {
-    var pool = Executors.newSingleThreadExecutor { r =>
-      val t = new Thread(r, "media-fuzz"); t.setDaemon(true); t
-    }
+    // CPU-time-bounded probes (graft.testfs.FuzzHarness): a hang finding
+    // means the decoder actually BURNED 10 s of CPU, not that a loaded
+    // host starved a healthy probe of wall-clock
+    val harness = new graft.testfs.FuzzHarness("media-fuzz")
     val violations = scala.collection.mutable.ArrayBuffer[String]()
     var ok = 0; var named = 0; var total = 0
     targets().foreach { case (fmt, base, probe) =>
@@ -103,27 +103,17 @@ class MediaFuzzSpec extends AnyFunSuite {
       for (kind <- Kinds; i <- 0 until PerKind) {
         total += 1
         val m = mutant(base, kind, i)
-        val fut = pool.submit(new java.util.concurrent.Callable[Option[Throwable]] {
-          def call(): Option[Throwable] =
-            try { probe(m); None } catch { case t: Throwable => Some(t) }
-        })
-        try fut.get(10, TimeUnit.SECONDS) match {
-          case None => ok += 1
-          case Some(_: IllegalArgumentException) => named += 1
-          case Some(t) =>
+        harness.probe(() => probe(m)) match {
+          case Some(None) => ok += 1
+          case Some(Some(_: IllegalArgumentException)) => named += 1
+          case Some(Some(t)) =>
             violations += s"$fmt/$kind/$i: ${t.getClass.getName}: ${t.getMessage}"
-        } catch {
-          case _: TimeoutException =>
-            violations += s"$fmt/$kind/$i: HANG (>10s)"
-            fut.cancel(true)
-            pool.shutdownNow()
-            pool = Executors.newSingleThreadExecutor { r =>
-              val t = new Thread(r, "media-fuzz"); t.setDaemon(true); t
-            }
+          case None =>
+            violations += s"$fmt/$kind/$i: HANG (>10s cpu)"
         }
       }
     }
-    pool.shutdownNow()
+    harness.shutdown()
     info(s"$total mutants: $ok clean decodes, $named named refusals, ${violations.size} violations")
     assert(violations.isEmpty,
       s"${violations.size} contract violations (first 20):\n" +

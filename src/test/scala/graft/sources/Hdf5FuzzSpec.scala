@@ -1,6 +1,5 @@
 package graft.sources
 
-import java.util.concurrent.{Executors, TimeUnit, TimeoutException}
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Randomized seeded mutation fuzz over the HDF5 reader (round-13 latent
@@ -101,35 +100,24 @@ class Hdf5FuzzSpec extends AnyFunSuite {
     val base = fixture()
     readAll(base) // the un-mutated fixture must decode
 
-    // one worker thread bounds each probe; a timeout = hang = finding.
-    var pool = Executors.newSingleThreadExecutor { r =>
-      val t = new Thread(r, "hdf5-fuzz"); t.setDaemon(true); t
-    }
+    // CPU-time-bounded probes (graft.testfs.FuzzHarness): a hang finding
+    // means the decoder actually BURNED 10 s of CPU, not that a loaded
+    // host starved a healthy probe of wall-clock
+    val harness = new graft.testfs.FuzzHarness("hdf5-fuzz")
     val violations = scala.collection.mutable.ArrayBuffer[String]()
     var ok = 0; var named = 0
     for (kind <- Kinds; i <- 0 until PerKind) {
       val m = mutant(base, kind, i)
-      val fut = pool.submit(new java.util.concurrent.Callable[Option[Throwable]] {
-        def call(): Option[Throwable] =
-          try { readAll(m); None } catch { case t: Throwable => Some(t) }
-      })
-      try fut.get(10, TimeUnit.SECONDS) match {
-        case None => ok += 1
-        case Some(_: IllegalArgumentException) => named += 1
-        case Some(t) =>
+      harness.probe(() => readAll(m)) match {
+        case Some(None) => ok += 1
+        case Some(Some(_: IllegalArgumentException)) => named += 1
+        case Some(Some(t)) =>
           violations += s"$kind/$i: ${t.getClass.getName}: ${t.getMessage}"
-      } catch {
-        case _: TimeoutException =>
-          violations += s"$kind/$i: HANG (>10s)"
-          fut.cancel(true)
-          // the stuck worker may never return; replace the pool
-          pool.shutdownNow()
-          pool = Executors.newSingleThreadExecutor { r =>
-            val t = new Thread(r, "hdf5-fuzz"); t.setDaemon(true); t
-          }
+        case None =>
+          violations += s"$kind/$i: HANG (>10s cpu)"
       }
     }
-    pool.shutdownNow()
+    harness.shutdown()
     info(s"${Kinds.size * PerKind} mutants: $ok clean reads, $named named rejections, ${violations.size} violations")
     assert(violations.isEmpty,
       s"${violations.size} contract violations (first 20):\n" +

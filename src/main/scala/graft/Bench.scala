@@ -136,7 +136,13 @@ object Bench {
     */
   private[graft] val StallRatio = 4.0
   private[graft] val StallFloorSec = 1.0
-  private[graft] val MaxStallRetries = 2
+  // 4, not 2: with 3 passes all stalled (the sustained-burst case), k
+  // quiet retries give sorted samples [q×k, s×3] and the upper median
+  // (index (3+k)/2) only lands on a quiet sample at k ≥ 4 — a cap of 2
+  // left a fully-bursted query guaranteed-contaminated even after the
+  // host quieted. Still bounded: worst case 4 extra passes per query,
+  // every sample disclosed.
+  private[graft] val MaxStallRetries = 4
 
   /** True when the sample list carries the stall signature [[StallRatio]]
     * documents. Exposed for the spec. */

@@ -29,6 +29,12 @@ class BenchStallSpec extends SparkSpec {
     assert(!Bench.stallSuspect(Seq(2.30, 15.62, 28.42, 2.35, 2.40)))
     assert(!Bench.stallSuspect(Seq.empty))
     assert(!Bench.stallSuspect(Seq(5.0)))
+    // full-burst recovery arithmetic (why MaxStallRetries = 4): all 3
+    // passes stalled, quiet retries appended — the upper median stays on
+    // a stalled sample through 3 retries and lands quiet at the 4th
+    assert(Bench.stallSuspect(Seq(20.0, 21.0, 22.0, 0.5, 0.5, 0.5)))
+    assert(!Bench.stallSuspect(Seq(20.0, 21.0, 22.0, 0.5, 0.5, 0.5, 0.5)))
+    assert(Bench.MaxStallRetries >= 4)
   }
 
   test("sustainedStallSuspect fires when every pass is slow against the prior") {

@@ -161,6 +161,17 @@ object Szip {
     val idBits = if (n <= 8) 3 else if (n <= 16) 4 else 5
     val noCompId = (1 << idBits) - 1
     val xmax = (1L << n) - 1
+    // a corrupt size prefix can claim gigabytes, and `new Array[Long]
+    // (total)` would allocate them BEFORE the first bit is read — heap
+    // exhaustion or a 10 s GC burn, not a parse error (found by direct
+    // payload fuzz). Even the densest legal coding (a 64-block zero run:
+    // 64·j samples for idBits+2 bits) bounds what `in` can encode, so a
+    // claim past that bound is unsatisfiable and refuses by name here.
+    val maxSamples =
+      (in.length.toLong * 8 / (idBits + 2) + 1) * 64L * j
+    require(total <= maxSamples,
+      s"szip: size prefix claims $total samples but a ${in.length}-byte " +
+        s"stream cannot encode more than $maxSamples")
     val bits = new BitReader(in)
     val out = new Array[Long](total)
 

@@ -301,16 +301,35 @@ object Hdf5 {
       * or confusingly failed samples either way.
       */
     private def decodeChunk(stored: Array[Byte], mask: Int): Array[Byte] = {
+      // inflate cap: the pipeline's final output is exactly the nominal
+      // chunk extent, and the only legitimate over-extent intermediate
+      // is a slightly-expanded coded stream (incompressible data) — 4×
+      // nominal plus a fixed slack covers every real encoder while still
+      // refusing gigabyte bombs at kilobyte scale
+      val cap = 4L * chunkNominalBytes + 65536L
       var raw = stored
       filters.zipWithIndex.reverse.foreach { case ((id, cd), pos) =>
         if ((mask & (1 << pos)) == 0) id match {
-          case 1 => raw = inflate(raw)
+          case 1 => raw = inflate(raw, cap)
           case 2 => raw = unshuffle(raw, dtype.size)
           case 4 => raw = Szip.decodeHdf5(raw, cd)
           case f => fail(s"filter $f in chunk pipeline")
         }
       }
       raw
+    }
+
+    /** Nominal chunk byte extent with the sign/overflow checks every
+      * chunked path needs before trusting file-borne chunk dims. */
+    private def chunkNominalBytes: Long = {
+      chunkDims.foreach(c =>
+        if (c <= 0) fail(s"dataset $name: chunk dimension $c"))
+      try chunkDims.foldLeft(dtype.size.toLong)((a, c) =>
+        Math.multiplyExact(a, c.toLong))
+      catch { case _: ArithmeticException =>
+        fail(s"dataset $name: chunk byte size overflows " +
+          s"(chunk $chunkDims × ${dtype.size})")
+      }
     }
 
     /** Visit every chunk-grid cell in row-major order: (linear index,
@@ -405,22 +424,18 @@ object Hdf5 {
       if (cd.length != rank)
         fail(s"dataset $name: chunk rank ${cd.length} != dataspace rank $rank")
       // the v1-B-tree path never passes foreachChunkOrigin's grid checks,
-      // so the dimension-sign guards repeat here: a NEGATIVE chunk dim
-      // makes `needed` negative below (64 < -33554424 is false — the
-      // length check silently passes) and then wraps the Int element
-      // product in the scatter loop; a negative node offset walks `dest`
-      // outside the output buffer while passing the `g >= dims` edge test
-      cd.foreach(c => if (c <= 0) fail(s"dataset $name: chunk dimension $c"))
+      // so the sign guards repeat here (chunkNominalBytes carries the
+      // dim-sign and overflow checks): a NEGATIVE chunk dim would make
+      // `needed` negative below (64 < -33554424 is false — the length
+      // check silently passes) and then wrap the Int element product in
+      // the scatter loop; a negative node offset walks `dest` outside
+      // the output buffer while passing the `g >= dims` edge test
       at.foreach(o => if (o < 0) fail(s"dataset $name: chunk offset $o"))
       // an HDF5 chunk is always full-size (edge chunks zero-padded), so a
       // decoded chunk shorter than the nominal extent means a corrupt
       // stored size or filter output — scattering it would read past the
       // source array (raw JVM error) or, worse, misplace live bytes
-      val needed =
-        try cd.foldLeft(es.toLong)((a, c) => Math.multiplyExact(a, c.toLong))
-        catch { case _: ArithmeticException =>
-          fail(s"dataset $name: chunk byte size overflows (chunk $cd × $es)")
-        }
+      val needed = chunkNominalBytes
       if (raw.length < needed)
         fail(s"dataset $name: chunk decoded to ${raw.length} bytes, " +
           s"nominal extent is $needed")
@@ -469,7 +484,13 @@ object Hdf5 {
       out
     }
 
-    private def inflate(in: Array[Byte]): Array[Byte] = {
+    /** `cap`: the most bytes the CALLER can legitimately accept — the
+      * inflater stops and refuses by name once output passes it. Without
+      * the cap a zip-bomb chunk (a few KB of valid deflate expanding to
+      * gigabytes of zeros) exhausts the heap BEFORE the nominal-extent
+      * check in copyChunk ever sees the result.
+      */
+    private def inflate(in: Array[Byte], cap: Long): Array[Byte] = {
       val inf = new Inflater()
       inf.setInput(in)
       val buf = new Array[Byte](64 * 1024)
@@ -489,6 +510,9 @@ object Hdf5 {
         // would hang, not fail
         if (n == 0 && (inf.needsInput() || inf.needsDictionary()))
           fail("truncated deflate chunk")
+        if (bos.size().toLong + n > cap)
+          fail(s"deflate chunk inflates past $cap bytes " +
+            s"(zip bomb or corrupt stored size)")
         bos.write(buf, 0, n)
       }
       inf.end()
@@ -734,7 +758,7 @@ object Hdf5 {
         val raw = new Array[Byte](h.len.toInt)
         var j = 0
         while (j < raw.length) { raw(j) = file.get((h.addr + j).toInt); j += 1 }
-        val inflated = inflateBytes(raw)
+        val inflated = inflateBytes(raw, h.memSize)
         require(inflated.length == h.memSize,
           s"filtered huge object inflated to ${inflated.length} != ${h.memSize}")
         new R(ByteBuffer.wrap(inflated).order(ByteOrder.LITTLE_ENDIAN), 0)
@@ -844,7 +868,7 @@ object Hdf5 {
         val raw = new Array[Byte](stored.toInt)
         var j = 0
         while (j < raw.length) { raw(j) = file.get((at + j).toInt); j += 1 }
-        val inflated = inflateBytes(raw)
+        val inflated = inflateBytes(raw, 4L * logical + 65536L)
         require(inflated.length >= logical,
           s"filtered direct block inflated to ${inflated.length} < $logical")
         val blockBuf = ByteBuffer.wrap(inflated).order(ByteOrder.LITTLE_ENDIAN)
@@ -918,17 +942,28 @@ object Hdf5 {
   }
 
   /** zlib inflate of a standalone byte extent (object-scope twin of the
-    * Dataset-local chunk inflater).
+    * Dataset-local chunk inflater). `cap` is the caller's known maximum
+    * legitimate output — the heap-block logical size or the huge
+    * object's memSize — so a zip-bomb extent refuses by name instead of
+    * exhausting the heap before the post-inflate length check runs.
     */
-  private def inflateBytes(in: Array[Byte]): Array[Byte] = {
+  private def inflateBytes(in: Array[Byte], cap: Long): Array[Byte] = {
     val inf = new Inflater()
     inf.setInput(in)
-    val out = new java.io.ByteArrayOutputStream(in.length * 4)
+    val out = new java.io.ByteArrayOutputStream(
+      math.min(cap, in.length.toLong * 4).toInt.max(64))
     val buf = new Array[Byte](8192)
     while (!inf.finished()) {
-      val n = inf.inflate(buf)
+      val n =
+        try inf.inflate(buf)
+        catch { case e: java.util.zip.DataFormatException =>
+          fail(s"corrupt deflate stream in heap block (${e.getMessage})")
+        }
       if (n == 0 && (inf.needsInput() || inf.needsDictionary()))
         fail("truncated deflate stream in heap block")
+      if (out.size().toLong + n > cap)
+        fail(s"heap block inflates past $cap bytes " +
+          "(zip bomb or corrupt stored size)")
       out.write(buf, 0, n)
     }
     inf.end()

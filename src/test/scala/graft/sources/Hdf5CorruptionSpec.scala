@@ -155,4 +155,29 @@ class Hdf5CorruptionSpec extends AnyFunSuite {
     }
     assert(ex.getMessage.contains("truncated"))
   }
+
+  test("a zip-bomb chunk refuses by name before the heap feels it") {
+    // 64 MB of zeros deflates to ~64 KB: a hostile chunk payload whose
+    // VALID deflate stream dwarfs the 48-byte nominal chunk extent. The
+    // random fuzz can't synthesize this (a mutated tiny stream stays
+    // tiny) — only a crafted payload pins the inflate cap. Without it the
+    // reader allocated the full bomb before copyChunk's extent check ran.
+    val bomb = {
+      val d = new java.util.zip.Deflater(9)
+      d.setInput(new Array[Byte](64 * 1024 * 1024)); d.finish()
+      val out = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](64 * 1024)
+      while (!d.finished()) out.write(buf, 0, d.deflate(buf))
+      d.end()
+      out.toByteArray
+    }
+    assert(bomb.length < 256 * 1024, s"bomb stream is ${bomb.length} B")
+    val w = new Hdf5TestWriter()
+    val ds = w.chunkedDataset(Seq(2L, 3L), w.float64,
+      Array.tabulate(48)(_.toByte), chunkDims = Seq(2, 3),
+      packedOverride = Some(bomb))
+    val d = Hdf5.open(w.finish(w.group(Seq("bomb" -> ds)))).datasets.head
+    val ex = intercept[IllegalArgumentException](d.readBytes())
+    assert(ex.getMessage.contains("inflates past"), ex.getMessage)
+  }
 }

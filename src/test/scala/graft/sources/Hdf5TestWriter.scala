@@ -226,7 +226,8 @@ final class Hdf5TestWriter(capacity: Int = 1 << 22) {
       filterMsgVersion: Int = 1, shuffle: Boolean = false,
       v2Header: Boolean = false,
       szip: Option[Seq[Int]] = None,
-      szipSkipChunks: Set[Int] = Set.empty): Long = {
+      szipSkipChunks: Set[Int] = Set.empty,
+      packedOverride: Option[Array[Byte]] = None): Long = {
     val rank = dims.size
     // gather each chunk (zero-padded at the edges), pack through the
     // pipeline (szip, or shuffle→deflate), write, record. Chunks listed
@@ -236,13 +237,15 @@ final class Hdf5TestWriter(capacity: Int = 1 << 22) {
     val entries = Vector.newBuilder[(Long, Int, Seq[Long], Int)] // addr, size, offsets, mask
     gatherChunks(dims, dt, raw, chunkDims).zipWithIndex.foreach { case ((at, chunk), k) =>
       val skipped = szip.isDefined && szipSkipChunks(k)
-      val packed =
+      // packedOverride: hostile-fixture hook — store THESE bytes as every
+      // chunk's payload regardless of the real pipeline (e.g. a zip bomb)
+      val packed = packedOverride.getOrElse(
         if (skipped) chunk
         else szip match {
           case Some(cd) => SzipTestEncoder.encodeHdf5(chunk, cd)
           case None => deflate(
             if (shuffle) shuffleBytes(chunk, dt.size) else chunk, deflateLevel)
-        }
+        })
       val addr = writeBytes(packed)
       entries += ((addr, packed.length, at, if (skipped) 1 else 0))
     }

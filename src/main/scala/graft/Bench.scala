@@ -192,10 +192,23 @@ object Bench {
         val sf = "\"sf\":\"([^\"]+)\"".r.findFirstMatchIn(s).map(_.group(1))
         val qi = s.indexOf("\"queries\":{")
         val end = if (qi < 0) -1 else s.indexOf('}', qi)
-        if (qi < 0 || end < 0 || !sf.contains(sfDir)) Map.empty
-        else "\"([^\"]+)\":([0-9][0-9.]*)".r
-          .findAllMatchIn(s.substring(qi + 11, end))
-          .map(m => m.group(1) -> m.group(2).toDouble).toMap
+        val m =
+          if (qi < 0 || end < 0 || !sf.contains(sfDir)) Map.empty[String, Double]
+          // full JSON number syntax INCLUDING exponents: the old
+          // [0-9][0-9.]* pattern would truncate 1.2E-4 at the 'E' and
+          // yield 1.2 — a silently-wrong prior, worse than no prior
+          else "\"([^\"]+)\":(-?[0-9][0-9.]*(?:[eE][+-]?[0-9]+)?)".r
+            .findAllMatchIn(s.substring(qi + 11, end))
+            .map(m => m.group(1) -> m.group(2).toDouble).toMap
+        // a silently-broken prior must be noticeable (the artifact is
+        // there but produced nothing usable): one line, not a failure —
+        // the machinery degrades to exactly its pre-hint behavior
+        if (m.isEmpty) System.err.println(
+          "[bench] BENCH_local.json present but yielded no usable priors" +
+            (if (!sf.contains(sfDir))
+              s" (its sf ${sf.getOrElse("?")} != this run's $sfDir)"
+            else " (no parseable queries map)"))
+        m
       }
     } catch { case _: Throwable => Map.empty }
 

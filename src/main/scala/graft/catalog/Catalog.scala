@@ -68,14 +68,36 @@ object Catalog {
       lit("picoprobe").as("exp_type"),
       array(lit("public")).as("visible_to"))
 
+  // One lock object per catalogPath string: the scratch hygiene below
+  // deletes `_temporary` under the destination, which is only safe when no
+  // OTHER publish to the same path is mid-write (its committer scratch
+  // would be silently dropped). Several entry points accept a catalogPath
+  // (ingestToCatalog, both pipelines), so two streams in one application
+  // CAN point at one shared catalog — serialize them here. Cross-process
+  // publishers remain a deployment contract (one writer per catalog, the
+  // same contract every non-transactional table format states).
+  private val publishLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
   /** Idempotent publish: append only documents whose `subject` is not yet
     * in the catalog (the reference's re-ingest of an existing subject
     * overwrites in Globus Search; an anti-join append gives the same
     * observable catalog). On a real deployment this is a Delta `MERGE`;
     * parquet + broadcast anti-join keeps the same semantics here, with the
     * existing-subjects side pruned to one column at the scan.
+    *
+    * Publishes to the same `catalogPath` serialize within the JVM (see
+    * [[publishLocks]]): concurrent streams sharing a catalog neither race
+    * the anti-join's read-then-append (lost rows) nor each other's
+    * committer scratch (the `_temporary` hygiene delete).
     */
-  def publish(spark: SparkSession, docs: DataFrame, catalogPath: String): Unit = {
+  def publish(spark: SparkSession, docs: DataFrame, catalogPath: String): Unit =
+    publishLocks.computeIfAbsent(catalogPath, _ => new Object).synchronized {
+      publishLocked(spark, docs, catalogPath)
+    }
+
+  private def publishLocked(spark: SparkSession, docs: DataFrame,
+      catalogPath: String): Unit = {
     val fresh = docs.dropDuplicates("subject")
     // committed-data probe, not bare existence: a catalog dir holding only
     // a crashed first publish's _temporary leftovers (or pre-created
@@ -91,7 +113,8 @@ object Catalog {
     // COMMITTED task dirs there; the next publish would re-append the
     // missing subjects itself AND its own job commit would resurrect the
     // stale task dirs — duplicate subjects (found by CrashFuzzSpec).
-    // Publish is single-writer (one stream's foreachBatch), so scratch
+    // Publish is single-writer per catalogPath (enforced in-JVM by
+    // [[publishLocks]]; cross-process by deployment contract), so scratch
     // here can only be crash leftovers: remove it before writing.
     val scratch = new org.apache.hadoop.fs.Path(catalogPath, "_temporary")
     val fs = scratch.getFileSystem(spark.sparkContext.hadoopConfiguration)

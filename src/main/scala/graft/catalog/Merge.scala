@@ -69,9 +69,27 @@ object Merge {
     * delete→rename window, and defaulting to -1 there would restart
     * history at v=0 beside live data.
     */
-  def currentVersion(dir: String): Option[Long] =
-    SnapshotIo.readSmall(s"$dir/_CURRENT").map(_.trim.toLong)
-      .orElse(recoverVersion(dir))
+  def currentVersion(dir: String): Option[Long] = {
+    // A reader can race the pointer swap on filesystems whose
+    // rename-over-existing is not one step FOR READERS: LocalFileSystem
+    // renames the data file and its .crc sidecar separately, so a read
+    // between the two throws ChecksumException (found by Sweep9Spec's
+    // racing reader — the writer is atomic, the read is not). Transient
+    // by construction: bounded retry, then fall through to
+    // committed-evidence recovery, which is monotonic (manifests and
+    // _SUCCESS markers only ever accumulate). An unparseable pointer
+    // (torn content on a no-atomic-rename store) recovers the same way
+    // instead of crashing every reader of the table.
+    def readPtr(attempt: Int): Option[Long] =
+      try SnapshotIo.readSmall(s"$dir/_CURRENT").flatMap(_.trim.toLongOption)
+      catch {
+        case _: java.io.IOException if attempt < 4 =>
+          Thread.sleep(1L << attempt)
+          readPtr(attempt + 1)
+        case _: java.io.IOException => None
+      }
+    readPtr(0).orElse(recoverVersion(dir))
+  }
 
   /** Pointer-loss recovery: the greatest COMMITTED version on disk.
     * Commit evidence, in precedence order: a `manifest-<n>.txt`

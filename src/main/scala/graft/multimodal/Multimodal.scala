@@ -75,6 +75,11 @@ object Codec {
     */
   def decodeImage(content: Array[Byte]): (Int, Int, Int, Array[Byte]) = {
     val in = ImageIO.createImageInputStream(new ByteArrayInputStream(content))
+    // createImageInputStream returns null when no ImageInputStream SPI is
+    // registered — without this check getImageReaders throws and the
+    // finally's in.close() NPEs over it, masking the cause and breaking
+    // the refuse-by-name contract
+    require(in != null, "content is not a decodable image (no image input SPI)")
     try {
       val readers = ImageIO.getImageReaders(in)
       require(readers.hasNext, "content is not a decodable image")

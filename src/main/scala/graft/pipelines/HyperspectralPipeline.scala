@@ -51,9 +51,13 @@ object HyperspectralPipeline {
     val intensity = Signals.intensityMap(cube)
     sink(intensity, s"$outDir/intensity")
     sink(Signals.metadataSummary(signals), s"$outDir/metadata")
-    // sidecar image artifact (hyperspectral.py:106-107): idempotent by name
-    graft.sinks.Artifacts.writeFiles(
-      graft.sinks.Artifacts.intensityPngs(intensity), s"$outDir/artifacts")
+    // sidecar image artifact (hyperspectral.py:106-107): batch-scoped so a
+    // replay — in particular the quarantine retry, which analyzes fewer
+    // files than the failed attempt — fully replaces the batch's artifact
+    // set instead of leaving orphans from later-quarantined rows
+    graft.sinks.Artifacts.writeBatch(
+      graft.sinks.Artifacts.intensityPngs(intensity), s"$outDir/artifacts",
+      batchId)
 
     val docs = Catalog.dataciteDoc(
       files.select(col("path"), col("content"),

@@ -36,9 +36,12 @@ object SpatiotemporalPipeline {
     val video = Signals.explodeVideo(Signals.firstWithNdimPerExperiment(signals, 3))
     val framesU8 = Signals.normalizeFrames(video)
     sink(framesU8, s"$outDir/frames_u8")
-    // sidecar video artifact (temporal.py:26-35): idempotent by name
-    graft.sinks.Artifacts.writeFiles(
-      graft.sinks.Artifacts.videoArtifacts(framesU8), s"$outDir/artifacts")
+    // sidecar video artifact (temporal.py:26-35): batch-scoped so a replay
+    // (notably the quarantine retry, which analyzes fewer files) fully
+    // replaces the batch's artifact set — no orphans from quarantined rows
+    graft.sinks.Artifacts.writeBatch(
+      graft.sinks.Artifacts.videoArtifacts(framesU8), s"$outDir/artifacts",
+      batchId)
 
     // inference input: the normalized frames as REAL grayscale PNGs (the
     // same encoding the artifact sink uses) — the detector stage consumes

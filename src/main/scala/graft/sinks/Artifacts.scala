@@ -105,6 +105,27 @@ object Artifacts {
     }
   }
 
+  /** [[writeFiles]] under a batch-scoped subdirectory
+    * (`dir/batch_id=<id>/`), PRE-CLEANED before the write: an
+    * at-least-once batch replay — including the quarantine path, whose
+    * retry analyzes FEWER rows than the failed attempt — fully REPLACES
+    * the batch's artifact set. Idempotent-by-name writes alone can't do
+    * that: an artifact derived from a later-quarantined file's rows
+    * would survive the replay as an orphan matched by no catalog or
+    * spectrum row. The pre-clean resolves through `dir`'s own Hadoop
+    * filesystem (never java.nio — the cluster-FS discipline), and a
+    * crash between clean and write just re-runs on the next replay.
+    */
+  def writeBatch(artifacts: Dataset[(String, Array[Byte])], dir: String,
+      batchId: Long): Unit = {
+    val sub = s"$dir/batch_id=$batchId"
+    val p = new org.apache.hadoop.fs.Path(sub)
+    val fs = p.getFileSystem(
+      artifacts.sparkSession.sessionState.newHadoopConf())
+    if (fs.exists(p)) fs.delete(p, true)
+    writeFiles(artifacts, sub)
+  }
+
   /** Grayscale PNG from row-major uint8 pixels (width × height). */
   def grayPng(width: Int, height: Int, pixels: Array[Byte]): Array[Byte] =
     encode(gray(width, height, pixels), "png")

@@ -54,6 +54,37 @@ object FileWatcher {
           "\\.[^.]+$", ""))
   }
 
+  /** Crash-scratch hygiene for a checkpoint about to be (re)opened: the
+    * engine's metadata logs write `.<batch>.<uuid>.tmp` then rename, and a
+    * crash between the two leaves the orphan behind FOREVER — Spark never
+    * cleans it, and its batch-0 validation
+    * (STATE_STORE_CHECKPOINT_LOCATION_NOT_EMPTY) then refuses to start a
+    * query whose very first offset write crashed: a permanently wedged
+    * pipeline, found by FileWatcherCrashSpec's crash-point fuzz. A
+    * checkpoint has ONE writer (Spark itself enforces one active query per
+    * checkpoint), so dot-tmp files here can only be crash leftovers.
+    */
+  private def cleanCrashScratch(spark: SparkSession, checkpoint: String): Unit = {
+    val root = new org.apache.hadoop.fs.Path(checkpoint)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(root)) return
+    def clean(dir: org.apache.hadoop.fs.Path): Unit =
+      if (fs.exists(dir)) fs.listStatus(dir).foreach { st =>
+        val n = st.getPath.getName
+        if (st.isFile && n.startsWith(".") && n.endsWith(".tmp")) {
+          fs.delete(st.getPath, false)
+          ()
+        }
+      }
+    clean(root)
+    Seq("offsets", "commits").foreach(d =>
+      clean(new org.apache.hadoop.fs.Path(root, d)))
+    val sources = new org.apache.hadoop.fs.Path(root, "sources")
+    if (fs.exists(sources)) fs.listStatus(sources).foreach { st =>
+      if (st.isDirectory) clean(st.getPath)
+    }
+  }
+
   /** Run a per-batch action over the event stream with engine-managed
     * exactly-once (SURVEY §2 A2/A3). `drain = true` uses AvailableNow —
     * process everything then stop (the test/batch-replay mode); otherwise
@@ -61,12 +92,14 @@ object FileWatcher {
     * (SURVEY §2 G).
     */
   def start(events: DataFrame, checkpoint: String, drain: Boolean = false)(
-      batchFn: (DataFrame, Long) => Unit): StreamingQuery =
+      batchFn: (DataFrame, Long) => Unit): StreamingQuery = {
+    cleanCrashScratch(events.sparkSession, checkpoint)
     events.writeStream
       .option("checkpointLocation", checkpoint)
       .trigger(if (drain) Trigger.AvailableNow() else Trigger.ProcessingTime("10 seconds"))
       .foreachBatch(batchFn)
       .start()
+  }
 
   /** The production pipeline shape (SURVEY §3.1): watch → per-file metadata
     * → idempotent catalog publish. Replaces the reference's five network

@@ -83,6 +83,15 @@ class BenchStallSpec extends SparkSpec {
     assert(Bench.priorMedians(dir, "/root/testdata/sf0.1").isEmpty)
     java.nio.file.Files.writeString(p, "not json at all")
     assert(Bench.priorMedians(dir, "/root/testdata/sf0.1").isEmpty)
+    // exponent-notation numbers parse EXACTLY (the r13 reader truncated
+    // "1.2E-4" at the 'E' and yielded 1.2 — a silently-wrong prior 10⁴×
+    // too big, which would mute every sustained-stall retry on that query)
+    java.nio.file.Files.writeString(p,
+      """{"queries":{"q_tiny":1.2E-4,"q_cap":3.5e2,"q_plus":4.0E+1,""" +
+        """"q_plain":0.75},"sf":"/root/testdata/sf0.1"}""")
+    assert(Bench.priorMedians(dir, "/root/testdata/sf0.1") == Map(
+      "q_tiny" -> 1.2e-4, "q_cap" -> 350.0, "q_plus" -> 40.0,
+      "q_plain" -> 0.75))
   }
 
   test("StreamMeter attributes trigger phases and state-store time per mark window") {

@@ -33,6 +33,14 @@ class SparkEntrySpec extends SparkSpec {
   test("every query runs and returns rows at sf0.001") {
     SparkEntry.queries.foreach { case (name, fn) =>
       assert(fn(spark, sf).limit(1).count() > 0, s"query $name returned no rows")
+      // StreamMeter mark-soundness (sweep #9): the bench marks per-query
+      // phase sums right after a query's pass — a query that returned
+      // with a streaming query still mid-trigger would leak its progress
+      // events into the NEXT query's attribution window. Pin that no
+      // registered query leaves an active stream behind.
+      assert(spark.streams.active.isEmpty,
+        s"query $name left ${spark.streams.active.length} active streaming " +
+          "queries running after returning")
     }
   }
 }

@@ -290,6 +290,67 @@ class CrashFuzzSpec extends SparkSpec {
     }
   }
 
+  // --- incremental scan across a crashed-and-recovered boundary ---
+
+  test("BucketedMerge.readChanged spans a crashed-and-recovered version boundary") {
+    withSmallShuffle {
+      val nBuckets = 2
+      def seed(dir: String): Unit = {
+        BucketedMerge.mergeInto(spark, dir, toDf(S0.toSeq), Seq("id"), nBuckets)
+        BucketedMerge.mergeInto(spark, dir, toDf(D2), Seq("id"), nBuckets)
+        ()
+      }
+      // probe the D3 merge's mutation count
+      val probe = crashDir("graft-cdcfuzz-probe")
+      seed(probe)
+      CrashFileSystem.arm(Long.MaxValue)
+      BucketedMerge.mergeInto(spark, probe, toDf(D3), Seq("id"), nBuckets)
+      val n = CrashFileSystem.disarm()
+      assert(n > 0)
+
+      // bucket of each key under the table's hash layout — for replaying
+      // the CDC consumer contract driver-side
+      val allKeys = (S1 ++ D3).keys.toSeq.sorted
+      val bucketOf: Map[Long, Int] = {
+        import org.apache.spark.sql.functions.col
+        allKeys.toDF("id")
+          .select(col("id"), BucketedMerge.bucketExpr(Seq("id"), nBuckets).as("b"))
+          .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+      }
+
+      val s2 = S1 ++ D3
+      schedule(n).foreach { k =>
+        val dir = crashDir(s"graft-cdcfuzz-k$k")
+        seed(dir)
+        CrashFileSystem.arm(k)
+        val crashed =
+          try { BucketedMerge.mergeInto(spark, dir, toDf(D3), Seq("id"), nBuckets); false }
+          catch { case _: Throwable => true }
+        CrashFileSystem.disarm()
+        assert(crashed, s"k=$k of $n: merge completed under the fuse")
+
+        // at-least-once recovery: replay the same update batch
+        BucketedMerge.mergeInto(spark, dir, toDf(D3), Seq("id"), nBuckets)
+        assert(stateOf(BucketedMerge.read(spark, dir)) == s2, s"k=$k")
+        val vCur = BucketedMerge.currentVersion(dir).get
+
+        // the consumer contract: a reader that processed v1 and applies
+        // readChanged(1, vCur) — replacing the changed buckets wholesale —
+        // reconstructs the current state exactly, across the boundary the
+        // crash + recovery left behind (vCur may be 2 or 3 depending on
+        // whether the crashed merge's manifest committed)
+        val (changed, dfOpt) = BucketedMerge.readChanged(spark, dir, 1L, vCur)
+        assert(changed.nonEmpty, s"k=$k: D3 touched no buckets?")
+        val delta = dfOpt.map(stateOf).getOrElse(Map.empty)
+        val reconstructed =
+          S1.filterNot { case (id, _) => changed.contains(bucketOf(id)) } ++ delta
+        assert(reconstructed == s2,
+          s"k=$k: consumer replay mismatch: changed=$changed delta=$delta")
+      }
+      info(s"readChanged boundary: ${schedule(n).size} crash points over $n held")
+    }
+  }
+
   // --- corpus ingest: crash + at-least-once replay = exactly-once ---
 
   private val GoodA = "the quick brown fox jumps over the lazy dog and " +

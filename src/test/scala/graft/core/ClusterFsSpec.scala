@@ -111,6 +111,54 @@ class ClusterFsSpec extends SparkSpec {
       .distinct().count() == 3L)
   }
 
+  test("Quarantine records land on a non-default scheme and replay stays converged") {
+    import org.apache.spark.sql.functions.{col, udf}
+    val qDir = mockDir("graft-clusterfs-quarantine")
+    val files = Seq(("/land/poison.emd", 0L), ("/land/good.emd", 1L))
+      .toDF("path", "payload").repartition(1)
+    val parse: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame =
+      df => {
+        val fn = udf((p: String, v: Long) => {
+          require(p != "/land/poison.emd", s"poison file: $p")
+          v * 2
+        })
+        df.select(col("path"), fn(col("path"), col("payload")).as("parsed"))
+      }
+    def runBatch(): Unit =
+      graft.pipelines.Quarantine.run(spark, files, parse, qDir, batchId = 5L) {
+        g => parse(g).write.format("noop").mode("overwrite").save()
+      }
+    runBatch()
+    // the record resolved through the scheme (a java.nio write would have
+    // landed on a local relative path and this read would find nothing)
+    val rows = spark.read.parquet(qDir).select("path", "batch_id").collect()
+    assert(rows.length == 1 && rows.head.getString(0) == "/land/poison.emd")
+    // at-least-once replay through the same scheme: still exactly one row
+    runBatch()
+    assert(spark.read.parquet(qDir).count() == 1L)
+  }
+
+  test("Catalog.publish (anti-join + scratch hygiene) works on a non-default scheme") {
+    import org.apache.spark.sql.functions.lit
+    val cat = mockDir("graft-clusterfs-catalog")
+    def docs(paths: String*): org.apache.spark.sql.DataFrame =
+      paths.toSeq.toDF("path")
+        .withColumn("content", lit("bytes"))
+        .withColumn("metadata_json", lit("{}"))
+        .repartition(1)
+        .transform(graft.catalog.Catalog.dataciteDoc(_))
+    graft.catalog.Catalog.publish(spark, docs("/d/a.emd", "/d/b.emd"), cat)
+    // second publish: the committed-data probe, the existing-subjects
+    // anti-join, and the _temporary hygiene delete must ALL resolve
+    // through the scheme — a java.nio probe would read the catalog as
+    // never-written and duplicate every subject
+    graft.catalog.Catalog.publish(spark, docs("/d/b.emd", "/d/c.emd"), cat)
+    val subs = spark.read.parquet(cat).select("subject").collect()
+      .map(_.getString(0)).toSeq.sorted
+    assert(subs == Seq("globus:///d/a.emd", "globus:///d/b.emd",
+      "globus:///d/c.emd"))
+  }
+
   test("Artifacts.writeFiles lands executor-written artifacts on a non-default scheme") {
     val dir = mockDir("graft-clusterfs-artifacts")
     val arts = Seq(

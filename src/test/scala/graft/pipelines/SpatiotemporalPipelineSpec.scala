@@ -58,7 +58,7 @@ class SpatiotemporalPipelineSpec extends SparkSpec {
     assert(spark.read.parquet(catalog).count() == 1)
 
     // sidecar video artifact: a playable MJPEG-AVI per experiment
-    val avi = java.nio.file.Paths.get(out, "artifacts", "vid1.avi")
+    val avi = java.nio.file.Paths.get(out, "artifacts", "batch_id=0", "vid1.avi")
     assert(java.nio.file.Files.exists(avi), s"missing artifact $avi")
     val bytes = java.nio.file.Files.readAllBytes(avi)
     assert(new String(bytes.slice(0, 4), "US-ASCII") == "RIFF")

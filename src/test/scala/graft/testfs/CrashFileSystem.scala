@@ -32,6 +32,19 @@ class CrashFileSystem extends RawLocalFileSystem {
       blockSize, progress)
   }
 
+  // the permission-less overload is a SEPARATE virtual method in
+  // RawLocalFileSystem (the permission variant does not funnel through
+  // it) — FileSystem.create(path, overwrite) lands here, and without this
+  // override those creates never ticked the fuse (found by
+  // WriteBatchCrashSpec's phase-split probe: a 2-file artifact write
+  // registered only its renames)
+  override def create(f: Path, overwrite: Boolean, bufferSize: Int,
+      replication: Short, blockSize: Long,
+      progress: Progressable): FSDataOutputStream = {
+    CrashFileSystem.tick(s"create $f")
+    super.create(f, overwrite, bufferSize, replication, blockSize, progress)
+  }
+
   override def rename(src: Path, dst: Path): Boolean = {
     CrashFileSystem.tick(s"rename $src -> $dst")
     super.rename(src, dst)

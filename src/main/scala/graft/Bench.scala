@@ -288,17 +288,39 @@ object Bench {
       }
     } catch { case scala.util.control.NonFatal(_) => None }
 
+  /** Self-consistency trim: the calib brackets bound the host's state
+    * AROUND a sample, but a co-tenant burst shorter than the pass can sit
+    * entirely INSIDE a multi-second query while both 0.1 s brackets read
+    * quiet — observed on the first r15 composite run, where every query
+    * gated "quiet" yet the median drifted +44% uniformly under a known
+    * concurrent load. The queries are deterministic noop-sink plans, so
+    * quiet samples of one query must agree up to host noise: samples more
+    * than [[CompositeTrimRatio]] × the query's own quiet MINIMUM above it
+    * were contended mid-pass and are excluded from the published median
+    * (never from the artifact). On a genuinely quiet host all samples
+    * fall inside the trim and this is exactly the plain upper median of
+    * three passes — the old rule's estimator.
+    */
+  private[graft] val CompositeTrimRatio = 1.25
+
   /** Publication rule for one query's composite samples
-    * `(seconds, quiet)`: upper median / min / max over the QUIET samples
-    * when any exist, else over all samples with `unquiet = true`.
-    * Exposed for the spec.
+    * `(seconds, quiet)`: upper median over the self-consistent subset of
+    * the QUIET samples (see [[CompositeTrimRatio]]), min / max over ALL
+    * quiet samples (the honest spread); a query with no quiet sample
+    * publishes over everything it has with `unquiet = true`. Exposed for
+    * the spec.
     */
   private[graft] def compositePublish(
       samples: Seq[(Double, Boolean)]): (Double, Double, Double, Boolean) = {
     require(samples.nonEmpty, "compositePublish on zero samples")
-    val quiet = samples.collect { case (s, true) => s }
-    val basis = (if (quiet.nonEmpty) quiet else samples.map(_._1)).sorted
-    (basis(basis.size / 2), basis.head, basis.last, quiet.isEmpty)
+    val quiet = samples.collect { case (s, true) => s }.sorted
+    if (quiet.isEmpty) {
+      val all = samples.map(_._1).sorted
+      (all(all.size / 2), all.head, all.last, true)
+    } else {
+      val trimmed = quiet.takeWhile(_ <= CompositeTrimRatio * quiet.head)
+      (trimmed(trimmed.size / 2), quiet.head, quiet.last, false)
+    }
   }
 
   /** Deterministic CPU calibration probe — the fix for cross-round bench
@@ -680,8 +702,16 @@ object Bench {
           compositeSamples(n) =
             scala.collection.mutable.ArrayBuffer[(Double, Boolean, Double, Double)]()
         }
-        def quietN(n: String): Int = compositeSamples(n).count {
-          case (_, ok, pre, post) => ok && pre <= gate && post <= gate }
+        // count of SELF-CONSISTENT quiet samples (see CompositeTrimRatio):
+        // a quiet-bracketed sample contended mid-pass must not satisfy the
+        // target, or the loop stops sampling exactly the query that needs
+        // more evidence
+        def quietN(n: String): Int = {
+          val q = compositeSamples(n).collect {
+            case (s, true, pre, post) if pre <= gate && post <= gate => s }
+          if (q.isEmpty) 0
+          else { val mn = q.min; q.count(_ <= CompositeTrimRatio * mn) }
+        }
         def wants(n: String): Boolean = !compositeFailed(n) &&
           compositeSamples(n).size < compositeMaxAttempts &&
           quietN(n) < compositeTarget
@@ -994,7 +1024,7 @@ object Bench {
         }.mkString("[", ",", "]")
         s""","mode":"quiet_composite","composite":{"floor_s":${f(
           compositeFloor.get)},"gate_ratio":$QuietGateRatio,"gate_s":${f(
-          gate)},"target_quiet":$compositeTarget,"max_attempts":$compositeMaxAttempts,"budget_s":${f(
+          gate)},"trim_ratio":$CompositeTrimRatio,"target_quiet":$compositeTarget,"max_attempts":$compositeMaxAttempts,"budget_s":${f(
           compositeBudgetS)},"elapsed_s":${f(compositeElapsedS)},"rounds":$compositeRounds,"hot_skips":$compositeHotSkips,"unquiet":$unquiet}"""
       case _ => ""
     }

@@ -68,16 +68,32 @@ object Catalog {
       lit("picoprobe").as("exp_type"),
       array(lit("public")).as("visible_to"))
 
-  // One lock object per catalogPath string: the scratch hygiene below
+  // One lock object per catalog PATH (normalized — '/cat' vs '/cat/' vs a
+  // scheme-qualified spelling of the same directory must map to ONE lock,
+  // or the serialization silently splits): the scratch hygiene below
   // deletes `_temporary` under the destination, which is only safe when no
   // OTHER publish to the same path is mid-write (its committer scratch
   // would be silently dropped). Several entry points accept a catalogPath
   // (ingestToCatalog, both pipelines), so two streams in one application
   // CAN point at one shared catalog — serialize them here. Cross-process
   // publishers remain a deployment contract (one writer per catalog, the
-  // same contract every non-transactional table format states).
+  // same contract every non-transactional table format states). The map
+  // grows one entry per distinct catalog touched by this JVM and is never
+  // evicted — bounded by the handful of catalogs a real deployment has,
+  // not by publish volume.
   private val publishLocks =
     new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
+  /** Normalized lock key: Hadoop Path construction strips trailing
+    * slashes and dot segments, and qualifying against the path's own
+    * filesystem converges unqualified and scheme-qualified spellings of
+    * the same directory (`/cat` vs `file:/cat`, or vs `hdfs://nn/cat`
+    * under a cluster defaultFS). */
+  private def lockKey(spark: SparkSession, catalogPath: String): String = {
+    val p = new org.apache.hadoop.fs.Path(catalogPath)
+    p.getFileSystem(spark.sessionState.newHadoopConf())
+      .makeQualified(p).toUri.toString
+  }
 
   /** Idempotent publish: append only documents whose `subject` is not yet
     * in the catalog (the reference's re-ingest of an existing subject
@@ -92,9 +108,10 @@ object Catalog {
     * committer scratch (the `_temporary` hygiene delete).
     */
   def publish(spark: SparkSession, docs: DataFrame, catalogPath: String): Unit =
-    publishLocks.computeIfAbsent(catalogPath, _ => new Object).synchronized {
-      publishLocked(spark, docs, catalogPath)
-    }
+    publishLocks.computeIfAbsent(lockKey(spark, catalogPath), _ => new Object)
+      .synchronized {
+        publishLocked(spark, docs, catalogPath)
+      }
 
   private def publishLocked(spark: SparkSession, docs: DataFrame,
       catalogPath: String): Unit = {

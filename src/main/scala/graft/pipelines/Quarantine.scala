@@ -21,7 +21,10 @@ import org.apache.spark.sql.functions._
   * matter is exactly the restart story: a pipeline restarted after
   * downtime sweeps the whole backlog into ONE batch, and a 5,000-file
   * backlog with one poison file must not pay 5,000 sequential driver
-  * jobs before committing.
+  * jobs before committing. A MOSTLY-poison batch (a systemic event, not
+  * the sparse case the tree is shaped for) would instead pay ~3N on the
+  * full tree — [[attribute]]'s density guard detects it from a spread
+  * leaf sample and falls back to a ~N linear scan.
   */
 object Quarantine {
 
@@ -47,19 +50,82 @@ object Quarantine {
     * (executor loss, disk hiccup) passes on retry and the file survives
     * un-quarantined instead of being permanently skipped past by the
     * exactly-once gate.
+    *
+    * Two edges this direction of misclassification keeps SAFE: (1) a
+    * failure the probes cannot reproduce per-file — interaction-dependent,
+    * i.e. groups fail but every leaf passes — attributes NOTHING and the
+    * caller rethrows the original failure as infrastructure (the stream
+    * replays; quarantining a file the evidence doesn't name would be data
+    * loss); (2) a FLAKY data-borne failure (fails, passes on the leaf
+    * retry, fails again in the survivors re-analyze) also rethrows — the
+    * batch can loop across replays until the flake lands twice in a row
+    * at a leaf, but every iteration is loss-free, and the alternative
+    * (quarantine on one observation) silently drops healthy files.
     */
-  private def bisect(group: Vector[String],
+  private[pipelines] def bisect(group: Vector[String],
       probe: Vector[String] => Option[String]): Vector[(String, String)] =
     probe(group) match {
       case None => Vector.empty
-      case Some(_) if group.size == 1 =>
-        probe(group) match {
-          case Some(err) => Vector((group.head, err))
-          case None => Vector.empty // transient: passed on retry
+      case Some(_) => bisectFailing(group, probe)
+    }
+
+  /** [[bisect]] for a group already OBSERVED failing (skips the re-probe
+    * of evidence the caller holds). */
+  private def bisectFailing(group: Vector[String],
+      probe: Vector[String] => Option[String]): Vector[(String, String)] =
+    if (group.size == 1)
+      probe(group) match { // the leaf retry (transient guard)
+        case Some(err) => Vector((group.head, err))
+        case None => Vector.empty // transient: passed on retry
+      }
+    else {
+      val (l, r) = group.splitAt(group.size / 2)
+      bisect(l, probe) ++ bisect(r, probe)
+    }
+
+  /** Density-guard knobs: batches below [[DensityMinBatch]] skip the
+    * estimate (the tree is tiny either way); [[DensitySampleK]] spread
+    * leaf probes estimate poison density when BOTH first-level halves
+    * fail. */
+  private[pipelines] val DensityMinBatch = 8
+  private[pipelines] val DensitySampleK = 8
+
+  /** Top-level attribution. Bisect is optimal for the case the quarantine
+    * exists for — sparse poison in a big restart backlog, O(bad · log N)
+    * — but degrades PAST linear when most of the batch is poison: every
+    * group fails, so the full binary tree runs 2N−1 group probes plus N
+    * leaf retries (~3N jobs) where a linear scan pays ~2N (one probe per
+    * file + a retry per bad leaf). So when the first split shows BOTH
+    * halves failing — the only entry to the pathological regime — a
+    * [[DensitySampleK]]-leaf spread sample estimates the density, and a
+    * majority-bad batch falls back to the linear scan (same leaf-retry
+    * semantics, so the transient guard and exact attribution hold on both
+    * paths). A sparse batch never pays the sample: its first split has a
+    * healthy half.
+    */
+  private[pipelines] def attribute(paths: Vector[String],
+      probe: Vector[String] => Option[String]): Vector[(String, String)] =
+    if (paths.size < DensityMinBatch) bisect(paths, probe)
+    else {
+      val (l, r) = paths.splitAt(paths.size / 2)
+      val lErr = probe(l)
+      val rErr = probe(r)
+      val dense = lErr.isDefined && rErr.isDefined && {
+        val stride = math.max(1, paths.size / DensitySampleK)
+        val sample = paths.indices.by(stride).take(DensitySampleK).map(paths)
+        2 * sample.count(p => probe(Vector(p)).isDefined) > sample.size
+      }
+      if (dense)
+        paths.flatMap { p =>
+          probe(Vector(p)) match {
+            case None => None
+            case Some(_) => // leaf retry, same misclassification-safe direction
+              probe(Vector(p)).map(err => (p, err))
+          }
         }
-      case Some(_) =>
-        val (l, r) = group.splitAt(group.size / 2)
-        bisect(l, probe) ++ bisect(r, probe)
+      else
+        (if (lErr.isDefined) bisectFailing(l, probe) else Vector.empty) ++
+          (if (rErr.isDefined) bisectFailing(r, probe) else Vector.empty)
     }
 
   /** Run `analyze(files)`; on failure bisect with `parse` as the probe,
@@ -82,7 +148,7 @@ object Quarantine {
         catch { case e: Exception => Some(rootMsg(e)) }
       }
       val paths = files.select("path").collect().map(_.getString(0)).toVector
-      val bad = bisect(paths, probe)
+      val bad = attribute(paths, probe)
       if (bad.isEmpty) throw first
       import spark.implicits._
       bad.toDF("path", "error")

@@ -85,20 +85,51 @@ object FileWatcher {
     }
   }
 
+  // Start serialization per checkpoint (same pattern as
+  // Catalog.publishLocks): Spark's one-active-query-per-checkpoint
+  // enforcement only fires INSIDE .start(), but cleanCrashScratch runs
+  // BEFORE it — so without this, two near-simultaneous start() calls on
+  // one checkpoint let the loser delete the winner's in-flight `.tmp`
+  // metadata write before failing. Under the lock, a checkpoint whose
+  // last start()ed query is still ACTIVE skips the hygiene entirely (its
+  // dot-tmp files are live writes, not crash leftovers) and falls through
+  // to .start(), where Spark raises its own concurrent-query error.
+  // Cross-process starters remain a deployment contract, exactly like
+  // Catalog.publish.
+  private val startLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+  private val activeByCheckpoint =
+    new java.util.concurrent.ConcurrentHashMap[String, StreamingQuery]()
+
+  private def checkpointKey(spark: SparkSession, checkpoint: String): String = {
+    val p = new org.apache.hadoop.fs.Path(checkpoint)
+    p.getFileSystem(spark.sessionState.newHadoopConf())
+      .makeQualified(p).toUri.toString
+  }
+
   /** Run a per-batch action over the event stream with engine-managed
     * exactly-once (SURVEY §2 A2/A3). `drain = true` uses AvailableNow —
     * process everything then stop (the test/batch-replay mode); otherwise
     * a 10 s processing-time trigger, the reference simulator's cadence
-    * (SURVEY §2 G).
+    * (SURVEY §2 G). One ACTIVE query per checkpoint per process (see
+    * [[startLocks]]); per cluster it is the usual deployment contract.
     */
   def start(events: DataFrame, checkpoint: String, drain: Boolean = false)(
       batchFn: (DataFrame, Long) => Unit): StreamingQuery = {
-    cleanCrashScratch(events.sparkSession, checkpoint)
-    events.writeStream
-      .option("checkpointLocation", checkpoint)
-      .trigger(if (drain) Trigger.AvailableNow() else Trigger.ProcessingTime("10 seconds"))
-      .foreachBatch(batchFn)
-      .start()
+    val spark = events.sparkSession
+    val key = checkpointKey(spark, checkpoint)
+    startLocks.computeIfAbsent(key, _ => new Object).synchronized {
+      val prior = activeByCheckpoint.get(key)
+      if (prior == null || !prior.isActive)
+        cleanCrashScratch(spark, checkpoint)
+      val q = events.writeStream
+        .option("checkpointLocation", checkpoint)
+        .trigger(if (drain) Trigger.AvailableNow() else Trigger.ProcessingTime("10 seconds"))
+        .foreachBatch(batchFn)
+        .start()
+      activeByCheckpoint.put(key, q)
+      q
+    }
   }
 
   /** The production pipeline shape (SURVEY §3.1): watch → per-file metadata

@@ -53,12 +53,15 @@ class BenchCompositeSpec extends AnyFunSuite {
   }
 
   test("compositePublish gates the median onto quiet samples and flags unquiet") {
-    // quiet samples exist: the published stats ignore the contended ones
+    // quiet samples exist and agree: the published stats ignore the
+    // bracket-flagged contended ones
     val (med, mn, mx, unq) = Bench.compositePublish(
-      Seq((9.0, false), (0.5, true), (0.7, true), (12.0, false), (0.6, true)))
-    assert(med == 0.6 && mn == 0.5 && mx == 0.7 && !unq)
-    // upper median, matching the normal-mode estimator exactly
-    assert(Bench.compositePublish(Seq((0.5, true), (0.7, true)))._1 == 0.7)
+      Seq((9.0, false), (0.5, true), (0.55, true), (12.0, false), (0.6, true)))
+    assert(med == 0.55 && mn == 0.5 && mx == 0.6 && !unq)
+    // a fully quiet, self-consistent triple is the plain upper median —
+    // the old contiguous rule's estimator exactly
+    assert(Bench.compositePublish(
+      Seq((0.50, true), (0.52, true), (0.55, true)))._1 == 0.52)
     // a single quiet sample publishes itself
     assert(Bench.compositePublish(Seq((8.0, false), (0.4, true))) ==
       ((0.4, 0.4, 0.4, false)))
@@ -68,6 +71,21 @@ class BenchCompositeSpec extends AnyFunSuite {
       Seq((3.0, false), (5.0, false), (4.0, false)))
     assert(m2 == 4.0 && n2 == 3.0 && x2 == 5.0 && u2)
     intercept[IllegalArgumentException](Bench.compositePublish(Seq.empty))
+  }
+
+  test("the self-consistency trim excludes mid-pass bursts the brackets missed") {
+    // the first r15 composite run's failure mode: quiet brackets, sample
+    // contended INSIDE the pass — the outlier must not set the median
+    val (med, mn, mx, _) = Bench.compositePublish(
+      Seq((0.50, true), (1.40, true), (0.54, true)))
+    assert(med == 0.54, s"mid-pass burst contaminated the median: $med")
+    // spread stays honest: min/max over ALL quiet samples, trim or not
+    assert(mn == 0.50 && mx == 1.40)
+    // samples WITHIN host noise of each other all count (the trim only
+    // engages when samples disagree beyond CompositeTrimRatio)
+    assert(Bench.compositePublish(
+      Seq((0.50, true), (0.60, true), (0.58, true)))._1 == 0.58)
+    assert(Bench.CompositeTrimRatio > 1.2 && Bench.CompositeTrimRatio < 1.5)
   }
 
   test("the quiet gate clears the committed artifact's own probe spread") {

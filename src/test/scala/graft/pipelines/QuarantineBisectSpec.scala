@@ -124,6 +124,71 @@ class QuarantineBisectSpec extends SparkSpec {
     assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(qDir)))
   }
 
+  test("an interaction-dependent failure (groups fail, every leaf passes) attributes nothing") {
+    // sweep #10c: a failure the per-file probes cannot reproduce — e.g.
+    // resource exhaustion only at batch width — must leave `bad` empty so
+    // run() rethrows the ORIGINAL failure as infrastructure; quarantining
+    // any file here would be data loss the evidence never named
+    val paths = (1 to 16).map(i => f"/land/f$i%05d.emd").toVector
+    val probe: Vector[String] => Option[String] =
+      g => if (g.size >= 2) Some("interaction failure") else None
+    assert(Quarantine.bisect(paths, probe).isEmpty)
+    assert(Quarantine.attribute(paths, probe).isEmpty)
+  }
+
+  test("run() rethrows the original failure when no per-file probe explains it") {
+    val files = mkFiles(4)
+    // fails whenever evaluated over MORE than one row (a global count
+    // window makes every row see the subset's width): the batch analyze
+    // and every group probe fail, every single-file probe passes
+    val parse: DataFrame => DataFrame = df => {
+      val w = org.apache.spark.sql.expressions.Window.partitionBy(lit(1))
+      val fn = udf((n: Long) => {
+        require(n <= 1, s"interaction-dependent: $n rows"); n
+      })
+      df.withColumn("n", count(lit(1)).over(w))
+        .select(col("path"), fn(col("n")).as("ok"))
+    }
+    val qBase = java.nio.file.Files.createTempDirectory("graft-bisect-ix")
+    val qDir = qBase.resolve("q").toString
+    val ex = intercept[Exception] {
+      Quarantine.run(spark, files, parse, qDir, batchId = 4L)(noopAnalyze(parse))
+    }
+    assert(Quarantine.rootMsg(ex).contains("interaction-dependent"),
+      s"must rethrow the ORIGINAL batch failure, got: ${Quarantine.rootMsg(ex)}")
+    // and nothing was quarantined (the gate must not advance past files
+    // the evidence never named)
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(qDir)))
+  }
+
+  test("density guard: an all-poison batch pays ~2N probes, not the ~3N full tree") {
+    val paths = (1 to 64).map(i => f"/land/f$i%05d.emd").toVector
+    var probes = 0
+    val probe: Vector[String] => Option[String] =
+      g => { probes += 1; Some(s"poison group of ${g.size}") }
+    val out = Quarantine.attribute(paths, probe)
+    assert(out.map(_._1).toSet == paths.toSet, "attribution must stay exact")
+    // two first-level halves + the density sample + one probe per file +
+    // one retry per bad leaf — vs the full binary tree's 2N−1 group
+    // probes + N leaf retries (191 here)
+    val bound = 2 + Quarantine.DensitySampleK + 2 * paths.size
+    assert(probes <= bound, s"linear fallback spent $probes probes (bound $bound)")
+  }
+
+  test("density guard: sparse poison straddling the midpoint stays on the tree") {
+    val paths = (1 to 64).map(i => f"/land/f$i%05d.emd").toVector
+    val poison = Set(paths(1), paths(62)) // both halves fail, sample clean
+    var probes = 0
+    val probe: Vector[String] => Option[String] = g => {
+      probes += 1
+      if (g.exists(poison)) Some("poison") else None
+    }
+    val out = Quarantine.attribute(paths, probe)
+    assert(out.map(_._1).toSet == poison)
+    assert(probes < paths.size,
+      s"straddling-but-sparse poison must stay sub-linear, spent $probes")
+  }
+
   test("rootMsg walks wrapped chains, survives null messages and self-causes") {
     val leaf = new IllegalArgumentException("refused by name: bad magic")
     val mid = new RuntimeException("stage failure", leaf)

@@ -114,7 +114,17 @@ object Artifacts {
     * would survive the replay as an orphan matched by no catalog or
     * spectrum row. The pre-clean resolves through `dir`'s own Hadoop
     * filesystem (never java.nio — the cluster-FS discipline), and a
-    * crash between clean and write just re-runs on the next replay.
+    * crash between clean and write just re-runs on the next replay
+    * (WriteBatchCrashSpec sweeps every mutation of that window).
+    *
+    * CONSUMER CONTRACT: batch subdirs accumulate — the pre-clean scopes
+    * to THIS batch's dir, so an artifact NAME re-derived in a later batch
+    * (a re-ingested experiment id) exists under both batches' subdirs. A
+    * consumer resolving artifacts by bare name must take the highest
+    * `batch_id` per name; consumers joining through the catalog/spectrum
+    * rows (the pipelines' shape — each row carries its batch_id) are
+    * unaffected. Retention of old batch dirs is the deployment's expiry
+    * policy, same as the parquet sinks' batch partitions.
     */
   def writeBatch(artifacts: Dataset[(String, Array[Byte])], dir: String,
       batchId: Long): Unit = {

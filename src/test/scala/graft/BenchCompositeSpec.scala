@@ -88,6 +88,29 @@ class BenchCompositeSpec extends AnyFunSuite {
     assert(Bench.CompositeTrimRatio > 1.2 && Bench.CompositeTrimRatio < 1.5)
   }
 
+  test("priorChase keeps sampling only while the committed prior is undemonstrated") {
+    // best quiet sample far over the prior: chase (the bandwidth-steal
+    // case — agreeing-but-inflated samples must not end the search)
+    assert(Bench.priorChase(Some(1.30), Some(0.45)))
+    // prior demonstrated (within the ratio): stop
+    assert(!Bench.priorChase(Some(0.55), Some(0.45)))
+    // micro-queries: ratio over the bar, absolute excess under the floor
+    assert(!Bench.priorChase(Some(0.15), Some(0.05)))
+    // no quiet sample yet / no prior / degenerate prior: the quiet-target
+    // machinery owns scheduling, the chase stays silent
+    assert(!Bench.priorChase(None, Some(0.45)))
+    assert(!Bench.priorChase(Some(9.0), None))
+    assert(!Bench.priorChase(Some(9.0), Some(0.0)))
+  }
+
+  test("memSlice measures a parallel stream-sum and is reusable") {
+    // the bandwidth probe must return sane positive seconds and not
+    // degrade across calls (the array is allocated once)
+    val a = Bench.memSlice(4)
+    val b = Bench.memSlice(4)
+    assert(a > 0 && b > 0 && a < 30 && b < 30)
+  }
+
   test("the quiet gate clears the committed artifact's own probe spread") {
     // sanity anchor for the 1.3 ratio: the committed r12 run's QUIET series
     // spread (max 1.4793 / min 1.2039 = 1.23) fits under the gate, so a

@@ -41,6 +41,7 @@ echo "[composite] starting, budget ${BUDGET}s, stage $STAGE, load $(cut -d' ' -f
 (cd "$STAGE" && \
 GRAFT_BENCH_CURATED=1 GRAFT_BENCH_COMPOSITE=1 GRAFT_REPO_ROOT="$STAGE" \
 GRAFT_BENCH_BUDGET_S="$BUDGET" \
+GRAFT_COMPOSITE_MAX_ATTEMPTS="${GRAFT_COMPOSITE_MAX_ATTEMPTS:-40}" \
 SPARK_GRAFT_SF_DIR=${SPARK_GRAFT_SF_DIR:-/root/testdata/sf0.1} \
 SPARK_GRAFT_CPUS=32 \
 java $ADD_OPENS -Xmx16g \
@@ -61,7 +62,8 @@ ok = (d.get('mode') == 'quiet_composite' and unquiet == []
       and d.get('value', 1e9) < 100.0)
 print(('ACCEPT' if ok else 'REJECT')
       + f" total={d.get('value')} min={d.get('total_min')}"
-      + f" unquiet={unquiet} rounds={comp.get('rounds')}"
+      + f" unquiet={unquiet} prior_not_reached={comp.get('prior_not_reached')}"
+      + f" rounds={comp.get('rounds')}"
       + f" hot_skips={comp.get('hot_skips')} elapsed={comp.get('elapsed_s')}"
       + f" gate={comp.get('gate_s')} failed={d.get('failed')}")
 sys.exit(0 if ok else 3)

@@ -1,6 +1,12 @@
 #!/bin/bash
 # Quiet-window curated-bench retry loop (round-14 verdict task 1).
 #
+# PREFERRED acceptance path: one contiguous quiet run. When no contiguous
+# quiet window exists on the host (three sessions of r13/r14 evidence),
+# use tools/bench_composite.sh instead — the per-query quiet-composite
+# fallback (r15 verdict task 1), which gates each SAMPLE on adjacent calib
+# slices and retries per-query across the session.
+#
 # Waits for the host to quiet (1-min loadavg < 0.7, 5-min < 1.5), runs the
 # curated bench into a STAGING root (never clobbering the committed
 # BENCH_local.json), and applies the standing acceptance rule:

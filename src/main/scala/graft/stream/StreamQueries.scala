@@ -24,7 +24,12 @@ object StreamQueries {
   private val splitCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
-  private def splitEvents(s: SparkSession, dir: String): String =
+  // private[stream]: the multi-batch-replay spec resolves ITS corpus's
+  // replay dir through the cache instead of scanning java.io.tmpdir for
+  // name prefixes (other suites replay other corpora — a tiny synthetic
+  // events table lays out as ONE file, and a prefix scan that happens to
+  // find that dir fails the spec on suite ordering, not on st1)
+  private[stream] def splitEvents(s: SparkSession, dir: String): String =
     splitCache.computeIfAbsent(
       Tables.corpusCacheKey(s, dir, "events"), _ => {
       val tmp = java.nio.file.Files

@@ -29,17 +29,11 @@ class StreamQueriesSpec extends SparkSpec {
     // the fixture layout drives maxFilesPerTrigger=2 towards multi-batch
     // replay; at least two data files must exist for the claim to hold
     StreamQueries.st1StreamWindows.fn(spark, sf).collect()
-    val dirs = java.nio.file.Files.list(
-      java.nio.file.Paths.get(System.getProperty("java.io.tmpdir")))
-    val split = try {
-      val it = dirs.iterator()
-      var found: java.nio.file.Path = null
-      while (it.hasNext) {
-        val p = it.next()
-        if (p.getFileName.toString.startsWith("graft-st1-replay")) found = p
-      }
-      found
-    } finally dirs.close()
+    // resolve THIS corpus's replay dir through the cache — a tmpdir
+    // prefix scan picks up other suites' replay fixtures (a tiny
+    // synthetic corpus lays out as one file) depending on suite order
+    val split = java.nio.file.Paths.get(
+      StreamQueries.splitEvents(spark, sf)).getParent
     assert(split != null, "replay fixture dir missing")
     val files = java.nio.file.Files.list(split.resolve("events"))
     val nParquet = try {

@@ -68,12 +68,16 @@ object Exact {
     * `sum(c.cast(DecimalType(30, scale)))`. Null when the group has no
     * non-null rows — both halves' sums are null together, and the
     * recombination propagates it — matching plain SUM. */
-  private def splitSum(c: Column, scale: Int = Scale): Column = {
-    val u = scaledLong(c, scale)
+  private def splitSum(c: Column, scale: Int = Scale): Column =
+    splitSumUnits(scaledLong(c, scale), scale)
+
+  /** Split-long SUM over an ALREADY-SCALED long expression `u` (scaled
+    * units = value·10^scale), recombined exactly — the shared tail of
+    * [[splitSum]] and the [[dsumUnits]] fast path. */
+  private def splitSumUnits(u: Column, scale: Int): Column =
     (sum(intDiv(u, SplitBase)).cast(DecimalType(38, 0)) * lit(SplitBase) +
       sum(u % SplitBase)).cast(DecimalType(38, scale)) /
       lit(math.pow(10, scale).toLong)
-  }
 
   /** Order-independent SUM over a double expression. */
   def dsum(c: Column): Column = splitSum(c).cast(DoubleType)
@@ -82,6 +86,31 @@ object Exact {
     * path for values outside [[scaledLong]]'s ±9.2e14 per-row envelope.
     * Same result as [[dsum]] inside the envelope, a few× slower. */
   def dsumWide(c: Column): Column = sum(c.cast(Dec)).cast(DoubleType)
+
+  /** Per-row scaled units of a 2-decimal money/rate column as a LONG
+    * (cents): the SAME rounding as [[money]]'s Decimal(18,2) cast, by
+    * construction (it goes through the identical decimal cast). A
+    * product of two such columns is then an exact scale-4 integer in
+    * pure long arithmetic — see [[dsumUnits]]. Envelope: |c| < 9.2e16
+    * per row (the scale-2 [[scaledLong]] bound). */
+  def moneyUnits(c: Column): Column = scaledLong(c, 2)
+
+  /** Order-independent SUM over an ALREADY-SCALED long expression
+    * (`u = value·10^scale`, e.g. a product of [[moneyUnits]] factors:
+    * scale 4 for a two-factor money product, 6 for three factors) —
+    * value-identical to routing the same product through the decimal
+    * path (`dsumScaled(money(a)·money(b), 4)`), because the scaled-unit
+    * integers are identical: a scale-2 decimal product has scale 4
+    * exactly, so its scaledLong IS the product of the factors' cent
+    * units. The win is per-row cost — the wide Decimal multiply
+    * (precision 37+, BigDecimal-backed, allocation per row) is replaced
+    * by one long multiply; the aggregation was already split-long.
+    * Overflow envelope: |u| must stay under ±9.2e18 per ROW (a money
+    * product of |a| ≤ 1e7 cents and |b| ≤ 1e4 units is 1e11 — 7 orders
+    * of headroom) and the per-group split sums carry ~9e12 rows as in
+    * [[dsum]]. */
+  def dsumUnits(u: Column, scale: Int): Column =
+    splitSumUnits(u, scale).cast(DoubleType)
 
   /** Order-independent SUM of an already-exact DECIMAL expression at an
     * explicit scale (money products are scale 4; the ·(1+tax) charge

@@ -127,6 +127,32 @@ object Ranks {
           (col("pos") - floor(col("pos")))).as("q"))
   }
 
+  /** Exact per-group MEDIAN over a FREQUENCY table `(g, v, cnt)` — the
+    * compressed-domain order statistic for values with a structurally
+    * bounded domain (scaled money cents, scaled signal levels): the rank
+    * walk runs over distinct values ONLY, so the window sees ≤ |domain|
+    * rows per group regardless of data volume. Median = mean of the
+    * order statistics at ranks (n+1)//2 and (n+2)//2, computed as
+    * `(v_lo + v_hi) / 2.0` on integer-valued doubles — bit-equal to the
+    * window-rank formulation it replaces (the midpoint of two exactly
+    * representable integers ≤ 2^52 is exactly representable). Returns
+    * one row per group: (`g`, `out`).
+    */
+  def medianFromFreq(f: DataFrame, g: String, v: String, cnt: String,
+      out: String): DataFrame = {
+    val cum = f
+      .withColumn("__cum", sum(col(cnt)).over(
+        Window.partitionBy(g).orderBy(v)))
+      .withColumn("__n", sum(col(cnt)).over(Window.partitionBy(g)))
+      .withColumn("__lo", expr("(__n + 1) div 2"))
+      .withColumn("__hi", expr("(__n + 2) div 2"))
+    def at(r: String) = max(when(
+      col("__cum") - col(cnt) < col(r) && col(r) <= col("__cum"),
+      col(v).cast("double")))
+    cum.groupBy(g)
+      .agg(((at("__lo") + at("__hi")) / 2.0).as(out))
+  }
+
   /** Adds `rn` (1-based rank of `v` within `g`) and `n` (group size) to
     * `df`, bucketing `v` into `buckets` fixed cells over [vLo, vHi).
     * Values outside the range clamp into the edge cells (monotone, so

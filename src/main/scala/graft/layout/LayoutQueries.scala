@@ -76,8 +76,8 @@ object LayoutQueries {
       bucketedJoin(s, dir)
         .groupBy("o_orderpriority")
         .agg(count(lit(1)).as("n_lines"),
-          Exact.dsumScaled(Exact.money(col("l_extendedprice")) *
-            Exact.money(lit(1.0) - col("l_discount")), 4).as("revenue"))
+          Exact.dsumUnits(Exact.moneyUnits(col("l_extendedprice")) *
+            Exact.moneyUnits(lit(1.0) - col("l_discount")), 4).as("revenue"))
         .orderBy("o_orderpriority"),
     Some(s"""
       SELECT o_orderpriority, COUNT(*) AS n_lines,
@@ -129,8 +129,8 @@ object LayoutQueries {
       fact.join(dim, Seq("ship_month"))
         .groupBy("ship_month")
         .agg(count(lit(1)).as("n_lines"),
-          Exact.dsumScaled(Exact.money(col("l_extendedprice")) *
-            Exact.money(lit(1.0) - col("l_discount")), 4).as("revenue"))
+          Exact.dsumUnits(Exact.moneyUnits(col("l_extendedprice")) *
+            Exact.moneyUnits(lit(1.0) - col("l_discount")), 4).as("revenue"))
         .orderBy("ship_month")
     },
     Some(s"""

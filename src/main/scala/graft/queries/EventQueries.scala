@@ -1102,21 +1102,10 @@ object EventQueries {
       // exact median of the distribution {v: weight cnt}: the mean of the
       // order statistics at ranks (n+1)//2 and (n+2)//2 — bit-equal to
       // the oracle's SUM/COUNT over the two ROW_NUMBER targets (integer-
-      // valued doubles; the midpoint of equal values is the value)
-      def medianFromFreq(f: DataFrame, v: String, out: String): DataFrame = {
-        val cum = f
-          .withColumn("cum", sum(col("cnt")).over(
-            Window.partitionBy("event_type").orderBy(v)))
-          .withColumn("n", sum(col("cnt")).over(
-            Window.partitionBy("event_type")))
-          .withColumn("lo_r", expr("(n + 1) div 2"))
-          .withColumn("hi_r", expr("(n + 2) div 2"))
-        def at(r: String) = max(when(
-          col("cum") - col("cnt") < col(r) && col(r) <= col("cum"),
-          col(v).cast("double")))
-        cum.groupBy("event_type")
-          .agg(((at("lo_r") + at("hi_r")) / 2.0).as(out))
-      }
+      // valued doubles; the midpoint of equal values is the value).
+      // Shared compressed-domain helper (g6 uses the same walk).
+      def medianFromFreq(f: DataFrame, v: String, out: String): DataFrame =
+        graft.core.Ranks.medianFromFreq(f, "event_type", v, "cnt", out)
       val med = medianFromFreq(freq, "c2", "med2")
       val devFreq = freq.join(broadcast(med), Seq("event_type"))
         .withColumn("dev2", abs(col("c2").cast("double") - col("med2")))

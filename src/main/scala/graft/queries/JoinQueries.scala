@@ -18,7 +18,11 @@ object JoinQueries {
 
   import Exact.{money, sqlMoney}
 
-  private def revenue = money(col("l_extendedprice")) * money(lit(1.0) - col("l_discount"))
+  // revenue in scale-4 LONG units (r15 optimization, Exact.dsumUnits doc):
+  // same cent-unit integers as money(price)·money(1−disc), one long
+  // multiply per row instead of a wide Decimal multiply
+  private def revenue4 = Exact.moneyUnits(col("l_extendedprice")) *
+    Exact.moneyUnits(lit(1.0) - col("l_discount"))
   private def sqlRevenue = s"${sqlMoney("l_extendedprice")} * ${sqlMoney("1.0 - l_discount")}"
 
   /** TPC-H Q3 shape: two fact joins + grouped revenue. customer is the
@@ -36,7 +40,7 @@ object JoinQueries {
       cust.join(ord, col("c_custkey") === col("o_custkey"))
         .join(li, col("o_orderkey") === col("l_orderkey"))
         .groupBy(col("l_orderkey"), col("o_orderdate"))
-        .agg(Exact.dsumScaled(revenue, 4).as("revenue"))
+        .agg(Exact.dsumUnits(revenue4, 4).as("revenue"))
         .orderBy(col("revenue").desc, col("l_orderkey"))
         .limit(10)
     },
@@ -91,24 +95,43 @@ object JoinQueries {
   /** TPC-H Q5 shape: star join with explicitly broadcast dimensions
     * (nation/region are tiny at any scale — never shuffle the fact side
     * for them). Revenue per nation for one region.
+    *
+    * Join order (r15 optimization, guide §3): the region predicate is
+    * applied FIRST — nation⋈region(ASIA) is a ~5-row driver-side-size
+    * table, and both the customer and supplier legs inner-join it
+    * (nationkey is unique, so this is a pure filter + n_name attach)
+    * BEFORE any fact join. The final join condition requires
+    * c_nationkey = s_nationkey ∈ ASIA, so pruning both legs early is
+    * result-identical while cutting every downstream join input ~5×:
+    * orders drop with their non-ASIA customers before lineitem is
+    * touched. The previous shape joined the full customer×orders×
+    * lineitem×supplier star and filtered by region LAST — at 100 TB
+    * that shuffles 5× the bytes for the same answer.
     */
   val q6RegionJoin: QueryDef = QueryDef(
     "q6_region_join",
     (s, dir) => {
-      val cust = Tables.load(s, dir, "customer")
-      val ord  = Tables.load(s, dir, "orders")
-      val li   = Tables.load(s, dir, "lineitem")
-      val sup  = Tables.load(s, dir, "supplier")
-      val nat  = broadcast(Tables.load(s, dir, "nation"))
-      val reg  = broadcast(Tables.load(s, dir, "region").filter(col("r_name") === "ASIA"))
-      cust.join(ord, col("c_custkey") === col("o_custkey"))
+      val natAsia = Tables.load(s, dir, "nation")
+        .join(Tables.load(s, dir, "region").filter(col("r_name") === "ASIA"),
+          col("n_regionkey") === col("r_regionkey"))
+        .select("n_nationkey", "n_name")
+      val custAsia = Tables.load(s, dir, "customer")
+        .join(broadcast(natAsia.select("n_nationkey")),
+          col("c_nationkey") === col("n_nationkey"))
+        .select("c_custkey", "c_nationkey")
+      val supAsia = Tables.load(s, dir, "supplier")
+        .join(broadcast(natAsia),
+          col("s_nationkey") === col("n_nationkey"))
+        .select("s_suppkey", "s_nationkey", "n_name")
+      val ord = Tables.load(s, dir, "orders").select("o_orderkey", "o_custkey")
+      val li  = Tables.load(s, dir, "lineitem")
+        .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+      custAsia.join(ord, col("c_custkey") === col("o_custkey"))
         .join(li, col("o_orderkey") === col("l_orderkey"))
-        .join(sup, col("l_suppkey") === col("s_suppkey") &&
+        .join(supAsia, col("l_suppkey") === col("s_suppkey") &&
           col("c_nationkey") === col("s_nationkey"))
-        .join(nat, col("s_nationkey") === col("n_nationkey"))
-        .join(reg, col("n_regionkey") === col("r_regionkey"))
         .groupBy("n_name")
-        .agg(Exact.dsumScaled(revenue, 4).as("revenue"))
+        .agg(Exact.dsumUnits(revenue4, 4).as("revenue"))
         .orderBy("n_name")
     },
     Some(s"""
@@ -241,8 +264,7 @@ object JoinQueries {
       li.join(ord, col("l_orderkey") === col("o_orderkey"))
         .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
         .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
-        .agg(Exact.dsumScaled(money(col("l_extendedprice")) *
-          money(lit(1.0) - col("l_discount")), 4).as("revenue"))
+        .agg(Exact.dsumUnits(revenue4, 4).as("revenue"))
         .orderBy(col("revenue").desc, col("o_orderkey"))
         .limit(10)
     },

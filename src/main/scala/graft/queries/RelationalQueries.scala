@@ -25,18 +25,23 @@ object RelationalQueries {
   val q1Agg: QueryDef = QueryDef(
     "q1_agg",
     (s, dir) => {
-      val disc = money(col("l_extendedprice")) *
-        money(lit(1.0) - col("l_discount"))
-      val charge = disc.cast(DecimalType(18, 4)) *
-        money(lit(1.0) + col("l_tax"))
+      // money products in pure LONG units (r15 optimization): the cent
+      // units of each factor round through the same Decimal(18,2) cast
+      // as before, but the per-row product is a long multiply instead of
+      // a precision-37 Decimal multiply — identical scaled integers,
+      // identical split-long sums (Exact.dsumUnits doc), ~no allocation
+      // per row
+      val disc4 = Exact.moneyUnits(col("l_extendedprice")) *
+        Exact.moneyUnits(lit(1.0) - col("l_discount"))
+      val charge6 = disc4 * Exact.moneyUnits(lit(1.0) + col("l_tax"))
       Tables.load(s, dir, "lineitem")
         .filter(col("l_shipdate") <= lit("1998-09-02 00:00:00").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
           dsum(col("l_quantity")).as("sum_qty"),
           dsum(col("l_extendedprice")).as("sum_base_price"),
-          Exact.dsumScaled(disc, 4).as("sum_disc_price"),
-          Exact.dsumScaled(charge, 6).as("sum_charge"),
+          Exact.dsumUnits(disc4, 4).as("sum_disc_price"),
+          Exact.dsumUnits(charge6, 6).as("sum_charge"),
           davg(col("l_quantity")).as("avg_qty"),
           davg(col("l_extendedprice")).as("avg_price"),
           davg(col("l_discount")).as("avg_disc"),

@@ -184,38 +184,45 @@ object SignalQueries {
   /** Per-channel BACKGROUND subtraction — the detector-calibration step
     * before peak analysis: each channel's background level is its exact
     * corpus-wide MEDIAN, and the channel reports how many readings sit
-    * strictly above it. Medians ride [[graft.core.Ranks.valueBucketed]]
-    * on the g3 integer-scaled domain (floor(v·1e4) — exact, engine-
-    * independent): 64 channels over the whole corpus is precisely the
-    * few-groups/huge-rows regime where a per-channel rank window
-    * single-reducers, and the bucketed two-pass doesn't. Median of an
-    * even count averages two integers — exact in doubles below 2^52.
+    * strictly above it. Medians ride [[graft.core.Ranks.medianFromFreq]]
+    * over the g3 integer-scaled domain (floor(v·1e4) — exact, engine-
+    * independent, ≤ 20,001 distinct values per channel by construction):
+    * the heavy exploded rows collapse to a frequency table in one
+    * map-side-combined aggregate and the rank walk runs on the compressed
+    * domain — no per-channel rank window over raw rows, no full-row
+    * shuffle, at any corpus size. Median of an even count averages two
+    * integers — exact in doubles below 2^52.
     */
   val g6Background: QueryDef = QueryDef(
     "g6_background",
     (s, dir) => {
-      val base = Tables.load(s, dir, "embeddings")
+      // Compressed-domain median (r15 optimization): the scaled level
+      // domain is structurally bounded (floor(v·1e4) over L2-normalized
+      // components ⊂ [−1e4, 1e4] — ≤ 20,001 distinct values per channel
+      // at ANY corpus size), so ONE map-side-combined frequency aggregate
+      // replaces the former valueBucketed rank (which shuffled and
+      // window-sorted every exploded row, and re-derived the exploded
+      // table 6× across grid/lo/hi/base legs — 38 Exchanges). Everything
+      // after the single heavy scan runs on (g, v, cnt) rows bounded by
+      // channels × domain, not by data. Median = mean of the order
+      // statistics at ranks (n+1)//2 and (n+2)//2 — (n+1) div 2 and
+      // n div 2 + 1 are those exact ranks, so the walk is bit-equal to
+      // the rank formulation it replaces. n / n_above re-derive from the
+      // SAME freq rows (sum of cnt, cnt-weighted threshold count); the
+      // localCheckpoint keeps the heavy explode single-pass.
+      val freq = Tables.load(s, dir, "embeddings")
         .select(posexplode(col("embedding")).as(Seq("pos", "v")))
         .select((col("pos") + 1).as("g"),
           floor(col("v").cast("double") * lit(10000.0)).cast("long").as("v"))
-      val ranked = graft.core.Ranks.valueBucketed(
-        base, "g", "v", buckets = 64, vLo = -10000.0, vHi = 10000.0)
-      val grid = ranked.select("g", "n").distinct()
-        .withColumn("lo", expr("(n + 1) div 2"))
-        .withColumn("hi", expr("n div 2 + 1"))
-      val med = grid
-        .join(ranked.select(col("g"), col("rn").as("lo"), col("v").as("v_lo")),
-          Seq("g", "lo"))
-        .join(ranked.select(col("g"), col("rn").as("hi"), col("v").as("v_hi")),
-          Seq("g", "hi"))
-        .select(col("g"),
-          ((col("v_lo") + col("v_hi")).cast("double") / 2.0).as("med_sv"))
-      base.join(broadcast(med), Seq("g"))
+        .groupBy("g", "v").agg(count(lit(1)).as("cnt"))
+        .localCheckpoint(eager = true)
+      val med = graft.core.Ranks.medianFromFreq(freq, "g", "v", "cnt", "med_sv")
+      freq.join(broadcast(med), Seq("g"))
         .groupBy("g")
-        .agg(count(lit(1)).as("n"),
+        .agg(sum(col("cnt")).as("n"),
           (first(col("med_sv")) / 10000.0).as("background"),
-          sum(when(col("v").cast("double") > col("med_sv"), 1L).otherwise(0L))
-            .as("n_above"))
+          sum(when(col("v").cast("double") > col("med_sv"), col("cnt"))
+            .otherwise(0L)).as("n_above"))
         .select(col("g").as("channel"), col("n"), col("background"),
           col("n_above"))
         .orderBy("channel")

@@ -150,10 +150,18 @@ object Dedup {
       cmsWidth: Int = 1 << 16, cmsDepth: Int = 4): DataFrame = {
     import graft.expressions.CountMin
     val blockCols = blockCol.toSeq
+    // shingle ONCE and materialize (localCheckpoint, ~8 B/shingle hash):
+    // four downstream legs read this frame (the df sketch, both prefix
+    // join sides, both verify joins) and AQE stage reuse covers at most
+    // one of them — unmaterialized, the text re-scans and re-shingles 4×
+    // per run (measured 1.51 → 1.42 s min at sf0.1; the factor grows with
+    // text size since shingling is the corpus-sized cost). Same production
+    // shape as d9: tokenize at ingest, every pass reads the token table.
     val sh = docs
       .select((blockCols.map(col) :+ col(idCol).as("doc_id")) :+
         shingleHashes(col(textCol), n).as("sh"): _*)
       .filter(size(col("sh")) > 0)
+      .localCheckpoint(eager = true)
     // document-frequency sketch (sh is deduplicated per doc, so every
     // exploded instance is one document) — fixed-size, driver-collected
     // once, rides the task binary like q32's heavy-hitter prefilter

@@ -1468,7 +1468,14 @@ object TextQueries {
         .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
         .filter(length(col("w")) > 0)
       val n = docs.count()
+      // materialize tf once (slim: two keys + a count): the df leg and the
+      // join leg otherwise EACH re-run the scan+tokenize+aggregate chain —
+      // AQE does not stage-reuse them (the final adaptive plan keeps two
+      // parquet scans; measured 1.69 → 1.30 s min with the checkpoint).
+      // Production shape: tokenize once, every downstream pass reads the
+      // term-frequency table, never the corpus text.
       val tf = toks.groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
+        .localCheckpoint(eager = true)
       val df = tf.groupBy("w").agg(count(lit(1)).as("df"))
       val win = org.apache.spark.sql.expressions.Window
         .partitionBy("doc_id").orderBy(col("score").desc, col("w"))

@@ -32,14 +32,17 @@ object StreamQueries {
     *    count; per-batch per-partition state-task overhead dominates a
     *    bounded replay and the key spaces here are thousands of groups,
     *    not millions (per-query rationale at each call site);
-    *  - `stateStore.unloadOnCommit = true`: the serve-once pattern — a
-    *    bounded replay's providers are never consulted again after the
-    *    drain, but by default every pass leaves them LOADED, so a bench
-    *    or multi-tenant driver accumulates dead providers that the shared
-    *    maintenance thread keeps re-snapshotting for the rest of the JVM
-    *    (measured: the st1 floor drops ~10% once passes stop leaking
-    *    providers, and the whole-suite effect compounds with every
-    *    replay);
+    *  - post-drain provider unload (NOT `stateStore.unloadOnCommit` —
+    *    that conf races in Spark 4.1.2, see
+    *    [[org.apache.spark.sql.graft.StateBridge]]): the serve-once
+    *    pattern — a bounded replay's providers are never consulted again
+    *    after the drain, but by default every pass leaves them LOADED,
+    *    so a bench or multi-tenant driver accumulates dead providers
+    *    that the shared maintenance thread keeps re-snapshotting for the
+    *    rest of the JVM (measured: the st1 floor drops ~10% once passes
+    *    stop leaking providers, and the whole-suite effect compounds
+    *    with every replay). Unloading is guarded on no-active-streams so
+    *    it can never close a live query's providers;
     *  - `stateStore.maintenanceInterval = 600s`: maintenance work
     *    (snapshot + cleanup) is pointless for a checkpoint that lives
     *    seconds and is deleted with the temp dir; pushing it past the
@@ -54,13 +57,20 @@ object StreamQueries {
       body: => T): T = {
     val settings = Seq(
       "spark.sql.shuffle.partitions" -> parts.toString,
-      "spark.sql.streaming.stateStore.unloadOnCommit" -> "true",
       "spark.sql.streaming.stateStore.maintenanceInterval" -> "600s")
     val olds = settings.map { case (k, _) => k -> s.conf.getOption(k) }
     settings.foreach { case (k, v) => s.conf.set(k, v) }
-    try body finally olds.foreach {
-      case (k, Some(v)) => s.conf.set(k, v)
-      case (k, None) => s.conf.unset(k)
+    try body finally {
+      // serve-once cleanup AFTER the drain (StateBridge scaladoc for why
+      // not unloadOnCommit); guarded so a concurrently live query — none
+      // exists in the bench or the sequential test JVM, but the helper
+      // must not assume — keeps its providers
+      if (s.streams.active.isEmpty)
+        org.apache.spark.sql.graft.StateBridge.unloadAll()
+      olds.foreach {
+        case (k, Some(v)) => s.conf.set(k, v)
+        case (k, None) => s.conf.unset(k)
+      }
     }
   }
 

@@ -1,0 +1,37 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.execution.streaming.state.StateStore
+
+/** Same-namespace re-export of the executor-side state-store registry
+  * (the [[org.apache.spark.graft.ListenerBridge]] pattern): a bounded
+  * replay (st1–st6) serves its finite fixture once and never consults
+  * its providers again, so it unloads them AFTER the drain instead of
+  * leaking them to the JVM-shared maintenance thread. The conf-level
+  * alternative (`spark.sql.streaming.stateStore.unloadOnCommit=true`)
+  * races in Spark 4.1.2: a committed provider is queued on
+  * `unloadedProvidersToClose`, and when a later micro-batch reloads the
+  * SAME instance the maintenance thread can close it mid-use — the
+  * commit then dies with CANNOT_WRITE_STATE_STORE.CANNOT_COMMIT
+  * (RejectedExecutionException from the provider's terminated checksum
+  * file-manager pool; observed once in SparkEntrySpec on the st2
+  * stream-stream join, whose four stores per partition maximize the
+  * reload window). Post-drain unload has no such window: the query has
+  * terminated, nothing holds a store, and the callers guard on
+  * `spark.streams.active.isEmpty` so a concurrent live query's
+  * providers are never touched.
+  */
+object StateBridge {
+  def unloadAll(): Unit = StateStore.unloadAll()
+
+  /** True iff the registry holds no loaded providers (spec pin for the
+    * serve-once contract). The registry map is `private` in the Spark
+    * object, so this reads it reflectively; StateStore's own methods
+    * synchronize on the map instance, and so does this. */
+  def nothingLoaded(): Boolean = {
+    val m = StateStore.getClass.getDeclaredMethod("loadedProviders")
+    m.setAccessible(true)
+    val providers =
+      m.invoke(StateStore).asInstanceOf[scala.collection.mutable.HashMap[_, _]]
+    providers.synchronized(providers.isEmpty)
+  }
+}

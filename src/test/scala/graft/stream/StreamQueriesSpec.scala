@@ -25,6 +25,23 @@ class StreamQueriesSpec extends SparkSpec {
     assert(got.map(_.toString).toSeq == want.map(_.toString).toSeq)
   }
 
+  test("bounded replays unload their serve-once state providers post-drain") {
+    // the racy conf alternative (unloadOnCommit) died once in
+    // SparkEntrySpec on exactly this query's four-stores-per-partition
+    // commit — the pin is the post-drain contract: after an st query's
+    // fn returns, the JVM-shared registry holds NO loaded providers
+    // (nothing for the maintenance thread to re-snapshot), and the
+    // replay-scoped conf is restored.
+    val partsBefore = spark.conf.getOption("spark.sql.shuffle.partitions")
+    if (spark.streams.active.isEmpty) // order-robust vs earlier suites
+      org.apache.spark.sql.graft.StateBridge.unloadAll()
+    val got = StreamQueries.st2StreamJoin.fn(spark, sf)
+    got.write.format("noop").mode("overwrite").save()
+    assert(org.apache.spark.sql.graft.StateBridge.nothingLoaded(),
+      "st2 left state-store providers loaded after its drain")
+    assert(spark.conf.getOption("spark.sql.shuffle.partitions") == partsBefore)
+  }
+
   test("the replay is multi-batch (file-per-trigger over a split layout)") {
     // the fixture layout drives maxFilesPerTrigger=2 towards multi-batch
     // replay; at least two data files must exist for the claim to hold

@@ -214,6 +214,13 @@ object DedupQueries {
   val d6DupSpans: QueryDef = QueryDef(
     "d6_dup_spans",
     (s, dir) => {
+      // Shape measured and kept as-is in r15: both rewrites that force a
+      // single tokenize lose at sf0.1 (interleaved min-of-5: as-is 0.896,
+      // raw (doc,h) localCheckpoint 0.932, (doc,h,cnt) pre-agg +
+      // checkpoint 1.027 s) — the (doc,h) grain has ~no combining (8-gram
+      // hashes are near-unique within a doc), so the pre-agg ADDS a
+      // corpus-sized exchange, and the checkpoint barrier costs more
+      // than the second generator pass it saves.
       val kg = Tables.loadSpread(s, dir, "documents")
         .select(col("doc_id"),
           posexplode(graft.expressions.GraftExpressions.kgramHashes(col("text"), 8))
@@ -251,26 +258,41 @@ object DedupQueries {
     * the doc_id % 20 == 0 slice, standing in for an external eval corpus.
     *
     * Plan shape at 100 TB: benchmark k-grams reduce to a DISTINCT 8-byte
-    * hash set (tiny relative to the corpus — eval sets are small), train
-    * k-grams LEFT SEMI-join it on the hash, and one groupBy(doc) ratios
-    * matched/total. Strings never shuffle; the benchmark side is
-    * broadcastable when it fits.
+    * hash set (tiny relative to the corpus — eval sets are small), the
+    * train side LEFT joins it on the hash (multiplicity 1 — no fan-out),
+    * and ONE groupBy(doc) produces both the total and the matched count.
+    * Strings never shuffle; the benchmark side is broadcastable when it
+    * fits; a persistent pipeline would checkpoint the hashed k-gram
+    * stream at ingest instead of re-deriving it per leg.
     */
   val d7Contamination: QueryDef = QueryDef(
     "d7_contamination",
     (s, dir) => {
+      // One-pass scoring (r15): the old plan ran the scan+kgramHashes
+      // generator three times (bench distinct, train semi-join side,
+      // train totals) and stitched totals to hits with a doc-keyed
+      // join. Marking bench membership with a LEFT join against the
+      // DISTINCT bench-hash set (multiplicity 1 — no fan-out) lets ONE
+      // per-doc aggregate produce both totals and hits, dropping a
+      // generator pass, a shuffle and two jobs. Interleaved A/B at
+      // sf0.1 across quiet AND contended windows: orig 0.844–1.015,
+      // this fold 0.713–0.746 s (−15–25%). Two checkpoint variants
+      // measured and rejected: a (doc,h,cnt) pre-agg (grain has ~no
+      // combining — only adds a corpus-sized exchange) and a raw
+      // (doc,h) localCheckpoint (wins nothing when quiet, loses ~20%
+      // under memory-bandwidth contention — the barrier plus
+      // materialization outweigh the saved generator pass).
       val kg = Tables.loadSpread(s, dir, "documents")
         .select(col("doc_id"),
-          posexplode(graft.expressions.GraftExpressions.kgramHashes(col("text"), 8))
-            .as(Seq("pos", "h")))
+          explode(graft.expressions.GraftExpressions.kgramHashes(col("text"), 8))
+            .as("h"))
       val bench = kg.filter(col("doc_id") % 20 === 0)
-        .select(col("h")).distinct()
-      val train = kg.filter(col("doc_id") % 20 =!= 0)
-      val hits = train.join(bench, Seq("h"), "left_semi")
-        .groupBy("doc_id").agg(count(lit(1)).as("n_hit"))
-      train.groupBy("doc_id").agg(count(lit(1)).as("n_kgrams"))
-        .join(hits, Seq("doc_id"), "left")
-        .withColumn("n_contaminated", coalesce(col("n_hit"), lit(0L)))
+        .select(col("h")).distinct().withColumn("mark", lit(1))
+      kg.filter(col("doc_id") % 20 =!= 0)
+        .join(bench, Seq("h"), "left")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_kgrams"),
+          count(col("mark")).as("n_contaminated"))
         .withColumn("contamination",
           col("n_contaminated").cast("double") / col("n_kgrams").cast("double"))
         .select("doc_id", "n_kgrams", "n_contaminated", "contamination")

@@ -510,6 +510,12 @@ object TextQueries {
     "t13_lm_familiarity",
     (s, dir) => {
       val docs = Tables.loadSpread(s, dir, "documents")
+      // Shape measured and kept as-is in r15: pre-aggregating to per-doc
+      // distinct-bigram counts (+ localCheckpoint) to tokenize once was
+      // measured WORSE at sf0.1 (interleaved min-of-5: as-is 1.067,
+      // pre-agg 1.270 s) — bigrams are near-unique within a doc, so the
+      // (doc, w1, w2) pre-agg has ~no combining and only adds a
+      // corpus-sized string-keyed exchange plus a checkpoint barrier.
       val bg = docs.select(col("doc_id"),
         graft.expressions.GraftExpressions.wordBigrams(col("text"))
           .as(Seq("w1", "w2")))
@@ -985,14 +991,22 @@ object TextQueries {
     * length and the majority language. Three grouped aggregates at three
     * grains (doc-level stats, token-level vocabulary, lang histogram) —
     * three scans, each map-side-combinable and each pruned to the
-    * columns it reads; a snapshot pipeline would fold the doc-level two
-    * into one pass over a cached projection. The report a pipeline
-    * regenerates per snapshot, not a one-off.
+    * columns it reads (folding the grains was measured worse, see the
+    * in-body note). The report a pipeline regenerates per snapshot, not
+    * a one-off.
     */
   val t21CorpusCard: QueryDef = QueryDef(
     "t21_corpus_card",
     (s, dir) => {
       val docs = Tables.loadSpread(s, dir, "documents")
+      // Shape measured and kept as-is in r15: folding the token mass
+      // into the vocabulary explode (count of unfiltered split elements
+      // = spaces+1 = tokenCount exactly) to drop the doc-stats scan's
+      // regexp_replace was measured WORSE at sf0.1 (interleaved A/B
+      // 0.631→0.843 and 1.224→1.497 s across two windows): mixing
+      // countDistinct with a plain count makes the aggregate EXPAND the
+      // exploded token stream 2× through the first shuffle, which costs
+      // more than the saved regexp pass.
       val docStats = docs.groupBy("source").agg(
         count(lit(1)).as("n_docs"),
         countDistinct(sha2(col("text"), 256)).as("n_distinct"),
@@ -1299,6 +1313,15 @@ object TextQueries {
     "t26_paragraph_dedup",
     (s, dir) => {
       val footer = "all rights reserved contact the site admin for reuse terms"
+      // Shape measured and kept as-is in r15: materializing the blocked
+      // frame once (localCheckpoint) to halve the split+slice+sha256
+      // derivation was a wash in a quiet window (0.637 vs 0.636 s
+      // interleaved min-of-5) and LOST ~12–20% under memory-bandwidth
+      // contention (0.852→0.954, 0.763→0.920) — the block rows carry the
+      // corpus text, so the materialization moves as many bytes as the
+      // derivation it saves. A pipeline persisting the mark table
+      // between passes would checkpoint to STORAGE at write cost it pays
+      // anyway; inside one query the double derivation is cheaper.
       val blocks = Tables.loadSpread(s, dir, "documents")
         .withColumn("t2",
           when(col("doc_id") % 5 === 0, concat(lit(footer + " "), col("text")))
@@ -1521,7 +1544,8 @@ object TextQueries {
     * language). Cumulative distinct is computed the scale-safe way:
     * first-occurrence block per term (ONE term-keyed groupBy — the only
     * corpus-sized shuffle, and it moves (term, block) pairs), then
-    * per-block new-term counts, then prefix sums over the BLOCK frame —
+    * per-block new-term counts, then prefix sums over the CHECKPOINTED
+    * BLOCK frame (manifest-scale, corpus/64 rows) —
     * manifest-scale (corpus/64 rows), done as a broadcast triangle
     * self-join rather than an ungrouped window, so no single-reducer sort
     * appears even in the tiny tail. All-integer arithmetic, exact.
@@ -1530,6 +1554,16 @@ object TextQueries {
     "t30_vocab_growth",
     (s, dir) => {
       val docs = Tables.loadSpread(s, dir, "documents")
+      // Checkpoint the manifest-scale per-block table (r15): the
+      // triangle self-join's broadcast leg used to re-derive the WHOLE
+      // upstream (both tokenize aggregates + the nDocs scan, 6 parquet
+      // scans total); materializing tiny `per` (corpus/64 rows) halves
+      // the heavy work. Interleaved min-of-5 at sf0.1: 0.755 → 0.589 s
+      // (−22%). A (block, word, cnt) pre-aggregate to also fuse the two
+      // tokenize passes was measured WORSE (0.894 s): the (block, word)
+      // grain has ~no combining, so it only adds a corpus-sized
+      // exchange + a barrier — the two remaining token aggregates
+      // map-side-combine into far smaller shuffles than that.
       val tokens = docs
         .select(expr("doc_id div 64").as("block"),
           explode(split(col("text"), " ")).as("word"))
@@ -1543,6 +1577,7 @@ object TextQueries {
       val per = nDocs.join(tokCounts, Seq("block"))
         .join(newTerms, Seq("block"), "left")
         .na.fill(0L, Seq("new_terms"))
+        .localCheckpoint()
       val rhs = per.select(col("block").as("b2"),
         col("new_terms").as("nt2"), col("toks").as("tk2"))
       per.join(broadcast(rhs), col("b2") <= col("block"))

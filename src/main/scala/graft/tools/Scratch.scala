@@ -2,118 +2,269 @@ package graft.tools
 
 import graft.core.{GraftSession, Tables}
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Dev scratch main for ad-hoc plan/semantics checks (not part of the
   * library surface). Edit freely; keep out of SparkEntry.
   *
-  * Current experiment: do t29/d4 re-execute their shared heavy subtrees
-  * (tokenize/shingle) at runtime, or does AQE stage reuse dedupe them?
-  * Evidence: the FINAL adaptive plan (Reused* markers) + min-of-5 A/B of
-  * the localCheckpoint variants.
+  * Current experiment (r15 batch 3): for d6/d7/t13/t26/t30, which shape
+  * wins at sf0.1 — the as-was double/triple derivation, a raw
+  * localCheckpoint of the exploded frame, or a (doc, key)-grain
+  * pre-aggregate + checkpoint? First profile said the pre-agg variants
+  * are flat-to-worse (the (doc,h) grain has ~no combining, so the
+  * pre-agg ADDS a corpus-sized exchange; the checkpoint barrier
+  * serializes stages that used to overlap). Alternating min-of-5 A/B to
+  * decide per query.
   */
 object Scratch {
   def main(args: Array[String]): Unit = {
     val spark = GraftSession.local(32, "scratch")
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
-    def time(tag: String)(f: => Unit): Unit = {
-      f // warm
-      val ts = (1 to 5).map { _ =>
-        val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
-      }
-      println(f"$tag%-44s min=${ts.min}%.3f  (${ts.map(t => f"$t%.2f").mkString(" ")})")
-    }
-
     def noop(df: DataFrame): Unit =
       df.write.format("noop").mode("overwrite").save()
 
-    def finalPlanSummary(tag: String, df: DataFrame): Unit = {
-      df.collect()
-      val s = df.queryExecution.explainString(
-        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
-      val interesting = s.linesIterator.filter { l =>
-        l.contains("Reused") || l.contains("Scan parquet") ||
-          l.contains("ShuffleQueryStage") || l.contains("Exchange (")
-      }.mkString("\n")
-      println(s"=== $tag final plan (reuse/scan/exchange nodes) ===\n$interesting")
+    /** Alternating A/B/...: interleaved passes so host drift hits all
+      * variants equally; min per variant. */
+    def ab(tag: String, variants: (String, () => DataFrame)*): Unit = {
+      variants.foreach { case (_, f) => noop(f()) } // warm all
+      val times = scala.collection.mutable.Map[String, List[Double]]()
+      (1 to 7).foreach { _ =>
+        variants.foreach { case (name, f) =>
+          val t0 = System.nanoTime(); noop(f())
+          val t = (System.nanoTime() - t0) / 1e9
+          times(name) = t :: times.getOrElse(name, Nil)
+        }
+      }
+      variants.foreach { case (name, _) =>
+        val ts = times(name)
+        println(f"[$tag] $name%-28s min=${ts.min}%.3f  (${ts.reverse.map(t => f"$t%.2f").mkString(" ")})")
+      }
     }
 
-    // --- 1) registered queries, final-plan reuse evidence ---
-    val qs = graft.SparkEntry.queries
-    finalPlanSummary("t29_keywords", qs("t29_keywords")(spark, dir))
-    finalPlanSummary("d4_ngram_jaccard", qs("d4_ngram_jaccard")(spark, dir))
+    val docs = Tables.loadSpread(spark, dir, "documents")
 
-    // --- 2) t29 A/B: as registered vs tf localCheckpoint ---
-    def t29Variant(ckpt: Boolean): DataFrame = {
-      val docs = Tables.loadSpread(spark, dir, "documents")
-      val toks = docs
-        .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+    // ---------- d6 ----------
+    def d6Orig(): DataFrame = {
+      val kg = docs.select(col("doc_id"),
+        posexplode(graft.expressions.GraftExpressions.kgramHashes(col("text"), 8))
+          .as(Seq("pos", "h")))
+      val dupHashes = kg.groupBy("h").agg(count(lit(1)).as("n_occ"))
+        .filter(col("n_occ") > 1).select(col("h"), lit(1).as("dup"))
+      kg.join(dupHashes, Seq("h"), "left")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_kgrams"), count(col("dup")).as("n_dup"))
+        .withColumn("dup_ratio",
+          col("n_dup").cast("double") / col("n_kgrams").cast("double"))
+        .orderBy("doc_id")
+    }
+    def d6Raw(): DataFrame = {
+      val kg = docs.select(col("doc_id"),
+        explode(graft.expressions.GraftExpressions.kgramHashes(col("text"), 8))
+          .as("h")).localCheckpoint()
+      val dupHashes = kg.groupBy("h").agg(count(lit(1)).as("n_occ"))
+        .filter(col("n_occ") > 1).select(col("h"), lit(1).as("dup"))
+      kg.join(dupHashes, Seq("h"), "left")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_kgrams"), count(col("dup")).as("n_dup"))
+        .withColumn("dup_ratio",
+          col("n_dup").cast("double") / col("n_kgrams").cast("double"))
+        .orderBy("doc_id")
+    }
+    def d6PreAgg(): DataFrame =
+      graft.SparkEntry.queries("d6_dup_spans")(spark, dir)
+
+    // ---------- d7 ----------
+    def d7Orig(): DataFrame = {
+      val kg = docs.select(col("doc_id"),
+        posexplode(graft.expressions.GraftExpressions.kgramHashes(col("text"), 8))
+          .as(Seq("pos", "h")))
+      val bench = kg.filter(col("doc_id") % 20 === 0).select(col("h")).distinct()
+      val train = kg.filter(col("doc_id") % 20 =!= 0)
+      val hits = train.join(bench, Seq("h"), "left_semi")
+        .groupBy("doc_id").agg(count(lit(1)).as("n_hit"))
+      train.groupBy("doc_id").agg(count(lit(1)).as("n_kgrams"))
+        .join(hits, Seq("doc_id"), "left")
+        .withColumn("n_contaminated", coalesce(col("n_hit"), lit(0L)))
+        .withColumn("contamination",
+          col("n_contaminated").cast("double") / col("n_kgrams").cast("double"))
+        .select("doc_id", "n_kgrams", "n_contaminated", "contamination")
+        .orderBy("doc_id")
+    }
+    def d7RawFold(): DataFrame = {
+      val kg = docs.select(col("doc_id"),
+        explode(graft.expressions.GraftExpressions.kgramHashes(col("text"), 8))
+          .as("h")).localCheckpoint()
+      val bench = kg.filter(col("doc_id") % 20 === 0)
+        .select(col("h")).distinct().withColumn("mark", lit(1))
+      kg.filter(col("doc_id") % 20 =!= 0)
+        .join(bench, Seq("h"), "left")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_kgrams"), count(col("mark")).as("n_contaminated"))
+        .withColumn("contamination",
+          col("n_contaminated").cast("double") / col("n_kgrams").cast("double"))
+        .select("doc_id", "n_kgrams", "n_contaminated", "contamination")
+        .orderBy("doc_id")
+    }
+    def d7FoldNoCkpt(): DataFrame = {
+      val kg = docs.select(col("doc_id"),
+        explode(graft.expressions.GraftExpressions.kgramHashes(col("text"), 8))
+          .as("h"))
+      val bench = kg.filter(col("doc_id") % 20 === 0)
+        .select(col("h")).distinct().withColumn("mark", lit(1))
+      kg.filter(col("doc_id") % 20 =!= 0)
+        .join(bench, Seq("h"), "left")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_kgrams"), count(col("mark")).as("n_contaminated"))
+        .withColumn("contamination",
+          col("n_contaminated").cast("double") / col("n_kgrams").cast("double"))
+        .select("doc_id", "n_kgrams", "n_contaminated", "contamination")
+        .orderBy("doc_id")
+    }
+    def d7PreAgg(): DataFrame =
+      graft.SparkEntry.queries("d7_contamination")(spark, dir)
+
+    // ---------- t13 ----------
+    def t13Orig(): DataFrame = {
+      import org.apache.spark.sql.types.DoubleType
+      val bg = docs.select(col("doc_id"),
+        graft.expressions.GraftExpressions.wordBigrams(col("text"))
+          .as(Seq("w1", "w2")))
+      val c2 = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
+      val c1 = c2.groupBy("w1").agg(sum(col("c2")).as("c1"))
+      val vocab = docs.select(explode(split(col("text"), " ")).as("w"))
         .filter(length(col("w")) > 0)
-      val n = docs.count()
-      val tf0 = toks.groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
-      val tf = if (ckpt) tf0.localCheckpoint(eager = true) else tf0
-      val df = tf.groupBy("w").agg(count(lit(1)).as("df"))
-      val win = Window.partitionBy("doc_id").orderBy(col("score").desc, col("w"))
-      tf.join(df, Seq("w"))
-        .withColumn("score",
-          ((lit(n).cast("double") - col("df").cast("double") + lit(0.5)) /
-            (col("df").cast("double") + lit(0.5))) * col("tf").cast("double"))
-        .withColumn("rank", row_number().over(win))
-        .filter(col("rank") <= 3)
-        .select(col("doc_id"), col("rank"), col("w"), col("tf"), col("df"),
-          col("score"))
-        .orderBy("doc_id", "rank")
+        .agg(countDistinct(col("w")).as("v"))
+      bg.join(c2, Seq("w1", "w2")).join(c1, Seq("w1"))
+        .crossJoin(broadcast(vocab))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_bigrams"),
+          sum(col("c2")).as("sum_c2"),
+          sum(col("c1")).as("sum_c1"),
+          first(col("v")).as("v"))
+        .select(col("doc_id"), col("n_bigrams"), col("sum_c2"),
+          ((col("sum_c2") + col("n_bigrams")).cast(DoubleType) /
+            (col("sum_c1") + col("n_bigrams") * col("v")).cast(DoubleType))
+            .as("familiarity"))
+        .orderBy("doc_id")
     }
-    time("t29 as-registered")(noop(qs("t29_keywords")(spark, dir)))
-    time("t29 tf-localCheckpoint")(noop(t29Variant(ckpt = true)))
+    def t13PreAgg(): DataFrame =
+      graft.SparkEntry.queries("t13_lm_familiarity")(spark, dir)
 
-    // --- 3) d4 A/B: as registered vs sh localCheckpoint ---
-    def d4Variant(ckpt: Boolean): DataFrame = {
-      import graft.dedup.Dedup
-      import graft.expressions.CountMin
-      val (threshold, n, cmsWidth, cmsDepth) = (0.5, 2, 1 << 16, 4)
-      val docs = Tables.loadSpread(spark, dir, "documents")
-      val sh0 = docs
-        .select(col("source"), col("doc_id"),
-          Dedup.shingleHashes(col("text"), n).as("sh"))
-        .filter(size(col("sh")) > 0)
-      val sh = if (ckpt) sh0.localCheckpoint(eager = true) else sh0
-      val grid = sh.select(explode(col("sh")).as("h"))
-        .agg(CountMin.cmsState(col("h"), cmsWidth, cmsDepth).as("sk"))
-        .head().getAs[Array[Byte]]("sk")
-      val ordered = sh.withColumn("oh",
-        CountMin.cmsOrder(col("sh"), grid, cmsWidth, cmsDepth))
-      val prefixLen = (size(col("oh")) - ceil(lit(threshold) * size(col("oh"))) + 1)
-        .cast("int")
-      val prefixes = ordered.select(col("source"), col("doc_id"),
-        explode(slice(col("oh"), lit(1), prefixLen)).as("h"))
-      val joinKeys = Seq("source", "h")
-      val a = prefixes.select((joinKeys.map(col) :+ col("doc_id").as("doc_a")): _*)
-      val b = prefixes.select((joinKeys.map(col) :+ col("doc_id").as("doc_b")): _*)
-      val cands = a.join(b, joinKeys)
-        .filter(col("doc_a") < col("doc_b"))
-        .select("doc_a", "doc_b").distinct()
-      cands
-        .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), Seq("doc_a"))
-        .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), Seq("doc_b"))
-        .withColumn("jaccard", Dedup.jaccard(col("sh_a"), col("sh_b")))
-        .filter(col("jaccard") >= threshold)
-        .select("doc_a", "doc_b", "jaccard")
-        .orderBy("doc_a", "doc_b")
+    // ---------- t26 ----------
+    def t26Variant(ckpt: Boolean): DataFrame = {
+      val footer = "all rights reserved contact the site admin for reuse terms"
+      val blocks0 = docs
+        .withColumn("t2",
+          when(col("doc_id") % 5 === 0, concat(lit(footer + " "), col("text")))
+            .otherwise(col("text")))
+        .select(col("doc_id"),
+          expr("filter(split(t2, ' '), w -> length(w) > 0)").as("ws"))
+        .select(col("doc_id"),
+          posexplode(expr(
+            """transform(sequence(0, cast(ceil(size(ws) / 10.0) as int) - 1),
+                         i -> array_join(slice(ws, i * 10 + 1, 10), ' '))"""))
+            .as(Seq("block_idx", "block")))
+        .withColumn("h", sha2(col("block"), 256))
+      val blocks = if (ckpt) blocks0.localCheckpoint() else blocks0
+      val winners = blocks.groupBy("h")
+        .agg(min(struct(col("doc_id"), col("block_idx"))).as("w"))
+      blocks.join(winners, Seq("h"))
+        .withColumn("kept",
+          col("doc_id") === col("w.doc_id") && col("block_idx") === col("w.block_idx"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_blocks"),
+          sum(col("kept").cast("long")).as("n_kept"),
+          sha2(expr(
+            """array_join(transform(
+                 array_sort(collect_list(case when kept then struct(block_idx, block) end)),
+                 x -> x.block), ' ')"""), 256).as("clean_sha"))
+        .orderBy("doc_id")
     }
-    time("d4 as-registered")(noop(qs("d4_ngram_jaccard")(spark, dir)))
-    time("d4 sh-localCheckpoint")(noop(d4Variant(ckpt = true)))
 
-    // sanity: the variants return identical rows
-    val base29 = qs("t29_keywords")(spark, dir).collect().toSeq
-    val var29 = t29Variant(ckpt = true).collect().toSeq
-    println(s"t29 identical: ${base29 == var29} (${base29.size} rows)")
-    val base4 = qs("d4_ngram_jaccard")(spark, dir).collect().toSeq
-    val var4 = d4Variant(ckpt = true).collect().toSeq
-    println(s"d4 identical: ${base4 == var4} (${base4.size} rows)")
+    // ---------- t30 ----------
+    def t30Orig(): DataFrame = {
+      val tokens = docs
+        .select(expr("doc_id div 64").as("block"),
+          explode(split(col("text"), " ")).as("word"))
+      val newTerms = tokens.groupBy("word")
+        .agg(min(col("block")).as("block"))
+        .groupBy("block").agg(count(lit(1)).as("new_terms"))
+      val tokCounts = tokens.groupBy("block")
+        .agg(count(lit(1)).as("toks"))
+      val nDocs = docs.select(expr("doc_id div 64").as("block"))
+        .groupBy("block").agg(count(lit(1)).as("n_docs"))
+      val per = nDocs.join(tokCounts, Seq("block"))
+        .join(newTerms, Seq("block"), "left")
+        .na.fill(0L, Seq("new_terms"))
+      val rhs = per.select(col("block").as("b2"),
+        col("new_terms").as("nt2"), col("toks").as("tk2"))
+      per.join(broadcast(rhs), col("b2") <= col("block"))
+        .groupBy("block", "n_docs", "toks", "new_terms")
+        .agg(sum(col("nt2")).as("vocab"), sum(col("tk2")).as("tokens_cum"))
+        .orderBy("block")
+    }
+    def t30PerCkptOnly(): DataFrame = {
+      val tokens = docs
+        .select(expr("doc_id div 64").as("block"),
+          explode(split(col("text"), " ")).as("word"))
+      val newTerms = tokens.groupBy("word")
+        .agg(min(col("block")).as("block"))
+        .groupBy("block").agg(count(lit(1)).as("new_terms"))
+      val tokCounts = tokens.groupBy("block")
+        .agg(count(lit(1)).as("toks"))
+      val nDocs = docs.select(expr("doc_id div 64").as("block"))
+        .groupBy("block").agg(count(lit(1)).as("n_docs"))
+      val per = nDocs.join(tokCounts, Seq("block"))
+        .join(newTerms, Seq("block"), "left")
+        .na.fill(0L, Seq("new_terms"))
+        .localCheckpoint()
+      val rhs = per.select(col("block").as("b2"),
+        col("new_terms").as("nt2"), col("toks").as("tk2"))
+      per.join(broadcast(rhs), col("b2") <= col("block"))
+        .groupBy("block", "n_docs", "toks", "new_terms")
+        .agg(sum(col("nt2")).as("vocab"), sum(col("tk2")).as("tokens_cum"))
+        .orderBy("block")
+    }
+    def t30Registered(): DataFrame =
+      graft.SparkEntry.queries("t30_vocab_growth")(spark, dir)
 
+    // t21 original (regexp tokenCount in the doc-stats scan, separate
+    // vocab pass) vs registered (token mass rides the explode pass)
+    def t21Orig(): DataFrame = {
+      import org.apache.spark.sql.types.DoubleType
+      import graft.text.TextFunctions.tokenCount
+      val docStats = docs.groupBy("source").agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct(sha2(col("text"), 256)).as("n_distinct"),
+        sum(tokenCount(col("text")).cast("long")).as("n_tokens"),
+        sum(length(col("text")).cast("long")).as("n_chars"))
+      val vocab = docs
+        .select(col("source"), explode(split(col("text"), " ")).as("w"))
+        .filter(length(col("w")) > 0)
+        .groupBy("source").agg(countDistinct(col("w")).as("n_vocab"))
+      val lang = docs.groupBy("source", "lang").agg(count(lit(1)).as("nl"))
+        .groupBy("source")
+        .agg(max(struct(col("nl"), col("lang"))).as("m"))
+        .select(col("source"), col("m.lang").as("majority_lang"))
+      docStats.join(vocab, Seq("source")).join(lang, Seq("source"))
+        .withColumn("dup_rate",
+          lit(1.0) - col("n_distinct").cast(DoubleType) / col("n_docs").cast(DoubleType))
+        .withColumn("mean_chars",
+          col("n_chars").cast(DoubleType) / col("n_docs").cast(DoubleType))
+        .select("source", "n_docs", "n_tokens", "n_vocab", "majority_lang",
+          "dup_rate", "mean_chars")
+        .orderBy("source")
+    }
+    val reg = graft.SparkEntry.queries
+    ab("d7", "orig" -> d7Orig _, "fold-nockpt" -> d7FoldNoCkpt _,
+      "registered(ckpt+fold)" -> (() => reg("d7_contamination")(spark, dir)))
+    ab("t21", "orig" -> t21Orig _,
+      "registered(fold-ntok)" -> (() => reg("t21_corpus_card")(spark, dir)))
+    ab("t26", "orig" -> (() => t26Variant(false)),
+      "registered(ckpt)" -> (() => reg("t26_paragraph_dedup")(spark, dir)))
+    ab("t30", "orig" -> t30Orig _,
+      "registered(per-ckpt)" -> (() => reg("t30_vocab_growth")(spark, dir)))
     spark.stop()
   }
 }

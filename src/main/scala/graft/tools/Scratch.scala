@@ -256,15 +256,41 @@ object Scratch {
           "dup_rate", "mean_chars")
         .orderBy("source")
     }
-    val reg = graft.SparkEntry.queries
-    ab("d7", "orig" -> d7Orig _, "fold-nockpt" -> d7FoldNoCkpt _,
-      "registered(ckpt+fold)" -> (() => reg("d7_contamination")(spark, dir)))
-    ab("t21", "orig" -> t21Orig _,
-      "registered(fold-ntok)" -> (() => reg("t21_corpus_card")(spark, dir)))
-    ab("t26", "orig" -> (() => t26Variant(false)),
-      "registered(ckpt)" -> (() => reg("t26_paragraph_dedup")(spark, dir)))
-    ab("t30", "orig" -> t30Orig _,
-      "registered(per-ckpt)" -> (() => reg("t30_vocab_growth")(spark, dir)))
+    // c5: parent.distinct() before each anti-join vs raw PK column
+    def c5Variant(distinctParents: Boolean): DataFrame = {
+      def edge(name: String, child: DataFrame, ck: String,
+          parent: DataFrame, pk: String): DataFrame = {
+        val pkeys0 = parent.select(col(pk))
+        val pkeys = if (distinctParents) pkeys0.distinct() else pkeys0
+        val orphans = child.join(pkeys, col(ck) === col(pk), "left_anti")
+        child.agg(count(lit(1)).as("n_children"))
+          .crossJoin(orphans.agg(count(lit(1)).as("n_orphans")))
+          .select(lit(name).as("fk_edge"), col("n_children"),
+            col("n_orphans"))
+      }
+      val customer = Tables.load(spark, dir, "customer")
+      val orders = Tables.load(spark, dir, "orders")
+      val nation = Tables.load(spark, dir, "nation")
+      Seq(
+        edge("customer.nation", customer, "c_nationkey", nation, "n_nationkey"),
+        edge("lineitem.order", Tables.load(spark, dir, "lineitem"), "l_orderkey",
+          orders, "o_orderkey"),
+        edge("nation.region", nation, "n_regionkey",
+          Tables.load(spark, dir, "region"), "r_regionkey"),
+        edge("orders.customer", orders, "o_custkey", customer, "c_custkey"),
+        edge("orders.even_customer", orders, "o_custkey",
+          customer.filter(col("c_custkey") % 2 === 0), "c_custkey"),
+        edge("supplier.nation", Tables.load(spark, dir, "supplier"),
+          "s_nationkey", nation, "n_nationkey"))
+        .reduce(_.unionAll(_))
+        .orderBy("fk_edge")
+    }
+    ab("c5", "distinct-parents" -> (() => c5Variant(true)),
+      "raw-pk" -> (() => c5Variant(false)))
+    // result identity
+    val a5 = c5Variant(true).collect().toSeq
+    val b5 = c5Variant(false).collect().toSeq
+    println(s"c5 identical: ${a5 == b5} (${a5.size} rows)")
     spark.stop()
   }
 }

@@ -372,6 +372,11 @@ object Bench {
     */
   private val MemProbeLongs = (512L * 1024 * 1024 / 8).toInt
   @volatile private var memArr: Array[Long] = null
+  /** Drops the probe array once no further [[memSlice]] calls are coming —
+    * the 512 MiB otherwise stays pinned in the bench JVM's heap for the
+    * rest of the process (r15 verdict note). The next memSlice call, if
+    * any, just re-initializes. */
+  private[graft] def memRelease(): Unit = { memArr = null }
   private[graft] def memSlice(threads: Int): Double = {
     if (memArr == null) {
       val a = new Array[Long](MemProbeLongs)
@@ -915,6 +920,10 @@ object Bench {
       (name, times(times.size / 2), times.head, times.last, ok, shufBytes,
         spillBytes, firstPass)
     }
+    // both modes are past their last memSlice call (pre-suite probe in
+    // normal mode, per-sample brackets in composite) — release the probe
+    // array instead of pinning 512 MiB of driver heap through publication
+    memRelease()
     def f(v: Double): String = "%.4f".format(v)
     // failed queries report null (not a near-zero time that would read as
     // a fast success) and are named in "failed"
@@ -1162,9 +1171,17 @@ object Bench {
       case _ => ""
     }
     val env = s""""passes":$Passes,"failed":$failed,"sf":"$sfDir","loadavg_start":"$loadStart","loadavg_end":"$loadEnd","load_peak":${f(loadPeak)},"calib":$calibJson,"data_ratio":${f(dataRatio)},"growth_flagged":$growthFlagged,"amortized":$amortizedJson,"stall_retries":$retryJson,"per_query_median":${f(perQueryMedian)},"common_subset":$commonJson""" + compositeSummary
-    val compact = s"""{"metric":"total","value":${f(total)},"unit":"sec","total_min":${f(totalMin)},"queries":$qs,"stall_phases":$stallPhasesJson,$env}"""
-    val full = s"""{"metric":"total","value":${f(total)},"unit":"sec","total_min":${f(totalMin)},"queries":$qs,"spread":$spread,"exchange":$shuffle,"growth":$growthJson,"streaming":$streamingJson,"load":$loadJson,$env$compositeDetail}"""
-    println(compact)
+    // The COMPACT stdout line carries only the bounded contract fields
+    // (r16, verdict task 1): the r14 line grew past the driver's parse
+    // once per-query stall/cache/phase detail rode along (BENCH_r14.json
+    // `parsed: null`, which cost round 15 its whole round-over-round PERF
+    // table), and every unbounded field here is contention-DRIVEN — the
+    // noisier the host, the bigger the line, the likelier the parse loss,
+    // exactly when the disclosure matters most. The full evidence
+    // (spread, exchange meters, calib series, amortized caches, stall
+    // retries/phases, composite samples) is unchanged and lands per run
+    // in the `detail` file named on the line (BENCH_driver.json, or the
+    // committed curated BENCH_local.json).
     // BENCH_local.json is the CURATED builder artifact (committed, quoted
     // by the verdict); the r10 judge found the driver's contended in-round
     // run had overwritten it in the working tree minutes after it landed.
@@ -1174,6 +1191,11 @@ object Bench {
     val outName =
       if (sys.env.get("GRAFT_BENCH_CURATED").contains("1")) "BENCH_local.json"
       else "BENCH_driver.json"
+    val compact = s"""{"metric":"total","value":${f(total)},"unit":"sec","total_min":${f(totalMin)},"queries":$qs,"passes":$Passes,"failed":$failed,"sf":"$sfDir","load_peak":${f(loadPeak)},"per_query_median":${f(perQueryMedian)},"common_subset":$commonJson""" +
+      (if (compositeMode) s""","mode":"quiet_composite"""" else "") +
+      s""","detail":"$outName"}"""
+    val full = s"""{"metric":"total","value":${f(total)},"unit":"sec","total_min":${f(totalMin)},"queries":$qs,"spread":$spread,"exchange":$shuffle,"growth":$growthJson,"streaming":$streamingJson,"stall_phases":$stallPhasesJson,"load":$loadJson,$env$compositeDetail}"""
+    println(compact)
     try if (only.isEmpty) java.nio.file.Files.writeString(
       java.nio.file.Paths.get(repoRoot, outName), full + "\n")
     catch { case e: Throwable =>

@@ -137,6 +137,14 @@ object Ranks {
     * window-rank formulation it replaces (the midpoint of two exactly
     * representable integers ≤ 2^52 is exactly representable). Returns
     * one row per group: (`g`, `out`).
+    *
+    * PRECONDITIONS (r15 advice): the input must be a true frequency
+    * table — (`g`, `v`) pairs DISTINCT (a duplicated value row
+    * double-counts through the cumulative range-frame sum; aggregate
+    * `cnt` by (g, v) first if the grain is unclear) — and the caller's
+    * frame must not already carry columns named `__cum`/`__n`/`__lo`/
+    * `__hi` (working columns added internally; both current callers
+    * produce `freq` via groupBy(g, v).count(), which guarantees both).
     */
   def medianFromFreq(f: DataFrame, g: String, v: String, cnt: String,
       out: String): DataFrame = {

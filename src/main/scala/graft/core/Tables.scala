@@ -117,6 +117,21 @@ object Tables {
   private val spreadCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  /** Compressed input bytes one spread task should own, floor 1 task, cap
+    * `defaultParallelism` — the scale-dependent knob behind
+    * [[loadSpread]]'s width, env-overridable
+    * (`SPARK_GRAFT_SPREAD_BYTES_PER_TASK`). 64 KiB compressed ≈ a few
+    * hundred KB of text ≈ tens of ms of the heaviest per-row derivation
+    * (shingle/k-gram hashing) per task — big enough that task scheduling
+    * stops dominating, small enough that the heavy text queries keep
+    * full parallelism from sf1 up (they cap at the core count). A
+    * production deployment tunes this like `maxPartitionBytes` (§6.1);
+    * the local default exists for the kilobyte harness fixtures.
+    */
+  private[graft] val SpreadBytesPerTask: Long =
+    sys.env.get("SPARK_GRAFT_SPREAD_BYTES_PER_TASK").flatMap(_.toLongOption)
+      .filter(_ > 0).getOrElse(64L * 1024)
+
   /** Spread-store temp dirs live for the JVM and are deleted on exit —
     * without this, every (dir, table) pair leaves a full parquet copy
     * in /tmp per JVM, accreting across bench + span runs. */
@@ -182,7 +197,8 @@ object Tables {
       s"$bytes:$mtime:$count:$nameHash"
     } catch { case scala.util.control.NonFatal(_) => "unknown" }
 
-  /** Load with scan parallelism ≥ the session's core count.
+  /** Load with scan parallelism sized to the DATA, capped at the
+    * session's core count.
     *
     * A production table at any real scale is already many files/row
     * groups and scans parallel for free; the harness fixtures are ONE
@@ -191,20 +207,44 @@ object Tables {
     * map stage single-threaded. Rather than paying a repartition
     * EXCHANGE inside every consuming query (the pre-r8 shape: 63 call
     * sites each re-shuffling the same table), the spread copy is laid
-    * out ONCE per (dir, table) per JVM — round-robin into
-    * `defaultParallelism` files, the b1/st1 fixture-relay precedent —
-    * and every query scans that multi-file copy with no exchange. This
-    * is strictly MORE production-shaped: plans now look like they would
-    * over a real multi-file table. Already-parallel inputs pass through
-    * untouched.
+    * out ONCE per (dir, table) per JVM and every query scans that
+    * multi-file copy with no exchange. This is strictly MORE
+    * production-shaped: plans now look like they would over a real
+    * multi-file table. Already-parallel inputs pass through untouched.
+    *
+    * The spread WIDTH is derived from the table's observed byte size
+    * (one task per [[SpreadBytesPerTask]] of input, capped at
+    * `defaultParallelism`), not pinned to the core count (r16, guide
+    * §2.6/§6.1): the r15 scaling block measured EVERY documents-family
+    * query faster at 8 threads than 32 at sf0.1, and quiet-window
+    * profiles reproduced it (t21 0.62 s @8 vs 1.63 s @32, d1 0.34 vs
+    * 0.56, d4 1.83 vs 2.33) — per-task scheduling overhead on 32
+    * near-empty scan tasks dwarfs the work. Deriving width from bytes is
+    * the 100 TB-safe version of that observation: a real table hits the
+    * core-count cap immediately (unchanged plans), only
+    * kilobyte-fixtures stop fanning to 32 tasks. Result-invisible:
+    * partition COUNT already varies with the session core count (the
+    * driver benches the same queries at 8 and 32), so every consumer is
+    * partitioning-robust by construction (exact/order-free accumulators).
     */
   def loadSpread(spark: SparkSession, dir: String, name: String): DataFrame = {
     val df = load(spark, dir, name)
-    val target = spark.sparkContext.defaultParallelism
+    val fp = sourceFingerprint(spark, s"$dir/$name.parquet")
+    // fingerprint leads with total bytes; "unknown" (listing failure)
+    // degrades to the pre-r16 core-count width, never to a serial scan
+    val bytes = fp.split(':').headOption.flatMap(_.toLongOption).getOrElse(-1L)
+    val cores = spark.sparkContext.defaultParallelism
+    val target =
+      if (bytes < 0) cores
+      else math.min(cores.toLong,
+        math.max(1L, (bytes + SpreadBytesPerTask - 1) / SpreadBytesPerTask))
+        .toInt
     if (df.rdd.getNumPartitions >= target) df
     else {
       val stem = s"$dir/$name"
-      val key = s"$stem@${sourceFingerprint(spark, s"$dir/$name.parquet")}"
+      // target rides in the key: a different core count or bytes-per-task
+      // override in the same JVM must not serve a stale layout
+      val key = s"$stem@$fp#$target"
       val base = spreadCache.computeIfAbsent(key, _ => {
         val tmpPath = java.nio.file.Files
           .createTempDirectory("graft-spread-store")

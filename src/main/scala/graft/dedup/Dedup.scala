@@ -150,18 +150,20 @@ object Dedup {
       cmsWidth: Int = 1 << 16, cmsDepth: Int = 4): DataFrame = {
     import graft.expressions.CountMin
     val blockCols = blockCol.toSeq
-    // shingle ONCE and materialize (localCheckpoint, ~8 B/shingle hash):
+    // shingle ONCE and materialize (Materialize.pin, ~8 B/shingle hash):
     // four downstream legs read this frame (the df sketch, both prefix
     // join sides, both verify joins) and AQE stage reuse covers at most
     // one of them — unmaterialized, the text re-scans and re-shingles 4×
     // per run (measured 1.51 → 1.42 s min at sf0.1; the factor grows with
     // text size since shingling is the corpus-sized cost). Same production
     // shape as d9: tokenize at ingest, every pass reads the token table.
-    val sh = docs
+    // This pin is CORPUS-SIZED — on a cluster select the replicated or
+    // reliable-checkpoint strategy (Materialize scaladoc) so one lost
+    // executor recomputes instead of failing the job.
+    val sh = graft.core.Materialize.pin(docs
       .select((blockCols.map(col) :+ col(idCol).as("doc_id")) :+
         shingleHashes(col(textCol), n).as("sh"): _*)
-      .filter(size(col("sh")) > 0)
-      .localCheckpoint(eager = true)
+      .filter(size(col("sh")) > 0))
     // document-frequency sketch (sh is deduplicated per doc, so every
     // exploded instance is one document) — fixed-size, driver-collected
     // once, rides the task binary like q32's heavy-hitter prefilter
@@ -227,13 +229,38 @@ object Dedup {
     */
   def incrementalDedupKeyed(keyed: DataFrame, ledger: DataFrame): DataFrame = {
     val ledgerKeys = ledger.toDF("content_key")
+    // Within-batch first-wins BEFORE the ledger screen (r16): the min-id
+    // aggregate groups on exactly the anti-join key, so the two steps
+    // commute — same admitted keys, same min ids (spec-pinned). Written
+    // this way so the bloom below can be SIZED from the distinct key
+    // count; note Catalyst's PushDownLeftSemiAntiJoin pushes the anti-join
+    // back through the aggregate and union anyway (plan shape identical
+    // either way, r16 plan dumps), so this ordering is about sizing and
+    // clarity, not plan surgery — the measured d9 win came from the bloom
+    // sizing below.
+    val firstWins = keyed
+      .groupBy("content_key")
+      .agg(min(col("doc_id")).as("doc_id"))
+    // Size the bloom from the OBSERVED batch key count (r16, guide §3.2):
+    // the former fixed 2^23-bit default allocated a 1 MiB partial state
+    // per aggregation task regardless of batch size — for a
+    // few-thousand-key batch, allocating + merging those bitmaps WAS the
+    // bloom's cost. 16 bits/key (fpp ≈ 0.05% — false positives only cost
+    // extra semi-join rows, never correctness), floor 2^14 (2 KiB),
+    // cap 2^27 (16 MiB broadcast at ~100 M batch keys; past that fpp
+    // degrades gracefully rather than the broadcast growing unbounded).
+    // The count executes the (cheap, usually pinned-input) firstWins
+    // lineage once more — measured net win at sf0.1 and the honest way
+    // to size at any scale.
+    val nKeys = math.max(1L, firstWins.count())
+    val numBits = math.max(1L << 14, math.min(1L << 27,
+      java.lang.Long.highestOneBit(16 * nKeys - 1) << 1)).toInt
     // bloom-bounded batch-vs-ledger screen (BloomJoin.antiJoinSmallLeft):
     // at scale the batch is tiny against the corpus-lifetime ledger, and
     // this keeps the ledger unshuffled — exchanged bytes O(|batch|)
     graft.core.BloomJoin
-      .antiJoinSmallLeft(keyed, "content_key", ledgerKeys, "content_key")
-      .groupBy("content_key")
-      .agg(min(col("doc_id")).as("doc_id"))
+      .antiJoinSmallLeft(firstWins, "content_key", ledgerKeys, "content_key",
+        numBits = numBits)
       .select("doc_id", "content_key")
   }
 

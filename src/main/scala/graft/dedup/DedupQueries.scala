@@ -422,9 +422,8 @@ object DedupQueries {
       // text scans + sha256 passes per run. This is also the production
       // shape: a recurring crawl hashes each page once at ingest and
       // every downstream pass moves 32-byte keys, never documents.
-      val hashed = docs
-        .select(col("doc_id"), sha2(col("text"), 256).as("content_key"))
-        .localCheckpoint(eager = true)
+      val hashed = graft.core.Materialize.pin(docs
+        .select(col("doc_id"), sha2(col("text"), 256).as("content_key")))
       val ledger = hashed.filter(col("doc_id") < 250)
         .select("content_key").distinct()
       val batch = hashed.filter(col("doc_id") >= 250)

@@ -210,12 +210,13 @@ object SignalQueries {
       // the rank formulation it replaces. n / n_above re-derive from the
       // SAME freq rows (sum of cnt, cnt-weighted threshold count); the
       // localCheckpoint keeps the heavy explode single-pass.
-      val freq = Tables.load(s, dir, "embeddings")
+      // domain-bounded frequency table (≤ 20,001 values/channel — tiny at
+      // any corpus size); pin strategy via Materialize's conf
+      val freq = graft.core.Materialize.pin(Tables.load(s, dir, "embeddings")
         .select(posexplode(col("embedding")).as(Seq("pos", "v")))
         .select((col("pos") + 1).as("g"),
           floor(col("v").cast("double") * lit(10000.0)).cast("long").as("v"))
-        .groupBy("g", "v").agg(count(lit(1)).as("cnt"))
-        .localCheckpoint(eager = true)
+        .groupBy("g", "v").agg(count(lit(1)).as("cnt")))
       val med = graft.core.Ranks.medianFromFreq(freq, "g", "v", "cnt", "med_sv")
       freq.join(broadcast(med), Seq("g"))
         .groupBy("g")

@@ -52,12 +52,49 @@ object StreamQueries {
     * is the point: these are REPLAY-scoped, not engine-wide, settings
     * (measured together: st1 1.29 → 1.07 s min, −17%, identical final
     * table — the conf is result-invisible by construction).
+    *
+    * Round-16 additions (verdict task 2: the per-trigger fixed cost the
+    * r15 StreamMeter attribution names — st2's wall splits into
+    * state.commit ≈ 2.3–3.1 s summed, walCommit/commitOffsets ≈ 0.35 s,
+    * and a whole third trigger that carries no data):
+    *
+    *  - `checkpoint.fileChecksum.enabled = false` and
+    *    `stateStore.commitValidation.enabled = false` (both default TRUE
+    *    in Spark 4.1.2): checksum sidecar files and commit-count
+    *    validation protect a DURABLE checkpoint against storage
+    *    corruption and lost state commits across restarts. These replays
+    *    write a temp checkpoint that is deleted seconds later and never
+    *    restarted from, so the sidecars are pure per-commit file+fsync
+    *    overhead — every state-store delta, offset-log and commit-log
+    *    write pays a second file. Bytes computed are identical;
+    *    result-invisible by construction.
+    *  - `noDataMicroBatches.enabled = false` unless the caller opts back
+    *    in: the trailing no-data batch exists to advance the watermark
+    *    so state can be EVICTED (and, for append-mode aggregations,
+    *    EMITTED) after the last data batch. For a serve-once replay whose
+    *    state dies with the temp checkpoint, eviction is pointless work —
+    *    a full extra trigger with its planning/commit machinery (st2's
+    *    third trigger). Callers whose SINK CONTENTS could depend on a
+    *    post-data watermark batch must pass `noDataBatches = true`: st4
+    *    does (append-mode windowed agg — its final windows happen to emit
+    *    in the last DATA batch because the planted late file never
+    *    advances the watermark, but that is fixture layout, not an
+    *    invariant worth betting the oracle on). Complete-mode aggs
+    *    (st1/st3: every batch emits the full result), inner interval
+    *    joins (st2: eviction emits nothing — only OUTER joins emit
+    *    null-extended rows on eviction), NoTimeout flatMapGroupsWithState
+    *    (st5: no-data batches only fire timeouts) and stateless
+    *    foreachBatch (st6) cannot observe it.
     */
-  private def withBoundedReplayConf[T](s: SparkSession, parts: Int)(
-      body: => T): T = {
+  private def withBoundedReplayConf[T](s: SparkSession, parts: Int,
+      noDataBatches: Boolean = false)(body: => T): T = {
     val settings = Seq(
       "spark.sql.shuffle.partitions" -> parts.toString,
-      "spark.sql.streaming.stateStore.maintenanceInterval" -> "600s")
+      "spark.sql.streaming.stateStore.maintenanceInterval" -> "600s",
+      "spark.sql.streaming.checkpoint.fileChecksum.enabled" -> "false",
+      "spark.sql.streaming.stateStore.commitValidation.enabled" -> "false",
+      "spark.sql.streaming.noDataMicroBatches.enabled" ->
+        noDataBatches.toString)
     val olds = settings.map { case (k, _) => k -> s.conf.getOption(k) }
     settings.foreach { case (k, v) => s.conf.set(k, v) }
     try body finally {
@@ -338,7 +375,10 @@ object StreamQueries {
       // 4 state partitions (st2 precedent): five triggers of per-task
       // state overhead dominate a bounded replay; ~3.6k window×type keys
       // don't need more (withBoundedReplayConf doc for the serve-once conf).
-      withBoundedReplayConf(s, 4) {
+      // noDataBatches = true: st4 is the one append-mode AGGREGATION here —
+      // emission rides the watermark, so the post-data batch stays enabled
+      // (withBoundedReplayConf doc).
+      withBoundedReplayConf(s, 4, noDataBatches = true) {
         val q = agg.writeStream.format("memory").queryName(sink)
           .outputMode("append").start()
         try {

@@ -1496,9 +1496,10 @@ object TextQueries {
       // AQE does not stage-reuse them (the final adaptive plan keeps two
       // parquet scans; measured 1.69 → 1.30 s min with the checkpoint).
       // Production shape: tokenize once, every downstream pass reads the
-      // term-frequency table, never the corpus text.
-      val tf = toks.groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
-        .localCheckpoint(eager = true)
+      // term-frequency table, never the corpus text. Corpus-sized pin —
+      // cluster runs pick the durable strategy via Materialize's conf.
+      val tf = graft.core.Materialize.pin(
+        toks.groupBy("doc_id", "w").agg(count(lit(1)).as("tf")))
       val df = tf.groupBy("w").agg(count(lit(1)).as("df"))
       val win = org.apache.spark.sql.expressions.Window
         .partitionBy("doc_id").orderBy(col("score").desc, col("w"))
@@ -1574,10 +1575,13 @@ object TextQueries {
         .agg(count(lit(1)).as("toks"))
       val nDocs = docs.select(expr("doc_id div 64").as("block"))
         .groupBy("block").agg(count(lit(1)).as("n_docs"))
-      val per = nDocs.join(tokCounts, Seq("block"))
-        .join(newTerms, Seq("block"), "left")
-        .na.fill(0L, Seq("new_terms"))
-        .localCheckpoint()
+      // 64-row-per-block manifest table (tiny at any corpus size); pin
+      // strategy via Materialize's conf (eager, as the no-arg
+      // localCheckpoint it replaces was)
+      val per = graft.core.Materialize.pin(
+        nDocs.join(tokCounts, Seq("block"))
+          .join(newTerms, Seq("block"), "left")
+          .na.fill(0L, Seq("new_terms")))
       val rhs = per.select(col("block").as("b2"),
         col("new_terms").as("nt2"), col("toks").as("tk2"))
       per.join(broadcast(rhs), col("b2") <= col("block"))

@@ -7,29 +7,30 @@ import org.apache.spark.sql.functions._
 /** Dev scratch main for ad-hoc plan/semantics checks (not part of the
   * library surface). Edit freely; keep out of SparkEntry.
   *
-  * Current experiment (r15 batch 3): for d6/d7/t13/t26/t30, which shape
-  * wins at sf0.1 — the as-was double/triple derivation, a raw
-  * localCheckpoint of the exploded frame, or a (doc, key)-grain
-  * pre-aggregate + checkpoint? First profile said the pre-agg variants
-  * are flat-to-worse (the (doc,h) grain has ~no combining, so the
-  * pre-agg ADDS a corpus-sized exchange; the checkpoint barrier
-  * serializes stages that used to overlap). Alternating min-of-5 A/B to
-  * decide per query.
+  * Current experiment (r16): the verdict's task-3/task-6 targets —
+  *  - d9: decompose wall time (the sha256+checkpoint pass vs the
+  *    bloom-screened anti-join) and A/B the first-wins-before-screen fold;
+  *  - d5: decompose (embed pipeline runs TWICE today — once for the
+  *    adaptive-sizing count, once into the persisted working set) and A/B
+  *    a single-materialization variant;
+  *  - q27: bucket-width sweep (day vs wider/narrower) — result-invisible
+  *    by construction (exact inequality filter above the bucket join).
   */
 object Scratch {
   def main(args: Array[String]): Unit = {
     val spark = GraftSession.local(32, "scratch")
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val which = args.headOption.getOrElse("all")
 
     def noop(df: DataFrame): Unit =
       df.write.format("noop").mode("overwrite").save()
 
     /** Alternating A/B/...: interleaved passes so host drift hits all
       * variants equally; min per variant. */
-    def ab(tag: String, variants: (String, () => DataFrame)*): Unit = {
+    def ab(tag: String, passes: Int, variants: (String, () => DataFrame)*): Unit = {
       variants.foreach { case (_, f) => noop(f()) } // warm all
       val times = scala.collection.mutable.Map[String, List[Double]]()
-      (1 to 7).foreach { _ =>
+      (1 to passes).foreach { _ =>
         variants.foreach { case (name, f) =>
           val t0 = System.nanoTime(); noop(f())
           val t = (System.nanoTime() - t0) / 1e9
@@ -42,255 +43,81 @@ object Scratch {
       }
     }
 
-    val docs = Tables.loadSpread(spark, dir, "documents")
+    // ---------- d9 ----------
+    def d9HashedOnly(): DataFrame =
+      Tables.loadSpread(spark, dir, "documents")
+        .select(col("doc_id"), sha2(col("text"), 256).as("content_key"))
+        .localCheckpoint(eager = true)
+    def d9Cur(): DataFrame =
+      graft.SparkEntry.queries("d9_incremental_dedup")(spark, dir)
+    // plain anti-join (no bloom screen) over the same checkpointed slices:
+    // at this sf everything broadcasts anyway — isolates the bloom
+    // machinery's fixed cost (NOT a candidate shape for 100 TB: a plain
+    // left-anti can only build-right, i.e. shuffle/broadcast the LEDGER)
+    def d9PlainAnti(): DataFrame = {
+      val hashed = d9HashedOnly()
+      val ledger = hashed.filter(col("doc_id") < 250)
+        .select("content_key").distinct()
+      val batch = hashed.filter(col("doc_id") >= 250)
+        .select(col("doc_id"), col("content_key"))
+        .unionAll(hashed.filter(col("doc_id") < 100)
+          .select((col("doc_id") + 1000).as("doc_id"), col("content_key")))
+        .unionAll(hashed.filter(col("doc_id") >= 250 && col("doc_id") < 300)
+          .select((col("doc_id") + 2000).as("doc_id"), col("content_key")))
+      batch.groupBy("content_key").agg(min(col("doc_id")).as("doc_id"))
+        .join(ledger, Seq("content_key"), "left_anti")
+        .select("doc_id", "content_key")
+        .orderBy("doc_id")
+    }
 
-    // ---------- d6 ----------
-    def d6Orig(): DataFrame = {
-      val kg = docs.select(col("doc_id"),
-        posexplode(graft.expressions.GraftExpressions.kgramHashes(col("text"), 8))
-          .as(Seq("pos", "h")))
-      val dupHashes = kg.groupBy("h").agg(count(lit(1)).as("n_occ"))
-        .filter(col("n_occ") > 1).select(col("h"), lit(1).as("dup"))
-      kg.join(dupHashes, Seq("h"), "left")
-        .groupBy("doc_id")
-        .agg(count(lit(1)).as("n_kgrams"), count(col("dup")).as("n_dup"))
-        .withColumn("dup_ratio",
-          col("n_dup").cast("double") / col("n_kgrams").cast("double"))
-        .orderBy("doc_id")
-    }
-    def d6Raw(): DataFrame = {
-      val kg = docs.select(col("doc_id"),
-        explode(graft.expressions.GraftExpressions.kgramHashes(col("text"), 8))
-          .as("h")).localCheckpoint()
-      val dupHashes = kg.groupBy("h").agg(count(lit(1)).as("n_occ"))
-        .filter(col("n_occ") > 1).select(col("h"), lit(1).as("dup"))
-      kg.join(dupHashes, Seq("h"), "left")
-        .groupBy("doc_id")
-        .agg(count(lit(1)).as("n_kgrams"), count(col("dup")).as("n_dup"))
-        .withColumn("dup_ratio",
-          col("n_dup").cast("double") / col("n_kgrams").cast("double"))
-        .orderBy("doc_id")
-    }
-    def d6PreAgg(): DataFrame =
-      graft.SparkEntry.queries("d6_dup_spans")(spark, dir)
-
-    // ---------- d7 ----------
-    def d7Orig(): DataFrame = {
-      val kg = docs.select(col("doc_id"),
-        posexplode(graft.expressions.GraftExpressions.kgramHashes(col("text"), 8))
-          .as(Seq("pos", "h")))
-      val bench = kg.filter(col("doc_id") % 20 === 0).select(col("h")).distinct()
-      val train = kg.filter(col("doc_id") % 20 =!= 0)
-      val hits = train.join(bench, Seq("h"), "left_semi")
-        .groupBy("doc_id").agg(count(lit(1)).as("n_hit"))
-      train.groupBy("doc_id").agg(count(lit(1)).as("n_kgrams"))
-        .join(hits, Seq("doc_id"), "left")
-        .withColumn("n_contaminated", coalesce(col("n_hit"), lit(0L)))
-        .withColumn("contamination",
-          col("n_contaminated").cast("double") / col("n_kgrams").cast("double"))
-        .select("doc_id", "n_kgrams", "n_contaminated", "contamination")
-        .orderBy("doc_id")
-    }
-    def d7RawFold(): DataFrame = {
-      val kg = docs.select(col("doc_id"),
-        explode(graft.expressions.GraftExpressions.kgramHashes(col("text"), 8))
-          .as("h")).localCheckpoint()
-      val bench = kg.filter(col("doc_id") % 20 === 0)
-        .select(col("h")).distinct().withColumn("mark", lit(1))
-      kg.filter(col("doc_id") % 20 =!= 0)
-        .join(bench, Seq("h"), "left")
-        .groupBy("doc_id")
-        .agg(count(lit(1)).as("n_kgrams"), count(col("mark")).as("n_contaminated"))
-        .withColumn("contamination",
-          col("n_contaminated").cast("double") / col("n_kgrams").cast("double"))
-        .select("doc_id", "n_kgrams", "n_contaminated", "contamination")
-        .orderBy("doc_id")
-    }
-    def d7FoldNoCkpt(): DataFrame = {
-      val kg = docs.select(col("doc_id"),
-        explode(graft.expressions.GraftExpressions.kgramHashes(col("text"), 8))
-          .as("h"))
-      val bench = kg.filter(col("doc_id") % 20 === 0)
-        .select(col("h")).distinct().withColumn("mark", lit(1))
-      kg.filter(col("doc_id") % 20 =!= 0)
-        .join(bench, Seq("h"), "left")
-        .groupBy("doc_id")
-        .agg(count(lit(1)).as("n_kgrams"), count(col("mark")).as("n_contaminated"))
-        .withColumn("contamination",
-          col("n_contaminated").cast("double") / col("n_kgrams").cast("double"))
-        .select("doc_id", "n_kgrams", "n_contaminated", "contamination")
-        .orderBy("doc_id")
-    }
-    def d7PreAgg(): DataFrame =
-      graft.SparkEntry.queries("d7_contamination")(spark, dir)
-
-    // ---------- t13 ----------
-    def t13Orig(): DataFrame = {
-      import org.apache.spark.sql.types.DoubleType
-      val bg = docs.select(col("doc_id"),
-        graft.expressions.GraftExpressions.wordBigrams(col("text"))
-          .as(Seq("w1", "w2")))
-      val c2 = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
-      val c1 = c2.groupBy("w1").agg(sum(col("c2")).as("c1"))
-      val vocab = docs.select(explode(split(col("text"), " ")).as("w"))
-        .filter(length(col("w")) > 0)
-        .agg(countDistinct(col("w")).as("v"))
-      bg.join(c2, Seq("w1", "w2")).join(c1, Seq("w1"))
-        .crossJoin(broadcast(vocab))
-        .groupBy("doc_id")
-        .agg(count(lit(1)).as("n_bigrams"),
-          sum(col("c2")).as("sum_c2"),
-          sum(col("c1")).as("sum_c1"),
-          first(col("v")).as("v"))
-        .select(col("doc_id"), col("n_bigrams"), col("sum_c2"),
-          ((col("sum_c2") + col("n_bigrams")).cast(DoubleType) /
-            (col("sum_c1") + col("n_bigrams") * col("v")).cast(DoubleType))
-            .as("familiarity"))
-        .orderBy("doc_id")
-    }
-    def t13PreAgg(): DataFrame =
-      graft.SparkEntry.queries("t13_lm_familiarity")(spark, dir)
-
-    // ---------- t26 ----------
-    def t26Variant(ckpt: Boolean): DataFrame = {
-      val footer = "all rights reserved contact the site admin for reuse terms"
-      val blocks0 = docs
-        .withColumn("t2",
-          when(col("doc_id") % 5 === 0, concat(lit(footer + " "), col("text")))
-            .otherwise(col("text")))
+    // ---------- d5 ----------
+    def docVecs() =
+      Tables.loadSpread(spark, dir, "documents")
         .select(col("doc_id"),
-          expr("filter(split(t2, ' '), w -> length(w) > 0)").as("ws"))
-        .select(col("doc_id"),
-          posexplode(expr(
-            """transform(sequence(0, cast(ceil(size(ws) / 10.0) as int) - 1),
-                         i -> array_join(slice(ws, i * 10 + 1, 10), ' '))"""))
-            .as(Seq("block_idx", "block")))
-        .withColumn("h", sha2(col("block"), 256))
-      val blocks = if (ckpt) blocks0.localCheckpoint() else blocks0
-      val winners = blocks.groupBy("h")
-        .agg(min(struct(col("doc_id"), col("block_idx"))).as("w"))
-      blocks.join(winners, Seq("h"))
-        .withColumn("kept",
-          col("doc_id") === col("w.doc_id") && col("block_idx") === col("w.block_idx"))
-        .groupBy("doc_id")
-        .agg(count(lit(1)).as("n_blocks"),
-          sum(col("kept").cast("long")).as("n_kept"),
-          sha2(expr(
-            """array_join(transform(
-                 array_sort(collect_list(case when kept then struct(block_idx, block) end)),
-                 x -> x.block), ' ')"""), 256).as("clean_sha"))
-        .orderBy("doc_id")
+          graft.expressions.GraftExpressions
+            .embedShingles(col("text"), 3, 512).as("vec"))
+        .filter(array_max(col("vec")) > 0f)
+    def d5EmbedOnly(): DataFrame = docVecs()
+    def d5Cur(): DataFrame =
+      graft.SparkEntry.queries("d5_embedding_neardup")(spark, dir)
+
+    // ---------- q27 ----------
+    def q27(bucketMs: Long): DataFrame = {
+      val day = 86400000L
+      def ms(c: org.apache.spark.sql.Column) = unix_millis(c.cast("timestamp"))
+      val iv = Tables.load(spark, dir, "orders")
+        .filter(col("o_orderkey") % 97 === 0)
+        .select(col("o_orderkey"),
+          ms(col("o_orderdate")).as("ws"),
+          (ms(col("o_orderdate")) +
+            (lit(1) + col("o_orderkey") % 14) * day).as("we"))
+      val pt = Tables.load(spark, dir, "lineitem")
+        .select(ms(col("l_shipdate")).as("p"), col("l_quantity"))
+      graft.core.RangeJoin.intervalJoin(iv, "ws", "we", pt, "p", bucketMs)
+        .groupBy("o_orderkey")
+        .agg(count(lit(1)).as("n_items"),
+          graft.core.Exact.dsum(col("l_quantity")).as("sum_qty"))
+        .orderBy("o_orderkey")
     }
 
-    // ---------- t30 ----------
-    def t30Orig(): DataFrame = {
-      val tokens = docs
-        .select(expr("doc_id div 64").as("block"),
-          explode(split(col("text"), " ")).as("word"))
-      val newTerms = tokens.groupBy("word")
-        .agg(min(col("block")).as("block"))
-        .groupBy("block").agg(count(lit(1)).as("new_terms"))
-      val tokCounts = tokens.groupBy("block")
-        .agg(count(lit(1)).as("toks"))
-      val nDocs = docs.select(expr("doc_id div 64").as("block"))
-        .groupBy("block").agg(count(lit(1)).as("n_docs"))
-      val per = nDocs.join(tokCounts, Seq("block"))
-        .join(newTerms, Seq("block"), "left")
-        .na.fill(0L, Seq("new_terms"))
-      val rhs = per.select(col("block").as("b2"),
-        col("new_terms").as("nt2"), col("toks").as("tk2"))
-      per.join(broadcast(rhs), col("b2") <= col("block"))
-        .groupBy("block", "n_docs", "toks", "new_terms")
-        .agg(sum(col("nt2")).as("vocab"), sum(col("tk2")).as("tokens_cum"))
-        .orderBy("block")
-    }
-    def t30PerCkptOnly(): DataFrame = {
-      val tokens = docs
-        .select(expr("doc_id div 64").as("block"),
-          explode(split(col("text"), " ")).as("word"))
-      val newTerms = tokens.groupBy("word")
-        .agg(min(col("block")).as("block"))
-        .groupBy("block").agg(count(lit(1)).as("new_terms"))
-      val tokCounts = tokens.groupBy("block")
-        .agg(count(lit(1)).as("toks"))
-      val nDocs = docs.select(expr("doc_id div 64").as("block"))
-        .groupBy("block").agg(count(lit(1)).as("n_docs"))
-      val per = nDocs.join(tokCounts, Seq("block"))
-        .join(newTerms, Seq("block"), "left")
-        .na.fill(0L, Seq("new_terms"))
-        .localCheckpoint()
-      val rhs = per.select(col("block").as("b2"),
-        col("new_terms").as("nt2"), col("toks").as("tk2"))
-      per.join(broadcast(rhs), col("b2") <= col("block"))
-        .groupBy("block", "n_docs", "toks", "new_terms")
-        .agg(sum(col("nt2")).as("vocab"), sum(col("tk2")).as("tokens_cum"))
-        .orderBy("block")
-    }
-    def t30Registered(): DataFrame =
-      graft.SparkEntry.queries("t30_vocab_growth")(spark, dir)
+    val day = 86400000L
+    if (which == "all" || which == "d9")
+      ab("d9", 5,
+        "hashed_ckpt_only" -> (() => d9HashedOnly()),
+        "d9_current" -> (() => d9Cur()),
+        "d9_plain_anti" -> (() => d9PlainAnti()))
+    if (which == "all" || which == "d5")
+      ab("d5", 5,
+        "embed_pipeline_once" -> (() => d5EmbedOnly()),
+        "d5_current" -> (() => d5Cur()))
+    if (which == "all" || which == "q27")
+      ab("q27", 5,
+        "bucket_1d (current)" -> (() => q27(day)),
+        "bucket_2d" -> (() => q27(2 * day)),
+        "bucket_4d" -> (() => q27(4 * day)),
+        "bucket_7d" -> (() => q27(7 * day)),
+        "bucket_12h" -> (() => q27(day / 2)))
 
-    // t21 original (regexp tokenCount in the doc-stats scan, separate
-    // vocab pass) vs registered (token mass rides the explode pass)
-    def t21Orig(): DataFrame = {
-      import org.apache.spark.sql.types.DoubleType
-      import graft.text.TextFunctions.tokenCount
-      val docStats = docs.groupBy("source").agg(
-        count(lit(1)).as("n_docs"),
-        countDistinct(sha2(col("text"), 256)).as("n_distinct"),
-        sum(tokenCount(col("text")).cast("long")).as("n_tokens"),
-        sum(length(col("text")).cast("long")).as("n_chars"))
-      val vocab = docs
-        .select(col("source"), explode(split(col("text"), " ")).as("w"))
-        .filter(length(col("w")) > 0)
-        .groupBy("source").agg(countDistinct(col("w")).as("n_vocab"))
-      val lang = docs.groupBy("source", "lang").agg(count(lit(1)).as("nl"))
-        .groupBy("source")
-        .agg(max(struct(col("nl"), col("lang"))).as("m"))
-        .select(col("source"), col("m.lang").as("majority_lang"))
-      docStats.join(vocab, Seq("source")).join(lang, Seq("source"))
-        .withColumn("dup_rate",
-          lit(1.0) - col("n_distinct").cast(DoubleType) / col("n_docs").cast(DoubleType))
-        .withColumn("mean_chars",
-          col("n_chars").cast(DoubleType) / col("n_docs").cast(DoubleType))
-        .select("source", "n_docs", "n_tokens", "n_vocab", "majority_lang",
-          "dup_rate", "mean_chars")
-        .orderBy("source")
-    }
-    // c5: parent.distinct() before each anti-join vs raw PK column
-    def c5Variant(distinctParents: Boolean): DataFrame = {
-      def edge(name: String, child: DataFrame, ck: String,
-          parent: DataFrame, pk: String): DataFrame = {
-        val pkeys0 = parent.select(col(pk))
-        val pkeys = if (distinctParents) pkeys0.distinct() else pkeys0
-        val orphans = child.join(pkeys, col(ck) === col(pk), "left_anti")
-        child.agg(count(lit(1)).as("n_children"))
-          .crossJoin(orphans.agg(count(lit(1)).as("n_orphans")))
-          .select(lit(name).as("fk_edge"), col("n_children"),
-            col("n_orphans"))
-      }
-      val customer = Tables.load(spark, dir, "customer")
-      val orders = Tables.load(spark, dir, "orders")
-      val nation = Tables.load(spark, dir, "nation")
-      Seq(
-        edge("customer.nation", customer, "c_nationkey", nation, "n_nationkey"),
-        edge("lineitem.order", Tables.load(spark, dir, "lineitem"), "l_orderkey",
-          orders, "o_orderkey"),
-        edge("nation.region", nation, "n_regionkey",
-          Tables.load(spark, dir, "region"), "r_regionkey"),
-        edge("orders.customer", orders, "o_custkey", customer, "c_custkey"),
-        edge("orders.even_customer", orders, "o_custkey",
-          customer.filter(col("c_custkey") % 2 === 0), "c_custkey"),
-        edge("supplier.nation", Tables.load(spark, dir, "supplier"),
-          "s_nationkey", nation, "n_nationkey"))
-        .reduce(_.unionAll(_))
-        .orderBy("fk_edge")
-    }
-    ab("c5", "distinct-parents" -> (() => c5Variant(true)),
-      "raw-pk" -> (() => c5Variant(false)))
-    // result identity
-    val a5 = c5Variant(true).collect().toSeq
-    val b5 = c5Variant(false).collect().toSeq
-    println(s"c5 identical: ${a5 == b5} (${a5.size} rows)")
     spark.stop()
   }
 }

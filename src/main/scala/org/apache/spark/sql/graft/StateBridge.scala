@@ -26,12 +26,28 @@ object StateBridge {
   /** True iff the registry holds no loaded providers (spec pin for the
     * serve-once contract). The registry map is `private` in the Spark
     * object, so this reads it reflectively; StateStore's own methods
-    * synchronize on the map instance, and so does this. */
-  def nothingLoaded(): Boolean = {
-    val m = StateStore.getClass.getDeclaredMethod("loadedProviders")
-    m.setAccessible(true)
-    val providers =
-      m.invoke(StateStore).asInstanceOf[scala.collection.mutable.HashMap[_, _]]
-    providers.synchronized(providers.isEmpty)
-  }
+    * synchronize on the map instance, and so does this.
+    *
+    * The reflection is guarded (r15 advice): it is a SPEC-ONLY pin that
+    * happens to live in main sources because the `org.apache.spark.sql`
+    * package boundary is established here — a Spark upgrade that renames
+    * or re-types the private field must fail the pin TEST with a message
+    * naming this method, never a shipped code path at runtime (nothing in
+    * the library calls it; `unloadAll()` above is the shipped surface and
+    * uses only public API). */
+  def nothingLoaded(): Boolean =
+    try {
+      val m = StateStore.getClass.getDeclaredMethod("loadedProviders")
+      m.setAccessible(true)
+      val providers =
+        m.invoke(StateStore).asInstanceOf[scala.collection.mutable.HashMap[_, _]]
+      providers.synchronized(providers.isEmpty)
+    } catch {
+      case e: ReflectiveOperationException =>
+        throw new IllegalStateException(
+          "StateBridge.nothingLoaded: StateStore.loadedProviders is no " +
+            "longer reachable reflectively — this Spark version changed " +
+            "the private registry; update the spec pin (the shipped " +
+            "unloadAll() path is unaffected)", e)
+    }
 }

@@ -135,12 +135,42 @@ class PlanSpec extends SparkSpec {
     // The spread must deliver parallelism WITHOUT an exchange in the
     // query plan — it scans the one-time multi-file spread store (the
     // production-shaped layout) instead of repartitioning per query.
+    // Width contract (r16): one task per SpreadBytesPerTask of input,
+    // capped at defaultParallelism — a kilobyte fixture no longer fans
+    // to core-count near-empty tasks.
     val narrow = Tables.loadSpread(spark, sf, "documents")
     assert(!planOf(narrow).contains("Exchange"),
       s"spread paid a per-query exchange:\n${planOf(narrow)}")
-    assert(narrow.rdd.getNumPartitions >= spark.sparkContext.defaultParallelism)
+    val bytes = {
+      val f = new java.io.File(s"$sf/documents.parquet")
+      if (f.isFile) f.length
+      else Option(f.listFiles).toSeq.flatten.filter(_.isFile).map(_.length).sum
+    }
+    val wantParts = math.min(spark.sparkContext.defaultParallelism.toLong,
+      math.max(1L,
+        (bytes + Tables.SpreadBytesPerTask - 1) / Tables.SpreadBytesPerTask))
+      .toInt
+    assert(narrow.rdd.getNumPartitions >= wantParts,
+      s"spread width below the bytes-derived target $wantParts")
     // and the spread store preserves the rows exactly
     assert(narrow.count() == Tables.load(spark, sf, "documents").count())
+
+    // a table big enough that the bytes rule exceeds the core count must
+    // still cap AT the core count (the 100 TB passthrough boundary)
+    val bigTmp = java.nio.file.Files.createTempDirectory("graft-spread-big")
+      .toString
+    spark.range(0, 40000)
+      .selectExpr("id", "repeat(uuid(), 4) as pad")
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$bigTmp/documents.parquet")
+    val bigBytes = Option(new java.io.File(s"$bigTmp/documents.parquet")
+      .listFiles).toSeq.flatten.filter(_.isFile).map(_.length).sum
+    assert(bigBytes >
+      spark.sparkContext.defaultParallelism * Tables.SpreadBytesPerTask,
+      s"fixture too small ($bigBytes B) to exercise the cap")
+    val big = Tables.loadSpread(spark, bigTmp, "documents")
+    assert(big.rdd.getNumPartitions >= spark.sparkContext.defaultParallelism,
+      "a data-sized table must still spread to the full core count")
 
     // wide: re-lay the same table as many files; the scan then has at least
     // defaultParallelism splits and the spread must add NO exchange — at

@@ -32,14 +32,19 @@ class StreamQueriesSpec extends SparkSpec {
     // fn returns, the JVM-shared registry holds NO loaded providers
     // (nothing for the maintenance thread to re-snapshot), and the
     // replay-scoped conf is restored.
-    val partsBefore = spark.conf.getOption("spark.sql.shuffle.partitions")
+    val confKeys = Seq("spark.sql.shuffle.partitions",
+      "spark.sql.streaming.checkpoint.fileChecksum.enabled",
+      "spark.sql.streaming.stateStore.commitValidation.enabled",
+      "spark.sql.streaming.noDataMicroBatches.enabled")
+    val confBefore = confKeys.map(k => spark.conf.getOption(k))
     if (spark.streams.active.isEmpty) // order-robust vs earlier suites
       org.apache.spark.sql.graft.StateBridge.unloadAll()
     val got = StreamQueries.st2StreamJoin.fn(spark, sf)
     got.write.format("noop").mode("overwrite").save()
     assert(org.apache.spark.sql.graft.StateBridge.nothingLoaded(),
       "st2 left state-store providers loaded after its drain")
-    assert(spark.conf.getOption("spark.sql.shuffle.partitions") == partsBefore)
+    assert(confKeys.map(k => spark.conf.getOption(k)) == confBefore,
+      "replay-scoped conf not restored")
   }
 
   test("the replay is multi-batch (file-per-trigger over a split layout)") {

@@ -367,8 +367,11 @@ object Bench {
     * streams a shared 512 MiB long array across `threads` threads (each
     * summing a disjoint slice) and reports seconds; it rides in the
     * calib record and beside every composite sample's brackets as
-    * ATTRIBUTION evidence (not a gate — it has no committed baseline yet;
-    * this round establishes one).
+    * ATTRIBUTION evidence (not a gate). The committed curated artifact
+    * carries its quiet floor as `calib.mem_s` (established r15/r16), so a
+    * future round MAY gate on `mem_s` the way the CPU slices gate on the
+    * calib floor — compare against the committed artifact's value, same
+    * thread count, same 1.3× band.
     */
   private val MemProbeLongs = (512L * 1024 * 1024 / 8).toInt
   @volatile private var memArr: Array[Long] = null

@@ -13,6 +13,14 @@
 # total < 100 s. Every sample + adjacent probes is disclosed in the artifact
 # (composite_per_query), so the gate is recheckable after the fact.
 #
+# Memory-bandwidth baseline (r15 verdict task 7): the accepted artifact's
+# calib.mem_s is the committed quiet floor of the 512 MiB streaming probe
+# (Bench.memSlice) at 32 threads. It is disclosed per sample (pre_mem /
+# post_mem brackets in composite_per_query) as ATTRIBUTION evidence for
+# the LLC/DRAM-steal co-tenant signature (CPU probes quiet, queries
+# uniformly inflated); a future round may GATE on it — mem bracket <=
+# 1.3x the committed mem_s floor — now that a committed baseline exists.
+#
 # Runs via plain `java` against a SNAPSHOT of the compiled classes so the
 # repo's sbt build stays free for concurrent work and later commits can't
 # mutate the running bench.

@@ -1194,8 +1194,17 @@ object Bench {
     val outName =
       if (sys.env.get("GRAFT_BENCH_CURATED").contains("1")) "BENCH_local.json"
       else "BENCH_driver.json"
+    // calib rides the compact line ONLY in normal mode, where its series
+    // is bounded (~1 slice per 20 queries + retry/tail probes): round
+    // N+1's priorCalib() normalizes against the calib object it finds in
+    // the driver-captured BENCH_rN.json, i.e. in THIS line — dropping it
+    // entirely would anchor every future normalization to the last
+    // pre-r16 artifact. Composite mode's series grows per sample
+    // (hundreds of brackets) and its runs publish through the curated
+    // detail file instead, so there the line stays calib-free.
     val compact = s"""{"metric":"total","value":${f(total)},"unit":"sec","total_min":${f(totalMin)},"queries":$qs,"passes":$Passes,"failed":$failed,"sf":"$sfDir","load_peak":${f(loadPeak)},"per_query_median":${f(perQueryMedian)},"common_subset":$commonJson""" +
-      (if (compositeMode) s""","mode":"quiet_composite"""" else "") +
+      (if (compositeMode) s""","mode":"quiet_composite""""
+       else s""","calib":$calibJson""") +
       s""","detail":"$outName"}"""
     val full = s"""{"metric":"total","value":${f(total)},"unit":"sec","total_min":${f(totalMin)},"queries":$qs,"spread":$spread,"exchange":$shuffle,"growth":$growthJson,"streaming":$streamingJson,"stall_phases":$stallPhasesJson,"load":$loadJson,$env$compositeDetail}"""
     println(compact)
